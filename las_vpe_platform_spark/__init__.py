@@ -1,0 +1,25 @@
+"""las_vpe_platform_spark — a PySpark-native analytics engine.
+
+A from-scratch re-expression of the query and data-processing
+capabilities of kyu-sz/LaS-VPE-Platform (a Spark-Streaming + Kafka
+video-parsing platform) as an idiomatic PySpark DataFrame/SQL engine,
+plus the large-scale training-data-pipeline operators (dedup,
+similarity search, multimodal columns, text analysis) such an engine
+needs at 100 TB scale.
+
+Layout
+------
+- ``session``    — SparkSession factory + table loaders
+- ``schemas``    — typed StructTypes for the reference data model (SURVEY §1)
+- ``functions``  — scalar/text/vector column functions (SURVEY §2.8)
+- ``operators``  — relational + pipeline operators (SURVEY §2.3-§2.7)
+- ``plans``      — ExecutionPlan DSL + command compiler (SURVEY §3.1)
+- ``sources``    — batch/binary sources (SURVEY §2.1)
+- ``streaming``  — Structured Streaming backend (SURVEY §2.9)
+
+All operators are DataFrame -> DataFrame, declarative, and designed to
+let Catalyst pick physical strategies; Python UDFs appear only where
+built-ins cannot express the semantics, always Arrow-batched.
+"""
+
+__version__ = "0.1.0"

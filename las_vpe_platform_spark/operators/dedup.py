@@ -1,0 +1,224 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact, MinHash+LSH, SimHash, and n-gram-Jaccard dedup — the document
+half of the 100 TB pipeline operator set. The reference only dedups
+via idempotency checks (DataManagingApp.java:422-473, SURVEY K3);
+these are the generalized, scale-first forms.
+
+Scale design: every variant is shuffle-bounded by a *bucketing* key
+(fingerprint / LSH band / shared shingle), never by an all-pairs
+product. The only cross-join in the module is within-bucket, which is
+exactly the LSH contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from las_vpe_platform_spark.functions.text import (
+    MINHASH_COEFFS,
+    MINHASH_PRIME,
+    content_fingerprint,
+    shingle_hash60,
+    word_shingles,
+)
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup groups by normalized-content fingerprint.
+
+    Returns one row per distinct content: (fingerprint, n_copies,
+    keeper_id = min id). A single hash aggregate — at 100 TB this is
+    one shuffle of (fingerprint, id), with map-side partial aggs.
+    """
+    return (
+        df.withColumn("fingerprint", content_fingerprint(text_col))
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min(id_col).alias("keeper_id"),
+        )
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup candidate pairs via MinHash + banded LSH.
+
+    shingle -> 16-hash signature -> 4 banded keys -> explode ->
+    self-equi-join on band key -> distinct (id_a < id_b) pairs.
+
+    Execution shape (the 100 TB path): explode distinct shingles to
+    rows, ONE md5 per shingle, derive the hash family with affine
+    arithmetic (MINHASH_COEFFS), and take the per-document min of each
+    family member in a single grouped aggregate — map-side partial
+    mins make the shuffle one row per (doc, 16 longs). Candidate
+    generation is an equi-join on the band hash, never an all-pairs
+    scan; hot bands are bounded by band size and AQE skew splitting.
+    """
+    rows_per_band = num_hashes // bands
+    exploded = df.select(
+        F.col(id_col).alias("doc_id_"),
+        F.explode(word_shingles(text_col, shingle_k)).alias("shingle"),
+    )
+    h = shingle_hash60("shingle")
+    lo = h.bitwiseAND(F.lit((1 << 30) - 1))
+    hi = F.shiftright(h, 30)
+    hashed = exploded.select(
+        "doc_id_", lo.alias("_lo"), hi.alias("_hi")
+    )
+    mins = [
+        F.min((F.lit(a) * F.col("_lo") + F.lit(b) * F.col("_hi") + F.lit(c)) % MINHASH_PRIME).alias(
+            f"mh{i}"
+        )
+        for i, (a, b, c) in enumerate(MINHASH_COEFFS[:num_hashes])
+    ]
+    sig = hashed.groupBy("doc_id_").agg(*mins)
+    band_exprs = [
+        F.concat(
+            F.lit(f"{b}:"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"mh{i}").cast("string")
+                        for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                    ],
+                )
+            ),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select("doc_id_", F.explode(F.array(*band_exprs)).alias("band"))
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(right, on="band")
+        .filter(F.col("l.doc_id_") < F.col("r.doc_id_"))
+        .select(
+            F.col("l.doc_id_").alias("id_a"),
+            F.col("r.doc_id_").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def simhash_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, shingle_k: int = 2, bits: int = 60
+) -> DataFrame:
+    """60-bit SimHash per document (near-dup = small Hamming distance).
+
+    Execution shape: explode distinct shingles, one 60-bit hash per
+    shingle, then ONE grouped aggregate computing all 60 bit-votes as
+    conditional sums (partial aggregation map-side — the shuffle is one
+    row of 60 ints per doc). The fingerprint recombines vote signs into
+    a bigint. Downstream Hamming pairing joins on rotated bit-block
+    keys (Manku et al.'s approach) — we emit 4 15-bit blocks as keys.
+    """
+    exploded = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(text_col, shingle_k)).alias("shingle"),
+    ).withColumn("h", shingle_hash60("shingle"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    voted = exploded.groupBy("doc_id").agg(*votes)
+    fingerprint = None
+    for b in range(bits):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        fingerprint = term if fingerprint is None else fingerprint + term
+    out = voted.select("doc_id", fingerprint.alias("simhash"))
+    for block in range(4):
+        out = out.withColumn(
+            f"block{block}",
+            F.shiftright(F.col("simhash"), block * 15).bitwiseAND(F.lit((1 << 15) - 1)),
+        )
+    return out
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs sharing >= 1 shingle.
+
+    explode distinct shingles -> self-join on shingle -> count shared
+    -> |A ∪ B| = |A| + |B| - shared -> filter >= threshold.
+
+    The pair space is generated only from co-occurring shingles, so
+    cost is sum over shingles of (docs-per-shingle choose 2) — the
+    inverted-index bound, not n². Hot shingles (stopword runs) are the
+    skew risk; mitigate upstream by shingle-frequency pruning.
+    """
+    exploded = df.select(
+        F.col(id_col).alias("doc_id_"),
+        F.explode(word_shingles(text_col, shingle_k)).alias("shingle"),
+    )
+    sizes = exploded.groupBy("doc_id_").agg(F.count(F.lit(1)).alias("n_shingles"))
+    pairs = (
+        exploded.alias("l")
+        .join(exploded.alias("r"), on="shingle")
+        .filter(F.col("l.doc_id_") < F.col("r.doc_id_"))
+        .groupBy(F.col("l.doc_id_").alias("id_a"), F.col("r.doc_id_").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    with_sizes = (
+        pairs.join(sizes.withColumnRenamed("doc_id_", "id_a").withColumnRenamed("n_shingles", "size_a"), on="id_a")
+        .join(sizes.withColumnRenamed("doc_id_", "id_b").withColumnRenamed("n_shingles", "size_b"), on="id_b")
+    )
+    jaccard = F.col("shared").cast("double") / (
+        F.col("size_a") + F.col("size_b") - F.col("shared")
+    ).cast("double")
+    return with_sizes.withColumn("jaccard", F.round(jaccard, 6)).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vector_col: str,
+    bucket_col: str,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs within buckets.
+
+    All-pairs cosine restricted to a bucketing column (a cluster id,
+    LSH bucket, or partition key) — the within-bucket product is the
+    only quadratic term, and buckets are sized upstream. Cosine is a
+    JVM-side fold (functions.vector), no Python.
+    """
+    from las_vpe_platform_spark.functions.vector import cosine_similarity
+
+    sel = df.select(
+        F.col(bucket_col).alias("bucket"),
+        F.col(id_col).alias("doc_id_"),
+        F.col(vector_col).alias("vec"),
+    )
+    return (
+        sel.alias("l")
+        .join(sel.alias("r"), on="bucket")
+        .filter(F.col("l.doc_id_") < F.col("r.doc_id_"))
+        .select(
+            F.col("bucket"),
+            F.col("l.doc_id_").alias("id_a"),
+            F.col("r.doc_id_").alias("id_b"),
+            F.round(cosine_similarity(F.col("l.vec"), F.col("r.vec")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,435 @@
+"""Data-pipeline query catalog: text analysis, dedup, similarity search.
+
+The LLM-training-data operator set (BASELINE.json north star) over the
+driver's ``documents`` and ``embeddings`` tables, each with a DuckDB
+oracle. Oracle SQL for hash-based operators (minhash/simhash) is
+generated from the same parameters as the Spark expressions, so both
+engines compute bit-identical md5-derived values.
+
+NOTE on floating point: vector math is done in double precision on
+both sides with identical left-to-right fold order; outputs are
+rounded so residual 1e-15 noise can't flip the hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from las_vpe_platform_spark.compat import pround
+
+from las_vpe_platform_spark.functions.text import (
+    EN_STOPWORDS,
+    content_fingerprint,
+    lang_id,
+    punct_ratio,
+    quality_score,
+    simhash64,
+    stopword_ratio,
+    token_count,
+    word_shingles,
+)
+from las_vpe_platform_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+)
+from las_vpe_platform_spark.operators.joins import pairwise_similarity_topk
+from las_vpe_platform_spark.operators.similarity import ivf_topk
+
+
+from las_vpe_platform_spark.sources.tables import load_table as _t  # noqa: E402
+
+
+# --- shared DuckDB SQL fragments -------------------------------------------
+
+# whitespace tokens, empties removed (mirrors functions.text.tokens)
+SQL_TOKENS = r"list_filter(string_split_regex(trim(text), '\s+'), x -> x != '')"
+
+
+def sql_shingles(k: int) -> str:
+    """Distinct k-word shingles (mirrors functions.text.word_shingles).
+
+    DuckDB list slice is 1-based inclusive: toks[i : i+k-1] = k tokens.
+    """
+    return (
+        f"list_distinct(list_transform("
+        f"generate_series(1, greatest(len(toks) - {k - 1}, 0)), "
+        f"i -> array_to_string(toks[i:i+{k - 1}], ' ')))"
+    )
+
+
+SQL_STOPWORDS = "[" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + "]"
+
+SQL_DOT = (
+    "list_sum(list_transform(generate_series(1, len({a})), "
+    "i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
+)
+SQL_NORM = "sqrt(list_sum(list_transform({a}, x -> x::DOUBLE * x::DOUBLE)))"
+
+
+def sql_cosine(a: str, b: str) -> str:
+    dot = SQL_DOT.format(a=a, b=b)
+    na = SQL_NORM.format(a=a)
+    nb = SQL_NORM.format(a=b)
+    return f"({dot} / ({na} * {nb}))"
+
+
+# --- q20: token statistics (text analysis) ----------------------------------
+
+def q20_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("n_tokens", token_count("text"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            pround(F.avg("n_tokens"), 4).alias("avg_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+    )
+
+
+Q20_SQL = f"""
+WITH tokenized AS (SELECT lang, source, len({SQL_TOKENS}) AS n_tokens FROM documents)
+SELECT lang, source, count(*) AS n_docs,
+       floor((avg(n_tokens)) * 10000.0 + 0.5) / 10000.0 AS avg_tokens, max(n_tokens) AS max_tokens
+FROM tokenized GROUP BY lang, source
+"""
+
+
+# --- q21: quality scoring (text analysis) -----------------------------------
+
+def q21_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        pround(quality_score("text"), 4).alias("quality"),
+        pround(punct_ratio("text"), 4).alias("punct_ratio"),
+        pround(stopword_ratio("text"), 4).alias("stopword_ratio"),
+    )
+
+
+Q21_SQL = f"""
+WITH base AS (
+  SELECT doc_id, text, {SQL_TOKENS} AS toks FROM documents
+), metrics AS (
+  SELECT doc_id,
+         CASE WHEN length(text) > 0
+              THEN (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE
+                   / length(text)::DOUBLE
+              ELSE 0.0 END AS p_ratio,
+         CASE WHEN len(toks) > 0
+              THEN len(list_filter(toks, t -> list_contains({SQL_STOPWORDS}, lower(t))))::DOUBLE
+                   / len(toks)::DOUBLE
+              ELSE 0.0 END AS s_ratio,
+         least(length(text)::DOUBLE / 500.0, 1.0) AS len_term
+  FROM base
+)
+SELECT doc_id,
+       floor((len_term * 0.4 + least(s_ratio * 4.0, 1.0) * 0.3
+             + (1.0 - least(p_ratio * 5.0, 1.0)) * 0.3) * 10000.0 + 0.5) / 10000.0 AS quality,
+       floor((p_ratio) * 10000.0 + 0.5) / 10000.0 AS punct_ratio,
+       floor((s_ratio) * 10000.0 + 0.5) / 10000.0 AS stopword_ratio
+FROM metrics
+"""
+
+
+# --- q22: language ID heuristic (text analysis) -----------------------------
+
+def q22_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("lang_pred", lang_id("text", threshold=0.08))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+Q22_SQL = f"""
+WITH base AS (
+  SELECT lang, {SQL_TOKENS} AS toks FROM documents
+), scored AS (
+  SELECT lang,
+         CASE WHEN len(toks) > 0
+              THEN len(list_filter(toks, t -> list_contains({SQL_STOPWORDS}, lower(t))))::DOUBLE
+                   / len(toks)::DOUBLE
+              ELSE 0.0 END AS s_ratio
+  FROM base
+)
+SELECT lang, CASE WHEN s_ratio >= 0.08 THEN 'en' ELSE 'und' END AS lang_pred, count(*) AS n
+FROM scored GROUP BY 1, 2
+"""
+
+
+# --- q23: exact dedup by content fingerprint --------------------------------
+
+def q23_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs, text_col="text", id_col="doc_id")
+
+
+Q23_SQL = r"""
+SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+       count(*) AS n_copies, min(doc_id) AS keeper_id
+FROM documents GROUP BY 1
+"""
+
+
+# --- q24: MinHash + LSH near-dup candidate pairs ----------------------------
+
+MINHASH_K = 2          # shingle size
+MINHASH_HASHES = 16
+MINHASH_BANDS = 4
+
+
+def q24_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(
+        docs,
+        id_col="doc_id",
+        text_col="text",
+        shingle_k=MINHASH_K,
+        num_hashes=MINHASH_HASHES,
+        bands=MINHASH_BANDS,
+    )
+
+
+def _q24_sql() -> str:
+    from las_vpe_platform_spark.functions.text import MINHASH_COEFFS, MINHASH_PRIME
+
+    rpb = MINHASH_HASHES // MINHASH_BANDS
+    mins = ", ".join(
+        f"min(({a} * lo + {b} * hi + {c}) % {MINHASH_PRIME}) AS mh{i}"
+        for i, (a, b, c) in enumerate(MINHASH_COEFFS[:MINHASH_HASHES])
+    )
+    bands = ", ".join(
+        "'{b}:' || md5({parts})".format(
+            b=b,
+            parts=" || '|' || ".join(
+                f"mh{i}::VARCHAR" for i in range(b * rpb, (b + 1) * rpb)
+            ),
+        )
+        for b in range(MINHASH_BANDS)
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, {SQL_TOKENS} AS toks FROM documents
+), shingled AS (
+  SELECT doc_id, {sql_shingles(MINHASH_K)} AS sh FROM base
+), exploded AS (
+  SELECT doc_id, unnest(sh) AS shingle FROM shingled
+), hashed AS (
+  SELECT doc_id,
+         (('0x' || substr(md5(shingle), 1, 15))::BIGINT & 1073741823) AS lo,
+         (('0x' || substr(md5(shingle), 1, 15))::BIGINT >> 30)        AS hi
+  FROM exploded
+), sigs AS (
+  SELECT doc_id, {mins} FROM hashed GROUP BY doc_id
+), banded AS (
+  SELECT doc_id, unnest([{bands}]) AS band FROM sigs
+)
+SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+FROM banded l JOIN banded r ON l.band = r.band AND l.doc_id < r.doc_id
+"""
+
+
+Q24_SQL = _q24_sql()
+
+
+# --- q25: SimHash fingerprints ----------------------------------------------
+
+SIMHASH_K = 2
+SIMHASH_BITS = 60
+
+
+def q25_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.operators.dedup import simhash_fingerprints
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_fingerprints(
+        docs, id_col="doc_id", text_col="text", shingle_k=SIMHASH_K, bits=SIMHASH_BITS
+    ).select("doc_id", "simhash")
+
+
+def _q25_sql() -> str:
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(hs, "
+        f"h -> CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 "
+        f"THEN {1 << b}::BIGINT ELSE 0::BIGINT END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, {SQL_TOKENS} AS toks FROM documents
+), shingled AS (
+  SELECT doc_id, {sql_shingles(SIMHASH_K)} AS sh FROM base
+), hashed AS (
+  SELECT doc_id,
+         list_transform(sh, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS hs
+  FROM shingled
+)
+SELECT doc_id, {bit_terms} AS simhash FROM hashed
+"""
+
+
+Q25_SQL = _q25_sql()
+
+
+# --- q26: n-gram Jaccard top pairs ------------------------------------------
+
+JACCARD_K = 3
+
+
+def q26_ngram_jaccard_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, id_col="doc_id", text_col="text", shingle_k=JACCARD_K, threshold=0.0
+    )
+    return (
+        pairs.orderBy(F.desc("jaccard"), F.asc("id_a"), F.asc("id_b"))
+        .limit(20)
+        .select("id_a", "id_b", "shared", "size_a", "size_b", "jaccard")
+    )
+
+
+Q26_SQL = f"""
+WITH base AS (
+  SELECT doc_id, {SQL_TOKENS} AS toks FROM documents
+), shingled AS (
+  SELECT doc_id, {sql_shingles(JACCARD_K)} AS sh FROM base
+), exploded AS (
+  SELECT doc_id, unnest(sh) AS shingle FROM shingled
+), sizes AS (
+  SELECT doc_id, count(*) AS n_shingles FROM exploded GROUP BY doc_id
+), pairs AS (
+  SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS shared
+  FROM exploded l JOIN exploded r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, shared, sa.n_shingles AS size_a, sb.n_shingles AS size_b,
+       floor((shared::DOUBLE / (sa.n_shingles + sb.n_shingles - shared)::DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+ORDER BY jaccard DESC, id_a, id_b
+LIMIT 20
+"""
+
+
+# --- q27: brute-force embedding top-k (exact ANN baseline; J9+W1) -----------
+
+def q27_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 50 == 0)
+    top = pairwise_similarity_topk(
+        probes, emb, probe_key="vec_id", gallery_key="vec_id", vector_col="embedding", k=5
+    )
+    return top.select(
+        "probe_key", "gallery_key", "rank", pround("similarity", 4).alias("similarity")
+    )
+
+
+Q27_SQL = f"""
+WITH pr AS (SELECT vec_id AS probe_key, embedding AS pvec FROM embeddings WHERE vec_id % 50 = 0),
+     ga AS (SELECT vec_id AS gallery_key, embedding AS gvec FROM embeddings),
+scored AS (
+  SELECT probe_key, gallery_key, {sql_cosine('pvec', 'gvec')} AS sim
+  FROM pr CROSS JOIN ga
+), ranked AS (
+  SELECT probe_key, gallery_key, sim,
+         row_number() OVER (PARTITION BY probe_key ORDER BY sim DESC, gallery_key) AS rank
+  FROM scored
+)
+SELECT probe_key, gallery_key, rank, floor((sim) * 10000.0 + 0.5) / 10000.0 AS similarity
+FROM ranked WHERE rank <= 5
+"""
+
+
+# --- q28: per-label centroid dims (A1 wide-avg on vectors) ------------------
+
+def q28_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", (F.col("pos") + 1).alias("dim"))
+        .agg(pround(F.avg(F.col("v").cast("double")), 6).alias("centroid_v"))
+    )
+
+
+Q28_SQL = """
+SELECT label, i AS dim, floor((avg(embedding[i]::DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS centroid_v
+FROM embeddings, unnest(generate_series(1, 64)) AS t(i)
+GROUP BY label, i
+"""
+
+
+# --- q29: IVF approximate top-k (the ANN scale path) ------------------------
+
+IVF_CENTROID_MOD = 50
+IVF_PROBE_MOD = 71
+IVF_NPROBE = 2
+IVF_K = 5
+
+
+def q29_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % IVF_PROBE_MOD == 0)
+    top = ivf_topk(
+        probes,
+        emb,
+        probe_key="vec_id",
+        gallery_key="vec_id",
+        vector_col="embedding",
+        k=IVF_K,
+        num_centroids_mod=IVF_CENTROID_MOD,
+        nprobe=IVF_NPROBE,
+    )
+    return top.select(
+        "probe_key", "gallery_key", "rank", pround("similarity", 4).alias("similarity")
+    )
+
+
+Q29_SQL = f"""
+WITH cen AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings
+  WHERE vec_id % {IVF_CENTROID_MOD} = 0
+), gal AS (
+  SELECT vec_id AS gallery_key, embedding AS gvec, centroid_id,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY {sql_cosine('embedding', 'cvec')} DESC, centroid_id) AS crank
+  FROM embeddings CROSS JOIN cen
+  QUALIFY crank = 1
+), pb AS (
+  SELECT vec_id AS probe_key, embedding AS pvec, centroid_id,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY {sql_cosine('embedding', 'cvec')} DESC, centroid_id) AS crank
+  FROM embeddings CROSS JOIN cen
+  WHERE vec_id % {IVF_PROBE_MOD} = 0
+  QUALIFY crank <= {IVF_NPROBE}
+), scored AS (
+  SELECT probe_key, gallery_key, {sql_cosine('pvec', 'gvec')} AS sim
+  FROM pb JOIN gal USING (centroid_id)
+), ranked AS (
+  SELECT probe_key, gallery_key, sim,
+         row_number() OVER (PARTITION BY probe_key ORDER BY sim DESC, gallery_key) AS rank
+  FROM scored
+)
+SELECT probe_key, gallery_key, rank, floor((sim) * 10000.0 + 0.5) / 10000.0 AS similarity
+FROM ranked WHERE rank <= {IVF_K}
+"""
+
+
+DATA_QUERIES = {
+    "q20_doc_token_stats": (q20_doc_token_stats, Q20_SQL),
+    "q21_doc_quality": (q21_doc_quality, Q21_SQL),
+    "q22_doc_lang_id": (q22_doc_lang_id, Q22_SQL),
+    "q23_dedup_exact": (q23_dedup_exact, Q23_SQL),
+    "q24_minhash_lsh_pairs": (q24_minhash_lsh_pairs, Q24_SQL),
+    "q25_simhash": (q25_simhash, Q25_SQL),
+    "q26_ngram_jaccard_top_pairs": (q26_ngram_jaccard_top_pairs, Q26_SQL),
+    "q27_embedding_topk": (q27_embedding_topk, Q27_SQL),
+    "q28_label_centroids": (q28_label_centroids, Q28_SQL),
+    "q29_embedding_ivf_topk": (q29_embedding_ivf_topk, Q29_SQL),
+}

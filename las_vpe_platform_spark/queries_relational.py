@@ -1,0 +1,535 @@
+"""Relational query catalog (SURVEY §2.3-§2.7 operators) over the
+driver's TPC-H-ish tables, each with a DuckDB oracle SQL string.
+
+Every query is a (spark, sf_dir) -> DataFrame callable whose output
+column names match the oracle exactly (the driver's hash compare sorts
+columns by name). Floating aggregates are rounded on both sides;
+timestamps are emitted as strings so value hashing is engine-neutral.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from las_vpe_platform_spark.compat import pround
+
+from las_vpe_platform_spark.operators.aggregates import completeness_check
+from las_vpe_platform_spark.operators.joins import full_outer_assemble, point_lookup
+from las_vpe_platform_spark.operators.routing import demux, term_sig_filter
+from las_vpe_platform_spark.operators.sampling import even_spaced_sample
+from las_vpe_platform_spark.operators.windows import last_n, topk_per_group
+
+
+from las_vpe_platform_spark.sources.tables import load_table as _t  # noqa: E402
+
+
+# --- q01: pricing summary (A1 wide aggregate; TPC-H Q1 shape) ---------------
+# The reference's 106-column attribute AVG (DeepMARCaffe2Native.java:169-179)
+# is this plan shape: one grouped multi-column partial+final hash aggregate.
+
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            pround(F.sum("l_quantity"), 2).alias("sum_qty"),
+            pround(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            pround(F.sum(disc_price), 2).alias("sum_disc_price"),
+            pround(F.sum(charge), 2).alias("sum_charge"),
+            pround(F.avg("l_quantity"), 4).alias("avg_qty"),
+            pround(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            pround(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q01_SQL = """
+SELECT l_returnflag, l_linestatus,
+       floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0                                    AS sum_qty,
+       floor((sum(l_extendedprice)) * 100.0 + 0.5) / 100.0                               AS sum_base_price,
+       floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0            AS sum_disc_price,
+       floor((sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 100.0 + 0.5) / 100.0 AS sum_charge,
+       floor((avg(l_quantity)) * 10000.0 + 0.5) / 10000.0                                    AS avg_qty,
+       floor((avg(l_extendedprice)) * 10000.0 + 0.5) / 10000.0                               AS avg_price,
+       floor((avg(l_discount)) * 10000.0 + 0.5) / 10000.0                                    AS avg_disc,
+       count(*)                                                     AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --- q02: top-k per group (W1 ranked-neighbor analog) -----------------------
+
+def q02_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    joined = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    top = topk_per_group(
+        joined,
+        group_cols=["n_name"],
+        order_col="c_acctbal",
+        k=3,
+        tiebreak_cols=["c_custkey"],
+    )
+    return top.select(
+        "n_name",
+        "c_custkey",
+        "c_name",
+        pround("c_acctbal", 2).alias("acctbal"),
+        "rank",
+    )
+
+
+Q02_SQL = """
+SELECT n_name, c_custkey, c_name, floor((c_acctbal) * 100.0 + 0.5) / 100.0 AS acctbal,
+       row_number() OVER (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey) AS rank
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+QUALIFY rank <= 3
+"""
+
+
+# --- q03: shipping priority (TPC-H Q3 shape: 3-way join + agg + top-k) ------
+
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-06-01"))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-06-01"))
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    )
+    agg = joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        pround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+    return agg.orderBy(F.desc("revenue"), F.asc("l_orderkey")).limit(10).select(
+        "l_orderkey",
+        "revenue",
+        F.col("o_orderdate").cast("string").alias("orderdate"),
+        "o_orderpriority",
+    )
+
+
+Q03_SQL = """
+SELECT l_orderkey,
+       floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0 AS revenue,
+       CAST(o_orderdate AS VARCHAR) AS orderdate,
+       o_orderpriority
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1998-06-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+# --- q04: regional revenue (TPC-H Q5 shape: 6-way star join) ----------------
+
+def q04_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return joined.groupBy("n_name").agg(
+        pround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+
+
+Q04_SQL = """
+SELECT n_name, floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0 AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+# --- q05: full outer join (J1/J6 assembly shape) ----------------------------
+
+def q05_daily_activity_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    shipped = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM-dd").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_shipped"))
+    )
+    return full_outer_assemble(orders, shipped, on=["day"])
+
+
+Q05_SQL = """
+WITH o AS (
+  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day, count(*) AS n_orders
+  FROM orders GROUP BY 1
+), s AS (
+  SELECT strftime(l_shipdate, '%Y-%m-%d') AS day, count(*) AS n_shipped
+  FROM lineitem GROUP BY 1
+)
+SELECT coalesce(o.day, s.day) AS day, n_orders, n_shipped
+FROM o FULL OUTER JOIN s ON o.day = s.day
+"""
+
+
+# --- q06: anti join (P4 kill-pool / termination filter shape) ---------------
+
+def q06_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return term_sig_filter(cust, orders, key="c_custkey").select("c_custkey", "c_name")
+
+
+Q06_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+# --- q07: point lookup (J8/S9 MATCH-by-id shape) ----------------------------
+
+def q07_order_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    min_key = orders.agg(F.min("o_orderkey").alias("l_orderkey"))
+    return (
+        li.join(F.broadcast(min_key), on="l_orderkey")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            pround("l_quantity", 2).alias("quantity"),
+            pround("l_extendedprice", 2).alias("extendedprice"),
+        )
+    )
+
+
+Q07_SQL = """
+SELECT l_orderkey, l_linenumber, floor((l_quantity) * 100.0 + 0.5) / 100.0 AS quantity,
+       floor((l_extendedprice) * 100.0 + 0.5) / 100.0 AS extendedprice
+FROM lineitem
+WHERE l_orderkey = (SELECT min(o_orderkey) FROM orders)
+"""
+
+
+# --- q08: completeness check (A2 HAR-packing trigger shape) -----------------
+
+def q08_order_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return completeness_check(li, group_col="l_orderkey", expected_col="l_linenumber").select(
+        "l_orderkey", "actual_count", "expected_count"
+    )
+
+
+Q08_SQL = """
+SELECT l_orderkey, count(*) AS actual_count, max(l_linenumber) AS expected_count
+FROM lineitem
+GROUP BY l_orderkey
+HAVING count(*) = max(l_linenumber)
+"""
+
+
+# --- q09: last-n ring buffer (W3 TERM_SIG last-100 shape) -------------------
+
+def q09_last_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return last_n(ev, order_col="ts", n=100, tiebreak_cols=["event_id"]).select(
+        "event_id",
+        F.col("ts").cast("string").alias("ts_str"),
+        "event_type",
+        pround("value", 4).alias("value"),
+    )
+
+
+Q09_SQL = """
+SELECT event_id, CAST(ts AS VARCHAR) AS ts_str, event_type, floor((value) * 10000.0 + 0.5) / 10000.0 AS value
+FROM events ORDER BY ts DESC, event_id LIMIT 100
+"""
+
+
+# --- q10: time bucketing (F6 time-tree collapse) ----------------------------
+
+def q10_events_minutely(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("minute", "ts").cast("string").alias("minute"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            pround(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+Q10_SQL = """
+SELECT CAST(date_trunc('minute', ts) AS VARCHAR) AS minute, event_type,
+       count(*) AS n_events, floor((sum(value)) * 10000.0 + 0.5) / 10000.0 AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# --- q11: JSON extraction (F9 Gson encode/decode parity) --------------------
+
+def q11_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            pround(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
+Q11_SQL = """
+SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+       count(*) AS n, floor((avg(value)) * 10000.0 + 0.5) / 10000.0 AS avg_value
+FROM events GROUP BY 1
+"""
+
+
+# --- q12: demux + union (P2 type fan-out, §2.7 set ops) ---------------------
+
+def q12_events_demux_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    streams = demux(ev, "event_type", ["click", "purchase"])
+    unioned = streams["click"].unionByName(streams["purchase"])
+    return unioned.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        pround(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+Q12_SQL = """
+SELECT event_type, count(*) AS n, floor((sum(value)) * 10000.0 + 0.5) / 10000.0 AS sum_value
+FROM (
+  SELECT * FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT * FROM events WHERE event_type = 'purchase'
+)
+GROUP BY event_type
+"""
+
+
+# --- q13: even-spaced sampling (P9/W4 Tracklet.sample shape) ----------------
+
+def q13_sampled_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    # (l_orderkey, l_linenumber) alone is not unique in the generated
+    # data; partkey+suppkey make the sample order a total order
+    sampled = even_spaced_sample(
+        li, ["l_orderkey"], ["l_linenumber", "l_partkey", "l_suppkey"], every_k=2
+    )
+    return sampled.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        pround(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+Q13_SQL = """
+WITH sampled AS (
+  SELECT l_returnflag, l_quantity,
+         row_number() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_linenumber, l_partkey, l_suppkey) AS rn
+  FROM lineitem
+  QUALIFY (rn - 1) % 2 = 0
+)
+SELECT l_returnflag, count(*) AS n_sampled, floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0 AS sum_qty
+FROM sampled GROUP BY l_returnflag
+"""
+
+
+# --- q14: key synthesis + parse round trip (F7/F8) --------------------------
+
+def q14_key_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    keyed = ev.withColumn(
+        "tracklet_key",
+        F.concat(F.lit("EV"), F.col("user_id").cast("string"), F.lit("_tarid"), (F.col("event_id") % 97).cast("string")),
+    )
+    parsed = keyed.withColumn(
+        "serial", F.regexp_extract("tracklet_key", r"_tarid(\d+)$", 1).cast("int")
+    )
+    return parsed.groupBy("serial").agg(F.count(F.lit(1)).alias("n"))
+
+
+Q14_SQL = """
+SELECT CAST(regexp_extract('EV' || CAST(user_id AS VARCHAR) || '_tarid' || CAST(event_id % 97 AS VARCHAR),
+            '_tarid(\\d+)$', 1) AS INTEGER) AS serial,
+       count(*) AS n
+FROM events GROUP BY 1
+"""
+
+
+# --- q15: frame-index time arithmetic (F5 calTrackletStartTime) -------------
+
+def q15_frame_time_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # frame duration at 12.5 fps = exactly 80_000 microseconds; integer
+    # micros arithmetic keeps both engines bit-identical.
+    ev = _t(spark, sf_dir, "events")
+    with_ts = ev.withColumn(
+        "frame_ts",
+        F.timestamp_micros(F.unix_micros("ts") + (F.col("event_id") % 1000) * 80000),
+    )
+    return (
+        with_ts.groupBy(F.date_trunc("hour", "frame_ts").cast("string").alias("hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+Q15_SQL = """
+SELECT CAST(date_trunc('hour', make_timestamp(epoch_us(ts) + (event_id % 1000) * 80000)) AS VARCHAR) AS hour,
+       count(*) AS n
+FROM events GROUP BY 1
+"""
+
+
+# --- q16: pivot (conditional aggregation fan-out) ---------------------------
+
+def q16_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    return (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+    )
+
+
+Q16_SQL = """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       count(*) FILTER (event_type = 'click')    AS click,
+       count(*) FILTER (event_type = 'view')     AS view,
+       count(*) FILTER (event_type = 'purchase') AS purchase,
+       count(*) FILTER (event_type = 'signup')   AS signup,
+       count(*) FILTER (event_type = 'error')    AS error
+FROM events GROUP BY 1
+"""
+
+
+# --- q17: rollup (hierarchical aggregate) -----------------------------------
+
+def q17_rollup_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            pround(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+Q17_SQL = """
+SELECT l_returnflag, l_linestatus, count(*) AS n, floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0 AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+# --- q18: sessionization (lag window + gap cumsum) --------------------------
+
+def q18_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap_us > 1800 * 1_000_000, F.lit(1)).otherwise(F.lit(0)),
+    )
+    return flagged.groupBy("user_id").agg(
+        (F.sum("new_session") + 1).alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+Q18_SQL = """
+WITH flagged AS (
+  SELECT user_id,
+         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                   > 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+)
+SELECT user_id, sum(new_session) + 1 AS n_sessions, count(*) AS n_events
+FROM flagged GROUP BY user_id
+"""
+
+
+# --- q19: union of entity sources (§2.7) ------------------------------------
+
+def q19_entity_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("entity_id"),
+        F.lit("customer").alias("entity_type"),
+        pround("c_acctbal", 2).alias("acctbal"),
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("entity_id"),
+        F.lit("supplier").alias("entity_type"),
+        pround("s_acctbal", 2).alias("acctbal"),
+    )
+    return cust.unionByName(supp)
+
+
+Q19_SQL = """
+SELECT c_custkey AS entity_id, 'customer' AS entity_type, floor((c_acctbal) * 100.0 + 0.5) / 100.0 AS acctbal
+FROM customer
+UNION ALL
+SELECT s_suppkey AS entity_id, 'supplier' AS entity_type, floor((s_acctbal) * 100.0 + 0.5) / 100.0 AS acctbal
+FROM supplier
+"""
+
+
+RELATIONAL_QUERIES = {
+    "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
+    "q02_top_customers_per_nation": (q02_top_customers_per_nation, Q02_SQL),
+    "q03_shipping_priority": (q03_shipping_priority, Q03_SQL),
+    "q04_regional_revenue": (q04_regional_revenue, Q04_SQL),
+    "q05_daily_activity_full_outer": (q05_daily_activity_full_outer, Q05_SQL),
+    "q06_customers_without_orders": (q06_customers_without_orders, Q06_SQL),
+    "q07_order_point_lookup": (q07_order_point_lookup, Q07_SQL),
+    "q08_order_completeness": (q08_order_completeness, Q08_SQL),
+    "q09_last_events": (q09_last_events, Q09_SQL),
+    "q10_events_minutely": (q10_events_minutely, Q10_SQL),
+    "q11_events_json_props": (q11_events_json_props, Q11_SQL),
+    "q12_events_demux_union": (q12_events_demux_union, Q12_SQL),
+    "q13_sampled_lineitems": (q13_sampled_lineitems, Q13_SQL),
+    "q14_key_roundtrip": (q14_key_roundtrip, Q14_SQL),
+    "q15_frame_time_arithmetic": (q15_frame_time_arithmetic, Q15_SQL),
+    "q16_event_type_pivot": (q16_event_type_pivot, Q16_SQL),
+    "q17_rollup_returnflag": (q17_rollup_returnflag, Q17_SQL),
+    "q18_user_sessions": (q18_user_sessions, Q18_SQL),
+    "q19_entity_union": (q19_entity_union, Q19_SQL),
+}

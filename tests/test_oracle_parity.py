@@ -1,0 +1,56 @@
+"""Spark-vs-DuckDB parity for every catalog query — the local replica
+of the driver's CORRECTNESS gate (row count + column names + order-
+insensitive value comparison).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from las_vpe_platform_spark.queries import CATALOG
+
+
+def _normalize(rows, columns):
+    """Order-insensitive canonical form: sort columns by name, then rows."""
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+
+    def norm_val(v):
+        if v is None:
+            return ("\x00null",)
+        if isinstance(v, float):
+            if math.isnan(v):
+                return ("nan",)
+            # collapse -0.0 / float noise at display precision
+            return (repr(round(v, 9)),)
+        return (str(v),)
+
+    normed = [tuple(norm_val(row[i]) for i in order) for row in rows]
+    return sorted(normed)
+
+
+@pytest.mark.parametrize("name", sorted(CATALOG.keys()))
+def test_query_matches_oracle(name, spark, duck, sf_dir):
+    fn, sql = CATALOG[name]
+    sdf = fn(spark, sf_dir)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    spark_cols = sdf.columns
+
+    if sql is None:
+        pytest.skip(f"{name}: rows-only check (no oracle)")
+
+    res = duck.execute(sql)
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch {spark_cols} vs {duck_cols}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
+    )
+    sn = _normalize(spark_rows, spark_cols)
+    dn = _normalize(duck_rows, duck_cols)
+    mismatches = [(a, b) for a, b in zip(sn, dn) if a != b]
+    assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
