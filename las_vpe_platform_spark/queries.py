@@ -12,6 +12,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from las_vpe_platform_spark.queries_data import DATA_QUERIES
+from las_vpe_platform_spark.queries_domain import DOMAIN_QUERIES
 from las_vpe_platform_spark.queries_relational import RELATIONAL_QUERIES
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -20,6 +21,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 CATALOG: dict[str, tuple[QueryFn, str | None]] = {}
 CATALOG.update(RELATIONAL_QUERIES)
 CATALOG.update(DATA_QUERIES)
+CATALOG.update(DOMAIN_QUERIES)
 
 
 def queries() -> dict[str, QueryFn]:

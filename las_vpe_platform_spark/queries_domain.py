@@ -1,0 +1,297 @@
+"""Domain query catalog: the reference's own query surface (SURVEY §2,
+§3.3) over the seeded fixture tables in ``fixtures/``.
+
+These queries exercise the video-platform data model end-to-end —
+tracklet sampling (P9), the 106-column attribute average (A1), ranked
+similarity neighbors (W1/S9), ReID assembly (J1/J6), claim-check
+resolution (P10), task cancellation (P4), frame-time arithmetic (F5),
+time-tree bucketing (F6/K8) and command fan-out (§3.1 step 4).
+
+Fixture tables are read from the repo's ``fixtures/`` directory (they
+are deterministic, seed=42, committed); oracle SQL reads the same
+parquet bytes via absolute path, so the comparison is exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from las_vpe_platform_spark.compat import pround
+from las_vpe_platform_spark.fixtures import FIXTURES_DIR
+from las_vpe_platform_spark.operators.aggregates import wide_avg
+from las_vpe_platform_spark.operators.joins import pairwise_similarity_topk
+from las_vpe_platform_spark.operators.routing import term_sig_filter
+from las_vpe_platform_spark.operators.sampling import sample_array_even
+from las_vpe_platform_spark.operators.windows import topk_per_group
+from las_vpe_platform_spark.schemas import ATTRIBUTE_NAMES
+
+
+def _fx(spark: SparkSession, name: str) -> DataFrame:
+    return spark.read.parquet(str(FIXTURES_DIR / f"{name}.parquet"))
+
+
+def _fxsql(name: str) -> str:
+    return f"read_parquet('{FIXTURES_DIR}/{name}.parquet')"
+
+
+# --- d01: tracklet even-spaced sampling (P9/W4, Tracklet.sample) ------------
+
+SAMPLE_N = 3
+
+
+def d01_tracklet_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tr = _fx(spark, "tracklets")
+    sampled = sample_array_even("location_sequence", SAMPLE_N)
+    return tr.select(
+        "tracklet_key",
+        F.size("location_sequence").alias("n_boxes"),
+        F.size(sampled).alias("n_sampled"),
+        F.size(
+            F.filter("location_sequence", lambda b: b.getField("patch_data").isNotNull())
+        ).alias("n_patches"),
+    )
+
+
+D01_SQL = f"""
+SELECT tracklet_key,
+       len(location_sequence) AS n_boxes,
+       len(list_distinct(list_transform([0, 1, 2],
+           i -> least(i * CAST(ceil(len(location_sequence) / {SAMPLE_N}.0) AS INT) + 1,
+                      len(location_sequence))))) AS n_sampled,
+       len(list_filter(location_sequence, b -> b.patch_data IS NOT NULL)) AS n_patches
+FROM {_fxsql('tracklets')}
+"""
+
+
+# --- d02: the 106-column attribute average (A1) -----------------------------
+
+def d02_attribute_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    samples = _fx(spark, "attribute_samples")
+    avg = wide_avg(samples, ["tracklet_key"], ATTRIBUTE_NAMES)
+    return avg.select(
+        "tracklet_key", *[pround(c, 6).alias(c) for c in ATTRIBUTE_NAMES]
+    )
+
+
+D02_SQL = "SELECT tracklet_key, " + ", ".join(
+    f"floor((avg({c})) * 1000000.0 + 0.5) / 1000000.0 AS {c}" for c in ATTRIBUTE_NAMES
+) + f" FROM {_fxsql('attribute_samples')} GROUP BY tracklet_key"
+
+
+# --- d03: ranked similarity neighbors (W1, getLinkedPedestrians) ------------
+
+def d03_similarity_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _fx(spark, "similarity_edges")
+    top = topk_per_group(
+        edges, ["node_a"], "similarity", k=5, tiebreak_cols=["node_b"]
+    )
+    return top.select(
+        "node_a", "node_b", "rank", pround(F.col("similarity").cast("double"), 6).alias("similarity")
+    )
+
+
+D03_SQL = f"""
+SELECT node_a, node_b,
+       row_number() OVER (PARTITION BY node_a ORDER BY similarity DESC, node_b) AS rank,
+       floor((similarity::DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS similarity
+FROM {_fxsql('similarity_edges')}
+QUALIFY rank <= 5
+"""
+
+
+# --- d04: persons per time-tree bucket (K8/F6, Neo4j time tree) -------------
+
+def d04_persons_minutely(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tr = _fx(spark, "tracklets")
+    attrs = _fx(spark, "attributes").select("tracklet_key")
+    persons = tr.join(attrs, on="tracklet_key")
+    return (
+        persons.groupBy(
+            "video_id",
+            F.date_trunc("minute", "start_ts").cast("string").alias("minute"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_persons"))
+    )
+
+
+D04_SQL = f"""
+SELECT t.video_id, CAST(date_trunc('minute', t.start_ts) AS VARCHAR) AS minute,
+       count(*) AS n_persons
+FROM {_fxsql('tracklets')} t
+JOIN {_fxsql('attributes')} a USING (tracklet_key)
+GROUP BY 1, 2
+"""
+
+
+# --- d05: ReID assembly, full outer (J1/J6) ---------------------------------
+
+def d05_reid_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tr = _fx(spark, "tracklets").select("tracklet_key", "video_id")
+    attrs = _fx(spark, "attributes").select(
+        "tracklet_key", F.lit(1).alias("has_attr")
+    )
+    joined = tr.join(attrs, on="tracklet_key", how="full_outer")
+    return joined.groupBy("video_id").agg(
+        F.sum(F.when(F.col("has_attr").isNotNull(), 1).otherwise(0)).alias("n_matched"),
+        F.sum(F.when(F.col("has_attr").isNull(), 1).otherwise(0)).alias("n_tracklet_only"),
+    )
+
+
+D05_SQL = f"""
+SELECT t.video_id,
+       sum(CASE WHEN a.tracklet_key IS NOT NULL THEN 1 ELSE 0 END) AS n_matched,
+       sum(CASE WHEN a.tracklet_key IS NULL THEN 1 ELSE 0 END)     AS n_tracklet_only
+FROM {_fxsql('tracklets')} t
+FULL OUTER JOIN {_fxsql('attributes')} a USING (tracklet_key)
+GROUP BY t.video_id
+"""
+
+
+# --- d06: claim-check resolution (P10/S6, TrackletOrURL) --------------------
+
+def d06_claim_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tr = _fx(spark, "tracklets")
+    return (
+        tr.withColumn(
+            "resolution",
+            F.when(F.col("stored_url").isNotNull(), F.lit("url")).otherwise(F.lit("inline")),
+        )
+        .groupBy("video_id", "resolution")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+D06_SQL = f"""
+SELECT video_id,
+       CASE WHEN stored_url IS NOT NULL THEN 'url' ELSE 'inline' END AS resolution,
+       count(*) AS n
+FROM {_fxsql('tracklets')}
+GROUP BY 1, 2
+"""
+
+
+# --- d07: task-kill anti-join (P4/T6, TERM_SIG pool) ------------------------
+
+def d07_task_kill_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tr = _fx(spark, "tracklets")
+    kills = _fx(spark, "term_sigs")
+    alive = term_sig_filter(tr, kills, key="task_id")
+    return alive.groupBy("video_id").agg(F.count(F.lit(1)).alias("n_alive"))
+
+
+D07_SQL = f"""
+SELECT video_id, count(*) AS n_alive
+FROM {_fxsql('tracklets')} t
+WHERE NOT EXISTS (SELECT 1 FROM {_fxsql('term_sigs')} k WHERE k.task_id = t.task_id)
+GROUP BY video_id
+"""
+
+
+# --- d08: frame-index -> wall clock (F5, calTrackletStartTime) --------------
+
+def d08_frame_time_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tr = _fx(spark, "tracklets").select("video_id", "tracklet_key", "start_frame_index", "start_ts")
+    vids = _fx(spark, "videos").select("video_id", F.col("start_ts").alias("video_start"))
+    # 12.5 fps -> exactly 80_000 us per frame; integer micros arithmetic
+    # fixtures carry TIMESTAMP_NTZ; cast both sides before micros
+    # arithmetic — the equality below is then session-TZ independent
+    derived = tr.join(F.broadcast(vids), on="video_id").withColumn(
+        "derived_ts",
+        F.timestamp_micros(
+            F.unix_micros(F.col("video_start").cast("timestamp"))
+            + F.col("start_frame_index").cast("bigint") * 80000
+        ),
+    )
+    return derived.groupBy("video_id").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(
+            F.when(F.col("derived_ts") == F.col("start_ts").cast("timestamp"), 1).otherwise(0)
+        ).alias("n_match"),
+    )
+
+
+D08_SQL = f"""
+SELECT t.video_id, count(*) AS n_total,
+       sum(CASE WHEN make_timestamp(epoch_us(v.start_ts) + t.start_frame_index::BIGINT * 80000)
+                     = t.start_ts THEN 1 ELSE 0 END) AS n_match
+FROM {_fxsql('tracklets')} t
+JOIN {_fxsql('videos')} v USING (video_id)
+GROUP BY t.video_id
+"""
+
+
+# --- d09: ReID feature ranking (J9/W2, Feature1024 + IDRANK) ----------------
+
+def d09_feature_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = _fx(spark, "features")
+    tr = _fx(spark, "tracklets").select("tracklet_key", "video_id", "serial_number")
+    probes = feats.join(
+        tr.filter((F.col("serial_number") == 0) & F.col("video_id").startswith("CAM01")),
+        on="tracklet_key",
+    ).select("tracklet_key", "feature")
+    top = pairwise_similarity_topk(
+        probes, feats, probe_key="tracklet_key", gallery_key="tracklet_key",
+        vector_col="feature", k=10,
+    )
+    return top.select(
+        "probe_key", "gallery_key", "rank", pround("similarity", 4).alias("similarity")
+    )
+
+
+D09_SQL = f"""
+WITH pr AS (
+  SELECT f.tracklet_key AS probe_key, f.feature AS pvec
+  FROM {_fxsql('features')} f
+  JOIN {_fxsql('tracklets')} t USING (tracklet_key)
+  WHERE t.serial_number = 0 AND starts_with(t.video_id, 'CAM01')
+), scored AS (
+  SELECT probe_key, g.tracklet_key AS gallery_key,
+         (list_sum(list_transform(generate_series(1, len(pvec)),
+                                  i -> pvec[i]::DOUBLE * g.feature[i]::DOUBLE))
+          / (sqrt(list_sum(list_transform(pvec, x -> x::DOUBLE * x::DOUBLE)))
+             * sqrt(list_sum(list_transform(g.feature, x -> x::DOUBLE * x::DOUBLE))))) AS sim
+  FROM pr CROSS JOIN {_fxsql('features')} g
+), ranked AS (
+  SELECT probe_key, gallery_key, sim,
+         row_number() OVER (PARTITION BY probe_key ORDER BY sim DESC, gallery_key) AS rank
+  FROM scored
+)
+SELECT probe_key, gallery_key, rank, floor((sim) * 10000.0 + 0.5) / 10000.0 AS similarity
+FROM ranked WHERE rank <= 10
+"""
+
+
+# --- d10: command fan-out (§3.1 step 4, HDFSReader.listSubfiles) ------------
+
+def d10_command_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cmds = _fx(spark, "commands").select("command", "video_url", "submit_ts")
+    vids = _fx(spark, "videos").select("url")
+    expanded = cmds.join(
+        F.broadcast(vids), vids.url.startswith(cmds.video_url), "left"
+    )
+    return expanded.groupBy("command", "video_url").agg(
+        F.count(F.col("url")).alias("n_tasks")
+    )
+
+
+D10_SQL = f"""
+SELECT c.command, c.video_url, count(v.url) AS n_tasks
+FROM {_fxsql('commands')} c
+LEFT JOIN {_fxsql('videos')} v ON starts_with(v.url, c.video_url)
+GROUP BY 1, 2
+"""
+
+
+DOMAIN_QUERIES = {
+    "d01_tracklet_sampling": (d01_tracklet_sampling, D01_SQL),
+    "d02_attribute_average": (d02_attribute_average, D02_SQL),
+    "d03_similarity_neighbors": (d03_similarity_neighbors, D03_SQL),
+    "d04_persons_minutely": (d04_persons_minutely, D04_SQL),
+    "d05_reid_assembly": (d05_reid_assembly, D05_SQL),
+    "d06_claim_check": (d06_claim_check, D06_SQL),
+    "d07_task_kill_filter": (d07_task_kill_filter, D07_SQL),
+    "d08_frame_time_check": (d08_frame_time_check, D08_SQL),
+    "d09_feature_topk": (d09_feature_topk, D09_SQL),
+    "d10_command_fanout": (d10_command_fanout, D10_SQL),
+}
