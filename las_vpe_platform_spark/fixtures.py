@@ -76,56 +76,69 @@ def gen_videos() -> pa.Table:
     )
 
 
-def gen_tracklets(videos: pa.Table) -> pa.Table:
-    rng = np.random.default_rng(SEED + 1)
+def fake_track_video(video_id: str, video_start: datetime) -> list[dict]:
+    """The fake tracker: video row -> deterministic tracklet rows.
+
+    Pure function of (SEED, video_id) — per-video RNG seeding makes it
+    order-independent, so a distributed UDTF (pipeline stage) produces
+    byte-identical output to this generator regardless of partitioning.
+    Distribution parity with FakePedestrianTracker.java:28-79
+    (3-32 tracklets/video, <=31 boxes, <=5 retained samples).
+    """
+    rng = np.random.default_rng(_h32(SEED, "track", video_id))
+    n = int(rng.integers(3, 33))
+    task_id = str(uuid.uuid5(uuid.NAMESPACE_URL, video_id))
     rows = []
-    for vrow in videos.to_pylist():
-        video_id = vrow["video_id"]
-        n = int(rng.integers(3, 33))  # FakePedestrianTracker: 3-32 per video
-        task_id = str(uuid.uuid5(uuid.NAMESPACE_URL, video_id))
-        for serial in range(n):
-            n_boxes = int(rng.integers(1, 32))  # <=31 boxes
-            start_frame = int(rng.integers(1, 10001))
-            start_ts = vrow["start_ts"] + timedelta(
-                microseconds=start_frame * (FPS_DEN * 1_000_000 // FPS_NUM)
-            )
-            # <=5 evenly spaced samples keep patch bytes (Tracklet.sample)
-            n_samples = min(5, n_boxes)
-            step = -(-n_boxes // n_samples)  # ceil
-            sample_pos = {min(i * step, n_boxes - 1) for i in range(n_samples)}
-            seq = []
-            for b in range(n_boxes):
-                patch = None
-                if b in sample_pos:
-                    patch = bytes(
-                        (_h32(SEED, video_id, serial, b, i) % 256)
-                        for i in range(PATCH_W * PATCH_H * 3)
-                    )
-                seq.append(
-                    {
-                        "x": int(rng.integers(0, 1920 - 64)),
-                        "y": int(rng.integers(0, 1080 - 128)),
-                        "width": PATCH_W,
-                        "height": PATCH_H,
-                        "patch_data": patch,
-                    }
+    for serial in range(n):
+        n_boxes = int(rng.integers(1, 32))
+        start_frame = int(rng.integers(1, 10001))
+        start_ts = video_start + timedelta(
+            microseconds=start_frame * (FPS_DEN * 1_000_000 // FPS_NUM)
+        )
+        # <=5 evenly spaced samples keep patch bytes (Tracklet.sample)
+        n_samples = min(5, n_boxes)
+        step = -(-n_boxes // n_samples)  # ceil
+        sample_pos = {min(i * step, n_boxes - 1) for i in range(n_samples)}
+        seq = []
+        for b in range(n_boxes):
+            patch = None
+            if b in sample_pos:
+                patch = bytes(
+                    (_h32(SEED, video_id, serial, b, i) % 256)
+                    for i in range(PATCH_W * PATCH_H * 3)
                 )
-            stored = None
-            if rng.random() < 0.1:  # claim-check rows (TrackletOrURL)
-                stored = f"/metadata/{video_id}/{task_id}/{serial}"
-            rows.append(
+            seq.append(
                 {
-                    "video_id": video_id,
-                    "serial_number": serial,
-                    "tracklet_key": f"{video_id}_tarid{serial}",
-                    "task_id": task_id,
-                    "num_tracklets": n,
-                    "start_frame_index": start_frame,
-                    "start_ts": start_ts,
-                    "location_sequence": seq,
-                    "stored_url": stored,
+                    "x": int(rng.integers(0, 1920 - 64)),
+                    "y": int(rng.integers(0, 1080 - 128)),
+                    "width": PATCH_W,
+                    "height": PATCH_H,
+                    "patch_data": patch,
                 }
             )
+        stored = None
+        if rng.random() < 0.1:  # claim-check rows (TrackletOrURL)
+            stored = f"/metadata/{video_id}/{task_id}/{serial}"
+        rows.append(
+            {
+                "video_id": video_id,
+                "serial_number": serial,
+                "tracklet_key": f"{video_id}_tarid{serial}",
+                "task_id": task_id,
+                "num_tracklets": n,
+                "start_frame_index": start_frame,
+                "start_ts": start_ts,
+                "location_sequence": seq,
+                "stored_url": stored,
+            }
+        )
+    return rows
+
+
+def gen_tracklets(videos: pa.Table) -> pa.Table:
+    rows = []
+    for vrow in videos.to_pylist():
+        rows.extend(fake_track_video(vrow["video_id"], vrow["start_ts"]))
     t = pa.Table.from_pylist(rows)
     return t.set_column(
         t.schema.get_field_index("start_ts"),

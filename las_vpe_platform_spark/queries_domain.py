@@ -283,6 +283,54 @@ GROUP BY 1, 2
 """
 
 
+# --- d11: full pipeline end-to-end (§3.1: track -> attrrecog, A1) -----------
+# Spark side runs the COMPILED PIPELINE: videos -> mapInPandas fake
+# tracker (UDTF) -> sample explode -> JVM-expression fake recognizer ->
+# 106-column average. The oracle reconstructs the same math in SQL from
+# the tracklets fixture (which the tracker provably reproduces — see
+# tests/test_pipeline.py). This is the reference's TRACK_ATTRRECOG path
+# validated end-to-end.
+
+def d11_pipeline_attr_recog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.plans.pipeline import BatchExecutor, compile_command
+
+    videos = _fx(spark, "videos")
+    ex = BatchExecutor(spark)
+    out = ex.run(compile_command("track-attrrecog"), videos)
+    attrs = out["attr_recog"]
+    return attrs.select(
+        "tracklet_key", *[pround(c, 6).alias(c) for c in ATTRIBUTE_NAMES]
+    )
+
+
+def _d11_sql() -> str:
+    from las_vpe_platform_spark.fixtures import SEED
+
+    val = (
+        "(('0x' || substr(md5('{seed}:' || tracklet_key || ':' || sample_idx || ':{name}'), 1, 8))::BIGINT::DOUBLE"
+        " / 4294967296.0 - 0.5)"
+    )
+    avgs = ", ".join(
+        f"floor((avg({val.format(seed=SEED, name=name)})) * 1000000.0 + 0.5) / 1000000.0 AS {name}"
+        for name in ATTRIBUTE_NAMES
+    )
+    return f"""
+WITH samples AS (
+  SELECT tracklet_key, i - 1 AS sample_idx
+  FROM {_fxsql('tracklets')}, unnest(generate_series(1, len(location_sequence))) AS t(i)
+  WHERE location_sequence[i].patch_data IS NOT NULL
+), kept AS (
+  SELECT * FROM samples
+  WHERE (('0x' || substr(md5('{SEED}:attr_drop:' || tracklet_key), 1, 8))::BIGINT::DOUBLE
+         / 4294967296.0) >= 0.1
+)
+SELECT tracklet_key, {avgs} FROM kept GROUP BY tracklet_key
+"""
+
+
+D11_SQL = _d11_sql()
+
+
 DOMAIN_QUERIES = {
     "d01_tracklet_sampling": (d01_tracklet_sampling, D01_SQL),
     "d02_attribute_average": (d02_attribute_average, D02_SQL),
@@ -294,4 +342,5 @@ DOMAIN_QUERIES = {
     "d08_frame_time_check": (d08_frame_time_check, D08_SQL),
     "d09_feature_topk": (d09_feature_topk, D09_SQL),
     "d10_command_fanout": (d10_command_fanout, D10_SQL),
+    "d11_pipeline_attr_recog": (d11_pipeline_attr_recog, D11_SQL),
 }

@@ -62,6 +62,37 @@ def get_spark(app_name: str = "las_vpe_platform_spark", cpus: int | None = None)
     return spark
 
 
+_PYFILES_SENT: set[int] = set()
+
+
+def ensure_package_on_workers(spark: SparkSession) -> None:
+    """Ship this package to Spark's Python workers via addPyFile.
+
+    Any operator built on mapInPandas/pandas_udf pickles closures that
+    reference this package by module name; workers spawned by a session
+    that didn't pip-install the package (e.g. the external driver) can
+    only resolve it if the zip rides along. Idempotent per context.
+    """
+    import tempfile
+    import zipfile
+    from pathlib import Path
+
+    sc = spark.sparkContext
+    key = id(sc)
+    if key in _PYFILES_SENT:
+        return
+    pkg_dir = Path(__file__).resolve().parent
+    zpath = Path(tempfile.gettempdir()) / "las_vpe_platform_spark_pyfiles.zip"
+    with zipfile.ZipFile(zpath, "w") as z:
+        for p in sorted(pkg_dir.rglob("*.py")):
+            z.write(p, f"{pkg_dir.name}/{p.relative_to(pkg_dir)}")
+    try:
+        sc.addPyFile(str(zpath))
+    except Exception:
+        pass  # already added under this name — fine
+    _PYFILES_SENT.add(key)
+
+
 def load_tables(
     spark: SparkSession,
     sf_dir: str = DEFAULT_SF_DIR,

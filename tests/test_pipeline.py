@@ -1,0 +1,134 @@
+"""Pipeline DSL + command compiler + batch executor tests.
+
+The golden check: running the compiled `track-attrrecog-reid` pipeline
+on the videos fixture must reproduce the tracklets/attributes fixture
+tables exactly (same seeded fakes, distributed execution) — the
+Spark-native equivalent of the reference's golden-output strategy
+(SURVEY §5, BasicTrackerTest.java:28-50).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from las_vpe_platform_spark.fixtures import FIXTURES_DIR
+from las_vpe_platform_spark.plans.pipeline import (
+    COMMANDS,
+    BatchExecutor,
+    compile_command,
+)
+from las_vpe_platform_spark.schemas import ATTRIBUTE_NAMES
+
+
+def _fx(spark, name):
+    return spark.read.parquet(str(FIXTURES_DIR / f"{name}.parquet"))
+
+
+def test_compile_all_commands():
+    for cmd in COMMANDS:
+        plan = compile_command(cmd)
+        order = plan.topo_order()
+        assert len(order) >= 2
+        # every non-root node is reachable from a root
+        roots = [n for n in order if not plan.parents_of(n.node_id)]
+        assert len(roots) == 1
+
+
+def test_compile_track_attrrecog_reid_topology():
+    plan = compile_command("track-attrrecog-reid")
+    streams = {n.stream for n in plan.nodes.values()}
+    assert streams == {
+        "tracking", "attr_recog", "reid",
+        "tracklet_saving", "attr_saving", "idrank_saving",
+    }
+    tracking = next(n for n in plan.nodes.values() if n.stream == "tracking")
+    succ = {plan.nodes[d].stream for d, _ in tracking.out_edges}
+    assert succ == {"attr_recog", "reid", "tracklet_saving"}
+
+
+def test_pipeline_track_reproduces_fixture_tracklets(spark, tmp_path):
+    videos = _fx(spark, "videos")
+    ex = BatchExecutor(spark, output_dir=str(tmp_path))
+    out = ex.run(compile_command("track"), videos)
+    got = out["tracking"].select(
+        "tracklet_key", "num_tracklets", "start_frame_index", "stored_url",
+        F.size("location_sequence").alias("n_boxes"),
+    ).orderBy("tracklet_key").collect()
+    want = _fx(spark, "tracklets").select(
+        "tracklet_key", "num_tracklets", "start_frame_index", "stored_url",
+        F.size("location_sequence").alias("n_boxes"),
+    ).orderBy("tracklet_key").collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    # sink wrote parquet
+    assert (tmp_path / "tracklets").exists()
+
+
+def test_pipeline_attr_recog_reproduces_fixture_attributes(spark):
+    videos = _fx(spark, "videos")
+    ex = BatchExecutor(spark)
+    out = ex.run(compile_command("track-attrrecog"), videos)
+    got = {r["tracklet_key"]: r for r in out["attr_recog"].collect()}
+    want = {r["tracklet_key"]: r for r in _fx(spark, "attributes").collect()}
+    assert set(got) == set(want)
+    some = list(got)[:50]
+    for key in some:
+        for name in ATTRIBUTE_NAMES[:10]:
+            assert math.isclose(got[key][name], want[key][name], abs_tol=1e-9), (
+                key, name, got[key][name], want[key][name]
+            )
+
+
+def test_pipeline_reid_ranks(spark):
+    videos = _fx(spark, "videos").limit(4)
+    features = _fx(spark, "features")
+    ex = BatchExecutor(spark, gallery=features)
+    out = ex.run(compile_command("track-attrrecog-reid"), videos)
+    ranks = out["reid"].collect()
+    assert len(ranks) > 0
+    for r in ranks:
+        assert 1 <= len(r["id_rank"]) <= 10
+        # rank-1 hit is the probe itself (cosine 1.0 with itself)
+        assert r["id_rank"][0] == r["probe_key"]
+
+
+def test_pipeline_term_sig_cancellation(spark):
+    videos = _fx(spark, "videos")
+    kills = _fx(spark, "term_sigs")
+    ex = BatchExecutor(spark, term_sigs=kills)
+    out = ex.run(compile_command("track"), videos)
+    alive_tasks = {r["task_id"] for r in out["tracking"].select("task_id").distinct().collect()}
+    killed = {r["task_id"] for r in kills.collect()}
+    assert not (alive_tasks & killed)
+    assert len(alive_tasks) > 0
+
+
+def test_recognizer_pandas_matches_sql(spark):
+    """The Arrow-batched provider and the JVM-expression provider are
+    the same function (Algorithm-provider parity, SURVEY §2.10)."""
+    from las_vpe_platform_spark.providers import (
+        fake_recognizer_pandas,
+        fake_recognizer_sql,
+    )
+
+    tracklets = _fx(spark, "tracklets").limit(20)
+    samples = (
+        tracklets.select(
+            "tracklet_key", F.posexplode("location_sequence").alias("sample_idx", "box")
+        )
+        .filter(F.col("box.patch_data").isNotNull())
+        .select("tracklet_key", "sample_idx")
+    )
+    a = fake_recognizer_sql(samples).orderBy("tracklet_key", "sample_idx").collect()
+    b = fake_recognizer_pandas(samples).orderBy("tracklet_key", "sample_idx").collect()
+    assert len(a) == len(b) > 0
+    for ra, rb in zip(a, b):
+        for name in ATTRIBUTE_NAMES[:20]:
+            assert math.isclose(ra[name], rb[name], abs_tol=1e-12)
+
+
+def test_unknown_command_rejected():
+    with pytest.raises(ValueError):
+        compile_command("no-such-command")
