@@ -1,0 +1,145 @@
+"""Multimodal (image/audio/video) column operators.
+
+Media travel as opaque ``binary`` columns with typed metadata — the
+pattern the reference uses for BGR pixel patches
+(Tracklet.BoundingBox.patchData, Tracklet.java:216-225) and decoded
+frame arrays (DataManagingApp.java:160-217). Heavy per-byte work runs
+in Arrow-batched ``mapInPandas`` stages; real codec/model backends
+(cv2/PIL/ffmpeg — not in this container) are stubbed behind
+import-tries with deterministic fakes, so the Spark-side plumbing
+(schemas, batching, partitioning) is real and tested while the codec
+is swappable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from las_vpe_platform_spark.schemas import FRAME
+
+PATCH_FEATURE_DIM = 16
+
+
+def patch_metadata(df: DataFrame, patches_col: str = "location_sequence") -> DataFrame:
+    """Byte-level metadata of the binary patches, JVM-side only.
+
+    Column pruning matters here: this plan never deserializes pixels
+    into Python — length/null checks run inside codegen, and parquet
+    reads only the (repeated) binary column lengths it must.
+    """
+    patches = F.filter(F.col(patches_col), lambda b: b.getField("patch_data").isNotNull())
+    sizes = F.transform(patches, lambda b: F.length(b.getField("patch_data")))
+    return df.select(
+        "video_id",
+        "tracklet_key",
+        F.size(patches).alias("n_patches"),
+        F.aggregate(sizes, F.lit(0), lambda acc, s: acc + s).alias("total_patch_bytes"),
+    )
+
+
+def _decode_patch(data: bytes, width: int, height: int) -> np.ndarray:
+    """Decode a raw BGR patch into an array.
+
+    Real images would go through cv2.imdecode here; the fixture patches
+    are raw row-major BGR bytes (exactly the reference's CV_8UC3
+    layout, Tracklet.java:216-225), so reshaping IS the decode.
+    """
+    try:  # real codec path, if a codec library ever lands in the image
+        import cv2  # noqa: F401
+
+        # cv2.imdecode would handle JPEG/PNG payloads; raw BGR needs none
+    except ImportError:
+        pass
+    arr = np.frombuffer(data, dtype=np.uint8)
+    return arr.reshape(height, width, 3)
+
+
+def extract_patch_features(
+    df: DataFrame,
+    key_col: str = "tracklet_key",
+    patches_col: str = "location_sequence",
+) -> DataFrame:
+    """Patch binary -> 16-dim feature vector, Arrow-batched.
+
+    The deterministic fake "model": a normalized 16-bin intensity
+    histogram per first retained patch. A real CNN provider replaces
+    the inner function only — batching, schema and partition shape are
+    identical (the DeepMAR preprocess+forward path, DeepMAR.java:83-136).
+    """
+    from las_vpe_platform_spark.session import ensure_package_on_workers
+
+    ensure_package_on_workers(df.sparkSession)
+
+    sel = df.select(
+        F.col(key_col).alias("tracklet_key"),
+        F.filter(
+            F.col(patches_col), lambda b: b.getField("patch_data").isNotNull()
+        ).alias("patches"),
+    ).filter(F.size("patches") > 0)
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            keys, feats = [], []
+            for key, patches in zip(pdf["tracklet_key"], pdf["patches"]):
+                first = patches[0]
+                arr = np.frombuffer(first["patch_data"], dtype=np.uint8)
+                hist, _ = np.histogram(arr, bins=16, range=(0, 256))
+                total = hist.sum()
+                feats.append((hist / total if total else hist).astype(float).tolist())
+                keys.append(key)
+            yield pd.DataFrame({"tracklet_key": keys, "patch_feature": feats})
+
+    return sel.mapInPandas(featurize, "tracklet_key string, patch_feature array<double>")
+
+
+def cut_video_frames(
+    videos: DataFrame,
+    max_frames_per_fragment: int = 1000,
+    frame_stride: int = 250,
+) -> DataFrame:
+    """Video-cutting source (S5, VideoCuttingStream,
+    DataManagingApp.java:160-217): video row -> frame rows in fragments
+    of <= ``max_frames_per_fragment``.
+
+    FFmpeg decode is stubbed with a deterministic fake frame payload
+    (md5-derived bytes); a PyAV/ffmpeg provider swaps in by replacing
+    the inner generator. ``frame_stride`` subsamples to keep fake
+    output bounded — a real deployment streams every frame.
+    """
+    from las_vpe_platform_spark.session import ensure_package_on_workers
+
+    ensure_package_on_workers(videos.sparkSession)
+
+    def cut(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows = []
+            for video_id, duration_s, fps_num, fps_den in zip(
+                pdf["video_id"], pdf["duration_s"], pdf["fps_num"], pdf["fps_den"]
+            ):
+                n_frames = int(duration_s * fps_num / fps_den)
+                for frame_index in range(0, n_frames, frame_stride):
+                    payload = hashlib.md5(
+                        f"frame:{video_id}:{frame_index}".encode()
+                    ).digest()
+                    rows.append(
+                        {
+                            "video_id": video_id,
+                            "fragment_id": frame_index // max_frames_per_fragment,
+                            "frame_index": frame_index,
+                            "frame_data": payload,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in FRAME.fields])
+
+    return videos.select("video_id", "duration_s", "fps_num", "fps_den").mapInPandas(
+        cut, FRAME
+    )

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from las_vpe_platform_spark.queries_data import DATA_QUERIES
 from las_vpe_platform_spark.queries_domain import DOMAIN_QUERIES
 from las_vpe_platform_spark.queries_relational import RELATIONAL_QUERIES
+from las_vpe_platform_spark.queries_streaming import STREAMING_QUERIES
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -22,6 +23,7 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {}
 CATALOG.update(RELATIONAL_QUERIES)
 CATALOG.update(DATA_QUERIES)
 CATALOG.update(DOMAIN_QUERIES)
+CATALOG.update(STREAMING_QUERIES)
 
 
 def queries() -> dict[str, QueryFn]:

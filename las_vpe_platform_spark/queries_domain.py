@@ -331,6 +331,37 @@ SELECT tracklet_key, {avgs} FROM kept GROUP BY tracklet_key
 D11_SQL = _d11_sql()
 
 
+# --- m01/m02: multimodal binary columns -------------------------------------
+
+def m01_patch_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.operators.multimodal import patch_metadata
+
+    return patch_metadata(_fx(spark, "tracklets"))
+
+
+M01_SQL = f"""
+SELECT video_id, tracklet_key,
+       len(list_filter(location_sequence, b -> b.patch_data IS NOT NULL)) AS n_patches,
+       list_sum(list_transform(
+           list_filter(location_sequence, b -> b.patch_data IS NOT NULL),
+           b -> octet_length(b.patch_data))) AS total_patch_bytes
+FROM {_fxsql('tracklets')}
+"""
+
+
+def m02_patch_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched binary decode + featurize — no SQL equivalent
+    (rows-only check; determinism is pytest-verified instead)."""
+    from las_vpe_platform_spark.operators.multimodal import extract_patch_features
+
+    feats = extract_patch_features(_fx(spark, "tracklets"))
+    return feats.select(
+        "tracklet_key",
+        F.round(F.element_at("patch_feature", 1), 6).alias("f0"),
+        F.size("patch_feature").alias("dim"),
+    )
+
+
 DOMAIN_QUERIES = {
     "d01_tracklet_sampling": (d01_tracklet_sampling, D01_SQL),
     "d02_attribute_average": (d02_attribute_average, D02_SQL),
@@ -343,4 +374,6 @@ DOMAIN_QUERIES = {
     "d09_feature_topk": (d09_feature_topk, D09_SQL),
     "d10_command_fanout": (d10_command_fanout, D10_SQL),
     "d11_pipeline_attr_recog": (d11_pipeline_attr_recog, D11_SQL),
+    "m01_patch_metadata": (m01_patch_metadata, M01_SQL),
+    "m02_patch_features": (m02_patch_features, None),
 }

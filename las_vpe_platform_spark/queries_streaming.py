@@ -1,0 +1,70 @@
+"""Streaming query catalog entries.
+
+Each entry drives a REAL Structured Streaming query (file source ->
+watermarked computation -> memory sink, run to completion) and returns
+the final table, which is hash-comparable against a batch DuckDB
+oracle. This is the engine's T1/T2 parity evidence: the streaming plan
+computes the same answer as the batch plan.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from las_vpe_platform_spark.sources.tables import load_table
+from las_vpe_platform_spark.streaming.engine import (
+    file_stream,
+    run_to_completion,
+    windowed_counts,
+)
+
+DRIVER_EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def s01_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-minute tumbling-window event counts, computed by a streaming
+    query (complete mode) over a re-landed copy of the events table.
+
+    Output uses epoch seconds for the window start so the comparison is
+    session-timezone independent.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="s01_events_")
+    ev.write.mode("overwrite").parquet(src)
+    stream = file_stream(spark, src, DRIVER_EVENTS_SCHEMA, max_files_per_trigger=4)
+    agg = windowed_counts(stream, "ts", ["event_type"], "5 minutes", "10 minutes")
+    name = f"s01_out_{uuid.uuid4().hex[:8]}"
+    return run_to_completion(
+        agg.select(
+            F.unix_timestamp(F.col("window.start")).alias("window_start_epoch"),
+            "event_type",
+            "n",
+        ),
+        name,
+        output_mode="complete",
+    )
+
+
+S01_SQL = """
+SELECT (epoch_us(ts) // 300000000) * 300 AS window_start_epoch,
+       event_type, count(*) AS n
+FROM events GROUP BY 1, 2
+"""
+
+STREAMING_QUERIES = {
+    "s01_stream_windowed_counts": (s01_stream_windowed_counts, S01_SQL),
+}

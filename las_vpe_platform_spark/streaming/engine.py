@@ -1,0 +1,189 @@
+"""Structured Streaming backend (SURVEY §2.9, §7.2 step 5).
+
+The reference runs five long-lived DStream applications wired through
+Kafka topics, with hand-rolled late-data handling: each micro-batch
+full-outer-joins tracklets⨝attributes, then re-joins the unmatched
+remainders against 600 s sliding processing-time windows
+(PedestrianReIDUsingAttrApp.java:136-243; bufDuration
+SystemPropertyCenter.java:122).
+
+Structured Streaming replaces all of that with ONE watermarked
+stream-stream join: event-time watermarks bound the join state exactly
+like bufDuration bounded the windows, but in event time (strictly
+stronger — reordering-tolerant), with state in the checkpointed state
+store instead of RDD window buffers.
+
+Sources are pluggable: Kafka for deployment (kafka_stream — requires
+the kafka connector jars), directory streams for tests (file_stream —
+same DataFrame surface downstream, which is the point: the streaming
+plan IS the batch plan with watermarks added).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_BUF_DURATION = "600 seconds"  # vpe.buf.duration parity (600 000 ms)
+
+
+def kafka_stream(
+    spark: SparkSession,
+    brokers: str,
+    topics: list[str],
+    max_offsets_per_trigger: int | None = None,
+) -> DataFrame:
+    """Kafka source for the unified TaskData stream (S1/S2).
+
+    Topic == data type (DataType.java:26-46): the returned frame keeps
+    ``topic`` as the payload_type routing column, so the demux filters
+    (P2) work identically on Kafka and file sources. Offsets live in
+    the checkpoint (T4); ``maxOffsetsPerTrigger`` is the backpressure
+    knob (T5, replacing spark.streaming.kafka.maxRatePerPartition).
+    """
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", ",".join(topics))
+        .option("startingOffsets", "latest")
+    )
+    if max_offsets_per_trigger:
+        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+    df = reader.load()
+    return df.select(
+        F.col("topic").alias("payload_type"),
+        F.col("key").cast("string").alias("task_id"),
+        F.col("value").alias("payload"),
+        F.col("timestamp").alias("event_ts"),
+    )
+
+
+def file_stream(
+    spark: SparkSession,
+    path: str,
+    schema,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Directory stream source (test/dev parity for kafka_stream).
+
+    Also the production pattern for landing-zone ingestion: new parquet
+    files appear, the stream picks them up exactly once (tracked in the
+    checkpoint's file index).
+    """
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(path)
+    )
+
+
+def stream_term_sig_filter(
+    stream: DataFrame, kill_list: DataFrame, key: str = "task_id"
+) -> DataFrame:
+    """P4/T6 cancellation on a stream: stream-static LEFT ANTI join.
+
+    The static side is re-resolved every micro-batch, so appending to
+    the kill table takes effect on the next trigger — same semantics
+    as the reference's per-batch pool check
+    (SparkStreamingApp.java:253-256) without the driver-side state.
+    """
+    return stream.join(kill_list.select(key).distinct(), on=key, how="left_anti")
+
+
+def watermarked_full_outer_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str = "event_ts",
+    right_ts: str = "event_ts",
+    buf_duration: str = DEFAULT_BUF_DURATION,
+) -> DataFrame:
+    """The J1-J7 replacement: one watermarked stream-stream full outer.
+
+    Both inputs get a ``buf_duration`` watermark and the join condition
+    includes an event-time range bound — Spark requires it to size the
+    state store, and it is exactly the reference's "partner must arrive
+    within bufDuration" contract. Matched rows emit immediately-ish;
+    unmatched rows emit with nulls once the watermark passes (the
+    reference's leftover-window flush, :176-192).
+    """
+    lw = left.withWatermark(left_ts, buf_duration)
+    rw = right.withWatermark(right_ts, buf_duration)
+    cond = None
+    for c in on:
+        eq = lw[c] == rw[c]
+        cond = eq if cond is None else cond & eq
+    range_cond = (rw[right_ts] >= lw[left_ts] - F.expr(f"INTERVAL {buf_duration}")) & (
+        rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {buf_duration}")
+    )
+    return lw.join(rw, cond & range_cond, "full_outer")
+
+
+def windowed_counts(
+    stream: DataFrame,
+    ts_col: str,
+    group_cols: list[str],
+    window_duration: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation (T1/T2 analog)."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window_duration), *group_cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def foreach_batch_upsert(
+    target_dir: str,
+    key_cols: list[str],
+    partition_by: list[str] | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """Idempotent parquet upsert sink for foreachBatch (K3/K5 parity).
+
+    The reference's saving streams skip work when the tracklet dir or
+    .har already exists (DataManagingApp.java:422-473). Without a
+    table format with MERGE (Delta/Iceberg jars aren't present), the
+    equivalent is dedup-within-batch + per-epoch idempotent overwrite:
+    every epoch writes to an epoch-suffixed subdir, so retried epochs
+    overwrite their own output instead of duplicating it.
+    """
+
+    def write(batch: DataFrame, epoch_id: int) -> None:
+        deduped = batch.dropDuplicates(key_cols)
+        writer = deduped.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(f"{target_dir}/epoch={epoch_id}")
+
+    return write
+
+
+def run_to_completion(
+    df: DataFrame,
+    query_name: str,
+    output_mode: str = "append",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Drive a streaming frame over all currently-available input and
+    return the result as a batch DataFrame (memory sink).
+
+    The test/driver harness for streaming queries: processAllAvailable
+    gives deterministic end-of-input semantics, so streaming results
+    can be hash-compared against batch oracles.
+    """
+    writer = (
+        df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return df.sparkSession.table(query_name)

@@ -1,0 +1,60 @@
+"""Multimodal operator tests: binary columns, Arrow-batched decode
+plumbing, video-cutting source."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from las_vpe_platform_spark.fixtures import FIXTURES_DIR, PATCH_H, PATCH_W
+from las_vpe_platform_spark.operators.multimodal import (
+    cut_video_frames,
+    extract_patch_features,
+    patch_metadata,
+)
+
+
+def _fx(spark, name):
+    return spark.read.parquet(str(FIXTURES_DIR / f"{name}.parquet"))
+
+
+def test_patch_metadata(spark):
+    tr = _fx(spark, "tracklets")
+    meta = patch_metadata(tr).collect()
+    assert len(meta) == tr.count()
+    for r in meta[:100]:
+        assert 1 <= r["n_patches"] <= 5
+        assert r["total_patch_bytes"] == r["n_patches"] * PATCH_W * PATCH_H * 3
+
+
+def test_extract_patch_features(spark):
+    tr = _fx(spark, "tracklets").limit(50)
+    feats = extract_patch_features(tr).collect()
+    assert len(feats) == 50
+    for r in feats:
+        assert len(r["patch_feature"]) == 16
+        assert math.isclose(sum(r["patch_feature"]), 1.0, abs_tol=1e-9)
+    # determinism across runs / partitionings
+    again = {
+        r["tracklet_key"]: r["patch_feature"]
+        for r in extract_patch_features(tr.repartition(7)).collect()
+    }
+    for r in feats:
+        assert again[r["tracklet_key"]] == r["patch_feature"]
+
+
+def test_cut_video_frames(spark):
+    vids = _fx(spark, "videos").limit(8)
+    frames = cut_video_frames(vids, max_frames_per_fragment=1000, frame_stride=250)
+    rows = frames.collect()
+    assert len(rows) > 0
+    by_video = {}
+    for r in rows:
+        by_video.setdefault(r["video_id"], []).append(r)
+        assert len(r["frame_data"]) == 16
+        assert r["fragment_id"] == r["frame_index"] // 1000
+    for vid, vrows in by_video.items():
+        idxs = sorted(r["frame_index"] for r in vrows)
+        assert idxs[0] == 0
+        assert all(b - a == 250 for a, b in zip(idxs, idxs[1:]))

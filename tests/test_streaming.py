@@ -1,0 +1,170 @@
+"""Structured Streaming backend tests: batch/stream parity (SURVEY §7.2
+step 5 — "same fixture in, same tables out").
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from las_vpe_platform_spark.sources.tables import load_table
+from las_vpe_platform_spark.streaming.engine import (
+    file_stream,
+    foreach_batch_upsert,
+    run_to_completion,
+    stream_term_sig_filter,
+    watermarked_full_outer_join,
+    windowed_counts,
+)
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir, tmp_path_factory):
+    """Re-land the events table as a multi-file parquet directory so the
+    file stream sees several micro-batches."""
+    out = str(tmp_path_factory.mktemp("events_stream"))
+    shutil.rmtree(out, ignore_errors=True)
+    load_table(spark, sf_dir, "events").repartition(4).write.mode("overwrite").parquet(out)
+    return out
+
+
+def test_windowed_counts_matches_batch(spark, events_dir):
+    stream = file_stream(spark, events_dir, EVENTS_SCHEMA, max_files_per_trigger=2)
+    agg = windowed_counts(stream, "ts", ["event_type"], "5 minutes", "10 minutes")
+    got = run_to_completion(
+        agg.select(
+            F.col("window.start").cast("string").alias("window_start"),
+            "event_type",
+            "n",
+        ),
+        "windowed_counts_t",
+        output_mode="complete",
+    )
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy(
+            F.date_trunc("minute", "ts").alias("m"), "event_type"
+        )  # placeholder; real compare below
+    )
+    expected = (
+        spark.read.parquet(events_dir)
+        .groupBy(
+            F.window("ts", "5 minutes").getField("start").cast("string").alias("window_start"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    g = {(r["window_start"], r["event_type"]): r["n"] for r in got.collect()}
+    e = {(r["window_start"], r["event_type"]): r["n"] for r in expected.collect()}
+    assert g == e and len(g) > 0
+
+
+def test_stream_term_sig_filter(spark, events_dir):
+    kills = spark.createDataFrame([(1,), (2,), (3,)], ["user_id"])
+    stream = file_stream(spark, events_dir, EVENTS_SCHEMA, max_files_per_trigger=2)
+    alive = stream_term_sig_filter(stream, kills, key="user_id")
+    got = run_to_completion(alive, "term_sig_t")
+    users = {r["user_id"] for r in got.select("user_id").distinct().collect()}
+    assert not users & {1, 2, 3}
+    total_all = spark.read.parquet(events_dir).count()
+    total_killed = (
+        spark.read.parquet(events_dir).filter(F.col("user_id").isin(1, 2, 3)).count()
+    )
+    assert got.count() == total_all - total_killed
+
+
+def test_watermarked_full_outer_join_parity(spark, events_dir, tmp_path):
+    """Stream-stream full outer == batch full outer once all data is
+    processed (the J1-J7 replacement, with in-range matching).
+
+    Exact parity needs (a) arrival disorder bounded by the watermark —
+    here a single trigger — and (b) a watermark-advancing sentinel so
+    the final unmatched rows flush out of the state store. The
+    reference's processing-time windows had the same end-of-stream
+    caveat (unflushed bufDuration remainders at shutdown).
+    """
+    src = str(tmp_path / "join_src")
+    base = spark.read.parquet(events_dir)
+    max_ts = base.agg(F.max("ts")).collect()[0][0]
+    sentinel = spark.createDataFrame(
+        [
+            (-999, max_ts, -1, "click", 0.0, "{}"),
+            (-998, max_ts, -1, "purchase", 0.0, "{}"),
+        ],
+        EVENTS_SCHEMA,
+    ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 hour"))
+    base.unionByName(sentinel).coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = file_stream(spark, src, EVENTS_SCHEMA, max_files_per_trigger=999)
+    # split one stream into two sides by event type (tracklet/attr analog)
+    left = stream.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("key"), F.col("ts").alias("l_ts"), "event_id"
+    )
+    right = stream.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("key"), F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_event_id"),
+    )
+    joined = watermarked_full_outer_join(
+        left, right, on=["key"], left_ts="l_ts", right_ts="r_ts", buf_duration="10 minutes"
+    )
+    got = run_to_completion(
+        joined.filter(~F.col("event_id").isin(-999, -998) | F.col("event_id").isNull())
+        .filter(~F.col("r_event_id").isin(-999, -998) | F.col("r_event_id").isNull())
+        .filter(F.col("event_id").isNotNull() | F.col("r_event_id").isNotNull())
+        .select("event_id", "r_event_id"),
+        "wm_join_t",
+        output_mode="append",
+    )
+    batch = spark.read.parquet(events_dir)
+    bl = batch.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("key"), F.col("ts").alias("l_ts"), "event_id"
+    )
+    br = batch.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("key"), F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_event_id"),
+    )
+    bj = bl.join(
+        br,
+        (bl.key == br.key)
+        & (br.r_ts >= bl.l_ts - F.expr("INTERVAL 10 minutes"))
+        & (br.r_ts <= bl.l_ts + F.expr("INTERVAL 10 minutes")),
+        "full_outer",
+    ).select("event_id", "r_event_id")
+
+    def canon(df):
+        return sorted(
+            (
+                -1 if r["event_id"] is None else r["event_id"],
+                -1 if r["r_event_id"] is None else r["r_event_id"],
+            )
+            for r in df.collect()
+        )
+
+    assert canon(got) == canon(bj)
+    assert got.count() > 0
+
+
+def test_foreach_batch_upsert_idempotent(spark, events_dir, tmp_path):
+    target = str(tmp_path / "sinked")
+    sink = foreach_batch_upsert(target, key_cols=["event_id"])
+    stream = file_stream(spark, events_dir, EVENTS_SCHEMA, max_files_per_trigger=2)
+    q = stream.writeStream.foreachBatch(sink).start()
+    q.processAllAvailable()
+    q.stop()
+    written = spark.read.parquet(target)
+    assert written.count() == spark.read.parquet(events_dir).count()
+    assert written.select("event_id").distinct().count() == written.count()
