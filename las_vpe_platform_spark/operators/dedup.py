@@ -97,8 +97,12 @@ def minhash_lsh_candidates(
         for b in range(bands)
     ]
     banded = sig.select("doc_id_", F.explode(F.array(*band_exprs)).alias("band"))
-    left = banded.alias("l")
-    right = banded.alias("r")
+    # shuffle-hash, not broadcast: broadcasting one side makes Spark
+    # compute the whole shingle->sig subtree twice (once per side);
+    # a shuffled self-join partitions one computed result by band key.
+    # At 100 TB broadcast is impossible anyway — this is the scale plan.
+    left = banded.alias("l").hint("shuffle_hash")
+    right = banded.alias("r").hint("shuffle_hash")
     return (
         left.join(right, on="band")
         .filter(F.col("l.doc_id_") < F.col("r.doc_id_"))
@@ -171,8 +175,8 @@ def ngram_jaccard_pairs(
     )
     sizes = exploded.groupBy("doc_id_").agg(F.count(F.lit(1)).alias("n_shingles"))
     pairs = (
-        exploded.alias("l")
-        .join(exploded.alias("r"), on="shingle")
+        exploded.alias("l").hint("shuffle_hash")
+        .join(exploded.alias("r").hint("shuffle_hash"), on="shingle")
         .filter(F.col("l.doc_id_") < F.col("r.doc_id_"))
         .groupBy(F.col("l.doc_id_").alias("id_a"), F.col("r.doc_id_").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("shared"))

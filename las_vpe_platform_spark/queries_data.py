@@ -102,12 +102,24 @@ FROM tokenized GROUP BY lang, source
 # --- q21: quality scoring (text analysis) -----------------------------------
 
 def q21_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # two-stage select: ratios computed once, the composite score reads
+    # the ratio COLUMNS — without this, quality_score re-tokenizes the
+    # text inside every term (HOF lambdas defeat subexpression reuse)
     docs = _t(spark, sf_dir, "documents")
-    return docs.select(
+    metrics = docs.select(
         "doc_id",
-        pround(quality_score("text"), 4).alias("quality"),
-        pround(punct_ratio("text"), 4).alias("punct_ratio"),
-        pround(stopword_ratio("text"), 4).alias("stopword_ratio"),
+        F.length("text").alias("_len"),
+        punct_ratio("text").alias("_p"),
+        stopword_ratio("text").alias("_s"),
+    )
+    len_term = F.least(F.col("_len").cast("double") / F.lit(500.0), F.lit(1.0))
+    stop_term = F.least(F.col("_s") * 4.0, F.lit(1.0))
+    punct_term = 1.0 - F.least(F.col("_p") * 5.0, F.lit(1.0))
+    return metrics.select(
+        "doc_id",
+        pround(len_term * 0.4 + stop_term * 0.3 + punct_term * 0.3, 4).alias("quality"),
+        pround(F.col("_p"), 4).alias("punct_ratio"),
+        pround(F.col("_s"), 4).alias("stopword_ratio"),
     )
 
 
