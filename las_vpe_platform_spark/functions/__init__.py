@@ -16,11 +16,8 @@ from las_vpe_platform_spark.functions.text import (  # noqa: F401
     char_ngrams,
     content_fingerprint,
     lang_id,
-    lsh_bands,
-    minhash_signature,
     punct_ratio,
     quality_score,
-    simhash64,
     stopword_ratio,
     token_count,
     tokens,

@@ -141,68 +141,3 @@ def _lcg_constants(n: int, seed: int = 42) -> tuple[tuple[int, int, int], ...]:
 
 MINHASH_COEFFS = _lcg_constants(64)
 
-
-def minhash_signature(shingles: Column | str, num_hashes: int = 16) -> Column:
-    """MinHash signature as an array of ``num_hashes`` hex strings.
-
-    Each hash family member i is ``min(md5(i || ':' || shingle))`` over
-    the shingle set — the lexicographic min of a salted md5 is a valid
-    min-wise independent permutation approximation, and (crucially) is
-    reproducible in DuckDB SQL for oracle checks. Empty shingle sets
-    yield nulls.
-    """
-    sh = _col(shingles)
-
-    # NB: factory, not `lambda s, i=i:` — pyspark treats a 2-param
-    # lambda as (element, array_index) and would overwrite the salt
-    def salted(i: int):
-        return lambda s: F.md5(F.concat(F.lit(f"{i}:"), s))
-
-    return F.array(
-        *[F.array_min(F.transform(sh, salted(i))) for i in range(num_hashes)]
-    )
-
-
-def lsh_bands(signature: Column | str, bands: int = 4, rows_per_band: int = 4) -> Column:
-    """Banded LSH keys from a minhash signature: array of ``bands``
-    strings, each ``band_idx || ':' || md5(concat(band rows))``.
-    Documents sharing any band key are near-dup candidates.
-    """
-    sig = _col(signature)
-    return F.array(
-        *[
-            F.concat(
-                F.lit(f"{b}:"),
-                F.md5(F.concat_ws("|", F.slice(sig, b * rows_per_band + 1, rows_per_band))),
-            )
-            for b in range(bands)
-        ]
-    )
-
-
-def simhash64(shingles: Column | str) -> Column:
-    """64-bit SimHash of a shingle set, as a bigint.
-
-    Per-shingle 64-bit hash = first 16 hex chars of md5 (engine-
-    portable); bit b contributes +1 if set else -1; the fingerprint
-    sets bit b when the sum is positive. Expressed entirely with
-    higher-order functions — no Python in the loop.
-    """
-    sh = _col(shingles)
-    # per-shingle bigint hash from the md5 hex prefix (15 hex chars =
-    # 60 bits, keeps conv() inside signed-long range, portable to DuckDB)
-    hashes = F.transform(sh, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint"))
-
-    def vote_fn(b: int):
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-        ).otherwise(F.lit(-1))
-
-    bits = []
-    for b in range(60):
-        vote = F.aggregate(hashes, F.lit(0), vote_fn(b))
-        bits.append(F.when(vote > 0, F.lit(2**b).cast("bigint")).otherwise(F.lit(0).cast("bigint")))
-    out = bits[0]
-    for bit in bits[1:]:
-        out = out + bit
-    return out

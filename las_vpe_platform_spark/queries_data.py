@@ -25,7 +25,6 @@ from las_vpe_platform_spark.functions.text import (
     lang_id,
     punct_ratio,
     quality_score,
-    simhash64,
     stopword_ratio,
     token_count,
     word_shingles,
@@ -433,6 +432,102 @@ FROM ranked WHERE rank <= {IVF_K}
 """
 
 
+# --- q30: TF-IDF top terms per document (text analysis) ---------------------
+
+def q30_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W2
+
+    from las_vpe_platform_spark.functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    terms = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("term")
+    )
+    tf = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_counts = terms.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(df_counts, on="term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf").cast("double")
+            * F.log(F.col("n_docs").cast("double") / F.col("df").cast("double")),
+        )
+    )
+    w = W2.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("trank", F.row_number().over(w))
+        .filter(F.col("trank") <= 3)
+        .select("doc_id", "term", "tf", "df", "trank", pround("tfidf", 6).alias("tfidf"))
+    )
+
+
+Q30_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({SQL_TOKENS}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+), dfc AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1
+), n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term, tf, df,
+         tf::DOUBLE * ln(n_docs::DOUBLE / df::DOUBLE) AS tfidf
+  FROM tf JOIN dfc USING (term) CROSS JOIN n
+), ranked AS (
+  SELECT doc_id, term, tf, df, tfidf,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS trank
+  FROM scored
+)
+SELECT doc_id, term, tf, df, trank, floor((tfidf) * 1000000.0 + 0.5) / 1000000.0 AS tfidf
+FROM ranked WHERE trank <= 3
+"""
+
+
+# --- q31: embedding near-dup pairs within buckets (dedup scale path) --------
+
+def q31_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.operators.dedup import embedding_neardup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(
+        emb, id_col="vec_id", vector_col="embedding", bucket_col="label", threshold=0.3
+    ).select("bucket", "id_a", "id_b", "cosine")
+
+
+Q31_SQL = f"""
+WITH e AS (SELECT label AS bucket, vec_id, embedding FROM embeddings),
+pairs AS (
+  SELECT l.bucket, l.vec_id AS id_a, r.vec_id AS id_b,
+         floor(({sql_cosine('l.embedding', 'r.embedding')}) * 1000000.0 + 0.5) / 1000000.0 AS cosine
+  FROM e l JOIN e r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+)
+SELECT bucket, id_a, id_b, cosine FROM pairs WHERE cosine >= 0.3
+"""
+
+
+# --- q32: cube aggregate (grouping-sets coverage beyond q17's rollup) -------
+
+def q32_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        pround(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+Q32_SQL = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       floor((sum(o_totalprice)) * 100.0 + 0.5) / 100.0 AS sum_price
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
 DATA_QUERIES = {
     "q20_doc_token_stats": (q20_doc_token_stats, Q20_SQL),
     "q21_doc_quality": (q21_doc_quality, Q21_SQL),
@@ -444,4 +539,7 @@ DATA_QUERIES = {
     "q27_embedding_topk": (q27_embedding_topk, Q27_SQL),
     "q28_label_centroids": (q28_label_centroids, Q28_SQL),
     "q29_embedding_ivf_topk": (q29_embedding_ivf_topk, Q29_SQL),
+    "q30_tfidf_top_terms": (q30_tfidf_top_terms, Q30_SQL),
+    "q31_embedding_neardup": (q31_embedding_neardup, Q31_SQL),
+    "q32_cube_orders": (q32_cube_orders, Q32_SQL),
 }

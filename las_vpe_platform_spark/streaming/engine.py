@@ -60,6 +60,35 @@ def kafka_stream(
     )
 
 
+def kafka_sink(
+    df: DataFrame,
+    brokers: str,
+    topic: str,
+    checkpoint_dir: str,
+    key_col: str = "task_id",
+):
+    """Kafka TaskData sink (K1, KafkaHelper.scala:55-144).
+
+    The reference serializes TaskData with ObjectOutputStream and
+    retries sends by hand (Stream.java:47-70); here the payload is
+    JSON (schema-first, cross-language), delivery retries ride on the
+    idempotent producer + checkpointed offsets, and topic == output
+    data type exactly as before. Returns the started StreamingQuery.
+    Requires the spark-sql-kafka connector jars on the classpath.
+    """
+    out = df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.to_json(F.struct(*df.columns)).alias("value"),
+    )
+    return (
+        out.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 def file_stream(
     spark: SparkSession,
     path: str,

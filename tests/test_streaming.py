@@ -168,3 +168,24 @@ def test_foreach_batch_upsert_idempotent(spark, events_dir, tmp_path):
     written = spark.read.parquet(target)
     assert written.count() == spark.read.parquet(events_dir).count()
     assert written.select("event_id").distinct().count() == written.count()
+
+
+def test_metrics_collector(spark, events_dir):
+    from las_vpe_platform_spark.streaming.monitor import MetricsCollector
+
+    collector = MetricsCollector.install(spark)
+    try:
+        stream = file_stream(spark, events_dir, EVENTS_SCHEMA, max_files_per_trigger=2)
+        run_to_completion(stream.groupBy("event_type").count(), "metrics_t", "complete")
+        import time
+
+        for _ in range(20):  # listener callbacks are async
+            if collector.progress:
+                break
+            time.sleep(0.5)
+        report = collector.report(spark)
+        rows = report.collect()
+        assert rows, "no progress events collected"
+        assert sum(r["num_input_rows"] or 0 for r in rows) > 0
+    finally:
+        collector.uninstall(spark)
