@@ -20,14 +20,22 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 from las_vpe_platform_spark import queries as _catalog  # noqa: E402
-from las_vpe_platform_spark.queries_relational import q01_pricing_summary  # noqa: E402
+from las_vpe_platform_spark.queries_domain import (  # noqa: E402
+    d12_similar_persons_in_window,
+)
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return q01_pricing_summary(spark, SMOKE_SF_DIR)
+    """Flagship query; driver checks rows>0 and a stable schema.
+
+    The reference's end-to-end analytic: ranked similar persons (with
+    attributes) for every probe in one camera/time bucket — the
+    TRACK_ATTRRECOG + getLinkedPedestrians path as one Spark plan
+    (SURVEY §7.2 step 3).
+    """
+    return d12_similar_persons_in_window(spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

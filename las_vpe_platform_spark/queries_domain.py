@@ -331,6 +331,70 @@ SELECT tracklet_key, {avgs} FROM kept GROUP BY tracklet_key
 D11_SQL = _d11_sql()
 
 
+# --- d12: flagship — ranked similar persons with attributes in a time
+# bucket (SURVEY §7.2 step 3: the TRACK_ATTRRECOG + getLinkedPedestrians
+# path as one analytic query: J9/W1 ranking ⨝ K5 persons ⨝ F6 bucket) ------
+
+def d12_similar_persons_in_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _fx(spark, "similarity_edges")
+    tr = _fx(spark, "tracklets").select("tracklet_key", "video_id", "start_ts")
+    attrs = _fx(spark, "attributes").select(
+        "tracklet_key", ATTRIBUTE_NAMES[0], ATTRIBUTE_NAMES[1]
+    )
+    # persons = tracklets with attributes (K5/K8 materialization)
+    persons = tr.join(attrs, on="tracklet_key")
+    # probes: persons in one 30-minute time bucket of one camera
+    probes = persons.filter(
+        F.col("video_id").startswith("CAM01")
+        & (F.date_trunc("hour", "start_ts") == F.to_timestamp(F.lit("2016-03-10 09:00:00")))
+    ).select(F.col("tracklet_key").alias("node_a"))
+    ranked = topk_per_group(
+        edges.join(probes, on="node_a"),
+        ["node_a"], "similarity", k=5, tiebreak_cols=["node_b"],
+    )
+    # decorate neighbors with their attributes (the Cypher RETURN shape)
+    neighbor_attrs = persons.select(
+        F.col("tracklet_key").alias("node_b"),
+        F.col(ATTRIBUTE_NAMES[0]).alias("nb_attr0"),
+        F.col("start_ts").alias("nb_start_ts"),
+    )
+    return ranked.join(neighbor_attrs, on="node_b", how="left").select(
+        "node_a",
+        "node_b",
+        "rank",
+        pround(F.col("similarity").cast("double"), 6).alias("similarity"),
+        pround(F.col("nb_attr0").cast("double"), 6).alias("nb_attr0"),
+        F.col("nb_start_ts").cast("string").alias("nb_start_ts"),
+    )
+
+
+D12_SQL = f"""
+WITH persons AS (
+  SELECT t.tracklet_key, t.video_id, t.start_ts,
+         a.{ATTRIBUTE_NAMES[0]} AS attr0
+  FROM {_fxsql('tracklets')} t
+  JOIN {_fxsql('attributes')} a USING (tracklet_key)
+), probes AS (
+  SELECT tracklet_key AS node_a FROM persons
+  WHERE starts_with(video_id, 'CAM01')
+    AND date_trunc('hour', start_ts) = TIMESTAMP '2016-03-10 09:00:00'
+), ranked AS (
+  SELECT e.node_a, e.node_b, e.similarity,
+         row_number() OVER (PARTITION BY e.node_a
+                            ORDER BY e.similarity DESC, e.node_b) AS rank
+  FROM {_fxsql('similarity_edges')} e
+  JOIN probes USING (node_a)
+  QUALIFY rank <= 5
+)
+SELECT r.node_a, r.node_b, r.rank,
+       floor((r.similarity::DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS similarity,
+       floor((p.attr0::DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS nb_attr0,
+       CAST(p.start_ts AS VARCHAR) AS nb_start_ts
+FROM ranked r
+LEFT JOIN persons p ON p.tracklet_key = r.node_b
+"""
+
+
 # --- m01/m02: multimodal binary columns -------------------------------------
 
 def m01_patch_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -374,6 +438,7 @@ DOMAIN_QUERIES = {
     "d09_feature_topk": (d09_feature_topk, D09_SQL),
     "d10_command_fanout": (d10_command_fanout, D10_SQL),
     "d11_pipeline_attr_recog": (d11_pipeline_attr_recog, D11_SQL),
+    "d12_similar_persons_in_window": (d12_similar_persons_in_window, D12_SQL),
     "m01_patch_metadata": (m01_patch_metadata, M01_SQL),
     "m02_patch_features": (m02_patch_features, None),
 }
