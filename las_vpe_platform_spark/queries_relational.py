@@ -512,6 +512,97 @@ FROM supplier
 """
 
 
+# --- q33: as-of join (point-in-time; DuckDB native ASOF as oracle) ----------
+
+def q33_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    # dedupe right side per (user, ts) so ties are impossible in either engine
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        on="ts",
+        by=["user_id"],
+        tolerance_seconds=3600,
+        right_value_cols=["click_id"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("string").alias("purchase_ts"),
+        F.col("click_id_right").alias("click_id"),
+        F.col("ts_right").cast("string").alias("click_ts"),
+    )
+
+
+Q33_SQL = """
+WITH purchases AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT user_id, ts, max(event_id) AS click_id
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+), matched AS (
+  SELECT p.event_id, p.user_id, p.ts AS purchase_ts, c.click_id, c.ts AS click_ts
+  FROM purchases p ASOF LEFT JOIN clicks c
+    ON p.user_id = c.user_id AND p.ts >= c.ts
+)
+SELECT event_id, user_id, CAST(purchase_ts AS VARCHAR) AS purchase_ts,
+       CASE WHEN epoch_us(purchase_ts) - epoch_us(click_ts) <= 3600::BIGINT * 1000000
+            THEN click_id END AS click_id,
+       CASE WHEN epoch_us(purchase_ts) - epoch_us(click_ts) <= 3600::BIGINT * 1000000
+            THEN CAST(click_ts AS VARCHAR) END AS click_ts
+FROM matched
+"""
+
+
+# --- q34: exact percentiles (interpolated median per group) -----------------
+
+def q34_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        pround(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        pround(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+Q34_SQL = """
+SELECT event_type,
+       floor((quantile_cont(value, 0.5)) * 1000000.0 + 0.5) / 1000000.0  AS p50,
+       floor((quantile_cont(value, 0.95)) * 1000000.0 + 0.5) / 1000000.0 AS p95,
+       count(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
+# --- q35: semi join (EXISTS) ------------------------------------------------
+
+def q35_customers_with_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    urgent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select(F.col("o_custkey").alias("c_custkey"))
+    return cust.join(urgent, on="c_custkey", how="left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+Q35_SQL = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+"""
+
+
 RELATIONAL_QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_top_customers_per_nation": (q02_top_customers_per_nation, Q02_SQL),
@@ -532,4 +623,7 @@ RELATIONAL_QUERIES = {
     "q17_rollup_returnflag": (q17_rollup_returnflag, Q17_SQL),
     "q18_user_sessions": (q18_user_sessions, Q18_SQL),
     "q19_entity_union": (q19_entity_union, Q19_SQL),
+    "q33_asof_last_click": (q33_asof_last_click, Q33_SQL),
+    "q34_value_percentiles": (q34_value_percentiles, Q34_SQL),
+    "q35_customers_with_urgent_orders": (q35_customers_with_urgent_orders, Q35_SQL),
 }
