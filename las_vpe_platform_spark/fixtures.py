@@ -103,10 +103,8 @@ def fake_track_video(video_id: str, video_start: datetime) -> list[dict]:
         for b in range(n_boxes):
             patch = None
             if b in sample_pos:
-                patch = bytes(
-                    (_h32(SEED, video_id, serial, b, i) % 256)
-                    for i in range(PATCH_W * PATCH_H * 3)
-                )
+                prng = np.random.default_rng(_h32(SEED, video_id, serial, b))
+                patch = prng.integers(0, 256, PATCH_W * PATCH_H * 3, dtype=np.uint8).tobytes()
             seq.append(
                 {
                     "x": int(rng.integers(0, 1920 - 64)),
@@ -167,8 +165,6 @@ def gen_attribute_samples(tracklets: pa.Table) -> pa.Table:
 
 def gen_attributes(samples: pa.Table) -> pa.Table:
     """Tracklet-level attributes = mean over samples (the A1 golden)."""
-    import pyarrow.compute as pc  # noqa: F401
-
     df = samples.to_pandas()
     agg = df.groupby("tracklet_key", as_index=False)[list(ATTRIBUTE_NAMES)].mean()
     return pa.Table.from_pandas(agg, preserve_index=False)

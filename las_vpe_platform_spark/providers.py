@@ -22,7 +22,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from las_vpe_platform_spark.fixtures import SEED, fake_track_video
+from las_vpe_platform_spark.fixtures import SEED
 from las_vpe_platform_spark.schemas import ATTRIBUTE_NAMES, TRACKLET
 
 # ---------------------------------------------------------------------------

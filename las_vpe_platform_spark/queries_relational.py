@@ -16,7 +16,7 @@ from pyspark.sql import Window as W
 from las_vpe_platform_spark.compat import pround
 
 from las_vpe_platform_spark.operators.aggregates import completeness_check
-from las_vpe_platform_spark.operators.joins import full_outer_assemble, point_lookup
+from las_vpe_platform_spark.operators.joins import full_outer_assemble
 from las_vpe_platform_spark.operators.routing import demux, term_sig_filter
 from las_vpe_platform_spark.operators.sampling import even_spaced_sample
 from las_vpe_platform_spark.operators.windows import last_n, topk_per_group

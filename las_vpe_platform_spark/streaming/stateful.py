@@ -1,0 +1,93 @@
+"""Custom stateful streaming operators (SURVEY T7).
+
+The reference never needed beyond-window state (no updateStateByKey /
+mapWithState anywhere); this module supplies the engine's extension
+point for when a pipeline does: arbitrary per-key state via
+``applyInPandasWithState`` (Arrow-batched, checkpointed state store).
+
+The shipped example is streaming sessionization — the stateful
+counterpart of the batch lag/cumsum sessionizer (catalog q18): a
+session closes when a later event for the same key arrives more than
+``gap_seconds`` after the session's last event. Sessions still open at
+end-of-stream remain in state (exactly-once semantics across restarts
+via the checkpoint).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_OUTPUT_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, n_events long"
+)
+SESSION_STATE_SCHEMA = "start long, last long, n long"
+
+
+def sessionize_stream(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Closed sessions per key, emitted as soon as the closing event
+    (first event past the gap) is processed.
+
+    State per key = (session_start_us, last_event_us, n_events); one
+    row in the state store per active key, bounded by key cardinality
+    — the 100 TB concern is state size, and this keeps it O(keys),
+    not O(events).
+    """
+    gap_us = gap_seconds * 1_000_000
+
+    def close_sessions(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        ts_us: list[int] = []
+        for pdf in batches:
+            ts_us.extend(int(t.value // 1000) for t in pd.to_datetime(pdf[ts_col]))
+        ts_us.sort()
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start = last = ts_us[0]
+            n = 0
+        closed: list[tuple[int, int, int]] = []
+        for t in ts_us:
+            if n > 0 and t - last > gap_us:
+                closed.append((start, last, n))
+                start = t
+                n = 0
+            n += 1
+            last = max(last, t)
+        state.update((start, last, n))
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(closed),
+                    "session_start": [pd.Timestamp(s, unit="us") for s, _e, _n in closed],
+                    "session_end": [pd.Timestamp(e, unit="us") for _s, e, _n in closed],
+                    "n_events": [n for _s, _e, n in closed],
+                }
+            )
+
+    from las_vpe_platform_spark.session import ensure_package_on_workers
+
+    ensure_package_on_workers(stream.sparkSession)
+    return (
+        stream.select(key_col, ts_col)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            close_sessions,
+            SESSION_OUTPUT_SCHEMA,
+            SESSION_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

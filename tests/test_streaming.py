@@ -189,3 +189,43 @@ def test_metrics_collector(spark, events_dir):
         assert sum(r["num_input_rows"] or 0 for r in rows) > 0
     finally:
         collector.uninstall(spark)
+
+
+def test_stateful_sessionization(spark, events_dir):
+    """Streaming closed sessions == batch sessionization's closed
+    sessions (every session except each user's last one)."""
+    from las_vpe_platform_spark.streaming.stateful import sessionize_stream
+
+    stream = file_stream(spark, events_dir, EVENTS_SCHEMA, max_files_per_trigger=999)
+    sessions = sessionize_stream(stream, "user_id", "ts", gap_seconds=1800)
+    got = run_to_completion(sessions, "sessions_t", output_mode="append")
+
+    # batch reference: lag/gap sessionization, drop each user's last session
+    from pyspark.sql import Window as W
+
+    ev = spark.read.parquet(events_dir)
+    w = W.partitionBy("user_id").orderBy("ts")
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    sess = (
+        ev.withColumn("new_s", F.when(gap > 1800 * 1_000_000, 1).otherwise(0))
+        .withColumn("sid", F.sum("new_s").over(w.rowsBetween(W.unboundedPreceding, 0)))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    last_sid = sess.groupBy("user_id").agg(F.max("sid").alias("max_sid"))
+    closed_batch = sess.join(last_sid, on="user_id").filter(
+        F.col("sid") < F.col("max_sid")
+    )
+
+    def canon(df):
+        return sorted(
+            (r["user_id"], str(r["session_start"]), str(r["session_end"]), r["n_events"])
+            for r in df.collect()
+        )
+
+    assert canon(got) == canon(closed_batch)
+    assert got.count() > 0
