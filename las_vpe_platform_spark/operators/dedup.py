@@ -185,10 +185,12 @@ def ngram_jaccard_pairs(
         pairs.join(sizes.withColumnRenamed("doc_id_", "id_a").withColumnRenamed("n_shingles", "size_a"), on="id_a")
         .join(sizes.withColumnRenamed("doc_id_", "id_b").withColumnRenamed("n_shingles", "size_b"), on="id_b")
     )
+    from las_vpe_platform_spark.compat import pround
+
     jaccard = F.col("shared").cast("double") / (
         F.col("size_a") + F.col("size_b") - F.col("shared")
     ).cast("double")
-    return with_sizes.withColumn("jaccard", F.round(jaccard, 6)).filter(
+    return with_sizes.withColumn("jaccard", pround(jaccard, 6)).filter(
         F.col("jaccard") >= threshold
     )
 
@@ -207,22 +209,29 @@ def embedding_neardup_pairs(
     only quadratic term, and buckets are sized upstream. Cosine is a
     JVM-side fold (functions.vector), no Python.
     """
-    from las_vpe_platform_spark.functions.vector import cosine_similarity
+    from las_vpe_platform_spark.functions.vector import dot_product, l2_norm
 
+    # norms once per vector (below the join), dot product per pair only;
+    # shuffled self-join so the scan+norm subtree is computed once
     sel = df.select(
         F.col(bucket_col).alias("bucket"),
         F.col(id_col).alias("doc_id_"),
         F.col(vector_col).alias("vec"),
-    )
+    ).withColumn("_norm", l2_norm("vec"))
+    cosine = F.floor(
+        (dot_product(F.col("l.vec"), F.col("r.vec")) / (F.col("l._norm") * F.col("r._norm")))
+        * 1e6
+        + F.lit(0.5)
+    ) / 1e6
     return (
-        sel.alias("l")
-        .join(sel.alias("r"), on="bucket")
+        sel.alias("l").hint("shuffle_hash")
+        .join(sel.alias("r").hint("shuffle_hash"), on="bucket")
         .filter(F.col("l.doc_id_") < F.col("r.doc_id_"))
         .select(
             F.col("bucket"),
             F.col("l.doc_id_").alias("id_a"),
             F.col("r.doc_id_").alias("id_b"),
-            F.round(cosine_similarity(F.col("l.vec"), F.col("r.vec")), 6).alias("cosine"),
+            cosine.alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

@@ -56,7 +56,15 @@ def fake_tracker(videos: DataFrame) -> DataFrame:
                 columns=[f.name for f in TRACKLET.fields],
             )
 
-    return videos.select("video_id", "start_ts").mapInPandas(track_batches, TRACKLET)
+    # partition by unit of work: a model stage must parallelize even
+    # when the input is one small file (1 parquet row-group = 1
+    # partition otherwise — a serial GPU/tracker stage)
+    par = videos.sparkSession.sparkContext.defaultParallelism
+    return (
+        videos.select("video_id", "start_ts")
+        .repartition(par, "video_id")
+        .mapInPandas(track_batches, TRACKLET)
+    )
 
 
 def jni_tracker(videos: DataFrame) -> DataFrame:

@@ -56,6 +56,11 @@ def get_spark(app_name: str = "las_vpe_platform_spark", cpus: int | None = None)
         # the driver's events table is TIMESTAMP(NANOS); read as long,
         # sources.tables.load_table converts to micros (DuckDB-identical)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # split medium files so narrow pipelines over few-file tables
+        # still parallelize; at cluster scale files are many and this
+        # only bounds the per-task read
+        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
+        .config("spark.sql.files.openCostInBytes", str(1 * 1024 * 1024))
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
