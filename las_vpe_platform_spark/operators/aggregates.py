@@ -27,6 +27,42 @@ def wide_avg(df: DataFrame, group_cols: list[str], value_cols: Iterable[str]) ->
     )
 
 
+def wide_avg_pandas(
+    df: DataFrame, group_cols: list[str], value_cols: Iterable[str]
+) -> DataFrame:
+    """A1 as a grouped-map UDAF (applyInPandas) — the §2.10 surface for
+    aggregations that genuinely need Python (learned pooling, trimmed
+    means). The built-in ``wide_avg`` is the fast path; this is the
+    extension shape, parity-tested against it.
+    """
+    value_cols = list(value_cols)
+    out_schema = ", ".join(
+        [f"{c} string" for c in group_cols] + [f"{c} double" for c in value_cols]
+    )
+
+    def agg(pdf):
+        import pandas as pd
+
+        out = {c: [pdf[c].iloc[0]] for c in group_cols}
+        for c in value_cols:
+            out[c] = [pdf[c].mean()]
+        return pd.DataFrame(out)
+
+    return df.groupBy(*group_cols).applyInPandas(agg, out_schema)
+
+
+def approx_distinct_profile(
+    df: DataFrame, group_cols: list[str], key_col: str, rsd: float = 0.05
+) -> DataFrame:
+    """Sketch-based distinct counting (HyperLogLog++), the scale path
+    for completeness-style counters (SURVEY §7.2 step 6): one pass, a
+    few KB of state per group, mergeable across partitions."""
+    return df.groupBy(*group_cols).agg(
+        F.approx_count_distinct(key_col, rsd).alias("approx_distinct"),
+        F.count(key_col).alias("n_rows"),
+    )
+
+
 def completeness_check(
     df: DataFrame,
     group_col: str,

@@ -1,0 +1,46 @@
+"""Aggregate operator tests: UDAF parity, sketches."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from las_vpe_platform_spark.fixtures import FIXTURES_DIR
+from las_vpe_platform_spark.operators.aggregates import (
+    approx_distinct_profile,
+    wide_avg,
+    wide_avg_pandas,
+)
+from las_vpe_platform_spark.schemas import ATTRIBUTE_NAMES
+
+
+def _fx(spark, name):
+    return spark.read.parquet(str(FIXTURES_DIR / f"{name}.parquet"))
+
+
+def test_wide_avg_pandas_matches_builtin(spark):
+    samples = _fx(spark, "attribute_samples")
+    cols = list(ATTRIBUTE_NAMES[:12])
+    fast = {r["tracklet_key"]: r for r in wide_avg(samples, ["tracklet_key"], cols).collect()}
+    udaf = {r["tracklet_key"]: r for r in wide_avg_pandas(samples, ["tracklet_key"], cols).collect()}
+    assert set(fast) == set(udaf)
+    for key in list(fast)[:100]:
+        for c in cols:
+            assert math.isclose(fast[key][c], udaf[key][c], abs_tol=1e-12)
+
+
+def test_approx_distinct_within_rsd(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    approx = {
+        r["l_returnflag"]: r["approx_distinct"]
+        for r in approx_distinct_profile(li, ["l_returnflag"], "l_orderkey").collect()
+    }
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_orderkey").alias("n"))
+        .collect()
+    }
+    for flag, n in exact.items():
+        assert abs(approx[flag] - n) / n < 0.15  # 5% rsd, generous bound

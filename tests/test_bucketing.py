@@ -1,0 +1,55 @@
+"""Bucketed/partitioned layout tests: shuffle elimination + pruning."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from las_vpe_platform_spark.fixtures import FIXTURES_DIR
+from las_vpe_platform_spark.operators.bucketing import (
+    drop_table,
+    plan_has_exchange,
+    write_bucketed,
+    write_partitioned,
+)
+
+
+def _fx(spark, name):
+    return spark.read.parquet(str(FIXTURES_DIR / f"{name}.parquet"))
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    tr = _fx(spark, "tracklets").select("tracklet_key", "video_id", "start_frame_index")
+    at = _fx(spark, "attributes").select("tracklet_key", "gender_male")
+    drop_table(spark, "b_tracklets")
+    drop_table(spark, "b_attributes")
+    try:
+        write_bucketed(tr, "b_tracklets", ["tracklet_key"], 8, sort_cols=["tracklet_key"])
+        write_bucketed(at, "b_attributes", ["tracklet_key"], 8, sort_cols=["tracklet_key"])
+        bt = spark.table("b_tracklets")
+        ba = spark.table("b_attributes")
+        # hint merge: with tiny test tables the planner would broadcast
+        # (which ignores buckets); at fact×fact scale SMJ is the real
+        # strategy and buckets remove both exchanges
+        joined = bt.hint("merge").join(ba, on="tracklet_key")
+        assert not plan_has_exchange(joined)
+        # and the result is correct
+        plain = tr.join(at, on="tracklet_key")
+        assert joined.count() == plain.count()
+    finally:
+        drop_table(spark, "b_tracklets")
+        drop_table(spark, "b_attributes")
+
+
+def test_partition_pruning(spark, tmp_path):
+    tr = _fx(spark, "tracklets").withColumn(
+        "cam", F.substring("video_id", 1, 5)
+    ).select("cam", "tracklet_key", "start_frame_index")
+    path = str(tmp_path / "by_cam")
+    write_partitioned(tr, path, ["cam"])
+    scan = spark.read.parquet(path).filter(F.col("cam") == "CAM01")
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    # the cam predicate must appear as a PartitionFilter (directory
+    # pruning), not a data filter
+    assert "PartitionFilters" in plan
+    assert "cam" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    assert scan.count() == tr.filter(F.col("cam") == "CAM01").count()
