@@ -31,16 +31,19 @@ from las_vpe_platform_spark.sources.tables import load_table as _t  # noqa: E402
 
 def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
+    # money sums in DECIMAL: exact, summation-order independent, so the
+    # rounded output can never straddle a boundary differently per engine
+    dec = lambda c: F.col(c).cast("decimal(18,6)")
+    disc_price = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,6)") - dec("l_discount"))
+    charge = disc_price * (F.lit(1).cast("decimal(18,6)") + dec("l_tax"))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2000-12-01"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            pround(F.sum("l_quantity"), 2).alias("sum_qty"),
-            pround(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            pround(F.sum(disc_price), 2).alias("sum_disc_price"),
-            pround(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.sum(dec("l_quantity")), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(dec("l_extendedprice")), 2).cast("double").alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
             pround(F.avg("l_quantity"), 4).alias("avg_qty"),
             pround(F.avg("l_extendedprice"), 4).alias("avg_price"),
             pround(F.avg("l_discount"), 4).alias("avg_disc"),
@@ -51,10 +54,10 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q01_SQL = """
 SELECT l_returnflag, l_linestatus,
-       floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0                                    AS sum_qty,
-       floor((sum(l_extendedprice)) * 100.0 + 0.5) / 100.0                               AS sum_base_price,
-       floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0            AS sum_disc_price,
-       floor((sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 100.0 + 0.5) / 100.0 AS sum_charge,
+       round(sum(l_quantity::DECIMAL(18,6)), 2)::DOUBLE AS sum_qty,
+       round(sum(l_extendedprice::DECIMAL(18,6)), 2)::DOUBLE AS sum_base_price,
+       round(sum(l_extendedprice::DECIMAL(18,6) * (1 - l_discount::DECIMAL(18,6))), 2)::DOUBLE AS sum_disc_price,
+       round(sum(l_extendedprice::DECIMAL(18,6) * (1 - l_discount::DECIMAL(18,6)) * (1 + l_tax::DECIMAL(18,6))), 2)::DOUBLE AS sum_charge,
        floor((avg(l_quantity)) * 10000.0 + 0.5) / 10000.0                                    AS avg_qty,
        floor((avg(l_extendedprice)) * 10000.0 + 0.5) / 10000.0                               AS avg_price,
        floor((avg(l_discount)) * 10000.0 + 0.5) / 10000.0                                    AS avg_disc,
@@ -105,8 +108,11 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
     )
+    rev = F.col("l_extendedprice").cast("decimal(18,6)") * (
+        F.lit(1).cast("decimal(18,6)") - F.col("l_discount").cast("decimal(18,6)")
+    )
     agg = joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
-        pround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+        F.round(F.sum(rev), 2).cast("double").alias("revenue")
     )
     return agg.orderBy(F.desc("revenue"), F.asc("l_orderkey")).limit(10).select(
         "l_orderkey",
@@ -118,7 +124,7 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q03_SQL = """
 SELECT l_orderkey,
-       floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0 AS revenue,
+       round(sum(l_extendedprice::DECIMAL(18,6) * (1 - l_discount::DECIMAL(18,6))), 2)::DOUBLE AS revenue,
        CAST(o_orderdate AS VARCHAR) AS orderdate,
        o_orderpriority
 FROM lineitem
@@ -152,13 +158,16 @@ def q04_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     )
+    rev = F.col("l_extendedprice").cast("decimal(18,6)") * (
+        F.lit(1).cast("decimal(18,6)") - F.col("l_discount").cast("decimal(18,6)")
+    )
     return joined.groupBy("n_name").agg(
-        pround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+        F.round(F.sum(rev), 2).cast("double").alias("revenue")
     )
 
 
 Q04_SQL = """
-SELECT n_name, floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0 AS revenue
+SELECT n_name, round(sum(l_extendedprice::DECIMAL(18,6) * (1 - l_discount::DECIMAL(18,6))), 2)::DOUBLE AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -603,6 +612,186 @@ WHERE EXISTS (SELECT 1 FROM orders
 """
 
 
+# --- q36: decorrelated min-per-group (TPC-H Q2 shape) -----------------------
+
+def q36_cheapest_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    # decorrelated form of: WHERE c_acctbal = (SELECT min(...) per nation)
+    mins = cust.groupBy("c_nationkey").agg(F.min("c_acctbal").alias("min_bal"))
+    return (
+        cust.join(F.broadcast(mins), on="c_nationkey")
+        .filter(F.col("c_acctbal") == F.col("min_bal"))
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select("n_name", "c_custkey", "c_name", pround("c_acctbal", 2).alias("acctbal"))
+    )
+
+
+Q36_SQL = """
+SELECT n_name, c_custkey, c_name, floor((c_acctbal) * 100.0 + 0.5) / 100.0 AS acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal = (SELECT min(c2.c_acctbal) FROM customer c2
+                   WHERE c2.c_nationkey = customer.c_nationkey)
+"""
+
+
+# --- q37: bilateral shipping volume (TPC-H Q7 shape) ------------------------
+
+def q37_bilateral_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    n1 = nation.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    # DECIMAL, not double: with ~3000 output groups, double partial-sum
+    # ordering noise lands on rounding boundaries; decimal sums are
+    # exact and order-independent in every engine
+    rev = F.col("l_extendedprice").cast("decimal(18,6)") * (
+        F.lit(1).cast("decimal(18,6)") - F.col("l_discount").cast("decimal(18,6)")
+    )
+    return joined.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year")
+    ).agg(F.round(F.sum(rev), 2).cast("double").alias("volume"))
+
+
+Q37_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS ship_year,
+       round(sum(l_extendedprice::DECIMAL(18,6) * (1 - l_discount::DECIMAL(18,6))), 2)::DOUBLE AS volume
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name <> n2.n_name
+GROUP BY 1, 2, 3
+"""
+
+
+# --- q38: window frames (running sum + centered moving average) -------------
+
+def q38_running_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    running = F.sum("value").over(w.rowsBetween(W.unboundedPreceding, 0))
+    moving = F.avg("value").over(w.rowsBetween(-2, 2))
+    return ev.filter(F.col("user_id") < 20).select(
+        "user_id",
+        "event_id",
+        pround(running, 4).alias("running_sum"),
+        pround(moving, 4).alias("moving_avg5"),
+    )
+
+
+Q38_SQL = """
+SELECT user_id, event_id,
+       floor((sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING)) * 10000.0 + 0.5) / 10000.0 AS running_sum,
+       floor((avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)) * 10000.0 + 0.5) / 10000.0 AS moving_avg5
+FROM events WHERE user_id < 20
+"""
+
+
+# --- q39: navigation functions (lag/lead/first/last) ------------------------
+
+def q39_event_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return ev.filter(F.col("user_id") < 20).select(
+        "user_id",
+        "event_id",
+        F.lag("event_id").over(w).alias("prev_event"),
+        F.lead("event_id").over(w).alias("next_event"),
+        F.first("event_id").over(wf).alias("first_event"),
+        F.last("event_id").over(wf).alias("last_event"),
+    )
+
+
+Q39_SQL = """
+SELECT user_id, event_id,
+       lag(event_id)  OVER w AS prev_event,
+       lead(event_id) OVER w AS next_event,
+       first(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_event,
+       last(event_id)  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_event
+FROM events WHERE user_id < 20
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+# --- q40: string function battery (incl. edit distance) ---------------------
+
+def q40_part_name_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.levenshtein(F.col("p_name"), F.lit("standard brushed steel")).alias("edit_dist"),
+        F.regexp_extract("p_type", r"^(\w+)", 1).alias("type_head"),
+        F.reverse(F.col("p_brand")).alias("brand_rev"),
+    )
+
+
+Q40_SQL = r"""
+SELECT p_partkey,
+       upper(p_name) AS name_upper,
+       length(p_name) AS name_len,
+       substr(p_name, 1, 5) AS name_prefix,
+       levenshtein(p_name, 'standard brushed steel') AS edit_dist,
+       regexp_extract(p_type, '^(\w+)', 1) AS type_head,
+       reverse(p_brand) AS brand_rev
+FROM part
+"""
+
+
+# --- q41: intersect / except (set-op coverage beyond unions) ----------------
+
+def q41_segment_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    urgent = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    both = building.intersect(urgent).withColumn("set_op", F.lit("both"))
+    only_building = building.exceptAll(urgent).withColumn("set_op", F.lit("building_only"))
+    return both.unionByName(only_building)
+
+
+Q41_SQL = """
+SELECT c_custkey, 'both' AS set_op FROM (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+  INTERSECT
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+UNION ALL
+SELECT c_custkey, 'building_only' AS set_op FROM (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+  EXCEPT ALL
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+"""
+
+
 RELATIONAL_QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_top_customers_per_nation": (q02_top_customers_per_nation, Q02_SQL),
@@ -626,4 +815,10 @@ RELATIONAL_QUERIES = {
     "q33_asof_last_click": (q33_asof_last_click, Q33_SQL),
     "q34_value_percentiles": (q34_value_percentiles, Q34_SQL),
     "q35_customers_with_urgent_orders": (q35_customers_with_urgent_orders, Q35_SQL),
+    "q36_cheapest_customer_per_nation": (q36_cheapest_customer_per_nation, Q36_SQL),
+    "q37_bilateral_volume": (q37_bilateral_volume, Q37_SQL),
+    "q38_running_user_value": (q38_running_user_value, Q38_SQL),
+    "q39_event_navigation": (q39_event_navigation, Q39_SQL),
+    "q40_part_name_strings": (q40_part_name_strings, Q40_SQL),
+    "q41_segment_set_ops": (q41_segment_set_ops, Q41_SQL),
 }
