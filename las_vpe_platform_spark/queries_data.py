@@ -527,6 +527,77 @@ FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 
 
+# --- q42: intra-document repetition (Gopher-style quality signal) -----------
+
+def q42_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens("text")
+    # non-distinct 2-shingles: repetition = 1 - distinct/total
+    n = F.size(toks)
+    count2 = F.when(n >= 2, n - 1).otherwise(F.lit(0))
+    sh2 = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+        ),
+    ).otherwise(F.array_repeat(F.lit(""), 0))
+    distinct2 = F.size(F.array_distinct(sh2))
+    rep = F.when(
+        count2 > 0,
+        1.0 - distinct2.cast("double") / count2.cast("double"),
+    ).otherwise(F.lit(0.0))
+    return docs.select(
+        "doc_id",
+        F.size(F.array_distinct(toks)).alias("n_vocab"),
+        n.alias("n_tokens"),
+        pround(rep, 6).alias("bigram_repetition"),
+    )
+
+
+Q42_SQL = f"""
+WITH base AS (
+  SELECT doc_id, {SQL_TOKENS} AS toks FROM documents
+), sh AS (
+  SELECT doc_id, len(list_distinct(toks)) AS n_vocab, len(toks) AS n_tokens,
+         CASE WHEN len(toks) >= 2
+              THEN list_transform(generate_series(1, len(toks) - 1),
+                                  i -> array_to_string(toks[i:i+1], ' '))
+              ELSE [] END AS sh2
+  FROM base
+)
+SELECT doc_id, n_vocab, n_tokens,
+       floor((CASE WHEN len(sh2) > 0
+              THEN 1.0 - len(list_distinct(sh2))::DOUBLE / len(sh2)::DOUBLE
+              ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS bigram_repetition
+FROM sh
+"""
+
+
+# --- q43: corpus vocabulary histogram (Zipf head) ---------------------------
+
+def q43_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("term"))
+        .limit(50)
+    )
+
+
+Q43_SQL = f"""
+SELECT term, count(*) AS freq
+FROM (SELECT unnest({SQL_TOKENS}) AS term FROM documents)
+GROUP BY term ORDER BY freq DESC, term LIMIT 50
+"""
+
+
 DATA_QUERIES = {
     "q20_doc_token_stats": (q20_doc_token_stats, Q20_SQL),
     "q21_doc_quality": (q21_doc_quality, Q21_SQL),
@@ -541,4 +612,6 @@ DATA_QUERIES = {
     "q30_tfidf_top_terms": (q30_tfidf_top_terms, Q30_SQL),
     "q31_embedding_neardup": (q31_embedding_neardup, Q31_SQL),
     "q32_cube_orders": (q32_cube_orders, Q32_SQL),
+    "q42_doc_repetition": (q42_doc_repetition, Q42_SQL),
+    "q43_vocab_top_terms": (q43_vocab_top_terms, Q43_SQL),
 }

@@ -1,0 +1,52 @@
+"""Physical-plan regression tests — the scale properties the engine
+must keep (SURVEY §4): filter/column pushdown into scans, broadcast of
+dimension tables, no shuffles where layout makes them unnecessary.
+Guards against silent plan regressions when operators are refactored.
+"""
+
+from __future__ import annotations
+
+from las_vpe_platform_spark.queries_relational import (
+    q01_pricing_summary,
+    q04_regional_revenue,
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q01_scan_pushdown(spark, sf_dir):
+    plan = _plan(q01_pricing_summary(spark, sf_dir))
+    # the shipdate predicate reaches the parquet reader
+    assert "PushedFilters" in plan
+    assert "l_shipdate" in plan.split("PushedFilters", 1)[1].split("]", 1)[0]
+    # column pruning: l_orderkey is never read
+    read_schema = plan.split("ReadSchema", 1)[1].splitlines()[0]
+    assert "l_orderkey" not in read_schema
+    assert "l_quantity" in read_schema
+
+
+def test_q04_broadcasts_all_dimensions(spark, sf_dir):
+    plan = _plan(q04_regional_revenue(spark, sf_dir))
+    # 5 dimension joins, all broadcast — the fact table never shuffles
+    assert plan.count("BroadcastHashJoin") == 5
+    assert "SortMergeJoin" not in plan
+    # exactly one shuffle: the final group-by exchange
+    import re
+
+    exchanges = re.findall(r"Exchange hashpartitioning", plan)
+    assert len(exchanges) <= 1
+
+
+def test_term_sig_filter_broadcasts(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from las_vpe_platform_spark.operators.routing import term_sig_filter
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    kills = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("l_orderkey")
+    ).limit(10)
+    plan = _plan(term_sig_filter(li, kills, key="l_orderkey"))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
