@@ -576,6 +576,84 @@ FROM sh
 """
 
 
+# --- q44: document chunking (fixed window + overlap) ------------------------
+
+CHUNK_CHARS = 200
+CHUNK_STRIDE = 150  # 50-char overlap
+
+
+def q44_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window character chunking — the context-window prep op.
+
+    Chunk starts at 1, 1+stride, ... while start <= length; emitted as
+    (doc_id, chunk_idx, chunk_len, chunk_fingerprint) so the oracle can
+    hash-compare without shipping full text twice.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    length = F.length("text")
+    n_chunks = F.floor((length - 1) / CHUNK_STRIDE) + 1
+    starts = F.sequence(F.lit(0), n_chunks - 1)
+    chunks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(starts, lambda i: F.substring(F.col("text"), i * CHUNK_STRIDE + 1, CHUNK_CHARS))
+        ).alias("chunk_idx", "chunk"),
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.length("chunk").alias("chunk_len"),
+        F.md5("chunk").alias("chunk_fingerprint"),
+    )
+
+
+Q44_SQL = f"""
+WITH chunks AS (
+  SELECT doc_id, i - 1 AS chunk_idx,
+         substr(text, (i - 1) * {CHUNK_STRIDE} + 1, {CHUNK_CHARS}) AS chunk
+  FROM documents,
+       unnest(generate_series(1, CAST(floor((length(text) - 1) / {CHUNK_STRIDE}) AS INT) + 1)) AS t(i)
+)
+SELECT doc_id, chunk_idx, length(chunk) AS chunk_len, md5(chunk) AS chunk_fingerprint
+FROM chunks
+"""
+
+
+# --- q45: deterministic train/val/test split (hash-based) -------------------
+
+def q45_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-bucketed dataset assignment: reproducible, stratifiable,
+    and engine-portable (md5-derived unit interval), with per-language
+    split counts as the verification surface.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(float(2**32))
+    )
+    split = (
+        F.when(u < 0.8, F.lit("train")).when(u < 0.9, F.lit("val")).otherwise(F.lit("test"))
+    )
+    return docs.select("lang", split.alias("split")).groupBy("lang", "split").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+Q45_SQL = """
+WITH assigned AS (
+  SELECT lang,
+         (('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT::DOUBLE
+          / 4294967296.0) AS u
+  FROM documents
+)
+SELECT lang,
+       CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split,
+       count(*) AS n
+FROM assigned GROUP BY 1, 2
+"""
+
+
 # --- q43: corpus vocabulary histogram (Zipf head) ---------------------------
 
 def q43_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -613,5 +691,7 @@ DATA_QUERIES = {
     "q31_embedding_neardup": (q31_embedding_neardup, Q31_SQL),
     "q32_cube_orders": (q32_cube_orders, Q32_SQL),
     "q42_doc_repetition": (q42_doc_repetition, Q42_SQL),
+    "q44_doc_chunks": (q44_doc_chunks, Q44_SQL),
+    "q45_dataset_split": (q45_dataset_split, Q45_SQL),
     "q43_vocab_top_terms": (q43_vocab_top_terms, Q43_SQL),
 }
