@@ -212,15 +212,23 @@ FROM o FULL OUTER JOIN s ON o.day = s.day
 
 # --- q06: anti join (P4 kill-pool / termination filter shape) ---------------
 
-def q06_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q06_customers_without_recent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # anti-join against a filtered set (customers with no 2001 orders)
+    # — non-trivial at every scale factor, unlike "no orders at all"
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
-    return term_sig_filter(cust, orders, key="c_custkey").select("c_custkey", "c_name")
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2001-01-01"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return term_sig_filter(cust, recent, key="c_custkey").select("c_custkey", "c_name")
 
 
 Q06_SQL = """
 SELECT c_custkey, c_name FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
 """
 
 
@@ -798,7 +806,7 @@ RELATIONAL_QUERIES = {
     "q03_shipping_priority": (q03_shipping_priority, Q03_SQL),
     "q04_regional_revenue": (q04_regional_revenue, Q04_SQL),
     "q05_daily_activity_full_outer": (q05_daily_activity_full_outer, Q05_SQL),
-    "q06_customers_without_orders": (q06_customers_without_orders, Q06_SQL),
+    "q06_customers_without_recent_orders": (q06_customers_without_recent_orders, Q06_SQL),
     "q07_order_point_lookup": (q07_order_point_lookup, Q07_SQL),
     "q08_order_completeness": (q08_order_completeness, Q08_SQL),
     "q09_last_events": (q09_last_events, Q09_SQL),
