@@ -533,27 +533,31 @@ def q42_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from las_vpe_platform_spark.functions.text import tokens
 
     docs = _t(spark, sf_dir, "documents")
-    toks = tokens("text")
-    # non-distinct 2-shingles: repetition = 1 - distinct/total
-    n = F.size(toks)
+    # stage 1: materialize the token array once (HOF lambdas defeat CSE,
+    # so inlining `tokens(text)` into every term re-tokenizes per term)
+    base = docs.select("doc_id", tokens("text").alias("toks"))
+    n = F.size("toks")
     count2 = F.when(n >= 2, n - 1).otherwise(F.lit(0))
     sh2 = F.when(
         n >= 2,
         F.transform(
             F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+            lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, 2)),
         ),
     ).otherwise(F.array_repeat(F.lit(""), 0))
-    distinct2 = F.size(F.array_distinct(sh2))
-    rep = F.when(
-        count2 > 0,
-        1.0 - distinct2.cast("double") / count2.cast("double"),
-    ).otherwise(F.lit(0.0))
-    return docs.select(
+    staged = base.select(
         "doc_id",
-        F.size(F.array_distinct(toks)).alias("n_vocab"),
+        F.size(F.array_distinct("toks")).alias("n_vocab"),
         n.alias("n_tokens"),
-        pround(rep, 6).alias("bigram_repetition"),
+        count2.alias("_c2"),
+        F.size(F.array_distinct(sh2)).alias("_d2"),
+    )
+    rep = F.when(
+        F.col("_c2") > 0,
+        1.0 - F.col("_d2").cast("double") / F.col("_c2").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return staged.select(
+        "doc_id", "n_vocab", "n_tokens", pround(rep, 6).alias("bigram_repetition")
     )
 
 
