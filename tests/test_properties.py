@@ -1,0 +1,115 @@
+"""Property-based tests (hypothesis) for operator semantics.
+
+Each property checks a Spark operator against a straightforward pure-
+Python reference on randomized inputs — the SQL-logic-test analog for
+operators whose interesting cases (ties, empties, tolerance edges)
+are easy to miss with fixture data alone.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from las_vpe_platform_spark.operators.asof import asof_join
+from las_vpe_platform_spark.operators.sampling import sample_array_even
+
+BASE = datetime(2024, 1, 1)
+
+slow = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+@st.composite
+def asof_case(draw):
+    keys = ["a", "b"]
+    left = draw(
+        st.lists(
+            st.tuples(st.sampled_from(keys), st.integers(0, 500)),
+            min_size=1,
+            max_size=12,
+        )
+    )
+    right = draw(
+        st.lists(
+            st.tuples(st.sampled_from(keys), st.integers(0, 500), st.integers(0, 99)),
+            min_size=0,
+            max_size=12,
+            unique_by=lambda r: (r[0], r[1]),  # unique (key, ts): total order
+        )
+    )
+    return left, right
+
+
+@given(asof_case())
+@slow
+def test_asof_join_matches_reference(spark, case):
+    left_rows, right_rows = case
+    left = spark.createDataFrame(
+        [(i, k, BASE + timedelta(seconds=s)) for i, (k, s) in enumerate(left_rows)],
+        "id long, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(k, BASE + timedelta(seconds=s), v) for (k, s, v) in right_rows],
+        "k string, ts timestamp, v long",
+    ) if right_rows else spark.createDataFrame([], "k string, ts timestamp, v long")
+
+    got = {
+        r["id"]: r["v_right"]
+        for r in asof_join(left, right, on="ts", by=["k"], right_value_cols=["v"]).collect()
+    }
+
+    # pure-python reference: latest right at-or-before, same key
+    def ref(k, s):
+        cands = [(rs, v) for (rk, rs, v) in right_rows if rk == k and rs <= s]
+        return max(cands)[1] if cands else None
+
+    want = {i: ref(k, s) for i, (k, s) in enumerate(left_rows)}
+    assert got == want
+
+
+@given(
+    st.lists(st.integers(0, 1000), min_size=0, max_size=40),
+    st.integers(1, 8),
+)
+@slow
+def test_sample_array_even_properties(spark, arr, n):
+    df = spark.createDataFrame([(arr,)], "a array<int>")
+    out = df.select(sample_array_even("a", n).alias("s")).collect()[0]["s"]
+    out = list(out)
+    # bounded size, preserves relative order as a subsequence, keeps head
+    assert len(out) <= max(n, 0) and len(out) <= len(arr)
+    if arr:
+        assert out[0] == arr[0]
+        it = iter(arr)
+        assert all(x in it for x in out)  # subsequence check
+    else:
+        assert out == []
+
+
+@given(st.lists(st.text(alphabet="ab ", min_size=0, max_size=30), min_size=1, max_size=6))
+@slow
+def test_word_shingles_match_reference(spark, texts):
+    from las_vpe_platform_spark.functions.text import word_shingles
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [list(r["sh"]) for r in df.select(word_shingles("text", 2).alias("sh")).collect()]
+
+    def ref(t):
+        toks = [x for x in t.strip().split() if x]
+        sh = [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
+        seen, out = set(), []
+        for s in sh:
+            if s not in seen:
+                seen.add(s)
+                out.append(s)
+        return out
+
+    # row order isn't guaranteed after collect on 1 partition it is; sort both
+    assert sorted(map(tuple, got)) == sorted(tuple(ref(t)) for t in texts)

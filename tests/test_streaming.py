@@ -229,3 +229,34 @@ def test_stateful_sessionization(spark, events_dir):
 
     assert canon(got) == canon(closed_batch)
     assert got.count() > 0
+
+
+def test_streaming_tracking_pipeline(spark, tmp_path):
+    """The tracking stage on a STREAM of videos (the reference's actual
+    operating mode: HDFSVideoTrackingStream) — mapInPandas UDTF applied
+    to a streaming frame, sunk with foreachBatch, equal to batch."""
+    from las_vpe_platform_spark.fixtures import FIXTURES_DIR
+    from las_vpe_platform_spark.providers import fake_tracker
+
+    videos = spark.read.parquet(str(FIXTURES_DIR / "videos.parquet")).limit(16)
+    src = str(tmp_path / "video_stream")
+    videos.repartition(4).write.mode("overwrite").parquet(src)
+
+    schema = videos.schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    tracked = fake_tracker(stream)
+    target = str(tmp_path / "tracklets_out")
+
+    def sink(batch, epoch_id):
+        if batch.count():
+            batch.write.mode("append").parquet(target)
+
+    q = tracked.writeStream.foreachBatch(sink).start()
+    q.processAllAvailable()
+    q.stop()
+
+    got = spark.read.parquet(target).select("tracklet_key", "num_tracklets")
+    want = fake_tracker(videos).select("tracklet_key", "num_tracklets")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
