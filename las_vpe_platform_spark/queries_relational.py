@@ -800,6 +800,59 @@ SELECT c_custkey, 'building_only' AS set_op FROM (
 """
 
 
+# --- q46: multi-distinct aggregation (Expand-based plan) --------------------
+
+def q46_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct(F.date_format("ts", "yyyy-MM-dd")).alias("n_days"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+Q46_SQL = """
+SELECT event_type,
+       count(DISTINCT user_id) AS n_users,
+       count(DISTINCT strftime(ts, '%Y-%m-%d')) AS n_days,
+       count(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
+# --- q47: null semantics over outer joins (coalesce / null-safe eq) ---------
+
+def q47_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2001-01-01"))
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_recent"))
+    )
+    joined = cust.join(recent, cust.c_custkey == recent.o_custkey, "left")
+    return joined.select(
+        "c_custkey",
+        F.coalesce("n_recent", F.lit(0)).alias("n_recent_orders"),
+        F.col("n_recent").isNull().cast("int").alias("is_inactive"),
+        # null-safe equality: 0-order customers vs null marker
+        (F.col("n_recent").eqNullSafe(F.lit(None).cast("long"))).cast("int").alias("null_eq_null"),
+    )
+
+
+Q47_SQL = """
+WITH recent AS (
+  SELECT o_custkey, count(*) AS n_recent FROM orders
+  WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00' GROUP BY o_custkey
+)
+SELECT c_custkey,
+       coalesce(n_recent, 0) AS n_recent_orders,
+       CAST(n_recent IS NULL AS INT) AS is_inactive,
+       CAST(n_recent IS NOT DISTINCT FROM NULL AS INT) AS null_eq_null
+FROM customer LEFT JOIN recent ON c_custkey = o_custkey
+"""
+
+
 RELATIONAL_QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_top_customers_per_nation": (q02_top_customers_per_nation, Q02_SQL),
@@ -829,4 +882,6 @@ RELATIONAL_QUERIES = {
     "q39_event_navigation": (q39_event_navigation, Q39_SQL),
     "q40_part_name_strings": (q40_part_name_strings, Q40_SQL),
     "q41_segment_set_ops": (q41_segment_set_ops, Q41_SQL),
+    "q46_multi_distinct": (q46_multi_distinct, Q46_SQL),
+    "q47_null_semantics": (q47_null_semantics, Q47_SQL),
 }

@@ -260,3 +260,56 @@ def test_streaming_tracking_pipeline(spark, tmp_path):
     got = spark.read.parquet(target).select("tracklet_key", "num_tracklets")
     want = fake_tracker(videos).select("tracklet_key", "num_tracklets")
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_streaming_track_attrrecog_pipeline(spark, tmp_path):
+    """track -> attrrecog on a video stream via foreachBatch (tracklet
+    locality per micro-batch: each video's tracklets and samples are
+    complete within its batch, so the A1 average needs no cross-batch
+    state). Output equals the batch pipeline (catalog d11)."""
+    from las_vpe_platform_spark.fixtures import FIXTURES_DIR
+    from las_vpe_platform_spark.operators.aggregates import wide_avg
+    from las_vpe_platform_spark.plans.pipeline import BatchExecutor, compile_command
+    from las_vpe_platform_spark.providers import (
+        fake_recognizer_sql,
+        fake_tracker,
+        recognizer_drop_filter,
+    )
+    from las_vpe_platform_spark.schemas import ATTRIBUTE_NAMES
+
+    videos = spark.read.parquet(str(FIXTURES_DIR / "videos.parquet")).limit(8)
+    src = str(tmp_path / "vstream")
+    videos.repartition(2).write.mode("overwrite").parquet(src)
+    target = str(tmp_path / "attrs_out")
+
+    def attr_stage(batch_videos, epoch_id):
+        if not batch_videos.count():
+            return
+        tracked = fake_tracker(batch_videos)
+        samples = (
+            tracked.select(
+                "tracklet_key", F.posexplode("location_sequence").alias("sample_idx", "box")
+            )
+            .filter(F.col("box.patch_data").isNotNull())
+            .select("tracklet_key", "sample_idx")
+        )
+        samples = samples.filter(recognizer_drop_filter(samples))
+        attrs = wide_avg(fake_recognizer_sql(samples), ["tracklet_key"], ATTRIBUTE_NAMES)
+        attrs.write.mode("append").parquet(target)
+
+    stream = (
+        spark.readStream.schema(videos.schema).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    q = stream.writeStream.foreachBatch(attr_stage).start()
+    q.processAllAvailable()
+    q.stop()
+
+    got = {r["tracklet_key"]: r for r in spark.read.parquet(target).collect()}
+    batch_out = BatchExecutor(spark).run(compile_command("track-attrrecog"), videos)
+    want = {r["tracklet_key"]: r for r in batch_out["attr_recog"].collect()}
+    assert set(got) == set(want) and len(got) > 0
+    import math
+
+    for key in list(got)[:30]:
+        for name in ATTRIBUTE_NAMES[:8]:
+            assert math.isclose(got[key][name], want[key][name], abs_tol=1e-9)
