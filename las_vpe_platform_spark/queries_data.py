@@ -658,6 +658,86 @@ FROM assigned GROUP BY 1, 2
 """
 
 
+# --- q48: BPE-ish token counting (regex pieces vs whitespace) ---------------
+
+BPEISH_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def q48_bpeish_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace vs BPE-ish token counts: alpha runs count 1, digits
+    count singly, punctuation splits — the cheap pre-tokenizer estimate
+    used to budget real BPE costs."""
+    docs = _t(spark, sf_dir, "documents")
+    ws = token_count("text")
+    bpe = F.size(F.regexp_extract_all("text", F.lit(BPEISH_PATTERN), F.lit(0)))
+    staged = docs.select("doc_id", ws.alias("n_ws_tokens"), bpe.alias("n_bpe_tokens"))
+    return staged.select(
+        "doc_id",
+        "n_ws_tokens",
+        "n_bpe_tokens",
+        pround(
+            F.when(
+                F.col("n_ws_tokens") > 0,
+                F.col("n_bpe_tokens").cast("double") / F.col("n_ws_tokens").cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("expansion_ratio"),
+    )
+
+
+Q48_SQL = f"""
+WITH counted AS (
+  SELECT doc_id,
+         len({SQL_TOKENS}) AS n_ws_tokens,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS n_bpe_tokens
+  FROM documents
+)
+SELECT doc_id, n_ws_tokens, n_bpe_tokens,
+       floor((CASE WHEN n_ws_tokens > 0
+              THEN n_bpe_tokens::DOUBLE / n_ws_tokens::DOUBLE ELSE 0.0 END)
+             * 1000000.0 + 0.5) / 1000000.0 AS expansion_ratio
+FROM counted
+"""
+
+
+# --- q49: embedding int8 quantization (ANN memory-reduction path) -----------
+
+def q49_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector min/max int8 quantization: the 4x memory reduction
+    that makes billion-vector galleries fit executor memory. Output =
+    per-vector scale params + code checksum (so the oracle verifies
+    every code without shipping 64 columns)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    mn = F.array_min("embedding").cast("double")
+    mx = F.array_max("embedding").cast("double")
+    staged = emb.select("vec_id", "embedding", mn.alias("mn"), mx.alias("mx"))
+    code = lambda x: F.floor(
+        (x.cast("double") - F.col("mn")) / (F.col("mx") - F.col("mn")) * 255.0 + 0.5
+    )
+    codes = F.transform("embedding", code)
+    return staged.select(
+        "vec_id",
+        pround(F.col("mn"), 6).alias("v_min"),
+        pround(F.col("mx"), 6).alias("v_max"),
+        F.aggregate(codes, F.lit(0).cast("bigint"), lambda acc, c: acc + c).alias("code_sum"),
+    )
+
+
+Q49_SQL = """
+WITH staged AS (
+  SELECT vec_id, embedding,
+         list_min(embedding)::DOUBLE AS mn, list_max(embedding)::DOUBLE AS mx
+  FROM embeddings
+)
+SELECT vec_id,
+       floor((mn) * 1000000.0 + 0.5) / 1000000.0 AS v_min,
+       floor((mx) * 1000000.0 + 0.5) / 1000000.0 AS v_max,
+       list_sum(list_transform(embedding,
+                x -> floor((x::DOUBLE - mn) / (mx - mn) * 255.0 + 0.5)))::BIGINT AS code_sum
+FROM staged
+"""
+
+
 # --- q43: corpus vocabulary histogram (Zipf head) ---------------------------
 
 def q43_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -697,5 +777,7 @@ DATA_QUERIES = {
     "q42_doc_repetition": (q42_doc_repetition, Q42_SQL),
     "q44_doc_chunks": (q44_doc_chunks, Q44_SQL),
     "q45_dataset_split": (q45_dataset_split, Q45_SQL),
+    "q48_bpeish_tokens": (q48_bpeish_tokens, Q48_SQL),
+    "q49_embedding_quantize": (q49_embedding_quantize, Q49_SQL),
     "q43_vocab_top_terms": (q43_vocab_top_terms, Q43_SQL),
 }
