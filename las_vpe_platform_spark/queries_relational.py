@@ -417,7 +417,10 @@ def q15_frame_time_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     with_ts = ev.withColumn(
         "frame_ts",
-        F.timestamp_micros(F.unix_micros("ts") + (F.col("event_id") % 1000) * 80000),
+        # wall-clock add on NTZ (session-TZ free); 80_000 us per frame,
+        # exact through the Decimal(18,6) secs conversion
+        F.col("ts")
+        + F.make_interval(secs=((F.col("event_id") % 1000) * 80000).cast("double") / F.lit(1e6)),
     )
     return (
         with_ts.groupBy(F.date_trunc("hour", "frame_ts").cast("string").alias("hour"))
@@ -480,10 +483,10 @@ FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 def q18_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    gap = F.col("ts") - F.lag("ts").over(w)  # NTZ difference -> interval
     flagged = ev.withColumn(
         "new_session",
-        F.when(gap_us > 1800 * 1_000_000, F.lit(1)).otherwise(F.lit(0)),
+        F.when(gap > F.expr("INTERVAL 1800 SECONDS"), F.lit(1)).otherwise(F.lit(0)),
     )
     return flagged.groupBy("user_id").agg(
         (F.sum("new_session") + 1).alias("n_sessions"),

@@ -23,10 +23,14 @@ from las_vpe_platform_spark.streaming.engine import (
     windowed_counts,
 )
 
-DRIVER_EVENTS_SCHEMA = T.StructType(
+# Watermarks require an absolute (LTZ) event-time column, so the
+# streaming path keeps epoch micros end-to-end: source carries the raw
+# long, the stream converts to TIMESTAMP, and outputs are epoch ints —
+# absolute quantities, independent of the session timezone.
+RAW_EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.TimestampType()),
+        T.StructField("ts_micros", T.LongType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -42,14 +46,23 @@ def s01_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output uses epoch seconds for the window start so the comparison is
     session-timezone independent.
     """
-    ev = load_table(spark, sf_dir, "events")
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts_micros", F.expr("ts div 1000")
+    ).drop("ts")
     src = tempfile.mkdtemp(prefix="s01_events_")
-    ev.write.mode("overwrite").parquet(src)
-    stream = file_stream(spark, src, DRIVER_EVENTS_SCHEMA, max_files_per_trigger=4)
+    raw.write.mode("overwrite").parquet(src)
+    stream = file_stream(spark, src, RAW_EVENTS_SCHEMA, max_files_per_trigger=4).withColumn(
+        "ts", F.timestamp_micros("ts_micros")
+    )
     agg = windowed_counts(stream, "ts", ["event_type"], "5 minutes", "10 minutes")
     name = f"s01_out_{uuid.uuid4().hex[:8]}"
     return run_to_completion(
         agg.select(
+            # epoch seconds: absolute, identical in every session TZ
             F.unix_timestamp(F.col("window.start")).alias("window_start_epoch"),
             "event_type",
             "n",

@@ -25,5 +25,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             pass
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # nanos-long -> TIMESTAMP_NTZ via pure wall-clock arithmetic.
+        # NTZ (not timestamp_micros -> LTZ) so downstream date_trunc /
+        # string casts are session-timezone independent — DuckDB's
+        # TIMESTAMP is naive, and the driver's session TZ is unknown.
+        # days+secs split keeps the secs Decimal(18,6) conversion exact.
+        ntz = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz") + F.make_interval(
+            days=F.expr("(ts div 1000) div 86400000000").cast("int"),
+            secs=F.expr("(ts div 1000) % 86400000000").cast("double") / F.lit(1e6),
+        )
+        df = df.withColumn("ts", ntz)
     return df

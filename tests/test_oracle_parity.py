@@ -54,3 +54,30 @@ def test_query_matches_oracle(name, spark, duck, sf_dir):
     dn = _normalize(duck_rows, duck_cols)
     mismatches = [(a, b) for a, b in zip(sn, dn) if a != b]
     assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
+
+
+def test_timezone_independence(spark, duck, sf_dir):
+    """TZ-sensitive queries must match the (naive-timestamp) oracle even
+    under a non-UTC session timezone — the driver's session TZ is not
+    ours to control."""
+    tz_queries = [
+        "q09_last_events",
+        "q10_events_minutely",
+        "q15_frame_time_arithmetic",
+        "q16_event_type_pivot",
+        "q46_multi_distinct",
+        "s01_stream_windowed_counts",
+    ]
+    original = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+    try:
+        for name in tz_queries:
+            fn, sql = CATALOG[name]
+            sdf = fn(spark, sf_dir)
+            srows = [tuple(r) for r in sdf.collect()]
+            res = duck.execute(sql)
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+            assert _normalize(srows, sdf.columns) == _normalize(drows, dcols), name
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", original)

@@ -38,7 +38,9 @@ def events_dir(spark, sf_dir, tmp_path_factory):
     file stream sees several micro-batches."""
     out = str(tmp_path_factory.mktemp("events_stream"))
     shutil.rmtree(out, ignore_errors=True)
-    load_table(spark, sf_dir, "events").repartition(4).write.mode("overwrite").parquet(out)
+    (load_table(spark, sf_dir, "events")
+     .withColumn("ts", F.col("ts").cast("timestamp"))  # LTZ: watermarks need absolute time
+     .repartition(4).write.mode("overwrite").parquet(out))
     return out
 
 
