@@ -395,6 +395,60 @@ LEFT JOIN persons p ON p.tracklet_key = r.node_b
 """
 
 
+# --- d13: two-hop similarity traversal (graph queries beyond 1-hop) ---------
+
+def d13_two_hop_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friends-of-friends over the similarity graph: for a probe set,
+    all 2-hop neighbors with the best path (max of min(edge1, edge2)),
+    excluding direct neighbors and self. The Cypher
+    ``(p)-[:Similar]->()-[:Similar]->(q)`` shape as two self-joins +
+    one aggregate — shuffle-bounded by edge count, not vertex².
+    """
+    edges = _fx(spark, "similarity_edges").select(
+        "node_a", "node_b", F.col("similarity").cast("double").alias("sim")
+    )
+    probes = edges.select("node_a").distinct().filter(
+        F.col("node_a").startswith("CAM01_") & F.col("node_a").endswith("_tarid0")
+    )
+    hop1 = edges.join(probes, on="node_a")
+    hop2 = hop1.alias("h1").join(
+        edges.alias("h2"), F.col("h1.node_b") == F.col("h2.node_a")
+    ).select(
+        F.col("h1.node_a").alias("probe"),
+        F.col("h2.node_b").alias("two_hop"),
+        F.least("h1.sim", "h2.sim").alias("path_sim"),
+    ).filter(F.col("probe") != F.col("two_hop"))
+    direct = hop1.select(F.col("node_a").alias("probe"), F.col("node_b").alias("two_hop"))
+    best = (
+        hop2.join(direct, on=["probe", "two_hop"], how="left_anti")
+        .groupBy("probe", "two_hop")
+        .agg(pround(F.max("path_sim"), 6).alias("best_path_sim"), F.count(F.lit(1)).alias("n_paths"))
+    )
+    return best
+
+
+D13_SQL = f"""
+WITH edges AS (
+  SELECT node_a, node_b, similarity::DOUBLE AS sim FROM {_fxsql('similarity_edges')}
+), probes AS (
+  SELECT DISTINCT node_a FROM edges
+  WHERE starts_with(node_a, 'CAM01_') AND node_a LIKE '%_tarid0'
+), hop1 AS (
+  SELECT e.* FROM edges e JOIN probes USING (node_a)
+), hop2 AS (
+  SELECT h1.node_a AS probe, h2.node_b AS two_hop, least(h1.sim, h2.sim) AS path_sim
+  FROM hop1 h1 JOIN edges h2 ON h1.node_b = h2.node_a
+  WHERE h1.node_a <> h2.node_b
+)
+SELECT probe, two_hop,
+       floor((max(path_sim)) * 1000000.0 + 0.5) / 1000000.0 AS best_path_sim,
+       count(*) AS n_paths
+FROM hop2
+WHERE NOT EXISTS (SELECT 1 FROM hop1 d WHERE d.node_a = hop2.probe AND d.node_b = hop2.two_hop)
+GROUP BY probe, two_hop
+"""
+
+
 # --- m01/m02: multimodal binary columns -------------------------------------
 
 def m01_patch_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -439,6 +493,7 @@ DOMAIN_QUERIES = {
     "d10_command_fanout": (d10_command_fanout, D10_SQL),
     "d11_pipeline_attr_recog": (d11_pipeline_attr_recog, D11_SQL),
     "d12_similar_persons_in_window": (d12_similar_persons_in_window, D12_SQL),
+    "d13_two_hop_neighbors": (d13_two_hop_neighbors, D13_SQL),
     "m01_patch_metadata": (m01_patch_metadata, M01_SQL),
     "m02_patch_features": (m02_patch_features, None),
 }
