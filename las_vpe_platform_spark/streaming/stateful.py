@@ -91,3 +91,77 @@ def sessionize_stream(
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def sessionize_stream_event_time(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Sessionization with EVENT-TIME TIMEOUTS: a session also closes
+    when the watermark passes (last_event + gap) with no successor —
+    so every session eventually flushes and per-key state is reclaimed
+    (the bounded-state form a 100 TB deployment needs; the NoTimeout
+    variant above leaks one state row per idle key forever).
+    """
+    gap_us = gap_seconds * 1_000_000
+
+    def close_sessions(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        closed: list[tuple[int, int, int]] = []
+        if state.hasTimedOut:
+            if state.exists:
+                start, last, n = state.get
+                if n > 0:
+                    closed.append((start, last, n))
+                state.remove()
+        else:
+            ts_us: list[int] = []
+            for pdf in batches:
+                ts_us.extend(int(t.value // 1000) for t in pd.to_datetime(pdf[ts_col]))
+            ts_us.sort()
+            if state.exists:
+                start, last, n = state.get
+            else:
+                start = last = ts_us[0]
+                n = 0
+            for t in ts_us:
+                if n > 0 and t - last > gap_us:
+                    closed.append((start, last, n))
+                    start = t
+                    n = 0
+                n += 1
+                last = max(last, t)
+            state.update((start, last, n))
+            # flush when the event-time watermark passes last + gap
+            state.setTimeoutTimestamp(last // 1000 + gap_seconds * 1000)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(closed),
+                    "session_start": [pd.Timestamp(s, unit="us") for s, _e, _n in closed],
+                    "session_end": [pd.Timestamp(e, unit="us") for _s, e, _n in closed],
+                    "n_events": [n for _s, _e, n in closed],
+                }
+            )
+
+    from las_vpe_platform_spark.session import ensure_package_on_workers
+
+    ensure_package_on_workers(stream.sparkSession)
+    return (
+        stream.select(key_col, ts_col)
+        .withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            close_sessions,
+            SESSION_OUTPUT_SCHEMA,
+            SESSION_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -315,3 +315,53 @@ def test_streaming_track_attrrecog_pipeline(spark, tmp_path):
     for key in list(got)[:30]:
         for name in ATTRIBUTE_NAMES[:8]:
             assert math.isclose(got[key][name], want[key][name], abs_tol=1e-9)
+
+
+def test_stateful_sessionization_event_time_flush(spark, events_dir, tmp_path):
+    """With event-time timeouts EVERY session flushes once the
+    watermark passes it — streaming output equals FULL batch
+    sessionization (not just sessions with a closing successor)."""
+    from las_vpe_platform_spark.streaming.stateful import sessionize_stream_event_time
+
+    # sentinel far in the future advances the watermark past all real
+    # sessions on the final trigger
+    src = str(tmp_path / "sess_src")
+    base = spark.read.parquet(events_dir)
+    max_ts = base.agg(F.max("ts")).collect()[0][0]
+    sentinel = spark.createDataFrame(
+        [(-999, max_ts, -1, "click", 0.0, "{}")], EVENTS_SCHEMA
+    ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 10 hours"))
+    base.unionByName(sentinel).coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = file_stream(spark, src, EVENTS_SCHEMA, max_files_per_trigger=999)
+    sessions = sessionize_stream_event_time(
+        stream, "user_id", "ts", gap_seconds=1800, watermark="1 second"
+    )
+    got = run_to_completion(
+        sessions.filter(F.col("user_id") != -1), "sessions_et_t", output_mode="append"
+    )
+
+    from pyspark.sql import Window as W
+
+    ev = spark.read.parquet(events_dir)
+    w = W.partitionBy("user_id").orderBy("ts")
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    all_batch = (
+        ev.withColumn("new_s", F.when(gap > 1800 * 1_000_000, 1).otherwise(0))
+        .withColumn("sid", F.sum("new_s").over(w.rowsBetween(W.unboundedPreceding, 0)))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+    def canon(df):
+        return sorted(
+            (r["user_id"], str(r["session_start"]), str(r["session_end"]), r["n_events"])
+            for r in df.collect()
+        )
+
+    assert canon(got) == canon(all_batch)
+    assert got.count() == all_batch.count() > 0
