@@ -14,6 +14,10 @@ paths:
   centroid buckets. Equi-join on centroid id replaces the cross
   product; recall < 1 by design, deterministic given the centroid
   choice (so still oracle-checkable).
+
+All cosine scoring precomputes L2 norms once per vector below the
+join (bit-identical results, one fold per row instead of three per
+pair).
 """
 
 from __future__ import annotations
@@ -22,11 +26,37 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from las_vpe_platform_spark.functions.vector import cosine_similarity
+from las_vpe_platform_spark.functions.vector import dot_product, l2_norm
 from las_vpe_platform_spark.operators.joins import pairwise_similarity_topk
 
 # exact search is the same operator as the ReID ranking join
 brute_force_topk = pairwise_similarity_topk
+
+
+def _nearest_centroids(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vector_col: str,
+    keep: int,
+) -> DataFrame:
+    """Rank centroids per vector by cosine (norms precomputed), keep
+    the best ``keep``; ties broken by centroid id."""
+    c = F.broadcast(
+        centroids.select(
+            "centroid_id", F.col(vector_col).alias("_cvec")
+        ).withColumn("_cnorm", l2_norm("_cvec"))
+    )
+    v = vectors.withColumn("_vnorm", l2_norm(vector_col))
+    scored = v.crossJoin(c).withColumn(
+        "_csim", dot_product(vector_col, "_cvec") / (F.col("_vnorm") * F.col("_cnorm"))
+    )
+    w = W.partitionBy(id_col).orderBy(F.desc("_csim"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("_crank", F.row_number().over(w))
+        .filter(F.col("_crank") <= keep)
+        .drop("_cvec", "_cnorm", "_vnorm", "_csim", "_crank")
+    )
 
 
 def assign_centroids(
@@ -36,23 +66,9 @@ def assign_centroids(
     vector_col: str,
     centroid_id_col: str = "centroid_id",
 ) -> DataFrame:
-    """Assign each vector to its nearest centroid (max cosine).
-
-    Broadcast-cross-join against the small centroid set + one window;
-    ties broken by centroid id for determinism.
-    """
-    c = centroids.select(
-        F.col(centroid_id_col), F.col(vector_col).alias("_cvec")
-    )
-    scored = vectors.crossJoin(F.broadcast(c)).withColumn(
-        "_csim", cosine_similarity(vector_col, "_cvec")
-    )
-    w = W.partitionBy(id_col).orderBy(F.desc("_csim"), F.asc(centroid_id_col))
-    return (
-        scored.withColumn("_crank", F.row_number().over(w))
-        .filter(F.col("_crank") == 1)
-        .drop("_cvec", "_crank")
-    )
+    """Assign each vector to its single nearest centroid."""
+    cents = centroids.withColumnRenamed(centroid_id_col, "centroid_id")
+    return _nearest_centroids(vectors, cents, id_col, vector_col, keep=1)
 
 
 def ivf_topk(
@@ -85,29 +101,22 @@ def ivf_topk(
         F.col(gallery_key).alias("gallery_key"),
         F.col(vector_col).alias("_gvec"),
         "centroid_id",
-    )
+    ).withColumn("_gnorm", l2_norm("_gvec"))
 
-    # probe -> its nprobe nearest centroids
-    c = centroids.select("centroid_id", F.col(vector_col).alias("_cvec"))
-    probe_sel = probes.select(
-        F.col(probe_key).alias("probe_key"), F.col(vector_col).alias("_pvec")
-    )
-    probe_buckets = (
-        probe_sel.crossJoin(F.broadcast(c))
-        .withColumn("_csim", cosine_similarity("_pvec", "_cvec"))
-        .withColumn(
-            "_crank",
-            F.row_number().over(
-                W.partitionBy("probe_key").orderBy(F.desc("_csim"), F.asc("centroid_id"))
-            ),
-        )
-        .filter(F.col("_crank") <= nprobe)
-        .select("probe_key", "_pvec", "centroid_id")
-    )
+    probe_buckets = _nearest_centroids(
+        probes.select(F.col(probe_key).alias("probe_key"), F.col(vector_col).alias("_pvec")),
+        centroids.withColumnRenamed(vector_col, "_pvec"),
+        id_col="probe_key",
+        vector_col="_pvec",
+        keep=nprobe,
+    ).withColumn("_pnorm", l2_norm("_pvec"))
 
     scored = (
         probe_buckets.join(gal_assigned, on="centroid_id")
-        .withColumn("similarity", cosine_similarity("_pvec", "_gvec"))
+        .withColumn(
+            "similarity",
+            dot_product("_pvec", "_gvec") / (F.col("_pnorm") * F.col("_gnorm")),
+        )
         .select("probe_key", "gallery_key", "similarity")
     )
     w = W.partitionBy("probe_key").orderBy(F.desc("similarity"), F.asc("gallery_key"))
