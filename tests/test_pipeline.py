@@ -132,3 +132,18 @@ def test_recognizer_pandas_matches_sql(spark):
 def test_unknown_command_rejected():
     with pytest.raises(ValueError):
         compile_command("no-such-command")
+
+
+def test_port_filter_routing(spark):
+    """P3: dest_ports array routing (Stream.filter parity)."""
+    from las_vpe_platform_spark.operators.routing import port_filter
+
+    rows = [
+        ("t1", ["TRACKLET", "ATTR"]),
+        ("t2", ["ATTR"]),
+        ("t3", []),
+        ("t4", ["TRACKLET"]),
+    ]
+    df = spark.createDataFrame(rows, "task_id string, dest_ports array<string>")
+    got = {r["task_id"] for r in port_filter(df, "TRACKLET").collect()}
+    assert got == {"t1", "t4"}
