@@ -365,3 +365,60 @@ def test_stateful_sessionization_event_time_flush(spark, events_dir, tmp_path):
 
     assert canon(got) == canon(all_batch)
     assert got.count() == all_batch.count() > 0
+
+
+def test_streaming_reid_join_domain(spark, tmp_path):
+    """The reference's centerpiece on domain payloads: a tracklet
+    stream full-outer-joined with an attribute stream under watermarks
+    (PedestrianReIDUsingAttrApp's J1-J7 collapsed to one join). The
+    fixture's ~10% attribute-less tracklets must surface as unmatched
+    left rows; matched pairs must carry both sides."""
+    from las_vpe_platform_spark.fixtures import FIXTURES_DIR
+
+    tr = (
+        spark.read.parquet(str(FIXTURES_DIR / "tracklets.parquet"))
+        .select("tracklet_key", F.col("start_ts").cast("timestamp").alias("t_ts"))
+    )
+    at = (
+        spark.read.parquet(str(FIXTURES_DIR / "attributes.parquet"))
+        .join(tr, on="tracklet_key")
+        .select("tracklet_key", F.col("t_ts").alias("a_ts"), "gender_male")
+    )
+    max_ts = tr.agg(F.max("t_ts")).collect()[0][0]
+    t_src, a_src = str(tmp_path / "t_src"), str(tmp_path / "a_src")
+    t_sent = spark.createDataFrame([("__sentinel_t", max_ts)], "tracklet_key string, t_ts timestamp") \
+        .withColumn("t_ts", F.col("t_ts") + F.expr("INTERVAL 2 hours"))
+    a_sent = spark.createDataFrame([("__sentinel_a", max_ts, 0.0)],
+                                   "tracklet_key string, a_ts timestamp, gender_male double") \
+        .withColumn("a_ts", F.col("a_ts") + F.expr("INTERVAL 2 hours"))
+    tr.unionByName(t_sent).coalesce(1).write.mode("overwrite").parquet(t_src)
+    at.unionByName(a_sent).coalesce(1).write.mode("overwrite").parquet(a_src)
+
+    t_stream = file_stream(spark, t_src, "tracklet_key string, t_ts timestamp", 999)
+    a_stream = file_stream(
+        spark, a_src, "tracklet_key string, a_ts timestamp, gender_male double", 999
+    )
+    # watermarked full outer on key + bufDuration time range
+    lw = t_stream.withWatermark("t_ts", "10 minutes")
+    rw = a_stream.withColumnRenamed("tracklet_key", "a_key").withWatermark("a_ts", "10 minutes")
+    cond = (
+        (lw["tracklet_key"] == rw["a_key"])
+        & (rw["a_ts"] >= lw["t_ts"] - F.expr("INTERVAL 10 minutes"))
+        & (rw["a_ts"] <= lw["t_ts"] + F.expr("INTERVAL 10 minutes"))
+    )
+    out = lw.join(rw, cond, "full_outer").select("tracklet_key", "a_key", "gender_male")
+    got = run_to_completion(
+        out.filter(
+            (~F.col("tracklet_key").isin("__sentinel_t") | F.col("tracklet_key").isNull())
+            & (~F.col("a_key").isin("__sentinel_a") | F.col("a_key").isNull())
+        ),
+        "reid_domain_t",
+        output_mode="append",
+    )
+    n_tracklets = tr.count()
+    n_attrs = at.count()
+    matched = got.filter(F.col("tracklet_key").isNotNull() & F.col("a_key").isNotNull())
+    t_only = got.filter(F.col("a_key").isNull() & F.col("tracklet_key").isNotNull())
+    assert matched.count() == n_attrs          # every attribute row matches its tracklet
+    assert t_only.count() == n_tracklets - n_attrs  # the ~10% attribute-less remainder
+    assert matched.filter(F.col("gender_male").isNull()).count() == 0
