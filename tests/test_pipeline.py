@@ -147,3 +147,18 @@ def test_port_filter_routing(spark):
     df = spark.createDataFrame(rows, "task_id string, dest_ports array<string>")
     got = {r["task_id"] for r in port_filter(df, "TRACKLET").collect()}
     assert got == {"t1", "t4"}
+
+
+def test_fixture_generation_deterministic(tmp_path):
+    """Regenerating fixtures yields byte-identical parquet content
+    (row-level) — the 'deterministic, seed=42' claim, verified."""
+    import pyarrow.parquet as pq
+
+    from las_vpe_platform_spark.fixtures import FIXTURES_DIR, generate_all
+
+    counts = generate_all(tmp_path)
+    for name in ("videos", "tracklets", "attributes", "features"):
+        fresh = pq.read_table(tmp_path / f"{name}.parquet")
+        committed = pq.read_table(FIXTURES_DIR / f"{name}.parquet")
+        assert fresh.num_rows == committed.num_rows == counts[name]
+        assert fresh.equals(committed), f"{name} regeneration differs"
