@@ -738,6 +738,82 @@ FROM staged
 """
 
 
+# --- q50: the full training-data prep pipeline as ONE plan ------------------
+# quality filter -> exact-dedup keep-list -> deterministic split ->
+# chunking, composed end-to-end: what a user actually runs before
+# training. One Catalyst plan means filter pushdown and shared scans
+# across all four stages.
+
+def q50_training_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W2
+
+    from las_vpe_platform_spark.functions.text import content_fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    # stage 1: quality gate (stopword ratio as the cheap heuristic)
+    scored = docs.select(
+        "doc_id", "text", "lang", stopword_ratio("text").alias("_s")
+    ).filter(F.col("_s") >= 0.05)
+    # stage 2: exact dedup — keep min doc_id per fingerprint
+    w = W2.partitionBy(content_fingerprint("text")).orderBy("doc_id")
+    kept = scored.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    # stage 3: deterministic split, keep train only
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(float(2**32))
+    )
+    train = kept.filter(u < 0.8)
+    # stage 4: chunk to training windows
+    length = F.length("text")
+    n_chunks = F.floor((length - 1) / CHUNK_STRIDE) + 1
+    starts = F.sequence(F.lit(0), n_chunks - 1)
+    chunks = train.select(
+        "doc_id",
+        "lang",
+        F.posexplode(
+            F.transform(starts, lambda i: F.substring(F.col("text"), i * CHUNK_STRIDE + 1, CHUNK_CHARS))
+        ).alias("chunk_idx", "chunk"),
+    )
+    return chunks.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum(F.length("chunk")).alias("total_chars"),
+    )
+
+
+Q50_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, text, lang,
+         CASE WHEN len({SQL_TOKENS}) > 0
+              THEN len(list_filter({SQL_TOKENS}, t -> list_contains({SQL_STOPWORDS}, lower(t))))::DOUBLE
+                   / len({SQL_TOKENS})::DOUBLE
+              ELSE 0.0 END AS s_ratio
+  FROM documents
+), gated AS (
+  SELECT * FROM scored WHERE s_ratio >= 0.05
+), kept AS (
+  SELECT doc_id, text, lang,
+         row_number() OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                            ORDER BY doc_id) AS rn
+  FROM gated
+  QUALIFY rn = 1
+), train AS (
+  SELECT * FROM kept
+  WHERE (('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT::DOUBLE
+         / 4294967296.0) < 0.8
+), chunks AS (
+  SELECT doc_id, lang,
+         substr(text, (i - 1) * {CHUNK_STRIDE} + 1, {CHUNK_CHARS}) AS chunk
+  FROM train,
+       unnest(generate_series(1, CAST(floor((length(text) - 1) / {CHUNK_STRIDE}) AS INT) + 1)) AS t(i)
+)
+SELECT lang, count(*) AS n_chunks, count(DISTINCT doc_id) AS n_docs,
+       sum(length(chunk)) AS total_chars
+FROM chunks GROUP BY lang
+"""
+
+
 # --- q43: corpus vocabulary histogram (Zipf head) ---------------------------
 
 def q43_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -779,5 +855,6 @@ DATA_QUERIES = {
     "q45_dataset_split": (q45_dataset_split, Q45_SQL),
     "q48_bpeish_tokens": (q48_bpeish_tokens, Q48_SQL),
     "q49_embedding_quantize": (q49_embedding_quantize, Q49_SQL),
+    "q50_training_prep_pipeline": (q50_training_prep_pipeline, Q50_SQL),
     "q43_vocab_top_terms": (q43_vocab_top_terms, Q43_SQL),
 }
