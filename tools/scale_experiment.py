@@ -1,0 +1,99 @@
+#!/usr/bin/env python3
+"""Local scaling experiment (SCALE.md's measured table).
+
+Generates deterministic synthetic events (driver schema, spark.range +
+hash-derived columns — no external data) at two sizes and times three
+representative operators warm. Usage:
+
+    python tools/scale_experiment.py [small_rows] [big_rows]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from las_vpe_platform_spark.operators.asof import asof_join
+from las_vpe_platform_spark.session import get_spark
+
+EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+def make_events(spark, n_rows: int, path: str) -> None:
+    df = (
+        spark.range(n_rows)
+        .withColumn("event_id", F.col("id"))
+        .withColumn("ts", F.timestamp_micros(F.lit(1_704_067_200_000_000) + F.col("id") * 25_000))
+        .withColumn("user_id", F.pmod(F.hash("id"), F.lit(50_000)).cast("long"))
+        .withColumn(
+            "event_type",
+            F.element_at(
+                F.array(*[F.lit(x) for x in EVENT_TYPES]),
+                (F.pmod(F.hash(F.col("id") + 7), F.lit(5)) + 1).cast("int"),
+            ),
+        )
+        .withColumn("value", F.pmod(F.hash(F.col("id") + 13), F.lit(100_000)) / 100.0)
+        .drop("id")
+    )
+    df.write.mode("overwrite").parquet(path)
+
+
+def bench(spark, path: str) -> dict[str, float]:
+    ev = spark.read.parquet(path)
+    out: dict[str, float] = {}
+
+    t0 = time.perf_counter()
+    ev.groupBy(F.date_trunc("minute", "ts"), "event_type").agg(
+        F.count(F.lit(1)), F.sum("value")
+    ).write.format("noop").mode("overwrite").save()
+    out["minutely_agg"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    (
+        ev.withColumn("new_s", F.when(gap > 1800, 1).otherwise(0))
+        .groupBy("user_id")
+        .agg((F.sum("new_s") + 1).alias("n_sessions"), F.count(F.lit(1)))
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    out["sessionize"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    p = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    asof_join(p, c, on="ts", by=["user_id"], right_value_cols=["click_id"]).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    out["asof_join"] = round(time.perf_counter() - t0, 2)
+    return out
+
+
+def main() -> None:
+    small = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    big = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000_000
+    spark = get_spark("scale-experiment")
+    make_events(spark, small, "/tmp/scale_exp_small")
+    make_events(spark, big, "/tmp/scale_exp_big")
+    bench(spark, "/tmp/scale_exp_small")  # warm
+    r_small = bench(spark, "/tmp/scale_exp_small")
+    r_big = bench(spark, "/tmp/scale_exp_big")
+    print(f"{small} rows:", r_small)
+    print(f"{big} rows:", r_big)
+    print("ratios:", {k: round(r_big[k] / max(r_small[k], 0.01), 1) for k in r_small})
+
+
+if __name__ == "__main__":
+    main()
