@@ -422,3 +422,41 @@ def test_streaming_reid_join_domain(spark, tmp_path):
     assert matched.count() == n_attrs          # every attribute row matches its tracklet
     assert t_only.count() == n_tracklets - n_attrs  # the ~10% attribute-less remainder
     assert matched.filter(F.col("gender_male").isNull()).count() == 0
+
+
+def test_checkpoint_recovery_exactly_once(spark, events_dir, tmp_path):
+    """T3/T4: a restarted query resumes from its checkpoint — files
+    processed before the restart are NOT reprocessed, new files are,
+    and the idempotent sink yields exactly-once output overall."""
+    src = str(tmp_path / "recov_src")
+    ckpt = str(tmp_path / "recov_ckpt")
+    target = str(tmp_path / "recov_out")
+    base = spark.read.parquet(events_dir)
+    first_half = base.filter(F.col("event_id") % 2 == 0)
+    second_half = base.filter(F.col("event_id") % 2 == 1)
+    first_half.coalesce(2).write.mode("overwrite").parquet(src)
+
+    sink = foreach_batch_upsert(target, key_cols=["event_id"])
+
+    def run_once():
+        q = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    written_1 = spark.read.parquet(target)
+    assert written_1.count() == first_half.count()
+
+    # new data lands; restart from the same checkpoint
+    second_half.coalesce(2).write.mode("append").parquet(src)
+    run_once()
+    written_2 = spark.read.parquet(target)
+    assert written_2.count() == base.count()                       # nothing lost
+    assert written_2.select("event_id").distinct().count() == base.count()  # nothing duplicated
