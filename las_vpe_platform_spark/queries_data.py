@@ -809,7 +809,7 @@ WITH scored AS (
        unnest(generate_series(1, CAST(floor((length(text) - 1) / {CHUNK_STRIDE}) AS INT) + 1)) AS t(i)
 )
 SELECT lang, count(*) AS n_chunks, count(DISTINCT doc_id) AS n_docs,
-       sum(length(chunk)) AS total_chars
+       sum(length(chunk))::BIGINT AS total_chars
 FROM chunks GROUP BY lang
 """
 

@@ -140,8 +140,8 @@ def d05_reid_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 D05_SQL = f"""
 SELECT t.video_id,
-       sum(CASE WHEN a.tracklet_key IS NOT NULL THEN 1 ELSE 0 END) AS n_matched,
-       sum(CASE WHEN a.tracklet_key IS NULL THEN 1 ELSE 0 END)     AS n_tracklet_only
+       sum(CASE WHEN a.tracklet_key IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_matched,
+       sum(CASE WHEN a.tracklet_key IS NULL THEN 1 ELSE 0 END)::BIGINT     AS n_tracklet_only
 FROM {_fxsql('tracklets')} t
 FULL OUTER JOIN {_fxsql('attributes')} a USING (tracklet_key)
 GROUP BY t.video_id
@@ -214,7 +214,7 @@ def d08_frame_time_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 D08_SQL = f"""
 SELECT t.video_id, count(*) AS n_total,
        sum(CASE WHEN make_timestamp(epoch_us(v.start_ts) + t.start_frame_index::BIGINT * 80000)
-                     = t.start_ts THEN 1 ELSE 0 END) AS n_match
+                     = t.start_ts THEN 1 ELSE 0 END)::BIGINT AS n_match
 FROM {_fxsql('tracklets')} t
 JOIN {_fxsql('videos')} v USING (video_id)
 GROUP BY t.video_id
@@ -462,22 +462,65 @@ SELECT video_id, tracklet_key,
        len(list_filter(location_sequence, b -> b.patch_data IS NOT NULL)) AS n_patches,
        list_sum(list_transform(
            list_filter(location_sequence, b -> b.patch_data IS NOT NULL),
-           b -> octet_length(b.patch_data))) AS total_patch_bytes
+           b -> octet_length(b.patch_data)))::BIGINT AS total_patch_bytes
 FROM {_fxsql('tracklets')}
 """
 
 
 def m02_patch_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched binary decode + featurize — no SQL equivalent
-    (rows-only check; determinism is pytest-verified instead)."""
+    """Arrow-batched binary decode + featurize (F3 plumbing shape).
+
+    The fake featurizer is a 16-bin byte histogram of the first
+    retained patch, so the whole vector IS oracle-expressible: DuckDB
+    re-derives every bin from ``hex(patch_data)`` byte extraction. The
+    output checks bin 0 plus a weighted checksum over all 16 bins
+    (sequential fold, so the fold order matches ``list_sum``
+    bit-for-bit).
+    """
     from las_vpe_platform_spark.operators.multimodal import extract_patch_features
 
     feats = extract_patch_features(_fx(spark, "tracklets"))
+    checksum = F.aggregate(
+        F.zip_with(
+            "patch_feature",
+            F.sequence(F.lit(1), F.lit(16)),
+            lambda f, k: f * k.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
     return feats.select(
         "tracklet_key",
-        F.round(F.element_at("patch_feature", 1), 6).alias("f0"),
+        pround(F.element_at("patch_feature", 1), 6).alias("f0"),
         F.size("patch_feature").alias("dim"),
+        pround(checksum, 6).alias("hist_checksum"),
     )
+
+
+M02_SQL = f"""
+WITH fp AS (
+  SELECT tracklet_key,
+         hex((list_filter(location_sequence, b -> b.patch_data IS NOT NULL))[1].patch_data) AS h
+  FROM {_fxsql('tracklets')}
+  WHERE len(list_filter(location_sequence, b -> b.patch_data IS NOT NULL)) > 0
+), bytes AS (
+  SELECT tracklet_key,
+         list_transform(generate_series(1, length(h) // 2),
+                        i -> ('0x' || substr(h, 2 * i - 1, 2))::INT) AS bs
+  FROM fp
+), bins AS (
+  SELECT tracklet_key,
+         list_transform(generate_series(0, 15),
+                        k -> len(list_filter(bs, v -> v // 16 = k))::DOUBLE / len(bs)) AS f
+  FROM bytes
+)
+SELECT tracklet_key,
+       floor(f[1] * 1000000.0 + 0.5) / 1000000.0 AS f0,
+       16 AS dim,
+       floor(list_sum(list_transform(generate_series(1, 16), k -> f[k] * k::DOUBLE))
+             * 1000000.0 + 0.5) / 1000000.0 AS hist_checksum
+FROM bins
+"""
 
 
 DOMAIN_QUERIES = {
@@ -495,5 +538,5 @@ DOMAIN_QUERIES = {
     "d12_similar_persons_in_window": (d12_similar_persons_in_window, D12_SQL),
     "d13_two_hop_neighbors": (d13_two_hop_neighbors, D13_SQL),
     "m01_patch_metadata": (m01_patch_metadata, M01_SQL),
-    "m02_patch_features": (m02_patch_features, None),
+    "m02_patch_features": (m02_patch_features, M02_SQL),
 }

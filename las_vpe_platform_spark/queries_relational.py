@@ -502,7 +502,7 @@ WITH flagged AS (
               THEN 1 ELSE 0 END AS new_session
   FROM events
 )
-SELECT user_id, sum(new_session) + 1 AS n_sessions, count(*) AS n_events
+SELECT user_id, (sum(new_session) + 1)::BIGINT AS n_sessions, count(*) AS n_events
 FROM flagged GROUP BY user_id
 """
 
