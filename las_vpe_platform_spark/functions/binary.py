@@ -5,7 +5,7 @@ The reference moves three binary layouts around:
   (alg/pedestrian/reid/Feature1024.java:93-106)
 - ``BoundingBox.toBytes()``: 16-byte header (x,y,w,h int32) + BGR
   pixels (Tracklet.java:244-254)
-- DeepMAR FC8 output: a float[] mapped positionally onto the 106 named
+- DeepMAR FC8 output: a float[] mapped positionally onto the 125 named
   attribute fields via ATTR_LIST (DeepMAR.java:144-159, 164-289)
 
 Float <-> byte conversions have no JVM builtin, so they run as
@@ -23,7 +23,7 @@ from las_vpe_platform_spark.schemas import ATTRIBUTE_NAMES
 
 
 def fill_attributes(vec: Column | str, prefix_cols: list[str] | None = None):
-    """FC8 float array -> the 106 named attribute columns (F2).
+    """FC8 float array -> the 125 named attribute columns (F2).
 
     ``select(*fill_attributes("fc8"))`` — pure column mapping, the
     Spark form of DeepMAR.fillAttributes' reflection loop.
@@ -38,33 +38,55 @@ _UDF_CACHE: dict[str, object] = {}
 
 
 def _unpack_feature_fn(b: pd.Series) -> pd.Series:
+    # ONE frombuffer over the whole Arrow batch, then split — the
+    # float decode never runs per row
     import numpy as np
 
-    return b.map(
-        lambda v: None if v is None else np.frombuffer(v, dtype="<f4").tolist()
-    )
+    mask = b.notna().to_numpy()
+    out: list = [None] * len(b)
+    vals = b.to_numpy()[mask]
+    if len(vals):
+        flat = np.frombuffer(b"".join(vals), dtype="<f4")
+        lens = np.fromiter((len(v) >> 2 for v in vals), dtype=np.int64, count=len(vals))
+        parts = np.split(flat, np.cumsum(lens)[:-1])
+        for i, p in zip(np.flatnonzero(mask), parts):
+            out[i] = p
+    return pd.Series(out, index=b.index, dtype=object)
 
 
 def _pack_feature_fn(a: pd.Series) -> pd.Series:
+    # concatenate -> one tobytes -> slice per row (memcpy, no float
+    # conversion in Python)
     import numpy as np
 
-    return a.map(
-        lambda v: None if v is None else np.asarray(v, dtype="<f4").tobytes()
-    )
+    mask = a.notna().to_numpy()
+    out: list = [None] * len(a)
+    vals = a.to_numpy()[mask]
+    if len(vals):
+        arrs = [np.asarray(v, dtype="<f4") for v in vals]
+        buf = np.concatenate(arrs).tobytes() if arrs else b""
+        ends = np.cumsum([4 * len(v) for v in arrs])
+        starts = np.concatenate(([0], ends[:-1]))
+        for i, s, e in zip(np.flatnonzero(mask), starts, ends):
+            out[i] = buf[s:e]
+    return pd.Series(out, index=a.index, dtype=object)
 
 
 def _pack_bbox_fn(box: pd.DataFrame) -> pd.Series:
-    # struct columns arrive as a pandas DataFrame of their fields
+    # struct columns arrive as a pandas DataFrame of their fields;
+    # all four int32 headers are built in one vectorized ndarray
     import numpy as np
 
-    def pack(row) -> bytes:
-        header = np.array(
-            [row.x, row.y, row.width, row.height], dtype="<i4"
-        ).tobytes()
-        patch = row.patch_data if row.patch_data is not None else b""
-        return header + bytes(patch)
-
-    return pd.Series([pack(r) for r in box.itertuples(index=False)])
+    headers = np.empty((len(box), 4), dtype="<i4")
+    for j, name in enumerate(("x", "y", "width", "height")):
+        headers[:, j] = box[name].to_numpy()
+    return pd.Series(
+        [
+            h.tobytes() + (b"" if p is None else bytes(p))
+            for h, p in zip(headers, box["patch_data"])
+        ],
+        index=box.index,
+    )
 
 
 def _udf(name: str, fn, returns: str):

@@ -3,7 +3,7 @@
 A1 — the reference's per-tracklet attribute averaging
 (DeepMARCaffe2Native.java:169-179 reduces per-sample CNN outputs with
 reflection-driven Attributes.add/div, Attributes.java:446-475) — is a
-106-column grouped AVG: one hash aggregate with map-side partials,
+125-column grouped AVG: one hash aggregate with map-side partials,
 fully codegen'd, no reflection, no Python.
 """
 
@@ -20,7 +20,7 @@ def wide_avg(df: DataFrame, group_cols: list[str], value_cols: Iterable[str]) ->
 
     ``groupBy(keys).agg(avg(c) for c in cols)`` — Spark plans this as a
     single partial+final hash aggregate regardless of column count, so
-    the 106-attribute average costs one shuffle of one row per group.
+    the 125-attribute average costs one shuffle of one row per group.
     """
     return df.groupBy(*group_cols).agg(
         *[F.avg(c).alias(c) for c in value_cols]

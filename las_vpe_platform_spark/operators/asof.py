@@ -42,10 +42,17 @@ def asof_join(
         right_value_cols = [c for c in right.columns if c not in (*by, on)]
 
     lhs = left.withColumn("_side", F.lit(1))
+    # the whole right row travels as ONE struct so a single
+    # last(ignorenulls=True) carries ts + every value column atomically
+    # — per-column carries could mix values from different right rows
+    # whenever the most recent right row holds a NULL in one column
     rhs = right.select(
         *by,
         F.col(on),
-        *[F.col(c).alias(f"_rv_{c}") for c in right_value_cols],
+        F.struct(
+            F.col(on).alias("_asof_ts"),
+            *[F.col(c).alias(c) for c in right_value_cols],
+        ).alias("_rv"),
     ).withColumn("_side", F.lit(0))
 
     unioned = lhs.unionByName(rhs, allowMissingColumns=True)
@@ -56,16 +63,12 @@ def asof_join(
         .orderBy(F.col(on).asc(), F.col("_side").asc())
         .rowsBetween(W.unboundedPreceding, 0)
     )
-    carried = [
-        F.last(f"_rv_{c}", ignorenulls=True).over(w).alias(f"_carr_{c}")
-        for c in right_value_cols
-    ]
-    carried_ts = (
-        F.last(F.when(F.col("_side") == 0, F.col(on)), ignorenulls=True)
-        .over(w)
-        .alias("_carr_ts")
-    )
-    matched = unioned.select("*", *carried, carried_ts).filter(F.col("_side") == 1)
+    carr = F.last("_rv", ignorenulls=True).over(w)
+    matched = unioned.select(
+        "*",
+        *[carr.getField(c).alias(f"_carr_{c}") for c in right_value_cols],
+        carr.getField("_asof_ts").alias("_carr_ts"),
+    ).filter(F.col("_side") == 1)
 
     if tolerance_seconds is not None:
         in_range = (

@@ -261,7 +261,7 @@ class BatchExecutor:
         samples = self._explode_samples(tracklets)
         samples = samples.filter(recognizer_drop_filter(samples))
         per_sample = self.recog_fn(samples)
-        # A1: the 106-column per-tracklet average
+        # A1: the 125-column per-tracklet average
         return wide_avg(per_sample, ["tracklet_key"], ATTRIBUTE_NAMES)
 
     def _stage_reid(self, node: Node, inputs: dict[str, DataFrame]) -> DataFrame:

@@ -86,7 +86,7 @@ TRACKER_PROVIDERS: dict[str, Callable[[DataFrame], DataFrame]] = {
 }
 
 # ---------------------------------------------------------------------------
-# Recognizers: tracklet samples -> 106 attribute columns
+# Recognizers: tracklet samples -> 125 attribute columns
 # (Recognizer.recognize / BatchRecognizer parity)
 # ---------------------------------------------------------------------------
 

@@ -2,7 +2,7 @@
 §3.3) over the seeded fixture tables in ``fixtures/``.
 
 These queries exercise the video-platform data model end-to-end —
-tracklet sampling (P9), the 106-column attribute average (A1), ranked
+tracklet sampling (P9), the 125-column attribute average (A1), ranked
 similarity neighbors (W1/S9), ReID assembly (J1/J6), claim-check
 resolution (P10), task cancellation (P4), frame-time arithmetic (F5),
 time-tree bucketing (F6/K8) and command fan-out (§3.1 step 4).
@@ -64,7 +64,7 @@ FROM {_fxsql('tracklets')}
 """
 
 
-# --- d02: the 106-column attribute average (A1) -----------------------------
+# --- d02: the 125-column attribute average (A1) -----------------------------
 
 def d02_attribute_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     samples = _fx(spark, "attribute_samples")
@@ -286,7 +286,7 @@ GROUP BY 1, 2
 # --- d11: full pipeline end-to-end (§3.1: track -> attrrecog, A1) -----------
 # Spark side runs the COMPILED PIPELINE: videos -> mapInPandas fake
 # tracker (UDTF) -> sample explode -> JVM-expression fake recognizer ->
-# 106-column average. The oracle reconstructs the same math in SQL from
+# 125-column average. The oracle reconstructs the same math in SQL from
 # the tracklets fixture (which the tracker provably reproduces — see
 # tests/test_pipeline.py). This is the reference's TRACK_ATTRRECOG path
 # validated end-to-end.

@@ -26,7 +26,7 @@ from las_vpe_platform_spark.sources.tables import load_table as _t  # noqa: E402
 
 
 # --- q01: pricing summary (A1 wide aggregate; TPC-H Q1 shape) ---------------
-# The reference's 106-column attribute AVG (DeepMARCaffe2Native.java:169-179)
+# The reference's 125-column attribute AVG (DeepMARCaffe2Native.java:169-179)
 # is this plan shape: one grouped multi-column partial+final hash aggregate.
 
 def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -16,6 +16,7 @@ from collections.abc import Callable
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from las_vpe_platform_spark.plans.pipeline import ExecutionPlan, compile_command
 
@@ -47,27 +48,54 @@ class CommandHandler:
     submitted: list[SubmittedTask] = field(default_factory=list)
 
     def __call__(self, batch: DataFrame, epoch_id: int) -> None:
+        # command rows per batch are few — collecting them is the point
+        # of a control plane; the VIDEO CATALOG is unbounded and must
+        # never be collected. Prefix expansion (S4) runs as a broadcast
+        # join of the tiny command set against the distributed catalog
+        # (same plan shape as d10_command_fanout); only the matched
+        # (command, url) pairs — i.e. the tasks to launch — reach the
+        # driver.
         commands = batch.select("command", "video_url").collect()
         if not commands:
             return
-        # one catalog lookup per batch, not per command
-        urls = [r["url"] for r in self.videos.select("url").collect()]
+        plans: dict[str, ExecutionPlan | None] = {}
+        valid: list[tuple[str, str]] = []
         for row in commands:
-            try:
-                plan = compile_command(row["command"])
-            except ValueError:
-                continue  # unknown command: reference logs and drops
-            matches = [u for u in urls if u.startswith(row["video_url"])]
-            for url in matches:
-                task = SubmittedTask(
-                    task_id=str(uuid.uuid5(uuid.NAMESPACE_URL, url)),
-                    command=row["command"],
-                    video_url=url,
-                    plan=plan,
-                )
-                self.submitted.append(task)
-                if self.on_task is not None:
-                    self.on_task(task)
+            cmd = row["command"]
+            if cmd not in plans:
+                try:
+                    plans[cmd] = compile_command(cmd)
+                except ValueError:
+                    plans[cmd] = None  # unknown command: reference logs and drops
+            if plans[cmd] is not None:
+                valid.append((cmd, row["video_url"]))
+        if not valid:
+            return
+        cmd_df = batch.sparkSession.createDataFrame(
+            valid, "command string, video_url string"
+        )
+        matches = (
+            self.videos.select("url")
+            .join(
+                F.broadcast(cmd_df),
+                F.col("url").startswith(F.col("video_url")),
+                "inner",
+            )
+            .select("command", "video_url", "url")
+            .collect()
+        )
+        for row in sorted(
+            matches, key=lambda r: (r["command"], r["video_url"], r["url"])
+        ):
+            task = SubmittedTask(
+                task_id=str(uuid.uuid5(uuid.NAMESPACE_URL, row["url"])),
+                command=row["command"],
+                video_url=row["url"],
+                plan=plans[row["command"]],
+            )
+            self.submitted.append(task)
+            if self.on_task is not None:
+                self.on_task(task)
 
 
 def start_control_plane(

@@ -29,6 +29,65 @@ from pyspark.sql import functions as F
 DEFAULT_BUF_DURATION = "600 seconds"  # vpe.buf.duration parity (600 000 ms)
 
 
+# Deploy contract: these option dicts ARE the connector configuration
+# (tests/test_kafka_contract.py pins them; README "Kafka deployment"
+# documents the jar manifest — the container has no broker/jars, so
+# the contract is the testable surface).
+
+
+def kafka_source_options(
+    brokers: str,
+    topics: list[str],
+    max_offsets_per_trigger: int | None = None,
+) -> dict[str, str]:
+    """Exact reader options for the Kafka TaskData source."""
+    opts = {
+        "kafka.bootstrap.servers": brokers,
+        "subscribe": ",".join(topics),
+        "startingOffsets": "latest",
+    }
+    if max_offsets_per_trigger:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    return opts
+
+
+def kafka_sink_options(brokers: str, topic: str, checkpoint_dir: str) -> dict[str, str]:
+    """Exact writer options for the Kafka TaskData sink."""
+    return {
+        "kafka.bootstrap.servers": brokers,
+        "topic": topic,
+        "checkpointLocation": checkpoint_dir,
+    }
+
+
+def taskdata_projection(df: DataFrame) -> DataFrame:
+    """Kafka record -> TaskData frame (S2 normalization).
+
+    Topic == data type (DataType.java:26-46): ``topic`` survives as the
+    payload_type routing column, so the demux filters (P2) work
+    identically on Kafka and file sources.
+    """
+    return df.select(
+        F.col("topic").alias("payload_type"),
+        F.col("key").cast("string").alias("task_id"),
+        F.col("value").alias("payload"),
+        F.col("timestamp").alias("event_ts"),
+    )
+
+
+def kafka_payload(df: DataFrame, key_col: str = "task_id") -> DataFrame:
+    """TaskData frame -> Kafka (key, value) record projection (K1).
+
+    The reference serializes TaskData with ObjectOutputStream
+    (Stream.java:47-70); here the payload is JSON (schema-first,
+    cross-language).
+    """
+    return df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.to_json(F.struct(*df.columns)).alias("value"),
+    )
+
+
 def kafka_stream(
     spark: SparkSession,
     brokers: str,
@@ -37,27 +96,15 @@ def kafka_stream(
 ) -> DataFrame:
     """Kafka source for the unified TaskData stream (S1/S2).
 
-    Topic == data type (DataType.java:26-46): the returned frame keeps
-    ``topic`` as the payload_type routing column, so the demux filters
-    (P2) work identically on Kafka and file sources. Offsets live in
-    the checkpoint (T4); ``maxOffsetsPerTrigger`` is the backpressure
-    knob (T5, replacing spark.streaming.kafka.maxRatePerPartition).
+    Offsets live in the checkpoint (T4); ``maxOffsetsPerTrigger`` is
+    the backpressure knob (T5, replacing
+    spark.streaming.kafka.maxRatePerPartition). Requires the
+    spark-sql-kafka connector jars (README "Kafka deployment").
     """
-    reader = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", brokers)
-        .option("subscribe", ",".join(topics))
-        .option("startingOffsets", "latest")
-    )
-    if max_offsets_per_trigger:
-        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
-    df = reader.load()
-    return df.select(
-        F.col("topic").alias("payload_type"),
-        F.col("key").cast("string").alias("task_id"),
-        F.col("value").alias("payload"),
-        F.col("timestamp").alias("event_ts"),
-    )
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_source_options(brokers, topics, max_offsets_per_trigger).items():
+        reader = reader.option(k, v)
+    return taskdata_projection(reader.load())
 
 
 def kafka_sink(
@@ -69,24 +116,15 @@ def kafka_sink(
 ):
     """Kafka TaskData sink (K1, KafkaHelper.scala:55-144).
 
-    The reference serializes TaskData with ObjectOutputStream and
-    retries sends by hand (Stream.java:47-70); here the payload is
-    JSON (schema-first, cross-language), delivery retries ride on the
-    idempotent producer + checkpointed offsets, and topic == output
-    data type exactly as before. Returns the started StreamingQuery.
-    Requires the spark-sql-kafka connector jars on the classpath.
+    Delivery retries ride on the idempotent producer + checkpointed
+    offsets; topic == output data type exactly as the reference.
+    Returns the started StreamingQuery. Requires the spark-sql-kafka
+    connector jars on the classpath.
     """
-    out = df.select(
-        F.col(key_col).cast("string").alias("key"),
-        F.to_json(F.struct(*df.columns)).alias("value"),
-    )
-    return (
-        out.writeStream.format("kafka")
-        .option("kafka.bootstrap.servers", brokers)
-        .option("topic", topic)
-        .option("checkpointLocation", checkpoint_dir)
-        .start()
-    )
+    writer = kafka_payload(df, key_col).writeStream.format("kafka")
+    for k, v in kafka_sink_options(brokers, topic, checkpoint_dir).items():
+        writer = writer.option(k, v)
+    return writer.start()
 
 
 def file_stream(
@@ -178,6 +216,11 @@ def foreach_batch_upsert(
     equivalent is dedup-within-batch + per-epoch idempotent overwrite:
     every epoch writes to an epoch-suffixed subdir, so retried epochs
     overwrite their own output instead of duplicating it.
+
+    A key arriving in two DIFFERENT epochs lands in two subdirs; the
+    canonical read path is :func:`read_upsert_table`, which resolves
+    each key to its latest epoch's row — together they are the global
+    already-stored semantics of the reference.
     """
 
     def write(batch: DataFrame, epoch_id: int) -> None:
@@ -188,6 +231,31 @@ def foreach_batch_upsert(
         writer.parquet(f"{target_dir}/epoch={epoch_id}")
 
     return write
+
+
+def read_upsert_table(
+    spark: SparkSession, target_dir: str, key_cols: list[str]
+) -> DataFrame:
+    """Canonical latest-wins view over a :func:`foreach_batch_upsert`
+    target (K3/K5: the reference's global tracklet/HAR existence check,
+    DataManagingApp.java:422-473).
+
+    Partition discovery recovers ``epoch`` from the ``epoch=<id>``
+    directory layout; a key written in several epochs resolves to the
+    row from the highest epoch. Cost at scale: one hash shuffle on
+    ``key_cols`` for the window — the same shuffle a MERGE-on-read
+    table format pays — and Catalyst still pushes non-key filters and
+    column pruning below it into the scan.
+    """
+    from pyspark.sql import Window as W
+
+    df = spark.read.option("basePath", target_dir).parquet(target_dir)
+    w = W.partitionBy(*key_cols).orderBy(F.col("epoch").desc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "epoch")
+    )
 
 
 def run_to_completion(

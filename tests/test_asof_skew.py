@@ -40,6 +40,28 @@ def test_asof_join_semantics(spark):
     assert out == {1: 100, 2: 101, 3: 200, 4: None}
 
 
+def test_asof_join_null_in_latest_right_row_is_not_backfilled(spark):
+    # the most recent right row has v=NULL, w=32; an older row has
+    # v=31. The carried values must all come from the SAME (latest)
+    # right row: v_right must be NULL, not backfilled to 31.
+    left = spark.createDataFrame(
+        [(1, "u1", _ts("2024-01-01 10:00:00"))], "id long, user string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", _ts("2024-01-01 09:00:00"), 31, 31),
+            ("u1", _ts("2024-01-01 09:30:00"), None, 32),
+        ],
+        "user string, ts timestamp, v int, w int",
+    )
+    row = asof_join(
+        left, right, on="ts", by=["user"], right_value_cols=["v", "w"]
+    ).collect()[0]
+    assert row["v_right"] is None
+    assert row["w_right"] == 32
+    assert row["ts_right"] == _ts("2024-01-01 09:30:00")
+
+
 def test_asof_join_tolerance(spark):
     left = spark.createDataFrame(
         [(1, "u1", _ts("2024-01-01 11:00:00"))], "id long, user string, ts timestamp"

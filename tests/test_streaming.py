@@ -172,6 +172,28 @@ def test_foreach_batch_upsert_idempotent(spark, events_dir, tmp_path):
     assert written.select("event_id").distinct().count() == written.count()
 
 
+def test_upsert_same_key_across_epochs_reads_once(spark, tmp_path):
+    """K3/K5 cross-epoch parity: the same key written in two different
+    epochs resolves to ONE row (the later epoch's values) on the
+    canonical read path."""
+    from las_vpe_platform_spark.streaming.engine import read_upsert_table
+
+    target = str(tmp_path / "upsert")
+    sink = foreach_batch_upsert(target, key_cols=["k"])
+    epoch0 = spark.createDataFrame([("a", 1), ("b", 1)], "k string, v int")
+    epoch1 = spark.createDataFrame([("b", 2), ("c", 2)], "k string, v int")
+    sink(epoch0, 0)
+    sink(epoch1, 1)
+    # raw table holds the duplicate; the canonical view resolves it
+    assert spark.read.parquet(target).count() == 4
+    got = {r["k"]: r["v"] for r in read_upsert_table(spark, target, ["k"]).collect()}
+    assert got == {"a": 1, "b": 2, "c": 2}
+    # a retried epoch overwrites itself — still one row per key
+    sink(epoch1, 1)
+    got = {r["k"]: r["v"] for r in read_upsert_table(spark, target, ["k"]).collect()}
+    assert got == {"a": 1, "b": 2, "c": 2}
+
+
 def test_metrics_collector(spark, events_dir):
     from las_vpe_platform_spark.streaming.monitor import MetricsCollector
 
