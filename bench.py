@@ -36,6 +36,10 @@ def main() -> None:
     spark = get_spark("bench")
     # warm the JVM + parquet footers with one tiny action
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    # warm the Arrow/Python worker pool too — otherwise the first
+    # mapInPandas query in the catalog is charged ~2 s of one-time
+    # interpreter spin-up that a long-running cluster never repays
+    spark.range(2).mapInPandas(lambda it: it, "id long").count()
 
     timings: dict[str, float] = {}
     t_all = time.perf_counter()

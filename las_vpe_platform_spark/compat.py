@@ -26,3 +26,16 @@ def sql_round(expr: str, n: int) -> str:
     """The DuckDB-side mirror of :func:`pround`."""
     factor = float(10**n)
     return f"floor(({expr}) * {factor} + 0.5) / {factor}"
+
+
+def pround_expr(expr: str, n: int) -> str:
+    """:func:`pround` as a Spark SQL string for ``selectExpr``.
+
+    Wide (100+ col) projections should be built with ONE selectExpr
+    call — per-column Column trees cost ~6 py4j round trips each
+    (~2 s of driver time at 125 columns, measured). The ``D`` suffixes
+    keep the literals DOUBLE; bare ``1000000.0`` parses as DECIMAL in
+    Spark SQL and would flip the output type.
+    """
+    factor = float(10**n)
+    return f"floor(CAST({expr} AS DOUBLE) * {factor}D + 0.5D) / {factor}D"

@@ -161,25 +161,24 @@ def simhash_fingerprints(
     ).withColumn("h", shingle_hash60("shingle"))
     # branchless votes: ones_b = sum of bit b; the ±1 vote sum equals
     # 2*ones_b - n, so "vote > 0" is "2*ones_b > n" — same fingerprint,
-    # no conditional per (row, bit)
-    ones = [
-        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"o{b}")
-        for b in range(bits)
-    ]
+    # no conditional per (row, bit). Parsed expr strings (not Column
+    # trees) keep the 60-aggregate construction to ~60 py4j calls.
+    ones = [F.expr(f"sum(shiftright(h, {b}) & 1) AS o{b}") for b in range(bits)]
     voted = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_n"), *ones)
-    fingerprint = None
-    for b in range(bits):
-        term = F.when(
-            F.col(f"o{b}") * 2 > F.col("_n"), F.lit(1 << b).cast("bigint")
-        ).otherwise(F.lit(0).cast("bigint"))
-        fingerprint = term if fingerprint is None else fingerprint + term
-    out = voted.select("doc_id", fingerprint.alias("simhash"))
-    for block in range(4):
-        out = out.withColumn(
-            f"block{block}",
-            F.shiftright(F.col("simhash"), block * 15).bitwiseAND(F.lit((1 << 15) - 1)),
-        )
-    return out
+    fingerprint_sql = " + ".join(
+        f"(CASE WHEN o{b} * 2 > _n THEN {1 << b}L ELSE 0L END)" for b in range(bits)
+    )
+    return voted.selectExpr(
+        "doc_id",
+        f"({fingerprint_sql}) AS simhash",
+    ).selectExpr(
+        "doc_id",
+        "simhash",
+        *[
+            f"shiftright(simhash, {block * 15}) & {(1 << 15) - 1} AS block{block}"
+            for block in range(4)
+        ],
+    )
 
 
 def ngram_jaccard_pairs(

@@ -107,15 +107,18 @@ def fake_recognizer_sql(samples: DataFrame, key_col: str = "tracklet_key",
     Per-sample attribute value = hash(seed, key, sample_idx, name) in
     [-0.5, 0.5) — the FC8-range fake of FakeRecognizer.java:27-36, but
     computed JVM-side inside codegen instead of a 200 ms sleep.
+
+    Built via ONE selectExpr call: constructing 125 Column trees
+    node-by-node costs hundreds of py4j round trips (~2 s of driver
+    time, measured); parsing 125 SQL strings JVM-side costs ~none.
     """
-    cols = [
-        (
-            _hash_unit([F.lit(str(SEED)), F.col(key_col), F.col(sample_col).cast("string"), F.lit(name)])
-            - F.lit(0.5)
-        ).alias(name)
+    exprs = [
+        f"CAST(conv(substring(md5(concat_ws(':', '{SEED}', {key_col}, "
+        f"CAST({sample_col} AS STRING), '{name}')), 1, 8), 16, 10) AS DOUBLE) "
+        f"/ 4294967296.0D - 0.5D AS {name}"
         for name in ATTRIBUTE_NAMES
     ]
-    return samples.select(key_col, sample_col, *cols)
+    return samples.selectExpr(key_col, sample_col, *exprs)
 
 
 def fake_recognizer_pandas(samples: DataFrame, key_col: str = "tracklet_key",
@@ -154,6 +157,43 @@ def fake_recognizer_pandas(samples: DataFrame, key_col: str = "tracklet_key",
     return samples.select(key_col, sample_col).mapInPandas(recog, out_schema)
 
 
+def fake_recognizer_sql_avg(samples: DataFrame, key_col: str = "tracklet_key",
+                            sample_col: str = "sample_idx") -> DataFrame:
+    """Fused recognize+average (A1) for the SQL fake: same values as
+    ``wide_avg(fake_recognizer_sql(samples))``, ~2x less plan-compile.
+
+    A 125-column md5 projection generates one huge whole-stage-codegen
+    method (~3.5 s of Janino compile, measured); exploding the attribute
+    NAMES to rows instead means ONE md5 expression evaluated over 125x
+    rows, a (key, name) grouped avg, and a map rebuild back to the wide
+    schema. Bit-exact: every fake value is a multiple of 2^-32 with
+    magnitude < 0.5, so partial sums are exact in double no matter the
+    aggregation order or formulation.
+
+    Scale note: this trades a 125-wide shuffle row for 125 narrow rows
+    (~same bytes) plus one extra tiny shuffle on (key); the real-CNN
+    pandas provider keeps the wide path — a forward pass emits all 125
+    outputs at once, so the explode trick only fits expression-defined
+    recognizers.
+    """
+    names_sql = ", ".join(f"'{n}'" for n in ATTRIBUTE_NAMES)
+    exploded = samples.selectExpr(
+        key_col, sample_col, f"explode(array({names_sql})) AS _attr"
+    )
+    per_name = exploded.selectExpr(
+        key_col,
+        "_attr",
+        f"CAST(conv(substring(md5(concat_ws(':', '{SEED}', {key_col}, "
+        f"CAST({sample_col} AS STRING), _attr)), 1, 8), 16, 10) AS DOUBLE) "
+        f"/ 4294967296.0D - 0.5D AS _v",
+    ).groupBy(key_col, "_attr").agg(F.avg("_v").alias("_a"))
+    return (
+        per_name.groupBy(key_col)
+        .agg(F.map_from_entries(F.collect_list(F.struct("_attr", "_a"))).alias("_m"))
+        .selectExpr(key_col, *[f"_m['{n}'] AS {n}" for n in ATTRIBUTE_NAMES])
+    )
+
+
 def caffe2_recognizer(samples: DataFrame, **kwargs: Any) -> DataFrame:
     """Plug point for DeepMAR (DeepMARCaffe2Native.java:86-99, 188-222):
     iterator pandas UDF with a worker-local GPU model and Arrow batch
@@ -168,6 +208,14 @@ RECOGNIZER_PROVIDERS: dict[str, Callable[..., DataFrame]] = {
     "fake_sql": fake_recognizer_sql,
     "fake_pandas": fake_recognizer_pandas,
     "deepmar_caffe2": caffe2_recognizer,
+}
+
+# Optional fused recognize+average (per-sample recognize -> per-tracklet
+# A1 mean in one provider call). The executor prefers this when the
+# selected recognizer registers one; providers without a fused form fall
+# back to recognize -> wide_avg.
+RECOGNIZER_AVG_PROVIDERS: dict[str, Callable[..., DataFrame]] = {
+    "fake_sql": fake_recognizer_sql_avg,
 }
 
 

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from las_vpe_platform_spark.compat import pround
+from las_vpe_platform_spark.compat import pround, pround_expr
 from las_vpe_platform_spark.fixtures import FIXTURES_DIR
 from las_vpe_platform_spark.operators.aggregates import wide_avg
 from las_vpe_platform_spark.operators.joins import pairwise_similarity_topk
@@ -69,8 +69,8 @@ FROM {_fxsql('tracklets')}
 def d02_attribute_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     samples = _fx(spark, "attribute_samples")
     avg = wide_avg(samples, ["tracklet_key"], ATTRIBUTE_NAMES)
-    return avg.select(
-        "tracklet_key", *[pround(c, 6).alias(c) for c in ATTRIBUTE_NAMES]
+    return avg.selectExpr(
+        "tracklet_key", *[pround_expr(c, 6) + f" AS {c}" for c in ATTRIBUTE_NAMES]
     )
 
 
@@ -298,8 +298,8 @@ def d11_pipeline_attr_recog(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = BatchExecutor(spark)
     out = ex.run(compile_command("track-attrrecog"), videos)
     attrs = out["attr_recog"]
-    return attrs.select(
-        "tracklet_key", *[pround(c, 6).alias(c) for c in ATTRIBUTE_NAMES]
+    return attrs.selectExpr(
+        "tracklet_key", *[pround_expr(c, 6) + f" AS {c}" for c in ATTRIBUTE_NAMES]
     )
 
 

@@ -129,6 +129,38 @@ def test_recognizer_pandas_matches_sql(spark):
             assert math.isclose(ra[name], rb[name], abs_tol=1e-12)
 
 
+def test_fused_recognizer_avg_matches_unfused(spark):
+    """The fused recognize+average provider (explode-names formulation)
+    is bit-identical to wide_avg(fake_recognizer_sql(...)): every fake
+    value is a multiple of 2^-32, so grouped sums are exact in double
+    regardless of formulation."""
+    from las_vpe_platform_spark.operators.aggregates import wide_avg
+    from las_vpe_platform_spark.providers import (
+        fake_recognizer_sql,
+        fake_recognizer_sql_avg,
+    )
+
+    tracklets = _fx(spark, "tracklets").limit(20)
+    samples = (
+        tracklets.select(
+            "tracklet_key", F.posexplode("location_sequence").alias("sample_idx", "box")
+        )
+        .filter(F.col("box.patch_data").isNotNull())
+        .select("tracklet_key", "sample_idx")
+    )
+    a = (
+        wide_avg(fake_recognizer_sql(samples), ["tracklet_key"], ATTRIBUTE_NAMES)
+        .orderBy("tracklet_key")
+        .collect()
+    )
+    b = fake_recognizer_sql_avg(samples).orderBy("tracklet_key").collect()
+    assert len(a) == len(b) > 0
+    for ra, rb in zip(a, b):
+        assert ra["tracklet_key"] == rb["tracklet_key"]
+        for name in ATTRIBUTE_NAMES:
+            assert ra[name] == rb[name]  # exact, not approx
+
+
 def test_unknown_command_rejected():
     with pytest.raises(ValueError):
         compile_command("no-such-command")
