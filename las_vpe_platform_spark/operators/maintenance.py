@@ -25,6 +25,62 @@ def packable_tasks(tracklets: DataFrame) -> DataFrame:
     return completeness_check(tracklets, group_col="task_id", expected_col="num_tracklets")
 
 
+def _exchange_dirs(a: str, b: str) -> bool:
+    """Atomically swap two directories via renameat2(RENAME_EXCHANGE)
+    (Linux >= 3.15). Returns False when the syscall isn't available so
+    the caller can fall back to the two-rename path."""
+    import ctypes
+    import ctypes.util
+
+    libc_name = ctypes.util.find_library("c")
+    if libc_name is None:
+        return False
+    libc = ctypes.CDLL(libc_name, use_errno=True)
+    if not hasattr(libc, "renameat2"):
+        return False
+    AT_FDCWD = -100
+    RENAME_EXCHANGE = 1 << 1
+    ret = libc.renameat2(
+        AT_FDCWD, a.encode(), AT_FDCWD, b.encode(), RENAME_EXCHANGE
+    )
+    if ret != 0:
+        err = ctypes.get_errno()
+        # EINVAL/ENOSYS: filesystem or kernel lacks exchange support
+        if err in (22, 38, 95):  # EINVAL, ENOSYS, EOPNOTSUPP
+            return False
+        raise OSError(err, os.strerror(err), a)
+    return True
+
+
+def recover_compaction(table_dir: str) -> str:
+    """Repair a table after a crash mid-:func:`compact_parquet_table`.
+
+    States and actions (idempotent; safe to call on a healthy table):
+    - table present, stale ``._compacting``/``._old`` beside it -> the
+      swap either never started or fully completed; drop the leftovers.
+    - table missing but ``._old`` present -> crash inside the fallback
+      two-rename window; the old data is intact, rename it back.
+    Returns one of ``"ok"``, ``"cleaned"``, ``"restored"``.
+    """
+    import shutil
+
+    base = table_dir.rstrip("/")
+    tmp_dir, old_dir = base + "._compacting", base + "._old"
+    if os.path.isdir(base):
+        cleaned = False
+        for leftover in (tmp_dir, old_dir):
+            if os.path.isdir(leftover):
+                shutil.rmtree(leftover)
+                cleaned = True
+        return "cleaned" if cleaned else "ok"
+    if os.path.isdir(old_dir):
+        os.rename(old_dir, base)
+        if os.path.isdir(tmp_dir):
+            shutil.rmtree(tmp_dir)
+        return "restored"
+    raise FileNotFoundError(f"no table or recovery state at {table_dir}")
+
+
 def compact_parquet_table(
     spark: SparkSession,
     table_dir: str,
@@ -35,27 +91,39 @@ def compact_parquet_table(
     file count.
 
     Sizing by current on-disk bytes (not row counts) so the result is
-    stable across schema width. Writes to a sibling temp dir then
-    atomically swaps, so readers never see a half-compacted table.
+    stable across schema width. Writes to a sibling temp dir, then swaps
+    it into place — atomically via renameat2(RENAME_EXCHANGE) where the
+    kernel/filesystem supports it; elsewhere via two renames, which has
+    a crash window where the table lives under ``._old`` only —
+    :func:`recover_compaction` repairs every reachable state.
+
+    Scope: posix filesystems (local disk, NFS, Lustre). On object
+    stores or HDFS, directory rename is not atomic (or not constant
+    time) — there, compaction belongs to a manifest-based table format
+    (Delta/Iceberg OPTIMIZE), not directory swaps.
     """
+    import shutil
+
     size_bytes = 0
     for root, _dirs, files in os.walk(table_dir):
         size_bytes += sum(os.path.getsize(os.path.join(root, f)) for f in files if f.endswith(".parquet"))
     n_files = max(1, size_bytes // (target_file_mb * 1024 * 1024))
 
     df = spark.read.parquet(table_dir)
-    tmp_dir = table_dir.rstrip("/") + "._compacting"
+    base = table_dir.rstrip("/")
+    tmp_dir = base + "._compacting"
     writer = df.repartition(int(n_files)).write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(tmp_dir)
 
-    old_dir = table_dir.rstrip("/") + "._old"
-    os.rename(table_dir, old_dir)
-    os.rename(tmp_dir, table_dir)
-    import shutil
-
-    shutil.rmtree(old_dir)
+    if _exchange_dirs(base, tmp_dir):
+        shutil.rmtree(tmp_dir)  # now holds the pre-compaction files
+    else:
+        old_dir = base + "._old"
+        os.rename(base, old_dir)
+        os.rename(tmp_dir, base)  # crash before this: recover_compaction restores
+        shutil.rmtree(old_dir)
     return sum(
         1
         for root, _d, files in os.walk(table_dir)

@@ -836,6 +836,59 @@ GROUP BY term ORDER BY freq DESC, term LIMIT 50
 """
 
 
+# --- q51: rolling-hash document fingerprints (winnowing) --------------------
+# Schleimer/Wilkerson/Aiken SIGMOD'03; the provenance/overlap primitive
+# of the text-analysis family. Output is per-doc scalar summaries of
+# the fingerprint set so the driver can hash-compare deterministically.
+
+WINNOW_K, WINNOW_W = 8, 8
+
+
+def q51_doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.operators.dedup import winnow_fingerprints
+
+    docs = _t(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(
+        docs, id_col="doc_id", text_col="text", k=WINNOW_K, w=WINNOW_W
+    )
+    return fps.selectExpr(
+        "doc_id",
+        "CAST(size(fingerprints) AS BIGINT) AS n_fp",
+        "coalesce(array_min(fingerprints), -1L) AS fp_min",
+        "coalesce(aggregate(fingerprints, 0L, (acc, x) -> acc + x % 1000003), 0L) AS fp_checksum",
+    )
+
+
+Q51_SQL = f"""
+WITH norm AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS c
+  FROM documents
+), hashed AS (
+  SELECT doc_id,
+         CASE WHEN length(c) >= {WINNOW_K}
+              THEN list_transform(
+                     generate_series(1, length(c) - {WINNOW_K - 1}),
+                     i -> ('0x' || substr(md5(substr(c, i, {WINNOW_K})), 1, 15))::BIGINT)
+              ELSE [] END AS hs
+  FROM norm
+), winnowed AS (
+  SELECT doc_id,
+         list_sort(list_distinct(
+           CASE WHEN len(hs) >= {WINNOW_W}
+                THEN list_transform(generate_series(1, len(hs) - {WINNOW_W - 1}),
+                                    j -> list_min(hs[j:j+{WINNOW_W - 1}]))
+                WHEN len(hs) > 0 THEN [list_min(hs)]
+                ELSE [] END)) AS fps
+  FROM hashed
+)
+SELECT doc_id,
+       len(fps)::BIGINT AS n_fp,
+       coalesce(list_min(fps), -1)::BIGINT AS fp_min,
+       coalesce(list_sum(list_transform(fps, x -> x % 1000003)), 0)::BIGINT AS fp_checksum
+FROM winnowed
+"""
+
+
 DATA_QUERIES = {
     "q20_doc_token_stats": (q20_doc_token_stats, Q20_SQL),
     "q21_doc_quality": (q21_doc_quality, Q21_SQL),
@@ -857,4 +910,5 @@ DATA_QUERIES = {
     "q49_embedding_quantize": (q49_embedding_quantize, Q49_SQL),
     "q50_training_prep_pipeline": (q50_training_prep_pipeline, Q50_SQL),
     "q43_vocab_top_terms": (q43_vocab_top_terms, Q43_SQL),
+    "q51_doc_winnow_fingerprints": (q51_doc_winnow_fingerprints, Q51_SQL),
 }

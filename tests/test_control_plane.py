@@ -85,3 +85,32 @@ def test_compact_parquet_table(spark, tmp_path):
     after = table_stats(spark, target).collect()[0]
     assert n_after == after["n_files"] < 32
     assert spark.read.parquet(target).count() == _fx(spark, "tracklets").count()
+
+
+def test_compaction_crash_recovery(spark, tmp_path):
+    """Every crash state of the fallback two-rename swap is repairable:
+    stale ._compacting, table renamed away to ._old, and the healthy
+    no-op case."""
+    import os
+    import shutil
+
+    from las_vpe_platform_spark.operators.maintenance import recover_compaction
+
+    target = str(tmp_path / "t")
+    _fx(spark, "videos").write.mode("overwrite").parquet(target)
+    n = spark.read.parquet(target).count()
+
+    # healthy table -> no-op
+    assert recover_compaction(target) == "ok"
+
+    # crash after writing ._compacting, before any rename
+    shutil.copytree(target, target + "._compacting")
+    assert recover_compaction(target) == "cleaned"
+    assert not os.path.exists(target + "._compacting")
+
+    # crash between rename(table, ._old) and rename(tmp, table)
+    shutil.copytree(target, target + "._compacting")
+    os.rename(target, target + "._old")
+    assert recover_compaction(target) == "restored"
+    assert spark.read.parquet(target).count() == n
+    assert not os.path.exists(target + "._old")
