@@ -195,24 +195,33 @@ def winnow_fingerprints(
     Guarantees a shared fingerprint for any match of length >= k+w-1 —
     the provenance/overlap primitive exact dedup can't give.
 
-    Execution shape: two narrow projections, no shuffle at all —
-    per-document array work inside the JVM. The k-gram hashes are
-    materialized into a column FIRST and the window-min transform
-    references that column, never an inline subexpression (HOF lambdas
-    re-evaluate outer expressions per element — the O(n*w) slice-min is
-    paid, the O(n^2) re-hash is not). At 100 TB this pipelines with the
-    scan: zero exchanges, output ~len/w hashes per doc.
+    Execution shape: three narrow projections, no shuffle at all —
+    per-document array work inside the JVM. Each stage materializes
+    its input into a plain column (normalized text, then the hash
+    array) and the next stage's transform references that COLUMN,
+    never an inline subexpression: HOF lambdas re-evaluate outer
+    expressions per element, so an inlined regexp_replace inside the
+    k-gram lambda would be O(len^2) per document (measured: 6x+ on
+    300-char docs). The O(n*w) slice-min is paid; re-normalization and
+    re-hashing are not. At 100 TB this pipelines with the scan: zero
+    exchanges, output ~len/w hashes per doc. Parallelism note: like
+    every compute-heavy narrow stage, callers scanning a FEW SMALL
+    files should repartition by unit-of-work first — the operator
+    inherits the scan's partitioning.
 
     Short docs: fewer than w k-grams still emit one fingerprint (the
     global min); fewer than k chars emit an empty set.
     """
-    normalized = f"regexp_replace(lower(trim({text_col})), '\\\\s+', ' ')"
-    hashed = df.selectExpr(
+    normalized = df.selectExpr(
         f"{id_col}",
-        f"""CASE WHEN length({normalized}) >= {k}
+        f"regexp_replace(lower(trim({text_col})), '\\\\s+', ' ') AS _c",
+    )
+    hashed = normalized.selectExpr(
+        f"{id_col}",
+        f"""CASE WHEN length(_c) >= {k}
              THEN transform(
-                    sequence(1, length({normalized}) - {k - 1}),
-                    i -> CAST(conv(substring(md5(substring({normalized}, i, {k})), 1, 15), 16, 10) AS BIGINT))
+                    sequence(1, length(_c) - {k - 1}),
+                    i -> CAST(conv(substring(md5(substring(_c, i, {k})), 1, 15), 16, 10) AS BIGINT))
              ELSE array()
            END AS _hs""",
     )

@@ -848,6 +848,11 @@ def q51_doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from las_vpe_platform_spark.operators.dedup import winnow_fingerprints
 
     docs = _t(spark, sf_dir, "documents")
+    # unit-of-work repartition: the corpus file is far below one scan
+    # split at test SF, and winnowing is the compute; at 100 TB the
+    # scan itself provides the parallelism and this is a no-op-sized
+    # shuffle either way
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     fps = winnow_fingerprints(
         docs, id_col="doc_id", text_col="text", k=WINNOW_K, w=WINNOW_W
     )

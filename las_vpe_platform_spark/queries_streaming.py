@@ -54,7 +54,11 @@ def s01_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts_micros", F.expr("ts div 1000")
     ).drop("ts")
     src = tempfile.mkdtemp(prefix="s01_events_")
-    raw.write.mode("overwrite").parquet(src)
+    # 8 files / 4 per trigger = 2 micro-batches: still proves
+    # incremental multi-trigger processing (the many-trigger case is
+    # covered by tests/test_streaming.py) without paying 8 triggers of
+    # harness overhead in the bench
+    raw.coalesce(8).write.mode("overwrite").parquet(src)
     stream = file_stream(spark, src, RAW_EVENTS_SCHEMA, max_files_per_trigger=4).withColumn(
         "ts", F.timestamp_micros("ts_micros")
     )

@@ -50,3 +50,13 @@ def test_term_sig_filter_broadcasts(spark, sf_dir):
     ).limit(10)
     plan = _plan(term_sig_filter(li, kills, key="l_orderkey"))
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_winnow_fingerprints_no_shuffle(spark, sf_dir):
+    # winnowing is per-document array work: the plan must contain no
+    # exchange at all — it pipelines with the scan at any scale
+    from las_vpe_platform_spark.operators.dedup import winnow_fingerprints
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(winnow_fingerprints(docs, id_col="doc_id", text_col="text"))
+    assert "Exchange" not in plan
