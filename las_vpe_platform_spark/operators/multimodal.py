@@ -99,6 +99,64 @@ def extract_patch_features(
     return sel.mapInPandas(featurize, "tracklet_key string, patch_feature array<double>")
 
 
+def resize_patches(
+    df: DataFrame,
+    out_w: int,
+    out_h: int,
+    key_col: str = "tracklet_key",
+    patches_col: str = "location_sequence",
+) -> DataFrame:
+    """Nearest-neighbor resize of each tracklet's first retained patch
+    to ``out_w`` x ``out_h``, Arrow-batched (the DeepMAR preprocess
+    resize, DeepMAR.java:83-136, minus the mean subtraction).
+
+    This one is NOT a stub: fixture patches are raw row-major BGR
+    (CV_8UC3, Tracklet.java:216-225), so index arithmetic IS the
+    resize — src pixel = (y*H//outH, x*W//outW), pure numpy fancy
+    indexing, no codec needed. A cv2/PIL provider would only replace
+    the index mapping with filtered interpolation.
+
+    Output: (key, out_w, out_h, resized binary). Same batching/
+    partitioning shape as :func:`extract_patch_features`.
+    """
+    from las_vpe_platform_spark.session import ensure_package_on_workers
+
+    ensure_package_on_workers(df.sparkSession)
+
+    sel = df.select(
+        F.col(key_col).alias("tracklet_key"),
+        F.filter(
+            F.col(patches_col), lambda b: b.getField("patch_data").isNotNull()
+        ).alias("patches"),
+    ).filter(F.size("patches") > 0)
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            keys, blobs = [], []
+            for key, patches in zip(pdf["tracklet_key"], pdf["patches"]):
+                first = patches[0]
+                w, h = int(first["width"]), int(first["height"])
+                arr = np.frombuffer(first["patch_data"], dtype=np.uint8).reshape(h, w, 3)
+                ys = (np.arange(out_h) * h) // out_h
+                xs = (np.arange(out_w) * w) // out_w
+                blobs.append(arr[np.ix_(ys, xs)].tobytes())
+                keys.append(key)
+            yield pd.DataFrame(
+                {
+                    "tracklet_key": keys,
+                    "out_w": np.int32(out_w),
+                    "out_h": np.int32(out_h),
+                    "resized": blobs,
+                }
+            )
+
+    return sel.mapInPandas(
+        resize, "tracklet_key string, out_w int, out_h int, resized binary"
+    )
+
+
 def cut_video_frames(
     videos: DataFrame,
     max_frames_per_fragment: int = 1000,

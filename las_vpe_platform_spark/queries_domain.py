@@ -523,6 +523,58 @@ FROM bins
 """
 
 
+# --- m03: patch resize (multimodal: the preprocess-resize stage) ------------
+
+RESIZE_W, RESIZE_H = 2, 2
+
+
+def m03_patch_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real nearest-neighbor resize of raw BGR patches (no codec
+    needed); the resized bytes are verified by a JVM-side byte
+    checksum, re-derived in the oracle from hex(patch_data) with the
+    same index mapping (src = (y*H//outH, x*W//outW))."""
+    from las_vpe_platform_spark.operators.multimodal import resize_patches
+
+    rz = resize_patches(_fx(spark, "tracklets"), out_w=RESIZE_W, out_h=RESIZE_H)
+    return rz.selectExpr(
+        "tracklet_key",
+        "CAST(out_w AS BIGINT) AS out_w",
+        "CAST(out_h AS BIGINT) AS out_h",
+        "CAST(conv(hex(substring(resized, 1, 1)), 16, 10) AS BIGINT) AS b0",
+        "aggregate(sequence(1, length(resized)), 0L,"
+        " (acc, i) -> acc + CAST(conv(hex(substring(resized, i, 1)), 16, 10) AS BIGINT))"
+        " AS byte_sum",
+    )
+
+
+M03_SQL = f"""
+WITH fp AS (
+  SELECT tracklet_key,
+         (list_filter(location_sequence, b -> b.patch_data IS NOT NULL))[1] AS box
+  FROM {_fxsql('tracklets')}
+  WHERE len(list_filter(location_sequence, b -> b.patch_data IS NOT NULL)) > 0
+), sel AS (
+  SELECT tracklet_key, hex(box.patch_data) AS hx, box.width AS w, box.height AS h
+  FROM fp
+), px AS (
+  SELECT tracklet_key,
+         list_transform(
+           generate_series(0, {RESIZE_H} * {RESIZE_W} * 3 - 1),
+           k -> ('0x' || substr(hx,
+                  2 * ((((k // (3 * {RESIZE_W})) * h // {RESIZE_H}) * w
+                        + ((k // 3) % {RESIZE_W}) * w // {RESIZE_W}) * 3 + k % 3)
+                  + 1, 2))::BIGINT) AS bs
+  FROM sel
+)
+SELECT tracklet_key,
+       {RESIZE_W}::BIGINT AS out_w,
+       {RESIZE_H}::BIGINT AS out_h,
+       bs[1] AS b0,
+       list_sum(bs)::BIGINT AS byte_sum
+FROM px
+"""
+
+
 DOMAIN_QUERIES = {
     "d01_tracklet_sampling": (d01_tracklet_sampling, D01_SQL),
     "d02_attribute_average": (d02_attribute_average, D02_SQL),
@@ -539,4 +591,5 @@ DOMAIN_QUERIES = {
     "d13_two_hop_neighbors": (d13_two_hop_neighbors, D13_SQL),
     "m01_patch_metadata": (m01_patch_metadata, M01_SQL),
     "m02_patch_features": (m02_patch_features, M02_SQL),
+    "m03_patch_resize": (m03_patch_resize, M03_SQL),
 }

@@ -12,6 +12,7 @@ from las_vpe_platform_spark.operators.multimodal import (
     cut_video_frames,
     extract_patch_features,
     patch_metadata,
+    resize_patches,
 )
 
 
@@ -42,6 +43,33 @@ def test_extract_patch_features(spark):
     }
     for r in feats:
         assert again[r["tracklet_key"]] == r["patch_feature"]
+
+
+def test_resize_patches_known_values(spark):
+    """Hand-computed nearest-neighbor resize: a 2x2 BGR patch scaled to
+    1x1 keeps exactly pixel (0,0); to 4x4 it replicates each source
+    pixel 2x2 (src = (y*H//outH, x*W//outW))."""
+    import numpy as np
+
+    src = np.arange(12, dtype=np.uint8).reshape(2, 2, 3)  # 2x2x3
+    df = spark.createDataFrame(
+        [("t1", [{"x": 0, "y": 0, "width": 2, "height": 2, "patch_data": src.tobytes()}])],
+        "tracklet_key string, location_sequence array<struct<x:int,y:int,width:int,height:int,patch_data:binary>>",
+    )
+    one = resize_patches(df, out_w=1, out_h=1).collect()[0]
+    assert bytes(one["resized"]) == src[0, 0].tobytes()
+    four = resize_patches(df, out_w=4, out_h=4).collect()[0]
+    expect = src[np.ix_([0, 0, 1, 1], [0, 0, 1, 1])]
+    assert bytes(four["resized"]) == expect.tobytes()
+    assert (four["out_w"], four["out_h"]) == (4, 4)
+
+
+def test_resize_patches_fixture_shape(spark):
+    tr = _fx(spark, "tracklets").limit(20)
+    rows = resize_patches(tr, out_w=2, out_h=2).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert len(r["resized"]) == 2 * 2 * 3
 
 
 def test_cut_video_frames(spark):
