@@ -1,0 +1,61 @@
+#!/usr/bin/env python3
+"""Regenerate PLANS.md: formatted physical plans for headline queries.
+
+Usage: PYTHONPATH=. python tools/capture_plans.py
+Plan-shape assertions live in tests/test_plans.py; this file is the
+human-readable audit trail the assertions guard.
+"""
+
+from __future__ import annotations
+
+import io
+import sys
+from contextlib import redirect_stdout
+from pathlib import Path
+
+_REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(_REPO))
+
+SF_DIR = "/root/testdata/sf0.1"
+
+# (query name, one-line audit note)
+HEADLINERS = [
+    ("q01_pricing_summary",
+     "one partial+final hash aggregate; shipdate filter and 7-of-11 column pruning pushed into the scan"),
+    ("q04_regional_revenue",
+     "five broadcast joins, zero fact-table shuffles; the single Exchange is the final group-by"),
+    ("q24_minhash_lsh_pairs",
+     "signature subtree computed once, self-join on band key via shuffle-hash (broadcast would double-compute it)"),
+    ("q27_embedding_topk",
+     "broadcast probes x gallery scan; per-probe rank limited below the window (WindowGroupLimit)"),
+    ("q33_asof_last_click",
+     "union + one per-key window; no range cross product"),
+    ("d11_pipeline_attr_recog",
+     "fused recognize+average: tracker UDTF -> explode names -> ONE md5 -> two narrow aggregates -> map rebuild; no 125-wide codegen projection"),
+    ("q51_doc_winnow_fingerprints",
+     "winnowing is exchange-free after the unit-of-work repartition; normalization and k-gram hashes materialize as columns so HOF lambdas never re-evaluate them"),
+]
+
+
+def main() -> None:
+    from las_vpe_platform_spark.queries import CATALOG
+    from las_vpe_platform_spark.session import get_spark
+
+    spark = get_spark("plans")
+    out = ["# PLANS — captured physical plans for headline queries", ""]
+    out.append("Generated with `df.explain('formatted')` at sf0.1 by")
+    out.append("`tools/capture_plans.py`. The plan-shape assertions live in")
+    out.append("`tests/test_plans.py`.")
+    for name, note in HEADLINERS:
+        fn, _sql = CATALOG[name]
+        df = fn(spark, SF_DIR)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        out += ["", f"## {name}", "", f"*{note}*", "", "```", buf.getvalue().rstrip(), "```"]
+    (_REPO / "PLANS.md").write_text("\n".join(out) + "\n")
+    print(f"wrote PLANS.md with {len(HEADLINERS)} plans")
+
+
+if __name__ == "__main__":
+    main()
