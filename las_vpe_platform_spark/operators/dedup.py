@@ -243,6 +243,7 @@ def ngram_jaccard_pairs(
     text_col: str,
     shingle_k: int = 3,
     threshold: float = 0.5,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs sharing >= 1 shingle.
 
@@ -252,13 +253,30 @@ def ngram_jaccard_pairs(
     The pair space is generated only from co-occurring shingles, so
     cost is sum over shingles of (docs-per-shingle choose 2) — the
     inverted-index bound, not n². Hot shingles (stopword runs) are the
-    skew risk; mitigate upstream by shingle-frequency pruning.
+    skew risk: ``max_doc_freq`` drops shingles appearing in more than
+    that many documents from the JOIN side only (the standard posting-
+    list cutoff). Denominators still count every shingle, so jaccard
+    never over-counts — a pruned pair can only lose `shared` mass,
+    i.e. pruning is recall-lossy, never precision-lossy. At 10^11 docs
+    a cutoff around 10^4 bounds the hottest posting list's pair mass
+    at C(10^4, 2) ≈ 5×10^7 instead of C(df, 2) on an unbounded df.
+    Default None = exact (the oracle-checked configuration).
     """
     exploded = exploded_shingles(df, id_col, text_col, shingle_k)
     sizes = exploded.groupBy("doc_id_").agg(F.count(F.lit(1)).alias("n_shingles"))
+    joinable = exploded
+    if max_doc_freq is not None:
+        hot = (
+            exploded.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_doc_freq)
+            .select("shingle")
+        )
+        # broadcast anti-join: the hot set is tiny by construction
+        joinable = exploded.join(F.broadcast(hot), on="shingle", how="left_anti")
     pairs = (
-        exploded.alias("l").hint("shuffle_hash")
-        .join(exploded.alias("r").hint("shuffle_hash"), on="shingle")
+        joinable.alias("l").hint("shuffle_hash")
+        .join(joinable.alias("r").hint("shuffle_hash"), on="shingle")
         .filter(F.col("l.doc_id_") < F.col("r.doc_id_"))
         .groupBy(F.col("l.doc_id_").alias("id_a"), F.col("r.doc_id_").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("shared"))

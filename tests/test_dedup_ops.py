@@ -1,0 +1,62 @@
+"""Dedup operator unit tests beyond the oracle-parity suite: the
+doc-frequency posting-list cutoff (skew mitigation) and winnowing's
+match guarantee."""
+
+from __future__ import annotations
+
+from las_vpe_platform_spark.operators.dedup import (
+    ngram_jaccard_pairs,
+    winnow_fingerprints,
+)
+
+
+def _pairs(df):
+    return {
+        (r["id_a"], r["id_b"]): r["jaccard"] for r in df.collect()
+    }
+
+
+def test_jaccard_doc_freq_pruning_is_recall_lossy_only(spark):
+    # "common run x" appears in every doc (the hot shingle); each pair
+    # of docs 1/2 also shares a rare run
+    docs = spark.createDataFrame(
+        [
+            (1, "common run x alpha beta gamma rare one two"),
+            (2, "common run x alpha beta gamma rare one three"),
+            (3, "common run x totally different text here now"),
+        ],
+        "doc_id int, text string",
+    )
+    exact = _pairs(
+        ngram_jaccard_pairs(docs, "doc_id", "text", shingle_k=3, threshold=0.0)
+    )
+    pruned = _pairs(
+        ngram_jaccard_pairs(
+            docs, "doc_id", "text", shingle_k=3, threshold=0.0, max_doc_freq=2
+        )
+    )
+    # pruning can only drop pairs or lower jaccard — never add/raise
+    assert set(pruned) <= set(exact)
+    for pair, j in pruned.items():
+        assert j <= exact[pair]
+    # docs 1,2 still pair through their rare shared shingles
+    assert (1, 2) in pruned
+    # doc 3 shared ONLY the hot shingle with the others -> pruned away
+    assert (1, 3) not in pruned and (2, 3) not in pruned
+    assert (1, 3) in exact
+
+
+def test_winnow_shares_fingerprint_on_long_match(spark):
+    # winnowing guarantee: any common substring of length >= k + w - 1
+    # (= 15 here) yields at least one shared fingerprint
+    shared = "the quick brown fox jumps over the lazy dog"
+    docs = spark.createDataFrame(
+        [(1, f"AAAA {shared} BBBB"), (2, f"CCCCCC {shared} DDD"), (3, "zz yy xx")],
+        "doc_id int, text string",
+    )
+    fps = {
+        r["doc_id"]: set(r["fingerprints"])
+        for r in winnow_fingerprints(docs, "doc_id", "text", k=8, w=8).collect()
+    }
+    assert fps[1] & fps[2]
+    assert not (fps[1] & fps[3])
