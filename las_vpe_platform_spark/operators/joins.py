@@ -88,3 +88,59 @@ def pairwise_similarity_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_point: str,
+    right_start: str,
+    right_end: str,
+    by: list[str] | None = None,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Point-in-interval range join via interval bucketization.
+
+    The naive ``l.ts BETWEEN r.start AND r.end`` formulation is a
+    non-equi join — Spark plans it as BroadcastNestedLoop or a
+    cartesian product, quadratic at scale. Bucketizing time restores an
+    equi-join: each left (point) row lands in ONE bucket
+    ``floor(t/G)``; each right interval explodes into every bucket it
+    overlaps; the join is an equi-join on (by..., bucket) followed by
+    the exact BETWEEN filter (both endpoints inclusive). A qualifying
+    pair meets exactly once — in the left point's bucket — so no dedup
+    pass is needed.
+
+    Scale: shuffle = |left| + |right| x (interval/G + 1); per-bucket
+    occupancy bounds the pair work exactly like an LSH band. Pick
+    ``bucket_seconds`` ~ the median interval length to balance
+    replication against occupancy; AQE splits hot buckets. Both sides
+    bucket through the same ``unix_timestamp`` expression, so the join
+    is correct under any session timezone (a TZ shift moves both sides
+    identically).
+
+    Column names outside ``by`` must be disjoint between the inputs.
+    """
+    by = list(by or [])
+    g = int(bucket_seconds)
+    lb = left.withColumn(
+        "_rj_bucket", F.floor(F.unix_timestamp(F.col(left_point)) / g)
+    )
+    rb = right.withColumn(
+        "_rj_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(right_start)) / g),
+                F.floor(F.unix_timestamp(F.col(right_end)) / g),
+            )
+        ),
+    )
+    matched = (
+        lb.join(rb, on=by + ["_rj_bucket"], how="inner")
+        .filter(
+            (F.col(left_point) >= F.col(right_start))
+            & (F.col(left_point) <= F.col(right_end))
+        )
+        .drop("_rj_bucket")
+    )
+    return matched

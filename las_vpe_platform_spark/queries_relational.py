@@ -856,6 +856,58 @@ FROM customer LEFT JOIN recent ON c_custkey = o_custkey
 """
 
 
+# --- q52: point-in-interval range join (bucketized) -------------------------
+# Clicks landing inside any same-user 30-minute purchase window. The
+# operator turns the non-equi BETWEEN join into an equi-join on
+# (user, time-bucket) — see operators/joins.py::range_join.
+
+
+def q52_purchase_window_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.operators.joins import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("p_end"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    pairs = range_join(
+        clicks,
+        purchases,
+        left_point="ts",
+        right_start="p_start",
+        right_end="p_end",
+        by=["user_id"],
+        bucket_seconds=1800,
+    )
+    return pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("click_id").alias("n_clicks"),
+        F.countDistinct("purchase_id").alias("n_purchases"),
+    )
+
+
+Q52_SQL = """
+WITH p AS (
+  SELECT user_id, event_id AS purchase_id, ts AS p_start,
+         ts + INTERVAL 30 MINUTE AS p_end
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, event_id AS click_id, ts FROM events WHERE event_type = 'click'
+)
+SELECT c.user_id, count(*) AS n_pairs,
+       count(DISTINCT c.click_id) AS n_clicks,
+       count(DISTINCT p.purchase_id) AS n_purchases
+FROM c JOIN p ON c.user_id = p.user_id
+             AND c.ts >= p.p_start AND c.ts <= p.p_end
+GROUP BY c.user_id
+"""
+
+
 RELATIONAL_QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_top_customers_per_nation": (q02_top_customers_per_nation, Q02_SQL),
@@ -887,4 +939,5 @@ RELATIONAL_QUERIES = {
     "q41_segment_set_ops": (q41_segment_set_ops, Q41_SQL),
     "q46_multi_distinct": (q46_multi_distinct, Q46_SQL),
     "q47_null_semantics": (q47_null_semantics, Q47_SQL),
+    "q52_purchase_window_clicks": (q52_purchase_window_clicks, Q52_SQL),
 }

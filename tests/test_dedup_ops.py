@@ -4,6 +4,8 @@ match guarantee."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from las_vpe_platform_spark.operators.dedup import (
     ngram_jaccard_pairs,
     winnow_fingerprints,
@@ -60,3 +62,41 @@ def test_winnow_shares_fingerprint_on_long_match(spark):
     }
     assert fps[1] & fps[2]
     assert not (fps[1] & fps[3])
+
+
+def test_range_join_semantics(spark):
+    from las_vpe_platform_spark.operators.joins import range_join
+
+    left = spark.createDataFrame(
+        [
+            (1, "u1", "2024-01-01 10:00:00"),  # inside w1
+            (2, "u1", "2024-01-01 11:00:00"),  # == w1 end (inclusive)
+            (3, "u1", "2024-01-01 11:00:01"),  # just outside
+            (4, "u2", "2024-01-01 10:30:00"),  # right user? w1 is u1's
+            (5, "u1", "2024-01-03 00:00:00"),  # inside the long window
+        ],
+        "id long, user string, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [
+            ("w1", "u1", "2024-01-01 09:30:00", "2024-01-01 11:00:00"),
+            # multi-day interval: explodes across many buckets, each
+            # qualifying pair must still appear exactly once
+            ("w2", "u1", "2024-01-02 00:00:00", "2024-01-04 00:00:00"),
+        ],
+        "win string, user string, start string, end string",
+    ).withColumn("start", F.to_timestamp("start")).withColumn("end", F.to_timestamp("end"))
+    out = range_join(
+        left, right, left_point="ts", right_start="start", right_end="end",
+        by=["user"], bucket_seconds=3600,
+    )
+    got = sorted((r["id"], r["win"]) for r in out.collect())
+    assert got == [(1, "w1"), (2, "w1"), (5, "w2")]
+
+
+def test_range_join_plan_is_equi_join(spark, sf_dir):
+    from las_vpe_platform_spark.queries_relational import q52_purchase_window_clicks
+
+    plan = q52_purchase_window_clicks(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
