@@ -145,16 +145,27 @@ def minhash_lsh_candidates(
 
 
 def simhash_fingerprints(
-    df: DataFrame, id_col: str, text_col: str, shingle_k: int = 2, bits: int = 60
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 2,
+    bits: int = 60,
+    n_blocks: int = 4,
 ) -> DataFrame:
-    """60-bit SimHash per document (near-dup = small Hamming distance).
+    """SimHash per document (near-dup = small Hamming distance).
 
     Execution shape: explode distinct shingles, one 60-bit hash per
-    shingle, then ONE grouped aggregate computing all 60 bit-votes as
-    conditional sums (partial aggregation map-side — the shuffle is one
-    row of 60 ints per doc). The fingerprint recombines vote signs into
-    a bigint. Downstream Hamming pairing joins on rotated bit-block
-    keys (Manku et al.'s approach) — we emit 4 15-bit blocks as keys.
+    shingle, then ONE grouped aggregate computing all ``bits`` bit-votes
+    as conditional sums (partial aggregation map-side — the shuffle is
+    one row of bits+1 ints per doc). The fingerprint recombines vote
+    signs into a bigint. Downstream Hamming pairing joins on rotated
+    bit-block keys (Manku et al., WWW'07): any pair with Hamming
+    distance < ``n_blocks`` shares at least one block verbatim
+    (pigeonhole), so :func:`simhash_neardup_pairs` is COMPLETE up to
+    n_blocks - 1. ``n_blocks`` is the occupancy knob: at 10^11 docs,
+    4 blocks of 15 bits give 32k buckets (too hot) — raise n_blocks
+    (6 x 10-bit still guarantees hamming <= 5 via 6 blocks) or keep 4
+    wider blocks over 64-bit fingerprints.
     """
     exploded = exploded_shingles(df, id_col, text_col, shingle_k).withColumnRenamed(
         "doc_id_", "doc_id"
@@ -168,6 +179,7 @@ def simhash_fingerprints(
     fingerprint_sql = " + ".join(
         f"(CASE WHEN o{b} * 2 > _n THEN {1 << b}L ELSE 0L END)" for b in range(bits)
     )
+    block_bits = bits // n_blocks
     return voted.selectExpr(
         "doc_id",
         f"({fingerprint_sql}) AS simhash",
@@ -175,9 +187,49 @@ def simhash_fingerprints(
         "doc_id",
         "simhash",
         *[
-            f"shiftright(simhash, {block * 15}) & {(1 << 15) - 1} AS block{block}"
-            for block in range(4)
+            f"shiftright(simhash, {block * block_bits}) & {(1 << block_bits) - 1}"
+            f" AS block{block}"
+            for block in range(n_blocks)
         ],
+    )
+
+
+def simhash_neardup_pairs(
+    fingerprints: DataFrame,
+    max_hamming: int = 3,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs from :func:`simhash_fingerprints` output:
+    (id_a, id_b, hamming) for every pair with Hamming distance
+    <= ``max_hamming``.
+
+    Candidate generation is ONE equi-join on exploded (block_idx,
+    block_value) keys — by pigeonhole, hamming <= n_blocks - 1 implies
+    some block matches exactly, so the join is COMPLETE for
+    ``max_hamming < n_blocks`` (asserted). Exact distance is then one
+    ``bit_count(xor)`` per candidate. Cost = sum over block buckets of
+    C(occupancy, 2), the LSH-band bound — never all pairs.
+    """
+    if max_hamming >= n_blocks:
+        raise ValueError(
+            f"completeness requires max_hamming < n_blocks "
+            f"(got {max_hamming} >= {n_blocks}); refingerprint with more blocks"
+        )
+    band_expr = (
+        "explode(array("
+        + ", ".join(f"named_struct('i', {b}, 'v', block{b})" for b in range(n_blocks))
+        + ")) AS band"
+    )
+    banded = fingerprints.selectExpr("doc_id", "simhash", band_expr)
+    left = banded.selectExpr("doc_id AS id_a", "simhash AS sim_a", "band")
+    right = banded.selectExpr("doc_id AS id_b", "simhash AS sim_b", "band")
+    return (
+        left.hint("shuffle_hash")
+        .join(right.hint("shuffle_hash"), on="band")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.expr("bit_count(sim_a ^ sim_b)").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 

@@ -102,8 +102,12 @@ FROM tokenized GROUP BY lang, source
 def q21_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # two-stage select: ratios computed once, the composite score reads
     # the ratio COLUMNS — without this, quality_score re-tokenizes the
-    # text inside every term (HOF lambdas defeat subexpression reuse)
-    docs = _t(spark, sf_dir, "documents")
+    # text inside every term (HOF lambdas defeat subexpression reuse).
+    # Unit-of-work repartition: the corpus is one scan split at test SF
+    # and the per-doc ratio work is the compute (q51's rule).
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     metrics = docs.select(
         "doc_id",
         F.length("text").alias("_len"),
@@ -836,6 +840,41 @@ GROUP BY term ORDER BY freq DESC, term LIMIT 50
 """
 
 
+# --- q53: SimHash Hamming near-dup pairs (Manku block join) -----------------
+# Spark runs the bucketed path (explode block keys -> equi-join ->
+# bit_count(xor)); the oracle brute-forces all pairs in DuckDB — tiny
+# at test SF, and exactly the completeness claim the block join makes
+# for hamming < n_blocks.
+
+
+def q53_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.operators.dedup import (
+        simhash_fingerprints,
+        simhash_neardup_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    fps = simhash_fingerprints(
+        docs, id_col="doc_id", text_col="text", shingle_k=SIMHASH_K, bits=SIMHASH_BITS
+    )
+    return simhash_neardup_pairs(fps, max_hamming=3)
+
+
+def _q53_sql() -> str:
+    return f"""
+WITH fp AS (
+  SELECT * FROM ({_q25_sql()}) t
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+Q53_SQL = _q53_sql()
+
+
 # --- q51: rolling-hash document fingerprints (winnowing) --------------------
 # Schleimer/Wilkerson/Aiken SIGMOD'03; the provenance/overlap primitive
 # of the text-analysis family. Output is per-doc scalar summaries of
@@ -916,4 +955,5 @@ DATA_QUERIES = {
     "q50_training_prep_pipeline": (q50_training_prep_pipeline, Q50_SQL),
     "q43_vocab_top_terms": (q43_vocab_top_terms, Q43_SQL),
     "q51_doc_winnow_fingerprints": (q51_doc_winnow_fingerprints, Q51_SQL),
+    "q53_simhash_neardup_pairs": (q53_simhash_neardup_pairs, Q53_SQL),
 }

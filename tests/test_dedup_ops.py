@@ -100,3 +100,35 @@ def test_range_join_plan_is_equi_join(spark, sf_dir):
     plan = q52_purchase_window_clicks(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_simhash_pairing_complete_vs_brute_force(spark):
+    """The Manku block join finds EXACTLY the pairs brute force finds
+    for hamming <= n_blocks - 1 (pigeonhole completeness), and refuses
+    thresholds it cannot guarantee."""
+    import pytest
+
+    from las_vpe_platform_spark.operators.dedup import (
+        simhash_fingerprints,
+        simhash_neardup_pairs,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(250)
+    fps = simhash_fingerprints(docs, "doc_id", "text", shingle_k=2)
+    sims = {r["doc_id"]: r["simhash"] for r in fps.select("doc_id", "simhash").collect()}
+    ids = sorted(sims)
+    brute = sorted(
+        (a, b, bin(sims[a] ^ sims[b]).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if bin(sims[a] ^ sims[b]).count("1") <= 3
+    )
+    got = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_neardup_pairs(fps, max_hamming=3).collect()
+    )
+    assert got == brute and len(brute) > 0
+    with pytest.raises(ValueError):
+        simhash_neardup_pairs(fps, max_hamming=4, n_blocks=4)
