@@ -335,7 +335,12 @@ LIMIT 20
 # --- q27: brute-force embedding top-k (exact ANN baseline; J9+W1) -----------
 
 def q27_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
+    # unit-of-work repartition: the gallery is one scan split at test
+    # SF and the per-pair cosine fold is the compute; at 100 TB the
+    # scan partitions the gallery by itself
+    emb = _t(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     probes = emb.filter(F.col("vec_id") % 50 == 0)
     top = pairwise_similarity_topk(
         probes, emb, probe_key="vec_id", gallery_key="vec_id", vector_col="embedding", k=5
@@ -388,7 +393,9 @@ IVF_K = 5
 
 
 def q29_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     probes = emb.filter(F.col("vec_id") % IVF_PROBE_MOD == 0)
     top = ivf_topk(
         probes,

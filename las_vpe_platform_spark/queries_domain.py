@@ -224,7 +224,11 @@ GROUP BY t.video_id
 # --- d09: ReID feature ranking (J9/W2, Feature1024 + IDRANK) ----------------
 
 def d09_feature_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    feats = _fx(spark, "features")
+    # unit-of-work repartition: the 1024-dim gallery is one fixture
+    # file = one scan partition; the cosine fold is the compute
+    feats = _fx(spark, "features").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     tr = _fx(spark, "tracklets").select("tracklet_key", "video_id", "serial_number")
     probes = feats.join(
         tr.filter((F.col("serial_number") == 0) & F.col("video_id").startswith("CAM01")),
