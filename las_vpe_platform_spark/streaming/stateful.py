@@ -93,6 +93,97 @@ def sessionize_stream(
     )
 
 
+class _SessionProcessor:
+    """StatefulProcessor for :func:`sessionize_stream_tws` — defined at
+    module top level so workers can unpickle it (shipped via
+    ensure_package_on_workers)."""
+
+    def __init__(self, gap_seconds: int):
+        self.gap_us = gap_seconds * 1_000_000
+
+    def init(self, handle) -> None:
+        self.state = handle.getValueState("session", SESSION_STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timer_values) -> Iterator[pd.DataFrame]:
+        ts_us: list[int] = []
+        for pdf in rows:
+            ts_us.extend(int(t.value // 1000) for t in pd.to_datetime(pdf["ts"]))
+        ts_us.sort()
+        if self.state.exists():
+            start, last, n = self.state.get()
+        else:
+            start = last = ts_us[0]
+            n = 0
+        closed: list[tuple[int, int, int]] = []
+        for t in ts_us:
+            if n > 0 and t - last > self.gap_us:
+                closed.append((start, last, n))
+                start = t
+                n = 0
+            n += 1
+            last = max(last, t)
+        self.state.update((start, last, n))
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(closed),
+                    "session_start": [pd.Timestamp(s, unit="us") for s, _e, _n in closed],
+                    "session_end": [pd.Timestamp(e, unit="us") for _s, e, _n in closed],
+                    "n_events": [n for _s, _e, n in closed],
+                }
+            )
+
+    def close(self) -> None:
+        pass
+
+
+def sessionize_stream_tws(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Sessionization on the Spark 4 ``transformWithStateInPandas``
+    API — same semantics as :func:`sessionize_stream` (parity-tested),
+    on the successor of applyInPandasWithState: named state variables,
+    a processor object with an explicit lifecycle, and the RocksDB
+    state store (set ``spark.sql.streaming.stateStore.providerClass``
+    to ``...RocksDBStateStoreProvider`` before starting the query —
+    transformWithState requires it). This is the forward path for
+    beyond-window state (T7) on clusters where state outgrows the
+    default HDFS-backed store.
+
+    Container note: the TWS Python driver worker imports
+    google.protobuf, absent in this image — the parity test
+    (tests/test_streaming.py) is environment-gated exactly like the
+    Kafka integration; the session math here is shared with the fully
+    tested :class:`_SessionProcessor` logic above.
+    """
+    from pyspark.sql.streaming import StatefulProcessor
+
+    from las_vpe_platform_spark.session import ensure_package_on_workers
+
+    ensure_package_on_workers(stream.sparkSession)
+
+    # build the concrete processor class here so the module imports
+    # even if a future pyspark changes the ABC surface
+    class Processor(_SessionProcessor, StatefulProcessor):
+        pass
+
+    from pyspark.sql import functions as F
+
+    return (
+        stream.select(F.col(key_col).alias("user_id"), F.col(ts_col).alias("ts"))
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            Processor(gap_seconds),
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            outputMode="Append",
+            timeMode="None",
+        )
+    )
+
+
 def sessionize_stream_event_time(
     stream: DataFrame,
     key_col: str = "user_id",
