@@ -78,6 +78,39 @@ def bench(spark, path: str) -> dict[str, float]:
         "noop"
     ).mode("overwrite").save()
     out["asof_join"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    from las_vpe_platform_spark.operators.joins import range_join
+
+    windows = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("p_end"),
+    )
+    points = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    range_join(
+        points, windows, left_point="ts", right_start="p_start",
+        right_end="p_end", by=["user_id"], bucket_seconds=1800,
+    ).groupBy("user_id").count().write.format("noop").mode("overwrite").save()
+    out["range_join"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    from las_vpe_platform_spark.operators.dedup import winnow_fingerprints
+
+    docs = ev.select(
+        F.col("event_id").alias("doc_id"),
+        F.concat_ws(
+            " ", "event_type", F.col("value").cast("string"),
+            F.col("user_id").cast("string"), F.col("ts").cast("string"),
+        ).alias("text"),
+    )
+    winnow_fingerprints(docs, "doc_id", "text").selectExpr(
+        "doc_id", "size(fingerprints) AS n"
+    ).write.format("noop").mode("overwrite").save()
+    out["winnow"] = round(time.perf_counter() - t0, 2)
     return out
 
 
