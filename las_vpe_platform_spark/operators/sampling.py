@@ -59,3 +59,69 @@ def even_spaced_sample(
         .filter((F.col("_rn") - 1) % every_k == 0)
         .drop("_rn")
     )
+
+
+def balanced_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    seed: str = "mix",
+    target: dict[str, float] | None = None,
+) -> DataFrame:
+    """Deterministic stratified rebalancing — the corpus-mixing
+    primitive of a training-data pipeline: downsample each stratum
+    (source, language, domain) so the kept mass matches ``target``
+    proportions, or balances all strata to the smallest one when
+    ``target`` is None.
+
+    Acceptance is a pure hash test, hash(seed, id) < rate[stratum] —
+    no RNG state, so the sample is reproducible across engines, runs,
+    and partitionings (the q45 split trick applied per stratum). Rates
+    come from ONE tiny grouped count that broadcasts back onto the
+    scan; the data itself is filtered in place — one narrow pass, no
+    shuffle of the corpus.
+
+    At 100 TB: the count aggregate shuffles one row per stratum; the
+    accept filter is pushdown-adjacent (evaluated in the scan stage).
+    The rates are computed IN-PLAN (no driver collect), so the
+    operator composes inside larger plans and stays declarative.
+    """
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_n"))
+    if target is None:
+        # balance every stratum down to the smallest one
+        floor_n = counts.agg(F.min("_n").alias("_floor"))
+        rate_df = counts.crossJoin(F.broadcast(floor_n)).select(
+            strata_col, (F.col("_floor") / F.col("_n")).alias("_rate")
+        )
+    else:
+        weights = df.sparkSession.createDataFrame(
+            [(s, float(w)) for s, w in sorted(target.items())],
+            f"{strata_col} string, _w double",
+        )
+        cw = counts.join(F.broadcast(weights), on=strata_col, how="left").na.fill(
+            {"_w": 0.0}
+        )
+        # kept_s = kept_total * w_s; the largest feasible kept_total
+        # keeps every rate <= 1: kept_total = min over strata of n_s/w_s
+        kt = cw.filter(F.col("_w") > 0).agg(
+            F.min(F.col("_n") / F.col("_w")).alias("_kt")
+        )
+        rate_df = cw.crossJoin(F.broadcast(kt)).select(
+            strata_col,
+            F.least(F.lit(1.0), (F.col("_kt") * F.col("_w")) / F.col("_n")).alias("_rate"),
+        )
+    accept = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(2**32))
+    )
+    return (
+        df.join(F.broadcast(rate_df), on=strata_col)
+        .filter(accept < F.col("_rate"))
+        .drop("_rate")
+    )

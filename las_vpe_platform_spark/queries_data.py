@@ -847,6 +847,52 @@ GROUP BY term ORDER BY freq DESC, term LIMIT 50
 """
 
 
+# --- q54: balanced corpus mix (stratified rebalancing) ----------------------
+# Training-data mixing: every source downsampled to the smallest
+# source's mass via a deterministic per-doc hash test — reproducible
+# across engines/partitionings, rates computed in-plan (q45's split
+# trick applied per stratum).
+
+
+MIX_TARGET = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+
+
+def q54_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.operators.sampling import balanced_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = balanced_sample(
+        docs, strata_col="source", id_col="doc_id", seed="mix", target=MIX_TARGET
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").alias("chars_kept"),
+    )
+
+
+Q54_SQL = f"""
+WITH counts AS (
+  SELECT source, count(*) AS n FROM documents GROUP BY source
+), w(source, w) AS (
+  VALUES {", ".join(f"('{s}', {v})" for s, v in sorted(MIX_TARGET.items()))}
+), cw AS (
+  SELECT c.source, c.n, coalesce(w.w, 0.0) AS w
+  FROM counts c LEFT JOIN w USING (source)
+), kt AS (
+  SELECT min(n / w) AS kt FROM cw WHERE w > 0
+), rates AS (
+  SELECT source, least(1.0, (kt * w) / n) AS rate FROM cw, kt
+), kept AS (
+  SELECT d.source, d.n_chars
+  FROM documents d JOIN rates r USING (source)
+  WHERE ('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+        / 4294967296.0 < r.rate
+)
+SELECT source, count(*) AS n_kept, sum(n_chars)::BIGINT AS chars_kept
+FROM kept GROUP BY source
+"""
+
+
 # --- q53: SimHash Hamming near-dup pairs (Manku block join) -----------------
 # Spark runs the bucketed path (explode block keys -> equi-join ->
 # bit_count(xor)); the oracle brute-forces all pairs in DuckDB — tiny
@@ -963,4 +1009,5 @@ DATA_QUERIES = {
     "q43_vocab_top_terms": (q43_vocab_top_terms, Q43_SQL),
     "q51_doc_winnow_fingerprints": (q51_doc_winnow_fingerprints, Q51_SQL),
     "q53_simhash_neardup_pairs": (q53_simhash_neardup_pairs, Q53_SQL),
+    "q54_corpus_mix": (q54_corpus_mix, Q54_SQL),
 }

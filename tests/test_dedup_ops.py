@@ -132,3 +132,28 @@ def test_simhash_pairing_complete_vs_brute_force(spark):
     assert got == brute and len(brute) > 0
     with pytest.raises(ValueError):
         simhash_neardup_pairs(fps, max_hamming=4, n_blocks=4)
+
+
+def test_balanced_sample_modes(spark):
+    from las_vpe_platform_spark.operators.sampling import balanced_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # balanced mode: every stratum's kept count <= the smallest stratum
+    # (expected ~floor, bounded by hash variance); determinism across
+    # partitionings
+    bal = balanced_sample(docs, "source", "doc_id")
+    counts = {r["source"]: r["cnt"] for r in bal.groupBy("source").agg(
+        F.count(F.lit(1)).alias("cnt")).collect()}
+    floor = min(
+        r["cnt"] for r in docs.groupBy("source").agg(
+            F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    assert all(c <= floor for c in counts.values())
+    again = balanced_sample(docs.repartition(7), "source", "doc_id")
+    assert sorted(r["doc_id"] for r in bal.select("doc_id").collect()) == sorted(
+        r["doc_id"] for r in again.select("doc_id").collect()
+    )
+    # target mode: untargeted strata drop to zero
+    tgt = balanced_sample(docs, "source", "doc_id", target={"src0": 1.0})
+    kept_sources = {r["source"] for r in tgt.select("source").distinct().collect()}
+    assert kept_sources == {"src0"}
