@@ -87,11 +87,14 @@ def balanced_sample(
     operator composes inside larger plans and stays declarative.
     """
     counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_n"))
+    # the counts relation is tiny (one row per stratum), so the global
+    # min is a window over its single coalesced partition — one stage,
+    # not an aggregate + cross-join pair
+    w_all = W.partitionBy()
     if target is None:
         # balance every stratum down to the smallest one
-        floor_n = counts.agg(F.min("_n").alias("_floor"))
-        rate_df = counts.crossJoin(F.broadcast(floor_n)).select(
-            strata_col, (F.col("_floor") / F.col("_n")).alias("_rate")
+        rate_df = counts.select(
+            strata_col, (F.min("_n").over(w_all) / F.col("_n")).alias("_rate")
         )
     else:
         weights = df.sparkSession.createDataFrame(
@@ -103,12 +106,12 @@ def balanced_sample(
         )
         # kept_s = kept_total * w_s; the largest feasible kept_total
         # keeps every rate <= 1: kept_total = min over strata of n_s/w_s
-        kt = cw.filter(F.col("_w") > 0).agg(
-            F.min(F.col("_n") / F.col("_w")).alias("_kt")
-        )
-        rate_df = cw.crossJoin(F.broadcast(kt)).select(
+        kt = F.min(
+            F.when(F.col("_w") > 0, F.col("_n") / F.col("_w"))
+        ).over(w_all)
+        rate_df = cw.select(
             strata_col,
-            F.least(F.lit(1.0), (F.col("_kt") * F.col("_w")) / F.col("_n")).alias("_rate"),
+            F.least(F.lit(1.0), (kt * F.col("_w")) / F.col("_n")).alias("_rate"),
         )
     accept = (
         F.conv(
