@@ -63,20 +63,25 @@ DRIVER_PRIORITY: list[str] = [
     # -- round-1 hash-fail fixes (HUGEINT casts) --
     "q18_user_sessions",
     "q50_training_prep_pipeline",
-    # -- relational core (one per operator family) --
+    # -- relational core (one per operator family; families whose gate
+    #    moved to overflow keep an in-window domain representative:
+    #    top-k -> d03/d12, full outer -> d05, union -> q12,
+    #    time bucketing -> d04) --
     "q01_pricing_summary",
-    "q02_top_customers_per_nation",
-    "q05_daily_activity_full_outer",
     "q06_customers_without_recent_orders",
     "q07_order_point_lookup",
     "q08_order_completeness",
     "q09_last_events",
-    "q10_events_minutely",
     "q11_events_json_props",
     "q12_events_demux_union",
     "q14_key_roundtrip",
-    "q19_entity_union",
     "q33_asof_last_click",
+    # -- round-2 operators: winnowing, range join, simhash pairing,
+    #    corpus mixing get hard driver rows --
+    "q51_doc_winnow_fingerprints",
+    "q52_purchase_window_clicks",
+    "q53_simhash_neardup_pairs",
+    "q54_corpus_mix",
     # -- LLM-data-pipeline operators (all first-class) --
     "q20_doc_token_stats",
     "q21_doc_quality",
@@ -99,8 +104,12 @@ DRIVER_PRIORITY: list[str] = [
     "q49_embedding_quantize",
     # -- overflow (>50): operators covered by an in-window query; all
     #    still DuckDB-verified by tests/test_oracle_parity.py --
+    "q02_top_customers_per_nation",
     "q03_shipping_priority",
     "q04_regional_revenue",
+    "q05_daily_activity_full_outer",
+    "q10_events_minutely",
+    "q19_entity_union",
     "q13_sampled_lineitems",
     "q15_frame_time_arithmetic",
     "q16_event_type_pivot",
