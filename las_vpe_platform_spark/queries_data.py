@@ -847,6 +847,53 @@ GROUP BY term ORDER BY freq DESC, term LIMIT 50
 """
 
 
+# --- q55: duplicate clusters (connected components over LSH pairs) ----------
+# Pairs alone don't dedup a corpus — transitive groups do. Spark runs
+# iterative min-label propagation (the Pregel/GraphX superstep shape);
+# the oracle computes the same components with a recursive CTE over
+# the IDENTICAL pair set (Q24's SQL), fine at test scale.
+
+
+def q55_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_candidates,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(
+        docs, id_col="doc_id", text_col="text",
+        shingle_k=MINHASH_K, num_hashes=MINHASH_HASHES, bands=MINHASH_BANDS,
+    )
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    return comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("node").alias("keeper_id"),
+    )
+
+
+def _q55_sql() -> str:
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT * FROM ({_q24_sql()}) t
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b AS a, id_a AS b FROM pairs
+), reach(node, root) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node
+), comp AS (
+  SELECT node, min(root) AS component FROM reach GROUP BY node
+)
+SELECT component, count(*) AS n_members, min(node) AS keeper_id
+FROM comp GROUP BY component
+"""
+
+
+Q55_SQL = _q55_sql()
+
+
 # --- q54: balanced corpus mix (stratified rebalancing) ----------------------
 # Training-data mixing: every source downsampled to the smallest
 # source's mass via a deterministic per-doc hash test — reproducible
@@ -1010,4 +1057,5 @@ DATA_QUERIES = {
     "q51_doc_winnow_fingerprints": (q51_doc_winnow_fingerprints, Q51_SQL),
     "q53_simhash_neardup_pairs": (q53_simhash_neardup_pairs, Q53_SQL),
     "q54_corpus_mix": (q54_corpus_mix, Q54_SQL),
+    "q55_dedup_clusters": (q55_dedup_clusters, Q55_SQL),
 }

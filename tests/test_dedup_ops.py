@@ -157,3 +157,19 @@ def test_balanced_sample_modes(spark):
     tgt = balanced_sample(docs, "source", "doc_id", target={"src0": 1.0})
     kept_sources = {r["source"] for r in tgt.select("source").distinct().collect()}
     assert kept_sources == {"src0"}
+
+
+def test_connected_components_chain_and_islands(spark):
+    from las_vpe_platform_spark.operators.dedup import connected_components
+
+    # chain 1-2-3-4 (diameter > 1 forces multiple propagation rounds),
+    # separate pair 10-11, self-contained triangle 20-21-22
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a long, id_b long",
+    )
+    comp = {
+        r["node"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
