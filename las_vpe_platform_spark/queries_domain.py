@@ -579,6 +579,68 @@ FROM px
 """
 
 
+# --- m04: audio decimation (multimodal: PCM binary columns) -----------------
+
+DECIMATE_FACTOR = 4
+
+# signed int16 at DECIMATED index i, little-endian, from a binary col:
+# byte pair (2*F*i, 2*F*i + 1) of the ORIGINAL pcm == pair (2i, 2i+1)
+# of the decimated output. Spark reads the decimated bytes; the oracle
+# re-derives the same values from hex(pcm) of the SOURCE — so the
+# comparison proves the decimation itself, not just a checksum echo.
+_S16 = (
+    "(CAST(conv(hex(substring(decimated, 2*{i} + 1, 1)), 16, 10) AS BIGINT)"
+    " + 256 * CAST(conv(hex(substring(decimated, 2*{i} + 2, 1)), 16, 10) AS BIGINT))"
+)
+_S16_SIGNED = f"(CASE WHEN {_S16} > 32767 THEN {_S16} - 65536 ELSE {_S16} END)"
+
+
+def m04_audio_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.operators.multimodal import decimate_audio
+
+    rz = decimate_audio(_fx(spark, "audio_clips"), factor=DECIMATE_FACTOR)
+    n_expr = "CAST(length(decimated) / 2 AS INT)"
+    return rz.selectExpr(
+        "clip_id",
+        f"CAST({n_expr} AS BIGINT) AS n_out",
+        f"{_S16_SIGNED.format(i='0')} AS s0",
+        f"aggregate(sequence(0, {n_expr} - 1), 0L,"
+        f" (acc, i) -> acc + {_S16_SIGNED.format(i='i')}) AS sample_sum",
+        f"aggregate(sequence(0, {n_expr} - 1), 0L,"
+        f" (acc, i) -> acc + {_S16_SIGNED.format(i='i')} * {_S16_SIGNED.format(i='i')})"
+        " AS sample_sumsq",
+    )
+
+
+def _m04_sql() -> str:
+    f = DECIMATE_FACTOR
+    val = (
+        f"(('0x' || substr(hx, 2 * ({2 * f} * i) + 1, 2))::BIGINT"
+        f" + 256 * ('0x' || substr(hx, 2 * ({2 * f} * i) + 3, 2))::BIGINT)"
+    )
+    signed = f"(CASE WHEN {val} > 32767 THEN {val} - 65536 ELSE {val} END)"
+    return f"""
+WITH src AS (
+  SELECT clip_id, hex(pcm) AS hx,
+         CAST(ceil(n_samples / {f}.0) AS BIGINT) AS n_out
+  FROM {_fxsql('audio_clips')}
+), samples AS (
+  SELECT clip_id, n_out,
+         list_transform(generate_series(0, CAST(n_out AS INT) - 1),
+                        i -> {signed}) AS vals
+  FROM src
+)
+SELECT clip_id, n_out,
+       vals[1] AS s0,
+       list_sum(vals)::BIGINT AS sample_sum,
+       list_sum(list_transform(vals, v -> v * v))::BIGINT AS sample_sumsq
+FROM samples
+"""
+
+
+M04_SQL = _m04_sql()
+
+
 DOMAIN_QUERIES = {
     "d01_tracklet_sampling": (d01_tracklet_sampling, D01_SQL),
     "d02_attribute_average": (d02_attribute_average, D02_SQL),
@@ -596,4 +658,5 @@ DOMAIN_QUERIES = {
     "m01_patch_metadata": (m01_patch_metadata, M01_SQL),
     "m02_patch_features": (m02_patch_features, M02_SQL),
     "m03_patch_resize": (m03_patch_resize, M03_SQL),
+    "m04_audio_decimate": (m04_audio_decimate, M04_SQL),
 }

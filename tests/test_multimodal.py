@@ -86,3 +86,28 @@ def test_cut_video_frames(spark):
         idxs = sorted(r["frame_index"] for r in vrows)
         assert idxs[0] == 0
         assert all(b - a == 250 for a, b in zip(idxs, idxs[1:]))
+
+
+def test_decimate_audio_known_values(spark):
+    import numpy as np
+
+    from las_vpe_platform_spark.operators.multimodal import decimate_audio
+
+    src = np.array([0, 1, -2, 3, 4, -5, 6, 7, 8], dtype="<i2")
+    df = spark.createDataFrame(
+        [("c1", src.tobytes())], "clip_id string, pcm binary"
+    )
+    row = decimate_audio(df, factor=4).collect()[0]
+    assert np.frombuffer(bytes(row["decimated"]), dtype="<i2").tolist() == [0, 4, 8]
+    assert row["factor"] == 4
+
+
+def test_decimate_audio_fixture_shape(spark):
+    from las_vpe_platform_spark.fixtures import FIXTURES_DIR
+    from las_vpe_platform_spark.operators.multimodal import decimate_audio
+
+    clips = spark.read.parquet(str(FIXTURES_DIR / "audio_clips.parquet"))
+    rows = decimate_audio(clips, factor=4).collect()
+    assert len(rows) == 128
+    for r in rows:
+        assert len(r["decimated"]) % 2 == 0 and len(r["decimated"]) > 0
