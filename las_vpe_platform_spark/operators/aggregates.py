@@ -65,6 +65,123 @@ def approx_distinct_profile(
     )
 
 
+def hll_distinct(
+    df: DataFrame, group_cols: list[str], key_col: str, m: int = 64
+) -> DataFrame:
+    """Deterministic HyperLogLog distinct-count sketch (Flajolet et al.
+    2007) — the engine-portable counterpart of
+    :func:`approx_distinct_profile`.
+
+    ``approx_count_distinct`` is the right production call, but its
+    register hash is engine-private, so its output can never be
+    verified against another engine. This variant builds the SAME
+    sketch from the portable 60-bit md5 hash, entirely in exact
+    integer arithmetic, so Spark and DuckDB produce bit-identical
+    registers AND estimates — a sketch with a correctness oracle.
+
+    Construction (m must be a power of two):
+      bucket = h mod m;  w = h div m  (a ``60 - log2(m)``-bit field)
+      rho(w) = leading zeros of w in that field + 1
+               = (width + 1) - bitlength(w), via ``length(bin(w))``
+      register[bucket] = max(rho)          -- one grouped MAX
+      hll_sum = sum over all m registers of 2^(width + 1 - register)
+    The 2^(..) terms are BIGINTs (``shiftleft``), so ``hll_sum`` is an
+    order-independent exact integer — no double partial-sum noise. The
+    raw estimate alpha_m * m^2 * 2^(width+1) / hll_sum and the
+    small-range linear-counting branch (m * ln(m / zero_registers)
+    when zeros exist and raw <= 2.5 m) are then single IEEE ops on
+    exact inputs, identical in every engine.
+
+    At scale: two cascaded hash aggregates with map-side partials —
+    (group, bucket) max then per-group sum — shuffling at most
+    ``m * n_groups`` tiny rows regardless of input size. Registers are
+    mergeable by MAX, so per-partition / per-day sketches union
+    losslessly (the claim-check pattern for incremental distincts).
+    """
+    if m & (m - 1) or m < 2:
+        raise ValueError("m must be a power of two >= 2")
+    width = 60 - (m.bit_length() - 1)  # bits left after the bucket index
+    rmax = width + 1
+    g = ", ".join(group_cols)
+    h = (
+        f"CAST(conv(substring(md5(CAST({key_col} AS STRING)), 1, 15), 16, 10)"
+        " AS BIGINT)"
+    )
+    rb = df.selectExpr(
+        g,
+        f"{h} % {m} AS _bucket",
+        f"CASE WHEN {h} div {m} > 0 THEN {rmax} - length(bin({h} div {m}))"
+        f" ELSE {rmax} END AS _rho",
+    )
+    regs = rb.groupBy(*group_cols, "_bucket").agg(F.max("_rho").alias("_r"))
+    sk = regs.groupBy(*group_cols).agg(
+        F.expr(
+            f"sum(shiftleft(CAST(1 AS BIGINT), {rmax} - _r))"
+        ).alias("_present_sum"),
+        F.count(F.lit(1)).alias("_n_present"),
+    )
+    top = 1 << rmax  # empty register contributes 2^(rmax - 0)
+    alpha = f"(0.7213D / (1.0D + 1.079D / {m}.0D))"
+    return sk.selectExpr(
+        g,
+        f"CAST(_present_sum + ({m} - _n_present) * CAST({top} AS BIGINT)"
+        " AS BIGINT) AS hll_sum",
+        f"CAST({m} - _n_present AS BIGINT) AS n_zero",
+    ).selectExpr(
+        g,
+        "hll_sum",
+        "n_zero",
+        f"{alpha} * {m}.0D * {m}.0D * {float(top)}D / CAST(hll_sum AS DOUBLE)"
+        " AS _raw",
+    ).selectExpr(
+        g,
+        "hll_sum",
+        "n_zero",
+        "floor((CASE WHEN n_zero > 0 AND _raw <= " + f"{2.5 * m}D"
+        f" THEN {m}.0D * ln({m}.0D / CAST(n_zero AS DOUBLE))"
+        " ELSE _raw END) * 100.0D + 0.5D) / 100.0D AS hll_est",
+    )
+
+
+def hll_sql(group_cols: list[str], key_col: str, table: str, m: int = 64) -> str:
+    """DuckDB mirror of :func:`hll_distinct` — generated from the same
+    parameters so both engines compute identical registers."""
+    width = 60 - (m.bit_length() - 1)
+    rmax = width + 1
+    top = 1 << rmax
+    g = ", ".join(group_cols)
+    h = f"('0x' || substr(md5(CAST({key_col} AS VARCHAR)), 1, 15))::BIGINT"
+    alpha = f"(0.7213 / (1.0 + 1.079 / {m}.0))"
+    return f"""
+WITH _rb AS (
+  SELECT {g}, {h} % {m} AS _bucket,
+         CASE WHEN {h} // {m} > 0 THEN {rmax} - length(bin({h} // {m}))
+              ELSE {rmax} END AS _rho
+  FROM {table}
+), _regs AS (
+  SELECT {g}, _bucket, max(_rho) AS _r FROM _rb GROUP BY {g}, _bucket
+), _sk AS (
+  SELECT {g}, sum(1::BIGINT << ({rmax} - _r))::BIGINT AS _present_sum,
+         count(*) AS _n_present
+  FROM _regs GROUP BY {g}
+), _est AS (
+  SELECT {g},
+         (_present_sum + ({m} - _n_present) * {top})::BIGINT AS hll_sum,
+         ({m} - _n_present)::BIGINT AS n_zero
+  FROM _sk
+), _raw AS (
+  SELECT {g}, hll_sum, n_zero,
+         {alpha} * {m}.0 * {m}.0 * {float(top)} / hll_sum::DOUBLE AS _r
+  FROM _est
+)
+SELECT {g}, hll_sum, n_zero,
+       floor((CASE WHEN n_zero > 0 AND _r <= {2.5 * m}
+                   THEN {m}.0 * ln({m}.0 / n_zero::DOUBLE)
+                   ELSE _r END) * 100.0 + 0.5) / 100.0 AS hll_est
+FROM _raw
+"""
+
+
 def completeness_check(
     df: DataFrame,
     group_col: str,

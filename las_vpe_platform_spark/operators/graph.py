@@ -1,0 +1,117 @@
+"""Graph centrality over edge lists (beyond-reference: near-dup
+canonicalization).
+
+The reference walks its Neo4j person graph one hop at a time
+(GraphDatabaseConnector.java getLinkedPedestrians); d13 covers that
+traversal shape. This module adds whole-graph iterative centrality —
+the standard way a dedup pipeline picks the CANONICAL document inside
+each near-duplicate cluster (highest-centrality member) instead of an
+arbitrary min-id keeper.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PR_SCALE = 10**12  # fixed-point denominator: rank 1.0 == 10^12
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+    scale: int = PR_SCALE,
+) -> DataFrame:
+    """PageRank with damping 0.85 in exact fixed-point integer
+    arithmetic: rank values are BIGINTs scaled by ``scale``.
+
+    Why integers: float PageRank sums per-edge contributions in
+    shuffle-partition order, so the low bits differ run-to-run and
+    engine-to-engine. With integer ranks every operation — floor
+    division by out-degree, the 85/100 damping, the BIGINT sum — is
+    exact and order-independent, so two engines (or two cluster runs)
+    produce bit-identical ranks. Rounding error vs. real PageRank is
+    at most ``iterations * outdeg`` ulps of 1/scale (~1e-9 here),
+    far below anything that affects ranking order.
+
+    Update rule (dangling-free graphs; symmetric near-dup edge lists
+    always qualify since every node has degree >= 1):
+
+        share(u -> v)  = rank(u) div outdeg(u)
+        rank'(v)       = (15 * scale) div (100 * n)
+                         + (85 * sum(shares into v)) div 100
+
+    Execution shape per iteration: one shuffle join of ranks with the
+    (checkpointed, degree-annotated) edge list + one grouped sum —
+    exactly a Pregel superstep. ``iterations`` is fixed (power-method
+    convergence is geometric; 5 rounds separates duplicates' centrality
+    decisively), so the whole thing is ONE Catalyst plan per call with
+    linear lineage; edge/node subtrees are localCheckpoint'd so the
+    (possibly expensive) upstream pair-generation runs once, not once
+    per iteration. At 1000-executor scale, pre-partition ``edges`` by
+    ``src`` and ranks co-shuffle onto it each round; state is 16 bytes
+    per node.
+    """
+    e = edges.selectExpr(f"{src} AS src", f"{dst} AS dst").localCheckpoint()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ewd = e.join(deg, "src").localCheckpoint()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n_df = nodes.agg(F.count(F.lit(1)).alias("n"))
+    nodes = nodes.crossJoin(F.broadcast(n_df)).localCheckpoint()
+    ranks = nodes.selectExpr("node", "n", f"CAST({scale} AS BIGINT) div n AS rank")
+    for _ in range(iterations):
+        contrib = (
+            ranks.join(ewd, ranks.node == ewd.src)
+            .selectExpr("dst AS node", "rank div outdeg AS share")
+            .groupBy("node")
+            .agg(F.sum("share").alias("shares"))
+        )
+        ranks = nodes.join(contrib, "node", "left").selectExpr(
+            "node",
+            "n",
+            f"CAST(15 * {scale} AS BIGINT) div (100 * n)"
+            " + (85 * coalesce(shares, CAST(0 AS BIGINT))) div 100 AS rank",
+        )
+    return ranks.selectExpr("node", "CAST(rank AS BIGINT) AS rank_fp")
+
+
+def pagerank_sql(
+    edges_cte: str, iterations: int = 5, scale: int = PR_SCALE
+) -> str:
+    """DuckDB mirror of :func:`pagerank_fixed_point`, iterations
+    unrolled as chained CTEs (recursive CTEs disallow the grouped
+    aggregate the update rule needs). ``edges_cte`` must yield
+    (src, dst). Generated from the same parameters as the Spark side,
+    so both engines compute bit-identical fixed-point ranks."""
+    base = f"(15 * {scale}::BIGINT) // (100 * nd.n)"
+    parts = [
+        f"""_edges AS ({edges_cte}),
+_deg AS (SELECT src, count(*) AS outdeg FROM _edges GROUP BY src),
+_ewd AS (SELECT e.src, e.dst, d.outdeg FROM _edges e JOIN _deg d USING (src)),
+_nodes AS (SELECT src AS node FROM _edges UNION SELECT dst FROM _edges),
+_nn AS (SELECT count(*) AS n FROM _nodes),
+_pr0 AS (SELECT node, n, {scale}::BIGINT // n AS rank FROM _nodes, _nn)"""
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""_c{i} AS (
+  SELECT e.dst AS node, sum(p.rank // e.outdeg)::BIGINT AS shares
+  FROM _pr{i - 1} p JOIN _ewd e ON e.src = p.node GROUP BY e.dst
+),
+_pr{i} AS (
+  SELECT nd.node, nd.n,
+         ({base} + (85 * coalesce(c.shares, 0)) // 100)::BIGINT AS rank
+  FROM _pr0 nd LEFT JOIN _c{i} c USING (node)
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT node, rank::BIGINT AS rank_fp FROM _pr{iterations}"
+    )

@@ -77,33 +77,41 @@ DRIVER_PRIORITY: list[str] = [
     "q14_key_roundtrip",
     "q33_asof_last_click",
     # -- round-2 operators: winnowing, range join, simhash pairing,
-    #    corpus mixing get hard driver rows --
+    #    corpus mixing, dedup clustering, HLL sketch, PageRank and
+    #    hopping windows get hard driver rows --
     "q51_doc_winnow_fingerprints",
     "q52_purchase_window_clicks",
     "q53_simhash_neardup_pairs",
     "q54_corpus_mix",
+    "q55_dedup_clusters",
+    "q56_distinct_sketch",
+    "q57_neardup_pagerank",
+    "q58_hopping_window_stats",
     # -- LLM-data-pipeline operators (all first-class) --
     "q20_doc_token_stats",
     "q21_doc_quality",
     "q22_doc_lang_id",
-    "q23_dedup_exact",
     "q24_minhash_lsh_pairs",
     "q25_simhash",
     "q26_ngram_jaccard_top_pairs",
     "q27_embedding_topk",
-    "q28_label_centroids",
     "q29_embedding_ivf_topk",
     "q30_tfidf_top_terms",
     "q31_embedding_neardup",
     "q32_cube_orders",
     "q42_doc_repetition",
     "q43_vocab_top_terms",
-    "q44_doc_chunks",
     "q45_dataset_split",
     "q48_bpeish_tokens",
+    # -- overflow (>50): operators covered by an in-window query (exact
+    #    dedup q23 / chunking q44 ⊂ the q50 composite; centroid agg q28
+    #    ⊂ q29's IVF assignment + d02's wide grouped avg; q49 int8
+    #    array math ~ q27/q48); all still DuckDB-verified by
+    #    tests/test_oracle_parity.py --
+    "q23_dedup_exact",
+    "q28_label_centroids",
+    "q44_doc_chunks",
     "q49_embedding_quantize",
-    # -- overflow (>50): operators covered by an in-window query; all
-    #    still DuckDB-verified by tests/test_oracle_parity.py --
     "q02_top_customers_per_nation",
     "q03_shipping_priority",
     "q04_regional_revenue",

@@ -1033,6 +1033,46 @@ FROM winnowed
 """
 
 
+# --- q57: canonical-document PageRank over the near-dup graph ---------------
+# q55 collapses near-dup pairs into clusters with an arbitrary min-id
+# keeper; q57 ranks documents INSIDE the pair graph by centrality so
+# the pipeline keeps the most-connected (most "canonical") copy.
+# Fixed-point integer PageRank (operators/graph.py) makes an
+# iterative-float algorithm oracle-exact.
+
+
+def q57_neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.operators.dedup import minhash_lsh_candidates
+    from las_vpe_platform_spark.operators.graph import pagerank_fixed_point
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(
+        docs, id_col="doc_id", text_col="text",
+        shingle_k=MINHASH_K, num_hashes=MINHASH_HASHES, bands=MINHASH_BANDS,
+    )
+    sym = pairs.selectExpr("id_a AS src", "id_b AS dst").union(
+        pairs.selectExpr("id_b AS src", "id_a AS dst")
+    ).distinct()
+    pr = pagerank_fixed_point(sym, iterations=5)
+    return pr.selectExpr("node AS doc_id", "rank_fp")
+
+
+def _q57_sql() -> str:
+    from las_vpe_platform_spark.operators.graph import pagerank_sql
+
+    edges_cte = f"""
+  WITH _pairs AS ({_q24_sql()})
+  SELECT id_a AS src, id_b AS dst FROM _pairs
+  UNION SELECT id_b, id_a FROM _pairs
+"""
+    return (
+        f"SELECT node AS doc_id, rank_fp FROM ({pagerank_sql(edges_cte, iterations=5)}) t"
+    )
+
+
+Q57_SQL = _q57_sql()
+
+
 DATA_QUERIES = {
     "q20_doc_token_stats": (q20_doc_token_stats, Q20_SQL),
     "q21_doc_quality": (q21_doc_quality, Q21_SQL),
@@ -1058,4 +1098,5 @@ DATA_QUERIES = {
     "q53_simhash_neardup_pairs": (q53_simhash_neardup_pairs, Q53_SQL),
     "q54_corpus_mix": (q54_corpus_mix, Q54_SQL),
     "q55_dedup_clusters": (q55_dedup_clusters, Q55_SQL),
+    "q57_neardup_pagerank": (q57_neardup_pagerank, Q57_SQL),
 }

@@ -908,6 +908,83 @@ GROUP BY c.user_id
 """
 
 
+# --- q56: deterministic HLL distinct sketch ---------------------------------
+# Per-event-type distinct users both exactly and via the portable
+# HyperLogLog sketch (operators/aggregates.py::hll_distinct) — the
+# sketch the scale path uses when exact COUNT(DISTINCT) across 100 TB
+# would shuffle every key. Deterministic construction means the sketch
+# itself is oracle-verified register-for-register, not just "close".
+
+
+def q56_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.operators.aggregates import hll_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_exact")
+    )
+    sketch = hll_distinct(ev, ["event_type"], "user_id", m=64)
+    return exact.join(sketch, "event_type")
+
+
+def _q56_sql() -> str:
+    from las_vpe_platform_spark.operators.aggregates import hll_sql
+
+    return f"""
+WITH _exact AS (
+  SELECT event_type, count(DISTINCT user_id) AS n_exact
+  FROM events GROUP BY event_type
+), _hll AS ({hll_sql(["event_type"], "user_id", "events", m=64)})
+SELECT _exact.event_type, n_exact, hll_sum, n_zero, hll_est
+FROM _exact JOIN _hll USING (event_type)
+"""
+
+
+Q56_SQL = _q56_sql()
+
+
+# --- q58: hopping (sliding) window aggregation ------------------------------
+# 5-minute windows advancing every minute — each event lands in 5
+# overlapping windows. Spark expresses this natively with F.window's
+# slideDuration (the Structured Streaming hop-window primitive, usable
+# identically in batch); the oracle replays the semantics by exploding
+# each event into its 5 containing window starts. At scale this is one
+# explode (5x row amplification, map-side) + one hash aggregate — no
+# self-join, no window function over a global sort.
+
+
+def q58_hopping_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "5 minutes", "1 minute").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+            pround(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("string").alias("window_start"),
+            "n_events",
+            "n_users",
+            "sum_value",
+        )
+    )
+
+
+Q58_SQL = """
+WITH _win AS (
+  SELECT date_trunc('minute', ts) - k.k * INTERVAL 1 MINUTE AS window_start,
+         user_id, value
+  FROM events, generate_series(0, 4) AS k(k)
+)
+SELECT CAST(window_start AS VARCHAR) AS window_start,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       floor(sum(value) * 10000.0 + 0.5) / 10000.0 AS sum_value
+FROM _win GROUP BY 1
+"""
+
+
 RELATIONAL_QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_top_customers_per_nation": (q02_top_customers_per_nation, Q02_SQL),
@@ -940,4 +1017,6 @@ RELATIONAL_QUERIES = {
     "q46_multi_distinct": (q46_multi_distinct, Q46_SQL),
     "q47_null_semantics": (q47_null_semantics, Q47_SQL),
     "q52_purchase_window_clicks": (q52_purchase_window_clicks, Q52_SQL),
+    "q56_distinct_sketch": (q56_distinct_sketch, Q56_SQL),
+    "q58_hopping_window_stats": (q58_hopping_window_stats, Q58_SQL),
 }

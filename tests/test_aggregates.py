@@ -44,3 +44,40 @@ def test_approx_distinct_within_rsd(spark, sf_dir):
     }
     for flag, n in exact.items():
         assert abs(approx[flag] - n) / n < 0.15  # 5% rsd, generous bound
+
+
+def test_hll_distinct_accuracy_and_determinism(spark, sf_dir):
+    from las_vpe_platform_spark.operators.aggregates import hll_distinct
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    est = {
+        r["l_returnflag"]: (r["hll_est"], r["hll_sum"])
+        for r in hll_distinct(li, ["l_returnflag"], "l_orderkey", m=64).collect()
+    }
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_orderkey").alias("n"))
+        .collect()
+    }
+    # standard error for m=64 is ~1.04/sqrt(64) = 13%; allow 3 sigma
+    for flag, n in exact.items():
+        assert abs(est[flag][0] - n) / n < 0.4, (flag, est[flag], n)
+    # registers are a pure function of the input set: re-running after a
+    # reshuffle yields bit-identical sums (order independence)
+    again = {
+        r["l_returnflag"]: r["hll_sum"]
+        for r in hll_distinct(
+            li.repartition(13), ["l_returnflag"], "l_orderkey", m=64
+        ).collect()
+    }
+    assert {k: v[1] for k, v in est.items()} == again
+
+
+def test_hll_distinct_rejects_non_power_of_two():
+    import pytest
+
+    from las_vpe_platform_spark.operators.aggregates import hll_distinct
+
+    with pytest.raises(ValueError):
+        hll_distinct(None, ["g"], "k", m=48)

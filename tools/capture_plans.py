@@ -34,6 +34,10 @@ HEADLINERS = [
      "fused recognize+average: tracker UDTF -> explode names -> ONE md5 -> two narrow aggregates -> map rebuild; no 125-wide codegen projection"),
     ("q51_doc_winnow_fingerprints",
      "winnowing is exchange-free after the unit-of-work repartition; normalization and k-gram hashes materialize as columns so HOF lambdas never re-evaluate them"),
+    ("q56_distinct_sketch",
+     "two cascaded hash aggregates ((group,bucket) max then group sum) with map-side partials; shuffle bounded by m x groups regardless of input size"),
+    ("q58_hopping_window_stats",
+     "F.window slide expands map-side (no self-join); one partial+final hash aggregate over the exploded windows"),
 ]
 
 
