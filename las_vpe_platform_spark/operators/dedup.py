@@ -457,3 +457,51 @@ def connected_components(
             break
         prev_sum = new_sum
     return labels
+
+
+def eval_overlap_flags(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 13,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any
+    n-gram with an evaluation set (the GPT-3 appendix-C procedure —
+    13-gram collision against test sets — as two dataframe ops).
+
+    Returns every corpus row with ``n_shared`` (distinct shared
+    n-grams) and a 0/1 ``contaminated`` flag; the caller drops or
+    quarantines flagged rows.
+
+    Scale shape: the eval side is benchmarks (thousands of docs), so
+    its distinct shingle set broadcasts — the corpus side is ONE
+    map-side explode + broadcast semi-join + grouped count, with no
+    corpus shuffle until the (tiny) per-doc hit counts. A 100 TB
+    corpus never moves; only matches do.
+    """
+    # exploded_shingles, not word_shingles+explode: the posexplode+lead
+    # formulation runs in codegen (HOF shingling is interpreted) and
+    # its doc-id window shuffle spreads single-file test inputs across
+    # cores for free
+    ev = (
+        exploded_shingles(eval_docs, id_col, text_col, n)
+        .select(F.col("shingle").alias("_s"))
+        .distinct()
+    )
+    hits = (
+        exploded_shingles(corpus, id_col, text_col, n)
+        .selectExpr(f"doc_id_ AS {id_col}", "shingle AS _s")
+        .join(F.broadcast(ev), "_s")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        corpus.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+            (F.coalesce("n_shared", F.lit(0)) > 0).cast("int").alias("contaminated"),
+        )
+    )

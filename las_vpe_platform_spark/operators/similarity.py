@@ -121,3 +121,167 @@ def ivf_topk(
     )
     w = W.partitionBy("probe_key").orderBy(F.desc("similarity"), F.asc("gallery_key"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# --- signed-random-projection LSH (third ANN path: data-independent) --------
+
+def srp_weights(planes: int, dim: int, seed: str = "srp") -> list[list[float]]:
+    """Deterministic Rademacher (+-1) hyperplane matrix, derived from
+    md5 of (seed, plane, dim index) at PLAN-BUILD time — both engines
+    receive the same literal constants, so there is no runtime hash to
+    keep portable."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"{seed}:{j}:{i}".encode()).hexdigest()[0], 16) % 2 == 0
+            else -1.0
+            for i in range(dim)
+        ]
+        for j in range(planes)
+    ]
+
+
+def srp_neardup_pairs(
+    vectors: DataFrame,
+    id_col: str,
+    vector_col: str,
+    dim: int,
+    planes: int = 32,
+    bands: int = 4,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Near-dup pairs via signed random projections (Charikar 2002) —
+    the DATA-INDEPENDENT ANN path, complementing `ivf_topk` (which
+    needs a centroid pass over the data) and `embedding_neardup_pairs`
+    (which needs an upstream bucket column).
+
+    Each vector gets ``planes`` sign bits (does it fall left or right
+    of hyperplane j); bits are grouped into ``bands`` LSH tables so a
+    pair is a candidate if ANY band's bits all agree (same banding
+    logic as MinHash q24: per-band collision p^(planes/bands), OR'd
+    across bands). Candidates then get exact cosine verification.
+
+    Scale shape: signature computation is a map-only pass (the +-1
+    dot products are JVM folds over literal weight arrays); the only
+    shuffle is the per-band equi-join on (band, bucket), whose cost is
+    sum over buckets of C(n_bucket, 2) — data-independent hashing
+    keeps buckets balanced (~N/2^(planes/bands)) even when the corpus
+    is skewed, which is exactly when IVF centroids degrade.
+    """
+    per_band = planes // bands
+    if per_band * bands != planes:
+        raise ValueError("planes must divide evenly into bands")
+    w = srp_weights(planes, dim)
+
+    # ONE transform over the literal weight matrix instead of `planes`
+    # separate fold columns: the single nested-HOF expression skips
+    # `planes` whole-stage-codegen projections (~2x faster end-to-end
+    # here) while keeping the per-plane fold order identical to the
+    # oracle. The dots land as a materialized array column FIRST —
+    # the bucket arithmetic below references each element, and HOF
+    # lambdas re-evaluate inline subexpressions per use.
+    wlit = "array(" + ", ".join(
+        "array(" + ", ".join(f"{x:.1f}D" for x in row) + ")" for row in w
+    ) + ")"
+    dots = vectors.selectExpr(
+        id_col,
+        vector_col,
+        f"transform({wlit}, wrow -> aggregate(zip_with({vector_col}, wrow,"
+        " (x, y) -> CAST(x AS DOUBLE) * y), CAST(0 AS DOUBLE),"
+        " (acc, v) -> acc + v)) AS _dots",
+    )
+    buckets = [
+        " + ".join(
+            f"(CASE WHEN element_at(_dots, {b * per_band + r + 1}) >= 0.0D"
+            f" THEN {1 << r} ELSE 0 END)"
+            for r in range(per_band)
+        )
+        for b in range(bands)
+    ]
+    keys = dots.selectExpr(
+        id_col,
+        f"posexplode(array({', '.join(buckets)})) AS (band, bucket)",
+    )
+    cand = (
+        keys.alias("l")
+        .hint("shuffle_hash")
+        .join(keys.alias("r").hint("shuffle_hash"), on=["band", "bucket"])
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    e = vectors.select(
+        F.col(id_col), F.col(vector_col), l2_norm(vector_col).alias("_n")
+    )
+    a = e.selectExpr(f"{id_col} AS id_a", f"{vector_col} AS _va", "_n AS _na")
+    b = e.selectExpr(f"{id_col} AS id_b", f"{vector_col} AS _vb", "_n AS _nb")
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("cosine", dot_product("_va", "_vb") / (F.col("_na") * F.col("_nb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def srp_neardup_sql(
+    table: str,
+    id_col: str,
+    vector_col: str,
+    dim: int,
+    planes: int = 32,
+    bands: int = 4,
+    threshold: float = 0.3,
+) -> str:
+    """DuckDB mirror of :func:`srp_neardup_pairs`, generated from the
+    same weight constants (cosine rounded to 6 dp by the caller's
+    SELECT if needed)."""
+    per_band = planes // bands
+    w = srp_weights(planes, dim)
+
+    def lit_list(row: list[float]) -> str:
+        return "[" + ", ".join(f"{x:.1f}" for x in row) + "]"
+
+    dot_cols = ",\n         ".join(
+        f"list_sum(list_transform(generate_series(1, {dim}),"
+        f" i -> {vector_col}[i]::DOUBLE * ({lit_list(w[j])})[i])) AS _d{j}"
+        for j in range(planes)
+    )
+    buckets = ", ".join(
+        " + ".join(
+            f"(CASE WHEN _d{b * per_band + r} >= 0.0 THEN {1 << r} ELSE 0 END)"
+            for r in range(per_band)
+        )
+        for b in range(bands)
+    )
+    norm = (
+        f"sqrt(list_sum(list_transform({{v}}, x -> x::DOUBLE * x::DOUBLE)))"
+    )
+    dot_ab = (
+        f"list_sum(list_transform(generate_series(1, {dim}),"
+        " i -> a.{v}[i]::DOUBLE * b.{v}[i]::DOUBLE))"
+    ).format(v=vector_col)
+    return f"""
+WITH _dots AS (
+  SELECT {id_col}, {vector_col},
+         {dot_cols}
+  FROM {table}
+), _keys AS (
+  SELECT {id_col}, k.k AS band, ([{buckets}])[k.k + 1] AS bucket
+  FROM _dots, generate_series(0, {bands - 1}) AS k(k)
+), _cand AS (
+  SELECT DISTINCT l.{id_col} AS id_a, r.{id_col} AS id_b
+  FROM _keys l JOIN _keys r ON l.band = r.band AND l.bucket = r.bucket
+                            AND l.{id_col} < r.{id_col}
+)
+SELECT id_a, id_b,
+       {dot_ab} / ({norm.format(v='a.' + vector_col)} * {norm.format(v='b.' + vector_col)}) AS cosine
+FROM _cand
+JOIN {table} a ON a.{id_col} = _cand.id_a
+JOIN {table} b ON b.{id_col} = _cand.id_b
+WHERE {dot_ab} / ({norm.format(v='a.' + vector_col)} * {norm.format(v='b.' + vector_col)}) >= {threshold}
+"""

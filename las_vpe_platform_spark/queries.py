@@ -99,19 +99,24 @@ DRIVER_PRIORITY: list[str] = [
     "q30_tfidf_top_terms",
     "q31_embedding_neardup",
     "q32_cube_orders",
-    "q42_doc_repetition",
+    "q60_decontaminate",
     "q43_vocab_top_terms",
     "q45_dataset_split",
     "q48_bpeish_tokens",
     # -- overflow (>50): operators covered by an in-window query (exact
     #    dedup q23 / chunking q44 ⊂ the q50 composite; centroid agg q28
-    #    ⊂ q29's IVF assignment + d02's wide grouped avg; q49 int8
-    #    array math ~ q27/q48); all still DuckDB-verified by
-    #    tests/test_oracle_parity.py --
+    #    ⊂ q29's IVF assignment + d02's wide grouped avg; q42
+    #    repetition signals ~ q21 quality scoring; q49 int8 array math
+    #    ~ q27/q48; q59 SRP banding ~ q24/q29 ANN family; s02's
+    #    distinct ~ q23 with s01 gating the streaming harness); all
+    #    still DuckDB-verified by tests/test_oracle_parity.py --
     "q23_dedup_exact",
     "q28_label_centroids",
+    "q42_doc_repetition",
     "q44_doc_chunks",
     "q49_embedding_quantize",
+    "q59_srp_neardup",
+    "s02_stream_dedup",
     "q02_top_customers_per_nation",
     "q03_shipping_priority",
     "q04_regional_revenue",

@@ -1073,6 +1073,89 @@ def _q57_sql() -> str:
 Q57_SQL = _q57_sql()
 
 
+# --- q59: SRP-LSH near-dup pairs (data-independent ANN) ---------------------
+# Third ANN path after q27 (exact) and q29 (IVF): signed random
+# projections need no pass over the data to build buckets, so they
+# keep working when the corpus is skewed or streaming. Weights are
+# plan-time constants — both engines get identical hyperplanes.
+
+SRP_PLANES = 32
+SRP_BANDS = 4
+SRP_THRESHOLD = 0.3
+SRP_DIM = 64
+
+
+def q59_srp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.operators.similarity import srp_neardup_pairs
+
+    # unit-of-work repartition (see q27): one scan split at test SF,
+    # and the 32 signature folds are the compute
+    emb = _t(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    pairs = srp_neardup_pairs(
+        emb, id_col="vec_id", vector_col="embedding", dim=SRP_DIM,
+        planes=SRP_PLANES, bands=SRP_BANDS, threshold=SRP_THRESHOLD,
+    )
+    return pairs.select("id_a", "id_b", pround("cosine", 6).alias("cosine"))
+
+
+def _q59_sql() -> str:
+    from las_vpe_platform_spark.compat import sql_round
+    from las_vpe_platform_spark.operators.similarity import srp_neardup_sql
+
+    inner = srp_neardup_sql(
+        "embeddings", "vec_id", "embedding", dim=SRP_DIM,
+        planes=SRP_PLANES, bands=SRP_BANDS, threshold=SRP_THRESHOLD,
+    )
+    return (
+        f"SELECT id_a, id_b, {sql_round('cosine', 6)} AS cosine FROM ({inner}) t"
+    )
+
+
+Q59_SQL = _q59_sql()
+
+
+# --- q60: benchmark decontamination (13-gram eval overlap) ------------------
+# The GPT-3-style test-set decontamination pass: corpus docs sharing
+# any 13-gram with the (held-out) eval split are flagged for removal.
+# Here the eval set is the deterministic doc_id % 10 == 0 slice.
+
+DECONTAM_N = 13
+
+
+def q60_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.operators.dedup import eval_overlap_flags
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    return eval_overlap_flags(
+        corpus, ev, id_col="doc_id", text_col="text", n=DECONTAM_N
+    )
+
+
+Q60_SQL = f"""
+WITH _toks AS (
+  SELECT doc_id, {SQL_TOKENS} AS toks FROM documents
+), _sh AS (
+  SELECT doc_id, unnest({sql_shingles(DECONTAM_N)}) AS s FROM _toks
+), _ev AS (
+  SELECT DISTINCT s FROM _sh WHERE doc_id % 10 = 0
+), _hits AS (
+  SELECT doc_id, count(*)::BIGINT AS n_shared
+  FROM _sh JOIN _ev USING (s)
+  WHERE doc_id % 10 != 0
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(n_shared, 0)::BIGINT AS n_shared,
+       CAST(coalesce(n_shared, 0) > 0 AS INT) AS contaminated
+FROM documents d LEFT JOIN _hits USING (doc_id)
+WHERE d.doc_id % 10 != 0
+"""
+
+
 DATA_QUERIES = {
     "q20_doc_token_stats": (q20_doc_token_stats, Q20_SQL),
     "q21_doc_quality": (q21_doc_quality, Q21_SQL),
@@ -1099,4 +1182,6 @@ DATA_QUERIES = {
     "q54_corpus_mix": (q54_corpus_mix, Q54_SQL),
     "q55_dedup_clusters": (q55_dedup_clusters, Q55_SQL),
     "q57_neardup_pagerank": (q57_neardup_pagerank, Q57_SQL),
+    "q59_srp_neardup": (q59_srp_neardup, Q59_SQL),
+    "q60_decontaminate": (q60_decontaminate, Q60_SQL),
 }

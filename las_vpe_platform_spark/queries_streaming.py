@@ -82,6 +82,38 @@ SELECT (epoch_us(ts) // 300000000) * 300 AS window_start_epoch,
 FROM events GROUP BY 1, 2
 """
 
+def s02_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup of (user_id, event_type) via
+    dropDuplicatesWithinWatermark, run to completion over the
+    re-landed events table; the delay spans the dataset so the result
+    equals batch DISTINCT and is exactly oracle-checkable (the
+    bounded-state behavior itself is pytest-covered)."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    from las_vpe_platform_spark.streaming.engine import dedup_stream
+
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts_micros", F.expr("ts div 1000")
+    ).drop("ts")
+    src = tempfile.mkdtemp(prefix="s02_events_")
+    raw.coalesce(8).write.mode("overwrite").parquet(src)
+    stream = file_stream(spark, src, RAW_EVENTS_SCHEMA, max_files_per_trigger=4).withColumn(
+        "ts", F.timestamp_micros("ts_micros")
+    )
+    deduped = dedup_stream(
+        stream, ["user_id", "event_type"], "ts", delay="8760 hours"
+    ).select("user_id", "event_type")
+    name = f"s02_out_{uuid.uuid4().hex[:8]}"
+    return run_to_completion(deduped, name, output_mode="append")
+
+
+S02_SQL = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
 STREAMING_QUERIES = {
     "s01_stream_windowed_counts": (s01_stream_windowed_counts, S01_SQL),
+    "s02_stream_dedup": (s02_stream_dedup, S02_SQL),
 }

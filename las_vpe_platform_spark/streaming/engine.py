@@ -203,6 +203,31 @@ def windowed_counts(
     )
 
 
+def dedup_stream(
+    stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact-dedup on ``key_cols`` with bounded state:
+    ``dropDuplicatesWithinWatermark`` keeps a key's state only until
+    the watermark passes its event time + ``delay``, so state is
+    O(keys per delay horizon), not O(all keys ever) — the streaming
+    face of q23's exact dedup (K3's skip-already-stored check as an
+    operator instead of a storage lookup).
+
+    First occurrence of each key is emitted immediately (append mode);
+    duplicates arriving within the horizon are dropped. Choose
+    ``delay`` >= the max duplicate lag: a duplicate arriving later
+    than that re-emits (the bounded-state trade; with ``delay``
+    spanning the whole input the result equals batch DISTINCT, which
+    is how the s02 oracle checks this operator exactly).
+    """
+    return stream.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
 def foreach_batch_upsert(
     target_dir: str,
     key_cols: list[str],

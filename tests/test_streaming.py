@@ -540,3 +540,58 @@ def test_checkpoint_recovery_exactly_once(spark, events_dir, tmp_path):
     written_2 = spark.read.parquet(target)
     assert written_2.count() == base.count()                       # nothing lost
     assert written_2.select("event_id").distinct().count() == base.count()  # nothing duplicated
+
+
+def test_dedup_stream_bounded_state_reemits_after_horizon(spark, tmp_path):
+    """dropDuplicatesWithinWatermark contract: duplicates inside the
+    delay horizon are dropped; a duplicate arriving after the
+    watermark passed key_ts + delay re-emits (state was reclaimed) —
+    the bounded-state trade documented on dedup_stream."""
+    import pyspark.sql.types as T
+
+    from las_vpe_platform_spark.streaming.engine import (
+        dedup_stream,
+        file_stream,
+    )
+
+    schema = T.StructType(
+        [T.StructField("k", T.StringType()), T.StructField("ts_s", T.LongType())]
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def land(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / name))
+
+    base = 1_700_000_000
+    # batch 1: key A at t0 (+ in-horizon duplicate); batch 2 advances
+    # the watermark far past t0 + 10min; batch 3 lets the eviction
+    # land (state cleanup uses the PREVIOUS batch's closing watermark,
+    # so expired state survives exactly one extra batch); batch 4
+    # repeats key A after its state is gone
+    land("b1", [("A", base), ("A", base + 60), ("B", base)])
+    land("b2", [("C", base + 7200)])
+    land("b3", [("D", base + 7210)])
+    land("b4", [("A", base + 7260)])
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(str(src / "*"))
+        .withColumn("ts", F.timestamp_seconds("ts_s"))
+    )
+    deduped = dedup_stream(stream, ["k"], "ts", delay="10 minutes").select("k")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_horizon")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(r["k"] for r in spark.sql("SELECT k FROM dedup_horizon").collect())
+    # A emitted twice (horizon passed between b1 and b4), rest once
+    assert got == ["A", "A", "B", "C", "D"]
