@@ -98,21 +98,25 @@ DRIVER_PRIORITY: list[str] = [
     "q29_embedding_ivf_topk",
     "q30_tfidf_top_terms",
     "q31_embedding_neardup",
-    "q32_cube_orders",
+    "q61_span_dedup",
     "q60_decontaminate",
-    "q43_vocab_top_terms",
+    "q62_sequence_pack",
     "q45_dataset_split",
     "q48_bpeish_tokens",
     # -- overflow (>50): operators covered by an in-window query (exact
     #    dedup q23 / chunking q44 ⊂ the q50 composite; centroid agg q28
-    #    ⊂ q29's IVF assignment + d02's wide grouped avg; q42
-    #    repetition signals ~ q21 quality scoring; q49 int8 array math
-    #    ~ q27/q48; q59 SRP banding ~ q24/q29 ANN family; s02's
-    #    distinct ~ q23 with s01 gating the streaming harness); all
-    #    still DuckDB-verified by tests/test_oracle_parity.py --
+    #    ⊂ q29's IVF assignment + d02's wide grouped avg; q32 cube ~
+    #    q16 pivot + q17 rollup grouping analytics; q42 repetition
+    #    signals ~ q21 quality scoring; q43 vocab ~ q30 TF-IDF term
+    #    stats; q49 int8 array math ~ q27/q48; q59 SRP banding ~
+    #    q24/q29 ANN family; s02's distinct ~ q23 with s01 gating the
+    #    streaming harness); all still DuckDB-verified by
+    #    tests/test_oracle_parity.py --
     "q23_dedup_exact",
     "q28_label_centroids",
+    "q32_cube_orders",
     "q42_doc_repetition",
+    "q43_vocab_top_terms",
     "q44_doc_chunks",
     "q49_embedding_quantize",
     "q59_srp_neardup",

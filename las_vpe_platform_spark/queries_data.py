@@ -1156,6 +1156,126 @@ WHERE d.doc_id % 10 != 0
 """
 
 
+# --- q61: C4-style duplicate-span removal -----------------------------------
+# Raffel et al. 2020 §2.2 drop repeated three-sentence spans; the
+# synthetic corpus has no sentence punctuation, so the unit is a
+# 16-token span. First occurrence corpus-wide wins (total order on
+# (doc_id, span_idx)), later copies are dropped.
+
+SPAN_TOKENS = 16
+
+
+def q61_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.operators.packing import dedup_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_spans(
+        docs, id_col="doc_id", text_col="text", span_tokens=SPAN_TOKENS
+    )
+
+
+Q61_SQL = f"""
+WITH _toks AS (
+  SELECT doc_id, {SQL_TOKENS} AS toks FROM documents
+), _spans AS (
+  SELECT doc_id, i AS span_idx,
+         array_to_string(toks[(i * {SPAN_TOKENS} + 1):(i * {SPAN_TOKENS} + {SPAN_TOKENS})], ' ') AS span,
+         least({SPAN_TOKENS}, len(toks) - i * {SPAN_TOKENS})::BIGINT AS span_toks
+  FROM _toks,
+       unnest(generate_series(0,
+         CAST(ceil(len(toks) / {SPAN_TOKENS}.0) AS BIGINT) - 1)) AS t(i)
+  WHERE len(toks) > 0
+), _ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY span ORDER BY doc_id, span_idx) AS rn
+  FROM _spans
+)
+SELECT doc_id,
+       count(*)::BIGINT AS n_spans,
+       sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       sum(CASE WHEN rn = 1 THEN span_toks ELSE 0 END)::BIGINT AS tokens_kept,
+       sum(CASE WHEN rn = 1
+                THEN ('0x' || substr(md5(span), 1, 15))::BIGINT % 1000003
+                ELSE 0 END)::BIGINT AS span_sig
+FROM _ranked GROUP BY doc_id
+"""
+
+
+# --- q62: sequence packing into context windows -----------------------------
+# GPT-style pack-then-chunk: concatenate documents in a deterministic
+# md5-shuffled order and slice the token stream into PACK_CTX-length
+# windows. Spark runs a distributed two-phase prefix sum (range
+# repartition + per-partition mapInPandas scan + broadcast offsets);
+# the oracle replays it with one window function. Per-bin row:
+# how many documents touch the bin, how many of them are split across
+# a bin edge, and the token fill (== PACK_CTX except the last bin).
+
+PACK_CTX = 256
+
+
+def q62_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", token_count("text").cast("bigint").alias("n_toks")
+    )
+    packed = pack_sequences(toks, id_col="doc_id", n_tokens_col="n_toks")
+    c = PACK_CTX
+    x = packed.selectExpr(
+        "doc_id",
+        "n",
+        "prefix",
+        f"prefix div {c} AS sb",
+        f"(prefix + n - 1) div {c} AS eb",
+    ).select("*", F.expr("explode(sequence(sb, eb))").alias("bin"))
+    return x.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(
+            F.least(
+                (F.col("bin") + 1) * c, F.col("prefix") + F.col("n")
+            )
+            - F.greatest(F.col("bin") * c, F.col("prefix"))
+        )
+        .cast("bigint")
+        .alias("n_tokens"),
+        F.sum(
+            ((F.col("sb") < F.col("bin")) | (F.col("eb") > F.col("bin"))).cast(
+                "bigint"
+            )
+        ).alias("n_split_docs"),
+    )
+
+
+Q62_SQL = f"""
+WITH _d AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS _ord,
+         len({SQL_TOKENS})::BIGINT AS n
+  FROM documents
+  WHERE len({SQL_TOKENS}) > 0
+), _p AS (
+  SELECT doc_id, n,
+         coalesce(sum(n) OVER (ORDER BY _ord, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS prefix
+  FROM _d
+), _b AS (
+  SELECT doc_id, n, prefix,
+         prefix // {PACK_CTX} AS sb,
+         (prefix + n - 1) // {PACK_CTX} AS eb
+  FROM _p
+), _x AS (
+  SELECT doc_id, n, prefix, sb, eb, bin
+  FROM _b, unnest(generate_series(sb, eb)) AS t(bin)
+)
+SELECT bin,
+       count(*)::BIGINT AS n_docs,
+       sum(least((bin + 1) * {PACK_CTX}, prefix + n)
+           - greatest(bin * {PACK_CTX}, prefix))::BIGINT AS n_tokens,
+       sum(CASE WHEN sb < bin OR eb > bin THEN 1 ELSE 0 END)::BIGINT AS n_split_docs
+FROM _x GROUP BY bin
+"""
+
+
 DATA_QUERIES = {
     "q20_doc_token_stats": (q20_doc_token_stats, Q20_SQL),
     "q21_doc_quality": (q21_doc_quality, Q21_SQL),
@@ -1184,4 +1304,6 @@ DATA_QUERIES = {
     "q57_neardup_pagerank": (q57_neardup_pagerank, Q57_SQL),
     "q59_srp_neardup": (q59_srp_neardup, Q59_SQL),
     "q60_decontaminate": (q60_decontaminate, Q60_SQL),
+    "q61_span_dedup": (q61_span_dedup, Q61_SQL),
+    "q62_sequence_pack": (q62_sequence_pack, Q62_SQL),
 }
