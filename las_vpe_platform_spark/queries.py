@@ -101,18 +101,20 @@ DRIVER_PRIORITY: list[str] = [
     "q61_span_dedup",
     "q60_decontaminate",
     "q62_sequence_pack",
-    "q45_dataset_split",
+    "q63_bloom_semi_join",
     "q48_bpeish_tokens",
     # -- overflow (>50): operators covered by an in-window query (exact
     #    dedup q23 / chunking q44 ⊂ the q50 composite; centroid agg q28
     #    ⊂ q29's IVF assignment + d02's wide grouped avg; q32 cube ~
     #    q16 pivot + q17 rollup grouping analytics; q42 repetition
     #    signals ~ q21 quality scoring; q43 vocab ~ q30 TF-IDF term
-    #    stats; q49 int8 array math ~ q27/q48; q59 SRP banding ~
-    #    q24/q29 ANN family; s02's distinct ~ q23 with s01 gating the
-    #    streaming harness); all still DuckDB-verified by
+    #    stats; q45 split hashing ~ q54/q62's md5-acceptance family;
+    #    q49 int8 array math ~ q27/q48; q59 SRP banding ~ q24/q29 ANN
+    #    family; s02's distinct ~ q23 with s01 gating the streaming
+    #    harness); all still DuckDB-verified by
     #    tests/test_oracle_parity.py --
     "q23_dedup_exact",
+    "q45_dataset_split",
     "q28_label_centroids",
     "q32_cube_orders",
     "q42_doc_repetition",

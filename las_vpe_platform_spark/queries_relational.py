@@ -985,6 +985,96 @@ FROM _win GROUP BY 1
 """
 
 
+# --- q63: Bloom-filter semi-join with measured false positives --------------
+# Build a deterministic Bloom filter from high-balance customers,
+# probe every order WITHOUT shuffling the orders table (k broadcast
+# block-joins), and tally bloom-pass vs exact-match per priority —
+# the false-positive column is the filter's measured error, identical
+# in both engines because the bit positions are portable md5 hashes.
+
+# m sized to ~2.5 bits/key at sf0.01 so the false-positive columns are
+# nonzero and must match exactly — a bigger m only proves the happy path
+BLOOM_M = 1024
+BLOOM_K = 4
+BLOOM_ACCTBAL = 9000.0
+
+
+def q63_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.operators.bloom import bloom_build, bloom_probe
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    rich = cust.filter(F.col("c_acctbal") >= BLOOM_ACCTBAL).select("c_custkey")
+    blocks = bloom_build(rich, "c_custkey", m=BLOOM_M, k=BLOOM_K)
+    probed = bloom_probe(orders, "o_custkey", blocks, m=BLOOM_M, k=BLOOM_K)
+    truth = rich.withColumnRenamed("c_custkey", "o_custkey").withColumn(
+        "_true", F.lit(True)
+    )
+    return (
+        probed.join(F.broadcast(truth), "o_custkey", "left")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_probed"),
+            F.sum(F.col("bloom_pass").cast("bigint")).alias("n_bloom_pass"),
+            F.sum(F.coalesce(F.col("_true"), F.lit(False)).cast("bigint")).alias(
+                "n_true_match"
+            ),
+            F.sum(
+                (F.col("bloom_pass") & F.col("_true").isNull()).cast("bigint")
+            ).alias("n_false_pos"),
+        )
+    )
+
+
+def _q63_sql() -> str:
+    from las_vpe_platform_spark.operators.bloom import BITS_PER_BLOCK, bloom_sql_bit
+
+    build_bits = " UNION ALL ".join(
+        f"SELECT {bloom_sql_bit('c_custkey', j, BLOOM_M)} AS bit"
+        f" FROM customer WHERE c_acctbal >= {BLOOM_ACCTBAL}"
+        for j in range(BLOOM_K)
+    )
+    probe_joins = "\n".join(
+        f"LEFT JOIN blocks b{j} ON b{j}.block = "
+        f"({bloom_sql_bit('o.o_custkey', j, BLOOM_M)} // {BITS_PER_BLOCK})"
+        for j in range(BLOOM_K)
+    )
+    hit = " AND ".join(
+        f"coalesce((b{j}.mask & (1::BIGINT << "
+        f"({bloom_sql_bit('o.o_custkey', j, BLOOM_M)} % {BITS_PER_BLOCK})::INT))"
+        f" = (1::BIGINT << ({bloom_sql_bit('o.o_custkey', j, BLOOM_M)} % {BITS_PER_BLOCK})::INT), FALSE)"
+        for j in range(BLOOM_K)
+    )
+    return f"""
+WITH bits AS ({build_bits}),
+blocks AS (
+  SELECT bit // {BITS_PER_BLOCK} AS block,
+         bit_or(1::BIGINT << (bit % {BITS_PER_BLOCK})::INT) AS mask
+  FROM bits GROUP BY 1
+),
+truth AS (
+  SELECT DISTINCT c_custkey FROM customer WHERE c_acctbal >= {BLOOM_ACCTBAL}
+),
+probed AS (
+  SELECT o.o_orderpriority,
+         ({hit}) AS bloom_pass,
+         t.c_custkey IS NOT NULL AS true_match
+  FROM orders o
+  {probe_joins}
+  LEFT JOIN truth t ON t.c_custkey = o.o_custkey
+)
+SELECT o_orderpriority,
+       count(*)::BIGINT AS n_probed,
+       sum(CASE WHEN bloom_pass THEN 1 ELSE 0 END)::BIGINT AS n_bloom_pass,
+       sum(CASE WHEN true_match THEN 1 ELSE 0 END)::BIGINT AS n_true_match,
+       sum(CASE WHEN bloom_pass AND NOT true_match THEN 1 ELSE 0 END)::BIGINT AS n_false_pos
+FROM probed GROUP BY o_orderpriority
+"""
+
+
+Q63_SQL = _q63_sql()
+
+
 RELATIONAL_QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_top_customers_per_nation": (q02_top_customers_per_nation, Q02_SQL),
@@ -1019,4 +1109,5 @@ RELATIONAL_QUERIES = {
     "q52_purchase_window_clicks": (q52_purchase_window_clicks, Q52_SQL),
     "q56_distinct_sketch": (q56_distinct_sketch, Q56_SQL),
     "q58_hopping_window_stats": (q58_hopping_window_stats, Q58_SQL),
+    "q63_bloom_semi_join": (q63_bloom_semi_join, Q63_SQL),
 }
