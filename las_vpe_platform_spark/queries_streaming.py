@@ -113,7 +113,84 @@ S02_SQL = """
 SELECT DISTINCT user_id, event_type FROM events
 """
 
+def s03_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming sessionization (applyInPandasWithState,
+    SURVEY T7): closed 30-minute-gap sessions per user over a
+    re-landed events table, processed as FOUR time-sliced micro-batches
+    (landed oldest-first so event time advances across batches, the
+    arrival order the operator contracts for).
+
+    A session closes when its user's next event arrives past the gap;
+    each user's LAST session never closes (no later event exists), so
+    the oracle is batch sessionization minus each user's final session
+    — deterministic, and exactly the emitted-rows contract.
+    """
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    from las_vpe_platform_spark.streaming.stateful import sessionize_stream
+
+    raw = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .withColumn("ts_micros", F.expr("ts div 1000"))
+        .drop("ts")
+    )
+    lo, hi = raw.agg(F.min("ts_micros"), F.max("ts_micros")).first()
+    src = tempfile.mkdtemp(prefix="s03_events_")
+    step = (hi - lo) // 4 + 1
+    for i in range(4):  # sequential writes -> increasing mtimes -> batch order
+        raw.filter(
+            (F.col("ts_micros") >= lo + i * step)
+            & (F.col("ts_micros") < lo + (i + 1) * step)
+        ).coalesce(1).write.mode("overwrite").parquet(f"{src}/slice{i}")
+    stream = (
+        spark.readStream.schema(RAW_EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(f"{src}/*")
+        .withColumn("ts", F.timestamp_micros("ts_micros"))
+    )
+    sessions = sessionize_stream(stream, "user_id", "ts", gap_seconds=1800)
+    name = f"s03_out_{uuid.uuid4().hex[:8]}"
+    closed = run_to_completion(sessions, name, output_mode="append")
+    return closed.select(
+        "user_id",
+        F.unix_micros("session_start").alias("start_us"),
+        F.unix_micros("session_end").alias("end_us"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+    )
+
+
+S03_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                   > 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), sess AS (
+  -- running sum uses the SAME (ts, event_id) order as the lag above,
+  -- so tied timestamps land in the same session deterministically
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+), agg AS (
+  SELECT user_id, sid,
+         epoch_us(min(ts)) AS start_us,
+         epoch_us(max(ts)) AS end_us,
+         count(*)::BIGINT AS n_events,
+         max(sid) OVER (PARTITION BY user_id) AS max_sid
+  FROM sess GROUP BY user_id, sid
+)
+SELECT user_id, start_us, end_us, n_events
+FROM agg WHERE sid < max_sid
+"""
+
+
 STREAMING_QUERIES = {
     "s01_stream_windowed_counts": (s01_stream_windowed_counts, S01_SQL),
     "s02_stream_dedup": (s02_stream_dedup, S02_SQL),
+    "s03_stream_sessions": (s03_stream_sessions, S03_SQL),
 }

@@ -38,6 +38,14 @@ HEADLINERS = [
      "two cascaded hash aggregates ((group,bucket) max then group sum) with map-side partials; shuffle bounded by m x groups regardless of input size"),
     ("q58_hopping_window_stats",
      "F.window slide expands map-side (no self-join); one partial+final hash aggregate over the exploded windows"),
+    ("q59_srp_neardup",
+     "all 32 signature dots in ONE transform over literal weights; candidates via banded shuffle-hash equi-join, exact cosine only on candidates"),
+    ("q60_decontaminate",
+     "eval shingle set broadcast; the corpus side is explode + broadcast semi-join + grouped count — the corpus never shuffles before the (tiny) hit counts"),
+    ("q62_sequence_pack",
+     "distributed two-phase prefix sum: one range exchange, per-partition Arrow scan, broadcast partition offsets — no single-task global window"),
+    ("q63_bloom_semi_join",
+     "k broadcast block-joins probe the bit set; the orders lineage has no exchange until the final stats aggregate"),
 ]
 
 
