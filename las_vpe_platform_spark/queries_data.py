@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 from las_vpe_platform_spark.compat import pround
 
@@ -1276,6 +1277,66 @@ FROM _x GROUP BY bin
 """
 
 
+# --- q64: bigram-novelty quality signal -------------------------------------
+# The corpus-statistics face of LM-based quality filtering: score each
+# document by how many of its bigrams are RARE corpus-wide (document
+# frequency <= threshold) — the integer-exact proxy for "high
+# perplexity under a corpus-trained LM" (real pipelines: KenLM /
+# CCNet); float log-probs would make the oracle hash fragile, doc
+# frequencies make it exact.
+
+RARE_DF = 2
+
+
+def q64_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.operators.dedup import exploded_shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    # distinct per-doc bigrams -> inverted index: corpus doc-frequency
+    # per bigram, joined back on the SAME shingle partitioning (no
+    # extra exchange between the groupBy and the join), then one
+    # re-group by doc. Cost = 2 shuffles of the bigram stream — the
+    # q26/q30 inverted-index shape, linear in corpus tokens.
+    sh = exploded_shingles(docs, id_col="doc_id", text_col="text", k=2)
+    # doc-frequency as a WINDOW count over the shingle partition, not a
+    # groupBy + join-back: the join formulation recomputes the whole
+    # shingle subtree per branch (column pruning defeats exchange
+    # reuse), while the window is one shuffle and one pass
+    dfreq = sh.withColumn(
+        "_df", F.count(F.lit(1)).over(W.partitionBy("shingle"))
+    )
+    return (
+        dfreq.groupBy(F.col("doc_id_").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum((F.col("_df") <= RARE_DF).cast("bigint")).alias("n_rare"),
+        )
+        .withColumn(
+            "novelty_pm",
+            F.expr("(1000 * n_rare) div n_bigrams").cast("bigint"),
+        )
+    )
+
+
+Q64_SQL = f"""
+WITH _toks AS (
+  SELECT doc_id, {SQL_TOKENS} AS toks FROM documents
+), _sh AS (
+  SELECT DISTINCT doc_id, s FROM (
+    SELECT doc_id, unnest({sql_shingles(2)}) AS s FROM _toks
+  )
+), _df AS (
+  SELECT s, count(*)::BIGINT AS df FROM _sh GROUP BY s
+)
+SELECT doc_id,
+       count(*)::BIGINT AS n_bigrams,
+       sum(CASE WHEN df <= {RARE_DF} THEN 1 ELSE 0 END)::BIGINT AS n_rare,
+       ((1000 * sum(CASE WHEN df <= {RARE_DF} THEN 1 ELSE 0 END)) // count(*))::BIGINT AS novelty_pm
+FROM _sh JOIN _df USING (s)
+GROUP BY doc_id
+"""
+
+
 DATA_QUERIES = {
     "q20_doc_token_stats": (q20_doc_token_stats, Q20_SQL),
     "q21_doc_quality": (q21_doc_quality, Q21_SQL),
@@ -1306,4 +1367,5 @@ DATA_QUERIES = {
     "q60_decontaminate": (q60_decontaminate, Q60_SQL),
     "q61_span_dedup": (q61_span_dedup, Q61_SQL),
     "q62_sequence_pack": (q62_sequence_pack, Q62_SQL),
+    "q64_bigram_novelty": (q64_bigram_novelty, Q64_SQL),
 }
