@@ -76,3 +76,22 @@ def time_bucket(ts: Column | str, unit: str = "minute") -> Column:
     """
     c = F.col(ts) if isinstance(ts, str) else ts
     return F.date_trunc(unit, c)
+
+
+def ntz_epoch_micros(ts: Column | str) -> Column:
+    """Epoch microseconds of a TIMESTAMP_NTZ, session-timezone independent.
+
+    ``unix_micros(cast(ntz as timestamp))`` and even
+    ``timestampdiff(MICROSECOND, ntz, ntz)`` route the naive wall clock
+    through the session timezone (a wall clock inside a DST gap shifts
+    by an hour), so neither is safe when the session TZ is unknown.
+    Pure calendar arithmetic — days since epoch, seconds within the
+    day, microsecond fraction — never consults a timezone and matches
+    DuckDB's ``epoch_us(TIMESTAMP)`` bit-for-bit.
+    """
+    c = F.col(ts) if isinstance(ts, str) else ts
+    days = F.datediff(c.cast("date"), F.lit("1970-01-01").cast("date")).cast("bigint")
+    secs_of_day = (F.hour(c) * 3600 + F.minute(c) * 60).cast("bigint")
+    # date_part('SECOND') is DECIMAL(8,6): whole seconds + exact micro fraction
+    micros = (F.date_part(F.lit("SECOND"), c) * 1000000).cast("bigint")
+    return days * F.lit(86400000000) + secs_of_day * F.lit(1000000) + micros

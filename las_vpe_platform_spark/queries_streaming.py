@@ -16,12 +16,31 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from las_vpe_platform_spark.functions.scalar import ntz_epoch_micros
 from las_vpe_platform_spark.sources.tables import load_table
 from las_vpe_platform_spark.streaming.engine import (
     file_stream,
     run_to_completion,
     windowed_counts,
 )
+
+
+def _events_micros(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events with ``ts`` replaced by absolute epoch-micros (``ts_micros``).
+
+    Goes through ``load_table`` (which normalizes whatever parquet
+    timestamp encoding the driver produced — nanos-long or
+    timestamp[us] — to TIMESTAMP_NTZ) and then converts wall clock to
+    epoch micros with timezone-free calendar arithmetic, so the
+    re-landed streaming source carries the same absolute instants in
+    every session timezone.
+    """
+    return (
+        load_table(spark, sf_dir, "events")
+        .withColumn("ts_micros", ntz_epoch_micros("ts"))
+        .drop("ts")
+        .select("event_id", "ts_micros", "user_id", "event_type", "value", "props")
+    )
 
 # Watermarks require an absolute (LTZ) event-time column, so the
 # streaming path keeps epoch micros end-to-end: source carries the raw
@@ -46,13 +65,7 @@ def s01_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output uses epoch seconds for the window start so the comparison is
     session-timezone independent.
     """
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-        "ts_micros", F.expr("ts div 1000")
-    ).drop("ts")
+    raw = _events_micros(spark, sf_dir)
     src = tempfile.mkdtemp(prefix="s01_events_")
     # 8 files / 4 per trigger = 2 micro-batches: still proves
     # incremental multi-trigger processing (the many-trigger case is
@@ -88,15 +101,9 @@ def s02_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-landed events table; the delay spans the dataset so the result
     equals batch DISTINCT and is exactly oracle-checkable (the
     bounded-state behavior itself is pytest-covered)."""
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass
     from las_vpe_platform_spark.streaming.engine import dedup_stream
 
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-        "ts_micros", F.expr("ts div 1000")
-    ).drop("ts")
+    raw = _events_micros(spark, sf_dir)
     src = tempfile.mkdtemp(prefix="s02_events_")
     raw.coalesce(8).write.mode("overwrite").parquet(src)
     stream = file_stream(spark, src, RAW_EVENTS_SCHEMA, max_files_per_trigger=4).withColumn(
@@ -125,17 +132,9 @@ def s03_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle is batch sessionization minus each user's final session
     — deterministic, and exactly the emitted-rows contract.
     """
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass
     from las_vpe_platform_spark.streaming.stateful import sessionize_stream
 
-    raw = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
-        .withColumn("ts_micros", F.expr("ts div 1000"))
-        .drop("ts")
-    )
+    raw = _events_micros(spark, sf_dir)
     lo, hi = raw.agg(F.min("ts_micros"), F.max("ts_micros")).first()
     src = tempfile.mkdtemp(prefix="s03_events_")
     step = (hi - lo) // 4 + 1
