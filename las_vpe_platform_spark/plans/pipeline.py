@@ -225,6 +225,15 @@ class BatchExecutor:
 
     def _stage_tracking(self, node: Node, inputs: dict[str, DataFrame]) -> DataFrame:
         videos = inputs["SOURCE"]
+        # unit-of-work repartition: tracking cost is per-VIDEO, so the
+        # task split must not inherit the source's file-block layout (a
+        # single-file catalog arrives as ONE partition and would track
+        # every video serially in one Python worker). Same rationale as
+        # the reference's per-video task fan-out
+        # (PedestrianTrackingApp.java: one RDD element per video).
+        par = videos.sparkSession.sparkContext.defaultParallelism
+        if videos.rdd.getNumPartitions() < par:
+            videos = videos.repartition(par)
         tracklets = self.track_fn(videos)
         if self.term_sigs is not None:
             tracklets = term_sig_filter(tracklets, self.term_sigs, key="task_id")
