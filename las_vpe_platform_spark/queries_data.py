@@ -27,6 +27,7 @@ from las_vpe_platform_spark.functions.text import (
     quality_score,
     stopword_ratio,
     token_count,
+    tokens,
     word_shingles,
 )
 from las_vpe_platform_spark.operators.dedup import (
@@ -1337,6 +1338,142 @@ GROUP BY doc_id
 """
 
 
+# --- q65: BM25 retrieval top-k ----------------------------------------------
+# Lexical retrieval over the corpus: score every document against a
+# fixed query-term set with BM25 (Robertson/Sparck Jones probabilistic
+# idf, k1/b length normalization) and return the top-k. The retrieval
+# face of q30's tf-idf statistics — what a training-data pipeline runs
+# to mine topical subsets or to quality-filter against a seed query
+# set. Scale shape: ONE token explode feeds both the per-doc length
+# and the tf of the (tiny, broadcast) query-term subset; scoring is a
+# broadcast join + fixed-arity arithmetic, and only the global top-k
+# shuffles (TakeOrderedAndProject) — no full-corpus sort.
+#
+# Floating-point determinism: each term's contribution is summed in a
+# FIXED left-associative order (conditional-sum pivot per term, then
+# c0+c1+c2+c3), never via an unordered SUM over term rows, so Spark
+# and DuckDB produce bit-identical doubles and the rank order can't be
+# perturbed by aggregation order.
+
+BM25_TERMS = ["spark", "join", "vector", "stream"]
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 50
+
+
+def q65_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W2
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("term").isin(BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    contrib = (
+        tf.join(F.broadcast(dfc), on="term")
+        .join(dl, on="doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+                + F.lit(1.0)
+            ),
+        )
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * (F.col("tf") * F.lit(BM25_K1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(BM25_K1)
+                * (
+                    F.lit(1.0 - BM25_B)
+                    + F.lit(BM25_B) * F.col("dl") / F.col("avgdl")
+                )
+            ),
+        )
+    )
+    # fixed-order sum: one conditional-sum column per query term,
+    # added left-to-right — aggregation-order independent
+    per_term = contrib.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.col("term") == t, F.col("contrib")).otherwise(F.lit(0.0))).alias(f"_c{i}")
+            for i, t in enumerate(BM25_TERMS)
+        ],
+        F.count(F.lit(1)).alias("n_terms_hit"),
+    )
+    score = F.col("_c0")
+    for i in range(1, len(BM25_TERMS)):
+        score = score + F.col(f"_c{i}")
+    scored = per_term.withColumn("score", score)
+    # distributed top-k FIRST (TakeOrderedAndProject — per-partition
+    # heads + one driver merge, no global sort), then rank the k
+    # survivors with a window over that tiny set
+    topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(BM25_TOPK)
+    w = W2.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        topk.withColumn("rank", F.row_number().over(w))
+        .select(
+            "doc_id",
+            F.col("n_terms_hit").cast("bigint").alias("n_terms_hit"),
+            F.col("rank").cast("bigint").alias("rank"),
+            pround("score", 6).alias("score"),
+        )
+    )
+
+
+def _q65_sql() -> str:
+    terms_list = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    csums = ", ".join(
+        f"sum(CASE WHEN term = '{t}' THEN contrib ELSE 0.0 END) AS _c{i}"
+        for i, t in enumerate(BM25_TERMS)
+    )
+    score = " + ".join(f"_c{i}" for i in range(len(BM25_TERMS)))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({SQL_TOKENS}) AS term FROM documents
+), dl AS (
+  SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+), stats AS (
+  SELECT count(*) AS n_docs, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term IN ({terms_list}) GROUP BY doc_id, term
+), dfc AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), contrib AS (
+  SELECT tf.doc_id, tf.term,
+         ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+           * (tf * {BM25_K1 + 1.0!r})
+           / (tf + {BM25_K1!r} * ({1.0 - BM25_B!r} + {BM25_B!r} * dl / avgdl)) AS contrib
+  FROM tf JOIN dfc USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+), per_doc AS (
+  SELECT doc_id, {csums}, count(*)::BIGINT AS n_terms_hit
+  FROM contrib GROUP BY doc_id
+), ranked AS (
+  SELECT doc_id, n_terms_hit, ({score}) AS score,
+         row_number() OVER (ORDER BY ({score}) DESC, doc_id) AS rank
+  FROM per_doc
+)
+SELECT doc_id, n_terms_hit, rank::BIGINT AS rank,
+       floor((score) * 1000000.0 + 0.5) / 1000000.0 AS score
+FROM ranked WHERE rank <= {BM25_TOPK}
+"""
+
+
+Q65_SQL = _q65_sql()
+
+
 DATA_QUERIES = {
     "q20_doc_token_stats": (q20_doc_token_stats, Q20_SQL),
     "q21_doc_quality": (q21_doc_quality, Q21_SQL),
@@ -1368,4 +1505,5 @@ DATA_QUERIES = {
     "q61_span_dedup": (q61_span_dedup, Q61_SQL),
     "q62_sequence_pack": (q62_sequence_pack, Q62_SQL),
     "q64_bigram_novelty": (q64_bigram_novelty, Q64_SQL),
+    "q65_bm25_topk": (q65_bm25_topk, Q65_SQL),
 }

@@ -216,8 +216,77 @@ FROM agg WHERE sid < max_sid
 """
 
 
+def s04_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (the J-family in streaming form,
+    q52's batch range join as a live pipeline): click events joined to
+    the purchase whose 30-minute attribution window contains them,
+    both sides arriving as independent file streams.
+
+    The re-landed files are not time-ordered, so the watermark spans
+    the whole input (s02's trick): inner joins emit on match without
+    waiting for the watermark, and nothing is ever dropped as late —
+    the emitted pair set is exactly the batch range join, which is the
+    oracle. Bounded-state behavior with a tight watermark is
+    engine-level and covered by tests/test_streaming.py.
+    """
+    from las_vpe_platform_spark.streaming.engine import watermarked_interval_join
+
+    raw = _events_micros(spark, sf_dir)
+    src = tempfile.mkdtemp(prefix="s04_events_")
+    raw.coalesce(8).write.mode("overwrite").parquet(src)
+
+    def typed_stream():
+        return file_stream(
+            spark, src, RAW_EVENTS_SCHEMA, max_files_per_trigger=4
+        ).withColumn("ts", F.timestamp_micros("ts_micros"))
+
+    clicks = (
+        typed_stream()
+        .filter(F.col("event_type") == "click")
+        .select("user_id", F.col("event_id").alias("click_id"), "ts")
+    )
+    purchases = (
+        typed_stream()
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_start"),
+            (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("p_end"),
+        )
+    )
+    joined = watermarked_interval_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_start="p_start",
+        right_end="p_end",
+        watermark="8760 hours",
+    )
+    pairs = joined.select(clicks["user_id"], "click_id", "purchase_id")
+    name = f"s04_out_{uuid.uuid4().hex[:8]}"
+    with _stream_partitions(spark):
+        return run_to_completion(pairs, name, output_mode="append")
+
+
+S04_SQL = """
+WITH p AS (
+  SELECT user_id, event_id AS purchase_id, ts AS p_start,
+         ts + INTERVAL 30 MINUTE AS p_end
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, event_id AS click_id, ts FROM events WHERE event_type = 'click'
+)
+SELECT c.user_id, c.click_id, p.purchase_id
+FROM c JOIN p ON c.user_id = p.user_id
+             AND c.ts >= p.p_start AND c.ts <= p.p_end
+"""
+
+
 STREAMING_QUERIES = {
     "s01_stream_windowed_counts": (s01_stream_windowed_counts, S01_SQL),
     "s02_stream_dedup": (s02_stream_dedup, S02_SQL),
     "s03_stream_sessions": (s03_stream_sessions, S03_SQL),
+    "s04_stream_interval_join": (s04_stream_interval_join, S04_SQL),
 }

@@ -188,6 +188,37 @@ def watermarked_full_outer_join(
     return lw.join(rw, cond & range_cond, "full_outer")
 
 
+def watermarked_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_start: str,
+    right_end: str,
+    watermark: str = "60 minutes",
+) -> DataFrame:
+    """Stream-stream INNER join on equi keys + a point-in-interval
+    bound (left row's event time inside [right_start, right_end]).
+
+    The streaming face of ``operators.joins.range_join``: matches emit
+    as soon as both partners have arrived (inner joins don't wait for
+    the watermark); the watermark + the interval bound let Spark
+    expire join state once no future match is possible, so state is
+    O(rows per watermark horizon) per key — the 100 TB knob. Pass a
+    watermark spanning the whole input to make the result exactly
+    equal to the batch range join (nothing ever dropped as late) for
+    oracle comparison.
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_start, watermark)
+    cond = None
+    for c in on:
+        eq = lw[c] == rw[c]
+        cond = eq if cond is None else cond & eq
+    interval = (lw[left_ts] >= rw[right_start]) & (lw[left_ts] <= rw[right_end])
+    return lw.join(rw, cond & interval, "inner")
+
+
 def windowed_counts(
     stream: DataFrame,
     ts_col: str,
