@@ -75,6 +75,39 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def incremental_dedup(
+    new_df: DataFrame,
+    stored_df: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Dedup an INCOMING batch against an already-stored corpus plus
+    within itself — the reference's global skip-already-stored check
+    (DataManagingApp.java:422-473: tracklets/HAR existence test before
+    save) as the LLM-ingest operator: only never-seen content lands.
+
+    Two stages, both keyed on the content fingerprint:
+    1. LEFT ANTI join against the stored side's fingerprints —
+       content that exists anywhere in the corpus is dropped.
+    2. Within-batch keeper rule: min id per fingerprint (q23's rule).
+
+    Scale shape: the stored side scans ONE narrow column (the
+    fingerprint — store it materialized, so the scan is MBs per TB of
+    corpus); both stages shuffle on the fingerprint only. With a very
+    large store, put q63's bloom-filter semi-join in front as a
+    no-shuffle prefilter and keep this anti-join as the exact pass.
+    """
+    fp = content_fingerprint(text_col)
+    incoming = new_df.withColumn("fingerprint", fp)
+    stored = stored_df.select(fp.alias("fingerprint"))
+    fresh = incoming.join(stored, on="fingerprint", how="left_anti")
+    return (
+        fresh.groupBy("fingerprint")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_in_batch"))
+        .select(id_col, "fingerprint", "n_in_batch")
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str,

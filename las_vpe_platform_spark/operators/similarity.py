@@ -285,3 +285,149 @@ JOIN {table} a ON a.{id_col} = _cand.id_a
 JOIN {table} b ON b.{id_col} = _cand.id_b
 WHERE {dot_ab} / ({norm.format(v='a.' + vector_col)} * {norm.format(v='b.' + vector_col)}) >= {threshold}
 """
+
+
+def sq8_topk(
+    probes: DataFrame,
+    gallery: DataFrame,
+    probe_key: str,
+    gallery_key: str,
+    vector_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Approximate top-k over an int8-quantized gallery (FAISS-SQ8
+    style asymmetric distance): probes stay float, the gallery is
+    per-vector min/max-quantized to 0..255 codes, and similarity is
+    the cosine of probe x DEQUANTIZED gallery vector.
+
+    The quantized-retrieval face of q49's compression pass: at scale
+    the gallery scan moves 1/4 the bytes of the float path (codes pack
+    to one byte each; locally they ride as an int array — the plan
+    shape, not the storage encoding, is what this verifies), and the
+    per-pair work is still one index-ordered fold.
+
+    Scale shape mirrors ``pairwise_similarity_topk`` (reference
+    pairwise comparer, PedestrianReIDer.java:38): everything
+    per-row — codes, scale, dequantized norm, probe norm/sum — is
+    computed BELOW the broadcast cross join, so the pair expression is
+    the single code fold
+      sim = (mn * sum(p) + step * dot(p, codes)) / (pnorm * deq_norm)
+    which is algebraically dot(p, dequant(g)) / (|p| * |dequant(g)|)
+    with every float op in a fixed order, so an engine-independent
+    oracle reproduces it bit-for-bit.
+    """
+    step = (F.col("_mx") - F.col("_mn")) / F.lit(255.0)
+    g = (
+        gallery.select(
+            F.col(gallery_key).alias("gallery_key"),
+            F.col(vector_col).alias("_gvec"),
+        )
+        .withColumn("_mn", F.array_min("_gvec").cast("double"))
+        .withColumn("_mx", F.array_max("_gvec").cast("double"))
+        .withColumn("_step", step)
+        .withColumn(
+            "_codes",
+            F.transform(
+                "_gvec",
+                lambda x: F.floor(
+                    (x.cast("double") - F.col("_mn")) / (F.col("_mx") - F.col("_mn")) * 255.0
+                    + 0.5
+                ),
+            ),
+        )
+        .withColumn(
+            "_gnorm",
+            F.sqrt(
+                F.aggregate(
+                    "_codes",
+                    F.lit(0.0),
+                    lambda acc, c: acc
+                    + (F.col("_mn") + c.cast("double") * F.col("_step"))
+                    * (F.col("_mn") + c.cast("double") * F.col("_step")),
+                )
+            ),
+        )
+        .drop("_gvec")
+    )
+    p = (
+        probes.select(
+            F.col(probe_key).alias("probe_key"), F.col(vector_col).alias("_pvec")
+        )
+        .withColumn("_pnorm", l2_norm("_pvec"))
+        .withColumn(
+            "_psum",
+            F.aggregate("_pvec", F.lit(0.0), lambda acc, v: acc + v.cast("double")),
+        )
+    )
+    dotc = F.aggregate(
+        F.zip_with("_pvec", "_codes", lambda x, c: x.cast("double") * c.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    denom = F.col("_pnorm") * F.col("_gnorm")
+    scored = (
+        F.broadcast(p)
+        .crossJoin(g)
+        .withColumn(
+            "similarity",
+            F.when(
+                denom > 0,
+                (F.col("_mn") * F.col("_psum") + F.col("_step") * dotc) / denom,
+            ),
+        )
+        .select("probe_key", "gallery_key", "similarity")
+    )
+    w = W.partitionBy("probe_key").orderBy(F.desc("similarity"), F.asc("gallery_key"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def sq8_topk_sql(
+    table: str,
+    probe_filter: str,
+    id_col: str,
+    vector_col: str,
+    k: int,
+) -> str:
+    """DuckDB mirror of :func:`sq8_topk` — identical fold orders."""
+    return f"""
+WITH ga AS (
+  SELECT {id_col} AS gallery_key,
+         list_min({vector_col})::DOUBLE AS mn,
+         list_max({vector_col})::DOUBLE AS mx,
+         (list_max({vector_col})::DOUBLE - list_min({vector_col})::DOUBLE) / 255.0 AS step,
+         list_transform({vector_col},
+            x -> floor((x::DOUBLE - list_min({vector_col})::DOUBLE)
+                       / (list_max({vector_col})::DOUBLE - list_min({vector_col})::DOUBLE)
+                       * 255.0 + 0.5)) AS codes,
+         {vector_col} AS gvec
+  FROM {table}
+), ga2 AS (
+  SELECT gallery_key, mn, mx, step, codes,
+         sqrt(list_sum(list_transform(codes,
+              c -> (mn + c::DOUBLE * step) * (mn + c::DOUBLE * step)))) AS gnorm
+  FROM ga
+), pr AS (
+  SELECT {id_col} AS probe_key, {vector_col} AS pvec,
+         sqrt(list_sum(list_transform({vector_col}, x -> x::DOUBLE * x::DOUBLE))) AS pnorm,
+         list_sum(list_transform({vector_col}, x -> x::DOUBLE)) AS psum
+  FROM {table} WHERE {probe_filter}
+), scored AS (
+  SELECT probe_key, gallery_key,
+         CASE WHEN pnorm * gnorm > 0 THEN
+           (mn * psum + step * list_sum(list_transform(generate_series(1, len(pvec)),
+                i -> pvec[i]::DOUBLE * codes[i]::DOUBLE))) / (pnorm * gnorm)
+         END AS similarity
+  FROM pr CROSS JOIN ga2
+), ranked AS (
+  SELECT probe_key, gallery_key, similarity,
+         row_number() OVER (PARTITION BY probe_key
+                            ORDER BY similarity DESC, gallery_key) AS rank
+  FROM scored
+)
+SELECT probe_key, gallery_key, rank,
+       floor((similarity) * 10000.0 + 0.5) / 10000.0 AS similarity
+FROM ranked WHERE rank <= {k}
+"""

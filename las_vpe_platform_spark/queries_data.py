@@ -1474,6 +1474,73 @@ FROM ranked WHERE rank <= {BM25_TOPK}
 Q65_SQL = _q65_sql()
 
 
+# --- q66: SQ8-quantized ANN top-k -------------------------------------------
+# Fourth ANN path after q27 (exact float), q29 (IVF), q59 (SRP): the
+# memory-compressed gallery scan. q49 proves the 4x quantization; this
+# runs RETRIEVAL over those codes (FAISS-SQ8-style asymmetric
+# distance: float probes x dequantized int8 gallery).
+
+
+def q66_sq8_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.operators.similarity import sq8_topk
+
+    emb = _t(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    probes = emb.filter(F.col("vec_id") % 100 == 7)
+    top = sq8_topk(
+        probes, emb, probe_key="vec_id", gallery_key="vec_id",
+        vector_col="embedding", k=5,
+    )
+    return top.select(
+        "probe_key", "gallery_key",
+        F.col("rank").cast("bigint").alias("rank"),
+        pround("similarity", 4).alias("similarity"),
+    )
+
+
+def _q66_sql() -> str:
+    from las_vpe_platform_spark.operators.similarity import sq8_topk_sql
+
+    return sq8_topk_sql(
+        "embeddings", "vec_id % 100 = 7", "vec_id", "embedding", k=5
+    ).replace("rank,", "rank::BIGINT AS rank,", 1)
+
+
+Q66_SQL = _q66_sql()
+
+
+# --- q67: incremental dedup against the stored corpus -----------------------
+# The ingest-time face of q23: an incoming batch (doc_id % 3 == 0
+# slice) lands only if its normalized content exists neither in the
+# already-stored corpus (the other two thirds) nor earlier in the
+# batch — K3's global skip-already-stored existence check
+# (DataManagingApp.java:422-473) for document ingestion.
+
+
+def q67_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.operators.dedup import incremental_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    incoming = docs.filter(F.col("doc_id") % 3 == 0)
+    stored = docs.filter(F.col("doc_id") % 3 != 0)
+    return incremental_dedup(incoming, stored, text_col="text", id_col="doc_id")
+
+
+Q67_SQL = r"""
+WITH inc AS (
+  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+  FROM documents WHERE doc_id % 3 = 0
+), st AS (
+  SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+  FROM documents WHERE doc_id % 3 != 0
+)
+SELECT min(doc_id) AS doc_id, fingerprint, count(*) AS n_in_batch
+FROM inc ANTI JOIN st USING (fingerprint)
+GROUP BY fingerprint
+"""
+
+
 DATA_QUERIES = {
     "q20_doc_token_stats": (q20_doc_token_stats, Q20_SQL),
     "q21_doc_quality": (q21_doc_quality, Q21_SQL),
@@ -1506,4 +1573,6 @@ DATA_QUERIES = {
     "q62_sequence_pack": (q62_sequence_pack, Q62_SQL),
     "q64_bigram_novelty": (q64_bigram_novelty, Q64_SQL),
     "q65_bm25_topk": (q65_bm25_topk, Q65_SQL),
+    "q66_sq8_ann_topk": (q66_sq8_ann_topk, Q66_SQL),
+    "q67_incremental_dedup": (q67_incremental_dedup, Q67_SQL),
 }
