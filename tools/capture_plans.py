@@ -46,6 +46,12 @@ HEADLINERS = [
      "distributed two-phase prefix sum: one range exchange, per-partition Arrow scan, broadcast partition offsets — no single-task global window"),
     ("q63_bloom_semi_join",
      "k broadcast block-joins probe the bit set; the orders lineage has no exchange until the final stats aggregate"),
+    ("q65_bm25_topk",
+     "one token explode feeds doc lengths and query-term tf; broadcast dims; global top-k is TakeOrderedAndProject, never a full sort"),
+    ("q66_sq8_ann_topk",
+     "codes/scale/dequantized-norm all below the broadcast cross join; per-pair work is one index-ordered fold over int8 codes"),
+    ("q67_incremental_dedup",
+     "stored side scans one derived fingerprint column; anti-join then keeper aggregate, both shuffling the fingerprint only"),
 ]
 
 
