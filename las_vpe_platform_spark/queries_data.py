@@ -1541,6 +1541,37 @@ GROUP BY fingerprint
 """
 
 
+# --- q68: salted hot-key join (skew mitigation, result-transparent) ---------
+# Explicit salting for pathological hot keys (SURVEY §0 scale notes;
+# the tool when AQE skew-split can't apply — e.g. the skewed side must
+# BUILD, or streaming micro-batches). The oracle is the PLAIN join:
+# salting must be invisible in the result.
+
+
+def q68_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    ).withColumnRenamed("o_orderkey", "l_orderkey")
+    joined = salted_join(li, orders, on="l_orderkey", n_salts=16)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+    )
+
+
+Q68_SQL = """
+SELECT o_orderpriority, count(*) AS n_items,
+       sum(l_quantity::DECIMAL(18,2)) AS sum_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
 DATA_QUERIES = {
     "q20_doc_token_stats": (q20_doc_token_stats, Q20_SQL),
     "q21_doc_quality": (q21_doc_quality, Q21_SQL),
@@ -1575,4 +1606,5 @@ DATA_QUERIES = {
     "q65_bm25_topk": (q65_bm25_topk, Q65_SQL),
     "q66_sq8_ann_topk": (q66_sq8_ann_topk, Q66_SQL),
     "q67_incremental_dedup": (q67_incremental_dedup, Q67_SQL),
+    "q68_salted_join_agg": (q68_salted_join_agg, Q68_SQL),
 }
