@@ -1,0 +1,127 @@
+"""Unit tests for the round-2 operators: SQ8 ANN, incremental dedup,
+and the streaming interval join's bounded-state contract (the
+properties the oracle-parity rows can't express)."""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from las_vpe_platform_spark.operators.dedup import incremental_dedup
+from las_vpe_platform_spark.operators.joins import pairwise_similarity_topk
+from las_vpe_platform_spark.operators.similarity import sq8_topk
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+def test_sq8_topk_self_match_and_recall(spark, sf_dir):
+    """Every probe's top-1 under SQ8 must be itself (dequantization
+    error is far below the self-similarity gap), and top-5 recall vs
+    the exact float ranking should be high on real embeddings."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") % 200 == 3)
+    approx = sq8_topk(
+        probes, emb, probe_key="vec_id", gallery_key="vec_id",
+        vector_col="embedding", k=5,
+    )
+    top1 = {r["probe_key"]: r["gallery_key"] for r in approx.filter("rank = 1").collect()}
+    assert top1 and all(p == g for p, g in top1.items())
+
+    exact = pairwise_similarity_topk(
+        probes, emb, probe_key="vec_id", gallery_key="vec_id",
+        vector_col="embedding", k=5,
+    )
+    a = {(r["probe_key"], r["gallery_key"]) for r in approx.collect()}
+    e = {(r["probe_key"], r["gallery_key"]) for r in exact.collect()}
+    recall = len(a & e) / len(e)
+    assert recall >= 0.8, f"SQ8 top-5 recall vs exact = {recall}"
+
+
+def test_incremental_dedup_drops_stored_and_batch_dups(spark):
+    stored = spark.createDataFrame(
+        [(10, "alpha beta"), (11, "gamma")],
+        "doc_id long, text string",
+    )
+    incoming = spark.createDataFrame(
+        [
+            (1, "  Alpha   Beta "),   # normalizes to stored content -> dropped
+            (2, "delta"),             # fresh
+            (3, "delta"),             # within-batch dup of 2 -> folded
+            (4, "epsilon"),           # fresh
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["n_in_batch"]
+        for r in incremental_dedup(incoming, stored, text_col="text", id_col="doc_id").collect()
+    }
+    assert out == {2: 2, 4: 1}
+
+
+def test_interval_join_bounded_state_evicts_old_rows(spark):
+    """The SCALE claim for s04: with a TIGHT watermark, join state is
+    EVICTED once the watermark proves no in-time partner can still
+    arrive — so a sufficiently late row finds nothing to join. (Spark
+    evicts at end-of-batch, so the late row must arrive a batch AFTER
+    the watermark advanced; a late row in the very next batch may
+    still match lingering state — that's the documented best-effort
+    window, not a bug. s04 itself uses a spanning watermark, where the
+    result is exactly the batch range join.)"""
+    from las_vpe_platform_spark.streaming.engine import (
+        run_to_completion,
+        watermarked_interval_join,
+    )
+
+    schema = "user string, ts timestamp, id long"
+    src = tempfile.mkdtemp(prefix="ivj_")
+    # batch 1: a left row at 10:00 and a row far ahead (11:00) that
+    # advances the watermark past 10:xx for the NEXT batch
+    spark.createDataFrame(
+        [("u1", _ts("2024-01-01 10:00:00"), 1), ("u1", _ts("2024-01-01 11:00:00"), 2)],
+        schema,
+    ).coalesce(1).write.mode("overwrite").parquet(f"{src}/b1")
+    # batch 2: runs with watermark ~10:59 -> end-of-batch cleanup
+    # evicts the left 10:00 row from state
+    spark.createDataFrame(
+        [("u1", _ts("2024-01-01 11:00:30"), 4)], schema
+    ).coalesce(1).write.mode("overwrite").parquet(f"{src}/b2")
+    # batch 3: a right-interval row at 09:59 whose [09:59, 10:01]
+    # window contains the (now evicted) left 10:00 — must NOT match it
+    spark.createDataFrame(
+        [("u1", _ts("2024-01-01 09:59:00"), 5)], schema
+    ).coalesce(1).write.mode("overwrite").parquet(f"{src}/b3")
+
+    left = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(f"{src}/*")
+        .select("user", "ts", F.col("id").alias("left_id"))
+    )
+    right = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(f"{src}/*")
+        .select(
+            "user",
+            F.col("ts").alias("r_start"),
+            (F.col("ts") + F.expr("INTERVAL 2 MINUTES")).alias("r_end"),
+            F.col("id").alias("right_id"),
+        )
+    )
+    joined = watermarked_interval_join(
+        left, right, on=["user"], left_ts="ts",
+        right_start="r_start", right_end="r_end", watermark="1 minute",
+    ).select("left_id", "right_id")
+    out = run_to_completion(joined, f"ivj_{uuid.uuid4().hex[:8]}", output_mode="append")
+    pairs = {(r["left_id"], r["right_id"]) for r in out.collect()}
+    # in-time matches present (each row self-joins: its own interval
+    # contains its own ts), the evicted pairing absent
+    assert (1, 1) in pairs
+    assert (1, 5) not in pairs
