@@ -1572,6 +1572,64 @@ GROUP BY o_orderpriority
 """
 
 
+# --- q69: cross-source overlap matrix ---------------------------------------
+# Corpus diagnostics: how much content leaks between source subsets
+# (the question "is src2 just a re-crawl of src0?"), measured at the
+# 8-token-SPAN level (q61's granularity) — whole-document fingerprints
+# only catch verbatim re-crawls, while shared spans expose partial
+# copying. Distinct (source, span_fp) pairs self-join on the span
+# hash — cost is Sum_span C(sources_with_span, 2), bounded by the
+# source count squared per span, never by doc pairs.
+
+OVERLAP_SPAN_W = 8
+
+
+def q69_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    w = OVERLAP_SPAN_W
+    toks = docs.select("source", tokens("text").alias("toks"))
+    n = F.greatest(F.size("toks") - (w - 1), F.lit(0))
+    # guard: Spark's sequence(1, 0) yields [1, 0] (negative step), not
+    # an empty list — short docs must produce zero spans explicitly
+    fps = F.when(
+        n > 0,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n),
+                lambda i: F.md5(F.concat_ws(" ", F.slice("toks", i, w))),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    spans = toks.select("source", F.explode(fps).alias("span_fp")).distinct()
+    a = spans.alias("a")
+    b = spans.alias("b")
+    return (
+        a.join(b, on="span_fp")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_spans"))
+    )
+
+
+Q69_SQL = f"""
+WITH tk AS (
+  SELECT source, {SQL_TOKENS} AS toks FROM documents
+), spans AS (
+  SELECT DISTINCT source,
+         unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(toks) - {OVERLAP_SPAN_W - 1}, 0)),
+           i -> md5(array_to_string(toks[i:i+{OVERLAP_SPAN_W - 1}], ' '))))) AS span_fp
+  FROM tk
+)
+SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared_spans
+FROM spans a JOIN spans b ON a.span_fp = b.span_fp AND a.source < b.source
+GROUP BY 1, 2
+"""
+
+
 DATA_QUERIES = {
     "q20_doc_token_stats": (q20_doc_token_stats, Q20_SQL),
     "q21_doc_quality": (q21_doc_quality, Q21_SQL),
@@ -1607,4 +1665,5 @@ DATA_QUERIES = {
     "q66_sq8_ann_topk": (q66_sq8_ann_topk, Q66_SQL),
     "q67_incremental_dedup": (q67_incremental_dedup, Q67_SQL),
     "q68_salted_join_agg": (q68_salted_join_agg, Q68_SQL),
+    "q69_source_overlap": (q69_source_overlap, Q69_SQL),
 }
