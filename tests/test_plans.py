@@ -60,3 +60,46 @@ def test_winnow_fingerprints_no_shuffle(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     plan = _plan(winnow_fingerprints(docs, id_col="doc_id", text_col="text"))
     assert "Exchange" not in plan
+
+
+def test_q65_bm25_distributed_topk(spark, sf_dir):
+    # global top-k must be TakeOrderedAndProject (per-partition heaps +
+    # driver merge), never a single-partition global Sort
+    from las_vpe_platform_spark.queries_data import q65_bm25_topk
+
+    plan = _plan(q65_bm25_topk(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange SinglePartition" not in plan.split("TakeOrderedAndProject")[0]
+
+
+def test_q66_sq8_gallery_never_shuffles(spark, sf_dir):
+    # probes broadcast over the gallery scan: the gallery lineage must
+    # contain no hash exchange (codes/norms are computed in-scan)
+    from las_vpe_platform_spark.queries_data import q66_sq8_ann_topk
+
+    plan = _plan(q66_sq8_ann_topk(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    # the only exchanges allowed: the explicit unit-of-work
+    # round-robin repartition and the per-probe window rank
+    import re
+
+    hash_exchanges = re.findall(r"Exchange hashpartitioning\(probe_key", plan)
+    other_hash = [
+        m for m in re.findall(r"Exchange hashpartitioning\((\w+)", plan)
+        if m != "probe_key"
+    ]
+    assert not other_hash, f"unexpected gallery-side shuffle on {other_hash}"
+
+
+def test_q67_anti_join_on_fingerprint_only(spark, sf_dir):
+    # both stages key on the fingerprint; the stored side must not
+    # shuffle anything wider, and the incoming side shuffles once for
+    # the keeper aggregate
+    from las_vpe_platform_spark.queries_data import q67_incremental_dedup
+
+    plan = _plan(q67_incremental_dedup(spark, sf_dir))
+    assert "LeftAnti" in plan
+    import re
+
+    keys = set(re.findall(r"Exchange hashpartitioning\((\w+)", plan))
+    assert keys <= {"fingerprint"}, f"non-fingerprint shuffle: {keys}"
