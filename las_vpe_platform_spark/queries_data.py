@@ -1557,7 +1557,7 @@ def q68_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority"
     ).withColumnRenamed("o_orderkey", "l_orderkey")
-    joined = salted_join(li, orders, on="l_orderkey", n_salts=16)
+    joined = salted_join(li, orders, on="l_orderkey", n_salts=8)
     return joined.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_items"),
         F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),

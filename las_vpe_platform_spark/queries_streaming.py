@@ -231,7 +231,11 @@ def s04_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from las_vpe_platform_spark.streaming.engine import watermarked_interval_join
 
-    raw = _events_micros(spark, sf_dir)
+    # land only the two event types the join touches — the filter
+    # belongs at the landing zone, not after the stream scan
+    raw = _events_micros(spark, sf_dir).filter(
+        F.col("event_type").isin("click", "purchase")
+    )
     src = tempfile.mkdtemp(prefix="s04_events_")
     raw.coalesce(8).write.mode("overwrite").parquet(src)
 
