@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from las_vpe_platform_spark.compat import pround
 from las_vpe_platform_spark.functions.scalar import ntz_epoch_micros
 from las_vpe_platform_spark.sources.tables import load_table
 from las_vpe_platform_spark.streaming.engine import (
@@ -288,9 +289,77 @@ FROM c JOIN p ON c.user_id = p.user_id
 """
 
 
+def s05_stream_demux_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One source stream demuxed into per-type branches, each branch
+    running its OWN watermarked aggregation to its OWN sink — the
+    reference's actual topology (SparkStreamingApp.java:258-262 fans
+    one Kafka stream out to per-DataType processing chains; q12 gates
+    the batch face of the same demux).
+
+    Each branch is an independent streaming query over the shared
+    landed source (Spark's version of one consumer group feeding N
+    chains); the returned frame unions the two sink tables with a
+    branch tag, which is exactly the batch demux-aggregate union — the
+    oracle.
+    """
+    from las_vpe_platform_spark.operators.routing import demux
+
+    raw = _events_micros(spark, sf_dir).filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    src = tempfile.mkdtemp(prefix="s05_events_")
+    raw.coalesce(8).write.mode("overwrite").parquet(src)
+    stream = file_stream(spark, src, RAW_EVENTS_SCHEMA, max_files_per_trigger=4).withColumn(
+        "ts", F.timestamp_micros("ts_micros")
+    )
+    branches = demux(stream, "event_type", ["click", "purchase"])
+    outs = []
+    with _stream_partitions(spark):
+        for etype, branch in branches.items():
+            summed = (
+                branch.withWatermark("ts", "10 minutes")
+                .groupBy(F.window("ts", "10 minutes"))
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("value").alias("sum_value"),
+                )
+            )
+            tbl = run_to_completion(
+                summed.select(
+                    F.unix_timestamp(F.col("window.start")).alias("window_start_epoch"),
+                    "n",
+                    "sum_value",
+                ),
+                f"s05_{etype}_{uuid.uuid4().hex[:8]}",
+                output_mode="complete",
+            )
+            outs.append(tbl.withColumn("branch", F.lit(etype)))
+    unioned = outs[0].unionByName(outs[1])
+    return unioned.select(
+        "branch",
+        "window_start_epoch",
+        "n",
+        pround("sum_value", 4).alias("sum_value"),
+    )
+
+
+S05_SQL = """
+WITH src AS (
+  SELECT event_type AS branch,
+         (epoch_us(ts) // 600000000) * 600 AS window_start_epoch,
+         value
+  FROM events WHERE event_type IN ('click', 'purchase')
+)
+SELECT branch, window_start_epoch, count(*) AS n,
+       floor((sum(value)) * 10000.0 + 0.5) / 10000.0 AS sum_value
+FROM src GROUP BY branch, window_start_epoch
+"""
+
+
 STREAMING_QUERIES = {
     "s01_stream_windowed_counts": (s01_stream_windowed_counts, S01_SQL),
     "s02_stream_dedup": (s02_stream_dedup, S02_SQL),
     "s03_stream_sessions": (s03_stream_sessions, S03_SQL),
     "s04_stream_interval_join": (s04_stream_interval_join, S04_SQL),
+    "s05_stream_demux_sinks": (s05_stream_demux_sinks, S05_SQL),
 }
