@@ -13,7 +13,7 @@ is swappable.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
+from collections.abc import Callable, Iterator
 
 import numpy as np
 import pandas as pd
@@ -189,37 +189,49 @@ def decimate_audio(
     )
 
 
+def fake_frame_decoder(
+    video_id: str, duration_s: float, fps_num: int, fps_den: int, frame_stride: int
+) -> Iterator[tuple[int, bytes]]:
+    """Deterministic fake decode: md5-derived frame payloads at
+    ``frame_stride`` intervals (subsampled to keep fake output
+    bounded; a real deployment streams every frame)."""
+    import hashlib
+
+    n_frames = int(duration_s * fps_num / fps_den)
+    for frame_index in range(0, n_frames, frame_stride):
+        yield frame_index, hashlib.md5(f"frame:{video_id}:{frame_index}".encode()).digest()
+
+
 def cut_video_frames(
     videos: DataFrame,
     max_frames_per_fragment: int = 1000,
     frame_stride: int = 250,
+    decoder: Callable[..., Iterator[tuple[int, bytes]]] = fake_frame_decoder,
 ) -> DataFrame:
     """Video-cutting source (S5, VideoCuttingStream,
     DataManagingApp.java:160-217): video row -> frame rows in fragments
     of <= ``max_frames_per_fragment``.
 
-    FFmpeg decode is stubbed with a deterministic fake frame payload
-    (md5-derived bytes); a PyAV/ffmpeg provider swaps in by replacing
-    the inner generator. ``frame_stride`` subsamples to keep fake
-    output bounded — a real deployment streams every frame.
+    The codec is INJECTED: ``decoder(video_id, duration_s, fps_num,
+    fps_den, frame_stride)`` yields (frame_index, frame_bytes). The
+    default is the deterministic fake (no codec library in this
+    image); a PyAV/ffmpeg deployment passes its own decoder and
+    everything else — fragmenting, schema, Arrow batching, partition
+    shape — is unchanged.
     """
     from las_vpe_platform_spark.session import ensure_package_on_workers
 
     ensure_package_on_workers(videos.sparkSession)
 
     def cut(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import hashlib
-
         for pdf in batches:
             rows = []
             for video_id, duration_s, fps_num, fps_den in zip(
                 pdf["video_id"], pdf["duration_s"], pdf["fps_num"], pdf["fps_den"]
             ):
-                n_frames = int(duration_s * fps_num / fps_den)
-                for frame_index in range(0, n_frames, frame_stride):
-                    payload = hashlib.md5(
-                        f"frame:{video_id}:{frame_index}".encode()
-                    ).digest()
+                for frame_index, payload in decoder(
+                    video_id, duration_s, fps_num, fps_den, frame_stride
+                ):
                     rows.append(
                         {
                             "video_id": video_id,

@@ -111,3 +111,24 @@ def test_decimate_audio_fixture_shape(spark):
     assert len(rows) == 128
     for r in rows:
         assert len(r["decimated"]) % 2 == 0 and len(r["decimated"]) > 0
+
+
+def test_cut_video_frames_decoder_injection(spark):
+    """The real-codec path is one argument: a custom decoder's frames
+    flow through fragmenting/schema/batching unchanged."""
+    from las_vpe_platform_spark.operators.multimodal import cut_video_frames
+
+    videos = spark.createDataFrame(
+        [("v1", 4.0, 25, 1)],
+        "video_id string, duration_s double, fps_num int, fps_den int",
+    )
+
+    def two_frame_decoder(video_id, duration_s, fps_num, fps_den, frame_stride):
+        yield 0, b"frame-zero"
+        yield 1500, b"frame-late"
+
+    rows = {
+        r["frame_index"]: (r["fragment_id"], bytes(r["frame_data"]))
+        for r in cut_video_frames(videos, decoder=two_frame_decoder).collect()
+    }
+    assert rows == {0: (0, b"frame-zero"), 1500: (1, b"frame-late")}
