@@ -431,3 +431,94 @@ SELECT probe_key, gallery_key, rank,
        floor((similarity) * 10000.0 + 0.5) / 10000.0 AS similarity
 FROM ranked WHERE rank <= {k}
 """
+
+
+def ivf2_topk(
+    probes: DataFrame,
+    gallery: DataFrame,
+    probe_key: str,
+    gallery_key: str,
+    vector_col: str = "embedding",
+    k: int = 5,
+    fine_mod: int = 20,
+    coarse_mod: int = 80,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Two-level IVF ANN (coarse quantizer over the fine centroids) —
+    the fix for flat IVF's scale limit (SCALE.md): at 10^11 vectors a
+    flat sqrt(N) centroid table is ~1.2 GB, over the broadcast budget,
+    while two levels broadcast only the coarse table plus the per-cell
+    fine slices (each ~sqrt of the flat table). Per-vector assignment
+    cost drops from |fine| comparisons to |coarse| + fine-per-cell.
+
+    Deterministic, seedless centroid choice (key % mod == 0, coarse a
+    subset of fine since coarse_mod is a multiple of fine_mod), so an
+    engine-independent oracle reproduces every assignment; descent
+    keeps ``nprobe`` coarse cells (covers fine cells whose members sit
+    near a coarse boundary, and makes empty-cell drops impossible in
+    practice), then 1 fine cell for gallery rows / ``nprobe`` for
+    probes — the recall knobs of a FAISS IVF-HNSW-style hierarchy with
+    exact bucketed search at the bottom.
+    """
+    assert coarse_mod % fine_mod == 0, "coarse centroids must be a subset of fine"
+    fine = gallery.filter((F.col(gallery_key) % fine_mod) == 0).select(
+        F.col(gallery_key).alias("fid"), F.col(vector_col)
+    )
+    coarse = gallery.filter((F.col(gallery_key) % coarse_mod) == 0).select(
+        F.col(gallery_key).alias("centroid_id"), F.col(vector_col)
+    )
+    # level-1 index: fine centroid -> its nearest coarse cell
+    f2c = _nearest_centroids(
+        fine, coarse, id_col="fid", vector_col=vector_col, keep=1
+    ).select("fid", "centroid_id")
+    fine_vecs = fine.select("fid", F.col(vector_col).alias("_fvec")).withColumn(
+        "_fnorm", l2_norm("_fvec")
+    )
+
+    def descend(vectors: DataFrame, id_name: str, keep_fine: int) -> DataFrame:
+        """coarse cells (nprobe) -> candidate fine centroids -> keep
+        the best ``keep_fine`` fine cells per vector."""
+        cells = _nearest_centroids(
+            vectors, coarse, id_col=id_name, vector_col=vector_col, keep=nprobe
+        )
+        cand = (
+            cells.join(F.broadcast(f2c), on="centroid_id")
+            .join(F.broadcast(fine_vecs), on="fid")
+            .withColumn("_vnorm", l2_norm(vector_col))
+            .withColumn(
+                "_fsim",
+                dot_product(vector_col, "_fvec") / (F.col("_vnorm") * F.col("_fnorm")),
+            )
+        )
+        w = W.partitionBy(id_name).orderBy(F.desc("_fsim"), F.asc("fid"))
+        return (
+            cand.withColumn("_frank", F.row_number().over(w))
+            .filter(F.col("_frank") <= keep_fine)
+            .select(id_name, vector_col, "fid")
+        )
+
+    g2f = descend(
+        gallery.select(F.col(gallery_key).alias("gallery_key"), F.col(vector_col)),
+        "gallery_key",
+        keep_fine=1,
+    ).select(
+        "gallery_key", F.col(vector_col).alias("_gvec"), "fid"
+    ).withColumn("_gnorm", l2_norm("_gvec"))
+    p2f = descend(
+        probes.select(F.col(probe_key).alias("probe_key"), F.col(vector_col)),
+        "probe_key",
+        keep_fine=nprobe,
+    ).select(
+        "probe_key", F.col(vector_col).alias("_pvec"), "fid"
+    ).withColumn("_pnorm", l2_norm("_pvec"))
+
+    scored = (
+        p2f.join(g2f, on="fid")
+        .withColumn(
+            "similarity",
+            dot_product("_pvec", "_gvec") / (F.col("_pnorm") * F.col("_gnorm")),
+        )
+        .select("probe_key", "gallery_key", "similarity")
+    )
+    w = W.partitionBy("probe_key").orderBy(F.desc("similarity"), F.asc("gallery_key"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

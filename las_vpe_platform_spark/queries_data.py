@@ -1630,6 +1630,115 @@ GROUP BY 1, 2
 """
 
 
+# --- q70: two-level IVF ANN -------------------------------------------------
+# Fifth ANN path and the closure of SCALE.md's bolded flat-IVF limit:
+# a coarse quantizer over the fine centroids keeps the broadcast
+# tables sqrt-sized at any corpus scale. Deterministic centroid choice
+# (key % mod, coarse subset of fine) makes every two-level assignment
+# reproducible in SQL.
+
+IVF2_FINE_MOD = 20
+IVF2_COARSE_MOD = 80
+IVF2_NPROBE = 2
+IVF2_K = 5
+IVF2_PROBE_FILTER = "vec_id % 100 = 11"
+
+
+def q70_ivf2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.operators.similarity import ivf2_topk
+
+    emb = _t(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    probes = emb.filter(F.col("vec_id") % 100 == 11)
+    top = ivf2_topk(
+        probes, emb, probe_key="vec_id", gallery_key="vec_id",
+        vector_col="embedding", k=IVF2_K,
+        fine_mod=IVF2_FINE_MOD, coarse_mod=IVF2_COARSE_MOD, nprobe=IVF2_NPROBE,
+    )
+    return top.select(
+        "probe_key", "gallery_key",
+        F.col("rank").cast("bigint").alias("rank"),
+        pround("similarity", 4).alias("similarity"),
+    )
+
+
+def _q70_sql() -> str:
+    cos = sql_cosine
+    return f"""
+WITH fine AS (
+  SELECT vec_id AS fid, embedding AS fvec FROM embeddings
+  WHERE vec_id % {IVF2_FINE_MOD} = 0
+), coarse AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+  WHERE vec_id % {IVF2_COARSE_MOD} = 0
+), f2c AS (
+  SELECT fid, cid FROM (
+    SELECT f.fid, c.cid,
+           row_number() OVER (PARTITION BY f.fid
+                              ORDER BY {cos('f.fvec', 'c.cvec')} DESC, c.cid) AS rnk
+    FROM fine f CROSS JOIN coarse c
+  ) WHERE rnk = 1
+), gal AS (
+  SELECT vec_id AS gid, embedding AS gvec FROM embeddings
+), g_cells AS (
+  SELECT gid, cid FROM (
+    SELECT g.gid, c.cid,
+           row_number() OVER (PARTITION BY g.gid
+                              ORDER BY {cos('g.gvec', 'c.cvec')} DESC, c.cid) AS rnk
+    FROM gal g CROSS JOIN coarse c
+  ) WHERE rnk <= {IVF2_NPROBE}
+), g2f AS (
+  SELECT gid, fid FROM (
+    SELECT gc.gid, f.fid,
+           row_number() OVER (PARTITION BY gc.gid
+                              ORDER BY {cos('g.gvec', 'f.fvec')} DESC, f.fid) AS rnk
+    FROM g_cells gc
+    JOIN f2c USING (cid)
+    JOIN fine f USING (fid)
+    JOIN gal g ON g.gid = gc.gid
+  ) WHERE rnk = 1
+), pr AS (
+  SELECT vec_id AS pid, embedding AS pvec FROM embeddings
+  WHERE {IVF2_PROBE_FILTER}
+), p_cells AS (
+  SELECT pid, cid FROM (
+    SELECT p.pid, c.cid,
+           row_number() OVER (PARTITION BY p.pid
+                              ORDER BY {cos('p.pvec', 'c.cvec')} DESC, c.cid) AS rnk
+    FROM pr p CROSS JOIN coarse c
+  ) WHERE rnk <= {IVF2_NPROBE}
+), p2f AS (
+  SELECT pid, fid FROM (
+    SELECT pc.pid, f.fid,
+           row_number() OVER (PARTITION BY pc.pid
+                              ORDER BY {cos('p.pvec', 'f.fvec')} DESC, f.fid) AS rnk
+    FROM p_cells pc
+    JOIN f2c USING (cid)
+    JOIN fine f USING (fid)
+    JOIN pr p ON p.pid = pc.pid
+  ) WHERE rnk <= {IVF2_NPROBE}
+), scored AS (
+  SELECT p2f.pid AS probe_key, g2f.gid AS gallery_key,
+         {cos('p.pvec', 'g.gvec')} AS similarity
+  FROM p2f JOIN g2f USING (fid)
+  JOIN pr p ON p.pid = p2f.pid
+  JOIN gal g ON g.gid = g2f.gid
+), ranked AS (
+  SELECT probe_key, gallery_key, similarity,
+         row_number() OVER (PARTITION BY probe_key
+                            ORDER BY similarity DESC, gallery_key) AS rank
+  FROM scored
+)
+SELECT probe_key, gallery_key, rank::BIGINT AS rank,
+       floor((similarity) * 10000.0 + 0.5) / 10000.0 AS similarity
+FROM ranked WHERE rank <= {IVF2_K}
+"""
+
+
+Q70_SQL = _q70_sql()
+
+
 DATA_QUERIES = {
     "q20_doc_token_stats": (q20_doc_token_stats, Q20_SQL),
     "q21_doc_quality": (q21_doc_quality, Q21_SQL),
@@ -1666,4 +1775,5 @@ DATA_QUERIES = {
     "q67_incremental_dedup": (q67_incremental_dedup, Q67_SQL),
     "q68_salted_join_agg": (q68_salted_join_agg, Q68_SQL),
     "q69_source_overlap": (q69_source_overlap, Q69_SQL),
+    "q70_ivf2_topk": (q70_ivf2_topk, Q70_SQL),
 }

@@ -125,3 +125,29 @@ def test_interval_join_bounded_state_evicts_old_rows(spark):
     # contains its own ts), the evicted pairing absent
     assert (1, 1) in pairs
     assert (1, 5) not in pairs
+
+
+def test_ivf2_matches_flat_ivf_assignment_quality(spark, sf_dir):
+    """Two-level IVF is a recall/scale trade, not a correctness one:
+    every probe must retrieve itself at rank 1 (its own fine cell is
+    always searched), and top-k recall vs exact search stays useful."""
+    from las_vpe_platform_spark.operators.similarity import ivf2_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") % 100 == 11)
+    if probes.count() == 0:
+        probes = emb.limit(3)
+    approx = ivf2_topk(
+        probes, emb, probe_key="vec_id", gallery_key="vec_id",
+        vector_col="embedding", k=5,
+    )
+    top1 = {r["probe_key"]: r["gallery_key"] for r in approx.filter("rank = 1").collect()}
+    assert top1 and all(p == g for p, g in top1.items())
+
+    exact = pairwise_similarity_topk(
+        probes, emb, probe_key="vec_id", gallery_key="vec_id",
+        vector_col="embedding", k=5,
+    )
+    a = {(r["probe_key"], r["gallery_key"]) for r in approx.collect()}
+    e = {(r["probe_key"], r["gallery_key"]) for r in exact.collect()}
+    assert len(a & e) / len(e) >= 0.4, "two-level IVF recall collapsed"
