@@ -1739,6 +1739,150 @@ FROM ranked WHERE rank <= {IVF2_K}
 Q70_SQL = _q70_sql()
 
 
+# --- q71: retrieval corpus pipeline (composite) -----------------------------
+# q50's composite idea for the RETRIEVAL ops: decontaminate (q60) ->
+# exact-dedup keepers (q23) -> BM25 against the query set (q65), with
+# the BM25 corpus statistics (doc lengths, avgdl, df, N) computed over
+# the SURVIVING corpus — stages fuse into one Catalyst plan, and the
+# statistics correctly see only post-filter documents.
+
+
+def q71_retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W2
+
+    from las_vpe_platform_spark.functions.text import content_fingerprint
+    from las_vpe_platform_spark.operators.dedup import eval_overlap_flags
+
+    docs = _t(spark, sf_dir, "documents")
+    # stage 1: benchmark decontamination (eval slice = doc_id % 10 == 0)
+    ev = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    flags = eval_overlap_flags(corpus, ev, id_col="doc_id", text_col="text", n=DECONTAM_N)
+    clean = (
+        corpus.join(flags.filter(F.col("contaminated") == 0).select("doc_id"), on="doc_id")
+    )
+    # stage 2: exact dedup — min doc_id per fingerprint survives
+    w2 = W2.partitionBy(content_fingerprint("text")).orderBy("doc_id")
+    kept = clean.withColumn("_rn", F.row_number().over(w2)).filter(F.col("_rn") == 1)
+    # stage 3: BM25 over the surviving corpus (stats post-filter)
+    toks = kept.select("doc_id", "lang", F.explode(tokens("text")).alias("term"))
+    dl = toks.groupBy("doc_id", "lang").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("term").isin(BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    contrib = (
+        tf.join(F.broadcast(dfc), on="term")
+        .join(dl, on="doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+                + F.lit(1.0)
+            ),
+        )
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * (F.col("tf") * F.lit(BM25_K1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(BM25_K1)
+                * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    per_term = contrib.groupBy("doc_id", "lang").agg(
+        *[
+            F.sum(F.when(F.col("term") == t, F.col("contrib")).otherwise(F.lit(0.0))).alias(f"_c{i}")
+            for i, t in enumerate(BM25_TERMS)
+        ],
+        F.count(F.lit(1)).alias("n_terms_hit"),
+    )
+    score = F.col("_c0")
+    for i in range(1, len(BM25_TERMS)):
+        score = score + F.col(f"_c{i}")
+    scored = per_term.withColumn("score", score)
+    topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
+    w = W2.orderBy(F.desc("score"), F.asc("doc_id"))
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        "doc_id",
+        "lang",
+        F.col("n_terms_hit").cast("bigint").alias("n_terms_hit"),
+        F.col("rank").cast("bigint").alias("rank"),
+        pround("score", 6).alias("score"),
+    )
+
+
+def _q71_sql() -> str:
+    terms_list = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    csums = ", ".join(
+        f"sum(CASE WHEN term = '{t}' THEN contrib ELSE 0.0 END) AS _c{i}"
+        for i, t in enumerate(BM25_TERMS)
+    )
+    score = " + ".join(f"_c{i}" for i in range(len(BM25_TERMS)))
+    return f"""
+WITH _toks0 AS (
+  SELECT doc_id, {SQL_TOKENS} AS toks FROM documents
+), _sh AS (
+  SELECT doc_id, unnest({sql_shingles(DECONTAM_N)}) AS s FROM _toks0
+), _ev AS (
+  SELECT DISTINCT s FROM _sh WHERE doc_id % 10 = 0
+), _dirty AS (
+  SELECT DISTINCT doc_id FROM _sh JOIN _ev USING (s) WHERE doc_id % 10 != 0
+), clean AS (
+  SELECT d.* FROM documents d
+  WHERE d.doc_id % 10 != 0 AND d.doc_id NOT IN (SELECT doc_id FROM _dirty)
+), kept AS (
+  SELECT doc_id, lang, text FROM (
+    SELECT doc_id, lang, text,
+           row_number() OVER (
+             PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+             ORDER BY doc_id) AS _rn
+    FROM clean
+  ) WHERE _rn = 1
+), toks AS (
+  SELECT doc_id, lang, unnest({SQL_TOKENS}) AS term FROM kept
+), dl AS (
+  SELECT doc_id, lang, count(*) AS dl FROM toks GROUP BY doc_id, lang
+), stats AS (
+  SELECT count(*) AS n_docs, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term IN ({terms_list}) GROUP BY doc_id, term
+), dfc AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), contrib AS (
+  SELECT tf.doc_id, dl.lang, tf.term,
+         ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+           * (tf * {BM25_K1 + 1.0!r})
+           / (tf + {BM25_K1!r} * ({1.0 - BM25_B!r} + {BM25_B!r} * dl / avgdl)) AS contrib
+  FROM tf JOIN dfc USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+), per_doc AS (
+  SELECT doc_id, lang, {csums}, count(*)::BIGINT AS n_terms_hit
+  FROM contrib GROUP BY doc_id, lang
+), ranked AS (
+  SELECT doc_id, lang, n_terms_hit, ({score}) AS score,
+         row_number() OVER (ORDER BY ({score}) DESC, doc_id) AS rank
+  FROM per_doc
+)
+SELECT doc_id, lang, n_terms_hit, rank::BIGINT AS rank,
+       floor((score) * 1000000.0 + 0.5) / 1000000.0 AS score
+FROM ranked WHERE rank <= 20
+"""
+
+
+Q71_SQL = _q71_sql()
+
+
 DATA_QUERIES = {
     "q20_doc_token_stats": (q20_doc_token_stats, Q20_SQL),
     "q21_doc_quality": (q21_doc_quality, Q21_SQL),
@@ -1776,4 +1920,5 @@ DATA_QUERIES = {
     "q68_salted_join_agg": (q68_salted_join_agg, Q68_SQL),
     "q69_source_overlap": (q69_source_overlap, Q69_SQL),
     "q70_ivf2_topk": (q70_ivf2_topk, Q70_SQL),
+    "q71_retrieval_pipeline": (q71_retrieval_pipeline, Q71_SQL),
 }
