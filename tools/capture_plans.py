@@ -52,6 +52,10 @@ HEADLINERS = [
      "codes/scale/dequantized-norm all below the broadcast cross join; per-pair work is one index-ordered fold over int8 codes"),
     ("q67_incremental_dedup",
      "stored side scans one derived fingerprint column; anti-join then keeper aggregate, both shuffling the fingerprint only"),
+    ("q70_ivf2_topk",
+     "two broadcast descent levels (coarse cells then per-cell fine slices); the gallery never joins the full fine table"),
+    ("q71_retrieval_pipeline",
+     "decontaminate -> dedup -> BM25 fused in one plan; corpus statistics aggregate the post-filter lineage, query-term tf prunes at the explode"),
 ]
 
 
