@@ -891,6 +891,63 @@ def q52_purchase_window_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q72_hourly_rollup_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate with gap filling: hourly
+    event counts per type over a DENSE hour spine — hours with no
+    events appear as explicit zero rows (the time_bucket_gapfill
+    shape TimescaleDB popularized, as a generated spine + left join).
+
+    Scale shape: the aggregate is one grouped count; the spine is
+    sequence()-generated from the (tiny, broadcast) global min/max —
+    spine rows = hours x types, independent of event volume, so the
+    gap-fill join broadcasts the aggregate side only if small,
+    otherwise shuffles spine-side (bounded by the calendar, not the
+    data).
+    """
+    ev = _t(spark, sf_dir, "events")
+    hours = ev.select(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    )
+    agg = hours.groupBy("hour", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    bounds = hours.agg(
+        F.min("hour").alias("lo"), F.max("hour").alias("hi")
+    )
+    types = ev.select("event_type").distinct()
+    spine = (
+        bounds.select(
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour")
+        )
+        .crossJoin(types)
+    )
+    return (
+        spine.join(agg, on=["hour", "event_type"], how="left")
+        .select(
+            F.col("hour").cast("string").alias("hour"),
+            "event_type",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),
+        )
+    )
+
+
+Q72_SQL = """
+WITH h AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type FROM events
+), agg AS (
+  SELECT hour, event_type, count(*) AS n FROM h GROUP BY hour, event_type
+), bounds AS (
+  SELECT min(hour) AS lo, max(hour) AS hi FROM h
+), spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour, t.event_type
+  FROM bounds CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+)
+SELECT CAST(s.hour AS VARCHAR) AS hour, s.event_type,
+       coalesce(a.n, 0)::BIGINT AS n
+FROM spine s LEFT JOIN agg a ON s.hour = a.hour AND s.event_type = a.event_type
+"""
+
+
 Q52_SQL = """
 WITH p AS (
   SELECT user_id, event_id AS purchase_id, ts AS p_start,
@@ -1110,4 +1167,5 @@ RELATIONAL_QUERIES = {
     "q56_distinct_sketch": (q56_distinct_sketch, Q56_SQL),
     "q58_hopping_window_stats": (q58_hopping_window_stats, Q58_SQL),
     "q63_bloom_semi_join": (q63_bloom_semi_join, Q63_SQL),
+    "q72_hourly_rollup_gapfill": (q72_hourly_rollup_gapfill, Q72_SQL),
 }
