@@ -427,6 +427,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iterations: int = 25,
+    edges_canonical: bool = False,
 ) -> DataFrame:
     """Connected components over an undirected edge list by iterative
     min-label propagation — the clustering step that turns near-dup
@@ -451,7 +452,14 @@ def connected_components(
     # symmetrizing union references it twice and Spark would compute
     # it per branch otherwise
     e = edges.selectExpr(f"{src} AS a", f"{dst} AS b").localCheckpoint()
-    sym = e.union(e.selectExpr("b AS a", "a AS b")).distinct().localCheckpoint()
+    # edges_canonical: caller guarantees distinct pairs with src < dst,
+    # so the two union branches are disjoint and the defensive
+    # distinct() — a full shuffle of the doubled edge list — is skipped
+    # (LSH candidate generators emit exactly this canonical form)
+    sym = e.union(e.selectExpr("b AS a", "a AS b"))
+    if not edges_canonical:
+        sym = sym.distinct()
+    sym = sym.localCheckpoint()
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()

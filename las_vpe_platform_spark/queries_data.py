@@ -867,7 +867,7 @@ def q55_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, id_col="doc_id", text_col="text",
         shingle_k=MINHASH_K, num_hashes=MINHASH_HASHES, bands=MINHASH_BANDS,
     )
-    comp = connected_components(pairs, src="id_a", dst="id_b")
+    comp = connected_components(pairs, src="id_a", dst="id_b", edges_canonical=True)
     return comp.groupBy("component").agg(
         F.count(F.lit(1)).alias("n_members"),
         F.min("node").alias("keeper_id"),
@@ -1052,9 +1052,12 @@ def q57_neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, id_col="doc_id", text_col="text",
         shingle_k=MINHASH_K, num_hashes=MINHASH_HASHES, bands=MINHASH_BANDS,
     )
+    # LSH pairs are distinct with id_a < id_b, so the two union
+    # branches are disjoint — no defensive distinct (a full shuffle
+    # of the doubled edge list) needed
     sym = pairs.selectExpr("id_a AS src", "id_b AS dst").union(
         pairs.selectExpr("id_b AS src", "id_a AS dst")
-    ).distinct()
+    )
     pr = pagerank_fixed_point(sym, iterations=5)
     return pr.selectExpr("node AS doc_id", "rank_fp")
 
