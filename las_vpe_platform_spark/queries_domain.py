@@ -641,6 +641,71 @@ FROM samples
 M04_SQL = _m04_sql()
 
 
+# --- d14: the full flagship DAG — track -> attrrecog -> reid ----------------
+# The reference's NAMED application (PedestrianReIDUsingAttrApp.java:
+# 136-243, the TRACK_ATTRRECOG_REID command of MessageHandlingApp):
+# fake tracker UDTF -> attribute recognition -> ReID ranking against
+# the feature gallery, compiled and executed as ONE plan by
+# BatchExecutor. d11 gates the attr half, d09 the ranking primitive;
+# this row gates the whole DAG end-to-end, id_rank arrays exploded to
+# scalar rows so the driver hash sees plain columns.
+
+
+def d14_pipeline_reid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.plans.pipeline import BatchExecutor, compile_command
+
+    videos = _fx(spark, "videos")
+    gallery = _fx(spark, "features").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    ex = BatchExecutor(spark, gallery=gallery)
+    out = ex.run(compile_command("track-attrrecog-reid"), videos)
+    ranks = out["reid"]
+    return ranks.select(
+        F.col("probe_key").alias("tracklet_key"),
+        F.posexplode("id_rank").alias("pos", "gallery_key"),
+    ).select(
+        "tracklet_key",
+        (F.col("pos") + 1).cast("bigint").alias("rank"),
+        "gallery_key",
+    )
+
+
+def _d14_sql() -> str:
+    from las_vpe_platform_spark.fixtures import SEED
+
+    return f"""
+WITH samples AS (
+  SELECT tracklet_key
+  FROM {_fxsql('tracklets')}, unnest(generate_series(1, len(location_sequence))) AS t(i)
+  WHERE location_sequence[i].patch_data IS NOT NULL
+), kept AS (
+  SELECT DISTINCT tracklet_key FROM samples
+  WHERE (('0x' || substr(md5('{SEED}:attr_drop:' || tracklet_key), 1, 8))::BIGINT::DOUBLE
+         / 4294967296.0) >= 0.1
+), pr AS (
+  SELECT f.tracklet_key AS probe_key, f.feature AS pvec
+  FROM {_fxsql('features')} f JOIN kept USING (tracklet_key)
+), scored AS (
+  SELECT probe_key, g.tracklet_key AS gallery_key,
+         (list_sum(list_transform(generate_series(1, len(pvec)),
+                                  i -> pvec[i]::DOUBLE * g.feature[i]::DOUBLE))
+          / (sqrt(list_sum(list_transform(pvec, x -> x::DOUBLE * x::DOUBLE)))
+             * sqrt(list_sum(list_transform(g.feature, x -> x::DOUBLE * x::DOUBLE))))) AS sim
+  FROM pr CROSS JOIN {_fxsql('features')} g
+), ranked AS (
+  SELECT probe_key, gallery_key,
+         row_number() OVER (PARTITION BY probe_key ORDER BY sim DESC, gallery_key) AS rank
+  FROM scored
+)
+SELECT probe_key AS tracklet_key, rank::BIGINT AS rank, gallery_key
+FROM ranked WHERE rank <= 10
+"""
+
+
+D14_SQL = _d14_sql()
+
+
 DOMAIN_QUERIES = {
     "d01_tracklet_sampling": (d01_tracklet_sampling, D01_SQL),
     "d02_attribute_average": (d02_attribute_average, D02_SQL),
@@ -655,6 +720,7 @@ DOMAIN_QUERIES = {
     "d11_pipeline_attr_recog": (d11_pipeline_attr_recog, D11_SQL),
     "d12_similar_persons_in_window": (d12_similar_persons_in_window, D12_SQL),
     "d13_two_hop_neighbors": (d13_two_hop_neighbors, D13_SQL),
+    "d14_pipeline_reid": (d14_pipeline_reid, D14_SQL),
     "m01_patch_metadata": (m01_patch_metadata, M01_SQL),
     "m02_patch_features": (m02_patch_features, M02_SQL),
     "m03_patch_resize": (m03_patch_resize, M03_SQL),
