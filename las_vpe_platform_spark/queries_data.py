@@ -1886,6 +1886,82 @@ FROM ranked WHERE rank <= 20
 Q71_SQL = _q71_sql()
 
 
+# --- q73: per-language quality-percentile curation --------------------------
+# Quality-based corpus curation the way production pipelines apply it:
+# keep each language's TOP 30% by composite quality score (q21's
+# formula), not a fixed absolute threshold — per-stratum percentiles
+# survive languages whose score distributions sit in different ranges.
+# percent_rank is a per-group window (shuffle keyed by lang only);
+# ordering ties broken by doc_id so the cut line is deterministic.
+
+CURATE_KEEP = 0.30
+
+
+def q73_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W2
+
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    metrics = docs.select(
+        "doc_id",
+        "lang",
+        F.length("text").alias("_len"),
+        punct_ratio("text").alias("_p"),
+        stopword_ratio("text").alias("_s"),
+    )
+    len_term = F.least(F.col("_len").cast("double") / F.lit(500.0), F.lit(1.0))
+    stop_term = F.least(F.col("_s") * 4.0, F.lit(1.0))
+    punct_term = 1.0 - F.least(F.col("_p") * 5.0, F.lit(1.0))
+    scored = metrics.select(
+        "doc_id",
+        "lang",
+        (len_term * 0.4 + stop_term * 0.3 + punct_term * 0.3).alias("quality"),
+    )
+    w = W2.partitionBy("lang").orderBy(F.desc("quality"), F.asc("doc_id"))
+    kept = scored.withColumn("_pr", F.percent_rank().over(w)).filter(
+        F.col("_pr") <= CURATE_KEEP
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        pround(F.min("quality"), 4).alias("cutoff_quality"),
+    )
+
+
+Q73_SQL = f"""
+WITH base AS (
+  SELECT doc_id, lang, text, {SQL_TOKENS} AS toks FROM documents
+), metrics AS (
+  SELECT doc_id, lang,
+         CASE WHEN length(text) > 0
+              THEN (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE
+                   / length(text)::DOUBLE
+              ELSE 0.0 END AS p_ratio,
+         CASE WHEN len(toks) > 0
+              THEN len(list_filter(toks, t -> list_contains({SQL_STOPWORDS}, lower(t))))::DOUBLE
+                   / len(toks)::DOUBLE
+              ELSE 0.0 END AS s_ratio,
+         least(length(text)::DOUBLE / 500.0, 1.0) AS len_term
+  FROM base
+), scored AS (
+  SELECT doc_id, lang,
+         len_term * 0.4 + least(s_ratio * 4.0, 1.0) * 0.3
+           + (1.0 - least(p_ratio * 5.0, 1.0)) * 0.3 AS quality
+  FROM metrics
+), kept AS (
+  SELECT lang, quality FROM (
+    SELECT lang, quality,
+           percent_rank() OVER (PARTITION BY lang
+                                ORDER BY quality DESC, doc_id) AS pr
+    FROM scored
+  ) WHERE pr <= {CURATE_KEEP}
+)
+SELECT lang, count(*) AS n_kept,
+       floor((min(quality)) * 10000.0 + 0.5) / 10000.0 AS cutoff_quality
+FROM kept GROUP BY lang
+"""
+
+
 DATA_QUERIES = {
     "q20_doc_token_stats": (q20_doc_token_stats, Q20_SQL),
     "q21_doc_quality": (q21_doc_quality, Q21_SQL),
@@ -1924,4 +2000,5 @@ DATA_QUERIES = {
     "q69_source_overlap": (q69_source_overlap, Q69_SQL),
     "q70_ivf2_topk": (q70_ivf2_topk, Q70_SQL),
     "q71_retrieval_pipeline": (q71_retrieval_pipeline, Q71_SQL),
+    "q73_quality_percentile_filter": (q73_quality_percentile_filter, Q73_SQL),
 }
