@@ -56,6 +56,10 @@ HEADLINERS = [
      "two broadcast descent levels (coarse cells then per-cell fine slices); the gallery never joins the full fine table"),
     ("q71_retrieval_pipeline",
      "decontaminate -> dedup -> BM25 fused in one plan; corpus statistics aggregate the post-filter lineage, query-term tf prunes at the explode"),
+    ("q72_hourly_rollup_gapfill",
+     "gap-fill spine generated from broadcast min/max bounds, left join against the grouped count — spine size is calendar-bounded"),
+    ("q73_quality_percentile_filter",
+     "per-language percent_rank window shuffles on lang only; quality ratios materialize as columns before the composite (no HOF re-evaluation)"),
 ]
 
 
