@@ -706,6 +706,49 @@ FROM ranked WHERE rank <= 10
 D14_SQL = _d14_sql()
 
 
+# --- m05: video-cutting frame source, driver-gated --------------------------
+# S5's fragmenting contract (VideoCuttingStream, DataManagingApp.java:
+# 160-217) checked against an arithmetic oracle: frame indices are a
+# stride sequence over floor(duration * fps), fragment id = index div
+# 1000 — so DuckDB reproduces the mapInPandas source's exact output
+# shape without any codec. The payload path is covered by
+# test_multimodal.py (decoder injection + determinism).
+
+
+def m05_frame_fragments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.operators.multimodal import cut_video_frames
+
+    videos = _fx(spark, "videos")
+    frames = cut_video_frames(videos)
+    return frames.groupBy("video_id", "fragment_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+        F.min("frame_index").cast("bigint").alias("first_frame"),
+        F.max("frame_index").cast("bigint").alias("last_frame"),
+    ).select(
+        "video_id",
+        F.col("fragment_id").cast("bigint").alias("fragment_id"),
+        "n_frames",
+        "first_frame",
+        "last_frame",
+    )
+
+
+M05_SQL = f"""
+WITH f AS (
+  SELECT video_id,
+         unnest(generate_series(
+           0, CAST(floor(duration_s * fps_num / fps_den) AS BIGINT) - 1, 250)) AS frame_index
+  FROM {_fxsql('videos')}
+)
+SELECT video_id,
+       (frame_index // 1000)::BIGINT AS fragment_id,
+       count(*)::BIGINT AS n_frames,
+       min(frame_index)::BIGINT AS first_frame,
+       max(frame_index)::BIGINT AS last_frame
+FROM f GROUP BY 1, 2
+"""
+
+
 DOMAIN_QUERIES = {
     "d01_tracklet_sampling": (d01_tracklet_sampling, D01_SQL),
     "d02_attribute_average": (d02_attribute_average, D02_SQL),
@@ -725,4 +768,5 @@ DOMAIN_QUERIES = {
     "m02_patch_features": (m02_patch_features, M02_SQL),
     "m03_patch_resize": (m03_patch_resize, M03_SQL),
     "m04_audio_decimate": (m04_audio_decimate, M04_SQL),
+    "m05_frame_fragments": (m05_frame_fragments, M05_SQL),
 }
