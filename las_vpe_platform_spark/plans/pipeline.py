@@ -210,6 +210,7 @@ class BatchExecutor:
         self.recog_avg_fn = RECOGNIZER_AVG_PROVIDERS.get(recognizer)
         self.gallery = gallery
         self.term_sigs = term_sigs
+        self._plan: ExecutionPlan | None = None  # set for the duration of run()
         self._stages: dict[str, Callable[[Node, dict[str, DataFrame]], DataFrame]] = {
             TRACKING: self._stage_tracking,
             ATTR_RECOG: self._stage_attr_recog,
@@ -284,9 +285,25 @@ class BatchExecutor:
         if "TRACKLET_ATTR" in inputs:
             assembled = inputs["TRACKLET_ATTR"]
         else:
-            tracklets = inputs["TRACKLET"].select("tracklet_key")
             attrs = inputs["ATTRIBUTES"].select("tracklet_key", ATTRIBUTE_NAMES[0])
-            assembled = tracklets.join(attrs, on="tracklet_key", how="inner")
+            if self._attrs_subsume_tracklets(node):
+                # Join elimination: when the TRACKLET input is the SAME
+                # in-plan tracking node that (via ATTR_RECOG) produced
+                # ATTRIBUTES, every attr row's tracklet_key already
+                # passed through tracking + the recognizer drop filter,
+                # so attrs' keys ⊆ tracklet keys and the inner join is
+                # an identity.  Joining anyway makes Catalyst evaluate
+                # the tracker mapInPandas subtree TWICE inside one plan
+                # (it does not dedupe shared Python-UDTF subtrees, and
+                # caching the patch-bearing frame was measured slower
+                # than re-running the fake tracker) — at scale that
+                # doubles the dominant video->tracklet stage.  The join
+                # is kept for storage-fed plans (attrrecog-reid), where
+                # the TRACKLET re-scan is a cheap parquet read.
+                assembled = attrs
+            else:
+                tracklets = inputs["TRACKLET"].select("tracklet_key")
+                assembled = tracklets.join(attrs, on="tracklet_key", how="inner")
         if self.gallery is None:
             raise ValueError("reid stage requires a feature gallery DataFrame")
         probes = assembled.select("tracklet_key").join(
@@ -307,6 +324,35 @@ class BatchExecutor:
             ).getField("gallery_key").alias("id_rank")
         )
 
+    def _attrs_subsume_tracklets(self, node: Node) -> bool:
+        """True iff the reid node's TRACKLET parent is an in-plan
+        TRACKING node that is also an ancestor of its ATTRIBUTES parent
+        — the structural condition under which attrs' tracklet_keys are
+        a subset of the tracklet keys and the assembly join can be
+        eliminated (see _stage_reid)."""
+        plan = self._plan
+        if plan is None:
+            return False
+        t_parents = [p for p, port in plan.parents_of(node.node_id) if port == "TRACKLET"]
+        a_parents = [p for p, port in plan.parents_of(node.node_id) if port == "ATTRIBUTES"]
+        if len(t_parents) != 1 or len(a_parents) != 1:
+            return False
+        t_id = t_parents[0]
+        if plan.nodes[t_id].stream != TRACKING:
+            return False
+        # t_id must feed (transitively) the ATTRIBUTES parent
+        seen: set[int] = set()
+        stack = [a_parents[0]]
+        while stack:
+            nid = stack.pop()
+            for pid, _port in plan.parents_of(nid):
+                if pid == t_id:
+                    return True
+                if pid not in seen:
+                    seen.add(pid)
+                    stack.append(pid)
+        return False
+
     def _sink(self, table: str) -> Callable[[Node, dict[str, DataFrame]], DataFrame]:
         def write(node: Node, inputs: dict[str, DataFrame]) -> DataFrame:
             df = next(iter(inputs.values()))
@@ -326,15 +372,19 @@ class BatchExecutor:
         """
         results: dict[int, DataFrame] = {}
         outputs: dict[str, DataFrame] = {}
-        for node in plan.topo_order():
-            parents = plan.parents_of(node.node_id)
-            if parents:
-                inputs = {port: results[pid] for pid, port in parents}
-            else:
-                inputs = {"SOURCE": source}
-            inputs.update({k: v for k, v in extra_inputs.items() if k not in inputs})
-            df = self._stages[node.stream](node, inputs)
-            results[node.node_id] = df
-            outputs[node.stream] = df
-            plan.mark_executed(node.node_id)
+        self._plan = plan
+        try:
+            for node in plan.topo_order():
+                parents = plan.parents_of(node.node_id)
+                if parents:
+                    inputs = {port: results[pid] for pid, port in parents}
+                else:
+                    inputs = {"SOURCE": source}
+                inputs.update({k: v for k, v in extra_inputs.items() if k not in inputs})
+                df = self._stages[node.stream](node, inputs)
+                results[node.node_id] = df
+                outputs[node.stream] = df
+                plan.mark_executed(node.node_id)
+        finally:
+            self._plan = None
         return outputs
