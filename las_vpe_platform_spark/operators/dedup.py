@@ -91,15 +91,21 @@ def incremental_dedup(
        content that exists anywhere in the corpus is dropped.
     2. Within-batch keeper rule: min id per fingerprint (q23's rule).
 
-    Scale shape: the stored side scans ONE narrow column (the
-    fingerprint — store it materialized, so the scan is MBs per TB of
-    corpus); both stages shuffle on the fingerprint only. With a very
-    large store, put q63's bloom-filter semi-join in front as a
+    Scale shape: both stages shuffle on the fingerprint only, and the
+    stored side projects to that single column. If ``stored_df``
+    already carries a materialized ``fingerprint`` column (the 100 TB
+    deployment shape — it makes the stored-side scan MBs per TB of
+    corpus instead of re-reading the text column), it is used as-is;
+    otherwise the fingerprint is computed from ``text_col``. With a
+    very large store, put q63's bloom-filter semi-join in front as a
     no-shuffle prefilter and keep this anti-join as the exact pass.
     """
     fp = content_fingerprint(text_col)
     incoming = new_df.withColumn("fingerprint", fp)
-    stored = stored_df.select(fp.alias("fingerprint"))
+    if "fingerprint" in stored_df.columns:
+        stored = stored_df.select("fingerprint")
+    else:
+        stored = stored_df.select(fp.alias("fingerprint"))
     fresh = incoming.join(stored, on="fingerprint", how="left_anti")
     return (
         fresh.groupBy("fingerprint")

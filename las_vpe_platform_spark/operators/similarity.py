@@ -324,16 +324,23 @@ def sq8_topk(
         )
         .withColumn("_mn", F.array_min("_gvec").cast("double"))
         .withColumn("_mx", F.array_max("_gvec").cast("double"))
-        .withColumn("_step", step)
+        # degenerate (constant) vectors: mx == mn would divide by zero
+        # (engine-dependent NULL/inf); quantize them to all-zero codes
+        # with step 0, so dequant reproduces the constant mn exactly
+        # and gnorm = |mn| * sqrt(dim)
+        .withColumn("_step", F.when(F.col("_mx") > F.col("_mn"), step).otherwise(F.lit(0.0)))
         .withColumn(
             "_codes",
-            F.transform(
-                "_gvec",
-                lambda x: F.floor(
-                    (x.cast("double") - F.col("_mn")) / (F.col("_mx") - F.col("_mn")) * 255.0
-                    + 0.5
+            F.when(
+                F.col("_mx") > F.col("_mn"),
+                F.transform(
+                    "_gvec",
+                    lambda x: F.floor(
+                        (x.cast("double") - F.col("_mn")) / (F.col("_mx") - F.col("_mn")) * 255.0
+                        + 0.5
+                    ),
                 ),
-            ),
+            ).otherwise(F.transform("_gvec", lambda x: F.lit(0).cast("bigint"))),
         )
         .withColumn(
             "_gnorm",
@@ -391,19 +398,22 @@ def sq8_topk_sql(
     vector_col: str,
     k: int,
 ) -> str:
-    """DuckDB mirror of :func:`sq8_topk` — identical fold orders."""
+    """DuckDB mirror of :func:`sq8_topk` — identical fold orders,
+    including the constant-vector guard (codes 0, step 0)."""
     return f"""
-WITH ga AS (
+WITH ga0 AS (
   SELECT {id_col} AS gallery_key,
          list_min({vector_col})::DOUBLE AS mn,
          list_max({vector_col})::DOUBLE AS mx,
-         (list_max({vector_col})::DOUBLE - list_min({vector_col})::DOUBLE) / 255.0 AS step,
-         list_transform({vector_col},
-            x -> floor((x::DOUBLE - list_min({vector_col})::DOUBLE)
-                       / (list_max({vector_col})::DOUBLE - list_min({vector_col})::DOUBLE)
-                       * 255.0 + 0.5)) AS codes,
          {vector_col} AS gvec
   FROM {table}
+), ga AS (
+  SELECT gallery_key, mn, mx,
+         CASE WHEN mx > mn THEN (mx - mn) / 255.0 ELSE 0.0 END AS step,
+         CASE WHEN mx > mn THEN
+           list_transform(gvec, x -> floor((x::DOUBLE - mn) / (mx - mn) * 255.0 + 0.5))
+         ELSE list_transform(gvec, x -> 0.0) END AS codes
+  FROM ga0
 ), ga2 AS (
   SELECT gallery_key, mn, mx, step, codes,
          sqrt(list_sum(list_transform(codes,
@@ -427,7 +437,7 @@ WITH ga AS (
                             ORDER BY similarity DESC, gallery_key) AS rank
   FROM scored
 )
-SELECT probe_key, gallery_key, rank,
+SELECT probe_key, gallery_key, rank::BIGINT AS rank,
        floor((similarity) * 10000.0 + 0.5) / 10000.0 AS similarity
 FROM ranked WHERE rank <= {k}
 """
@@ -460,7 +470,11 @@ def ivf2_topk(
     probes — the recall knobs of a FAISS IVF-HNSW-style hierarchy with
     exact bucketed search at the bottom.
     """
-    assert coarse_mod % fine_mod == 0, "coarse centroids must be a subset of fine"
+    if coarse_mod % fine_mod != 0:  # not assert: must survive python -O
+        raise ValueError(
+            f"coarse centroids must be a subset of fine: coarse_mod "
+            f"{coarse_mod} is not a multiple of fine_mod {fine_mod}"
+        )
     fine = gallery.filter((F.col(gallery_key) % fine_mod) == 0).select(
         F.col(gallery_key).alias("fid"), F.col(vector_col)
     )

@@ -1507,7 +1507,7 @@ def _q66_sql() -> str:
 
     return sq8_topk_sql(
         "embeddings", "vec_id % 100 = 7", "vec_id", "embedding", k=5
-    ).replace("rank,", "rank::BIGINT AS rank,", 1)
+    )
 
 
 Q66_SQL = _q66_sql()

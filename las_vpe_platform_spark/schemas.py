@@ -50,7 +50,7 @@ TRACKLET = T.StructType(
 )
 
 # --- Attributes (alg/pedestrian/attr/Attributes.java:36-414) ----------------
-# The 106 float fields, named exactly as their @SerializedName values and
+# The 125 float fields, named exactly as their @SerializedName values and
 # ordered as DeepMAR.ATTR_LIST (alg/pedestrian/attr/DeepMAR.java:164-289).
 
 ATTRIBUTE_NAMES: tuple[str, ...] = (

@@ -42,6 +42,57 @@ def test_sq8_topk_self_match_and_recall(spark, sf_dir):
     assert recall >= 0.8, f"SQ8 top-5 recall vs exact = {recall}"
 
 
+def test_sq8_topk_constant_vector_guard(spark):
+    """A constant gallery vector has array_min == array_max; the
+    quantizer must not divide by zero (ADVICE r2): it maps the vector
+    to all-zero codes with step 0, so dequantization reproduces the
+    constant exactly and the similarity stays non-null and exact."""
+    import math
+
+    rows = [
+        (1, [3.0, 3.0, 3.0, 3.0]),        # constant -> the guard path
+        (2, [1.0, 2.0, 3.0, 4.0]),
+        (3, [0.0, 0.0, 0.0, 0.0]),        # zero vector -> null sim (denom 0)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    probes = emb.filter("vec_id = 2")
+    out = {
+        r["gallery_key"]: r["similarity"]
+        for r in sq8_topk(
+            probes, emb, probe_key="vec_id", gallery_key="vec_id",
+            vector_col="embedding", k=3,
+        ).collect()
+    }
+    # cos([1,2,3,4], [3,3,3,3]) = 30 / (sqrt(30) * 6)
+    want = 30.0 / (math.sqrt(30.0) * 6.0)
+    assert abs(out[1] - want) < 1e-12, out
+    assert abs(out[2] - 1.0) < 1e-6          # self-match survives quantization
+    assert out[3] is None                     # zero vector: undefined, not NaN
+
+
+def test_incremental_dedup_uses_materialized_fingerprint(spark):
+    """When the stored side already carries a fingerprint column (the
+    100 TB shape), it is trusted as-is — no text recompute. A stored
+    fingerprint matching incoming content drops it even though the
+    stored text column would not."""
+    from las_vpe_platform_spark.operators.dedup import content_fingerprint
+
+    fp_alpha = spark.createDataFrame([("alpha beta",)], "text string").select(
+        content_fingerprint("text").alias("fingerprint")
+    ).head()[0]
+    stored = spark.createDataFrame(
+        [("UNRELATED TEXT", fp_alpha)], "text string, fingerprint string"
+    )
+    incoming = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "fresh")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]
+        for r in incremental_dedup(incoming, stored, text_col="text", id_col="doc_id").collect()
+    }
+    assert out == {2}
+
+
 def test_incremental_dedup_drops_stored_and_batch_dups(spark):
     stored = spark.createDataFrame(
         [(10, "alpha beta"), (11, "gamma")],
