@@ -132,6 +132,71 @@ def compact_parquet_table(
     )
 
 
+def compact_upsert_table(
+    spark: SparkSession,
+    target_dir: str,
+    key_cols: list[str],
+    target_file_mb: int = 128,
+    partition_by: list[str] | None = None,
+) -> int:
+    """Fold a ``foreach_batch_upsert`` target's ``epoch=N`` subdirs
+    into ONE latest-wins snapshot; returns the number of epoch dirs
+    folded (0 = nothing to do).
+
+    A long-running stream accumulates one epoch directory per
+    micro-batch — at reference scale that recreates the small-files
+    problem its HAR packing thread existed for
+    (DataManagingApp.java:235-394). The snapshot is exactly
+    :func:`~las_vpe_platform_spark.streaming.engine.read_upsert_table`'s
+    output, written back as ``epoch=<max existing epoch>`` so the
+    table keeps the layout the read path expects, reads are identical
+    before and after, and any LATER stream epoch still wins its keys.
+    Swap + crash recovery reuse the :func:`compact_parquet_table`
+    mechanics (``._compacting``/``._old`` + :func:`recover_compaction`).
+
+    Run it from the maintenance cadence that watches
+    :func:`table_stats` — e.g. whenever epoch-dir count exceeds ~100 —
+    while the stream is PAUSED or between its micro-batches (the swap
+    is atomic for readers on posix, but a concurrent writer could add
+    an epoch while the snapshot is being computed and lose it).
+    """
+    import shutil
+
+    from las_vpe_platform_spark.streaming.engine import read_upsert_table
+
+    base = target_dir.rstrip("/")
+    epochs = [
+        int(d.split("=", 1)[1])
+        for d in os.listdir(base)
+        if d.startswith("epoch=") and os.path.isdir(os.path.join(base, d))
+    ]
+    if len(epochs) <= 1:
+        return 0
+    snapshot = read_upsert_table(spark, base, key_cols)
+
+    size_bytes = 0
+    for root, _dirs, files in os.walk(base):
+        size_bytes += sum(
+            os.path.getsize(os.path.join(root, f)) for f in files if f.endswith(".parquet")
+        )
+    n_files = max(1, size_bytes // (target_file_mb * 1024 * 1024))
+
+    tmp_dir = base + "._compacting"
+    writer = snapshot.repartition(int(n_files)).write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(f"{tmp_dir}/epoch={max(epochs)}")
+
+    if _exchange_dirs(base, tmp_dir):
+        shutil.rmtree(tmp_dir)
+    else:
+        old_dir = base + "._old"
+        os.rename(base, old_dir)
+        os.rename(tmp_dir, base)
+        shutil.rmtree(old_dir)
+    return len(epochs)
+
+
 def table_stats(spark: SparkSession, table_dir: str) -> DataFrame:
     """File-level stats for deciding when to compact."""
     rows = []

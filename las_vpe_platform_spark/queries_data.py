@@ -1956,6 +1956,168 @@ FROM kept GROUP BY lang
 """
 
 
+# --- q74: PMI collocation mining --------------------------------------------
+# Corpus collocation extraction (the phrase-mining pass a tokenizer /
+# vocab-induction pipeline runs before merging multiword units): lift
+# = p(w1 w2) / (p(w1) p(w2)), i.e. c12 * N_uni^2 / (N_big * c1 * c2).
+# All inputs are INTEGER counts from two grouped aggregates (bigram
+# occurrences, unigram occurrences); the only float op is the final
+# per-row division chain, written with identical association in both
+# engines so ranks agree bit-for-bit. Complements q64 (novelty = rare
+# fraction per doc) — this ranks globally by association strength.
+# Scale shape: two explode+groupBy passes over the token stream (the
+# q30/q43 inverted-index cost), the min-count filter shrinks the
+# scored side to phrase candidates before any join, totals ride as
+# broadcast 1-row frames, and the global top-k is
+# TakeOrderedAndProject (per-partition heaps), never a full sort.
+
+PMI_MIN_COUNT = 5
+PMI_TOPK = 40
+
+
+def q74_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(tokens("text").alias("toks"))
+    uni = (
+        toks.select(F.explode("toks").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_uni = uni.agg(F.sum("c").cast("bigint").alias("n_uni"))
+    # adjacent pairs; sequence(1, 0) is a DESCENDING range in Spark, so
+    # short docs need the explicit empty-array guard (same as q69)
+    pair_expr = F.when(
+        F.size("toks") >= 2,
+        F.expr(
+            "transform(sequence(1, size(toks) - 1),"
+            " i -> struct(toks[i-1] AS w1, toks[i] AS w2))"
+        ),
+    ).otherwise(F.expr("array()").cast("array<struct<w1:string,w2:string>>"))
+    bcnt = (
+        toks.select(F.explode(pair_expr).alias("bg"))
+        .select("bg.w1", "bg.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    n_big = bcnt.agg(F.sum("c12").cast("bigint").alias("n_big"))
+    joined = (
+        bcnt.filter(F.col("c12") >= PMI_MIN_COUNT)
+        .join(uni.select(F.col("term").alias("w1"), F.col("c").alias("c1")), on="w1")
+        .join(uni.select(F.col("term").alias("w2"), F.col("c").alias("c2")), on="w2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_big))
+    )
+    lift = (
+        (F.col("c12").cast("double") * F.col("n_uni")) * F.col("n_uni")
+    ) / ((F.col("n_big").cast("double") * F.col("c1")) * F.col("c2"))
+    return (
+        joined.select("w1", "w2", F.col("c12").cast("bigint").alias("c12"), lift.alias("_l"))
+        .orderBy(F.desc("_l"), F.asc("w1"), F.asc("w2"))
+        .limit(PMI_TOPK)
+        .select("w1", "w2", "c12", pround("_l", 4).alias("lift"))
+    )
+
+
+Q74_SQL = f"""
+WITH toks AS (
+  SELECT {SQL_TOKENS} AS toks FROM documents
+), ucnt AS (
+  SELECT term, count(*) AS c
+  FROM (SELECT unnest(toks) AS term FROM toks) GROUP BY term
+), utot AS (
+  SELECT sum(c)::BIGINT AS n_uni FROM ucnt
+), bcnt AS (
+  SELECT w1, w2, count(*) AS c12 FROM (
+    SELECT toks[i] AS w1, toks[i + 1] AS w2
+    FROM toks, unnest(generate_series(1, len(toks) - 1)) AS t(i)
+  ) GROUP BY w1, w2
+), btot AS (
+  SELECT sum(c12)::BIGINT AS n_big FROM bcnt
+), scored AS (
+  SELECT w1, w2, c12,
+         ((c12::DOUBLE * n_uni) * n_uni) / ((n_big::DOUBLE * c1.c) * c2.c) AS l
+  FROM bcnt
+  JOIN ucnt c1 ON bcnt.w1 = c1.term
+  JOIN ucnt c2 ON bcnt.w2 = c2.term
+  CROSS JOIN utot CROSS JOIN btot
+  WHERE c12 >= {PMI_MIN_COUNT}
+)
+SELECT w1, w2, c12::BIGINT AS c12,
+       floor((l) * 10000.0 + 0.5) / 10000.0 AS lift
+FROM scored ORDER BY l DESC, w1, w2 LIMIT {PMI_TOPK}
+"""
+
+
+# --- q75: leakage-free dataset split ----------------------------------------
+# q45 buckets by doc_id, which puts two byte-identical documents on
+# opposite sides of a train/eval cut — exactly the contamination q60
+# exists to detect. The production rule: hash the CONTENT FINGERPRINT,
+# so every copy of the same content lands in one split by
+# construction. The n_leaked_fps column computes the violation count
+# FROM THE DATA (fingerprints seen in >1 split) rather than trusting
+# the construction — it must be 0.
+# Scale shape: one fingerprint aggregate (exact-dedup cost) + one
+# grouped count; the leak check reuses the same grouped frame.
+
+LEAK_TRAIN_FRAC = 0.9
+
+
+def q75_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.functions.text import content_fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("fsplit:"), F.col("fingerprint"))), 1, 8),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(2**32))
+    )
+    assigned = docs.select(
+        "doc_id", content_fingerprint("text").alias("fingerprint")
+    ).withColumn(
+        "split", F.when(u < LEAK_TRAIN_FRAC, F.lit("train")).otherwise(F.lit("eval"))
+    )
+    leaks = (
+        assigned.groupBy("fingerprint")
+        .agg(F.countDistinct("split").alias("_ns"))
+        .filter(F.col("_ns") > 1)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_leaked_fps"))
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("fingerprint").cast("bigint").alias("n_fps"),
+        )
+        .crossJoin(F.broadcast(leaks))
+    )
+
+
+Q75_SQL = r"""
+WITH assigned AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+         CASE WHEN (('0x' || substr(md5('fsplit:' || md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))), 1, 8))::BIGINT::DOUBLE
+                    / 4294967296.0) < 0.9
+              THEN 'train' ELSE 'eval' END AS split
+  FROM documents
+), leaks AS (
+  SELECT count(*)::BIGINT AS n_leaked_fps FROM (
+    SELECT fingerprint FROM assigned
+    GROUP BY fingerprint HAVING count(DISTINCT split) > 1
+  )
+)
+SELECT split, count(*)::BIGINT AS n_docs,
+       count(DISTINCT fingerprint)::BIGINT AS n_fps, n_leaked_fps
+FROM assigned CROSS JOIN leaks
+GROUP BY split, n_leaked_fps
+"""
+
+
 DATA_QUERIES = {
     "q20_doc_token_stats": (q20_doc_token_stats, Q20_SQL),
     "q21_doc_quality": (q21_doc_quality, Q21_SQL),
@@ -1995,4 +2157,6 @@ DATA_QUERIES = {
     "q70_ivf2_topk": (q70_ivf2_topk, Q70_SQL),
     "q71_retrieval_pipeline": (q71_retrieval_pipeline, Q71_SQL),
     "q73_quality_percentile_filter": (q73_quality_percentile_filter, Q73_SQL),
+    "q74_pmi_collocations": (q74_pmi_collocations, Q74_SQL),
+    "q75_leakage_free_split": (q75_leakage_free_split, Q75_SQL),
 }

@@ -356,10 +356,55 @@ FROM src GROUP BY branch, window_start_epoch
 """
 
 
+def s06_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: every micro-batch broadcast-joins
+    the static dimension — the streaming face of the reference's
+    per-message point lookup against a static store (S9/J8, the Neo4j
+    person resolution inside its streaming apps). No streaming state at
+    all: the join holds nothing across batches (the static side is
+    re-resolved per batch, which is also why a dimension UPDATE is
+    picked up mid-stream on a real deployment).
+
+    Events map to customers via ``c_custkey = user_id + 1`` (driver
+    user_ids are 0-based, TPC-H custkeys 1-based); the result is
+    per-market-segment traffic, hash-compared to the batch join.
+    """
+    raw = _events_micros(spark, sf_dir)
+    src = tempfile.mkdtemp(prefix="s06_events_")
+    raw.coalesce(8).write.mode("overwrite").parquet(src)
+    stream = file_stream(spark, src, RAW_EVENTS_SCHEMA, max_files_per_trigger=4)
+    dim = load_table(spark, sf_dir, "customer").select(
+        (F.col("c_custkey") - 1).alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    enriched = stream.join(F.broadcast(dim), on="user_id", how="inner")
+    agg = enriched.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("_sv"),
+    )
+    name = f"s06_out_{uuid.uuid4().hex[:8]}"
+    with _stream_partitions(spark):
+        out = run_to_completion(
+            agg.select("segment", "n_events", "_sv"),
+            name,
+            output_mode="complete",
+        )
+    return out.select("segment", "n_events", pround("_sv", 4).alias("sum_value"))
+
+
+S06_SQL = """
+SELECT c.c_mktsegment AS segment, count(*) AS n_events,
+       floor((sum(e.value)) * 10000.0 + 0.5) / 10000.0 AS sum_value
+FROM events e JOIN customer c ON c.c_custkey = e.user_id + 1
+GROUP BY c.c_mktsegment
+"""
+
+
 STREAMING_QUERIES = {
     "s01_stream_windowed_counts": (s01_stream_windowed_counts, S01_SQL),
     "s02_stream_dedup": (s02_stream_dedup, S02_SQL),
     "s03_stream_sessions": (s03_stream_sessions, S03_SQL),
     "s04_stream_interval_join": (s04_stream_interval_join, S04_SQL),
     "s05_stream_demux_sinks": (s05_stream_demux_sinks, S05_SQL),
+    "s06_stream_static_enrich": (s06_stream_static_enrich, S06_SQL),
 }

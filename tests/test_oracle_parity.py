@@ -1,15 +1,43 @@
 """Spark-vs-DuckDB parity for every catalog query — the local replica
 of the driver's CORRECTNESS gate (row count + column names + order-
 insensitive value comparison).
+
+This module runs at sf0.01 — the driver's own scale — rather than the
+sf0.001 the rest of the suite uses (VERDICT r2 #7): volume-sensitive
+bugs (join duplication, overflow, bucket occupancy) can hide at
+sf0.001. ``SPARK_GRAFT_TEST_SF_DIR`` still overrides both.
 """
 
 from __future__ import annotations
 
 import math
+import os
 
+import duckdb
 import pytest
 
 from las_vpe_platform_spark.queries import CATALOG
+
+PARITY_SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
+
+
+@pytest.fixture(scope="module")
+def sf_dir():
+    return PARITY_SF_DIR
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for name in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ):
+        path = f"{PARITY_SF_DIR}/{name}.parquet"
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{path}'")
+    yield con
+    con.close()
 
 
 def _normalize(rows, columns):

@@ -138,6 +138,16 @@ def test_q69_overlap_joins_distinct_spans_only(spark, sf_dir):
         assert "doc_id" not in k
 
 
+def test_q74_global_topk_is_take_ordered(spark, sf_dir):
+    # association-ranked global top-k must be per-partition heaps +
+    # driver merge, never a single-partition sort of all candidates
+    from las_vpe_platform_spark.queries_data import q74_pmi_collocations
+
+    plan = _plan(q74_pmi_collocations(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange SinglePartition" not in plan.split("TakeOrderedAndProject")[0]
+
+
 def test_q67_anti_join_on_fingerprint_only(spark, sf_dir):
     # both stages key on the fingerprint; the stored side must not
     # shuffle anything wider, and the incoming side shuffles once for

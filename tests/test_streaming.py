@@ -194,6 +194,39 @@ def test_upsert_same_key_across_epochs_reads_once(spark, tmp_path):
     assert got == {"a": 1, "b": 2, "c": 2}
 
 
+def test_compact_upsert_table_folds_epochs_latest_wins(spark, tmp_path):
+    """VERDICT r2 'What's missing' #5: N overlapping epoch dirs fold
+    into ONE snapshot dir; read_upsert_table is identical before and
+    after, and a LATER stream epoch still wins its keys."""
+    import os
+
+    from las_vpe_platform_spark.operators.maintenance import compact_upsert_table
+    from las_vpe_platform_spark.streaming.engine import read_upsert_table
+
+    target = str(tmp_path / "upsert")
+    sink = foreach_batch_upsert(target, key_cols=["k"])
+    sink(spark.createDataFrame([("a", 1), ("b", 1)], "k string, v int"), 0)
+    sink(spark.createDataFrame([("b", 2), ("c", 2)], "k string, v int"), 1)
+    sink(spark.createDataFrame([("c", 3), ("d", 3)], "k string, v int"), 2)
+
+    before = {r["k"]: r["v"] for r in read_upsert_table(spark, target, ["k"]).collect()}
+    assert compact_upsert_table(spark, target, key_cols=["k"]) == 3
+    epoch_dirs = [d for d in os.listdir(target) if d.startswith("epoch=")]
+    assert epoch_dirs == ["epoch=2"]
+    after = {r["k"]: r["v"] for r in read_upsert_table(spark, target, ["k"]).collect()}
+    assert after == before == {"a": 1, "b": 2, "c": 3, "d": 3}
+
+    # the stream keeps running: a later epoch still beats the snapshot
+    sink(spark.createDataFrame([("d", 4)], "k string, v int"), 3)
+    got = {r["k"]: r["v"] for r in read_upsert_table(spark, target, ["k"]).collect()}
+    assert got == {"a": 1, "b": 2, "c": 3, "d": 4}
+
+    # idempotent: a single-epoch table is a no-op... (after epoch 3
+    # there are two dirs again, so fold once more, then no-op)
+    assert compact_upsert_table(spark, target, key_cols=["k"]) == 2
+    assert compact_upsert_table(spark, target, key_cols=["k"]) == 0
+
+
 def test_metrics_collector(spark, events_dir):
     from las_vpe_platform_spark.streaming.monitor import MetricsCollector
 
