@@ -49,7 +49,9 @@ DRIVER_PRIORITY: list[str] = [
     # -- tier 0: NEW this round (no evidence from any prior round) --
     "q74_pmi_collocations",
     "q75_leakage_free_split",
+    "q76_locf_backfill",
     "s06_stream_static_enrich",
+    "m06_keyframe_selection",
     # -- tier 1: never driver-checked in any round (added in round 2
     #    after that round's list was frozen). d14 is the flagship
     #    end-to-end DAG (PedestrianReIDUsingAttrApp.java:136-243). --
@@ -98,20 +100,22 @@ DRIVER_PRIORITY: list[str] = [
     "q41_segment_set_ops",
     "q42_doc_repetition",
     "q43_vocab_top_terms",
-    "q44_doc_chunks",
-    "q45_dataset_split",
     # -- tier 3: re-gated this round — pipeline.py's reid join
     #    elimination touches d05/d11's plan family; q29 explain-diffed
     #    after the round-2 bench regression --
     "d05_reid_assembly",
     "d11_pipeline_attr_recog",
     "q29_embedding_ivf_topk",
-    # -- overflow (>50): q46/q47/q49 rotate out to make room for tier 0
-    #    (their operator families stay in-window: multi-distinct ~ q56's
-    #    grouped distinct, null semantics pervade q05/q47-family tests,
-    #    int8 array math ~ q66's codes); every entry below has round-1
-    #    or round-2 driver evidence and is still DuckDB-verified at
-    #    sf0.01 every run by tests/test_oracle_parity.py --
+    # -- overflow (>50): q44-q47/q49 rotate out to make room for tier 0
+    #    (their operator families stay in-window: chunking ⊂ the q50
+    #    composite's gate lineage, split hashing ~ q75's fingerprint
+    #    split, multi-distinct ~ q56's grouped distinct, null semantics
+    #    pervade q05-family, int8 array math ~ q66's codes); every entry
+    #    below has round-1 or round-2 driver evidence and is still
+    #    DuckDB-verified at sf0.01 every run by
+    #    tests/test_oracle_parity.py --
+    "q44_doc_chunks",
+    "q45_dataset_split",
     "q46_multi_distinct",
     "q47_null_semantics",
     "q49_embedding_quantize",

@@ -749,6 +749,53 @@ FROM f GROUP BY 1, 2
 """
 
 
+# --- m06: keyframe selection over the frame source --------------------------
+# Representative-frame selection per fragment (the thumbnail/preview
+# pass a video catalog runs after cutting — reference's fragments at
+# DataManagingApp.java:160-217 are the unit): keyframe = the fragment's
+# frame with the minimal content digest, i.e. a deterministic
+# content-addressed pick that any engine reproduces from the payload
+# bytes alone. One grouped arg-min over the m05 frame stream — frame
+# payloads never leave the JVM after the source (hex+min on binary),
+# and the aggregate is partial+final so frames never re-shuffle whole.
+
+
+def m06_keyframe_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.operators.multimodal import cut_video_frames
+
+    videos = _fx(spark, "videos")
+    frames = cut_video_frames(videos)
+    scored = frames.select(
+        "video_id",
+        F.col("fragment_id").cast("bigint").alias("fragment_id"),
+        "frame_index",
+        F.lower(F.hex("frame_data")).alias("_h"),
+    )
+    return scored.groupBy("video_id", "fragment_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+        F.min_by("frame_index", "_h").cast("bigint").alias("keyframe_index"),
+        F.substring(F.min("_h"), 1, 8).alias("key_hash_prefix"),
+    )
+
+
+M06_SQL = f"""
+WITH f AS (
+  SELECT video_id,
+         unnest(generate_series(
+           0, CAST(floor(duration_s * fps_num / fps_den) AS BIGINT) - 1, 250)) AS frame_index
+  FROM {_fxsql('videos')}
+), h AS (
+  SELECT video_id, (frame_index // 1000)::BIGINT AS fragment_id, frame_index,
+         md5('frame:' || video_id || ':' || frame_index) AS h
+  FROM f
+)
+SELECT video_id, fragment_id, count(*)::BIGINT AS n_frames,
+       arg_min(frame_index, h)::BIGINT AS keyframe_index,
+       substr(min(h), 1, 8) AS key_hash_prefix
+FROM h GROUP BY 1, 2
+"""
+
+
 DOMAIN_QUERIES = {
     "d01_tracklet_sampling": (d01_tracklet_sampling, D01_SQL),
     "d02_attribute_average": (d02_attribute_average, D02_SQL),
@@ -769,4 +816,5 @@ DOMAIN_QUERIES = {
     "m03_patch_resize": (m03_patch_resize, M03_SQL),
     "m04_audio_decimate": (m04_audio_decimate, M04_SQL),
     "m05_frame_fragments": (m05_frame_fragments, M05_SQL),
+    "m06_keyframe_selection": (m06_keyframe_selection, M06_SQL),
 }

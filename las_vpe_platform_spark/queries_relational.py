@@ -1132,6 +1132,45 @@ FROM probed GROUP BY o_orderpriority
 Q63_SQL = _q63_sql()
 
 
+# --- q76: LOCF (last-observation-carried-forward) backfill ------------------
+# The other half of q72's gap handling: q72 fills SILENT buckets with
+# zeros (additive metrics); gauge-style metrics instead carry the last
+# observed value forward. Per user, every event row is annotated with
+# the most recent click's value at-or-before it — the classic
+# time-series backfill (TimescaleDB locf(), pandas ffill) as one
+# running window: F.last(ignorenulls) over rows-unbounded-preceding.
+# Scale shape: ONE shuffle on user_id + an in-partition sort — the
+# same cost envelope as the as-of join (q33), with no spine join and
+# no state beyond the running scalar; values pass through untouched so
+# parity is bit-exact.
+
+
+def q76_locf_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    clicked = F.when(F.col("event_type") == "click", F.col("value"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.last(clicked, ignorenulls=True).over(w).alias("filled_click_value"),
+    )
+
+
+Q76_SQL = """
+SELECT event_id, user_id, event_type,
+       last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS filled_click_value
+FROM events
+"""
+
+
 RELATIONAL_QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_top_customers_per_nation": (q02_top_customers_per_nation, Q02_SQL),
@@ -1168,4 +1207,5 @@ RELATIONAL_QUERIES = {
     "q58_hopping_window_stats": (q58_hopping_window_stats, Q58_SQL),
     "q63_bloom_semi_join": (q63_bloom_semi_join, Q63_SQL),
     "q72_hourly_rollup_gapfill": (q72_hourly_rollup_gapfill, Q72_SQL),
+    "q76_locf_backfill": (q76_locf_backfill, Q76_SQL),
 }
