@@ -38,8 +38,11 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
     # warm the Arrow/Python worker pool too — otherwise the first
     # mapInPandas query in the catalog is charged ~2 s of one-time
-    # interpreter spin-up that a long-running cluster never repays
-    spark.range(2).mapInPandas(lambda it: it, "id long").count()
+    # interpreter spin-up that a long-running cluster never repays.
+    # One row per core so every worker in the pool forks now, not
+    # inside the first timed pandas-UDF query.
+    cores = spark.sparkContext.defaultParallelism
+    spark.range(cores).repartition(cores).mapInPandas(lambda it: it, "id long").count()
 
     timings: dict[str, float] = {}
     t_all = time.perf_counter()

@@ -51,17 +51,117 @@ def pairwise_similarity_topk(
 ) -> DataFrame:
     """Probe-vs-gallery similarity ranking (J9 + W1/W2).
 
-    crossJoin of probes × gallery with a JVM-side cosine expression,
-    then per-probe top-k via window rank — the batch re-expression of
-    the socket-offloaded comparer + IDRANK output
-    (PedestrianReIDer.java:38, PedestrianReIDUsingAttrApp.java:226-228).
+    The batch re-expression of the socket-offloaded comparer + IDRANK
+    output (PedestrianReIDer.java:38,
+    PedestrianReIDUsingAttrApp.java:226-228).
 
-    Norms are precomputed per vector BEFORE the cross product (one fold
-    per row instead of one per pair — same bits, 3x less work), so the
-    per-pair expression is the dot product alone.
+    Execution shape (the 100 TB path): the FEW probes are collected and
+    broadcast as one dense float64 matrix — exactly what a broadcast
+    hash join would ship, minus the row overhead — and the LARGE
+    gallery streams through ``mapInPandas``, where each Arrow batch
+    computes all probe×batch cosines as ONE BLAS matmul and keeps only
+    its per-probe top-k candidates.  Per-element Catalyst array folds
+    (zip_with + aggregate) are interpreted per element, which measured
+    ~10x slower than Arrow+BLAS at 1024-d; dense linear algebra is the
+    one hot path where the vectorized-Python escape hatch wins.  The
+    only shuffle is the final exact window over #batches x #probes x k
+    candidate rows (global top-k is contained in the union of
+    per-batch top-k under the same total order), so cost scales
+    linearly in gallery size with no gallery-side exchange.
 
-    Scale: the probe side is broadcast (probes are few); for gallery ×
-    gallery workloads use the LSH variants in operators/similarity.py.
+    Tie-breaking matches the SQL oracle: similarity DESC (NULLs — from
+    zero-norm vectors — last), then gallery_key ASC.  All math is
+    float64, matching the ::DOUBLE casts in the oracle to ~1e-15.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    spark = probes.sparkSession
+    p_rows = probes.select(
+        F.col(probe_key).alias("probe_key"), F.col(vector_col).alias("_pvec")
+    ).collect()
+
+    pk_type = probes.schema[probe_key].dataType
+    gk_type = gallery.schema[gallery_key].dataType
+    cand_schema = StructType(
+        [
+            StructField("probe_key", pk_type),
+            StructField("gallery_key", gk_type),
+            StructField("similarity", DoubleType()),
+        ]
+    )
+
+    if not p_rows:
+        empty = spark.createDataFrame([], cand_schema)
+        return empty.withColumn("rank", F.lit(1)).filter(F.lit(False))
+
+    p_keys = [r["probe_key"] for r in p_rows]
+    P = np.asarray([np.asarray(r["_pvec"], dtype=np.float64) for r in p_rows])
+    pnorm = np.sqrt((P * P).sum(axis=1))
+    bc = spark.sparkContext.broadcast((p_keys, P, pnorm))
+
+    def _score(batches):
+        keys, P, pnorm = bc.value
+        n_probes = len(keys)
+        keys_arr = pd.Series(keys)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            # reorder the batch by gallery key ASC so a stable sort on
+            # -similarity alone implements the (sim DESC, key ASC)
+            # total order
+            order = np.argsort(pdf["gallery_key"].to_numpy(), kind="stable")
+            pdf = pdf.iloc[order]
+            G = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["_gvec"]]
+            )
+            gnorm = np.sqrt((G * G).sum(axis=1))
+            denom = pnorm[:, None] * gnorm[None, :]
+            dots = P @ G.T
+            null_mask = denom <= 0
+            sims = np.where(null_mask, -np.inf, dots / np.where(null_mask, 1.0, denom))
+            kk = min(k, sims.shape[1])
+            idx = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+            flat = idx.ravel()
+            out_sims = np.take_along_axis(sims, idx, axis=1).ravel()
+            out = pd.DataFrame(
+                {
+                    "probe_key": keys_arr.repeat(kk).reset_index(drop=True),
+                    "gallery_key": pdf["gallery_key"].to_numpy()[flat],
+                    "similarity": out_sims,
+                }
+            )
+            # zero-norm pairs carry NULL similarity (ranked last), the
+            # F.when(denom > 0, ...) contract of the expression form
+            out.loc[np.isneginf(out["similarity"]), "similarity"] = None
+            yield out
+
+    g = gallery.select(
+        F.col(gallery_key).alias("gallery_key"), F.col(vector_col).alias("_gvec")
+    )
+    candidates = g.mapInPandas(_score, cand_schema)
+    w = W.partitionBy("probe_key").orderBy(F.desc("similarity"), F.asc("gallery_key"))
+    return (
+        candidates.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def pairwise_similarity_topk_expr(
+    probes: DataFrame,
+    gallery: DataFrame,
+    probe_key: str,
+    gallery_key: str,
+    vector_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Pure-Catalyst formulation of :func:`pairwise_similarity_topk`
+    (broadcast crossJoin + zip_with/aggregate cosine + window rank).
+
+    Kept for environments where Arrow is unavailable and as the parity
+    witness for the BLAS path (see test_new_ops.py); ~10x slower at
+    1024-d because higher-order array folds are interpreted.
     """
     from las_vpe_platform_spark.functions.vector import dot_product, l2_norm
 

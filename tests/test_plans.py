@@ -92,19 +92,25 @@ def test_q66_sq8_gallery_never_shuffles(spark, sf_dir):
 def test_d14_single_tracker_invocation(spark, sf_dir):
     # The flagship track->attrrecog->reid DAG (VERDICT r2 'What's
     # wrong' #1): Catalyst does not dedupe shared Python-UDTF subtrees,
-    # so if the reid stage joins tracking output against attr output
-    # the tracker mapInPandas runs TWICE in one plan. After the
-    # structural join elimination in BatchExecutor._stage_reid the
-    # physical plan must contain exactly ONE MapInPandas (the tracker;
-    # the recognizer is expression-defined).
+    # so if the reid stage joined tracking output against attr output
+    # the tracker mapInPandas would run TWICE in one plan. After the
+    # structural join elimination in BatchExecutor._stage_reid, the
+    # tracker subtree runs exactly ONCE — consumed eagerly by the
+    # probe-matrix collect in pairwise_similarity_topk — and the only
+    # MapInPandas left in the lazy plan is the BLAS scorer streaming
+    # over the gallery; no tracker node may appear in it at all.
     from las_vpe_platform_spark.queries_domain import d14_pipeline_reid
 
     plan = _plan(d14_pipeline_reid(spark, sf_dir))
-    assert plan.count("MapInPandas") == 1, "tracker subtree duplicated"
-    # ranking half: probes broadcast over the gallery scan, top-k
-    # pushed below the rank window as a per-partition group limit
-    assert "BroadcastNestedLoopJoin" in plan
-    assert "WindowGroupLimit" in plan
+    assert plan.count("MapInPandas") == 1, "tracker subtree leaked into reid plan"
+    assert "location_sequence" not in plan, "tracker subtree leaked into reid plan"
+    # ranking half: gallery streams through the scorer with NO
+    # gallery-side exchange; the only shuffle is the candidate window
+    # (batches x probes x k rows) on probe_key
+    import re
+
+    hash_ex = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
+    assert all(c == "probe_key" for c in hash_ex), hash_ex
 
 
 def test_q68_salt_stays_broadcast_no_sort_merge(spark, sf_dir):
