@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from collections.abc import Iterable
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -202,3 +202,108 @@ def completeness_check(
         )
         .filter(F.col("actual_count") == F.col("expected_count"))
     )
+
+
+def cms_heavy_hitters(
+    items: DataFrame,
+    key_cols: list[str],
+    d: int = 4,
+    w: int = 128,
+    k: int = 10,
+    seed: str = "cms",
+) -> DataFrame:
+    """Count-min sketch heavy hitters (Cormode & Muthukrishnan 2005):
+    estimate per-key frequencies through a d x w counter matrix and
+    return the top-k keys by estimate.
+
+    Two passes, both sketch-shaped (complements the HLL cardinality
+    sketch in :func:`hll_distinct`):
+
+    1. BUILD: every item hashes into one bucket per row j < d; one
+       grouped count over (row, bucket) — map-side partial aggregation
+       collapses each task to <= d*w counters, so the shuffle carries
+       O(d*w) rows regardless of corpus size.  On a stream this is the
+       mergeable-sketch update.
+    2. QUERY: the distinct candidate keys join the d*w-row sketch
+       (broadcast — it is bytes) on their bucket per row, and the
+       estimate is min over the d row counts (upper bound with
+       one-sided error epsilon = e/w at confidence 1 - e^-d).
+
+    Hashing is the engine-portable md5 route (providers._hash_unit),
+    so a SQL oracle reproduces the sketch bit-for-bit, collisions
+    included.
+    """
+    joined = F.concat_ws("\x1f", *[F.col(c) for c in key_cols])
+
+    def bucket(j: int) -> Column:
+        h = F.md5(F.concat_ws(":", F.lit(seed), F.lit(str(j)), joined))
+        return (F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % w).alias(
+            f"_b{j}"
+        )
+
+    hashed = items.select(*key_cols, *[bucket(j) for j in range(d)])
+    sketch = (
+        hashed.select(
+            F.posexplode(F.array(*[F.col(f"_b{j}") for j in range(d)])).alias(
+                "row", "bucket"
+            )
+        )
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cand = hashed.dropDuplicates(key_cols)
+    est = None
+    for j in range(d):
+        s_j = sketch.filter(F.col("row") == j).select(
+            F.col("bucket").alias(f"_b{j}"), F.col("c").alias(f"_c{j}")
+        )
+        cand = cand.join(F.broadcast(s_j), on=f"_b{j}", how="left")
+        cj = F.coalesce(F.col(f"_c{j}"), F.lit(0))
+        est = cj if est is None else F.least(est, cj)
+    return (
+        cand.select(*key_cols, est.cast("bigint").alias("estimate"))
+        .orderBy(F.desc("estimate"), *[F.asc(c) for c in key_cols])
+        .limit(k)
+    )
+
+
+def cms_heavy_hitters_sql(
+    items_sql: str,
+    key_cols: list[str],
+    d: int = 4,
+    w: int = 128,
+    k: int = 10,
+    seed: str = "cms",
+) -> str:
+    """DuckDB mirror of :func:`cms_heavy_hitters` (same md5 buckets,
+    same min-over-rows estimate)."""
+    joined = " || chr(31) || ".join(key_cols)
+    bucket_cols = ", ".join(
+        f"(('0x' || substr(md5('{seed}:{j}:' || {joined}), 1, 8))::BIGINT"
+        f" % {w}) AS _b{j}"
+        for j in range(d)
+    )
+    key_list = ", ".join(key_cols)
+    unions = " UNION ALL ".join(
+        f"SELECT {j} AS row, _b{j} AS bucket FROM _hashed" for j in range(d)
+    )
+    mins = ", ".join(
+        f"coalesce((SELECT c FROM _sketch s WHERE s.row = {j}"
+        f" AND s.bucket = h._b{j}), 0)"
+        for j in range(d)
+    )
+    order_keys = ", ".join(key_cols)
+    return f"""
+WITH _hashed AS (
+  SELECT {key_list}, {bucket_cols} FROM ({items_sql})
+), _sketch AS (
+  SELECT row, bucket, count(*) AS c FROM ({unions}) GROUP BY row, bucket
+), _cand AS (
+  SELECT DISTINCT {key_list},
+         {", ".join(f"_b{j}" for j in range(d))}
+  FROM _hashed
+)
+SELECT {key_list}, least({mins})::BIGINT AS estimate
+FROM _cand h
+ORDER BY estimate DESC, {order_keys} LIMIT {k}
+"""

@@ -128,3 +128,131 @@ def balanced_sample(
         .filter(accept < F.col("_rate"))
         .drop("_rate")
     )
+
+
+def hashed_ngram_importance(
+    pool: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    buckets: int = 512,
+    alpha: float = 1.0,
+    seed: str = "dsir",
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every pool
+    document by how much its hashed-bigram distribution looks like the
+    TARGET corpus rather than the pool itself.
+
+    Features are bigrams hashed into ``buckets`` counters (the paper's
+    hashed n-gram feature space).  Per-bucket weight is the smoothed
+    log-likelihood ratio  ln( ((t_b + a) / (T + aB)) / ((p_b + a) /
+    (P + aB)) ); a document's importance is the MEAN weight over its
+    bigram occurrences.  Resampling then keeps the top documents (or
+    hash-rate accepts proportionally — compose with corpus_mix).
+
+    Scale shape: two grouped counts over the bucket id (each shuffles
+    <= ``buckets`` rows thanks to map-side partials), the weight table
+    stays driver-free as a ``buckets``-row broadcast join, and the
+    per-doc mean is one aggregate on ``id_col`` — the only data-sized
+    shuffle.  The md5 bucket hash is the engine-portable route, so a
+    SQL oracle reproduces scores exactly.
+    """
+    from las_vpe_platform_spark.functions.text import tokens
+
+    def bigram_buckets(df: DataFrame, *extra) -> DataFrame:
+        toks = df.select(*extra, tokens(text_col).alias("_toks"))
+        pair = F.when(
+            F.size("_toks") >= 2,
+            F.expr(
+                "transform(sequence(1, size(_toks) - 1),"
+                " i -> concat(_toks[i-1], ' ', _toks[i]))"
+            ),
+        ).otherwise(F.expr("array()").cast("array<string>"))
+        grams = toks.select(*extra, F.explode(pair).alias("_gram"))
+        h = F.md5(F.concat_ws(":", F.lit(seed), F.col("_gram")))
+        return grams.select(
+            *extra,
+            (F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % buckets).alias(
+                "bucket"
+            ),
+        )
+
+    t_counts = bigram_buckets(target).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("t_b")
+    )
+    p_counts = bigram_buckets(pool).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("p_b")
+    )
+    t_tot = t_counts.agg(F.sum("t_b").alias("t_tot"))
+    p_tot = p_counts.agg(F.sum("p_b").alias("p_tot"))
+    weights = (
+        p_counts.join(t_counts, on="bucket", how="full_outer")
+        .crossJoin(F.broadcast(t_tot))
+        .crossJoin(F.broadcast(p_tot))
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce(F.col("t_b"), F.lit(0)) + alpha)
+                    / (F.col("t_tot") + alpha * buckets)
+                )
+                - F.log(
+                    (F.coalesce(F.col("p_b"), F.lit(0)) + alpha)
+                    / (F.col("p_tot") + alpha * buckets)
+                )
+            ).alias("w"),
+        )
+    )
+    doc_buckets = bigram_buckets(pool, id_col)
+    return (
+        doc_buckets.join(F.broadcast(weights), on="bucket", how="left")
+        .groupBy(id_col)
+        .agg(
+            F.avg("w").alias("importance"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+    )
+
+
+def hashed_ngram_importance_sql(
+    pool_sql: str,
+    target_sql: str,
+    id_col: str,
+    sql_tokens: str,
+    buckets: int = 512,
+    alpha: float = 1.0,
+    seed: str = "dsir",
+) -> str:
+    """DuckDB mirror of :func:`hashed_ngram_importance` (same md5
+    buckets, same smoothing)."""
+    return f"""
+WITH _pt AS (
+  SELECT {id_col}, {sql_tokens} AS toks FROM ({pool_sql})
+), _tt AS (
+  SELECT {sql_tokens} AS toks FROM ({target_sql})
+), _pg AS (
+  SELECT {id_col},
+         ('0x' || substr(md5('{seed}:' || toks[i] || ' ' || toks[i + 1]), 1, 8))::BIGINT
+           % {buckets} AS bucket
+  FROM _pt, unnest(generate_series(1, len(toks) - 1)) AS t(i)
+), _tg AS (
+  SELECT ('0x' || substr(md5('{seed}:' || toks[i] || ' ' || toks[i + 1]), 1, 8))::BIGINT
+           % {buckets} AS bucket
+  FROM _tt, unnest(generate_series(1, len(toks) - 1)) AS t(i)
+), _tc AS (
+  SELECT bucket, count(*) AS t_b FROM _tg GROUP BY bucket
+), _pc AS (
+  SELECT bucket, count(*) AS p_b FROM _pg GROUP BY bucket
+), _tot AS (
+  SELECT (SELECT sum(t_b) FROM _tc) AS t_tot, (SELECT sum(p_b) FROM _pc) AS p_tot
+), _w AS (
+  SELECT coalesce(_pc.bucket, _tc.bucket) AS bucket,
+         ln((coalesce(t_b, 0) + {alpha}) / (t_tot + {alpha} * {buckets}))
+         - ln((coalesce(p_b, 0) + {alpha}) / (p_tot + {alpha} * {buckets})) AS w
+  FROM _pc FULL OUTER JOIN _tc ON _pc.bucket = _tc.bucket CROSS JOIN _tot
+)
+SELECT {id_col}, avg(w) AS importance, count(*)::BIGINT AS n_grams
+FROM _pg JOIN _w USING (bucket)
+GROUP BY {id_col}
+"""

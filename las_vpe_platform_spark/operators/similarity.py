@@ -536,3 +536,199 @@ def ivf2_topk(
     )
     w = W.partitionBy("probe_key").orderBy(F.desc("similarity"), F.asc("gallery_key"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def hard_negatives_topk(
+    probes: DataFrame,
+    gallery: DataFrame,
+    probe_key: str,
+    gallery_key: str,
+    label_col: str,
+    vector_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Contrastive hard-negative mining: for each probe, the k gallery
+    vectors MOST similar to it among those carrying a DIFFERENT label
+    — the pairs a metric-learning / contrastive trainer wants in the
+    batch (the reid analog: most-confusable other-person tracklets,
+    PedestrianReIDer.java:38 run with an exclusion predicate).
+
+    Execution shape is pairwise_similarity_topk's (operators/joins.py):
+    probes collect into one broadcast float64 matrix WITH their labels;
+    the gallery streams through mapInPandas where each Arrow batch is
+    scored by one BLAS matmul, same-label pairs are masked out, and
+    only per-batch top-k candidates survive to the final exact rank
+    window (the only shuffle).  Zero-norm pairs are excluded like
+    same-label pairs (cosine undefined, never a useful negative).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    spark = probes.sparkSession
+    p_rows = probes.select(
+        F.col(probe_key).alias("probe_key"),
+        F.col(label_col).alias("label"),
+        F.col(vector_col).alias("_pvec"),
+    ).collect()
+
+    cand_schema = StructType(
+        [
+            StructField("probe_key", probes.schema[probe_key].dataType),
+            StructField("gallery_key", gallery.schema[gallery_key].dataType),
+            StructField("similarity", DoubleType()),
+        ]
+    )
+    if not p_rows:
+        empty = spark.createDataFrame([], cand_schema)
+        return empty.withColumn("rank", F.lit(1)).filter(F.lit(False))
+
+    p_keys = [r["probe_key"] for r in p_rows]
+    p_labels = np.asarray([r["label"] for r in p_rows])
+    P = np.asarray([np.asarray(r["_pvec"], dtype=np.float64) for r in p_rows])
+    pnorm = np.sqrt((P * P).sum(axis=1))
+    bc = spark.sparkContext.broadcast((p_keys, p_labels, P, pnorm))
+
+    def _score(batches):
+        keys, labels, P, pnorm = bc.value
+        keys_arr = pd.Series(keys)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            order = np.argsort(pdf["gallery_key"].to_numpy(), kind="stable")
+            pdf = pdf.iloc[order]
+            G = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["_gvec"]])
+            g_labels = pdf["label"].to_numpy()
+            gnorm = np.sqrt((G * G).sum(axis=1))
+            denom = pnorm[:, None] * gnorm[None, :]
+            excluded = (labels[:, None] == g_labels[None, :]) | (denom <= 0)
+            sims = np.where(
+                excluded, -np.inf, (P @ G.T) / np.where(excluded, 1.0, denom)
+            )
+            kk = min(k, sims.shape[1])
+            idx = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+            out_sims = np.take_along_axis(sims, idx, axis=1).ravel()
+            keep = ~np.isneginf(out_sims)
+            flat = idx.ravel()[keep]
+            out = pd.DataFrame(
+                {
+                    "probe_key": keys_arr.repeat(kk).reset_index(drop=True)[keep],
+                    "gallery_key": pdf["gallery_key"].to_numpy()[flat],
+                    "similarity": out_sims[keep],
+                }
+            )
+            yield out
+
+    g = gallery.select(
+        F.col(gallery_key).alias("gallery_key"),
+        F.col(label_col).alias("label"),
+        F.col(vector_col).alias("_gvec"),
+    )
+    candidates = g.mapInPandas(_score, cand_schema)
+    w = W.partitionBy("probe_key").orderBy(F.desc("similarity"), F.asc("gallery_key"))
+    return (
+        candidates.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def semantic_dedup_keep(
+    vectors: DataFrame,
+    id_col: str,
+    vector_col: str,
+    dim: int,
+    planes: int = 4,
+    threshold: float = 0.9,
+    seed: str = "semdedup",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) as a kept-set operator: cluster the
+    embedding space, verify cosine only WITHIN a cluster, and drop the
+    later (larger-id) member of every over-threshold pair.  Returns the
+    surviving rows as (id, cluster) — the actual dedup semantic, where
+    q31/q59 emit candidate PAIRS.
+
+    The cluster assignment is one SRP band of ``planes`` sign bits
+    (data-independent, plan-time literal hyperplanes — no centroid
+    training pass), so the map side is shuffle-free; the only
+    exchanges are the within-cluster self-join on the bucket id
+    (cost sum over buckets of C(n_bucket, 2), never corpus pairs) and
+    the final anti-join on the dropped-id set.  Recall is bounded by
+    the SRP collision probability (1 - theta/pi)^planes, the
+    documented SemDeDup trade: raising ``planes`` shrinks buckets
+    (faster) and lowers recall.
+    """
+    w = srp_weights(planes, dim, seed=seed)
+    wlit = "array(" + ", ".join(
+        "array(" + ", ".join(f"{x:.1f}D" for x in row) + ")" for row in w
+    ) + ")"
+    bucket_expr = " + ".join(
+        f"(CASE WHEN aggregate(zip_with({vector_col}, element_at({wlit}, {j + 1}),"
+        f" (x, y) -> CAST(x AS DOUBLE) * y), CAST(0 AS DOUBLE),"
+        f" (acc, v) -> acc + v) >= 0.0D THEN {1 << j} ELSE 0 END)"
+        for j in range(planes)
+    )
+    keyed = vectors.selectExpr(
+        id_col, vector_col, f"({bucket_expr}) AS cluster"
+    ).withColumn("_n", l2_norm(vector_col))
+    a = keyed.selectExpr(
+        f"{id_col} AS id_a", "cluster", f"{vector_col} AS _va", "_n AS _na"
+    )
+    b = keyed.selectExpr(
+        f"{id_col} AS id_b", "cluster", f"{vector_col} AS _vb", "_n AS _nb"
+    )
+    dropped = (
+        a.join(b, on="cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine", dot_product("_va", "_vb") / (F.col("_na") * F.col("_nb"))
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return (
+        keyed.join(dropped, on=id_col, how="left_anti")
+        .select(id_col, F.col("cluster").cast("int").alias("cluster"))
+    )
+
+
+def semantic_dedup_sql(
+    table: str,
+    id_col: str,
+    vector_col: str,
+    dim: int,
+    planes: int = 4,
+    threshold: float = 0.9,
+    seed: str = "semdedup",
+) -> str:
+    """DuckDB mirror of :func:`semantic_dedup_keep`, generated from the
+    same hyperplane constants."""
+    w = srp_weights(planes, dim, seed=seed)
+
+    def lit_list(row: list[float]) -> str:
+        return "[" + ", ".join(f"{x:.1f}" for x in row) + "]"
+
+    bucket = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(generate_series(1, {dim}),"
+        f" i -> {vector_col}[i]::DOUBLE * ({lit_list(w[j])})[i])) >= 0.0"
+        f" THEN {1 << j} ELSE 0 END)"
+        for j in range(planes)
+    )
+    norm = f"sqrt(list_sum(list_transform({vector_col}, x -> x::DOUBLE * x::DOUBLE)))"
+    dot_ab = (
+        f"list_sum(list_transform(generate_series(1, {dim}),"
+        f" i -> a.{vector_col}[i]::DOUBLE * b.{vector_col}[i]::DOUBLE))"
+    )
+    return f"""
+WITH _keyed AS (
+  SELECT {id_col}, {vector_col}, ({bucket}) AS cluster, {norm} AS _n
+  FROM {table}
+), _dropped AS (
+  SELECT DISTINCT b.{id_col} AS {id_col}
+  FROM _keyed a JOIN _keyed b ON a.cluster = b.cluster
+                             AND a.{id_col} < b.{id_col}
+  WHERE {dot_ab} / (a._n * b._n) >= {threshold}
+)
+SELECT k.{id_col}, k.cluster::INT AS cluster
+FROM _keyed k ANTI JOIN _dropped d ON k.{id_col} = d.{id_col}
+"""

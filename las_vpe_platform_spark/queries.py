@@ -47,6 +47,11 @@ _ALL.update(STREAMING_QUERIES)
 # First 50 = the driver's correctness window (see module docstring).
 DRIVER_PRIORITY: list[str] = [
     # -- tier 0: NEW this round (no evidence from any prior round) --
+    "q77_blocklist_filter",
+    "q78_dsir_importance",
+    "q79_hard_negatives",
+    "q80_semantic_dedup",
+    "q81_cms_heavy_hitters",
     "q74_pmi_collocations",
     "q75_leakage_free_split",
     "q76_locf_backfill",

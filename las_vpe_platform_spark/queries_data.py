@@ -2118,6 +2118,241 @@ GROUP BY split, n_leaked_fps
 """
 
 
+# --- q77: C4-style blocklist filter -----------------------------------------
+# Raffel et al. 2020 §2.2 drop pages containing "List of Dirty, Naughty
+# ..." words. Per-doc blocklist incidence is a PURE COLUMN EXPRESSION
+# (size(filter(tokens, in-blocklist))) — a map-only pass with no
+# shuffle, join, or UDF; the filter predicate rides into the same
+# stage as the parquet scan.
+
+BLOCKLIST_TERMS = ("slow", "big")
+BLOCKLIST_MAX_RATIO = 0.04
+
+
+def q77_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    bl = F.array(*[F.lit(t) for t in BLOCKLIST_TERMS])
+    toks = tokens("text")
+    n_tokens = F.size(toks)
+    n_blocked = F.size(F.filter(toks, lambda t: F.array_contains(bl, t)))
+    ratio = n_blocked.cast("double") / n_tokens
+    return docs.select(
+        "doc_id",
+        n_tokens.cast("bigint").alias("n_tokens"),
+        n_blocked.cast("bigint").alias("n_blocked"),
+        pround(ratio, 6).alias("blocked_ratio"),
+        (ratio <= BLOCKLIST_MAX_RATIO).cast("int").alias("kept"),
+    )
+
+
+_BL_SQL_LIST = "[" + ", ".join(f"'{t}'" for t in BLOCKLIST_TERMS) + "]"
+
+Q77_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {SQL_TOKENS} AS toks FROM documents
+)
+SELECT doc_id,
+       len(toks)::BIGINT AS n_tokens,
+       len(list_filter(toks, x -> list_contains({_BL_SQL_LIST}, x)))::BIGINT
+         AS n_blocked,
+       floor((len(list_filter(toks, x -> list_contains({_BL_SQL_LIST}, x)))::DOUBLE
+              / len(toks)) * 1000000.0 + 0.5) / 1000000.0 AS blocked_ratio,
+       CAST(len(list_filter(toks, x -> list_contains({_BL_SQL_LIST}, x)))::DOUBLE
+            / len(toks) <= {BLOCKLIST_MAX_RATIO} AS INT) AS kept
+FROM t
+"""
+
+
+# --- q78: DSIR hashed-bigram importance resampling --------------------------
+# The target corpus is the src0 slice; every other document is scored
+# by its hashed-bigram log-likelihood ratio toward that target
+# (operators/sampling.hashed_ngram_importance), and the top documents
+# are what an importance-resampled training mix would keep.
+
+DSIR_BUCKETS = 512
+DSIR_TOPK = 50
+
+
+def q78_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.operators.sampling import hashed_ngram_importance
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("source") == "src0")
+    pool = docs.filter(F.col("source") != "src0")
+    scored = hashed_ngram_importance(
+        pool, target, id_col="doc_id", text_col="text", buckets=DSIR_BUCKETS
+    )
+    return (
+        scored.orderBy(F.desc("importance"), F.asc("doc_id"))
+        .limit(DSIR_TOPK)
+        .select("doc_id", pround("importance", 6).alias("importance"), "n_grams")
+    )
+
+
+def _q78_sql() -> str:
+    from las_vpe_platform_spark.compat import sql_round
+    from las_vpe_platform_spark.operators.sampling import hashed_ngram_importance_sql
+
+    inner = hashed_ngram_importance_sql(
+        "SELECT * FROM documents WHERE source != 'src0'",
+        "SELECT * FROM documents WHERE source = 'src0'",
+        id_col="doc_id",
+        sql_tokens=SQL_TOKENS,
+        buckets=DSIR_BUCKETS,
+    )
+    return f"""
+SELECT doc_id, {sql_round('importance', 6)} AS importance, n_grams
+FROM ({inner}) t
+ORDER BY importance DESC, doc_id LIMIT {DSIR_TOPK}
+"""
+
+
+Q78_SQL = _q78_sql()
+
+
+# --- q79: contrastive hard-negative mining ----------------------------------
+# For each probe embedding, the most-similar DIFFERENT-label gallery
+# vectors — what a metric-learning batch builder pairs against the
+# anchor. BLAS-scored with same-label masking inside the batch kernel
+# (operators/similarity.hard_negatives_topk).
+
+HARDNEG_K = 5
+HARDNEG_PROBE_MOD = 25
+
+
+def q79_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.operators.similarity import hard_negatives_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % HARDNEG_PROBE_MOD == 0)
+    out = hard_negatives_topk(
+        probes,
+        emb,
+        probe_key="vec_id",
+        gallery_key="vec_id",
+        label_col="label",
+        vector_col="embedding",
+        k=HARDNEG_K,
+    )
+    return out.select(
+        F.col("probe_key").alias("probe_id"),
+        F.col("gallery_key").alias("negative_id"),
+        F.col("rank").cast("bigint").alias("rank"),
+        pround("similarity", 6).alias("similarity"),
+    )
+
+
+Q79_SQL = f"""
+WITH e AS (
+  SELECT vec_id, label, embedding,
+         sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS n
+  FROM embeddings
+), scored AS (
+  SELECT p.vec_id AS probe_id, g.vec_id AS negative_id,
+         list_sum(list_transform(generate_series(1, len(p.embedding)),
+                                 i -> p.embedding[i]::DOUBLE * g.embedding[i]::DOUBLE))
+           / (p.n * g.n) AS sim
+  FROM e p JOIN e g ON g.label != p.label
+  WHERE p.vec_id % {HARDNEG_PROBE_MOD} = 0 AND p.n > 0 AND g.n > 0
+), ranked AS (
+  SELECT probe_id, negative_id, sim,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY sim DESC, negative_id) AS rank
+  FROM scored
+)
+SELECT probe_id, negative_id, rank::BIGINT AS rank,
+       floor(sim * 1000000.0 + 0.5) / 1000000.0 AS similarity
+FROM ranked WHERE rank <= {HARDNEG_K}
+"""
+
+
+# --- q80: SemDeDup kept-set -------------------------------------------------
+# Abbas et al. 2023: cluster the embedding space, drop within-cluster
+# over-threshold pairs' later member, keep the rest. q31/q59 emit
+# candidate PAIRS; this emits the surviving corpus.
+
+SEMDEDUP_PLANES = 2
+SEMDEDUP_THRESHOLD = 0.3
+
+
+def q80_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.operators.similarity import semantic_dedup_keep
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup_keep(
+        emb,
+        id_col="vec_id",
+        vector_col="embedding",
+        dim=SRP_DIM,
+        planes=SEMDEDUP_PLANES,
+        threshold=SEMDEDUP_THRESHOLD,
+    )
+
+
+def _q80_sql() -> str:
+    from las_vpe_platform_spark.operators.similarity import semantic_dedup_sql
+
+    return semantic_dedup_sql(
+        "embeddings",
+        "vec_id",
+        "embedding",
+        dim=SRP_DIM,
+        planes=SEMDEDUP_PLANES,
+        threshold=SEMDEDUP_THRESHOLD,
+    )
+
+
+Q80_SQL = _q80_sql()
+
+
+# --- q81: count-min sketch heavy hitters ------------------------------------
+# The frequency-sketch counterpart of q56's HLL cardinality sketch:
+# estimate bigram frequencies through a 4 x 128 counter matrix and
+# report the top bigrams by estimate — collisions and all, since the
+# md5 buckets make the sketch bit-reproducible in any engine.
+
+CMS_D = 4
+CMS_W = 128
+CMS_TOPK = 15
+
+
+def q81_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.functions.text import tokens
+    from las_vpe_platform_spark.operators.aggregates import cms_heavy_hitters
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(tokens("text").alias("_toks"))
+    pair = F.when(
+        F.size("_toks") >= 2,
+        F.expr(
+            "transform(sequence(1, size(_toks) - 1),"
+            " i -> struct(_toks[i-1] AS w1, _toks[i] AS w2))"
+        ),
+    ).otherwise(F.expr("array()").cast("array<struct<w1:string,w2:string>>"))
+    grams = toks.select(F.explode(pair).alias("bg")).select("bg.w1", "bg.w2")
+    return cms_heavy_hitters(
+        grams, key_cols=["w1", "w2"], d=CMS_D, w=CMS_W, k=CMS_TOPK
+    )
+
+
+def _q81_sql() -> str:
+    from las_vpe_platform_spark.operators.aggregates import cms_heavy_hitters_sql
+
+    items = f"""
+  SELECT toks[i] AS w1, toks[i + 1] AS w2
+  FROM (SELECT {SQL_TOKENS} AS toks FROM documents) t,
+       unnest(generate_series(1, len(toks) - 1)) AS u(i)
+"""
+    return cms_heavy_hitters_sql(
+        items, key_cols=["w1", "w2"], d=CMS_D, w=CMS_W, k=CMS_TOPK
+    )
+
+
+Q81_SQL = _q81_sql()
+
+
 DATA_QUERIES = {
     "q20_doc_token_stats": (q20_doc_token_stats, Q20_SQL),
     "q21_doc_quality": (q21_doc_quality, Q21_SQL),
@@ -2159,4 +2394,9 @@ DATA_QUERIES = {
     "q73_quality_percentile_filter": (q73_quality_percentile_filter, Q73_SQL),
     "q74_pmi_collocations": (q74_pmi_collocations, Q74_SQL),
     "q75_leakage_free_split": (q75_leakage_free_split, Q75_SQL),
+    "q77_blocklist_filter": (q77_blocklist_filter, Q77_SQL),
+    "q78_dsir_importance": (q78_dsir_importance, Q78_SQL),
+    "q79_hard_negatives": (q79_hard_negatives, Q79_SQL),
+    "q80_semantic_dedup": (q80_semantic_dedup, Q80_SQL),
+    "q81_cms_heavy_hitters": (q81_cms_heavy_hitters, Q81_SQL),
 }

@@ -1,0 +1,132 @@
+"""Unit tests for the round-3 operators: BLAS pairwise top-k (vs the
+pure-Catalyst formulation), hard-negative mining, SemDeDup kept-set,
+count-min heavy hitters, and DSIR importance — the properties the
+oracle-parity rows can't express."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from las_vpe_platform_spark.operators.aggregates import cms_heavy_hitters
+from las_vpe_platform_spark.operators.joins import (
+    pairwise_similarity_topk,
+    pairwise_similarity_topk_expr,
+)
+from las_vpe_platform_spark.operators.sampling import hashed_ngram_importance
+from las_vpe_platform_spark.operators.similarity import (
+    hard_negatives_topk,
+    semantic_dedup_keep,
+)
+
+
+def test_matmul_topk_matches_catalyst_formulation(spark, sf_dir):
+    """The BLAS path and the zip_with/aggregate path must produce the
+    same ranking (same keys, same ranks; sims equal to 1e-9) — the
+    float64 matmul is a reformulation, not an approximation."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") % 100 == 7)
+    kw = dict(probe_key="vec_id", gallery_key="vec_id",
+              vector_col="embedding", k=7)
+    fast = pairwise_similarity_topk(probes, emb, **kw)
+    slow = pairwise_similarity_topk_expr(probes, emb, **kw)
+    f = {(r["probe_key"], r["rank"]): (r["gallery_key"], r["similarity"])
+         for r in fast.collect()}
+    s = {(r["probe_key"], r["rank"]): (r["gallery_key"], r["similarity"])
+         for r in slow.collect()}
+    assert f.keys() == s.keys() and f
+    for key in f:
+        assert f[key][0] == s[key][0], (key, f[key], s[key])
+        assert abs(f[key][1] - s[key][1]) < 1e-9
+
+
+def test_matmul_topk_zero_norm_ranks_last(spark):
+    """Zero vectors carry NULL similarity and rank after every real
+    pair — the F.when(denom > 0) contract of the expression form."""
+    rows = [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 0.0])]
+    df = spark.createDataFrame(rows, "id int, v array<float>")
+    probes = df.filter("id = 1")
+    out = pairwise_similarity_topk(
+        probes, df, probe_key="id", gallery_key="id", vector_col="v", k=3
+    ).collect()
+    by_rank = {r["rank"]: r for r in out}
+    assert by_rank[1]["gallery_key"] == 1
+    assert by_rank[2]["gallery_key"] == 2
+    assert by_rank[3]["gallery_key"] == 3
+    assert by_rank[3]["similarity"] is None
+
+
+def test_hard_negatives_excludes_same_label(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") % 100 == 7)
+    out = hard_negatives_topk(
+        probes, emb, probe_key="vec_id", gallery_key="vec_id",
+        label_col="label", vector_col="embedding", k=5,
+    )
+    labels = {r["vec_id"]: r["label"] for r in emb.collect()}
+    rows = out.collect()
+    assert rows
+    for r in rows:
+        assert labels[r["probe_key"]] != labels[r["gallery_key"]]
+    # and the mined negative really is the hardest: top-1 similarity
+    # >= every other different-label similarity for that probe (spot
+    # check one probe against a brute-force pandas computation)
+    import numpy as np
+
+    pid = rows[0]["probe_key"]
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    pv = vecs[pid]
+    sims = {
+        g: float(pv @ gv / (np.linalg.norm(pv) * np.linalg.norm(gv)))
+        for g, gv in vecs.items() if labels[g] != labels[pid]
+    }
+    best = max(sorted(sims), key=lambda g: (sims[g], -g))
+    top1 = [r for r in rows if r["probe_key"] == pid and r["rank"] == 1][0]
+    assert abs(sims[top1["gallery_key"]] - sims[best]) < 1e-12
+
+
+def test_semantic_dedup_drops_later_duplicate(spark):
+    """An exact duplicate pair always collides in every SRP bucket, so
+    the larger id must be dropped and the smaller kept."""
+    rows = [
+        (1, [1.0, 2.0, 3.0, 4.0]),
+        (2, [1.0, 2.0, 3.0, 4.0]),      # dup of 1 -> dropped
+        (3, [-4.0, 3.0, -2.0, 1.0]),    # unrelated -> kept
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    kept = semantic_dedup_keep(
+        df, id_col="vec_id", vector_col="embedding", dim=4,
+        planes=2, threshold=0.99,
+    )
+    ids = {r["vec_id"] for r in kept.collect()}
+    assert ids == {1, 3}
+
+
+def test_cms_estimate_upper_bounds_true_count(spark):
+    """CMS error is one-sided: estimate >= true count, and with a
+    near-empty sketch the heavy hitter is exact."""
+    rows = [("a",)] * 50 + [("b",)] * 30 + [("c",)] * 5
+    df = spark.createDataFrame(rows, "k string")
+    out = cms_heavy_hitters(df, key_cols=["k"], d=4, w=64, k=3)
+    est = {r["k"]: r["estimate"] for r in out.collect()}
+    assert est["a"] >= 50 and est["b"] >= 30 and est["c"] >= 5
+    assert max(est, key=lambda t: est[t]) == "a"
+
+
+def test_dsir_importance_prefers_target_like_docs(spark):
+    """A pool doc made of target-corpus bigrams must outscore a pool
+    doc whose bigrams never occur in the target."""
+    target = spark.createDataFrame(
+        [(100 + i, "alpha beta gamma delta") for i in range(5)],
+        "doc_id int, text string",
+    )
+    pool = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "zeta eta theta iota")],
+        "doc_id int, text string",
+    )
+    out = hashed_ngram_importance(
+        pool, target, id_col="doc_id", text_col="text", buckets=64
+    )
+    scores = {r["doc_id"]: r["importance"] for r in out.collect()}
+    assert scores[1] > scores[2]
+    assert scores[1] > 0 > scores[2]
