@@ -27,7 +27,7 @@ HEADLINERS = [
     ("q24_minhash_lsh_pairs",
      "signature subtree computed once, self-join on band key via shuffle-hash (broadcast would double-compute it)"),
     ("q27_embedding_topk",
-     "broadcast probes x gallery scan; per-probe rank limited below the window (WindowGroupLimit)"),
+     "probe matrix broadcast to the BLAS scorer streaming the gallery (no gallery-side exchange); the candidate window on probe_key — batches x probes x k rows — is the only shuffle, with the rank limit below it (WindowGroupLimit)"),
     ("q33_asof_last_click",
      "union + one per-key window; no range cross product"),
     ("d11_pipeline_attr_recog",
@@ -60,6 +60,18 @@ HEADLINERS = [
      "gap-fill spine generated from broadcast min/max bounds, left join against the grouped count — spine size is calendar-bounded"),
     ("q73_quality_percentile_filter",
      "per-language percent_rank window shuffles on lang only; quality ratios materialize as columns before the composite (no HOF re-evaluation)"),
+    ("d14_pipeline_reid",
+     "flagship track->attrrecog->reid DAG; the tracker subtree runs EXACTLY ONCE, consumed eagerly by the probe-matrix collect (r3 structural join elimination in _stage_reid made attrs subsume tracklet keys), so the lazy plan is the BLAS scorer streaming the gallery with the candidate window on probe_key as its only exchange (guarded by tests/test_plans.py::test_d14_single_tracker_invocation)"),
+    ("q68_salted_join_agg",
+     "explicit hot-key salting, result-transparent: salts explode onto the BUILD (broadcast) side so the skewed probe side never shuffles; only hash exchange is the final priority aggregate"),
+    ("q69_source_overlap",
+     "cross-source span overlap: DISTINCT (source, span_fp) aggregated on both sides BEFORE the self-join on span_fp - cost Sum_span C(sources,2), never doc x doc; all shuffles key on span_fp/source"),
+    ("q77_blocklist_filter",
+     "C4 badwords pass as a pure column expression: the whole query is Project over the parquet scan — zero exchanges"),
+    ("q78_dsir_importance",
+     "DSIR: two bucket-count aggregates collapse to <=buckets rows via map-side partials; the weight table re-enters as a broadcast join; the per-doc mean on doc_id is the only data-sized shuffle"),
+    ("q81_cms_heavy_hitters",
+     "count-min sketch: build is one (row,bucket) hash aggregate bounded by d*w; the d per-row lookups are broadcast joins against KB-sized sketch slices"),
 ]
 
 
