@@ -233,6 +233,16 @@ def cms_heavy_hitters(
     so a SQL oracle reproduces the sketch bit-for-bit, collisions
     included.
     """
+    hashed = cms_bucketed(items, key_cols, d=d, w=w, seed=seed)
+    sketch = cms_sketch(hashed, d=d)
+    return cms_estimate_topk(hashed, sketch, key_cols, d=d, k=k)
+
+
+def cms_bucketed(
+    items: DataFrame, key_cols: list[str], d: int, w: int, seed: str = "cms"
+) -> DataFrame:
+    """Annotate items with their d bucket ids (_b0.._b{d-1}) — the
+    shared map side of the batch AND streaming CMS paths."""
     joined = F.concat_ws("\x1f", *[F.col(c) for c in key_cols])
 
     def bucket(j: int) -> Column:
@@ -241,8 +251,16 @@ def cms_heavy_hitters(
             f"_b{j}"
         )
 
-    hashed = items.select(*key_cols, *[bucket(j) for j in range(d)])
-    sketch = (
+    return items.select(*key_cols, *[bucket(j) for j in range(d)])
+
+
+def cms_sketch(hashed: DataFrame, d: int) -> DataFrame:
+    """The d x w counter matrix as (row, bucket, c) rows — one grouped
+    count, valid on a batch OR a streaming frame (on a stream this is
+    the incrementally-maintained sketch state: <= d*w rows total, a
+    state bound that needs no watermark because it never grows with
+    the key space)."""
+    return (
         hashed.select(
             F.posexplode(F.array(*[F.col(f"_b{j}") for j in range(d)])).alias(
                 "row", "bucket"
@@ -251,7 +269,14 @@ def cms_heavy_hitters(
         .groupBy("row", "bucket")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    cand = hashed.dropDuplicates(key_cols)
+
+
+def cms_estimate_topk(
+    cand: DataFrame, sketch: DataFrame, key_cols: list[str], d: int, k: int
+) -> DataFrame:
+    """min-over-rows point estimates for candidate keys (carrying their
+    _b* bucket columns), top-k by (estimate, keys)."""
+    cand = cand.dropDuplicates(key_cols)
     est = None
     for j in range(d):
         s_j = sketch.filter(F.col("row") == j).select(

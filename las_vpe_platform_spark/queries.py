@@ -47,6 +47,7 @@ _ALL.update(STREAMING_QUERIES)
 # First 50 = the driver's correctness window (see module docstring).
 DRIVER_PRIORITY: list[str] = [
     # -- tier 0: NEW this round (no evidence from any prior round) --
+    "s07_stream_heavy_hitters",
     "q77_blocklist_filter",
     "q78_dsir_importance",
     "q79_hard_negatives",

@@ -400,6 +400,77 @@ GROUP BY c.c_mktsegment
 """
 
 
+S07_CMS_D = 4
+S07_CMS_W = 128
+S07_TOPK = 15
+
+
+def s07_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming heavy hitters through an incrementally-maintained
+    count-min sketch (q81's operator on a live stream): each
+    micro-batch folds its (event_type, user-shard) occurrences into
+    the d x w counter matrix, whose <= d*w rows are the ENTIRE
+    streaming state — bounded by construction, no watermark needed,
+    which is exactly why sketches are the streaming answer to
+    frequency queries (a per-key count would hold one state row per
+    key forever). The final sketch is then queried batch-side for the
+    top estimates; the md5 buckets make the whole thing
+    hash-comparable to the batch DuckDB sketch, collisions included.
+    """
+    from las_vpe_platform_spark.operators.aggregates import (
+        cms_bucketed,
+        cms_estimate_topk,
+        cms_sketch,
+    )
+
+    raw = _events_micros(spark, sf_dir)
+    src = tempfile.mkdtemp(prefix="s07_events_")
+    raw.coalesce(8).write.mode("overwrite").parquet(src)
+    stream = file_stream(spark, src, RAW_EVENTS_SCHEMA, max_files_per_trigger=4)
+
+    def keyed(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col("event_type"),
+            (F.col("user_id") % 50).cast("string").alias("user_shard"),
+        )
+
+    key_cols = ["event_type", "user_shard"]
+    hashed_stream = cms_bucketed(
+        keyed(stream), key_cols, d=S07_CMS_D, w=S07_CMS_W
+    )
+    sketch_stream = cms_sketch(hashed_stream, d=S07_CMS_D)
+    name = f"s07_out_{uuid.uuid4().hex[:8]}"
+    with _stream_partitions(spark):
+        sketch = run_to_completion(sketch_stream, name, output_mode="complete")
+    # query side: candidate keys from the landed table (batch), against
+    # the stream-built sketch
+    cand = cms_bucketed(
+        keyed(load_table(spark, sf_dir, "events")),
+        key_cols,
+        d=S07_CMS_D,
+        w=S07_CMS_W,
+    )
+    return cms_estimate_topk(cand, sketch, key_cols, d=S07_CMS_D, k=S07_TOPK)
+
+
+def _s07_sql() -> str:
+    from las_vpe_platform_spark.operators.aggregates import cms_heavy_hitters_sql
+
+    items = """
+  SELECT event_type, CAST(user_id % 50 AS VARCHAR) AS user_shard FROM events
+"""
+    return cms_heavy_hitters_sql(
+        items,
+        key_cols=["event_type", "user_shard"],
+        d=S07_CMS_D,
+        w=S07_CMS_W,
+        k=S07_TOPK,
+    )
+
+
+S07_SQL = _s07_sql()
+
+
 STREAMING_QUERIES = {
     "s01_stream_windowed_counts": (s01_stream_windowed_counts, S01_SQL),
     "s02_stream_dedup": (s02_stream_dedup, S02_SQL),
@@ -407,4 +478,5 @@ STREAMING_QUERIES = {
     "s04_stream_interval_join": (s04_stream_interval_join, S04_SQL),
     "s05_stream_demux_sinks": (s05_stream_demux_sinks, S05_SQL),
     "s06_stream_static_enrich": (s06_stream_static_enrich, S06_SQL),
+    "s07_stream_heavy_hitters": (s07_stream_heavy_hitters, S07_SQL),
 }
