@@ -667,25 +667,39 @@ def semantic_dedup_keep(
         f" (acc, v) -> acc + v) >= 0.0D THEN {1 << j} ELSE 0 END)"
         for j in range(planes)
     )
-    keyed = vectors.selectExpr(
-        id_col, vector_col, f"({bucket_expr}) AS cluster"
-    ).withColumn("_n", l2_norm(vector_col))
-    a = keyed.selectExpr(
-        f"{id_col} AS id_a", "cluster", f"{vector_col} AS _va", "_n AS _na"
-    )
-    b = keyed.selectExpr(
-        f"{id_col} AS id_b", "cluster", f"{vector_col} AS _vb", "_n AS _nb"
-    )
-    dropped = (
-        a.join(b, on="cluster")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "cosine", dot_product("_va", "_vb") / (F.col("_na") * F.col("_nb"))
+    keyed = vectors.selectExpr(id_col, vector_col, f"({bucket_expr}) AS cluster")
+
+    # Within-cluster verification as a grouped BLAS kernel — the
+    # SemDeDup paper's own shape (all pairwise cosines of ONE cluster
+    # at a time, which is why the cluster count must scale with N):
+    # a self-join with per-pair interpreted array folds measured ~6x
+    # slower at 64-d. Emits the DROPPED ids per cluster.
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import StructField, StructType
+
+    id_type = vectors.schema[id_col].dataType
+    drop_schema = StructType([StructField(id_col, id_type)])
+
+    def _dropped(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        G = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in pdf[vector_col].iloc[order]]
         )
-        .filter(F.col("cosine") >= threshold)
-        .select(F.col("id_b").alias(id_col))
-        .distinct()
-    )
+        norms = np.sqrt((G * G).sum(axis=1))
+        denom = norms[:, None] * norms[None, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = np.where(denom > 0, (G @ G.T) / np.where(denom > 0, denom, 1.0), 0.0)
+        over = sims >= threshold
+        # ids ascending: column j is dropped if any row i < j is over
+        drop = np.array(
+            [over[:j, j].any() for j in range(len(ids))], dtype=bool
+        )
+        return pd.DataFrame({id_col: ids[drop]})
+
+    dropped = keyed.groupBy("cluster").applyInPandas(_dropped, drop_schema)
     return (
         keyed.join(dropped, on=id_col, how="left_anti")
         .select(id_col, F.col("cluster").cast("int").alias("cluster"))

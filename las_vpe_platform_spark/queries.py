@@ -48,6 +48,7 @@ _ALL.update(STREAMING_QUERIES)
 DRIVER_PRIORITY: list[str] = [
     # -- tier 0: NEW this round (no evidence from any prior round) --
     "s07_stream_heavy_hitters",
+    "q82_kmeans_clusters",
     "q77_blocklist_filter",
     "q78_dsir_importance",
     "q79_hard_negatives",

@@ -2353,6 +2353,37 @@ def _q81_sql() -> str:
 Q81_SQL = _q81_sql()
 
 
+# --- q82: distributed Lloyd k-means -----------------------------------------
+# The trained-clusters path under SemDeDup (q80 uses training-free SRP
+# buckets): broadcast centroids, one grouped fixed-point aggregation
+# per iteration, engine-exact by construction (operators/clustering).
+
+KMEANS_K = 8
+KMEANS_ITERS = 2
+
+
+def q82_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.operators.clustering import kmeans_assign
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kmeans_assign(
+        emb, id_col="vec_id", vector_col="embedding",
+        k=KMEANS_K, iterations=KMEANS_ITERS,
+    )
+
+
+def _q82_sql() -> str:
+    from las_vpe_platform_spark.operators.clustering import kmeans_assign_sql
+
+    return kmeans_assign_sql(
+        "embeddings", "vec_id", "embedding", dim=SRP_DIM,
+        k=KMEANS_K, iterations=KMEANS_ITERS,
+    )
+
+
+Q82_SQL = _q82_sql()
+
+
 DATA_QUERIES = {
     "q20_doc_token_stats": (q20_doc_token_stats, Q20_SQL),
     "q21_doc_quality": (q21_doc_quality, Q21_SQL),
@@ -2399,4 +2430,5 @@ DATA_QUERIES = {
     "q79_hard_negatives": (q79_hard_negatives, Q79_SQL),
     "q80_semantic_dedup": (q80_semantic_dedup, Q80_SQL),
     "q81_cms_heavy_hitters": (q81_cms_heavy_hitters, Q81_SQL),
+    "q82_kmeans_clusters": (q82_kmeans_clusters, Q82_SQL),
 }

@@ -130,3 +130,33 @@ def test_dsir_importance_prefers_target_like_docs(spark):
     scores = {r["doc_id"]: r["importance"] for r in out.collect()}
     assert scores[1] > scores[2]
     assert scores[1] > 0 > scores[2]
+
+
+def test_kmeans_partitions_all_ids_and_improves(spark, sf_dir):
+    """Every input id gets exactly one cluster; iterating must not
+    increase within-cluster SSE (Lloyd's monotonicity)."""
+    import numpy as np
+
+    from las_vpe_platform_spark.operators.clustering import kmeans_assign
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+
+    def sse(iters):
+        out = kmeans_assign(emb, "vec_id", "embedding", k=8, iterations=iters)
+        joined = out.join(emb, on="vec_id").collect()
+        by_cluster = {}
+        for r in joined:
+            by_cluster.setdefault(r["cluster"], []).append(
+                np.array(r["embedding"], dtype=np.float64)
+            )
+        total, count = 0.0, 0
+        for vecs in by_cluster.values():
+            arr = np.stack(vecs)
+            c = arr.mean(axis=0)
+            total += ((arr - c) ** 2).sum()
+            count += len(vecs)
+        assert count == n
+        return total
+
+    assert sse(3) <= sse(1) + 1e-6
