@@ -49,6 +49,8 @@ DRIVER_PRIORITY: list[str] = [
     # -- tier 0: NEW this round (no evidence from any prior round) --
     "s07_stream_heavy_hitters",
     "q82_kmeans_clusters",
+    "q83_curation_pipeline",
+    "q84_ann_recall",
     "q77_blocklist_filter",
     "q78_dsir_importance",
     "q79_hard_negatives",

@@ -2384,6 +2384,165 @@ def _q82_sql() -> str:
 Q82_SQL = _q82_sql()
 
 
+# --- q83: end-to-end curation pipeline --------------------------------------
+# The LLM-pretraining curation chain as ONE composed lineage (the q71
+# pattern applied to data selection): safety gate (q77's blocklist
+# rule) -> exact dedup (q23's keeper rule) -> DSIR importance toward
+# the target source (q78) -> top-N selection. Catalyst sees all four
+# stages at once, so the blocklist predicate and the dedup window both
+# prune rows BEFORE the bigram explode — the expensive stage runs on
+# the survivors only.
+
+CURATION_TOPK = 100
+
+
+def q83_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W2
+
+    from las_vpe_platform_spark.functions.text import content_fingerprint, tokens
+    from las_vpe_platform_spark.operators.sampling import hashed_ngram_importance
+
+    docs = _t(spark, sf_dir, "documents")
+    # stage 1: blocklist safety gate (map-only, rides the scan)
+    bl = F.array(*[F.lit(t) for t in BLOCKLIST_TERMS])
+    toks = tokens("text")
+    ratio = F.size(F.filter(toks, lambda t: F.array_contains(bl, t))).cast(
+        "double"
+    ) / F.size(toks)
+    safe = docs.filter(ratio <= BLOCKLIST_MAX_RATIO)
+    # stage 2: exact dedup — min doc_id per content fingerprint survives
+    w2 = W2.partitionBy(content_fingerprint("text")).orderBy("doc_id")
+    kept = (
+        safe.withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    # stage 3: DSIR importance toward the src0 target over survivors
+    target = kept.filter(F.col("source") == "src0")
+    pool = kept.filter(F.col("source") != "src0")
+    scored = hashed_ngram_importance(
+        pool, target, id_col="doc_id", text_col="text", buckets=DSIR_BUCKETS
+    )
+    # stage 4: selection
+    return (
+        scored.join(pool.select("doc_id", "lang"), on="doc_id")
+        .orderBy(F.desc("importance"), F.asc("doc_id"))
+        .limit(CURATION_TOPK)
+        .select(
+            "doc_id", "lang", pround("importance", 6).alias("importance"), "n_grams"
+        )
+    )
+
+
+def _q83_sql() -> str:
+    from las_vpe_platform_spark.compat import sql_round
+    from las_vpe_platform_spark.operators.sampling import hashed_ngram_importance_sql
+
+    survivors = f"""
+  SELECT doc_id, text, lang, source FROM (
+    SELECT doc_id, text, lang, source,
+           row_number() OVER (
+             PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+             ORDER BY doc_id) AS rn
+    FROM (
+      SELECT doc_id, text, lang, source, {SQL_TOKENS} AS toks FROM documents
+    ) WHERE len(list_filter(toks, x -> list_contains({_BL_SQL_LIST}, x)))::DOUBLE
+            / len(toks) <= {BLOCKLIST_MAX_RATIO}
+  ) WHERE rn = 1
+"""
+    inner = hashed_ngram_importance_sql(
+        f"SELECT * FROM ({survivors}) WHERE source != 'src0'",
+        f"SELECT * FROM ({survivors}) WHERE source = 'src0'",
+        id_col="doc_id",
+        sql_tokens=SQL_TOKENS,
+        buckets=DSIR_BUCKETS,
+    )
+    return f"""
+SELECT s.doc_id, p.lang, {sql_round('s.importance', 6)} AS importance, s.n_grams
+FROM ({inner}) s JOIN ({survivors}) p ON s.doc_id = p.doc_id
+ORDER BY s.importance DESC, s.doc_id LIMIT {CURATION_TOPK}
+"""
+
+
+Q83_SQL = _q83_sql()
+
+
+# --- q84: ANN recall evaluation ---------------------------------------------
+# "Measure, don't guess" as an operator: recall@k of the IVF path
+# (q29's exact configuration) against the exact BLAS ranking, computed
+# per probe in ONE plan — the evaluation harness an ANN deployment
+# runs before trusting its index parameters. Both rankings and the
+# hit-join share the probe lineage, so Catalyst scans the gallery
+# once per ranking and the comparison is a k-row-per-probe join.
+
+
+def q84_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % IVF_PROBE_MOD == 0)
+    kw = dict(
+        probe_key="vec_id", gallery_key="vec_id", vector_col="embedding", k=IVF_K
+    )
+    approx = ivf_topk(
+        probes, emb, num_centroids_mod=IVF_CENTROID_MOD, nprobe=IVF_NPROBE, **kw
+    ).select("probe_key", "gallery_key", F.lit(1).alias("_hit"))
+    exact = pairwise_similarity_topk(probes, emb, **kw).select(
+        "probe_key", "gallery_key"
+    )
+    return (
+        exact.join(approx, on=["probe_key", "gallery_key"], how="left")
+        .groupBy("probe_key")
+        .agg(F.count("_hit").alias("n_hits"))
+        .select(
+            "probe_key",
+            F.col("n_hits").cast("bigint").alias("n_hits"),
+            pround(F.col("n_hits").cast("double") / IVF_K, 4).alias("recall"),
+        )
+    )
+
+
+Q84_SQL = f"""
+WITH cen AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings
+  WHERE vec_id % {IVF_CENTROID_MOD} = 0
+), gal AS (
+  SELECT vec_id AS gallery_key, embedding AS gvec, centroid_id,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY {sql_cosine('embedding', 'cvec')} DESC, centroid_id) AS crank
+  FROM embeddings CROSS JOIN cen
+  QUALIFY crank = 1
+), pb AS (
+  SELECT vec_id AS probe_key, embedding AS pvec, centroid_id,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY {sql_cosine('embedding', 'cvec')} DESC, centroid_id) AS crank
+  FROM embeddings CROSS JOIN cen
+  WHERE vec_id % {IVF_PROBE_MOD} = 0
+  QUALIFY crank <= {IVF_NPROBE}
+), approx AS (
+  SELECT probe_key, gallery_key FROM (
+    SELECT probe_key, gallery_key,
+           row_number() OVER (PARTITION BY probe_key
+                              ORDER BY {sql_cosine('pvec', 'gvec')} DESC, gallery_key) AS rank
+    FROM pb JOIN gal USING (centroid_id)
+  ) WHERE rank <= {IVF_K}
+), ex AS (
+  SELECT probe_key, gallery_key FROM (
+    SELECT p.vec_id AS probe_key, g.vec_id AS gallery_key,
+           row_number() OVER (PARTITION BY p.vec_id
+                              ORDER BY {sql_cosine('p.embedding', 'g.embedding')} DESC, g.vec_id) AS rank
+    FROM embeddings p CROSS JOIN embeddings g
+    WHERE p.vec_id % {IVF_PROBE_MOD} = 0
+  ) WHERE rank <= {IVF_K}
+)
+SELECT e.probe_key, count(a.gallery_key)::BIGINT AS n_hits,
+       floor((count(a.gallery_key)::DOUBLE / {IVF_K}) * 10000.0 + 0.5) / 10000.0 AS recall
+FROM ex e LEFT JOIN approx a
+  ON e.probe_key = a.probe_key AND e.gallery_key = a.gallery_key
+GROUP BY e.probe_key
+"""
+
+
 DATA_QUERIES = {
     "q20_doc_token_stats": (q20_doc_token_stats, Q20_SQL),
     "q21_doc_quality": (q21_doc_quality, Q21_SQL),
@@ -2431,4 +2590,6 @@ DATA_QUERIES = {
     "q80_semantic_dedup": (q80_semantic_dedup, Q80_SQL),
     "q81_cms_heavy_hitters": (q81_cms_heavy_hitters, Q81_SQL),
     "q82_kmeans_clusters": (q82_kmeans_clusters, Q82_SQL),
+    "q83_curation_pipeline": (q83_curation_pipeline, Q83_SQL),
+    "q84_ann_recall": (q84_ann_recall, Q84_SQL),
 }
