@@ -113,3 +113,84 @@ def test_word_shingles_match_reference(spark, texts):
 
     # row order isn't guaranteed after collect on 1 partition it is; sort both
     assert sorted(map(tuple, got)) == sorted(tuple(ref(t)) for t in texts)
+
+
+@given(
+    st.lists(
+        st.tuples(st.text(alphabet="abc", min_size=1, max_size=2)),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(min_value=2, max_value=4),
+    st.integers(min_value=4, max_value=16),
+)
+@slow
+def test_cms_estimates_upper_bound_exact_counts(spark, rows, d, w):
+    """Count-min estimates never undercount (one-sided error), for any
+    key distribution and any sketch geometry."""
+    from collections import Counter
+
+    from las_vpe_platform_spark.operators.aggregates import cms_heavy_hitters
+
+    df = spark.createDataFrame(rows, "k string")
+    out = cms_heavy_hitters(df, key_cols=["k"], d=d, w=w, k=10_000)
+    true = Counter(r[0] for r in rows)
+    est = {r["k"]: r["estimate"] for r in out.collect()}
+    assert set(est) == set(true)
+    for key, t in true.items():
+        assert est[key] >= t
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.floats(min_value=-4.0, max_value=4.0, allow_nan=False, width=32),
+            min_size=3,
+            max_size=3,
+        ),
+        min_size=1,
+        max_size=12,
+        unique_by=tuple,
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+@slow
+def test_matmul_topk_matches_python_reference(spark, vecs, k):
+    """The BLAS top-k agrees with a pure-Python cosine ranking (ties by
+    gallery key, zero-norm pairs ranked last) on arbitrary vectors."""
+    import math
+
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "id long, v array<float>")
+    probes = df.filter(F.col("id") % 3 == 0)
+    from las_vpe_platform_spark.operators.joins import pairwise_similarity_topk
+
+    got = {
+        (r["probe_key"], r["rank"]): r["gallery_key"]
+        for r in pairwise_similarity_topk(
+            probes, df, probe_key="id", gallery_key="id", vector_col="v", k=k
+        ).collect()
+    }
+
+    def cos(a, b):
+        # mirror the float32 storage: Spark reads the vectors back as
+        # float32, so the reference must quantize the same way
+        import struct
+
+        a = [struct.unpack("f", struct.pack("f", x))[0] for x in a]
+        b = [struct.unpack("f", struct.pack("f", x))[0] for x in b]
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        if na * nb <= 0:
+            return None
+        return sum(x * y for x, y in zip(a, b)) / (na * nb)
+
+    want = {}
+    for pid, pv in rows:
+        if pid % 3 != 0:
+            continue
+        scored = [(cos(pv, gv), gid) for gid, gv in rows]
+        scored.sort(key=lambda t: (t[0] is None, -(t[0] or 0.0), t[1]))
+        for rank, (_s, gid) in enumerate(scored[:k], start=1):
+            want[(pid, rank)] = gid
+    assert got == want
