@@ -166,3 +166,31 @@ def test_q67_anti_join_on_fingerprint_only(spark, sf_dir):
 
     keys = set(re.findall(r"Exchange hashpartitioning\((\w+)", plan))
     assert keys <= {"fingerprint"}, f"non-fingerprint shuffle: {keys}"
+
+
+def test_q31_only_exchange_is_bucket_groupby(spark, sf_dir):
+    # bucketed near-dup pairs: the gram-matmul kernel receives each
+    # bucket whole; the ONLY exchange is the groupBy on the bucket id
+    # (a second exchange would mean the quadratic pair stage shuffles
+    # pair rows, which must never happen)
+    import re
+
+    from las_vpe_platform_spark.queries_data import q31_embedding_neardup
+
+    plan = _plan(q31_embedding_neardup(spark, sf_dir))
+    hash_ex = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
+    assert hash_ex and all(c == "bucket" for c in hash_ex), hash_ex
+    assert "FlatMapGroupsInPandas" in plan
+
+
+def test_q80_semantic_dedup_no_pair_shuffle(spark, sf_dir):
+    # SemDeDup kept-set: cluster kernel + anti-join; every hash
+    # exchange keys on the cluster id or the anti-join id — never on a
+    # pair row
+    import re
+
+    from las_vpe_platform_spark.queries_data import q80_semantic_dedup
+
+    plan = _plan(q80_semantic_dedup(spark, sf_dir))
+    hash_ex = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
+    assert hash_ex and all(c in ("cluster", "vec_id") for c in hash_ex), hash_ex
