@@ -114,6 +114,32 @@ def bench(spark, path: str) -> dict[str, float]:
     return out
 
 
+def make_vectors(spark, n_rows: int, dim: int, path: str) -> None:
+    """Deterministic synthetic gallery: hash-derived float coordinates."""
+    spark.range(n_rows).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            f"transform(sequence(1, {dim}),"
+            " i -> CAST(pmod(hash(id * 64 + i), 2000) - 1000 AS FLOAT) / 1000.0)"
+        ).alias("embedding"),
+    ).write.mode("overwrite").parquet(path)
+
+
+def bench_vectors(spark, path: str, n_probes: int = 500) -> dict[str, float]:
+    """BLAS pairwise top-k: cost must scale linearly with gallery rows
+    (probes fixed) — the d14/q27 ranking path at fleet scale."""
+    from las_vpe_platform_spark.operators.joins import pairwise_similarity_topk
+
+    gal = spark.read.parquet(path)
+    probes = gal.limit(n_probes)
+    t0 = time.perf_counter()
+    pairwise_similarity_topk(
+        probes, gal, probe_key="vec_id", gallery_key="vec_id",
+        vector_col="embedding", k=10,
+    ).write.format("noop").mode("overwrite").save()
+    return {"blas_topk": round(time.perf_counter() - t0, 2)}
+
+
 def main() -> None:
     small = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     big = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000_000
@@ -123,6 +149,11 @@ def main() -> None:
     bench(spark, "/tmp/scale_exp_small")  # warm
     r_small = bench(spark, "/tmp/scale_exp_small")
     r_big = bench(spark, "/tmp/scale_exp_big")
+    make_vectors(spark, small // 10, 64, "/tmp/scale_exp_vec_small")
+    make_vectors(spark, big // 10, 64, "/tmp/scale_exp_vec_big")
+    bench_vectors(spark, "/tmp/scale_exp_vec_small")  # warm
+    r_small.update(bench_vectors(spark, "/tmp/scale_exp_vec_small"))
+    r_big.update(bench_vectors(spark, "/tmp/scale_exp_vec_big"))
     print(f"{small} rows:", r_small)
     print(f"{big} rows:", r_big)
     print("ratios:", {k: round(r_big[k] / max(r_small[k], 0.01), 1) for k in r_small})
