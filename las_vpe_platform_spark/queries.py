@@ -48,9 +48,12 @@ _ALL.update(STREAMING_QUERIES)
 DRIVER_PRIORITY: list[str] = [
     # -- tier 0: NEW this round (no evidence from any prior round) --
     "s07_stream_heavy_hitters",
+    "s08_stream_incremental_dedup",
     "q82_kmeans_clusters",
     "q83_curation_pipeline",
     "q84_ann_recall",
+    "q85_epoch_shuffle",
+    "q86_token_budget_mix",
     "q77_blocklist_filter",
     "q78_dsir_importance",
     "q79_hard_negatives",

@@ -2543,6 +2543,141 @@ GROUP BY e.probe_key
 """
 
 
+# --- q85: reproducible epoch shuffle ----------------------------------------
+# The pretraining dataloader contract: every epoch visits the corpus
+# in a DIFFERENT order, yet any worker can recompute any position
+# without coordination. Position is the md5 of (epoch, doc_id) — a
+# keyed permutation, so the "shuffle" is a map-side column plus one
+# rank window per epoch; no state, no RNG, no driver.
+
+EPOCH_COUNT = 3
+EPOCH_HEAD = 10
+
+
+def q85_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W2
+
+    docs = _t(spark, sf_dir, "documents")
+    epochs = spark.range(EPOCH_COUNT).select(F.col("id").cast("int").alias("epoch"))
+    keyed = docs.select("doc_id").crossJoin(F.broadcast(epochs)).withColumn(
+        "_pos", F.md5(F.concat_ws(":", F.lit("shuffle"), "epoch", "doc_id"))
+    )
+    w2 = W2.partitionBy("epoch").orderBy("_pos", "doc_id")
+    return (
+        keyed.withColumn("position", F.row_number().over(w2))
+        .filter(F.col("position") <= EPOCH_HEAD)
+        .select("epoch", F.col("position").cast("bigint").alias("position"), "doc_id")
+    )
+
+
+Q85_SQL = f"""
+WITH keyed AS (
+  SELECT e.epoch, d.doc_id,
+         md5('shuffle:' || e.epoch || ':' || d.doc_id) AS _pos
+  FROM documents d CROSS JOIN (
+    SELECT unnest(generate_series(0, {EPOCH_COUNT - 1}))::INT AS epoch) e
+), ranked AS (
+  SELECT epoch, doc_id,
+         row_number() OVER (PARTITION BY epoch ORDER BY _pos, doc_id) AS position
+  FROM keyed
+)
+SELECT epoch, position::BIGINT AS position, doc_id
+FROM ranked WHERE position <= {EPOCH_HEAD}
+"""
+
+
+# --- q86: per-source token budget allocation --------------------------------
+# The data-mixing budgeter: split a global token budget across sources
+# fairly, with one deterministic water-filling redistribution round —
+# sources below their fair share contribute everything; their unused
+# budget is re-split proportionally among the sources that can absorb
+# it (capped at availability). Two tiny aggregates over the per-source
+# token counts; the corpus-sized work is the one token count.
+
+TOKEN_BUDGET = 50_000
+
+
+def q86_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.functions.text import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.sum(token_count("text")).cast("bigint").alias("n_tokens")
+    )
+    n_sources = per_source.agg(F.count(F.lit(1)).alias("n_src"))
+    fair = per_source.crossJoin(F.broadcast(n_sources)).withColumn(
+        "fair_share", F.lit(float(TOKEN_BUDGET)) / F.col("n_src")
+    )
+    base = fair.withColumn(
+        "base_alloc", F.least(F.col("n_tokens").cast("double"), F.col("fair_share"))
+    )
+    surplus = base.agg(
+        (F.lit(float(TOKEN_BUDGET)) - F.sum("base_alloc")).alias("surplus"),
+        F.sum(
+            F.when(
+                F.col("n_tokens") > F.col("fair_share"),
+                F.col("n_tokens") - F.col("fair_share"),
+            ).otherwise(F.lit(0.0))
+        ).alias("headroom"),
+    )
+    alloc = (
+        base.crossJoin(F.broadcast(surplus))
+        .withColumn(
+            "extra",
+            F.when(
+                (F.col("n_tokens") > F.col("fair_share")) & (F.col("headroom") > 0),
+                (F.col("n_tokens") - F.col("fair_share"))
+                / F.col("headroom")
+                * F.col("surplus"),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "allocated",
+            F.least(
+                F.col("n_tokens").cast("double"), F.col("base_alloc") + F.col("extra")
+            ),
+        )
+    )
+    return alloc.select(
+        "source",
+        "n_tokens",
+        pround("allocated", 4).alias("allocated"),
+        pround(F.col("allocated") / F.col("n_tokens"), 6).alias("sampling_rate"),
+    )
+
+
+Q86_SQL = f"""
+WITH per_source AS (
+  SELECT source, sum(len({SQL_TOKENS}))::BIGINT AS n_tokens
+  FROM documents GROUP BY source
+), fair AS (
+  SELECT source, n_tokens,
+         {TOKEN_BUDGET}.0 / (SELECT count(*) FROM per_source) AS fair_share
+  FROM per_source
+), base AS (
+  SELECT source, n_tokens, fair_share,
+         least(n_tokens::DOUBLE, fair_share) AS base_alloc
+  FROM fair
+), s AS (
+  SELECT {TOKEN_BUDGET}.0 - sum(base_alloc) AS surplus,
+         sum(CASE WHEN n_tokens > fair_share
+                  THEN n_tokens - fair_share ELSE 0.0 END) AS headroom
+  FROM base
+), alloc AS (
+  SELECT source, n_tokens,
+         least(n_tokens::DOUBLE,
+               base_alloc + CASE WHEN n_tokens > fair_share AND headroom > 0
+                                 THEN (n_tokens - fair_share) / headroom * surplus
+                                 ELSE 0.0 END) AS allocated
+  FROM base CROSS JOIN s
+)
+SELECT source, n_tokens,
+       floor(allocated * 10000.0 + 0.5) / 10000.0 AS allocated,
+       floor((allocated / n_tokens) * 1000000.0 + 0.5) / 1000000.0 AS sampling_rate
+FROM alloc
+"""
+
+
 DATA_QUERIES = {
     "q20_doc_token_stats": (q20_doc_token_stats, Q20_SQL),
     "q21_doc_quality": (q21_doc_quality, Q21_SQL),
@@ -2592,4 +2727,6 @@ DATA_QUERIES = {
     "q82_kmeans_clusters": (q82_kmeans_clusters, Q82_SQL),
     "q83_curation_pipeline": (q83_curation_pipeline, Q83_SQL),
     "q84_ann_recall": (q84_ann_recall, Q84_SQL),
+    "q85_epoch_shuffle": (q85_epoch_shuffle, Q85_SQL),
+    "q86_token_budget_mix": (q86_token_budget_mix, Q86_SQL),
 }

@@ -471,6 +471,69 @@ def _s07_sql() -> str:
 S07_SQL = _s07_sql()
 
 
+RAW_DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def s08_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental ingest dedup — q67's operator on a live
+    stream (the reference's skip-already-stored check,
+    DataManagingApp.java:422-473, as continuous ingest): each
+    micro-batch (a) drops content already in the STORED corpus via a
+    per-batch join against the static fingerprint table, then (b)
+    drops within-stream duplicates with watermark-bounded dedup state
+    keyed on the fingerprint. Output is the set of ADMITTED
+    fingerprints — key-only, so it is deterministic under any arrival
+    interleaving, exactly oracle-checkable, and the claim-check shape
+    (payloads re-resolve by fingerprint at write time).
+
+    Stored corpus = doc_id % 3 == 0; the stream re-lands the whole
+    table, so every stored fingerprint must be rejected and each new
+    fingerprint admitted once.
+    """
+    from las_vpe_platform_spark.functions.text import content_fingerprint
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = tempfile.mkdtemp(prefix="s08_docs_")
+    docs.coalesce(8).write.mode("overwrite").parquet(src)
+    stored_fps = (
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .select(content_fingerprint("text").alias("fingerprint"))
+        .distinct()
+    )
+    stream = file_stream(spark, src, RAW_DOCS_SCHEMA, max_files_per_trigger=4)
+    fresh = (
+        stream.withColumn("fingerprint", content_fingerprint("text"))
+        # stream-static anti-join: the stored side is re-resolved per
+        # batch (same as s06's enrichment join, but rejecting)
+        .join(F.broadcast(stored_fps), on="fingerprint", how="left_anti")
+        # within-stream dedup: synthetic event time (docs carry none);
+        # the delay spans the re-landed dataset as in s02 — the
+        # bounded-state behavior itself is pytest-covered
+        .withColumn("ts", F.timestamp_micros(F.col("doc_id") * 1_000_000))
+        .withWatermark("ts", "8760 hours")
+        .dropDuplicatesWithinWatermark(["fingerprint"])
+        .select("fingerprint")
+    )
+    name = f"s08_out_{uuid.uuid4().hex[:8]}"
+    with _stream_partitions(spark):
+        return run_to_completion(fresh, name, output_mode="append")
+
+
+S08_SQL = r"""
+WITH fp AS (
+  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+  FROM documents
+)
+SELECT DISTINCT fingerprint FROM fp
+WHERE fingerprint NOT IN (SELECT fingerprint FROM fp WHERE doc_id % 3 = 0)
+"""
+
+
 STREAMING_QUERIES = {
     "s01_stream_windowed_counts": (s01_stream_windowed_counts, S01_SQL),
     "s02_stream_dedup": (s02_stream_dedup, S02_SQL),
@@ -479,4 +542,5 @@ STREAMING_QUERIES = {
     "s05_stream_demux_sinks": (s05_stream_demux_sinks, S05_SQL),
     "s06_stream_static_enrich": (s06_stream_static_enrich, S06_SQL),
     "s07_stream_heavy_hitters": (s07_stream_heavy_hitters, S07_SQL),
+    "s08_stream_incremental_dedup": (s08_stream_incremental_dedup, S08_SQL),
 }
