@@ -20,9 +20,9 @@ catalog).  ``DRIVER_PRIORITY`` is therefore RE-DERIVED EVERY ROUND as
    touches their plan) and q29 (explain-diffed this round).
 
 Everything past position 50 is overflow with a fresh round-2 driver
-row; every one of the 97 is still hash-verified against DuckDB every
-run by ``tests/test_oracle_parity.py`` (now at sf0.01, the driver's
-own scale).
+row; every catalog entry (114 as of round 3) is still hash-verified
+against DuckDB every run by ``tests/test_oracle_parity.py`` (at
+sf0.01, the driver's own scale).
 """
 
 from __future__ import annotations

@@ -72,6 +72,10 @@ HEADLINERS = [
      "DSIR: two bucket-count aggregates collapse to <=buckets rows via map-side partials; the weight table re-enters as a broadcast join; the per-doc mean on doc_id is the only data-sized shuffle"),
     ("q81_cms_heavy_hitters",
      "count-min sketch: build is one (row,bucket) hash aggregate bounded by d*w; the d per-row lookups are broadcast joins against KB-sized sketch slices"),
+    ("q83_curation_pipeline",
+     "curation stages fused in one lineage: the blocklist predicate and the dedup window prune rows BEFORE the bigram explode, so DSIR scoring runs on survivors only"),
+    ("q31_embedding_neardup",
+     "bucketed near-dup pairs: ONE exchange (the bucket groupBy) feeds the grouped gram-matmul kernel; pair rows never shuffle (guarded by tests/test_plans.py::test_q31_only_exchange_is_bucket_groupby)"),
 ]
 
 
