@@ -51,6 +51,8 @@ def kmeans_assign(
     of fixed-point BIGINTs. Shuffle volume per iteration is
     k x dim + N assignment rows — never a vector exchange.
     """
+    if iterations < 1:  # ValueError, not assert: must survive python -O
+        raise ValueError("kmeans_assign requires iterations >= 1")
     fp = vectors.select(
         F.col(id_col).alias("_id"),
         F.expr(

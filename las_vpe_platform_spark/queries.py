@@ -54,6 +54,7 @@ DRIVER_PRIORITY: list[str] = [
     "q84_ann_recall",
     "q85_epoch_shuffle",
     "q86_token_budget_mix",
+    "q87_quality_classifier",
     "q77_blocklist_filter",
     "q78_dsir_importance",
     "q79_hard_negatives",

@@ -2678,6 +2678,76 @@ FROM alloc
 """
 
 
+# --- q87: model-based quality classifier ------------------------------------
+# The fastText-classifier filtering step of CCNet/FineWeb-style
+# pipelines, in its exact execution shape: hashed bag-of-words ->
+# average of per-token weights -> linear -> sigmoid -> threshold.
+# Weights here are md5-derived literals standing in for trained
+# parameters (swap the weight expression for a broadcast weight table
+# to deploy a real model); the ENTIRE classifier is a map-side
+# expression chain plus one per-doc mean — no Python, no model server.
+
+QC_BUCKETS = 64
+QC_BIAS = 0.05
+QC_THRESHOLD = 0.5
+
+
+def q87_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("qc:"), F.col("term"))), 1, 8), 16, 10)
+        .cast("bigint")
+        % QC_BUCKETS
+    )
+    # pseudo-trained weight per bucket in [-1, 1), md5-derived
+    weight = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("qcw:"), bucket.cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(1 << 31))
+        - 1.0
+    )
+    scored = (
+        toks.select("doc_id", weight.alias("_w"))
+        .groupBy("doc_id")
+        .agg(F.avg("_w").alias("_z"), F.count(F.lit(1)).alias("n_tokens"))
+        .withColumn(
+            "score", F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.col("_z") + QC_BIAS)))
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        pround("score", 6).alias("score"),
+        (F.col("score") >= QC_THRESHOLD).cast("int").alias("kept"),
+    )
+
+
+Q87_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({SQL_TOKENS}) AS term FROM documents
+), w AS (
+  SELECT doc_id,
+         (('0x' || substr(md5('qcw:' ||
+            (('0x' || substr(md5('qc:' || term), 1, 8))::BIGINT % {QC_BUCKETS})),
+            1, 8))::BIGINT::DOUBLE / {float(1 << 31)} - 1.0) AS _w
+  FROM toks
+), scored AS (
+  SELECT doc_id, avg(_w) AS _z, count(*)::BIGINT AS n_tokens FROM w GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       floor((1.0 / (1.0 + exp(-(_z + {QC_BIAS})))) * 1000000.0 + 0.5) / 1000000.0
+         AS score,
+       CAST(1.0 / (1.0 + exp(-(_z + {QC_BIAS}))) >= {QC_THRESHOLD} AS INT) AS kept
+FROM scored
+"""
+
+
 DATA_QUERIES = {
     "q20_doc_token_stats": (q20_doc_token_stats, Q20_SQL),
     "q21_doc_quality": (q21_doc_quality, Q21_SQL),
@@ -2729,4 +2799,5 @@ DATA_QUERIES = {
     "q84_ann_recall": (q84_ann_recall, Q84_SQL),
     "q85_epoch_shuffle": (q85_epoch_shuffle, Q85_SQL),
     "q86_token_budget_mix": (q86_token_budget_mix, Q86_SQL),
+    "q87_quality_classifier": (q87_quality_classifier, Q87_SQL),
 }
