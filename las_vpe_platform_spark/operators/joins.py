@@ -73,37 +73,77 @@ def pairwise_similarity_topk(
     zero-norm vectors — last), then gallery_key ASC.  All math is
     float64, matching the ::DOUBLE casts in the oracle to ~1e-15.
     """
+    return _stream_matmul_topk(
+        probes, gallery, probe_key, gallery_key, vector_col, k, label_col=None
+    )
+
+
+def _stream_matmul_topk(
+    probes: DataFrame,
+    gallery: DataFrame,
+    probe_key: str,
+    gallery_key: str,
+    vector_col: str,
+    k: int,
+    label_col: str | None,
+) -> DataFrame:
+    """The shared BLAS ranking kernel (see pairwise_similarity_topk for
+    the execution-shape rationale; hard_negatives_topk delegates here
+    with ``label_col`` set).
+
+    Two emit policies, matching the two SQL oracle formulations:
+    - label_col=None: every pair ranks; zero-norm pairs carry NULL
+      similarity and rank last (the F.when(denom > 0, ...) contract).
+    - label_col set: same-label pairs, pairs where EITHER label is
+      NULL (SQL ``g.label != p.label`` is never true against NULL),
+      and zero-norm pairs are EXCLUDED before the top-k.
+
+    Cross-engine float note: the dot products are BLAS blocked sums,
+    the oracle's list_sum is a sequential fold — they agree to ~1e-15
+    but not bitwise, so two gallery rows whose similarities tie within
+    ~1 ulp could order differently across engines. Ties AT EQUAL bits
+    break by gallery_key in both; sub-ulp near-ties are measure-zero
+    for real embeddings and continuously re-checked by the sf0.01
+    parity suite.
+    """
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import DoubleType, StructField, StructType
 
     spark = probes.sparkSession
-    p_rows = probes.select(
-        F.col(probe_key).alias("probe_key"), F.col(vector_col).alias("_pvec")
-    ).collect()
+    p_cols = [F.col(probe_key).alias("probe_key"), F.col(vector_col).alias("_pvec")]
+    if label_col is not None:
+        p_cols.append(F.col(label_col).alias("_plabel"))
+    p_rows = probes.select(*p_cols).collect()
 
-    pk_type = probes.schema[probe_key].dataType
-    gk_type = gallery.schema[gallery_key].dataType
     cand_schema = StructType(
         [
-            StructField("probe_key", pk_type),
-            StructField("gallery_key", gk_type),
+            StructField("probe_key", probes.schema[probe_key].dataType),
+            StructField("gallery_key", gallery.schema[gallery_key].dataType),
             StructField("similarity", DoubleType()),
         ]
     )
-
     if not p_rows:
         empty = spark.createDataFrame([], cand_schema)
         return empty.withColumn("rank", F.lit(1)).filter(F.lit(False))
 
     p_keys = [r["probe_key"] for r in p_rows]
+    p_labels = (
+        np.asarray([r["_plabel"] for r in p_rows], dtype=object)
+        if label_col is not None
+        else None
+    )
     P = np.asarray([np.asarray(r["_pvec"], dtype=np.float64) for r in p_rows])
     pnorm = np.sqrt((P * P).sum(axis=1))
-    bc = spark.sparkContext.broadcast((p_keys, P, pnorm))
+    # Spark's ContextCleaner reclaims the broadcast once the returned
+    # frame (whose task closure holds the only reference) is GC'd —
+    # no explicit destroy() needed, and destroying eagerly would break
+    # re-execution of the lazy plan.
+    bc = spark.sparkContext.broadcast((p_keys, p_labels, P, pnorm))
+    exclude_mode = label_col is not None
 
     def _score(batches):
-        keys, P, pnorm = bc.value
-        n_probes = len(keys)
+        keys, labels, P, pnorm = bc.value
         keys_arr = pd.Series(keys)
         for pdf in batches:
             if pdf.empty:
@@ -113,34 +153,46 @@ def pairwise_similarity_topk(
             # total order
             order = np.argsort(pdf["gallery_key"].to_numpy(), kind="stable")
             pdf = pdf.iloc[order]
-            G = np.asarray(
-                [np.asarray(v, dtype=np.float64) for v in pdf["_gvec"]]
-            )
+            G = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["_gvec"]])
             gnorm = np.sqrt((G * G).sum(axis=1))
             denom = pnorm[:, None] * gnorm[None, :]
-            dots = P @ G.T
-            null_mask = denom <= 0
-            sims = np.where(null_mask, -np.inf, dots / np.where(null_mask, 1.0, denom))
+            masked = denom <= 0
+            if exclude_mode:
+                g_labels = pdf["_glabel"].to_numpy()
+                p_null = pd.isna(labels)
+                g_null = pd.isna(g_labels)
+                masked = (
+                    masked
+                    | (labels[:, None] == g_labels[None, :])
+                    | p_null[:, None]
+                    | g_null[None, :]
+                )
+            sims = np.where(masked, -np.inf, (P @ G.T) / np.where(masked, 1.0, denom))
             kk = min(k, sims.shape[1])
             idx = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
-            flat = idx.ravel()
             out_sims = np.take_along_axis(sims, idx, axis=1).ravel()
+            row_mask = (
+                ~np.isneginf(out_sims)
+                if exclude_mode
+                else np.ones(len(out_sims), dtype=bool)
+            )
+            flat = idx.ravel()[row_mask]
             out = pd.DataFrame(
                 {
-                    "probe_key": keys_arr.repeat(kk).reset_index(drop=True),
+                    "probe_key": keys_arr.repeat(kk).reset_index(drop=True)[row_mask],
                     "gallery_key": pdf["gallery_key"].to_numpy()[flat],
-                    "similarity": out_sims,
+                    "similarity": out_sims[row_mask],
                 }
             )
-            # zero-norm pairs carry NULL similarity (ranked last), the
-            # F.when(denom > 0, ...) contract of the expression form
-            out.loc[np.isneginf(out["similarity"]), "similarity"] = None
+            if not exclude_mode:
+                # zero-norm pairs carry NULL similarity (ranked last)
+                out.loc[np.isneginf(out["similarity"]), "similarity"] = None
             yield out
 
-    g = gallery.select(
-        F.col(gallery_key).alias("gallery_key"), F.col(vector_col).alias("_gvec")
-    )
-    candidates = g.mapInPandas(_score, cand_schema)
+    g_cols = [F.col(gallery_key).alias("gallery_key"), F.col(vector_col).alias("_gvec")]
+    if label_col is not None:
+        g_cols.append(F.col(label_col).alias("_glabel"))
+    candidates = gallery.select(*g_cols).mapInPandas(_score, cand_schema)
     w = W.partitionBy("probe_key").orderBy(F.desc("similarity"), F.asc("gallery_key"))
     return (
         candidates.withColumn("rank", F.row_number().over(w))

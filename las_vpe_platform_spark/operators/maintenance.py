@@ -174,12 +174,23 @@ def compact_upsert_table(
         return 0
     snapshot = read_upsert_table(spark, base, key_cols)
 
+    # Size the snapshot's file count from the SURVIVING rows, not the
+    # on-disk bytes of all epochs (review finding: a hot-key stream
+    # where most epochs rewrite the same keys would otherwise produce
+    # ~n_epochs of near-empty files — the exact problem this function
+    # exists to fix). Surviving-fraction × on-disk bytes approximates
+    # post-dedup bytes without a second full write.
     size_bytes = 0
     for root, _dirs, files in os.walk(base):
         size_bytes += sum(
             os.path.getsize(os.path.join(root, f)) for f in files if f.endswith(".parquet")
         )
-    n_files = max(1, size_bytes // (target_file_mb * 1024 * 1024))
+    total_rows = (
+        spark.read.parquet(base).count() if size_bytes else 0
+    )
+    kept_rows = snapshot.count()
+    surviving = kept_rows / total_rows if total_rows else 1.0
+    n_files = max(1, int(size_bytes * surviving) // (target_file_mb * 1024 * 1024))
 
     tmp_dir = base + "._compacting"
     writer = snapshot.repartition(int(n_files)).write.mode("overwrite")

@@ -553,82 +553,17 @@ def hard_negatives_topk(
     batch (the reid analog: most-confusable other-person tracklets,
     PedestrianReIDer.java:38 run with an exclusion predicate).
 
-    Execution shape is pairwise_similarity_topk's (operators/joins.py):
-    probes collect into one broadcast float64 matrix WITH their labels;
-    the gallery streams through mapInPandas where each Arrow batch is
-    scored by one BLAS matmul, same-label pairs are masked out, and
-    only per-batch top-k candidates survive to the final exact rank
-    window (the only shuffle).  Zero-norm pairs are excluded like
-    same-label pairs (cosine undefined, never a useful negative).
+    Delegates to the shared BLAS ranking kernel
+    (operators/joins._stream_matmul_topk) with the label mask on:
+    same-label pairs, pairs where either label is NULL (matching SQL
+    ``g.label != p.label``, never true against NULL), and zero-norm
+    pairs are excluded before the per-batch top-k.
     """
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.types import DoubleType, StructField, StructType
+    from las_vpe_platform_spark.operators.joins import _stream_matmul_topk
 
-    spark = probes.sparkSession
-    p_rows = probes.select(
-        F.col(probe_key).alias("probe_key"),
-        F.col(label_col).alias("label"),
-        F.col(vector_col).alias("_pvec"),
-    ).collect()
-
-    cand_schema = StructType(
-        [
-            StructField("probe_key", probes.schema[probe_key].dataType),
-            StructField("gallery_key", gallery.schema[gallery_key].dataType),
-            StructField("similarity", DoubleType()),
-        ]
-    )
-    if not p_rows:
-        empty = spark.createDataFrame([], cand_schema)
-        return empty.withColumn("rank", F.lit(1)).filter(F.lit(False))
-
-    p_keys = [r["probe_key"] for r in p_rows]
-    p_labels = np.asarray([r["label"] for r in p_rows])
-    P = np.asarray([np.asarray(r["_pvec"], dtype=np.float64) for r in p_rows])
-    pnorm = np.sqrt((P * P).sum(axis=1))
-    bc = spark.sparkContext.broadcast((p_keys, p_labels, P, pnorm))
-
-    def _score(batches):
-        keys, labels, P, pnorm = bc.value
-        keys_arr = pd.Series(keys)
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            order = np.argsort(pdf["gallery_key"].to_numpy(), kind="stable")
-            pdf = pdf.iloc[order]
-            G = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["_gvec"]])
-            g_labels = pdf["label"].to_numpy()
-            gnorm = np.sqrt((G * G).sum(axis=1))
-            denom = pnorm[:, None] * gnorm[None, :]
-            excluded = (labels[:, None] == g_labels[None, :]) | (denom <= 0)
-            sims = np.where(
-                excluded, -np.inf, (P @ G.T) / np.where(excluded, 1.0, denom)
-            )
-            kk = min(k, sims.shape[1])
-            idx = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
-            out_sims = np.take_along_axis(sims, idx, axis=1).ravel()
-            keep = ~np.isneginf(out_sims)
-            flat = idx.ravel()[keep]
-            out = pd.DataFrame(
-                {
-                    "probe_key": keys_arr.repeat(kk).reset_index(drop=True)[keep],
-                    "gallery_key": pdf["gallery_key"].to_numpy()[flat],
-                    "similarity": out_sims[keep],
-                }
-            )
-            yield out
-
-    g = gallery.select(
-        F.col(gallery_key).alias("gallery_key"),
-        F.col(label_col).alias("label"),
-        F.col(vector_col).alias("_gvec"),
-    )
-    candidates = g.mapInPandas(_score, cand_schema)
-    w = W.partitionBy("probe_key").orderBy(F.desc("similarity"), F.asc("gallery_key"))
-    return (
-        candidates.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+    return _stream_matmul_topk(
+        probes, gallery, probe_key, gallery_key, vector_col, k,
+        label_col=label_col,
     )
 
 

@@ -11,18 +11,17 @@ catalog).  ``DRIVER_PRIORITY`` is therefore RE-DERIVED EVERY ROUND as
 "everything not yet driver-green, oldest evidence first" (VERDICT r2
 'What's wrong' #2 — the round-2 list went stale within its own round):
 
-1. the 19 queries added in round 2 after the list was frozen (d14,
-   m03-m05, s02-s05, q59, q64-q73) — never driver-checked in any
-   round,
-2. the 28 queries whose only driver row is round 1 (code and testdata
-   have changed since),
-3. d05/d11 (re-gated: this round's pipeline.py join-elimination change
-   touches their plan) and q29 (explain-diffed this round).
+1. tier 0 — queries NEW this round (never driver-checked),
+2. tier 1 — round-2 additions that missed that round's frozen window,
+3. tier 2 — re-gated this round: the reid join elimination + BLAS
+   ranking rewrite touch d05/d11 and the ANN family (q29),
+4. tier 3 — stale evidence (only driver row is round 1).
 
-Everything past position 50 is overflow with a fresh round-2 driver
-row; every catalog entry (114 as of round 3) is still hash-verified
-against DuckDB every run by ``tests/test_oracle_parity.py`` (at
-sf0.01, the driver's own scale).
+The tier-0..2 block MUST fit inside the first 50 (guarded below at
+import time); tier 3 fills the remainder and overflows.  Everything
+past position 50 has a round-1/2 driver row, and every catalog entry
+(115 as of round 3) is still hash-verified against DuckDB every run
+by ``tests/test_oracle_parity.py`` (at sf0.01, the driver's scale).
 """
 
 from __future__ import annotations
@@ -87,9 +86,17 @@ DRIVER_PRIORITY: list[str] = [
     "q71_retrieval_pipeline",
     "q72_hourly_rollup_gapfill",
     "q73_quality_percentile_filter",
-    # -- tier 2: only driver row is round 1; code and testdata changed
+    # -- tier 2: re-gated THIS round — the reid join elimination and
+    #    the BLAS ranking rewrite touch d05/d11/d14's plan family and
+    #    the ANN paths (q29 explain-diffed after the r2 regression).
+    #    These must sit INSIDE the first-50 window (review finding r3:
+    #    the earlier ordering left them at positions 61-63). --
+    "d05_reid_assembly",
+    "d11_pipeline_attr_recog",
+    "q29_embedding_ivf_topk",
+    # -- tier 3: only driver row is round 1; code and testdata changed
     #    since (the judge re-ran these green at sf0.01 in round 2, but
-    #    hard driver rows are stale) --
+    #    hard driver rows are stale). Window closes partway down. --
     "q02_top_customers_per_nation",
     "q03_shipping_priority",
     "q04_regional_revenue",
@@ -113,12 +120,6 @@ DRIVER_PRIORITY: list[str] = [
     "q41_segment_set_ops",
     "q42_doc_repetition",
     "q43_vocab_top_terms",
-    # -- tier 3: re-gated this round — pipeline.py's reid join
-    #    elimination touches d05/d11's plan family; q29 explain-diffed
-    #    after the round-2 bench regression --
-    "d05_reid_assembly",
-    "d11_pipeline_attr_recog",
-    "q29_embedding_ivf_topk",
     # -- overflow (>50): q44-q47/q49 rotate out to make room for tier 0
     #    (their operator families stay in-window: chunking ⊂ the q50
     #    composite's gate lineage, split hashing ~ q75's fingerprint
@@ -184,6 +185,16 @@ DRIVER_PRIORITY: list[str] = [
 _missing = [n for n in DRIVER_PRIORITY if n not in _ALL]
 if _missing:  # fail fast at import — a typo here silently drops a query
     raise KeyError(f"DRIVER_PRIORITY names not in catalog: {_missing}")
+
+# The must-gate block (tiers 0-2, everything through q29's re-gate)
+# has to sit inside the driver's first-50 window — review finding r3
+# caught the earlier ordering leaving the re-gated entries at 61-63.
+_MUST_GATE_LAST = "q29_embedding_ivf_topk"
+if DRIVER_PRIORITY.index(_MUST_GATE_LAST) >= 50:
+    raise ValueError(
+        "DRIVER_PRIORITY stale: must-gate tiers exceed the 50-entry "
+        f"driver window (position {DRIVER_PRIORITY.index(_MUST_GATE_LAST)})"
+    )
 
 # name -> (callable, oracle_sql or None for rows-only checks);
 # priority order first, then any catalog entry not explicitly listed.

@@ -160,3 +160,24 @@ def test_kmeans_partitions_all_ids_and_improves(spark, sf_dir):
         return total
 
     assert sse(3) <= sse(1) + 1e-6
+
+
+def test_hard_negatives_null_label_excluded(spark):
+    """A NULL label can never satisfy SQL's g.label != p.label, so
+    null-labeled gallery rows (and null-labeled probes) must be
+    excluded from mining — the Python kernel must not treat None as
+    'different from everything' (review finding r3)."""
+    rows = [
+        (1, [1.0, 0.0], "a"),
+        (2, [0.9, 0.1], "b"),     # valid negative for 1
+        (3, [0.99, 0.01], None),  # most similar, but label NULL -> excluded
+        (4, [0.5, 0.5], None),    # null-labeled probe -> mines nothing
+    ]
+    df = spark.createDataFrame(rows, "id int, v array<float>, lab string")
+    probes = df.filter("id in (1, 4)")
+    out = hard_negatives_topk(
+        probes, df, probe_key="id", gallery_key="id",
+        label_col="lab", vector_col="v", k=3,
+    ).collect()
+    got = {(r["probe_key"], r["gallery_key"]) for r in out}
+    assert got == {(1, 2)}
