@@ -7,8 +7,13 @@ physical strategies.
 """
 
 from las_vpe_platform_spark.operators.aggregates import (  # noqa: F401
+    cms_heavy_hitters,
     completeness_check,
+    hll_distinct,
     wide_avg,
+)
+from las_vpe_platform_spark.operators.clustering import (  # noqa: F401
+    kmeans_assign,
 )
 from las_vpe_platform_spark.operators.joins import (  # noqa: F401
     full_outer_assemble,
@@ -22,7 +27,12 @@ from las_vpe_platform_spark.operators.routing import (  # noqa: F401
 )
 from las_vpe_platform_spark.operators.sampling import (  # noqa: F401
     even_spaced_sample,
+    hashed_ngram_importance,
     sample_array_even,
+)
+from las_vpe_platform_spark.operators.similarity import (  # noqa: F401
+    hard_negatives_topk,
+    semantic_dedup_keep,
 )
 from las_vpe_platform_spark.operators.windows import (  # noqa: F401
     last_n,
