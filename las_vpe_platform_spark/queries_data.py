@@ -2748,6 +2748,79 @@ FROM scored
 """
 
 
+# --- q88: join-key skew diagnostics -----------------------------------------
+# "Measure, don't guess" for shuffle planning (q84's evaluation-harness
+# stance applied to data layout): the skew profile that decides whether
+# a key needs q68's salting — top-key shares, cumulative concentration,
+# and the key-distribution entropy. One grouped count + one tiny top-k
+# window; the corpus-sized work is the count.
+
+SKEW_TOPK = 10
+
+
+def q88_skew_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W2
+
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    sums = counts.agg(
+        F.sum("cnt").alias("n_rows"), F.count(F.lit(1)).alias("n_keys")
+    )
+    p = F.col("cnt").cast("double") / F.col("n_rows")
+    totals = (
+        counts.crossJoin(F.broadcast(sums))
+        .agg(
+            F.first("n_rows").alias("n_rows"),
+            F.first("n_keys").alias("n_keys"),
+            F.sum(-p * F.log(p)).alias("entropy"),
+        )
+    )
+    w2 = W2.orderBy(F.desc("cnt"), F.asc("user_id"))
+    top = (
+        counts.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= SKEW_TOPK)
+        .crossJoin(F.broadcast(totals))
+    )
+    share = F.col("cnt") / F.col("n_rows")
+    cum = F.sum("cnt").over(
+        w2.rowsBetween(W2.unboundedPreceding, W2.currentRow)
+    ) / F.col("n_rows")
+    return top.select(
+        F.col("rank").cast("bigint").alias("rank"),
+        "user_id",
+        F.col("cnt").cast("bigint").alias("cnt"),
+        pround(share, 6).alias("share"),
+        pround(cum, 6).alias("cum_share"),
+        "n_keys",
+        pround("entropy", 6).alias("key_entropy"),
+    )
+
+
+Q88_SQL = f"""
+WITH counts AS (
+  SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+), totals AS (
+  SELECT sum(cnt) AS n_rows, count(*) AS n_keys,
+         sum(-(cnt::DOUBLE / (SELECT sum(cnt) FROM counts))
+             * ln(cnt::DOUBLE / (SELECT sum(cnt) FROM counts))) AS entropy
+  FROM counts
+), ranked AS (
+  SELECT user_id, cnt,
+         row_number() OVER (ORDER BY cnt DESC, user_id) AS rank,
+         sum(cnt) OVER (ORDER BY cnt DESC, user_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM counts
+)
+SELECT rank::BIGINT AS rank, user_id, cnt::BIGINT AS cnt,
+       floor((cnt::DOUBLE / n_rows) * 1000000.0 + 0.5) / 1000000.0 AS share,
+       floor((cum::DOUBLE / n_rows) * 1000000.0 + 0.5) / 1000000.0 AS cum_share,
+       n_keys,
+       floor(entropy * 1000000.0 + 0.5) / 1000000.0 AS key_entropy
+FROM ranked CROSS JOIN totals
+WHERE rank <= {SKEW_TOPK}
+"""
+
+
 DATA_QUERIES = {
     "q20_doc_token_stats": (q20_doc_token_stats, Q20_SQL),
     "q21_doc_quality": (q21_doc_quality, Q21_SQL),
@@ -2800,4 +2873,5 @@ DATA_QUERIES = {
     "q85_epoch_shuffle": (q85_epoch_shuffle, Q85_SQL),
     "q86_token_budget_mix": (q86_token_budget_mix, Q86_SQL),
     "q87_quality_classifier": (q87_quality_classifier, Q87_SQL),
+    "q88_skew_diagnostics": (q88_skew_diagnostics, Q88_SQL),
 }
