@@ -194,3 +194,49 @@ def test_q80_semantic_dedup_no_pair_shuffle(spark, sf_dir):
     plan = _plan(q80_semantic_dedup(spark, sf_dir))
     hash_ex = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
     assert hash_ex and all(c in ("cluster", "vec_id") for c in hash_ex), hash_ex
+
+
+def test_q89_pair_explosion_on_vocab_only(spark, sf_dir):
+    # the corpus-sized work is ONE word groupBy; the pair explode and
+    # its aggregate run above it (vocab-sized). Plan: exactly two hash
+    # exchanges, and the scan reads only the text column.
+    import re
+
+    from las_vpe_platform_spark.queries import CATALOG
+
+    plan = _plan(CATALOG["q89_bpe_pair_counts"][0](spark, sf_dir))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2
+    read_schema = plan.split("ReadSchema", 1)[1].splitlines()[0]
+    assert "text" in read_schema and "doc_id" not in read_schema
+    # global top-k never sorts the full pair table
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q92_zorder_single_exchange_two_columns(spark, sf_dir):
+    # the Morton key is pure codegen arithmetic: only shuffle is the
+    # final block aggregate, and the scan reads exactly the two
+    # dimension columns
+    import re
+
+    from las_vpe_platform_spark.queries import CATALOG
+
+    plan = _plan(CATALOG["q92_zorder_layout"][0](spark, sf_dir))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    read_schema = plan.split("ReadSchema", 1)[1].splitlines()[0]
+    assert "o_totalprice" in read_schema and "o_orderdate" in read_schema
+    assert "o_orderkey" not in read_schema
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q91_fingerprints_computed_below_join(spark, sf_dir):
+    # CDC diff must hash the wide text column BEFORE the full-outer
+    # join so only (doc_id, 32-byte hash, n_chars) crosses the
+    # exchanges: every join-side exchange output carries md5, not text
+    from las_vpe_platform_spark.queries import CATALOG
+
+    plan = _plan(CATALOG["q91_snapshot_diff"][0](spark, sf_dir))
+    assert "SortMergeJoin" in plan and "FullOuter" in plan
+    # each Exchange node's input is a Project that already computed md5
+    for seg in plan.split("Exchange hashpartitioning")[1:]:
+        head = seg.splitlines()[0]
+        assert "text" not in head, f"wide column crosses an exchange: {head}"

@@ -76,6 +76,12 @@ HEADLINERS = [
      "curation stages fused in one lineage: the blocklist predicate and the dedup window prune rows BEFORE the bigram explode, so DSIR scoring runs on survivors only"),
     ("q31_embedding_neardup",
      "bucketed near-dup pairs: ONE exchange (the bucket groupBy) feeds the grouped gram-matmul kernel; pair rows never shuffle (guarded by tests/test_plans.py::test_q31_only_exchange_is_bucket_groupby)"),
+    ("q89_bpe_pair_counts",
+     "BPE pair stats: corpus collapses in ONE word groupBy; the pair explode + aggregate run on the vocab-sized table above it; top-k is TakeOrderedAndProject (guarded by test_q89_pair_explosion_on_vocab_only)"),
+    ("q91_snapshot_diff",
+     "CDC diff: md5 fingerprints computed BELOW the full-outer join so only (key, 32 B hash, chars) crosses the exchanges — the wide text column never shuffles (guarded by test_q91_fingerprints_computed_below_join)"),
+    ("q92_zorder_layout",
+     "Morton key as pure shift/mask codegen: one hash exchange (final block aggregate), two-column scan, no Python (guarded by test_q92_zorder_single_exchange_two_columns)"),
 ]
 
 
