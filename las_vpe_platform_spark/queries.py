@@ -47,6 +47,8 @@ _ALL.update(STREAMING_QUERIES)
 DRIVER_PRIORITY: list[str] = [
     # -- tier 0: NEW this round (no evidence from any prior round) --
     "q89_bpe_pair_counts",
+    "q94_triangle_count",
+    "q95_join_preflight",
     "q90_table_profile",
     "q91_snapshot_diff",
     "q92_zorder_layout",

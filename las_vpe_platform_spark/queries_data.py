@@ -2775,10 +2775,14 @@ def q88_skew_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(-p * F.log(p)).alias("entropy"),
         )
     )
+    # top-k FIRST via orderBy+limit (TakeOrderedAndProject — per-
+    # partition heaps); rank and the cumulative share then run in a
+    # window over the k surviving rows only, never the full key set
     w2 = W2.orderBy(F.desc("cnt"), F.asc("user_id"))
     top = (
-        counts.withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= SKEW_TOPK)
+        counts.orderBy(F.desc("cnt"), F.asc("user_id"))
+        .limit(SKEW_TOPK)
+        .withColumn("rank", F.row_number().over(w2))
         .crossJoin(F.broadcast(totals))
     )
     share = F.col("cnt") / F.col("n_rows")
@@ -3115,6 +3119,164 @@ FROM sized WHERE rn = 1
 Q93_SQL = _q93_sql()
 
 
+# --- q94: triangle count / clustering coefficient of the dup graph ----------
+# Graph-shape diagnostics for the near-dup pair graph: a high global
+# clustering coefficient means LSH candidates form near-cliques (true
+# duplicate blobs — CC converges in a round or two); a low one means
+# chains/stars (hash collisions — tighten bands before clustering).
+# Spark counts triangles on DEGREE-ORDERED oriented edges — every edge
+# points from its lower-(degree, id) endpoint — so per-node out-degree
+# is O(sqrt(m)) and the wedge join never explodes on hubs (the
+# standard MapReduce triangle-counting bound); the naive SQL oracle
+# counts the same orientation-invariant quantity.
+
+
+def q94_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.operators.dedup import minhash_lsh_candidates
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(
+        docs, id_col="doc_id", text_col="text",
+        shingle_k=MINHASH_K, num_hashes=MINHASH_HASHES, bands=MINHASH_BANDS,
+    ).select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+
+    ends = pairs.select(F.col("a").alias("node")).unionAll(
+        pairs.select(F.col("b").alias("node"))
+    )
+    deg = ends.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    e = (
+        pairs.join(deg.withColumnRenamed("node", "a").withColumnRenamed("deg", "da"), "a")
+        .join(deg.withColumnRenamed("node", "b").withColumnRenamed("deg", "db"), "b")
+    )
+    # orient low (deg, id) -> high (deg, id); every edge exactly once
+    fwd = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    o = e.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("dst"),
+    )
+    w1 = o.select(F.col("src"), F.col("dst").alias("v"))
+    w2 = o.select(F.col("src"), F.col("dst").alias("w"))
+    wedges = w1.join(w2, "src").filter(F.col("v") < F.col("w"))
+    # closing edge exists in the UNDIRECTED pair set; pairs are
+    # canonical (a < b) and v < w, so one probe suffices
+    tri = wedges.join(
+        pairs.select(F.col("a").alias("v"), F.col("b").alias("w")), ["v", "w"]
+    )
+    counts = tri.agg(F.count(F.lit(1)).alias("n_triangles")).crossJoin(
+        deg.agg(
+            F.sum(F.expr("deg * (deg - 1) / 2")).cast("bigint").alias("n_wedges")
+        )
+    ).crossJoin(pairs.agg(F.count(F.lit(1)).alias("n_edges")))
+    return counts.select(
+        F.col("n_triangles").cast("bigint").alias("n_triangles"),
+        "n_wedges",
+        F.col("n_edges").cast("bigint").alias("n_edges"),
+        pround(
+            F.when(
+                F.col("n_wedges") > 0,
+                F.col("n_triangles") * 3.0 / F.col("n_wedges"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("clustering_coeff"),
+    )
+
+
+def _q94_sql() -> str:
+    return f"""
+WITH pairs AS (
+  SELECT id_a AS a, id_b AS b FROM ({_q24_sql()}) t
+), tri AS (
+  SELECT count(*)::BIGINT AS n_triangles
+  FROM pairs e1
+  JOIN pairs e2 ON e2.a = e1.b
+  JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b
+), deg AS (
+  SELECT node, count(*) AS d
+  FROM (SELECT a AS node FROM pairs UNION ALL SELECT b FROM pairs)
+  GROUP BY node
+), wed AS (
+  SELECT sum(d * (d - 1) / 2)::BIGINT AS n_wedges FROM deg
+), ec AS (
+  SELECT count(*)::BIGINT AS n_edges FROM pairs
+)
+SELECT n_triangles, n_wedges, n_edges,
+       CASE WHEN n_wedges > 0
+            THEN floor((n_triangles * 3.0 / n_wedges) * 1000000.0 + 0.5) / 1000000.0
+            ELSE 0.0 END AS clustering_coeff
+FROM tri CROSS JOIN wed CROSS JOIN ec
+"""
+
+
+Q94_SQL = _q94_sql()
+
+
+# --- q95: join-cardinality preflight ------------------------------------------
+# Before launching a self-join on a key, PREDICT its output size:
+# |A join A| on key k is exactly sum_k cnt(k)^2 — two cheap grouped
+# counts instead of a possibly-exploding join. Pairs with q88 (skew
+# shape) and q68 (the salting fix): preflight says whether the join is
+# safe, skew diagnostics say which keys need salting. Costs one
+# corpus-sized groupBy; everything above it is key-cardinality-sized.
+
+PREFLIGHT_TOPK = 5
+
+
+def q95_join_preflight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    contrib = counts.select(
+        "user_id", "cnt", (F.col("cnt") * F.col("cnt")).alias("out_rows")
+    )
+    totals = contrib.agg(
+        F.sum("out_rows").cast("bigint").alias("predicted_rows"),
+        F.sum("cnt").cast("bigint").alias("input_rows"),
+    )
+    # top-k FIRST via orderBy+limit (TakeOrderedAndProject — per-
+    # partition heaps, never a single-partition global window over the
+    # full key set); the rank window then runs over k rows only
+    w2 = W.orderBy(F.desc("out_rows"), F.asc("user_id"))
+    top = (
+        contrib.orderBy(F.desc("out_rows"), F.asc("user_id"))
+        .limit(PREFLIGHT_TOPK)
+        .withColumn("rank", F.row_number().over(w2))
+        .crossJoin(F.broadcast(totals))
+    )
+    return top.select(
+        F.col("rank").cast("bigint").alias("rank"),
+        "user_id",
+        F.col("cnt").cast("bigint").alias("cnt"),
+        F.col("out_rows").cast("bigint").alias("out_rows"),
+        pround(F.col("out_rows") / F.col("predicted_rows"), 6).alias("out_share"),
+        "predicted_rows",
+        pround(F.col("predicted_rows") / F.col("input_rows"), 4).alias("blowup"),
+    )
+
+
+Q95_SQL = f"""
+WITH counts AS (
+  SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+), contrib AS (
+  SELECT user_id, cnt, cnt * cnt AS out_rows FROM counts
+), totals AS (
+  SELECT sum(out_rows)::BIGINT AS predicted_rows, sum(cnt)::BIGINT AS input_rows
+  FROM contrib
+), ranked AS (
+  SELECT user_id, cnt, out_rows,
+         row_number() OVER (ORDER BY out_rows DESC, user_id) AS rank
+  FROM contrib
+)
+SELECT rank::BIGINT AS rank, user_id, cnt::BIGINT AS cnt,
+       out_rows::BIGINT AS out_rows,
+       floor((out_rows::DOUBLE / predicted_rows) * 1000000.0 + 0.5) / 1000000.0 AS out_share,
+       predicted_rows,
+       floor((predicted_rows::DOUBLE / input_rows) * 10000.0 + 0.5) / 10000.0 AS blowup
+FROM ranked CROSS JOIN totals
+WHERE rank <= {PREFLIGHT_TOPK}
+"""
+
+
 DATA_QUERIES = {
     "q20_doc_token_stats": (q20_doc_token_stats, Q20_SQL),
     "q21_doc_quality": (q21_doc_quality, Q21_SQL),
@@ -3173,4 +3335,6 @@ DATA_QUERIES = {
     "q91_snapshot_diff": (q91_snapshot_diff, Q91_SQL),
     "q92_zorder_layout": (q92_zorder_layout, Q92_SQL),
     "q93_cluster_keep_best": (q93_cluster_keep_best, Q93_SQL),
+    "q94_triangle_count": (q94_triangle_count, Q94_SQL),
+    "q95_join_preflight": (q95_join_preflight, Q95_SQL),
 }
