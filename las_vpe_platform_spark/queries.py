@@ -49,6 +49,8 @@ DRIVER_PRIORITY: list[str] = [
     "q89_bpe_pair_counts",
     "q94_triangle_count",
     "q95_join_preflight",
+    "q96_group_sample",
+    "q97_perplexity_filter",
     "q90_table_profile",
     "q91_snapshot_diff",
     "q92_zorder_layout",

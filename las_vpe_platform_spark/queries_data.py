@@ -3277,6 +3277,151 @@ WHERE rank <= {PREFLIGHT_TOPK}
 """
 
 
+# --- q96: deterministic per-group fixed-k sample -----------------------------
+# Corpus subsampling that keeps EXACTLY k docs per source (q54's
+# hash-rate mix keeps a fixed FRACTION; audits and eval sets need a
+# fixed COUNT). Order within each group by a keyed md5 — any worker
+# recomputes membership with no RNG state (q85's keyed-permutation
+# rule, per group). Spark 4 rewrites the rank<=k filter into
+# WindowGroupLimit: per-partition partial top-k BEFORE the group
+# shuffle, so a billion-row group moves only k rows per input
+# partition, never the whole group.
+
+GROUP_SAMPLE_K = 20
+GROUP_SAMPLE_SEED = "gs1"
+
+
+def q96_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pos = F.md5(F.concat(F.lit(f"{GROUP_SAMPLE_SEED}:"), F.col("doc_id").cast("string")))
+    w = W.partitionBy("source").orderBy(F.col("pos"), F.col("doc_id"))
+    return (
+        docs.select("doc_id", "source", "lang", pos.alias("pos"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= GROUP_SAMPLE_K)
+        .select(
+            "source",
+            F.col("rank").cast("bigint").alias("rank"),
+            "doc_id",
+            "lang",
+        )
+    )
+
+
+Q96_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id, source, lang,
+         md5('{GROUP_SAMPLE_SEED}:' || doc_id) AS pos
+  FROM documents
+), ranked AS (
+  SELECT source, doc_id, lang,
+         row_number() OVER (PARTITION BY source ORDER BY pos, doc_id) AS rank
+  FROM keyed
+)
+SELECT source, rank::BIGINT AS rank, doc_id, lang
+FROM ranked WHERE rank <= {GROUP_SAMPLE_K}
+"""
+
+
+# --- q97: bigram-LM perplexity filter (CCNet-style curation) -----------------
+# The classic LM quality filter: train an add-one-smoothed bigram model
+# ON the corpus itself, score every document's perplexity under it,
+# surface the worst (gibberish/boilerplate candidates). Three corpus-
+# sized passes that all reduce immediately (bigram counts, unigram
+# counts, per-doc explode), joined on narrow token keys; the count
+# tables are vocab-sized, far below the corpus. exp/ln stay in JVM
+# codegen; outputs round so 1e-15 fold noise can't flip the hash.
+
+PPL_TOPK = 15
+
+
+def q97_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda x: x != ""
+    )
+    base = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 2)
+    bi = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(2), F.size("toks")),
+                lambda i: F.struct(
+                    F.element_at(F.col("toks"), i - 1).alias("w1"),
+                    F.element_at(F.col("toks"), i).alias("w2"),
+                ),
+            )
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+
+    uni = (
+        base.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("u_cnt"))
+    )
+    vocab = uni.agg(F.count(F.lit(1)).alias("v_size"))
+    bcnt = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("b_cnt"))
+
+    scored = (
+        bi.join(bcnt, ["w1", "w2"])
+        .join(uni.withColumnRenamed("w", "w1"), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            (
+                -F.log(
+                    (F.col("b_cnt") + 1.0)
+                    / (F.col("u_cnt") + F.col("v_size").cast("double"))
+                )
+            ).alias("nll"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.exp(F.avg("nll")).alias("ppl"),
+    )
+    return (
+        per_doc.orderBy(F.desc("ppl"), F.asc("doc_id"))
+        .limit(PPL_TOPK)
+        .select("doc_id", "n_bigrams", pround("ppl", 4).alias("ppl"))
+    )
+
+
+Q97_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x != '') AS toks
+  FROM documents
+), base2 AS (
+  SELECT * FROM base WHERE len(toks) >= 2
+), bi AS (
+  SELECT doc_id, toks[i - 1] AS w1, toks[i] AS w2
+  FROM base2, unnest(generate_series(2, len(toks))) AS t(i)
+), uni AS (
+  SELECT w, count(*) AS u_cnt
+  FROM (SELECT unnest(toks) AS w FROM base2)
+  GROUP BY w
+), vocab AS (
+  SELECT count(*) AS v_size FROM uni
+), bcnt AS (
+  SELECT w1, w2, count(*) AS b_cnt FROM bi GROUP BY w1, w2
+), scored AS (
+  SELECT bi.doc_id,
+         -ln((b_cnt + 1.0) / (u_cnt + v_size::DOUBLE)) AS nll
+  FROM bi JOIN bcnt USING (w1, w2)
+          JOIN uni ON uni.w = bi.w1
+          CROSS JOIN vocab
+), per_doc AS (
+  SELECT doc_id, count(*)::BIGINT AS n_bigrams, exp(avg(nll)) AS ppl
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams,
+       floor(ppl * 10000.0 + 0.5) / 10000.0 AS ppl
+FROM per_doc
+ORDER BY ppl DESC, doc_id LIMIT {PPL_TOPK}
+"""
+
+
 DATA_QUERIES = {
     "q20_doc_token_stats": (q20_doc_token_stats, Q20_SQL),
     "q21_doc_quality": (q21_doc_quality, Q21_SQL),
@@ -3337,4 +3482,6 @@ DATA_QUERIES = {
     "q93_cluster_keep_best": (q93_cluster_keep_best, Q93_SQL),
     "q94_triangle_count": (q94_triangle_count, Q94_SQL),
     "q95_join_preflight": (q95_join_preflight, Q95_SQL),
+    "q96_group_sample": (q96_group_sample, Q96_SQL),
+    "q97_perplexity_filter": (q97_perplexity_filter, Q97_SQL),
 }

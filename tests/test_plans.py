@@ -240,3 +240,16 @@ def test_q91_fingerprints_computed_below_join(spark, sf_dir):
     for seg in plan.split("Exchange hashpartitioning")[1:]:
         head = seg.splitlines()[0]
         assert "text" not in head, f"wide column crosses an exchange: {head}"
+
+
+def test_q96_group_sample_partial_topk(spark, sf_dir):
+    # the rank<=k filter must compile to WindowGroupLimit: per-
+    # partition partial top-k BEFORE the group exchange, so a huge
+    # group ships only k rows per input partition
+    import re
+
+    from las_vpe_platform_spark.queries import CATALOG
+
+    plan = _plan(CATALOG["q96_group_sample"][0](spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
