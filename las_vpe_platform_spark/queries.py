@@ -51,7 +51,7 @@ DRIVER_PRIORITY: list[str] = [
     "q95_join_preflight",
     "q96_group_sample",
     "q97_perplexity_filter",
-    "q90_table_profile",
+    "d15_pipeline_storage_reid",
     "q91_snapshot_diff",
     "q92_zorder_layout",
     "q93_cluster_keep_best",
@@ -104,6 +104,10 @@ DRIVER_PRIORITY: list[str] = [
     "d05_reid_assembly",
     "d11_pipeline_attr_recog",
     "q29_embedding_ivf_topk",
+    # -- first overflow (position 50): q90 is the lowest-risk new
+    #    entry (one aggregate pass, parity-tested at two scales
+    #    locally) — the 51-entries-for-50-slots tiebreak loser --
+    "q90_table_profile",
     # -- tier 3: only driver row is round 1; code and testdata changed
     #    since (the judge re-ran these green at sf0.01 in round 2, but
     #    hard driver rows are stale). Window closes partway down. --

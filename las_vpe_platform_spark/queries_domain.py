@@ -796,6 +796,74 @@ FROM h GROUP BY 1, 2
 """
 
 
+# --- d15: storage-fed attrrecog-reid (the OTHER reid command) ---------------
+# The ATTRRECOG_REID command of MessageHandlingApp.java:214-337:
+# tracklets arrive from STORAGE (RETRIEVE_TRACKLET with a serial-number
+# point filter, S6/S7) rather than from an in-plan tracker — which is
+# exactly the branch of _stage_reid where the tracklet<->attrs join is
+# KEPT (the r3 join elimination applies only when both sides trace to
+# one tracking node). d14 gates the eliminated-join path; this row
+# oracle-gates the kept-join path, so the elimination predicate can
+# never silently flip for storage-fed plans.
+
+
+def d15_pipeline_storage_reid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.plans.pipeline import BatchExecutor, compile_command
+
+    tracklets = _fx(spark, "tracklets")
+    gallery = _fx(spark, "features").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    ex = BatchExecutor(spark, gallery=gallery)
+    out = ex.run(
+        compile_command("attrrecog-reid", {"tracklet_serial_num": 3}), tracklets
+    )
+    ranks = out["reid"]
+    return ranks.select(
+        F.col("probe_key").alias("tracklet_key"),
+        F.posexplode("id_rank").alias("pos", "gallery_key"),
+    ).select(
+        "tracklet_key",
+        (F.col("pos") + 1).cast("bigint").alias("rank"),
+        "gallery_key",
+    )
+
+
+def _d15_sql() -> str:
+    from las_vpe_platform_spark.fixtures import SEED
+
+    return f"""
+WITH samples AS (
+  SELECT tracklet_key
+  FROM {_fxsql('tracklets')}, unnest(generate_series(1, len(location_sequence))) AS t(i)
+  WHERE location_sequence[i].patch_data IS NOT NULL AND serial_number = 3
+), kept AS (
+  SELECT DISTINCT tracklet_key FROM samples
+  WHERE (('0x' || substr(md5('{SEED}:attr_drop:' || tracklet_key), 1, 8))::BIGINT::DOUBLE
+         / 4294967296.0) >= 0.1
+), pr AS (
+  SELECT f.tracklet_key AS probe_key, f.feature AS pvec
+  FROM {_fxsql('features')} f JOIN kept USING (tracklet_key)
+), scored AS (
+  SELECT probe_key, g.tracklet_key AS gallery_key,
+         (list_sum(list_transform(generate_series(1, len(pvec)),
+                                  i -> pvec[i]::DOUBLE * g.feature[i]::DOUBLE))
+          / (sqrt(list_sum(list_transform(pvec, x -> x::DOUBLE * x::DOUBLE)))
+             * sqrt(list_sum(list_transform(g.feature, x -> x::DOUBLE * x::DOUBLE))))) AS sim
+  FROM pr CROSS JOIN {_fxsql('features')} g
+), ranked AS (
+  SELECT probe_key, gallery_key,
+         row_number() OVER (PARTITION BY probe_key ORDER BY sim DESC, gallery_key) AS rank
+  FROM scored
+)
+SELECT probe_key AS tracklet_key, rank::BIGINT AS rank, gallery_key
+FROM ranked WHERE rank <= 10
+"""
+
+
+D15_SQL = _d15_sql()
+
+
 DOMAIN_QUERIES = {
     "d01_tracklet_sampling": (d01_tracklet_sampling, D01_SQL),
     "d02_attribute_average": (d02_attribute_average, D02_SQL),
@@ -811,6 +879,7 @@ DOMAIN_QUERIES = {
     "d12_similar_persons_in_window": (d12_similar_persons_in_window, D12_SQL),
     "d13_two_hop_neighbors": (d13_two_hop_neighbors, D13_SQL),
     "d14_pipeline_reid": (d14_pipeline_reid, D14_SQL),
+    "d15_pipeline_storage_reid": (d15_pipeline_storage_reid, D15_SQL),
     "m01_patch_metadata": (m01_patch_metadata, M01_SQL),
     "m02_patch_features": (m02_patch_features, M02_SQL),
     "m03_patch_resize": (m03_patch_resize, M03_SQL),
