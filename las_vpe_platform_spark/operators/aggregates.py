@@ -98,22 +98,46 @@ def hll_distinct(
     mergeable by MAX, so per-partition / per-day sketches union
     losslessly (the claim-check pattern for incremental distincts).
     """
+    rb = hll_bucketed(df, key_col, m=m, keep_cols=group_cols)
+    regs = rb.groupBy(*group_cols, "_bucket").agg(F.max("_rho").alias("_r"))
+    return hll_finish(regs, group_cols, m=m)
+
+
+def hll_bucketed(
+    df: DataFrame, key_col: str, m: int = 64, keep_cols: list[str] | None = None
+) -> DataFrame:
+    """The map side of :func:`hll_distinct` — per-row (``_bucket``,
+    ``_rho``) from the portable md5 hash — exposed separately so a
+    STREAMING query can maintain the register maxima incrementally
+    (the grouped MAX is the single streaming aggregate Structured
+    Streaming allows; the estimate then finishes batch-side with
+    :func:`hll_finish`). ``keep_cols=None`` keeps every input column
+    (needed to carry the event-time column into a windowed group)."""
     if m & (m - 1) or m < 2:
         raise ValueError("m must be a power of two >= 2")
     width = 60 - (m.bit_length() - 1)  # bits left after the bucket index
     rmax = width + 1
-    g = ", ".join(group_cols)
     h = (
         f"CAST(conv(substring(md5(CAST({key_col} AS STRING)), 1, 15), 16, 10)"
         " AS BIGINT)"
     )
-    rb = df.selectExpr(
-        g,
+    keep = ["*"] if keep_cols is None else list(keep_cols)
+    return df.selectExpr(
+        *keep,
         f"{h} % {m} AS _bucket",
         f"CASE WHEN {h} div {m} > 0 THEN {rmax} - length(bin({h} div {m}))"
         f" ELSE {rmax} END AS _rho",
     )
-    regs = rb.groupBy(*group_cols, "_bucket").agg(F.max("_rho").alias("_r"))
+
+
+def hll_finish(regs: DataFrame, group_cols: list[str], m: int = 64) -> DataFrame:
+    """Finish an HLL sketch from its registers: ``regs`` carries
+    (group_cols..., ``_bucket``, ``_r`` = max rho). Registers are
+    mergeable by MAX, so they may come from a batch aggregate, a
+    streaming state store, or a union of per-day sketches."""
+    width = 60 - (m.bit_length() - 1)
+    rmax = width + 1
+    g = ", ".join(group_cols)
     sk = regs.groupBy(*group_cols).agg(
         F.expr(
             f"sum(shiftleft(CAST(1 AS BIGINT), {rmax} - _r))"

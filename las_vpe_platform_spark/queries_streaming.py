@@ -534,6 +534,58 @@ WHERE fingerprint NOT IN (SELECT fingerprint FROM fp WHERE doc_id % 3 = 0)
 """
 
 
+# --- s09: windowed distinct-user HLL sketch on a live stream ----------------
+# The cardinality counterpart of s07's frequency sketch: per 5-minute
+# window, approximate distinct users via the PORTABLE HLL
+# (operators/aggregates.hll_distinct) with its register MAX maintained
+# as the single streaming aggregate — state is windows x m register
+# rows, bounded by construction, and registers merge by MAX so late
+# micro-batches fold in losslessly. The estimate (register sum +
+# bias-corrected harmonic mean) finishes batch-side over the sink,
+# exactly where a production pipeline would query the sketch store.
+
+S09_M = 64
+
+
+def s09_stream_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.operators.aggregates import hll_bucketed, hll_finish
+
+    raw = _events_micros(spark, sf_dir)
+    src = tempfile.mkdtemp(prefix="s09_events_")
+    raw.coalesce(8).write.mode("overwrite").parquet(src)
+    stream = file_stream(
+        spark, src, RAW_EVENTS_SCHEMA, max_files_per_trigger=4
+    ).withColumn("ts", F.timestamp_micros("ts_micros"))
+    hashed = hll_bucketed(
+        stream.select("ts", "user_id"), "user_id", m=S09_M, keep_cols=["ts"]
+    )
+    regs = hashed.groupBy(
+        F.window("ts", "5 minutes").alias("window"), F.col("_bucket")
+    ).agg(F.max("_rho").alias("_r"))
+    name = f"s09_out_{uuid.uuid4().hex[:8]}"
+    with _stream_partitions(spark):
+        sink = run_to_completion(regs, name, output_mode="complete")
+    per_window = sink.select(
+        F.unix_timestamp(F.col("window.start")).alias("window_start_epoch"),
+        "_bucket",
+        "_r",
+    )
+    return hll_finish(per_window, ["window_start_epoch"], m=S09_M)
+
+
+def _s09_sql() -> str:
+    from las_vpe_platform_spark.operators.aggregates import hll_sql
+
+    table = (
+        "(SELECT (epoch_us(ts) // 300000000) * 300 AS window_start_epoch,"
+        " user_id FROM events) t"
+    )
+    return hll_sql(["window_start_epoch"], "user_id", table, m=S09_M)
+
+
+S09_SQL = _s09_sql()
+
+
 STREAMING_QUERIES = {
     "s01_stream_windowed_counts": (s01_stream_windowed_counts, S01_SQL),
     "s02_stream_dedup": (s02_stream_dedup, S02_SQL),
@@ -543,4 +595,5 @@ STREAMING_QUERIES = {
     "s06_stream_static_enrich": (s06_stream_static_enrich, S06_SQL),
     "s07_stream_heavy_hitters": (s07_stream_heavy_hitters, S07_SQL),
     "s08_stream_incremental_dedup": (s08_stream_incremental_dedup, S08_SQL),
+    "s09_stream_distinct_sketch": (s09_stream_distinct_sketch, S09_SQL),
 }
