@@ -864,6 +864,88 @@ FROM ranked WHERE rank <= 10
 D15_SQL = _d15_sql()
 
 
+# --- m07: perceptual-bucket image near-dup (multimodal dedup) ---------------
+# The scalable image-dedup shape (pHash/PDQ-style): per representative
+# patch, a coarse PERCEPTUAL signature (4 quantized byte-histogram
+# bands from the m02 featurizer) buckets candidates; exact content
+# hashes then verify WITHIN buckets only. The verify stage is a
+# (bucket, content-hash) groupBy — Σ C(same-hash,2) — never a pair
+# join, so a hot bucket (the fixture's 2-2-2-2 bucket holds ~25% of
+# tracklets) costs one aggregate row, not C(245,2) pairs; n_pairs is
+# reported so the occupancy knob (more bands/finer deciles) has a
+# measured trigger. Content hash runs md5-over-hex on BOTH engines for
+# oracle portability; production hashes raw bytes (xxhash64(binary)).
+
+
+def m07_patch_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.operators.multimodal import extract_patch_features
+
+    tr = _fx(spark, "tracklets")
+    feats = extract_patch_features(tr)
+    first_patch = F.element_at(
+        F.filter("location_sequence", lambda b: b.getField("patch_data").isNotNull()),
+        1,
+    ).getField("patch_data")
+    hashed = tr.select("tracklet_key", F.md5(F.hex(first_patch)).alias("content_hash"))
+
+    def band(k: int):
+        s = F.element_at("patch_feature", 4 * k + 1)
+        for j in range(2, 5):
+            s = s + F.element_at("patch_feature", 4 * k + j)
+        return F.floor(s * 10.0).cast("bigint").cast("string")
+
+    sig = F.concat_ws("-", band(0), band(1), band(2), band(3))
+    members = feats.select("tracklet_key", sig.alias("sig")).join(hashed, "tracklet_key")
+    by_hash = members.groupBy("sig", "content_hash").agg(
+        F.count(F.lit(1)).alias("h_cnt")
+    )
+    return (
+        by_hash.groupBy("sig")
+        .agg(
+            F.sum("h_cnt").cast("bigint").alias("n_members"),
+            F.sum(F.expr("h_cnt * (h_cnt - 1) div 2")).cast("bigint").alias("n_exact_dups"),
+        )
+        .filter(F.col("n_members") >= 2)
+        .select(
+            "sig",
+            "n_members",
+            (F.col("n_members") * (F.col("n_members") - 1) / 2).cast("bigint").alias("n_pairs"),
+            "n_exact_dups",
+        )
+    )
+
+
+M07_SQL = f"""
+WITH fp AS (
+  SELECT tracklet_key,
+         hex((list_filter(location_sequence, b -> b.patch_data IS NOT NULL))[1].patch_data) AS h
+  FROM {_fxsql('tracklets')}
+  WHERE len(list_filter(location_sequence, b -> b.patch_data IS NOT NULL)) > 0
+), bytes AS (
+  SELECT tracklet_key, h, list_transform(generate_series(1, length(h) // 2),
+                        i -> ('0x' || substr(h, 2 * i - 1, 2))::INT) AS bs
+  FROM fp
+), bins AS (
+  SELECT tracklet_key, h, list_transform(generate_series(0, 15),
+         k -> len(list_filter(bs, v -> v // 16 = k))::DOUBLE / len(bs)) AS f
+  FROM bytes
+), members AS (
+  SELECT tracklet_key, md5(h) AS content_hash,
+         concat_ws('-', floor((f[1]+f[2]+f[3]+f[4])*10.0)::BIGINT,
+                        floor((f[5]+f[6]+f[7]+f[8])*10.0)::BIGINT,
+                        floor((f[9]+f[10]+f[11]+f[12])*10.0)::BIGINT,
+                        floor((f[13]+f[14]+f[15]+f[16])*10.0)::BIGINT) AS sig
+  FROM bins
+), by_hash AS (
+  SELECT sig, content_hash, count(*) AS h_cnt FROM members GROUP BY sig, content_hash
+)
+SELECT sig, sum(h_cnt)::BIGINT AS n_members,
+       (sum(h_cnt) * (sum(h_cnt) - 1) // 2)::BIGINT AS n_pairs,
+       sum(h_cnt * (h_cnt - 1) // 2)::BIGINT AS n_exact_dups
+FROM by_hash GROUP BY sig HAVING sum(h_cnt) >= 2
+"""
+
+
 DOMAIN_QUERIES = {
     "d01_tracklet_sampling": (d01_tracklet_sampling, D01_SQL),
     "d02_attribute_average": (d02_attribute_average, D02_SQL),
@@ -886,4 +968,5 @@ DOMAIN_QUERIES = {
     "m04_audio_decimate": (m04_audio_decimate, M04_SQL),
     "m05_frame_fragments": (m05_frame_fragments, M05_SQL),
     "m06_keyframe_selection": (m06_keyframe_selection, M06_SQL),
+    "m07_patch_neardup": (m07_patch_neardup, M07_SQL),
 }
