@@ -53,6 +53,9 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
     total = round(time.perf_counter() - t_all, 3)
 
+    # slowest first: if a consumer truncates the artifact's tail, the
+    # entries that matter for a perf audit survive the cut
+    by_cost = dict(sorted(timings.items(), key=lambda kv: -kv[1]))
     print(
         json.dumps(
             {
@@ -61,7 +64,7 @@ def main() -> None:
                 "metric": "mean_query_runtime",
                 "value": round(total / max(len(timings), 1), 3),
                 "unit": "sec",
-                "queries": timings,
+                "queries": by_cost,
                 "sf": sf,
                 "total_sec": total,
                 "n_queries": len(timings),
