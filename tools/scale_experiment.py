@@ -111,6 +111,40 @@ def bench(spark, path: str) -> dict[str, float]:
         "doc_id", "size(fingerprints) AS n"
     ).write.format("noop").mode("overwrite").save()
     out["winnow"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    from las_vpe_platform_spark.operators.aggregates import hll_distinct
+
+    hll_distinct(ev, ["event_type"], "user_id", m=64).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    out["hll_sketch"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    # q89 shape: corpus-sized word groupBy, pair explode on the vocab only
+    words = ev.select(
+        F.explode(
+            F.split(F.concat_ws(" ", "event_type", F.col("user_id").cast("string")), " ")
+        ).alias("w")
+    ).filter(F.length("w") >= 2)
+    wf = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    (
+        wf.select(
+            "w", "freq",
+            F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i"),
+        )
+        .select(
+            F.col("w").substr(F.col("i"), F.lit(1)).alias("a"),
+            F.col("w").substr(F.col("i") + 1, F.lit(1)).alias("b"),
+            "freq",
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("freq"))
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    out["bpe_pairs"] = round(time.perf_counter() - t0, 2)
     return out
 
 
