@@ -82,6 +82,12 @@ HEADLINERS = [
      "CDC diff: md5 fingerprints computed BELOW the full-outer join so only (key, 32 B hash, chars) crosses the exchanges — the wide text column never shuffles (guarded by test_q91_fingerprints_computed_below_join)"),
     ("q92_zorder_layout",
      "Morton key as pure shift/mask codegen: one hash exchange (final block aggregate), two-column scan, no Python (guarded by test_q92_zorder_single_exchange_two_columns)"),
+    ("q96_group_sample",
+     "rank<=k compiled to WindowGroupLimit: per-partition partial top-k BEFORE the single group exchange (guarded by test_q96_group_sample_partial_topk)"),
+    ("q97_perplexity_filter",
+     "bigram LM trained in-plan: three corpus reductions with map-side partials; scoring joins shuffle narrow token keys; final top-k is TakeOrderedAndProject"),
+    ("m07_patch_neardup",
+     "perceptual dedup: signature + content hash in the scan stage, then two cascaded aggregates — the verify stage is a (bucket, hash) groupBy, never a pair join"),
 ]
 
 
