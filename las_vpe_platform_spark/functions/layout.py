@@ -28,6 +28,15 @@ def zorder_key(cols: list[Column], bits: int = 8) -> Column:
     """Interleave the low ``bits`` bits of each (already-quantized,
     non-negative integer) column into one Morton key.
 
+    PRECONDITION — quantize into ``[0, 2^bits)`` first: only the low
+    ``bits`` bits are interleaved, so an unquantized value silently
+    ALIASES modulo ``2^bits`` (e.g. raw days-since-epoch ≈ 19 700 under
+    the default 8 bits puts rows 256 days apart in the same cell and
+    destroys the clustering this key exists to provide). Bucket with
+    ``value // step`` against the column's actual range, or
+    ``pmod(value, 2^bits)`` only when the column is genuinely cyclic
+    (day-of-year, hour-of-day).
+
     Column i contributes bit b to output position ``b * n + (n-1-i)``
     — i.e. dimension 0 owns the most-significant bit of each group, so
     the sort order is a balanced sweep over all dimensions.  Pure

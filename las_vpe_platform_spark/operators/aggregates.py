@@ -137,7 +137,7 @@ def hll_finish(regs: DataFrame, group_cols: list[str], m: int = 64) -> DataFrame
     streaming state store, or a union of per-day sketches."""
     width = 60 - (m.bit_length() - 1)
     rmax = width + 1
-    g = ", ".join(group_cols)
+    g = list(group_cols)  # splatted per column: multi-col groups work
     sk = regs.groupBy(*group_cols).agg(
         F.expr(
             f"sum(shiftleft(CAST(1 AS BIGINT), {rmax} - _r))"
@@ -147,18 +147,18 @@ def hll_finish(regs: DataFrame, group_cols: list[str], m: int = 64) -> DataFrame
     top = 1 << rmax  # empty register contributes 2^(rmax - 0)
     alpha = f"(0.7213D / (1.0D + 1.079D / {m}.0D))"
     return sk.selectExpr(
-        g,
+        *g,
         f"CAST(_present_sum + ({m} - _n_present) * CAST({top} AS BIGINT)"
         " AS BIGINT) AS hll_sum",
         f"CAST({m} - _n_present AS BIGINT) AS n_zero",
     ).selectExpr(
-        g,
+        *g,
         "hll_sum",
         "n_zero",
         f"{alpha} * {m}.0D * {m}.0D * {float(top)}D / CAST(hll_sum AS DOUBLE)"
         " AS _raw",
     ).selectExpr(
-        g,
+        *g,
         "hll_sum",
         "n_zero",
         "floor((CASE WHEN n_zero > 0 AND _raw <= " + f"{2.5 * m}D"

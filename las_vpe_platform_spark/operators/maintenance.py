@@ -234,7 +234,11 @@ def zorder_layout(
     ``OPTIMIZE ZORDER BY`` analog for plain parquet tables.
 
     ``quantized_cols`` are non-negative integer Column expressions
-    (bucket your raw columns first: days-since-epoch, price // step).
+    already bucketed into ``[0, 2^bits)`` — e.g. ``(days - min_day) //
+    step`` or ``price // step`` capped at ``2^bits - 1``. Values
+    outside that range alias modulo ``2^bits`` and silently void the
+    clustering (see :func:`~las_vpe_platform_spark.functions.layout.
+    zorder_key`'s precondition note).
     The layout pass is ONE range exchange (sampled split points, skew-
     proof by construction) plus an in-partition sort; downstream
     readers get tight per-file min/max bounds on EVERY participating

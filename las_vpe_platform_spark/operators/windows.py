@@ -47,3 +47,22 @@ def last_n(df: DataFrame, order_col: str, n: int, tiebreak_cols: list[str] | Non
     """
     order = [F.desc(order_col)] + [F.asc(c) for c in (tiebreak_cols or [])]
     return df.orderBy(*order).limit(n)
+
+
+def global_topk_ranked(df: DataFrame, order_cols: list, k: int) -> DataFrame:
+    """Global top-k with a ``rank`` column, scale-shaped: the k rows are
+    selected FIRST via orderBy+limit (TakeOrderedAndProject — per-
+    partition heaps, never a single-partition window over the full
+    input), then ranked by a window that only ever sees k rows.
+
+    ``order_cols`` are Column expressions including sort direction
+    (e.g. ``[F.desc("cnt"), F.asc("key")]``); ties must be fully broken
+    for the rank to be deterministic. Shared by q88/q95-style
+    diagnostics — keep the idiom here so the two stay in sync.
+    """
+    w = W.orderBy(*order_cols)
+    return (
+        df.orderBy(*order_cols)
+        .limit(int(k))
+        .withColumn("rank", F.row_number().over(w))
+    )

@@ -2775,16 +2775,15 @@ def q88_skew_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(-p * F.log(p)).alias("entropy"),
         )
     )
-    # top-k FIRST via orderBy+limit (TakeOrderedAndProject — per-
-    # partition heaps); rank and the cumulative share then run in a
-    # window over the k surviving rows only, never the full key set
+    # top-k via the shared helper (TakeOrderedAndProject, rank window
+    # over k rows); the cumulative share likewise runs over the k
+    # surviving rows only, never the full key set
+    from las_vpe_platform_spark.operators.windows import global_topk_ranked
+
     w2 = W2.orderBy(F.desc("cnt"), F.asc("user_id"))
-    top = (
-        counts.orderBy(F.desc("cnt"), F.asc("user_id"))
-        .limit(SKEW_TOPK)
-        .withColumn("rank", F.row_number().over(w2))
-        .crossJoin(F.broadcast(totals))
-    )
+    top = global_topk_ranked(
+        counts, [F.desc("cnt"), F.asc("user_id")], SKEW_TOPK
+    ).crossJoin(F.broadcast(totals))
     share = F.col("cnt") / F.col("n_rows")
     cum = F.sum("cnt").over(
         w2.rowsBetween(W2.unboundedPreceding, W2.currentRow)
@@ -3224,33 +3223,42 @@ PREFLIGHT_TOPK = 5
 
 
 def q95_join_preflight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.operators.windows import global_topk_ranked
+
     ev = _t(spark, sf_dir, "events")
     counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    # cnt² and its sum in DECIMAL(38,0): a >3e9-row hot key (exactly
+    # the case this preflight exists to catch) overflows BIGINT under
+    # ANSI mode before the diagnostic can report it; DuckDB's mirror
+    # sums in HUGEINT, so decimal keeps the engines value-identical.
+    # The BIGINT output casts then fail loudly — in BOTH engines — only
+    # past 9.2e18 predicted rows.
     contrib = counts.select(
-        "user_id", "cnt", (F.col("cnt") * F.col("cnt")).alias("out_rows")
+        "user_id",
+        "cnt",
+        (F.col("cnt").cast("decimal(38,0)") * F.col("cnt")).alias("out_rows"),
     )
     totals = contrib.agg(
-        F.sum("out_rows").cast("bigint").alias("predicted_rows"),
+        F.sum("out_rows").cast("decimal(38,0)").alias("predicted_rows"),
         F.sum("cnt").cast("bigint").alias("input_rows"),
     )
-    # top-k FIRST via orderBy+limit (TakeOrderedAndProject — per-
-    # partition heaps, never a single-partition global window over the
-    # full key set); the rank window then runs over k rows only
-    w2 = W.orderBy(F.desc("out_rows"), F.asc("user_id"))
-    top = (
-        contrib.orderBy(F.desc("out_rows"), F.asc("user_id"))
-        .limit(PREFLIGHT_TOPK)
-        .withColumn("rank", F.row_number().over(w2))
-        .crossJoin(F.broadcast(totals))
-    )
+    top = global_topk_ranked(
+        contrib, [F.desc("out_rows"), F.asc("user_id")], PREFLIGHT_TOPK
+    ).crossJoin(F.broadcast(totals))
     return top.select(
         F.col("rank").cast("bigint").alias("rank"),
         "user_id",
         F.col("cnt").cast("bigint").alias("cnt"),
         F.col("out_rows").cast("bigint").alias("out_rows"),
-        pround(F.col("out_rows") / F.col("predicted_rows"), 6).alias("out_share"),
-        "predicted_rows",
-        pround(F.col("predicted_rows") / F.col("input_rows"), 4).alias("blowup"),
+        pround(
+            F.col("out_rows").cast("double") / F.col("predicted_rows").cast("double"),
+            6,
+        ).alias("out_share"),
+        F.col("predicted_rows").cast("bigint").alias("predicted_rows"),
+        pround(
+            F.col("predicted_rows").cast("double") / F.col("input_rows").cast("double"),
+            4,
+        ).alias("blowup"),
     )
 
 

@@ -882,11 +882,22 @@ def m07_patch_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tr = _fx(spark, "tracklets")
     feats = extract_patch_features(tr)
-    first_patch = F.element_at(
-        F.filter("location_sequence", lambda b: b.getField("patch_data").isNotNull()),
-        1,
-    ).getField("patch_data")
-    hashed = tr.select("tracklet_key", F.md5(F.hex(first_patch)).alias("content_hash"))
+    # guard the empty-retained-list case BEFORE element_at — under this
+    # session's ANSI mode element_at([], 1) aborts the query (mirrors
+    # the oracle's WHERE len(...) > 0 and extract_patch_features)
+    retained = F.filter(
+        "location_sequence", lambda b: b.getField("patch_data").isNotNull()
+    )
+    hashed = (
+        tr.select("tracklet_key", retained.alias("_ret"))
+        .filter(F.size("_ret") > 0)
+        .select(
+            "tracklet_key",
+            F.md5(F.hex(F.element_at("_ret", 1).getField("patch_data"))).alias(
+                "content_hash"
+            ),
+        )
+    )
 
     def band(k: int):
         s = F.element_at("patch_feature", 4 * k + 1)

@@ -132,3 +132,34 @@ def test_cut_video_frames_decoder_injection(spark):
         for r in cut_video_frames(videos, decoder=two_frame_decoder).collect()
     }
     assert rows == {0: (0, b"frame-zero"), 1500: (1, b"frame-late")}
+
+
+def test_m07_tolerates_patchless_tracklets(spark):
+    """m07's content-hash side must skip tracklets whose retained-patch
+    list is empty instead of aborting under ANSI element_at (review
+    finding r3) — mirroring the oracle's len(...) > 0 guard."""
+    from pyspark.sql import functions as F
+
+    from las_vpe_platform_spark.queries_domain import _fx, m07_patch_neardup
+
+    # the real fixture plus one synthetic patchless tracklet appended
+    tr = _fx(spark, "tracklets")
+    patchless = tr.limit(1).withColumn(
+        "location_sequence",
+        F.expr(
+            "transform(location_sequence,"
+            " b -> named_struct('height', b.height, 'patch_data',"
+            " CAST(NULL AS BINARY), 'width', b.width, 'x', b.x, 'y', b.y))"
+        ),
+    ).withColumn("tracklet_key", F.lit("patchless-key"))
+    import las_vpe_platform_spark.queries_domain as qd
+    orig = qd._fx
+    try:
+        qd._fx = lambda s, name: (
+            tr.unionByName(patchless) if name == "tracklets" else orig(s, name)
+        )
+        out = m07_patch_neardup(spark, "unused")
+        rows = out.collect()  # must not raise
+        assert all(r["n_members"] >= 2 for r in rows)
+    finally:
+        qd._fx = orig

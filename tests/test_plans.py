@@ -231,15 +231,31 @@ def test_q92_zorder_single_exchange_two_columns(spark, sf_dir):
 def test_q91_fingerprints_computed_below_join(spark, sf_dir):
     # CDC diff must hash the wide text column BEFORE the full-outer
     # join so only (doc_id, 32-byte hash, n_chars) crosses the
-    # exchanges: every join-side exchange output carries md5, not text
+    # exchanges. The FORMATTED plan lists each Exchange node's actual
+    # input columns as "Input [k]: [...]" — assert none of them carries
+    # the text column (a hash-above-the-join regression shows
+    # "...text#N" there; validated against a deliberately-bad plan).
+    import io
+    import re
+    from contextlib import redirect_stdout
+
     from las_vpe_platform_spark.queries import CATALOG
 
-    plan = _plan(CATALOG["q91_snapshot_diff"][0](spark, sf_dir))
+    df = CATALOG["q91_snapshot_diff"][0](spark, sf_dir)
+    plan = _plan(df)
     assert "SortMergeJoin" in plan and "FullOuter" in plan
-    # each Exchange node's input is a Project that already computed md5
-    for seg in plan.split("Exchange hashpartitioning")[1:]:
-        head = seg.splitlines()[0]
-        assert "text" not in head, f"wide column crosses an exchange: {head}"
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    blocks = re.split(r"\n\(\d+\) ", buf.getvalue())
+    exchange_blocks = [b for b in blocks if b.startswith("Exchange")]
+    assert len(exchange_blocks) >= 2, "expected join-side exchanges"
+    for b in exchange_blocks:
+        m = re.search(r"Input \[\d+\]: \[([^\]]*)\]", b)
+        assert m, f"no Input list on Exchange block: {b[:120]}"
+        assert "text#" not in m.group(1), (
+            f"wide column crosses an exchange: {m.group(1)}"
+        )
 
 
 def test_q96_group_sample_partial_topk(spark, sf_dir):
