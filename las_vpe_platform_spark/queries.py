@@ -49,10 +49,10 @@ DRIVER_PRIORITY: list[str] = [
     "q89_bpe_pair_counts",
     "q94_triangle_count",
     "q97_perplexity_filter",
+    "q98_funnel_analysis",
     "d15_pipeline_storage_reid",
     "s09_stream_distinct_sketch",
     "m07_patch_neardup",
-    "q91_snapshot_diff",
     "q92_zorder_layout",
     "q93_cluster_keep_best",
     "s07_stream_heavy_hitters",
@@ -108,6 +108,7 @@ DRIVER_PRIORITY: list[str] = [
     #    entry (one aggregate pass, parity-tested at two scales
     #    locally) — the 51-entries-for-50-slots tiebreak loser --
     "q90_table_profile",
+    "q91_snapshot_diff",
     "q95_join_preflight",
     "q96_group_sample",
     # -- tier 3: only driver row is round 1; code and testdata changed

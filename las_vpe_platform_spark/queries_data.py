@@ -3430,6 +3430,94 @@ ORDER BY ppl DESC, doc_id LIMIT {PPL_TOPK}
 """
 
 
+# --- q98: funnel analysis (ordered step conversion) --------------------------
+# The classic event-analytics funnel: per user, first 'view', then the
+# first 'click' within 30 minutes of it, then the first 'purchase'
+# within 30 minutes of THAT — strict ordering, earliest-completion
+# semantics (each stage anchors on the previous stage's timestamp, so
+# the computation is three chained per-user MIN aggregates, not a
+# per-user sequence scan). Every join keys on user_id with the event-
+# type filter pushed below it; stage frames shrink monotonically, so
+# the heaviest shuffle is the first per-user aggregate.
+
+FUNNEL_WINDOW_MIN = 30
+
+
+def q98_funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    win = F.expr(f"INTERVAL {FUNNEL_WINDOW_MIN} MINUTES")
+
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + win))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t2") + win))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def stage(df: DataFrame, num: int, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(num).cast("bigint").alias("stage"),
+            F.lit(name).alias("step"),
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        )
+
+    stages = (
+        stage(s1, 1, "view")
+        .unionByName(stage(s2, 2, "view>click"))
+        .unionByName(stage(s3, 3, "view>click>purchase"))
+    )
+    base = s1.agg(F.count(F.lit(1)).alias("n_base"))
+    return stages.crossJoin(F.broadcast(base)).select(
+        "stage",
+        "step",
+        "n_users",
+        pround(F.col("n_users") / F.col("n_base").cast("double"), 6).alias("conv_rate"),
+    )
+
+
+Q98_SQL = f"""
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s1.t1
+    AND e.ts <= s1.t1 + INTERVAL {FUNNEL_WINDOW_MIN} MINUTE
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+    AND e.ts <= s2.t2 + INTERVAL {FUNNEL_WINDOW_MIN} MINUTE
+  GROUP BY e.user_id
+), stages AS (
+  SELECT 1::BIGINT AS stage, 'view' AS step, count(*)::BIGINT AS n_users FROM s1
+  UNION ALL
+  SELECT 2::BIGINT, 'view>click', count(*)::BIGINT FROM s2
+  UNION ALL
+  SELECT 3::BIGINT, 'view>click>purchase', count(*)::BIGINT FROM s3
+), base AS (
+  SELECT count(*) AS n_base FROM s1
+)
+SELECT stage, step, n_users,
+       floor((n_users / n_base::DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS conv_rate
+FROM stages CROSS JOIN base
+"""
+
+
 DATA_QUERIES = {
     "q20_doc_token_stats": (q20_doc_token_stats, Q20_SQL),
     "q21_doc_quality": (q21_doc_quality, Q21_SQL),
@@ -3492,4 +3580,5 @@ DATA_QUERIES = {
     "q95_join_preflight": (q95_join_preflight, Q95_SQL),
     "q96_group_sample": (q96_group_sample, Q96_SQL),
     "q97_perplexity_filter": (q97_perplexity_filter, Q97_SQL),
+    "q98_funnel_analysis": (q98_funnel_analysis, Q98_SQL),
 }
