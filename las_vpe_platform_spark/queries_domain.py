@@ -957,6 +957,69 @@ FROM by_hash GROUP BY sig HAVING sum(h_cnt) >= 2
 """
 
 
+# --- d16: the REID command (stored tracklet+attr assembly -> ranking) -------
+# The remaining command shape of MessageHandlingApp.java:214-337: REID
+# alone, fed by RETRIEVE_TRACKLET_ATTR (stored tracklets point-filtered
+# by serial, inner-joined to the stored attribute table — the J7/J8
+# bypass port TRACKLET_ATTR). With d11/d14/d15 this gates all four
+# distinct compiled dataflows; every stage of every command now has a
+# driver-facing oracle row.
+
+
+def d16_pipeline_reid_command(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.plans.pipeline import BatchExecutor, compile_command
+
+    tracklets = _fx(spark, "tracklets")
+    attrs = _fx(spark, "attributes")
+    gallery = _fx(spark, "features").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    ex = BatchExecutor(spark, gallery=gallery)
+    out = ex.run(
+        compile_command("reid", {"tracklet_serial_num": 5}),
+        tracklets,
+        ATTR_TABLE=attrs,
+    )
+    ranks = out["reid"]
+    return ranks.select(
+        F.col("probe_key").alias("tracklet_key"),
+        F.posexplode("id_rank").alias("pos", "gallery_key"),
+    ).select(
+        "tracklet_key",
+        (F.col("pos") + 1).cast("bigint").alias("rank"),
+        "gallery_key",
+    )
+
+
+def _d16_sql() -> str:
+    return f"""
+WITH keys AS (
+  SELECT t.tracklet_key
+  FROM {_fxsql('tracklets')} t JOIN {_fxsql('attributes')} a USING (tracklet_key)
+  WHERE t.serial_number = 5
+), pr AS (
+  SELECT f.tracklet_key AS probe_key, f.feature AS pvec
+  FROM {_fxsql('features')} f JOIN keys USING (tracklet_key)
+), scored AS (
+  SELECT probe_key, g.tracklet_key AS gallery_key,
+         (list_sum(list_transform(generate_series(1, len(pvec)),
+                                  i -> pvec[i]::DOUBLE * g.feature[i]::DOUBLE))
+          / (sqrt(list_sum(list_transform(pvec, x -> x::DOUBLE * x::DOUBLE)))
+             * sqrt(list_sum(list_transform(g.feature, x -> x::DOUBLE * x::DOUBLE))))) AS sim
+  FROM pr CROSS JOIN {_fxsql('features')} g
+), ranked AS (
+  SELECT probe_key, gallery_key,
+         row_number() OVER (PARTITION BY probe_key ORDER BY sim DESC, gallery_key) AS rank
+  FROM scored
+)
+SELECT probe_key AS tracklet_key, rank::BIGINT AS rank, gallery_key
+FROM ranked WHERE rank <= 10
+"""
+
+
+D16_SQL = _d16_sql()
+
+
 DOMAIN_QUERIES = {
     "d01_tracklet_sampling": (d01_tracklet_sampling, D01_SQL),
     "d02_attribute_average": (d02_attribute_average, D02_SQL),
@@ -973,6 +1036,7 @@ DOMAIN_QUERIES = {
     "d13_two_hop_neighbors": (d13_two_hop_neighbors, D13_SQL),
     "d14_pipeline_reid": (d14_pipeline_reid, D14_SQL),
     "d15_pipeline_storage_reid": (d15_pipeline_storage_reid, D15_SQL),
+    "d16_pipeline_reid_command": (d16_pipeline_reid_command, D16_SQL),
     "m01_patch_metadata": (m01_patch_metadata, M01_SQL),
     "m02_patch_features": (m02_patch_features, M02_SQL),
     "m03_patch_resize": (m03_patch_resize, M03_SQL),
