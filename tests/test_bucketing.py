@@ -53,3 +53,38 @@ def test_partition_pruning(spark, tmp_path):
     assert "PartitionFilters" in plan
     assert "cam" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
     assert scan.count() == tr.filter(F.col("cam") == "CAM01").count()
+
+
+def test_bucketed_snapshot_diff_has_no_shuffle(spark):
+    """SCALE.md's q91 claim made concrete: land both snapshot sides
+    bucketed on the key with the fingerprint MATERIALIZED, and the
+    full-outer CDC join plans with zero exchanges — at 100 TB the diff
+    costs two bucketed scans plus the final (4-row) aggregate."""
+    docs = _fx(spark, "tracklets")  # any keyed fixture works as the snapshot base
+    old = docs.select(
+        F.col("tracklet_key").alias("key"), F.md5("video_id").alias("old_hash")
+    )
+    new = docs.filter(F.col("serial_number") != 3).select(
+        F.col("tracklet_key").alias("key"), F.md5("task_id").alias("new_hash")
+    )
+    drop_table(spark, "b_snap_old")
+    drop_table(spark, "b_snap_new")
+    try:
+        write_bucketed(old, "b_snap_old", ["key"], 8, sort_cols=["key"])
+        write_bucketed(new, "b_snap_new", ["key"], 8, sort_cols=["key"])
+        bo = spark.table("b_snap_old")
+        bn = spark.table("b_snap_new")
+        joined = bo.hint("merge").join(bn, on="key", how="full_outer").select(
+            F.when(F.col("old_hash").isNull(), F.lit("added"))
+            .when(F.col("new_hash").isNull(), F.lit("removed"))
+            .when(F.col("old_hash") != F.col("new_hash"), F.lit("changed"))
+            .otherwise(F.lit("unchanged"))
+            .alias("change_type")
+        )
+        assert not plan_has_exchange(joined)
+        # semantics preserved vs the unbucketed plan
+        plain = old.join(new, on="key", how="full_outer")
+        assert joined.count() == plain.count()
+    finally:
+        drop_table(spark, "b_snap_old")
+        drop_table(spark, "b_snap_new")
