@@ -50,11 +50,11 @@ DRIVER_PRIORITY: list[str] = [
     "q94_triangle_count",
     "q97_perplexity_filter",
     "q98_funnel_analysis",
+    "q99_embedding_anisotropy",
     "d15_pipeline_storage_reid",
     "d16_pipeline_reid_command",
     "s09_stream_distinct_sketch",
     "m07_patch_neardup",
-    "q93_cluster_keep_best",
     "s07_stream_heavy_hitters",
     "s08_stream_incremental_dedup",
     "q82_kmeans_clusters",
@@ -110,6 +110,7 @@ DRIVER_PRIORITY: list[str] = [
     "q90_table_profile",
     "q91_snapshot_diff",
     "q92_zorder_layout",
+    "q93_cluster_keep_best",
     "q95_join_preflight",
     "q96_group_sample",
     # -- tier 3: only driver row is round 1; code and testdata changed

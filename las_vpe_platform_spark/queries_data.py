@@ -3518,6 +3518,76 @@ FROM stages CROSS JOIN base
 """
 
 
+# --- q99: embedding anisotropy diagnostics ------------------------------------
+# q90's profiling for the vector column: per-dimension mean/variance/
+# range and each dimension's share of total variance — collapsed
+# dimensions (var≈0) mean wasted ANN bytes and degenerate cosine
+# geometry; one dominant dimension means normalize-or-whiten before
+# the q29/q66/q70 index builds. ONE explode + grouped sums (map-side
+# partials; shuffle = 64 dim rows), variance from exact sums, not the
+# engine's streaming variance (Welford accumulation differs between
+# engines; Σx/Σx² round identically).
+
+
+def q99_embedding_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    per_dim = (
+        emb.select(F.posexplode("embedding").alias("pos", "x"))
+        .select((F.col("pos") + 1).alias("dim_idx"), F.col("x").cast("double").alias("x"))
+        .groupBy("dim_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("s"),
+            F.sum(F.col("x") * F.col("x")).alias("ss"),
+            F.min("x").alias("mn"),
+            F.max("x").alias("mx"),
+        )
+    )
+    var = (F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)
+    dims = per_dim.select(
+        F.col("dim_idx").cast("bigint").alias("dim_idx"),
+        (F.col("s") / F.col("n")).alias("_mean"),
+        var.alias("_var"),
+        "mn",
+        "mx",
+    )
+    tot = dims.agg(F.sum("_var").alias("_tot"))
+    return dims.crossJoin(F.broadcast(tot)).select(
+        "dim_idx",
+        pround("_mean", 6).alias("mean"),
+        pround("_var", 6).alias("variance"),
+        pround(F.col("_var") / F.col("_tot"), 6).alias("var_share"),
+        pround("mn", 6).alias("min_val"),
+        pround("mx", 6).alias("max_val"),
+    )
+
+
+Q99_SQL = """
+WITH per_dim AS (
+  SELECT i AS dim_idx, count(*) AS n,
+         sum(embedding[i]::DOUBLE) AS s,
+         sum(embedding[i]::DOUBLE * embedding[i]::DOUBLE) AS ss,
+         min(embedding[i]::DOUBLE) AS mn,
+         max(embedding[i]::DOUBLE) AS mx
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+  GROUP BY i
+), dims AS (
+  SELECT dim_idx::BIGINT AS dim_idx, s / n AS _mean,
+         (ss - s * s / n) / (n - 1) AS _var, mn, mx
+  FROM per_dim
+), tot AS (
+  SELECT sum(_var) AS _tot FROM dims
+)
+SELECT dim_idx,
+       floor(_mean * 1000000.0 + 0.5) / 1000000.0 AS mean,
+       floor(_var * 1000000.0 + 0.5) / 1000000.0 AS variance,
+       floor((_var / _tot) * 1000000.0 + 0.5) / 1000000.0 AS var_share,
+       floor(mn * 1000000.0 + 0.5) / 1000000.0 AS min_val,
+       floor(mx * 1000000.0 + 0.5) / 1000000.0 AS max_val
+FROM dims CROSS JOIN tot
+"""
+
+
 DATA_QUERIES = {
     "q20_doc_token_stats": (q20_doc_token_stats, Q20_SQL),
     "q21_doc_quality": (q21_doc_quality, Q21_SQL),
@@ -3581,4 +3651,5 @@ DATA_QUERIES = {
     "q96_group_sample": (q96_group_sample, Q96_SQL),
     "q97_perplexity_filter": (q97_perplexity_filter, Q97_SQL),
     "q98_funnel_analysis": (q98_funnel_analysis, Q98_SQL),
+    "q99_embedding_anisotropy": (q99_embedding_anisotropy, Q99_SQL),
 }
