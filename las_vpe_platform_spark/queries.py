@@ -49,11 +49,11 @@ DRIVER_PRIORITY: list[str] = [
     "q89_bpe_pair_counts",
     "q94_triangle_count",
     "q97_perplexity_filter",
-    "q98_funnel_analysis",
     "q99_embedding_anisotropy",
     "d15_pipeline_storage_reid",
     "d16_pipeline_reid_command",
     "s09_stream_distinct_sketch",
+    "s10_stream_locf",
     "m07_patch_neardup",
     "s07_stream_heavy_hitters",
     "s08_stream_incremental_dedup",
@@ -108,6 +108,7 @@ DRIVER_PRIORITY: list[str] = [
     #    entry (one aggregate pass, parity-tested at two scales
     #    locally) — the 51-entries-for-50-slots tiebreak loser --
     "q90_table_profile",
+    "q98_funnel_analysis",
     "q91_snapshot_diff",
     "q92_zorder_layout",
     "q93_cluster_keep_best",

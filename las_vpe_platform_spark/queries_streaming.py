@@ -586,6 +586,57 @@ def _s09_sql() -> str:
 S09_SQL = _s09_sql()
 
 
+# --- s10: streaming LOCF forward fill ----------------------------------------
+# q76's gauge backfill as a stateful streaming operator: per key the
+# state is TWO scalars (has_value, last click value) — the smallest
+# stateful footprint in the engine — yet every emitted row carries the
+# correct as-of fill across micro-batch boundaries. Landed as two
+# time-ordered slices (s03's idiom) so cross-batch state carry is
+# actually exercised; the oracle is the batch window LOCF.
+
+
+def s10_stream_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.streaming.stateful import locf_stream
+
+    raw = _events_micros(spark, sf_dir)
+    n_slices = 2
+    lo, hi = raw.agg(F.min("ts_micros"), F.max("ts_micros")).first()
+    src = tempfile.mkdtemp(prefix="s10_events_")
+    step = (hi - lo) // n_slices + 1
+    for i in range(n_slices):  # increasing mtimes -> in-order batches
+        raw.filter(
+            (F.col("ts_micros") >= lo + i * step)
+            & (F.col("ts_micros") < lo + (i + 1) * step)
+        ).coalesce(1).write.mode("overwrite").parquet(f"{src}/slice{i}")
+    stream = (
+        spark.readStream.schema(RAW_EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(f"{src}/*")
+        .withColumn("ts", F.timestamp_micros("ts_micros"))
+    )
+    filled = locf_stream(stream, "user_id", "ts", fill_type="click")
+    name = f"s10_out_{uuid.uuid4().hex[:8]}"
+    with _stream_partitions(spark):
+        out = run_to_completion(filled, name, output_mode="append")
+    return out.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        pround("filled_click_value", 6).alias("filled_click_value"),
+    )
+
+
+S10_SQL = """
+SELECT event_id, user_id, event_type,
+       floor(last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             * 1000000.0 + 0.5) / 1000000.0 AS filled_click_value
+FROM events
+"""
+
+
 STREAMING_QUERIES = {
     "s01_stream_windowed_counts": (s01_stream_windowed_counts, S01_SQL),
     "s02_stream_dedup": (s02_stream_dedup, S02_SQL),
@@ -596,4 +647,5 @@ STREAMING_QUERIES = {
     "s07_stream_heavy_hitters": (s07_stream_heavy_hitters, S07_SQL),
     "s08_stream_incremental_dedup": (s08_stream_incremental_dedup, S08_SQL),
     "s09_stream_distinct_sketch": (s09_stream_distinct_sketch, S09_SQL),
+    "s10_stream_locf": (s10_stream_locf, S10_SQL),
 }

@@ -256,3 +256,72 @@ def sessionize_stream_event_time(
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+LOCF_OUTPUT_SCHEMA = (
+    "event_id long, user_id long, event_type string, filled_click_value double"
+)
+LOCF_STATE_SCHEMA = "has_value boolean, last_value double"
+
+
+def locf_stream(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    fill_type: str = "click",
+) -> DataFrame:
+    """Streaming last-observation-carried-forward (q76's gauge fill as
+    a stateful operator): per key, every row is emitted with the most
+    recent ``fill_type`` value at-or-before it in event-time order.
+
+    State per key = (has_value, last_value) — TWO scalars regardless of
+    event volume, the smallest possible stateful-op footprint (the
+    session operator carries three). Contract: micro-batches must
+    arrive in non-decreasing event-time ranges per key (the time-sliced
+    landing s03/s10 use); within a batch rows are sorted by
+    (event-time, event_id), so ties resolve exactly like the batch
+    window ORDER BY.
+    """
+
+    def fill(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        pdf = pd.concat(list(batches), ignore_index=True)
+        ts_us = pd.to_datetime(pdf[ts_col]).astype("int64") // 1000
+        pdf = pdf.assign(_ts=ts_us).sort_values(
+            ["_ts", "event_id"], kind="mergesort"
+        )
+        has_value, last_value = state.get if state.exists else (False, 0.0)
+        vals = pdf["value"].where(pdf["event_type"] == fill_type)
+        filled = vals.ffill()
+        if has_value:
+            filled = filled.fillna(last_value)
+        in_batch = vals.dropna()
+        if len(in_batch):
+            has_value, last_value = True, float(in_batch.iloc[-1])
+        state.update((bool(has_value), float(last_value)))
+        yield pd.DataFrame(
+            {
+                "event_id": pdf["event_id"].to_numpy(),
+                "user_id": [key[0]] * len(pdf),
+                "event_type": pdf["event_type"].to_numpy(),
+                "filled_click_value": filled.to_numpy(),
+            }
+        )
+
+    from las_vpe_platform_spark.session import ensure_package_on_workers
+
+    ensure_package_on_workers(stream.sparkSession)
+    return (
+        stream.select(key_col, ts_col, "event_id", "event_type", "value")
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fill,
+            LOCF_OUTPUT_SCHEMA,
+            LOCF_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
