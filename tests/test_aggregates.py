@@ -104,3 +104,39 @@ def test_hll_distinct_multi_column_groups(spark):
             (F.col("g1") == r["g1"]) & (F.col("g2") == r["g2"])
         ).select("k").distinct().count()
         assert abs(r["hll_est"] - exact) / exact < 0.5, (r, exact)
+
+
+def test_hll_registers_merge_losslessly(spark):
+    """The claim s09 and the per-day-sketch story rest on: register
+    MAX over two disjoint halves == the registers of the whole, so
+    estimates computed via hll_finish on merged registers are
+    IDENTICAL to the single-pass sketch."""
+    from pyspark.sql import functions as F
+
+    from las_vpe_platform_spark.operators.aggregates import (
+        hll_bucketed,
+        hll_distinct,
+        hll_finish,
+    )
+
+    df = spark.range(5000).select(
+        (F.col("id") % 4).alias("g"), (F.col("id") % 1300).alias("k")
+    )
+    whole = {
+        (r["g"],): (r["hll_sum"], r["n_zero"], r["hll_est"])
+        for r in hll_distinct(df, ["g"], "k", m=32).collect()
+    }
+    halves = []
+    for half in (df.filter(F.col("id") % 2 == 0), df.filter(F.col("id") % 2 == 1)):
+        rb = hll_bucketed(half, "k", m=32, keep_cols=["g"])
+        halves.append(rb.groupBy("g", "_bucket").agg(F.max("_rho").alias("_r")))
+    merged_regs = (
+        halves[0].unionByName(halves[1])
+        .groupBy("g", "_bucket")
+        .agg(F.max("_r").alias("_r"))
+    )
+    merged = {
+        (r["g"],): (r["hll_sum"], r["n_zero"], r["hll_est"])
+        for r in hll_finish(merged_regs, ["g"], m=32).collect()
+    }
+    assert merged == whole and len(whole) == 4
