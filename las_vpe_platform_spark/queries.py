@@ -50,6 +50,7 @@ DRIVER_PRIORITY: list[str] = [
     "q94_triangle_count",
     "q97_perplexity_filter",
     "q99_embedding_anisotropy",
+    "q100_weighted_sample",
     "d15_pipeline_storage_reid",
     "d16_pipeline_reid_command",
     "s09_stream_distinct_sketch",
@@ -69,7 +70,6 @@ DRIVER_PRIORITY: list[str] = [
     "q79_hard_negatives",
     "q80_semantic_dedup",
     "q81_cms_heavy_hitters",
-    "q74_pmi_collocations",
     "q75_leakage_free_split",
     "q76_locf_backfill",
     "s06_stream_static_enrich",
@@ -108,6 +108,7 @@ DRIVER_PRIORITY: list[str] = [
     #    entry (one aggregate pass, parity-tested at two scales
     #    locally) — the 51-entries-for-50-slots tiebreak loser --
     "q90_table_profile",
+    "q74_pmi_collocations",
     "q98_funnel_analysis",
     "q91_snapshot_diff",
     "q92_zorder_layout",

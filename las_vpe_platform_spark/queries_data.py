@@ -3588,6 +3588,68 @@ FROM dims CROSS JOIN tot
 """
 
 
+# --- q100: weighted reservoir sample (Efraimidis–Spirakis) -------------------
+# Quality-WEIGHTED corpus subsampling: keep k docs with probability
+# proportional to a weight (here n_chars — longer docs more likely),
+# exactly the A-ES one-pass weighted reservoir: key_i = -ln(u_i)/w_i
+# with u_i uniform, take the k SMALLEST keys. u_i derives from a keyed
+# md5 (q85's rule), so membership is rerun-stable and engine-portable;
+# selection is TakeOrderedAndProject — per-partition heaps, one pass,
+# no global sort, no RNG state. Complements q54 (fixed rate), q96
+# (fixed count per group) with fixed count ∝ weight.
+
+WRS_K = 25
+WRS_SEED = "wrs1"
+
+
+def q100_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.operators.windows import global_topk_ranked
+
+    docs = _t(spark, sf_dir, "documents")
+    # u in (0, 1]: (h + 1) / 2^32 over the first 8 md5 hex chars
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{WRS_SEED}:"), F.col("doc_id").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    u = (h + 1).cast("double") / F.lit(4294967296.0)
+    keyed = docs.filter(F.col("n_chars") > 0).select(
+        "doc_id",
+        "source",
+        F.col("n_chars").alias("weight"),
+        (-F.log(u) / F.col("n_chars").cast("double")).alias("wkey"),
+    )
+    top = global_topk_ranked(keyed, [F.asc("wkey"), F.asc("doc_id")], WRS_K)
+    return top.select(
+        F.col("rank").cast("bigint").alias("rank"),
+        "doc_id",
+        "source",
+        F.col("weight").cast("bigint").alias("weight"),
+        pround("wkey", 9).alias("wkey"),
+    )
+
+
+Q100_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id, source, n_chars AS weight,
+         -ln((('0x' || substr(md5('{WRS_SEED}:' || doc_id), 1, 8))::BIGINT + 1)::DOUBLE
+             / 4294967296.0) / n_chars::DOUBLE AS wkey
+  FROM documents WHERE n_chars > 0
+), ranked AS (
+  SELECT doc_id, source, weight, wkey,
+         row_number() OVER (ORDER BY wkey, doc_id) AS rank
+  FROM keyed
+)
+SELECT rank::BIGINT AS rank, doc_id, source, weight::BIGINT AS weight,
+       floor(wkey * 1000000000.0 + 0.5) / 1000000000.0 AS wkey
+FROM ranked WHERE rank <= {WRS_K}
+"""
+
+
 DATA_QUERIES = {
     "q20_doc_token_stats": (q20_doc_token_stats, Q20_SQL),
     "q21_doc_quality": (q21_doc_quality, Q21_SQL),
@@ -3652,4 +3714,5 @@ DATA_QUERIES = {
     "q97_perplexity_filter": (q97_perplexity_filter, Q97_SQL),
     "q98_funnel_analysis": (q98_funnel_analysis, Q98_SQL),
     "q99_embedding_anisotropy": (q99_embedding_anisotropy, Q99_SQL),
+    "q100_weighted_sample": (q100_weighted_sample, Q100_SQL),
 }
