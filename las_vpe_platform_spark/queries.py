@@ -20,7 +20,7 @@ catalog).  ``DRIVER_PRIORITY`` is therefore RE-DERIVED EVERY ROUND as
 The tier-0..2 block MUST fit inside the first 50 (guarded below at
 import time); tier 3 fills the remainder and overflows.  Everything
 past position 50 has a round-1/2 driver row, and every catalog entry
-(116 as of round 3) is still hash-verified against DuckDB every run
+(133 as of round 3) is still hash-verified against DuckDB every run
 by ``tests/test_oracle_parity.py`` (at sf0.01, the driver's scale).
 """
 
