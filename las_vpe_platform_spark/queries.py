@@ -51,6 +51,8 @@ DRIVER_PRIORITY: list[str] = [
     "q97_perplexity_filter",
     "q99_embedding_anisotropy",
     "q100_weighted_sample",
+    "q101_rolling_stats",
+    "q102_apply_cdc",
     "d15_pipeline_storage_reid",
     "d16_pipeline_reid_command",
     "s09_stream_distinct_sketch",
@@ -70,8 +72,6 @@ DRIVER_PRIORITY: list[str] = [
     "q79_hard_negatives",
     "q80_semantic_dedup",
     "q81_cms_heavy_hitters",
-    "q75_leakage_free_split",
-    "q76_locf_backfill",
     "s06_stream_static_enrich",
     "m06_keyframe_selection",
     # -- tier 1: never driver-checked in any round (added in round 2
@@ -108,6 +108,8 @@ DRIVER_PRIORITY: list[str] = [
     #    entry (one aggregate pass, parity-tested at two scales
     #    locally) — the 51-entries-for-50-slots tiebreak loser --
     "q90_table_profile",
+    "q75_leakage_free_split",
+    "q76_locf_backfill",
     "q74_pmi_collocations",
     "q98_funnel_analysis",
     "q91_snapshot_diff",

@@ -3650,6 +3650,126 @@ FROM ranked WHERE rank <= {WRS_K}
 """
 
 
+# --- q101: trailing-range rolling stats ---------------------------------------
+# Time-series feature engineering over irregular activity: per user,
+# daily totals with a 7-DAY trailing window (RANGE frame on epoch-day,
+# not ROWS — gaps in activity must not stretch the window). Shape: one
+# grouped daily aggregate (map-side partials) then a range window per
+# user over the DAILY rows — the window input is days×users, corpus-
+# independent, so the frame scan cost is calendar-bounded.
+
+
+def q101_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "user_id",
+            F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-01"))).alias("epoch_day"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("day_value"),
+        )
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("epoch_day")
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "user_id",
+        F.col("epoch_day").cast("bigint").alias("epoch_day"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.sum("n_events").over(w).cast("bigint").alias("n_7d"),
+        pround(F.sum("day_value").over(w), 6).alias("value_7d"),
+        pround(
+            F.sum("day_value").over(w) / F.sum("n_events").over(w).cast("double"), 6
+        ).alias("avg_per_event_7d"),
+    )
+
+
+Q101_SQL = """
+WITH daily AS (
+  SELECT user_id, datediff('day', DATE '1970-01-01', ts::DATE) AS epoch_day,
+         count(*) AS n_events, sum(value) AS day_value
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id, epoch_day::BIGINT AS epoch_day, n_events::BIGINT AS n_events,
+       sum(n_events) OVER w::BIGINT AS n_7d,
+       floor(sum(day_value) OVER w * 1000000.0 + 0.5) / 1000000.0 AS value_7d,
+       floor((sum(day_value) OVER w / (sum(n_events) OVER w)::DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS avg_per_event_7d
+FROM daily
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_day
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
+# --- q102: apply a CDC change set (MERGE INTO semantics) ----------------------
+# q91 derives the diff; q102 APPLIES one — the Delta/Iceberg
+# MERGE INTO (WHEN MATCHED UPDATE / DELETE, WHEN NOT MATCHED INSERT)
+# as a single plan over plain tables: one full-outer join of target
+# and (deterministic, derived) change set on the key, row fate decided
+# columnar-ly. The changes side carries only (key, op, payload), so
+# the join is narrow; target never scans twice.
+
+
+def q102_apply_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    changes = docs.select(
+        F.when(F.col("doc_id") % 13 == 0, F.col("doc_id") + 1000000)
+        .otherwise(F.col("doc_id"))
+        .alias("doc_id"),
+        F.when(F.col("doc_id") % 11 == 4, F.lit("D"))
+        .when(F.col("doc_id") % 7 == 2, F.lit("U"))
+        .when(F.col("doc_id") % 13 == 0, F.lit("I"))
+        .alias("op"),
+        (F.col("n_chars") + 7).alias("new_chars"),
+    ).filter(F.col("op").isNotNull())
+    merged = (
+        docs.select("doc_id", "source", "n_chars")
+        .join(changes, "doc_id", "full_outer")
+        .filter((F.col("op").isNull()) | (F.col("op") != "D"))
+        .select(
+            "doc_id",
+            F.coalesce("source", F.lit("inserted")).alias("source"),
+            F.when(F.col("op").isin("U", "I"), F.col("new_chars"))
+            .otherwise(F.col("n_chars"))
+            .alias("n_chars"),
+        )
+    )
+    return merged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.min("doc_id").cast("bigint").alias("min_id"),
+        F.max("doc_id").cast("bigint").alias("max_id"),
+    )
+
+
+Q102_SQL = """
+WITH changes AS (
+  SELECT CASE WHEN doc_id % 13 = 0 THEN doc_id + 1000000 ELSE doc_id END AS doc_id,
+         CASE WHEN doc_id % 11 = 4 THEN 'D'
+              WHEN doc_id % 7 = 2 THEN 'U'
+              WHEN doc_id % 13 = 0 THEN 'I' END AS op,
+         n_chars + 7 AS new_chars
+  FROM documents
+  WHERE (doc_id % 11 = 4) OR (doc_id % 7 = 2) OR (doc_id % 13 = 0)
+), merged AS (
+  SELECT coalesce(d.doc_id, c.doc_id) AS doc_id,
+         coalesce(d.source, 'inserted') AS source,
+         CASE WHEN c.op IN ('U', 'I') THEN c.new_chars ELSE d.n_chars END AS n_chars,
+         c.op
+  FROM (SELECT doc_id, source, n_chars FROM documents) d
+  FULL OUTER JOIN changes c USING (doc_id)
+)
+SELECT source, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS total_chars,
+       min(doc_id)::BIGINT AS min_id, max(doc_id)::BIGINT AS max_id
+FROM merged WHERE op IS NULL OR op != 'D'
+GROUP BY source
+"""
+
+
 DATA_QUERIES = {
     "q20_doc_token_stats": (q20_doc_token_stats, Q20_SQL),
     "q21_doc_quality": (q21_doc_quality, Q21_SQL),
@@ -3715,4 +3835,6 @@ DATA_QUERIES = {
     "q98_funnel_analysis": (q98_funnel_analysis, Q98_SQL),
     "q99_embedding_anisotropy": (q99_embedding_anisotropy, Q99_SQL),
     "q100_weighted_sample": (q100_weighted_sample, Q100_SQL),
+    "q101_rolling_stats": (q101_rolling_stats, Q101_SQL),
+    "q102_apply_cdc": (q102_apply_cdc, Q102_SQL),
 }
