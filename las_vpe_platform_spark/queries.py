@@ -53,6 +53,7 @@ DRIVER_PRIORITY: list[str] = [
     "q100_weighted_sample",
     "q101_rolling_stats",
     "q102_apply_cdc",
+    "q103_mad_outliers",
     "d15_pipeline_storage_reid",
     "d16_pipeline_reid_command",
     "s09_stream_distinct_sketch",
@@ -72,7 +73,6 @@ DRIVER_PRIORITY: list[str] = [
     "q79_hard_negatives",
     "q80_semantic_dedup",
     "q81_cms_heavy_hitters",
-    "s06_stream_static_enrich",
     "m06_keyframe_selection",
     # -- tier 1: never driver-checked in any round (added in round 2
     #    after that round's list was frozen). d14 is the flagship
@@ -108,6 +108,7 @@ DRIVER_PRIORITY: list[str] = [
     #    entry (one aggregate pass, parity-tested at two scales
     #    locally) — the 51-entries-for-50-slots tiebreak loser --
     "q90_table_profile",
+    "s06_stream_static_enrich",
     "q75_leakage_free_split",
     "q76_locf_backfill",
     "q74_pmi_collocations",

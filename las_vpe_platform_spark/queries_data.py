@@ -3770,6 +3770,74 @@ GROUP BY source
 """
 
 
+# --- q103: robust outlier detection (median / MAD) ---------------------------
+# Data-quality sweep resistant to the outliers it hunts: per group,
+# median and MAD (median absolute deviation), then count values whose
+# modified z-score |x − med| / (1.4826·MAD) exceeds 3.5 (Iglewicz–
+# Hoaglin). Exact medians here (two sort-based percentiles; DuckDB's
+# median interpolates identically), with `approx_percentile` as the
+# documented 100 TB swap — the sketch never changes which tail is
+# flagged unless values crowd the cut.
+
+MAD_Z_CUT = 3.5
+MAD_SCALE = 1.4826
+
+
+def q103_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "value", "med", "n", F.abs(F.col("value") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.first("med").alias("med"),
+        F.first("n").alias("n"),
+        F.expr("percentile(adev, 0.5)").alias("mad"),
+    )
+    flagged = dev.select("event_type", "value").join(
+        F.broadcast(mad.select("event_type", "med", "mad")), "event_type"
+    ).filter(
+        F.abs(F.col("value") - F.col("med"))
+        > F.lit(MAD_Z_CUT) * F.lit(MAD_SCALE) * F.col("mad")
+    ).groupBy("event_type").agg(F.count(F.lit(1)).alias("n_outliers"))
+    return (
+        mad.join(flagged, "event_type", "left")
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n"),
+            pround("med", 6).alias("median"),
+            pround("mad", 6).alias("mad"),
+            F.coalesce(F.col("n_outliers"), F.lit(0)).cast("bigint").alias("n_outliers"),
+        )
+    )
+
+
+Q103_SQL = f"""
+WITH med AS (
+  SELECT event_type, median(value) AS med, count(*) AS n
+  FROM events GROUP BY event_type
+), mad AS (
+  SELECT e.event_type, any_value(m.med) AS med, any_value(m.n) AS n,
+         median(abs(e.value - m.med)) AS mad
+  FROM events e JOIN med m USING (event_type)
+  GROUP BY e.event_type
+), flagged AS (
+  SELECT e.event_type, count(*) AS n_outliers
+  FROM events e JOIN mad m USING (event_type)
+  WHERE abs(e.value - m.med) > {MAD_Z_CUT} * {MAD_SCALE} * m.mad
+  GROUP BY e.event_type
+)
+SELECT mad.event_type, n::BIGINT AS n,
+       floor(med * 1000000.0 + 0.5) / 1000000.0 AS median,
+       floor(mad * 1000000.0 + 0.5) / 1000000.0 AS mad,
+       coalesce(f.n_outliers, 0)::BIGINT AS n_outliers
+FROM mad LEFT JOIN flagged f USING (event_type)
+"""
+
+
 DATA_QUERIES = {
     "q20_doc_token_stats": (q20_doc_token_stats, Q20_SQL),
     "q21_doc_quality": (q21_doc_quality, Q21_SQL),
@@ -3837,4 +3905,5 @@ DATA_QUERIES = {
     "q100_weighted_sample": (q100_weighted_sample, Q100_SQL),
     "q101_rolling_stats": (q101_rolling_stats, Q101_SQL),
     "q102_apply_cdc": (q102_apply_cdc, Q102_SQL),
+    "q103_mad_outliers": (q103_mad_outliers, Q103_SQL),
 }
