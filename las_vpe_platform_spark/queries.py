@@ -17,11 +17,18 @@ catalog).  ``DRIVER_PRIORITY`` is therefore RE-DERIVED EVERY ROUND as
    ranking rewrite touch d05/d11 and the ANN family (q29),
 4. tier 3 — stale evidence (only driver row is round 1).
 
-The tier-0..2 block MUST fit inside the first 50 (guarded below at
-import time); tier 3 fills the remainder and overflows.  Everything
-past position 50 has a round-1/2 driver row, and every catalog entry
-(133 as of round 3) is still hash-verified against DuckDB every run
-by ``tests/test_oracle_parity.py`` (at sf0.01, the driver's scale).
+Round 3 grew the never-driver-checked pool past the window (50+
+new/tier-1 entries for 50 slots), so a SACRIFICE SET exists: the
+lowest-risk new entries are parked past position 50 and named in
+``ACKNOWLEDGED_OVERFLOW`` below — each one is hash-verified locally
+at sf0.001/0.01/0.1 (three scales, vanilla-session driver-contract
+runs) but has no driver row this round.  The import-time guards
+enforce (a) the q29 re-gate block sits inside the window and (b)
+every overflow entry either has a prior-round driver row or is
+explicitly acknowledged — a new entry can no longer slip past the
+window silently.  Every catalog entry is still hash-verified against
+DuckDB every run by ``tests/test_oracle_parity.py`` (at sf0.01, the
+driver's scale).
 """
 
 from __future__ import annotations
@@ -218,6 +225,67 @@ if DRIVER_PRIORITY.index(_MUST_GATE_LAST) >= 50:
     raise ValueError(
         "DRIVER_PRIORITY stale: must-gate tiers exceed the 50-entry "
         f"driver window (position {DRIVER_PRIORITY.index(_MUST_GATE_LAST)})"
+    )
+
+# Names with a round-1 or round-2 driver row (CORRECTNESS_r01/r02.json
+# keys) — these may sit past position 50 without losing evidence.
+_PRIOR_DRIVER_GREEN = {
+    # round 1 window (66-entry catalog era)
+    "q01_pricing_summary", "q02_top_customers_per_nation",
+    "q03_shipping_priority", "q04_regional_revenue",
+    "q05_daily_activity_full_outer", "q06_customers_without_recent_orders",
+    "q07_order_point_lookup", "q08_order_completeness", "q09_last_events",
+    "q10_events_minutely", "q11_events_json_props", "q12_events_demux_union",
+    "q13_sampled_lineitems", "q14_key_roundtrip", "q15_frame_time_arithmetic",
+    "q16_event_type_pivot", "q17_rollup_returnflag", "q18_user_sessions",
+    "q19_entity_union", "q20_doc_token_stats", "q21_doc_quality",
+    "q22_doc_lang_id", "q23_dedup_exact", "q24_minhash_lsh_pairs",
+    "q25_simhash", "q26_ngram_jaccard_top_pairs", "q27_embedding_topk",
+    "q28_label_centroids", "q29_embedding_ivf_topk", "q30_tfidf_top_terms",
+    "q31_embedding_neardup", "q32_cube_orders", "q33_asof_last_click",
+    "q34_value_percentiles", "q35_customers_with_urgent_orders",
+    "q36_cheapest_customer_per_nation", "q37_bilateral_volume",
+    "q38_running_user_value", "q39_event_navigation", "q40_part_name_strings",
+    "q41_segment_set_ops", "q42_doc_repetition", "q43_vocab_top_terms",
+    "q44_doc_chunks", "q45_dataset_split", "q46_multi_distinct",
+    "q47_null_semantics", "q48_bpeish_tokens", "q49_embedding_quantize",
+    "q50_training_prep_pipeline",
+    # round 2 window additions
+    "d01_tracklet_sampling", "d02_attribute_average",
+    "d03_similarity_neighbors", "d04_persons_minutely", "d05_reid_assembly",
+    "d06_claim_check", "d07_task_kill_filter", "d08_frame_time_check",
+    "d09_feature_topk", "d10_command_fanout", "d11_pipeline_attr_recog",
+    "d12_similar_persons_in_window", "d13_two_hop_neighbors",
+    "m01_patch_metadata", "m02_patch_features", "s01_stream_windowed_counts",
+    "q51_doc_winnow_fingerprints", "q52_purchase_window_clicks",
+    "q53_simhash_neardup_pairs", "q54_corpus_mix", "q55_dedup_clusters",
+    "q56_distinct_sketch", "q57_neardup_pagerank", "q58_hopping_window_stats",
+    "q60_decontaminate", "q61_span_dedup", "q62_sequence_pack",
+    "q63_bloom_semi_join",
+}
+
+# Round-3 sacrifice set: never-driver-checked entries deliberately
+# parked past position 50 because the pool outgrew the window. Each is
+# the lowest-risk member of its family (single-pass aggregates,
+# diagnostics, or shapes whose core machinery IS driver-gated via a
+# sibling), and each passed the vanilla-session driver-contract parity
+# run at sf0.001/0.01/0.1 this round.
+ACKNOWLEDGED_OVERFLOW = {
+    "q74_pmi_collocations", "q75_leakage_free_split", "q76_locf_backfill",
+    "s06_stream_static_enrich", "q90_table_profile", "q91_snapshot_diff",
+    "q92_zorder_layout", "q93_cluster_keep_best", "q95_join_preflight",
+    "q96_group_sample", "q98_funnel_analysis",
+}
+
+_unaccounted = [
+    n for n in DRIVER_PRIORITY[50:]
+    if n not in _PRIOR_DRIVER_GREEN and n not in ACKNOWLEDGED_OVERFLOW
+]
+if _unaccounted:  # a new entry slipped past the window without sign-off
+    raise ValueError(
+        "DRIVER_PRIORITY overflow entries with NO driver evidence and no "
+        f"acknowledgement: {_unaccounted} — either move them into the "
+        "first 50 or add them to ACKNOWLEDGED_OVERFLOW with local gates"
     )
 
 # name -> (callable, oracle_sql or None for rows-only checks);

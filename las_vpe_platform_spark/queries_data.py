@@ -3716,14 +3716,20 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch_day
 
 def q102_apply_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    changes = docs.select(
-        F.when(F.col("doc_id") % 13 == 0, F.col("doc_id") + 1000000)
-        .otherwise(F.col("doc_id"))
-        .alias("doc_id"),
+    # op decided FIRST, key remapped only for inserts — otherwise a
+    # %13 doc's delete/update would silently target a nonexistent key
+    # and the matched-row MERGE paths would go unexercised for them
+    # (review finding r3)
+    op = (
         F.when(F.col("doc_id") % 11 == 4, F.lit("D"))
         .when(F.col("doc_id") % 7 == 2, F.lit("U"))
         .when(F.col("doc_id") % 13 == 0, F.lit("I"))
-        .alias("op"),
+    )
+    changes = docs.select(
+        op.alias("op"),
+        F.when(op == "I", F.col("doc_id") + 1000000)
+        .otherwise(F.col("doc_id"))
+        .alias("doc_id"),
         (F.col("n_chars") + 7).alias("new_chars"),
     ).filter(F.col("op").isNotNull())
     merged = (
@@ -3747,14 +3753,17 @@ def q102_apply_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q102_SQL = """
-WITH changes AS (
-  SELECT CASE WHEN doc_id % 13 = 0 THEN doc_id + 1000000 ELSE doc_id END AS doc_id,
+WITH ops AS (
+  SELECT doc_id, n_chars,
          CASE WHEN doc_id % 11 = 4 THEN 'D'
               WHEN doc_id % 7 = 2 THEN 'U'
-              WHEN doc_id % 13 = 0 THEN 'I' END AS op,
-         n_chars + 7 AS new_chars
+              WHEN doc_id % 13 = 0 THEN 'I' END AS op
   FROM documents
-  WHERE (doc_id % 11 = 4) OR (doc_id % 7 = 2) OR (doc_id % 13 = 0)
+), changes AS (
+  SELECT op,
+         CASE WHEN op = 'I' THEN doc_id + 1000000 ELSE doc_id END AS doc_id,
+         n_chars + 7 AS new_chars
+  FROM ops WHERE op IS NOT NULL
 ), merged AS (
   SELECT coalesce(d.doc_id, c.doc_id) AS doc_id,
          coalesce(d.source, 'inserted') AS source,
@@ -3797,12 +3806,13 @@ def q103_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("n").alias("n"),
         F.expr("percentile(adev, 0.5)").alias("mad"),
     )
-    flagged = dev.select("event_type", "value").join(
-        F.broadcast(mad.select("event_type", "med", "mad")), "event_type"
-    ).filter(
-        F.abs(F.col("value") - F.col("med"))
-        > F.lit(MAD_Z_CUT) * F.lit(MAD_SCALE) * F.col("mad")
-    ).groupBy("event_type").agg(F.count(F.lit(1)).alias("n_outliers"))
+    flagged = (
+        dev.select("event_type", "adev")
+        .join(F.broadcast(mad.select("event_type", "mad")), "event_type")
+        .filter(F.col("adev") > F.lit(MAD_Z_CUT) * F.lit(MAD_SCALE) * F.col("mad"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_outliers"))
+    )
     return (
         mad.join(flagged, "event_type", "left")
         .select(

@@ -80,6 +80,31 @@ RAW_EVENTS_SCHEMA = T.StructType(
 )
 
 
+def _sliced_parquet_stream(
+    spark: SparkSession, raw: DataFrame, prefix: str, n_slices: int = 2
+):
+    """Land ``raw`` (events with ``ts_micros``) as ``n_slices``
+    time-ordered parquet slices and open them as a one-file-per-trigger
+    stream — so micro-batches arrive in non-decreasing event-time
+    ranges, the arrival order the stateful operators contract for
+    (sequential writes -> increasing mtimes -> batch order)."""
+    lo, hi = raw.agg(F.min("ts_micros"), F.max("ts_micros")).first()
+    src = tempfile.mkdtemp(prefix=prefix)
+    step = (hi - lo) // n_slices + 1
+    for i in range(n_slices):
+        raw.filter(
+            (F.col("ts_micros") >= lo + i * step)
+            & (F.col("ts_micros") < lo + (i + 1) * step)
+        ).coalesce(1).write.mode("overwrite").parquet(f"{src}/slice{i}")
+    return (
+        spark.readStream.schema(RAW_EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(f"{src}/*")
+        .withColumn("ts", F.timestamp_micros("ts_micros"))
+    )
+
+
 def s01_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5-minute tumbling-window event counts, computed by a streaming
     query (complete mode) over a re-landed copy of the events table.
@@ -162,22 +187,7 @@ def s03_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from las_vpe_platform_spark.streaming.stateful import sessionize_stream
 
     raw = _events_micros(spark, sf_dir)
-    n_slices = 2
-    lo, hi = raw.agg(F.min("ts_micros"), F.max("ts_micros")).first()
-    src = tempfile.mkdtemp(prefix="s03_events_")
-    step = (hi - lo) // n_slices + 1
-    for i in range(n_slices):  # sequential writes -> increasing mtimes -> batch order
-        raw.filter(
-            (F.col("ts_micros") >= lo + i * step)
-            & (F.col("ts_micros") < lo + (i + 1) * step)
-        ).coalesce(1).write.mode("overwrite").parquet(f"{src}/slice{i}")
-    stream = (
-        spark.readStream.schema(RAW_EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", "1")
-        .option("latestFirst", "false")
-        .parquet(f"{src}/*")
-        .withColumn("ts", F.timestamp_micros("ts_micros"))
-    )
+    stream = _sliced_parquet_stream(spark, raw, "s03_events_")
     sessions = sessionize_stream(stream, "user_id", "ts", gap_seconds=1800)
     name = f"s03_out_{uuid.uuid4().hex[:8]}"
     with _stream_partitions(spark):
@@ -599,23 +609,8 @@ def s10_stream_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from las_vpe_platform_spark.streaming.stateful import locf_stream
 
     raw = _events_micros(spark, sf_dir)
-    n_slices = 2
-    lo, hi = raw.agg(F.min("ts_micros"), F.max("ts_micros")).first()
-    src = tempfile.mkdtemp(prefix="s10_events_")
-    step = (hi - lo) // n_slices + 1
-    for i in range(n_slices):  # increasing mtimes -> in-order batches
-        raw.filter(
-            (F.col("ts_micros") >= lo + i * step)
-            & (F.col("ts_micros") < lo + (i + 1) * step)
-        ).coalesce(1).write.mode("overwrite").parquet(f"{src}/slice{i}")
-    stream = (
-        spark.readStream.schema(RAW_EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", "1")
-        .option("latestFirst", "false")
-        .parquet(f"{src}/*")
-        .withColumn("ts", F.timestamp_micros("ts_micros"))
-    )
-    filled = locf_stream(stream, "user_id", "ts", fill_type="click")
+    stream = _sliced_parquet_stream(spark, raw, "s10_events_")
+    filled = locf_stream(stream, fill_type="click")
     name = f"s10_out_{uuid.uuid4().hex[:8]}"
     with _stream_partitions(spark):
         out = run_to_completion(filled, name, output_mode="append")

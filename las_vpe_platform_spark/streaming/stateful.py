@@ -264,16 +264,16 @@ LOCF_OUTPUT_SCHEMA = (
 LOCF_STATE_SCHEMA = "has_value boolean, last_value double"
 
 
-def locf_stream(
-    stream: DataFrame,
-    key_col: str = "user_id",
-    ts_col: str = "ts",
-    fill_type: str = "click",
-) -> DataFrame:
+def locf_stream(stream: DataFrame, fill_type: str = "click") -> DataFrame:
     """Streaming last-observation-carried-forward (q76's gauge fill as
-    a stateful operator): per key, every row is emitted with the most
-    recent ``fill_type`` value at-or-before it in event-time order.
+    a stateful operator): per user, every event row is emitted with the
+    most recent ``fill_type`` value at-or-before it in event-time order.
 
+    Input contract: the events shape (``user_id``, ``ts``,
+    ``event_id``, ``event_type``, ``value``) — the columns are fixed
+    because the output/state schemas are (a generic version would
+    derive its schemas from parameters; this engine has exactly one
+    events stream, so the narrower signature is the honest one).
     State per key = (has_value, last_value) — TWO scalars regardless of
     event volume, the smallest possible stateful-op footprint (the
     session operator carries three). Contract: micro-batches must
@@ -282,6 +282,7 @@ def locf_stream(
     (event-time, event_id), so ties resolve exactly like the batch
     window ORDER BY.
     """
+    key_col, ts_col = "user_id", "ts"
 
     def fill(
         key: tuple[Any, ...],

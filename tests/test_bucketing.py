@@ -82,9 +82,24 @@ def test_bucketed_snapshot_diff_has_no_shuffle(spark):
             .alias("change_type")
         )
         assert not plan_has_exchange(joined)
-        # semantics preserved vs the unbucketed plan
-        plain = old.join(new, on="key", how="full_outer")
-        assert joined.count() == plain.count()
+        # semantics preserved vs the unbucketed plan: same change_type
+        # DISTRIBUTION, not just total rows (a swapped added/removed
+        # branch would keep counts equal and slip a count-only check)
+        classify = (
+            F.when(F.col("old_hash").isNull(), F.lit("added"))
+            .when(F.col("new_hash").isNull(), F.lit("removed"))
+            .when(F.col("old_hash") != F.col("new_hash"), F.lit("changed"))
+            .otherwise(F.lit("unchanged"))
+            .alias("change_type")
+        )
+        plain = old.join(new, on="key", how="full_outer").select(classify)
+        as_counts = lambda df: {  # noqa: E731
+            r["change_type"]: r["count"] for r in df.groupBy("change_type").count().collect()
+        }
+        got, want = as_counts(joined), as_counts(plain)
+        # new ⊆ old keys here, so 'removed' and 'changed' must both be
+        # populated (added is structurally 0 for this snapshot pair)
+        assert got == want and got.get("removed", 0) > 0 and got.get("changed", 0) > 0
     finally:
         drop_table(spark, "b_snap_old")
         drop_table(spark, "b_snap_new")
