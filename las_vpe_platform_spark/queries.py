@@ -61,6 +61,7 @@ DRIVER_PRIORITY: list[str] = [
     "q101_rolling_stats",
     "q102_apply_cdc",
     "q103_mad_outliers",
+    "q104_source_drift",
     "d15_pipeline_storage_reid",
     "d16_pipeline_reid_command",
     "s09_stream_distinct_sketch",
@@ -80,7 +81,6 @@ DRIVER_PRIORITY: list[str] = [
     "q79_hard_negatives",
     "q80_semantic_dedup",
     "q81_cms_heavy_hitters",
-    "m06_keyframe_selection",
     # -- tier 1: never driver-checked in any round (added in round 2
     #    after that round's list was frozen). d14 is the flagship
     #    end-to-end DAG (PedestrianReIDUsingAttrApp.java:136-243). --
@@ -115,6 +115,7 @@ DRIVER_PRIORITY: list[str] = [
     #    entry (one aggregate pass, parity-tested at two scales
     #    locally) — the 51-entries-for-50-slots tiebreak loser --
     "q90_table_profile",
+    "m06_keyframe_selection",
     "s06_stream_static_enrich",
     "q75_leakage_free_split",
     "q76_locf_backfill",
@@ -274,7 +275,7 @@ ACKNOWLEDGED_OVERFLOW = {
     "q74_pmi_collocations", "q75_leakage_free_split", "q76_locf_backfill",
     "s06_stream_static_enrich", "q90_table_profile", "q91_snapshot_diff",
     "q92_zorder_layout", "q93_cluster_keep_best", "q95_join_preflight",
-    "q96_group_sample", "q98_funnel_analysis",
+    "q96_group_sample", "q98_funnel_analysis", "m06_keyframe_selection",
 }
 
 _unaccounted = [

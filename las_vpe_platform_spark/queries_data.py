@@ -1557,15 +1557,19 @@ def q68_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_orderpriority"
     ).withColumnRenamed("o_orderkey", "l_orderkey")
     joined = salted_join(li, orders, on="l_orderkey", n_salts=8)
+    # l_quantity is integral (TPC-H 1-50): BIGINT output removes the
+    # decimal-scale representation hazard between engines entirely
+    # (Decimal("x.00") vs float stringification — caught by the sf0.1
+    # sweep's stricter comparator)
     return joined.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_items"),
-        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+        F.sum("l_quantity").cast("bigint").alias("sum_qty"),
     )
 
 
 Q68_SQL = """
 SELECT o_orderpriority, count(*) AS n_items,
-       sum(l_quantity::DECIMAL(18,2)) AS sum_qty
+       sum(l_quantity)::BIGINT AS sum_qty
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
 """
@@ -3848,6 +3852,112 @@ FROM mad LEFT JOIN flagged f USING (event_type)
 """
 
 
+# --- q104: distribution drift between sources (Jensen–Shannon) ---------------
+# Corpus-drift monitoring: smoothed unigram Jensen–Shannon divergence
+# between source pairs — the check a pipeline runs before mixing a new
+# crawl snapshot into training data (JS is symmetric and bounded by
+# ln 2, so one threshold works for every pair). ONE corpus-sized
+# (source, term) count; each pair comparison is a vocab-sized full-
+# outer join. Sums fold in deterministic term order (grouped sum of
+# identical IEEE terms), outputs rounded.
+
+JS_SOURCES = ["src0", "src1", "src2", "src3"]
+JS_SMOOTH = 0.5
+
+
+def q104_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").filter(F.col("source").isin(JS_SOURCES))
+    tf = (
+        docs.select("source", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("term"))
+        .filter(F.length("term") >= 1)
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    pairs = None
+    for i, a in enumerate(JS_SOURCES):
+        for b in JS_SOURCES[i + 1:]:
+            pa = tf.filter(F.col("source") == a).select("term", F.col("cnt").alias("ca"))
+            pb = tf.filter(F.col("source") == b).select("term", F.col("cnt").alias("cb"))
+            j = pa.join(pb, "term", "full_outer").select(
+                F.lit(a).alias("source_a"),
+                F.lit(b).alias("source_b"),
+                "term",
+                F.coalesce("ca", F.lit(0)).alias("ca"),
+                F.coalesce("cb", F.lit(0)).alias("cb"),
+            )
+            pairs = j if pairs is None else pairs.unionByName(j)
+    stats = pairs.groupBy("source_a", "source_b").agg(
+        F.sum("ca").alias("na"),
+        F.sum("cb").alias("nb"),
+        F.count(F.lit(1)).alias("vocab"),
+    )
+    sm = F.lit(JS_SMOOTH)
+    joined = pairs.join(F.broadcast(stats), ["source_a", "source_b"])
+    p = (F.col("ca") + sm) / (F.col("na") + sm * F.col("vocab"))
+    q = (F.col("cb") + sm) / (F.col("nb") + sm * F.col("vocab"))
+    m = (p + q) / 2.0
+    return (
+        joined.select(
+            "source_a",
+            "source_b",
+            "vocab",
+            "na",
+            "nb",
+            (0.5 * p * F.log(p / m) + 0.5 * q * F.log(q / m)).alias("js_term"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.first("vocab").cast("bigint").alias("vocab"),
+            F.first("na").cast("bigint").alias("tokens_a"),
+            F.first("nb").cast("bigint").alias("tokens_b"),
+            pround(F.sum("js_term"), 6).alias("js_divergence"),
+        )
+    )
+
+
+def _q104_sql() -> str:
+    srcs = ", ".join(f"'{s}'" for s in JS_SOURCES)
+    pair_block = " UNION ALL ".join(
+        f"""
+  SELECT '{a}' AS source_a, '{b}' AS source_b,
+         coalesce(a.term, b.term) AS term,
+         coalesce(a.cnt, 0) AS ca, coalesce(b.cnt, 0) AS cb
+  FROM (SELECT term, cnt FROM tf WHERE source = '{a}') a
+  FULL OUTER JOIN (SELECT term, cnt FROM tf WHERE source = '{b}') b
+  USING (term)"""
+        for i, a in enumerate(JS_SOURCES)
+        for b in JS_SOURCES[i + 1:]
+    )
+    return f"""
+WITH tf AS (
+  SELECT source, term, count(*) AS cnt
+  FROM (
+    SELECT source, unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+    FROM documents WHERE source IN ({srcs})
+  ) WHERE length(term) >= 1
+  GROUP BY source, term
+), pairs AS ({pair_block}
+), stats AS (
+  SELECT source_a, source_b, sum(ca) AS na, sum(cb) AS nb, count(*) AS vocab
+  FROM pairs GROUP BY source_a, source_b
+), terms AS (
+  SELECT pairs.source_a, pairs.source_b, vocab, na, nb,
+         (ca + {JS_SMOOTH}) / (na + {JS_SMOOTH} * vocab) AS p,
+         (cb + {JS_SMOOTH}) / (nb + {JS_SMOOTH} * vocab) AS q
+  FROM pairs JOIN stats USING (source_a, source_b)
+)
+SELECT source_a, source_b, any_value(vocab)::BIGINT AS vocab,
+       any_value(na)::BIGINT AS tokens_a, any_value(nb)::BIGINT AS tokens_b,
+       floor(sum(0.5 * p * ln(p / ((p + q) / 2.0))
+               + 0.5 * q * ln(q / ((p + q) / 2.0))) * 1000000.0 + 0.5)
+         / 1000000.0 AS js_divergence
+FROM terms GROUP BY source_a, source_b
+"""
+
+
+Q104_SQL = _q104_sql()
+
+
 DATA_QUERIES = {
     "q20_doc_token_stats": (q20_doc_token_stats, Q20_SQL),
     "q21_doc_quality": (q21_doc_quality, Q21_SQL),
@@ -3916,4 +4026,5 @@ DATA_QUERIES = {
     "q101_rolling_stats": (q101_rolling_stats, Q101_SQL),
     "q102_apply_cdc": (q102_apply_cdc, Q102_SQL),
     "q103_mad_outliers": (q103_mad_outliers, Q103_SQL),
+    "q104_source_drift": (q104_source_drift, Q104_SQL),
 }
