@@ -3138,10 +3138,15 @@ def q94_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from las_vpe_platform_spark.operators.dedup import minhash_lsh_candidates
 
     docs = _t(spark, sf_dir, "documents")
+    # materialize the candidate pairs ONCE (connected_components'
+    # rule): the tiny (a, b) list is referenced three times below —
+    # degree counts, the oriented join, and the closing-edge probe —
+    # and Catalyst would otherwise re-run the whole signature+LSH
+    # subtree per reference (measured: 28 document scans -> 1)
     pairs = minhash_lsh_candidates(
         docs, id_col="doc_id", text_col="text",
         shingle_k=MINHASH_K, num_hashes=MINHASH_HASHES, bands=MINHASH_BANDS,
-    ).select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    ).select(F.col("id_a").alias("a"), F.col("id_b").alias("b")).localCheckpoint()
 
     ends = pairs.select(F.col("a").alias("node")).unionAll(
         pairs.select(F.col("b").alias("node"))
