@@ -2766,7 +2766,9 @@ def q88_skew_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W2
 
     ev = _t(spark, sf_dir, "events")
-    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    # counts is key-cardinality-sized and referenced three times
+    # (totals, entropy, top-k) — materialize once (3 event scans -> 1)
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt")).localCheckpoint()
     sums = counts.agg(
         F.sum("cnt").alias("n_rows"), F.count(F.lit(1)).alias("n_keys")
     )
@@ -3235,7 +3237,9 @@ def q95_join_preflight(spark: SparkSession, sf_dir: str) -> DataFrame:
     from las_vpe_platform_spark.operators.windows import global_topk_ranked
 
     ev = _t(spark, sf_dir, "events")
-    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    # counts is key-sized and referenced by totals AND the top-k —
+    # materialize once (2 event scans -> 1)
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt")).localCheckpoint()
     # cnt² and its sum in DECIMAL(38,0): a >3e9-row hot key (exactly
     # the case this preflight exists to catch) overflows BIGINT under
     # ANSI mode before the diagnostic can report it; DuckDB's mirror
@@ -3369,13 +3373,18 @@ def q97_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         ).alias("bg"),
-    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")).localCheckpoint()
+    # ^ bi feeds BOTH the bigram counts and the scoring join: one
+    # materialized corpus pass instead of tokenizing twice. At fleet
+    # scale this is persist(DISK_ONLY) vs recompute — materialize wins
+    # whenever tokenize+explode costs more than one write+read of the
+    # (doc_id, w1, w2) rows, which holds for text.
 
     uni = (
         base.select(F.explode("toks").alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("u_cnt"))
-    )
+    ).localCheckpoint()
     vocab = uni.agg(F.count(F.lit(1)).alias("v_size"))
     bcnt = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("b_cnt"))
 
@@ -3456,25 +3465,29 @@ def q98_funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
     win = F.expr(f"INTERVAL {FUNNEL_WINDOW_MIN} MINUTES")
 
+    # each stage frame is user-sized and referenced by the next stage
+    # AND the final counts — materialize once so the chained lineage
+    # doesn't re-aggregate events per reference (7 event scans -> 3,
+    # one per type filter)
     s1 = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
-    )
+    ).localCheckpoint()
     s2 = (
         ev.filter(F.col("event_type") == "click")
         .join(s1, "user_id")
         .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + win))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
-    )
+    ).localCheckpoint()
     s3 = (
         ev.filter(F.col("event_type") == "purchase")
         .join(s2, "user_id")
         .filter((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t2") + win))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t3"))
-    )
+    ).localCheckpoint()
 
     def stage(df: DataFrame, num: int, name: str) -> DataFrame:
         return df.agg(
@@ -3553,13 +3566,15 @@ def q99_embedding_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     var = (F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)
+    # dims is 64 rows but sits on the corpus-sized explode, and both
+    # the variance total and the final select reference it (2 scans -> 1)
     dims = per_dim.select(
         F.col("dim_idx").cast("bigint").alias("dim_idx"),
         (F.col("s") / F.col("n")).alias("_mean"),
         var.alias("_var"),
         "mn",
         "mx",
-    )
+    ).localCheckpoint()
     tot = dims.agg(F.sum("_var").alias("_tot"))
     return dims.crossJoin(F.broadcast(tot)).select(
         "dim_idx",
@@ -3803,10 +3818,13 @@ MAD_SCALE = 1.4826
 
 def q103_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    # med/mad are group-count-sized (5 rows) but sit under corpus-sized
+    # consumers referenced twice each — materialize so the sort-based
+    # percentile isn't recomputed per reference (6 event scans -> 3)
     med = ev.groupBy("event_type").agg(
         F.expr("percentile(value, 0.5)").alias("med"),
         F.count(F.lit(1)).alias("n"),
-    )
+    ).localCheckpoint()
     dev = ev.join(F.broadcast(med), "event_type").select(
         "event_type", "value", "med", "n", F.abs(F.col("value") - F.col("med")).alias("adev")
     )
@@ -3814,7 +3832,7 @@ def q103_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("med").alias("med"),
         F.first("n").alias("n"),
         F.expr("percentile(adev, 0.5)").alias("mad"),
-    )
+    ).localCheckpoint()
     flagged = (
         dev.select("event_type", "adev")
         .join(F.broadcast(mad.select("event_type", "mad")), "event_type")
@@ -3872,12 +3890,16 @@ JS_SMOOTH = 0.5
 
 def q104_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").filter(F.col("source").isin(JS_SOURCES))
+    # materialize the (source, term) counts ONCE: the pair loop below
+    # references tf twelve times (6 pairs x 2 sides) and Catalyst would
+    # re-run the tokenize+count subtree per reference (measured: 24
+    # document scans -> 1); the frame is vocab-sized per source
     tf = (
         docs.select("source", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("term"))
         .filter(F.length("term") >= 1)
         .groupBy("source", "term")
         .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    ).localCheckpoint()
     pairs = None
     for i, a in enumerate(JS_SOURCES):
         for b in JS_SOURCES[i + 1:]:
