@@ -258,7 +258,11 @@ def cms_heavy_hitters(
     included.
     """
     hashed = cms_bucketed(items, key_cols, d=d, w=w, seed=seed)
-    sketch = cms_sketch(hashed, d=d)
+    # the query side filters the sketch ONCE PER ROW j — without
+    # materialization each broadcast filter re-runs the corpus-sized
+    # build (d extra passes); the sketch is d*w rows, so staging it is
+    # free (the streaming path materializes via its sink instead)
+    sketch = cms_sketch(hashed, d=d).localCheckpoint()
     return cms_estimate_topk(hashed, sketch, key_cols, d=d, k=k)
 
 

@@ -353,7 +353,11 @@ def ngram_jaccard_pairs(
     at C(10^4, 2) ≈ 5×10^7 instead of C(df, 2) on an unbounded df.
     Default None = exact (the oracle-checked configuration).
     """
-    exploded = exploded_shingles(df, id_col, text_col, shingle_k)
+    # the posting list is referenced by the size counts AND both sides
+    # of the self-join — materialize once so the shingle explode+md5
+    # runs a single time instead of up to four (persist-vs-recompute:
+    # the explode is the expensive term for text)
+    exploded = exploded_shingles(df, id_col, text_col, shingle_k).localCheckpoint()
     sizes = exploded.groupBy("doc_id_").agg(F.count(F.lit(1)).alias("n_shingles"))
     joinable = exploded
     if max_doc_freq is not None:

@@ -178,12 +178,15 @@ def hashed_ngram_importance(
             ),
         )
 
+    # each count table is <= buckets rows but referenced twice (its
+    # total + the weight join) — materialize so the corpus-sized
+    # bigram explodes run once per side, not per reference
     t_counts = bigram_buckets(target).groupBy("bucket").agg(
         F.count(F.lit(1)).alias("t_b")
-    )
+    ).localCheckpoint()
     p_counts = bigram_buckets(pool).groupBy("bucket").agg(
         F.count(F.lit(1)).alias("p_b")
-    )
+    ).localCheckpoint()
     t_tot = t_counts.agg(F.sum("t_b").alias("t_tot"))
     p_tot = p_counts.agg(F.sum("p_b").alias("p_tot"))
     weights = (

@@ -1367,7 +1367,11 @@ def q65_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # dl is referenced by the corpus stats AND the score join, tf by
+    # the df counts AND the score join — materialize both (doc-sized /
+    # query-terms x docs) so the token explode runs twice total, not
+    # once per reference (4 corpus scans -> 2)
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl")).localCheckpoint()
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
@@ -1376,7 +1380,7 @@ def q65_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.filter(F.col("term").isin(BM25_TERMS))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
-    )
+    ).localCheckpoint()
     dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     contrib = (
         tf.join(F.broadcast(dfc), on="term")
@@ -1762,12 +1766,26 @@ def q71_retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     clean = (
         corpus.join(flags.filter(F.col("contaminated") == 0).select("doc_id"), on="doc_id")
     )
-    # stage 2: exact dedup — min doc_id per fingerprint survives
+    # stage 2: exact dedup — min doc_id per fingerprint survives.
+    # The SURVIVOR set is the pipeline's stage boundary: every BM25
+    # statistic below references it, and without materialization each
+    # reference re-runs decontamination + dedup (measured: 16 document
+    # scans in one plan). Real pipelines stage the curated corpus to a
+    # table between curation and indexing for exactly this reason —
+    # localCheckpoint is that staging step in-session.
     w2 = W2.partitionBy(content_fingerprint("text")).orderBy("doc_id")
-    kept = clean.withColumn("_rn", F.row_number().over(w2)).filter(F.col("_rn") == 1)
-    # stage 3: BM25 over the surviving corpus (stats post-filter)
+    kept = (
+        clean.withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "lang", "text")
+        .localCheckpoint()
+    )
+    # stage 3: BM25 over the surviving corpus (stats post-filter).
+    # dl is doc-sized and referenced twice (corpus stats + the score
+    # join); tf is query-terms x docs; both materialize so the token
+    # explode runs twice total (once per aggregate), not per reference.
     toks = kept.select("doc_id", "lang", F.explode(tokens("text")).alias("term"))
-    dl = toks.groupBy("doc_id", "lang").agg(F.count(F.lit(1)).alias("dl"))
+    dl = toks.groupBy("doc_id", "lang").agg(F.count(F.lit(1)).alias("dl")).localCheckpoint()
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
@@ -1776,7 +1794,7 @@ def q71_retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.filter(F.col("term").isin(BM25_TERMS))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
-    )
+    ).localCheckpoint()
     dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     contrib = (
         tf.join(F.broadcast(dfc), on="term")
@@ -1984,11 +2002,14 @@ def q74_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(tokens("text").alias("toks"))
+    # uni is vocab-sized and referenced THREE times (total + both
+    # sides of the association join) — materialize once (tokenize
+    # twice total instead of five times)
     uni = (
         toks.select(F.explode("toks").alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("c"))
-    )
+    ).localCheckpoint()
     n_uni = uni.agg(F.sum("c").cast("bigint").alias("n_uni"))
     # adjacent pairs; sequence(1, 0) is a DESCENDING range in Spark, so
     # short docs need the explicit empty-array guard (same as q69)
@@ -2004,7 +2025,7 @@ def q74_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("bg.w1", "bg.w2")
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c12"))
-    )
+    ).localCheckpoint()
     n_big = bcnt.agg(F.sum("c12").cast("bigint").alias("n_big"))
     joined = (
         bcnt.filter(F.col("c12") >= PMI_MIN_COUNT)
@@ -2416,11 +2437,14 @@ def q83_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     safe = docs.filter(ratio <= BLOCKLIST_MAX_RATIO)
     # stage 2: exact dedup — min doc_id per content fingerprint survives
     w2 = W2.partitionBy(content_fingerprint("text")).orderBy("doc_id")
+    # stage boundary (q71's rule): target/pool/selection all reference
+    # the survivor set — materialize once so blocklist+dedup run once,
+    # not per downstream reference
     kept = (
         safe.withColumn("_rn", F.row_number().over(w2))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
-    )
+    ).localCheckpoint()
     # stage 3: DSIR importance toward the src0 target over survivors
     target = kept.filter(F.col("source") == "src0")
     pool = kept.filter(F.col("source") != "src0")
@@ -2605,9 +2629,11 @@ def q86_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from las_vpe_platform_spark.functions.text import token_count
 
     docs = _t(spark, sf_dir, "documents")
+    # the corpus-sized token count collapses to n_sources rows and is
+    # referenced down the whole water-filling chain — materialize once
     per_source = docs.groupBy("source").agg(
         F.sum(token_count("text")).cast("bigint").alias("n_tokens")
-    )
+    ).localCheckpoint()
     n_sources = per_source.agg(F.count(F.lit(1)).alias("n_src"))
     fair = per_source.crossJoin(F.broadcast(n_sources)).withColumn(
         "fair_share", F.lit(float(TOKEN_BUDGET)) / F.col("n_src")
