@@ -628,3 +628,76 @@ def test_dedup_stream_bounded_state_reemits_after_horizon(spark, tmp_path):
     got = sorted(r["k"] for r in spark.sql("SELECT k FROM dedup_horizon").collect())
     # A emitted twice (horizon passed between b1 and b4), rest once
     assert got == ["A", "A", "B", "C", "D"]
+
+
+def test_locf_state_recovered_across_restart(spark, sf_dir, tmp_path):
+    """T3 for CUSTOM state (applyInPandasWithState): stop the LOCF
+    stream after the first time slice, restart from the checkpoint
+    over a newly-landed second slice, and every slice-2 row must carry
+    the slice-1 fill value until its user's next click — i.e. the
+    two-scalar state was restored, not rebuilt. Oracle: batch window
+    LOCF over the full table."""
+    from pyspark.sql import Window as W
+
+    from las_vpe_platform_spark.streaming.stateful import locf_stream
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    )
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    mid = lo + (hi - lo) / 2
+    src = str(tmp_path / "locf_src")
+    ckpt = str(tmp_path / "locf_ckpt")
+    out = str(tmp_path / "locf_out")
+    ev.filter(F.col("ts") < mid).coalesce(1).write.mode("overwrite").parquet(src)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            locf_stream(stream, fill_type="click")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    n_first = spark.read.parquet(out).count()
+    assert n_first == ev.filter(F.col("ts") < mid).count()
+
+    # second slice lands; RESTART from the same checkpoint
+    ev.filter(F.col("ts") >= mid).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+
+    got = {
+        r["event_id"]: r["filled_click_value"]
+        for r in spark.read.parquet(out).collect()
+    }
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    want = {
+        r["event_id"]: r["want"]
+        for r in ev.select(
+            "event_id",
+            F.last(
+                F.when(F.col("event_type") == "click", F.col("value")),
+                ignorenulls=True,
+            ).over(w).alias("want"),
+        ).collect()
+    }
+    assert got.keys() == want.keys()
+    mismatch = [k for k in got if (got[k] is None) != (want[k] is None)
+                or (got[k] is not None and abs(got[k] - want[k]) > 1e-9)]
+    assert not mismatch, f"{len(mismatch)} rows lost their carried state, e.g. {mismatch[:5]}"
