@@ -55,7 +55,7 @@ HEADLINERS = [
     ("q70_ivf2_topk",
      "two broadcast descent levels (coarse cells then per-cell fine slices); the gallery never joins the full fine table"),
     ("q71_retrieval_pipeline",
-     "decontaminate -> dedup -> BM25 fused in one plan; corpus statistics aggregate the post-filter lineage, query-term tf prunes at the explode"),
+     "decontaminate -> dedup run once into a STAGED survivor set (localCheckpoint = the curation/indexing stage boundary; unstaged, every BM25 statistic re-ran the whole upstream: 16 corpus passes measured); BM25 statistics then read the staged corpus"),
     ("q72_hourly_rollup_gapfill",
      "gap-fill spine generated from broadcast min/max bounds, left join against the grouped count — spine size is calendar-bounded"),
     ("q73_quality_percentile_filter",
