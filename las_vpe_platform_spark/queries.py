@@ -66,6 +66,7 @@ DRIVER_PRIORITY: list[str] = [
     "d16_pipeline_reid_command",
     "s09_stream_distinct_sketch",
     "s10_stream_locf",
+    "s11_stream_leaderboard",
     "m07_patch_neardup",
     "s07_stream_heavy_hitters",
     "s08_stream_incremental_dedup",
@@ -93,7 +94,6 @@ DRIVER_PRIORITY: list[str] = [
     "s04_stream_interval_join",
     "s05_stream_demux_sinks",
     "q59_srp_neardup",
-    "q64_bigram_novelty",
     "q65_bm25_topk",
     "q66_sq8_ann_topk",
     "q67_incremental_dedup",
@@ -115,6 +115,7 @@ DRIVER_PRIORITY: list[str] = [
     #    entry (one aggregate pass, parity-tested at two scales
     #    locally) — the 51-entries-for-50-slots tiebreak loser --
     "q90_table_profile",
+    "q64_bigram_novelty",
     "m06_keyframe_selection",
     "s06_stream_static_enrich",
     "q75_leakage_free_split",
@@ -276,6 +277,7 @@ ACKNOWLEDGED_OVERFLOW = {
     "s06_stream_static_enrich", "q90_table_profile", "q91_snapshot_diff",
     "q92_zorder_layout", "q93_cluster_keep_best", "q95_join_preflight",
     "q96_group_sample", "q98_funnel_analysis", "m06_keyframe_selection",
+    "q64_bigram_novelty",
 }
 
 _unaccounted = [

@@ -632,6 +632,63 @@ FROM events
 """
 
 
+# --- s11: streaming leaderboard (windowed counts + batch-side rank) ----------
+# The dashboard query: per 10-minute window, the top-3 event types by
+# count. Structured Streaming allows ONE aggregation, so the stream
+# maintains the (window, type) counts — state bounded by open windows
+# x type cardinality — and the rank finishes batch-side over the sink
+# (s07/s09's split: incremental state in the stream, cheap finish at
+# query time). WindowGroupLimit applies to the finishing rank, so even
+# a huge sink table ships only k rows per partition.
+
+S11_TOPK = 3
+
+
+def s11_stream_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W2
+
+    raw = _events_micros(spark, sf_dir)
+    src = tempfile.mkdtemp(prefix="s11_events_")
+    raw.coalesce(8).write.mode("overwrite").parquet(src)
+    stream = file_stream(
+        spark, src, RAW_EVENTS_SCHEMA, max_files_per_trigger=4
+    ).withColumn("ts", F.timestamp_micros("ts_micros"))
+    counts = stream.groupBy(
+        F.window("ts", "10 minutes").alias("window"), F.col("event_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    name = f"s11_out_{uuid.uuid4().hex[:8]}"
+    with _stream_partitions(spark):
+        sink = run_to_completion(counts, name, output_mode="complete")
+    w = W2.partitionBy("window_start_epoch").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        sink.select(
+            F.unix_timestamp(F.col("window.start")).alias("window_start_epoch"),
+            "event_type",
+            F.col("n").cast("bigint").alias("n"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= S11_TOPK)
+        .select("window_start_epoch", F.col("rank").cast("bigint").alias("rank"),
+                "event_type", "n")
+    )
+
+
+S11_SQL = f"""
+WITH counts AS (
+  SELECT (epoch_us(ts) // 600000000) * 600 AS window_start_epoch,
+         event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+), ranked AS (
+  SELECT window_start_epoch, event_type, n::BIGINT AS n,
+         row_number() OVER (PARTITION BY window_start_epoch
+                            ORDER BY n DESC, event_type) AS rank
+  FROM counts
+)
+SELECT window_start_epoch, rank::BIGINT AS rank, event_type, n
+FROM ranked WHERE rank <= {S11_TOPK}
+"""
+
+
 STREAMING_QUERIES = {
     "s01_stream_windowed_counts": (s01_stream_windowed_counts, S01_SQL),
     "s02_stream_dedup": (s02_stream_dedup, S02_SQL),
@@ -643,4 +700,5 @@ STREAMING_QUERIES = {
     "s08_stream_incremental_dedup": (s08_stream_incremental_dedup, S08_SQL),
     "s09_stream_distinct_sketch": (s09_stream_distinct_sketch, S09_SQL),
     "s10_stream_locf": (s10_stream_locf, S10_SQL),
+    "s11_stream_leaderboard": (s11_stream_leaderboard, S11_SQL),
 }
