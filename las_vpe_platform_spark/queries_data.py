@@ -4011,6 +4011,68 @@ FROM terms GROUP BY source_a, source_b
 Q104_SQL = _q104_sql()
 
 
+# --- q105: exponentially-decayed trending counts ------------------------------
+# Recency-weighted frequency (the trending/leaderboard decay every
+# metrics stack applies): each event contributes exp(-(age)/tau) as of
+# the corpus horizon, so a burst an hour ago outweighs steady traffic
+# from last week. ONE aggregate pass with map-side partials — the
+# weight is scan-stage arithmetic off a broadcast horizon; trend_ratio
+# (decayed share / overall share) > 1 flags types trending ABOVE their
+# baseline. Decayed sums are also mergeable (same exp reference point),
+# so per-partition/day partials fold losslessly.
+
+DECAY_TAU_S = 6 * 3600
+
+
+def q105_decayed_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    horizon = ev.agg(F.max("ts").alias("t_max"))
+    aged = ev.crossJoin(F.broadcast(horizon)).select(
+        "event_type",
+        F.exp(
+            -(
+                (F.unix_micros(F.col("t_max").cast("timestamp"))
+                 - F.unix_micros(F.col("ts").cast("timestamp"))).cast("double")
+                / F.lit(float(DECAY_TAU_S) * 1e6)
+            )
+        ).alias("w"),
+    )
+    per_type = aged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("w").alias("decayed"),
+    )
+    totals = per_type.agg(
+        F.sum("n").cast("double").alias("n_tot"), F.sum("decayed").alias("d_tot")
+    )
+    return per_type.crossJoin(F.broadcast(totals)).select(
+        "event_type",
+        "n",
+        pround("decayed", 6).alias("decayed_count"),
+        pround(
+            (F.col("decayed") / F.col("d_tot")) / (F.col("n") / F.col("n_tot")), 6
+        ).alias("trend_ratio"),
+    )
+
+
+Q105_SQL = f"""
+WITH horizon AS (
+  SELECT max(ts) AS t_max FROM events
+), aged AS (
+  SELECT event_type,
+         exp(-((epoch_us(t_max) - epoch_us(ts))::DOUBLE / {float(DECAY_TAU_S) * 1e6})) AS w
+  FROM events CROSS JOIN horizon
+), per_type AS (
+  SELECT event_type, count(*)::BIGINT AS n, sum(w) AS decayed FROM aged GROUP BY event_type
+), totals AS (
+  SELECT sum(n)::DOUBLE AS n_tot, sum(decayed) AS d_tot FROM per_type
+)
+SELECT event_type, n,
+       floor(decayed * 1000000.0 + 0.5) / 1000000.0 AS decayed_count,
+       floor(((decayed / d_tot) / (n / n_tot)) * 1000000.0 + 0.5) / 1000000.0 AS trend_ratio
+FROM per_type CROSS JOIN totals
+"""
+
+
 DATA_QUERIES = {
     "q20_doc_token_stats": (q20_doc_token_stats, Q20_SQL),
     "q21_doc_quality": (q21_doc_quality, Q21_SQL),
@@ -4080,4 +4142,5 @@ DATA_QUERIES = {
     "q102_apply_cdc": (q102_apply_cdc, Q102_SQL),
     "q103_mad_outliers": (q103_mad_outliers, Q103_SQL),
     "q104_source_drift": (q104_source_drift, Q104_SQL),
+    "q105_decayed_trending": (q105_decayed_trending, Q105_SQL),
 }
