@@ -271,8 +271,8 @@ _PRIOR_DRIVER_GREEN = {
 # parked past position 50 because the pool outgrew the window. Each is
 # the lowest-risk member of its family (single-pass aggregates,
 # diagnostics, or shapes whose core machinery IS driver-gated via a
-# sibling), and each passed the vanilla-session driver-contract parity
-# run at sf0.001/0.01/0.1 this round.
+# sibling), and each is hash-verified at sf0.01 (the driver's scale)
+# on every test run plus the full-catalog sf0.1 sweep this round.
 ACKNOWLEDGED_OVERFLOW = {
     "q74_pmi_collocations", "q75_leakage_free_split", "q76_locf_backfill",
     "s06_stream_static_enrich", "q90_table_profile", "q91_snapshot_diff",
