@@ -63,6 +63,7 @@ DRIVER_PRIORITY: list[str] = [
     "q103_mad_outliers",
     "q104_source_drift",
     "q105_decayed_trending",
+    "q106_prefix_filter_join",
     "d15_pipeline_storage_reid",
     "d16_pipeline_reid_command",
     "s09_stream_distinct_sketch",
@@ -95,7 +96,6 @@ DRIVER_PRIORITY: list[str] = [
     "s04_stream_interval_join",
     "s05_stream_demux_sinks",
     "q59_srp_neardup",
-    "q66_sq8_ann_topk",
     "q67_incremental_dedup",
     "q68_salted_join_agg",
     "q69_source_overlap",
@@ -115,6 +115,7 @@ DRIVER_PRIORITY: list[str] = [
     #    entry (one aggregate pass, parity-tested at two scales
     #    locally) — the 51-entries-for-50-slots tiebreak loser --
     "q90_table_profile",
+    "q66_sq8_ann_topk",
     "q65_bm25_topk",
     "q64_bigram_novelty",
     "m06_keyframe_selection",
@@ -278,7 +279,7 @@ ACKNOWLEDGED_OVERFLOW = {
     "s06_stream_static_enrich", "q90_table_profile", "q91_snapshot_diff",
     "q92_zorder_layout", "q93_cluster_keep_best", "q95_join_preflight",
     "q96_group_sample", "q98_funnel_analysis", "m06_keyframe_selection",
-    "q64_bigram_novelty", "q65_bm25_topk",
+    "q64_bigram_novelty", "q65_bm25_topk", "q66_sq8_ann_topk",
 }
 
 _unaccounted = [

@@ -4073,6 +4073,60 @@ FROM per_type CROSS JOIN totals
 """
 
 
+# --- q106: exact similarity join via prefix filtering -------------------------
+# The LOSSLESS answer to hot-shingle skew (q26's max_doc_freq cap is
+# recall-lossy): index only each doc's rarest-first PREFIX — the
+# completeness theorem (see operators/dedup.prefix_filter_pairs)
+# guarantees no qualifying pair is missed, and the oracle PROVES it by
+# computing the same threshold join exhaustively with the full
+# inverted index.
+
+PREFIX_JACCARD_T = 0.5
+PREFIX_SHINGLE_K = 2
+
+
+def q106_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.operators.dedup import prefix_filter_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = prefix_filter_pairs(
+        docs, id_col="doc_id", text_col="text",
+        threshold=PREFIX_JACCARD_T, shingle_k=PREFIX_SHINGLE_K,
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.col("shared").cast("bigint").alias("shared"),
+        F.col("size_a").cast("bigint").alias("size_a"),
+        F.col("size_b").cast("bigint").alias("size_b"),
+        pround("jaccard", 6).alias("jaccard"),
+    )
+
+
+Q106_SQL = f"""
+WITH base AS (
+  SELECT doc_id, {sql_shingles(PREFIX_SHINGLE_K)} AS sh
+  FROM (SELECT doc_id, {SQL_TOKENS} AS toks FROM documents)
+), ex AS (
+  SELECT doc_id, unnest(sh) AS shingle FROM base
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), j AS (
+  SELECT id_a, id_b, shared, sa.sz AS size_a, sb.sz AS size_b,
+         shared::DOUBLE / (sa.sz + sb.sz - shared) AS jaccard
+  FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+)
+SELECT id_a, id_b, shared::BIGINT AS shared, size_a::BIGINT AS size_a,
+       size_b::BIGINT AS size_b,
+       floor(jaccard * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+FROM j WHERE jaccard >= {PREFIX_JACCARD_T}
+"""
+
+
 DATA_QUERIES = {
     "q20_doc_token_stats": (q20_doc_token_stats, Q20_SQL),
     "q21_doc_quality": (q21_doc_quality, Q21_SQL),
@@ -4143,4 +4197,5 @@ DATA_QUERIES = {
     "q103_mad_outliers": (q103_mad_outliers, Q103_SQL),
     "q104_source_drift": (q104_source_drift, Q104_SQL),
     "q105_decayed_trending": (q105_decayed_trending, Q105_SQL),
+    "q106_prefix_filter_join": (q106_prefix_filter_join, Q106_SQL),
 }
