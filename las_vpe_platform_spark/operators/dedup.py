@@ -617,7 +617,10 @@ def prefix_filter_pairs(
     size_b, shared, jaccard) for pairs with jaccard >= threshold.
     """
     ex = exploded_shingles(df, id_col, text_col, shingle_k).localCheckpoint()
-    sizes = ex.groupBy("doc_id_").agg(F.count(F.lit(1)).alias("sz"))
+    # sizes is referenced three times (prefix filter + both verify-side
+    # joins) and prefix twice (both sides of the self-join) — the
+    # multi-reference materialization rule (SCALE.md) applies
+    sizes = ex.groupBy("doc_id_").agg(F.count(F.lit(1)).alias("sz")).localCheckpoint()
     freq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("_gf"))
     w = W.partitionBy("doc_id_").orderBy(F.asc("_gf"), F.asc("shingle"))
     prefix = (
@@ -626,7 +629,7 @@ def prefix_filter_pairs(
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
         .select("doc_id_", "shingle")
-    )
+    ).localCheckpoint()
     cand = (
         prefix.alias("l")
         .join(prefix.alias("r"), on="shingle")

@@ -20,9 +20,9 @@ catalog).  ``DRIVER_PRIORITY`` is therefore RE-DERIVED EVERY ROUND as
 Round 3 grew the never-driver-checked pool past the window (50+
 new/tier-1 entries for 50 slots), so a SACRIFICE SET exists: the
 lowest-risk new entries are parked past position 50 and named in
-``ACKNOWLEDGED_OVERFLOW`` below — each one is hash-verified locally
-at sf0.001/0.01/0.1 (three scales, vanilla-session driver-contract
-runs) but has no driver row this round.  The import-time guards
+``ACKNOWLEDGED_OVERFLOW`` below — each one is hash-verified at
+sf0.01 (the driver's scale) on every test run plus the full-catalog
+sf0.1 sweep, but has no driver row this round.  The import-time guards
 enforce (a) the q29 re-gate block sits inside the window and (b)
 every overflow entry either has a prior-round driver row or is
 explicitly acknowledged — a new entry can no longer slip past the

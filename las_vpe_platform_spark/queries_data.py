@@ -4025,14 +4025,20 @@ DECAY_TAU_S = 6 * 3600
 
 
 def q105_decayed_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.functions.scalar import ntz_epoch_micros
+
     ev = _t(spark, sf_dir, "events")
-    horizon = ev.agg(F.max("ts").alias("t_max"))
-    aged = ev.crossJoin(F.broadcast(horizon)).select(
+    # ntz_epoch_micros, NOT cast('timestamp'): the events clock is NTZ
+    # and the driver's session TZ is unknown — a DST-ful zone would
+    # shift ages by the per-value UTC offset and break the oracle
+    # (review finding r3)
+    us = ev.select("event_type", ntz_epoch_micros("ts").alias("_us"))
+    horizon = us.agg(F.max("_us").alias("t_max_us"))
+    aged = us.crossJoin(F.broadcast(horizon)).select(
         "event_type",
         F.exp(
             -(
-                (F.unix_micros(F.col("t_max").cast("timestamp"))
-                 - F.unix_micros(F.col("ts").cast("timestamp"))).cast("double")
+                (F.col("t_max_us") - F.col("_us")).cast("double")
                 / F.lit(float(DECAY_TAU_S) * 1e6)
             )
         ).alias("w"),
