@@ -628,12 +628,36 @@ def prefix_filter_pairs(
         .join(sizes, on="doc_id_")
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
-        .select("doc_id_", "shingle")
+        .select("doc_id_", "shingle", "_rn", "sz")
     ).localCheckpoint()
+    # candidate join with PPJoin's two completeness-preserving prunes
+    # (both reject only pairs that PROVABLY cannot reach t, and both
+    # hold at the pair's FIRST common element, which the prefix join
+    # is guaranteed to see):
+    #  - length filter: J >= t forces t·|a| <= |b| <= |a|/t
+    #  - positional filter: overlap o satisfies o <= 1 + min(|a|-i,
+    #    |b|-j) at the first common element (the o-1 other common
+    #    elements all sit after it on both sides), and o >= alpha =
+    #    ceil(t/(1+t)·(|a|+|b|)); occurrences violating the bound
+    #    cannot be a qualifying pair's first common element.
+    # Without them a templated corpus generates quadratic candidates
+    # (measured 7.9M -> the qualifying ~256 at sf0.1).
+    l, r = prefix.alias("l"), prefix.alias("r")
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold))
+        * (F.col("l.sz") + F.col("r.sz")).cast("double")
+    )
+    ubound = 1 + F.least(
+        F.col("l.sz") - F.col("l._rn"), F.col("r.sz") - F.col("r._rn")
+    )
     cand = (
-        prefix.alias("l")
-        .join(prefix.alias("r"), on="shingle")
+        l.join(r, on="shingle")
         .filter(F.col("l.doc_id_") < F.col("r.doc_id_"))
+        .filter(
+            (F.col("r.sz") >= F.ceil(F.lit(threshold) * F.col("l.sz")))
+            & (F.col("l.sz") >= F.ceil(F.lit(threshold) * F.col("r.sz")))
+        )
+        .filter(ubound >= alpha)
         .select(F.col("l.doc_id_").alias("id_a"), F.col("r.doc_id_").alias("id_b"))
         .distinct()
     )

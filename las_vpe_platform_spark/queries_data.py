@@ -4085,10 +4085,14 @@ FROM per_type CROSS JOIN totals
 # completeness theorem (see operators/dedup.prefix_filter_pairs)
 # guarantees no qualifying pair is missed, and the oracle PROVES it by
 # computing the same threshold join exhaustively with the full
-# inverted index.
+# inverted index. 3-word shingles: the synthetic corpus has only ~900
+# distinct 2-shingles (tiny vocabulary), so k=2 posting lists carry
+# df up to ~340 and ANY inverted-index method — including the
+# exhaustive oracle — pays tens of millions of pairs; k=3 collapses
+# max df to ~25 while keeping the same 256 qualifying pairs.
 
 PREFIX_JACCARD_T = 0.5
-PREFIX_SHINGLE_K = 2
+PREFIX_SHINGLE_K = 3
 
 
 def q106_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
