@@ -70,6 +70,7 @@ DRIVER_PRIORITY: list[str] = [
     "s10_stream_locf",
     "s11_stream_leaderboard",
     "m07_patch_neardup",
+    "m08_audio_energy_windows",
     "s07_stream_heavy_hitters",
     "s08_stream_incremental_dedup",
     "q82_kmeans_clusters",
@@ -96,7 +97,6 @@ DRIVER_PRIORITY: list[str] = [
     "s04_stream_interval_join",
     "s05_stream_demux_sinks",
     "q59_srp_neardup",
-    "q67_incremental_dedup",
     "q68_salted_join_agg",
     "q69_source_overlap",
     "q70_ivf2_topk",
@@ -115,6 +115,7 @@ DRIVER_PRIORITY: list[str] = [
     #    entry (one aggregate pass, parity-tested at two scales
     #    locally) — the 51-entries-for-50-slots tiebreak loser --
     "q90_table_profile",
+    "q67_incremental_dedup",
     "q66_sq8_ann_topk",
     "q65_bm25_topk",
     "q64_bigram_novelty",
@@ -280,6 +281,7 @@ ACKNOWLEDGED_OVERFLOW = {
     "q92_zorder_layout", "q93_cluster_keep_best", "q95_join_preflight",
     "q96_group_sample", "q98_funnel_analysis", "m06_keyframe_selection",
     "q64_bigram_novelty", "q65_bm25_topk", "q66_sq8_ann_topk",
+    "q67_incremental_dedup",
 }
 
 _unaccounted = [

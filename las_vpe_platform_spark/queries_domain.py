@@ -1020,6 +1020,76 @@ FROM ranked WHERE rank <= 10
 D16_SQL = _d16_sql()
 
 
+# --- m08: windowed audio energy (VAD-style frame analysis) -------------------
+# The frame-energy pass every speech pipeline runs before anything
+# else (voice-activity detection, silence trimming, loudness
+# normalization): fixed 256-sample windows over the int16 PCM, per
+# window the EXACT integer energy Σ s² — engine-portable with no
+# float in sight, so the oracle re-derives every window from hex(pcm)
+# byte arithmetic. All JVM expressions over the binary column: the
+# samples never materialize as rows, only the per-window aggregates do
+# (clips × ceil(n/256) rows).
+
+M08_WIN = 256
+
+# signed int16 at index i of the RAW pcm column, little-endian
+_S16_PCM_U = (
+    "(CAST(conv(hex(substring(pcm, 2*{i} + 1, 1)), 16, 10) AS BIGINT)"
+    " + 256 * CAST(conv(hex(substring(pcm, 2*{i} + 2, 1)), 16, 10) AS BIGINT))"
+)
+_S16_PCM = f"(CASE WHEN {_S16_PCM_U} > 32767 THEN {_S16_PCM_U} - 65536 ELSE {_S16_PCM_U} END)"
+
+
+def m08_audio_energy_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clips = _fx(spark, "audio_clips")
+    w = M08_WIN
+    s = _S16_PCM.format(i="i")
+    return clips.selectExpr(
+        "clip_id",
+        "n_samples",
+        "pcm",
+        f"explode(sequence(0, CAST(ceil(n_samples / {w}.0) AS INT) - 1)) AS window_id",
+    ).selectExpr(
+        "clip_id",
+        "CAST(window_id AS BIGINT) AS window_id",
+        f"CAST(least(CAST((window_id + 1) * {w} AS BIGINT), n_samples)"
+        f" - window_id * {w} AS BIGINT) AS n_in_window",
+        f"aggregate(sequence(window_id * {w},"
+        f" CAST(least(CAST((window_id + 1) * {w} AS BIGINT), n_samples) AS INT) - 1),"
+        f" 0L, (acc, i) -> acc + {s} * {s}) AS energy",
+    )
+
+
+def _m08_sql() -> str:
+    w = M08_WIN
+    # sample i = bytes (2i, 2i+1) = hex chars (4i+1..4i+2, 4i+3..4i+4)
+    val = (
+        "(('0x' || substr(hx, 4 * i + 1, 2))::BIGINT"
+        " + 256 * ('0x' || substr(hx, 4 * i + 3, 2))::BIGINT)"
+    )
+    signed = f"(CASE WHEN {val} > 32767 THEN {val} - 65536 ELSE {val} END)"
+    return f"""
+WITH src AS (
+  SELECT clip_id, n_samples, hex(pcm) AS hx,
+         CAST(ceil(n_samples / {w}.0) AS BIGINT) AS n_win
+  FROM {_fxsql('audio_clips')}
+), wins AS (
+  SELECT clip_id, n_samples, hx, unnest(generate_series(0, n_win - 1)) AS window_id
+  FROM src
+)
+SELECT clip_id, window_id::BIGINT AS window_id,
+       (least((window_id + 1) * {w}, n_samples) - window_id * {w})::BIGINT AS n_in_window,
+       list_sum(list_transform(
+         generate_series(CAST(window_id * {w} AS INT),
+                         CAST(least((window_id + 1) * {w}, n_samples) AS INT) - 1),
+         i -> {signed} * {signed}))::BIGINT AS energy
+FROM wins
+"""
+
+
+M08_SQL = _m08_sql()
+
+
 DOMAIN_QUERIES = {
     "d01_tracklet_sampling": (d01_tracklet_sampling, D01_SQL),
     "d02_attribute_average": (d02_attribute_average, D02_SQL),
@@ -1044,4 +1114,5 @@ DOMAIN_QUERIES = {
     "m05_frame_fragments": (m05_frame_fragments, M05_SQL),
     "m06_keyframe_selection": (m06_keyframe_selection, M06_SQL),
     "m07_patch_neardup": (m07_patch_neardup, M07_SQL),
+    "m08_audio_energy_windows": (m08_audio_energy_windows, M08_SQL),
 }
