@@ -623,11 +623,24 @@ def prefix_filter_pairs(
     sizes = ex.groupBy("doc_id_").agg(F.count(F.lit(1)).alias("sz")).localCheckpoint()
     freq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("_gf"))
     w = W.partitionBy("doc_id_").orderBy(F.asc("_gf"), F.asc("shingle"))
+    # EPSILON-SLACKED ceils throughout: t arrives as a float, and a
+    # double ceil can land ONE ABOVE the exact rational bound (e.g.
+    # t=0.2, |a|+|b|=18: ceil(18·0.2/1.2) = 4 in float64, exactly 3) —
+    # which would shrink a prefix / tighten a prune and silently drop
+    # a qualifying pair. ceil(x − 1e-9) can only err DOWNWARD, which
+    # only ever ADMITS more candidates; the verify stage restores
+    # exactness, so completeness survives any float rounding.
+    def _ceil_slack(x):
+        return F.ceil(x - F.lit(1e-9))
+
     prefix = (
         ex.join(freq, on="shingle")
         .join(sizes, on="doc_id_")
         .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
+        .filter(
+            F.col("_rn")
+            <= F.col("sz") - _ceil_slack(F.lit(threshold) * F.col("sz")) + 1
+        )
         .select("doc_id_", "shingle", "_rn", "sz")
     ).localCheckpoint()
     # candidate join with PPJoin's two completeness-preserving prunes
@@ -643,7 +656,7 @@ def prefix_filter_pairs(
     # Without them a templated corpus generates quadratic candidates
     # (measured 7.9M -> the qualifying ~256 at sf0.1).
     l, r = prefix.alias("l"), prefix.alias("r")
-    alpha = F.ceil(
+    alpha = _ceil_slack(
         F.lit(threshold / (1.0 + threshold))
         * (F.col("l.sz") + F.col("r.sz")).cast("double")
     )
@@ -654,8 +667,8 @@ def prefix_filter_pairs(
         l.join(r, on="shingle")
         .filter(F.col("l.doc_id_") < F.col("r.doc_id_"))
         .filter(
-            (F.col("r.sz") >= F.ceil(F.lit(threshold) * F.col("l.sz")))
-            & (F.col("l.sz") >= F.ceil(F.lit(threshold) * F.col("r.sz")))
+            (F.col("r.sz") >= _ceil_slack(F.lit(threshold) * F.col("l.sz")))
+            & (F.col("l.sz") >= _ceil_slack(F.lit(threshold) * F.col("r.sz")))
         )
         .filter(ubound >= alpha)
         .select(F.col("l.doc_id_").alias("id_a"), F.col("r.doc_id_").alias("id_b"))

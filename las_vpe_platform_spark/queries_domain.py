@@ -588,11 +588,15 @@ DECIMATE_FACTOR = 4
 # of the decimated output. Spark reads the decimated bytes; the oracle
 # re-derives the same values from hex(pcm) of the SOURCE — so the
 # comparison proves the decimation itself, not just a checksum echo.
-_S16 = (
-    "(CAST(conv(hex(substring(decimated, 2*{i} + 1, 1)), 16, 10) AS BIGINT)"
-    " + 256 * CAST(conv(hex(substring(decimated, 2*{i} + 2, 1)), 16, 10) AS BIGINT))"
+_S16_COL = (
+    "(CAST(conv(hex(substring({col}, 2*{i} + 1, 1)), 16, 10) AS BIGINT)"
+    " + 256 * CAST(conv(hex(substring({col}, 2*{i} + 2, 1)), 16, 10) AS BIGINT))"
 )
-_S16_SIGNED = f"(CASE WHEN {_S16} > 32767 THEN {_S16} - 65536 ELSE {_S16} END)"
+_S16_SIGNED_COL = (
+    f"(CASE WHEN {_S16_COL} > 32767 THEN {_S16_COL} - 65536 ELSE {_S16_COL} END)"
+)
+# bound forms for the two columns that use it
+_S16_SIGNED = _S16_SIGNED_COL.replace("{col}", "decimated")
 
 
 def m04_audio_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1032,31 +1036,35 @@ D16_SQL = _d16_sql()
 
 M08_WIN = 256
 
-# signed int16 at index i of the RAW pcm column, little-endian
-_S16_PCM_U = (
-    "(CAST(conv(hex(substring(pcm, 2*{i} + 1, 1)), 16, 10) AS BIGINT)"
-    " + 256 * CAST(conv(hex(substring(pcm, 2*{i} + 2, 1)), 16, 10) AS BIGINT))"
-)
-_S16_PCM = f"(CASE WHEN {_S16_PCM_U} > 32767 THEN {_S16_PCM_U} - 65536 ELSE {_S16_PCM_U} END)"
+# signed int16 at index i of the RAW pcm column (the shared template,
+# bound to this column — one decode implementation, two columns)
+_S16_PCM = _S16_SIGNED_COL.replace("{col}", "pcm")
 
 
 def m08_audio_energy_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     clips = _fx(spark, "audio_clips")
     w = M08_WIN
     s = _S16_PCM.format(i="i")
-    return clips.selectExpr(
+    # n_samples > 0 guard: Spark's sequence(0, -1) is a DESCENDING
+    # range [0, -1], not empty, so a zero-sample clip would emit two
+    # garbage windows while the oracle's generate_series emits none
+    return clips.filter("n_samples > 0").selectExpr(
         "clip_id",
-        "n_samples",
-        "pcm",
         f"explode(sequence(0, CAST(ceil(n_samples / {w}.0) AS INT) - 1)) AS window_id",
+        # window bounds computed ONCE and reused by both outputs below
+        "pcm",
+        "n_samples",
     ).selectExpr(
         "clip_id",
         "CAST(window_id AS BIGINT) AS window_id",
-        f"CAST(least(CAST((window_id + 1) * {w} AS BIGINT), n_samples)"
-        f" - window_id * {w} AS BIGINT) AS n_in_window",
-        f"aggregate(sequence(window_id * {w},"
-        f" CAST(least(CAST((window_id + 1) * {w} AS BIGINT), n_samples) AS INT) - 1),"
-        f" 0L, (acc, i) -> acc + {s} * {s}) AS energy",
+        f"window_id * {w} AS _lo",
+        f"CAST(least(CAST((window_id + 1) * {w} AS BIGINT), n_samples) AS INT) AS _hi",
+        "pcm",
+    ).selectExpr(
+        "clip_id",
+        "window_id",
+        "CAST(_hi - _lo AS BIGINT) AS n_in_window",
+        f"aggregate(sequence(_lo, _hi - 1), 0L, (acc, i) -> acc + {s} * {s}) AS energy",
     )
 
 

@@ -173,3 +173,41 @@ def test_connected_components_chain_and_islands(spark):
         for r in connected_components(edges).collect()
     }
     assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_prefix_filter_complete_at_float_hostile_thresholds(spark):
+    """The epsilon-slacked ceils must keep prefix filtering COMPLETE at
+    thresholds where double ceil exceeds the exact rational bound
+    (t=0.2, |a|+|b|=18 makes float alpha=4 vs exact 3 — review r3).
+    Brute-force exact Jaccard is the witness."""
+    from itertools import combinations
+
+    from las_vpe_platform_spark.operators.dedup import prefix_filter_pairs
+
+    # 9-token docs sharing exactly 4 consecutive tokens -> with k=2
+    # shingles: 8 shingles each, overlap 3, J = 3/13 ~ 0.23
+    rows = [
+        (1, "a b c d e f g h i"),
+        (2, "z y x w f g h i q"),   # shares f g, g h, h i
+        (3, "m n o p q r s t u"),
+        (4, "m n o p q r s t v"),   # near-clone of 3
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for t in (0.2, 0.22, 1.0 / 3.0, 0.5):
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in prefix_filter_pairs(
+                df, "doc_id", "text", threshold=t, shingle_k=2
+            ).collect()
+        }
+        # brute force
+        def sh(s):
+            toks = s.split()
+            return {" ".join(toks[i:i+2]) for i in range(len(toks) - 1)}
+        want = set()
+        for (ia, ta), (ib, tb) in combinations(rows, 2):
+            a, b = sh(ta), sh(tb)
+            j = len(a & b) / len(a | b)
+            if j >= t:
+                want.add((min(ia, ib), max(ia, ib)))
+        assert got == want, (t, got, want)
