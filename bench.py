@@ -21,6 +21,7 @@ _REPO = str(Path(__file__).resolve().parent)
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
+from las_vpe_platform_spark.operators.staging import unpersist_all  # noqa: E402
 from las_vpe_platform_spark.queries import CATALOG  # noqa: E402
 from las_vpe_platform_spark.session import get_spark  # noqa: E402
 
@@ -50,6 +51,11 @@ def main() -> None:
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
+        # release this query's persist(DISK_ONLY) stages INSIDE its
+        # timing window — the caller-controlled unpersist half of the
+        # staging contract (operators/staging.py): a 141-query session
+        # must not accrete blocks, and each query pays its own cleanup
+        unpersist_all()
         timings[name] = round(time.perf_counter() - t0, 3)
     total = round(time.perf_counter() - t_all, 3)
 

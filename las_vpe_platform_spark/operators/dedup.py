@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from las_vpe_platform_spark.operators.staging import Materializer, persist_disk
+
 from pyspark.sql import Window as W
 
 from las_vpe_platform_spark.functions.text import (
@@ -335,6 +337,7 @@ def ngram_jaccard_pairs(
     shingle_k: int = 3,
     threshold: float = 0.5,
     max_doc_freq: int | None = None,
+    materialize: Materializer = persist_disk,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs sharing >= 1 shingle.
 
@@ -357,7 +360,9 @@ def ngram_jaccard_pairs(
     # of the self-join — materialize once so the shingle explode+md5
     # runs a single time instead of up to four (persist-vs-recompute:
     # the explode is the expensive term for text)
-    exploded = exploded_shingles(df, id_col, text_col, shingle_k).localCheckpoint()
+    exploded = materialize(
+        exploded_shingles(df, id_col, text_col, shingle_k), "ngram_postings"
+    )
     sizes = exploded.groupBy("doc_id_").agg(F.count(F.lit(1)).alias("n_shingles"))
     joinable = exploded
     if max_doc_freq is not None:
@@ -596,6 +601,7 @@ def prefix_filter_pairs(
     text_col: str,
     threshold: float,
     shingle_k: int = 2,
+    materialize: Materializer = persist_disk,
 ) -> DataFrame:
     """EXACT Jaccard-threshold self-join via prefix filtering
     (Chaudhuri et al. SSJoin / Bayardo et al. All-Pairs) — the LOSSLESS
@@ -616,11 +622,15 @@ def prefix_filter_pairs(
     by candidate count, not corpus²). Returns (id_a, id_b, size_a,
     size_b, shared, jaccard) for pairs with jaccard >= threshold.
     """
-    ex = exploded_shingles(df, id_col, text_col, shingle_k).localCheckpoint()
+    ex = materialize(
+        exploded_shingles(df, id_col, text_col, shingle_k), "ppjoin_postings"
+    )
     # sizes is referenced three times (prefix filter + both verify-side
     # joins) and prefix twice (both sides of the self-join) — the
     # multi-reference materialization rule (SCALE.md) applies
-    sizes = ex.groupBy("doc_id_").agg(F.count(F.lit(1)).alias("sz")).localCheckpoint()
+    sizes = materialize(
+        ex.groupBy("doc_id_").agg(F.count(F.lit(1)).alias("sz")), "ppjoin_sizes"
+    )
     freq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("_gf"))
     w = W.partitionBy("doc_id_").orderBy(F.asc("_gf"), F.asc("shingle"))
     # EPSILON-SLACKED ceils throughout: t arrives as a float, and a
@@ -642,7 +652,8 @@ def prefix_filter_pairs(
             <= F.col("sz") - _ceil_slack(F.lit(threshold) * F.col("sz")) + 1
         )
         .select("doc_id_", "shingle", "_rn", "sz")
-    ).localCheckpoint()
+    )
+    prefix = materialize(prefix, "ppjoin_prefix")
     # candidate join with PPJoin's two completeness-preserving prunes
     # (both reject only pairs that PROVABLY cannot reach t, and both
     # hold at the pair's FIRST common element, which the prefix join

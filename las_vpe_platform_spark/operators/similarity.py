@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from las_vpe_platform_spark.functions.vector import dot_product, l2_norm
+from las_vpe_platform_spark.operators.staging import Materializer, persist_disk
 from las_vpe_platform_spark.operators.joins import pairwise_similarity_topk
 
 # exact search is the same operator as the ReID ranking join
@@ -80,6 +81,7 @@ def ivf_topk(
     k: int = 5,
     num_centroids_mod: int = 50,
     nprobe: int = 2,
+    materialize: Materializer = persist_disk,
 ) -> DataFrame:
     """Approximate per-probe top-k via IVF bucketing.
 
@@ -92,9 +94,12 @@ def ivf_topk(
     # not parquet-pushable) and the frame is referenced by BOTH the
     # gallery assignment and the probe bucketing — materialize the
     # centroid-count-sized result once instead of scanning twice
-    centroids = gallery.filter(
-        (F.col(gallery_key) % num_centroids_mod) == 0
-    ).select(F.col(gallery_key).alias("centroid_id"), F.col(vector_col)).localCheckpoint()
+    centroids = materialize(
+        gallery.filter((F.col(gallery_key) % num_centroids_mod) == 0).select(
+            F.col(gallery_key).alias("centroid_id"), F.col(vector_col)
+        ),
+        "ivf_centroids",
+    )
 
     gal_assigned = assign_centroids(
         gallery.select(F.col(gallery_key), F.col(vector_col)),
@@ -457,6 +462,7 @@ def ivf2_topk(
     fine_mod: int = 20,
     coarse_mod: int = 80,
     nprobe: int = 2,
+    materialize: Materializer = persist_disk,
 ) -> DataFrame:
     """Two-level IVF ANN (coarse quantizer over the fine centroids) —
     the fix for flat IVF's scale limit (SCALE.md): at 10^11 vectors a
@@ -483,16 +489,25 @@ def ivf2_topk(
     # several downstream joins (coarse by both descents + the fine
     # index; f2c broadcast twice) — materialize the centroid-sized
     # frames once (measured: 10 gallery scans -> 1 per level)
-    fine = gallery.filter((F.col(gallery_key) % fine_mod) == 0).select(
-        F.col(gallery_key).alias("fid"), F.col(vector_col)
-    ).localCheckpoint()
-    coarse = gallery.filter((F.col(gallery_key) % coarse_mod) == 0).select(
-        F.col(gallery_key).alias("centroid_id"), F.col(vector_col)
-    ).localCheckpoint()
+    fine = materialize(
+        gallery.filter((F.col(gallery_key) % fine_mod) == 0).select(
+            F.col(gallery_key).alias("fid"), F.col(vector_col)
+        ),
+        "ivf2_fine",
+    )
+    coarse = materialize(
+        gallery.filter((F.col(gallery_key) % coarse_mod) == 0).select(
+            F.col(gallery_key).alias("centroid_id"), F.col(vector_col)
+        ),
+        "ivf2_coarse",
+    )
     # level-1 index: fine centroid -> its nearest coarse cell
-    f2c = _nearest_centroids(
-        fine, coarse, id_col="fid", vector_col=vector_col, keep=1
-    ).select("fid", "centroid_id").localCheckpoint()
+    f2c = materialize(
+        _nearest_centroids(
+            fine, coarse, id_col="fid", vector_col=vector_col, keep=1
+        ).select("fid", "centroid_id"),
+        "ivf2_f2c",
+    )
     fine_vecs = fine.select("fid", F.col(vector_col).alias("_fvec")).withColumn(
         "_fnorm", l2_norm("_fvec")
     )

@@ -5,30 +5,32 @@ and ``oracle_sql()``; tests iterate it to verify every entry against
 DuckDB locally before the driver does.
 
 Ordering matters: the external correctness driver evaluates exactly
-the FIRST 50 catalog entries in insertion order (rounds 1 and 2 both
+the FIRST 50 catalog entries in insertion order (rounds 1-4 all
 confirm: CORRECTNESS_r0N.json == first 50 keys of that round's
 catalog).  ``DRIVER_PRIORITY`` is therefore RE-DERIVED EVERY ROUND as
 "everything not yet driver-green, oldest evidence first" (VERDICT r2
-'What's wrong' #2 — the round-2 list went stale within its own round):
+'What's wrong' #2 — a stale list wastes the round's sample):
 
-1. tier 0 — queries NEW this round (never driver-checked),
-2. tier 1 — round-2 additions that missed that round's frozen window,
-3. tier 2 — re-gated this round: the reid join elimination + BLAS
-   ranking rewrite touch d05/d11 and the ANN family (q29),
-4. tier 3 — stale evidence (only driver row is round 1).
+1. tier 0 — the 16 queries with NO driver row in any of r01-r04
+   (VERDICT r4 'Next round' #1: the round-3 overflow set, judge-green
+   at sf0.01 but never driver-sampled),
+2. tier 1 — re-gated THIS round: queries whose code paths this
+   round's changes touch (q102 insert-key namespace fix; the
+   localCheckpoint->caller-staging refactor in cms/ivf/ngram/ppjoin/
+   dsir/bloom; the _sliced_parquet_stream harness hardening behind
+   s03/s10),
+3. tier 2 — stalest evidence: entries whose ONLY driver row is
+   round 1.
 
-Round 3 grew the never-driver-checked pool past the window (50+
-new/tier-1 entries for 50 slots), so a SACRIFICE SET exists: the
-lowest-risk new entries are parked past position 50 and named in
-``ACKNOWLEDGED_OVERFLOW`` below — each one is hash-verified at
-sf0.01 (the driver's scale) on every test run plus the full-catalog
-sf0.1 sweep, but has no driver row this round.  The import-time guards
-enforce (a) the q29 re-gate block sits inside the window and (b)
-every overflow entry either has a prior-round driver row or is
-explicitly acknowledged — a new entry can no longer slip past the
-window silently.  Every catalog entry is still hash-verified against
-DuckDB every run by ``tests/test_oracle_parity.py`` (at sf0.01, the
-driver's scale).
+After round 4, every catalog entry has at least one driver-green row
+(union of CORRECTNESS_r01-r04 covers 125/141; tier 0 closes the other
+16 this round), so the overflow (positions 50+) is entirely
+prior-driver-green and ``ACKNOWLEDGED_OVERFLOW`` is empty.  The
+import-time guards enforce (a) the re-gate block sits inside the
+window and (b) every overflow entry has a prior-round driver row or
+an explicit acknowledgement.  Every catalog entry is additionally
+hash-verified against DuckDB on every test run by
+``tests/test_oracle_parity.py`` (at sf0.01, the driver's scale).
 """
 
 from __future__ import annotations
@@ -52,87 +54,41 @@ _ALL.update(STREAMING_QUERIES)
 
 # First 50 = the driver's correctness window (see module docstring).
 DRIVER_PRIORITY: list[str] = [
-    # -- tier 0: NEW this round (no evidence from any prior round) --
-    "q89_bpe_pair_counts",
-    "q94_triangle_count",
-    "q97_perplexity_filter",
-    "q99_embedding_anisotropy",
-    "q100_weighted_sample",
-    "q101_rolling_stats",
-    "q102_apply_cdc",
-    "q103_mad_outliers",
-    "q104_source_drift",
-    "q105_decayed_trending",
-    "q106_prefix_filter_join",
-    "d15_pipeline_storage_reid",
-    "d16_pipeline_reid_command",
-    "s09_stream_distinct_sketch",
-    "s10_stream_locf",
-    "s11_stream_leaderboard",
-    "m07_patch_neardup",
-    "m08_audio_energy_windows",
-    "s07_stream_heavy_hitters",
-    "s08_stream_incremental_dedup",
-    "q82_kmeans_clusters",
-    "q83_curation_pipeline",
-    "q84_ann_recall",
-    "q85_epoch_shuffle",
-    "q86_token_budget_mix",
-    "q87_quality_classifier",
-    "q88_skew_diagnostics",
-    "q77_blocklist_filter",
-    "q78_dsir_importance",
-    "q79_hard_negatives",
-    "q80_semantic_dedup",
-    "q81_cms_heavy_hitters",
-    # -- tier 1: never driver-checked in any round (added in round 2
-    #    after that round's list was frozen). d14 is the flagship
-    #    end-to-end DAG (PedestrianReIDUsingAttrApp.java:136-243). --
-    "d14_pipeline_reid",
-    "m03_patch_resize",
-    "m04_audio_decimate",
-    "m05_frame_fragments",
-    "s02_stream_dedup",
-    "s03_stream_sessions",
-    "s04_stream_interval_join",
-    "s05_stream_demux_sinks",
-    "q59_srp_neardup",
-    "q68_salted_join_agg",
-    "q69_source_overlap",
-    "q70_ivf2_topk",
-    "q71_retrieval_pipeline",
-    "q72_hourly_rollup_gapfill",
-    "q73_quality_percentile_filter",
-    # -- tier 2: re-gated THIS round — the reid join elimination and
-    #    the BLAS ranking rewrite touch d05/d11/d14's plan family and
-    #    the ANN paths (q29 explain-diffed after the r2 regression).
-    #    These must sit INSIDE the first-50 window (review finding r3:
-    #    the earlier ordering left them at positions 61-63). --
-    "d05_reid_assembly",
-    "d11_pipeline_attr_recog",
-    "q29_embedding_ivf_topk",
-    # -- first overflow (position 50): q90 is the lowest-risk new
-    #    entry (one aggregate pass, parity-tested at two scales
-    #    locally) — the 51-entries-for-50-slots tiebreak loser --
-    "q90_table_profile",
-    "q67_incremental_dedup",
-    "q66_sq8_ann_topk",
-    "q65_bm25_topk",
+    # -- tier 0: no driver row in any of r01-r04 (VERDICT r4 #1) --
     "q64_bigram_novelty",
-    "m06_keyframe_selection",
-    "s06_stream_static_enrich",
+    "q65_bm25_topk",
+    "q66_sq8_ann_topk",
+    "q67_incremental_dedup",
+    "q74_pmi_collocations",
     "q75_leakage_free_split",
     "q76_locf_backfill",
-    "q74_pmi_collocations",
-    "q98_funnel_analysis",
+    "q90_table_profile",
     "q91_snapshot_diff",
     "q92_zorder_layout",
     "q93_cluster_keep_best",
     "q95_join_preflight",
     "q96_group_sample",
-    # -- tier 3: only driver row is round 1; code and testdata changed
-    #    since (the judge re-ran these green at sf0.01 in round 2, but
-    #    hard driver rows are stale). Window closes partway down. --
+    "q98_funnel_analysis",
+    "m06_keyframe_selection",
+    "s06_stream_static_enrich",
+    # -- tier 1: re-gated this round — q102's insert-key fix, the
+    #    operator-level localCheckpoint -> caller-controlled staging
+    #    refactor (cms q81, ivf q29/q70, ngram q26, ppjoin q106,
+    #    dsir q78, bloom q63), and the hardened streaming harness
+    #    behind s03/s10 --
+    "q102_apply_cdc",
+    "q26_ngram_jaccard_top_pairs",
+    "q106_prefix_filter_join",
+    "q29_embedding_ivf_topk",
+    "q70_ivf2_topk",
+    "q78_dsir_importance",
+    "q81_cms_heavy_hitters",
+    "q63_bloom_semi_join",
+    "s03_stream_sessions",
+    "s10_stream_locf",
+    # -- tier 2: stalest evidence — only driver row is round 1 (the
+    #    24 oldest; q45/q46/q47/q49 lose the tiebreak and stay in
+    #    overflow with their r01 rows) --
     "q02_top_customers_per_nation",
     "q03_shipping_priority",
     "q04_regional_revenue",
@@ -156,15 +112,52 @@ DRIVER_PRIORITY: list[str] = [
     "q41_segment_set_ops",
     "q42_doc_repetition",
     "q43_vocab_top_terms",
-    # -- overflow (>50): q44-q47/q49 rotate out to make room for tier 0
-    #    (their operator families stay in-window: chunking ⊂ the q50
-    #    composite's gate lineage, split hashing ~ q75's fingerprint
-    #    split, multi-distinct ~ q56's grouped distinct, null semantics
-    #    pervade q05-family, int8 array math ~ q66's codes); every entry
-    #    below has round-1 or round-2 driver evidence and is still
-    #    DuckDB-verified at sf0.01 every run by
-    #    tests/test_oracle_parity.py --
     "q44_doc_chunks",
+    # -- overflow (positions 50+): every entry below is driver-green
+    #    in some prior round (union r01-r04) and stays DuckDB-gated
+    #    at sf0.01 on every test run --
+    "q89_bpe_pair_counts",
+    "q94_triangle_count",
+    "q97_perplexity_filter",
+    "q99_embedding_anisotropy",
+    "q100_weighted_sample",
+    "q101_rolling_stats",
+    "q103_mad_outliers",
+    "q104_source_drift",
+    "q105_decayed_trending",
+    "d15_pipeline_storage_reid",
+    "d16_pipeline_reid_command",
+    "s09_stream_distinct_sketch",
+    "s11_stream_leaderboard",
+    "m07_patch_neardup",
+    "m08_audio_energy_windows",
+    "s07_stream_heavy_hitters",
+    "s08_stream_incremental_dedup",
+    "q82_kmeans_clusters",
+    "q83_curation_pipeline",
+    "q84_ann_recall",
+    "q85_epoch_shuffle",
+    "q86_token_budget_mix",
+    "q87_quality_classifier",
+    "q88_skew_diagnostics",
+    "q77_blocklist_filter",
+    "q79_hard_negatives",
+    "q80_semantic_dedup",
+    "d14_pipeline_reid",
+    "m03_patch_resize",
+    "m04_audio_decimate",
+    "m05_frame_fragments",
+    "s02_stream_dedup",
+    "s04_stream_interval_join",
+    "s05_stream_demux_sinks",
+    "q59_srp_neardup",
+    "q68_salted_join_agg",
+    "q69_source_overlap",
+    "q71_retrieval_pipeline",
+    "q72_hourly_rollup_gapfill",
+    "q73_quality_percentile_filter",
+    "d05_reid_assembly",
+    "d11_pipeline_attr_recog",
     "q45_dataset_split",
     "q46_multi_distinct",
     "q47_null_semantics",
@@ -207,14 +200,12 @@ DRIVER_PRIORITY: list[str] = [
     "q22_doc_lang_id",
     "q24_minhash_lsh_pairs",
     "q25_simhash",
-    "q26_ngram_jaccard_top_pairs",
     "q27_embedding_topk",
     "q30_tfidf_top_terms",
     "q31_embedding_neardup",
     "q61_span_dedup",
     "q60_decontaminate",
     "q62_sequence_pack",
-    "q63_bloom_semi_join",
     "q48_bpeish_tokens",
 ]
 
@@ -222,67 +213,77 @@ _missing = [n for n in DRIVER_PRIORITY if n not in _ALL]
 if _missing:  # fail fast at import — a typo here silently drops a query
     raise KeyError(f"DRIVER_PRIORITY names not in catalog: {_missing}")
 
-# The must-gate block (tiers 0-2, everything through q29's re-gate)
+if len(DRIVER_PRIORITY) != len(set(DRIVER_PRIORITY)):
+    _dupes = sorted({n for n in DRIVER_PRIORITY if DRIVER_PRIORITY.count(n) > 1})
+    raise ValueError(f"DRIVER_PRIORITY has duplicates: {_dupes}")
+
+# The must-gate block (tiers 0-1, everything through the re-gates)
 # has to sit inside the driver's first-50 window — review finding r3
-# caught the earlier ordering leaving the re-gated entries at 61-63.
-_MUST_GATE_LAST = "q29_embedding_ivf_topk"
+# caught an earlier ordering leaving re-gated entries at 61-63.
+_MUST_GATE_LAST = "s10_stream_locf"
 if DRIVER_PRIORITY.index(_MUST_GATE_LAST) >= 50:
     raise ValueError(
         "DRIVER_PRIORITY stale: must-gate tiers exceed the 50-entry "
         f"driver window (position {DRIVER_PRIORITY.index(_MUST_GATE_LAST)})"
     )
 
-# Names with a round-1 or round-2 driver row (CORRECTNESS_r01/r02.json
-# keys) — these may sit past position 50 without losing evidence.
+# Names with a driver-green row in some CORRECTNESS_r01-r04.json —
+# these may sit past position 50 without losing hard evidence.
 _PRIOR_DRIVER_GREEN = {
-    # round 1 window (66-entry catalog era)
-    "q01_pricing_summary", "q02_top_customers_per_nation",
-    "q03_shipping_priority", "q04_regional_revenue",
-    "q05_daily_activity_full_outer", "q06_customers_without_recent_orders",
-    "q07_order_point_lookup", "q08_order_completeness", "q09_last_events",
-    "q10_events_minutely", "q11_events_json_props", "q12_events_demux_union",
-    "q13_sampled_lineitems", "q14_key_roundtrip", "q15_frame_time_arithmetic",
-    "q16_event_type_pivot", "q17_rollup_returnflag", "q18_user_sessions",
-    "q19_entity_union", "q20_doc_token_stats", "q21_doc_quality",
-    "q22_doc_lang_id", "q23_dedup_exact", "q24_minhash_lsh_pairs",
-    "q25_simhash", "q26_ngram_jaccard_top_pairs", "q27_embedding_topk",
-    "q28_label_centroids", "q29_embedding_ivf_topk", "q30_tfidf_top_terms",
-    "q31_embedding_neardup", "q32_cube_orders", "q33_asof_last_click",
-    "q34_value_percentiles", "q35_customers_with_urgent_orders",
-    "q36_cheapest_customer_per_nation", "q37_bilateral_volume",
-    "q38_running_user_value", "q39_event_navigation", "q40_part_name_strings",
-    "q41_segment_set_ops", "q42_doc_repetition", "q43_vocab_top_terms",
-    "q44_doc_chunks", "q45_dataset_split", "q46_multi_distinct",
-    "q47_null_semantics", "q48_bpeish_tokens", "q49_embedding_quantize",
-    "q50_training_prep_pipeline",
-    # round 2 window additions
     "d01_tracklet_sampling", "d02_attribute_average",
     "d03_similarity_neighbors", "d04_persons_minutely", "d05_reid_assembly",
     "d06_claim_check", "d07_task_kill_filter", "d08_frame_time_check",
     "d09_feature_topk", "d10_command_fanout", "d11_pipeline_attr_recog",
     "d12_similar_persons_in_window", "d13_two_hop_neighbors",
-    "m01_patch_metadata", "m02_patch_features", "s01_stream_windowed_counts",
+    "d14_pipeline_reid", "d15_pipeline_storage_reid",
+    "d16_pipeline_reid_command", "m01_patch_metadata", "m02_patch_features",
+    "m03_patch_resize", "m04_audio_decimate", "m05_frame_fragments",
+    "m07_patch_neardup", "m08_audio_energy_windows", "q01_pricing_summary",
+    "q02_top_customers_per_nation", "q03_shipping_priority",
+    "q04_regional_revenue", "q05_daily_activity_full_outer",
+    "q06_customers_without_recent_orders", "q07_order_point_lookup",
+    "q08_order_completeness", "q09_last_events", "q100_weighted_sample",
+    "q101_rolling_stats", "q102_apply_cdc", "q103_mad_outliers",
+    "q104_source_drift", "q105_decayed_trending", "q106_prefix_filter_join",
+    "q10_events_minutely", "q11_events_json_props",
+    "q12_events_demux_union", "q13_sampled_lineitems", "q14_key_roundtrip",
+    "q15_frame_time_arithmetic", "q16_event_type_pivot",
+    "q17_rollup_returnflag", "q18_user_sessions", "q19_entity_union",
+    "q20_doc_token_stats", "q21_doc_quality", "q22_doc_lang_id",
+    "q23_dedup_exact", "q24_minhash_lsh_pairs", "q25_simhash",
+    "q26_ngram_jaccard_top_pairs", "q27_embedding_topk",
+    "q28_label_centroids", "q29_embedding_ivf_topk", "q30_tfidf_top_terms",
+    "q31_embedding_neardup", "q32_cube_orders", "q33_asof_last_click",
+    "q34_value_percentiles", "q35_customers_with_urgent_orders",
+    "q36_cheapest_customer_per_nation", "q37_bilateral_volume",
+    "q38_running_user_value", "q39_event_navigation",
+    "q40_part_name_strings", "q41_segment_set_ops", "q42_doc_repetition",
+    "q43_vocab_top_terms", "q44_doc_chunks", "q45_dataset_split",
+    "q46_multi_distinct", "q47_null_semantics", "q48_bpeish_tokens",
+    "q49_embedding_quantize", "q50_training_prep_pipeline",
     "q51_doc_winnow_fingerprints", "q52_purchase_window_clicks",
     "q53_simhash_neardup_pairs", "q54_corpus_mix", "q55_dedup_clusters",
-    "q56_distinct_sketch", "q57_neardup_pagerank", "q58_hopping_window_stats",
-    "q60_decontaminate", "q61_span_dedup", "q62_sequence_pack",
-    "q63_bloom_semi_join",
+    "q56_distinct_sketch", "q57_neardup_pagerank",
+    "q58_hopping_window_stats", "q59_srp_neardup", "q60_decontaminate",
+    "q61_span_dedup", "q62_sequence_pack", "q63_bloom_semi_join",
+    "q68_salted_join_agg", "q69_source_overlap", "q70_ivf2_topk",
+    "q71_retrieval_pipeline", "q72_hourly_rollup_gapfill",
+    "q73_quality_percentile_filter", "q77_blocklist_filter",
+    "q78_dsir_importance", "q79_hard_negatives", "q80_semantic_dedup",
+    "q81_cms_heavy_hitters", "q82_kmeans_clusters", "q83_curation_pipeline",
+    "q84_ann_recall", "q85_epoch_shuffle", "q86_token_budget_mix",
+    "q87_quality_classifier", "q88_skew_diagnostics", "q89_bpe_pair_counts",
+    "q94_triangle_count", "q97_perplexity_filter",
+    "q99_embedding_anisotropy", "s01_stream_windowed_counts",
+    "s02_stream_dedup", "s03_stream_sessions", "s04_stream_interval_join",
+    "s05_stream_demux_sinks", "s07_stream_heavy_hitters",
+    "s08_stream_incremental_dedup", "s09_stream_distinct_sketch",
+    "s10_stream_locf", "s11_stream_leaderboard"
 }
 
-# Round-3 sacrifice set: never-driver-checked entries deliberately
-# parked past position 50 because the pool outgrew the window. Each is
-# the lowest-risk member of its family (single-pass aggregates,
-# diagnostics, or shapes whose core machinery IS driver-gated via a
-# sibling), and each is hash-verified at sf0.01 (the driver's scale)
-# on every test run plus the full-catalog sf0.1 sweep this round.
-ACKNOWLEDGED_OVERFLOW = {
-    "q74_pmi_collocations", "q75_leakage_free_split", "q76_locf_backfill",
-    "s06_stream_static_enrich", "q90_table_profile", "q91_snapshot_diff",
-    "q92_zorder_layout", "q93_cluster_keep_best", "q95_join_preflight",
-    "q96_group_sample", "q98_funnel_analysis", "m06_keyframe_selection",
-    "q64_bigram_novelty", "q65_bm25_topk", "q66_sq8_ann_topk",
-    "q67_incremental_dedup",
-}
+# Round-5: empty — after r04 the never-driver-checked pool (16) fits
+# inside the window with room for re-gates, so nothing is parked.
+ACKNOWLEDGED_OVERFLOW: set[str] = set()
 
 _unaccounted = [
     n for n in DRIVER_PRIORITY[50:]

@@ -36,6 +36,7 @@ from las_vpe_platform_spark.operators.dedup import (
     ngram_jaccard_pairs,
 )
 from las_vpe_platform_spark.operators.joins import pairwise_similarity_topk
+from las_vpe_platform_spark.operators.staging import persist_disk as _stage
 from las_vpe_platform_spark.operators.similarity import ivf_topk
 
 
@@ -1371,7 +1372,7 @@ def q65_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the df counts AND the score join — materialize both (doc-sized /
     # query-terms x docs) so the token explode runs twice total, not
     # once per reference (4 corpus scans -> 2)
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl")).localCheckpoint()
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl")).transform(_stage)
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
@@ -1380,7 +1381,7 @@ def q65_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.filter(F.col("term").isin(BM25_TERMS))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
-    ).localCheckpoint()
+    ).transform(_stage)
     dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     contrib = (
         tf.join(F.broadcast(dfc), on="term")
@@ -1772,20 +1773,21 @@ def q71_retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reference re-runs decontamination + dedup (measured: 16 document
     # scans in one plan). Real pipelines stage the curated corpus to a
     # table between curation and indexing for exactly this reason —
-    # localCheckpoint is that staging step in-session.
+    # _stage (lazy persist, operators/staging.py) is that staging step
+    # in-session: recoverable from lineage, zero jobs at plan build.
     w2 = W2.partitionBy(content_fingerprint("text")).orderBy("doc_id")
     kept = (
         clean.withColumn("_rn", F.row_number().over(w2))
         .filter(F.col("_rn") == 1)
         .select("doc_id", "lang", "text")
-        .localCheckpoint()
+        .transform(_stage)
     )
     # stage 3: BM25 over the surviving corpus (stats post-filter).
     # dl is doc-sized and referenced twice (corpus stats + the score
     # join); tf is query-terms x docs; both materialize so the token
     # explode runs twice total (once per aggregate), not per reference.
     toks = kept.select("doc_id", "lang", F.explode(tokens("text")).alias("term"))
-    dl = toks.groupBy("doc_id", "lang").agg(F.count(F.lit(1)).alias("dl")).localCheckpoint()
+    dl = toks.groupBy("doc_id", "lang").agg(F.count(F.lit(1)).alias("dl")).transform(_stage)
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
@@ -1794,7 +1796,7 @@ def q71_retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.filter(F.col("term").isin(BM25_TERMS))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
-    ).localCheckpoint()
+    ).transform(_stage)
     dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     contrib = (
         tf.join(F.broadcast(dfc), on="term")
@@ -2009,7 +2011,7 @@ def q74_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.select(F.explode("toks").alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("c"))
-    ).localCheckpoint()
+    ).transform(_stage)
     n_uni = uni.agg(F.sum("c").cast("bigint").alias("n_uni"))
     # adjacent pairs; sequence(1, 0) is a DESCENDING range in Spark, so
     # short docs need the explicit empty-array guard (same as q69)
@@ -2025,7 +2027,7 @@ def q74_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("bg.w1", "bg.w2")
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c12"))
-    ).localCheckpoint()
+    ).transform(_stage)
     n_big = bcnt.agg(F.sum("c12").cast("bigint").alias("n_big"))
     joined = (
         bcnt.filter(F.col("c12") >= PMI_MIN_COUNT)
@@ -2444,7 +2446,7 @@ def q83_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         safe.withColumn("_rn", F.row_number().over(w2))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
-    ).localCheckpoint()
+    ).transform(_stage)
     # stage 3: DSIR importance toward the src0 target over survivors
     target = kept.filter(F.col("source") == "src0")
     pool = kept.filter(F.col("source") != "src0")
@@ -2633,7 +2635,7 @@ def q86_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # referenced down the whole water-filling chain — materialize once
     per_source = docs.groupBy("source").agg(
         F.sum(token_count("text")).cast("bigint").alias("n_tokens")
-    ).localCheckpoint()
+    ).transform(_stage)
     n_sources = per_source.agg(F.count(F.lit(1)).alias("n_src"))
     fair = per_source.crossJoin(F.broadcast(n_sources)).withColumn(
         "fair_share", F.lit(float(TOKEN_BUDGET)) / F.col("n_src")
@@ -2794,7 +2796,7 @@ def q88_skew_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     # counts is key-cardinality-sized and referenced three times
     # (totals, entropy, top-k) — materialize once (3 event scans -> 1)
-    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt")).localCheckpoint()
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt")).transform(_stage)
     sums = counts.agg(
         F.sum("cnt").alias("n_rows"), F.count(F.lit(1)).alias("n_keys")
     )
@@ -3174,7 +3176,7 @@ def q94_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_lsh_candidates(
         docs, id_col="doc_id", text_col="text",
         shingle_k=MINHASH_K, num_hashes=MINHASH_HASHES, bands=MINHASH_BANDS,
-    ).select(F.col("id_a").alias("a"), F.col("id_b").alias("b")).localCheckpoint()
+    ).select(F.col("id_a").alias("a"), F.col("id_b").alias("b")).transform(_stage)
 
     ends = pairs.select(F.col("a").alias("node")).unionAll(
         pairs.select(F.col("b").alias("node"))
@@ -3265,7 +3267,7 @@ def q95_join_preflight(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     # counts is key-sized and referenced by totals AND the top-k —
     # materialize once (2 event scans -> 1)
-    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt")).localCheckpoint()
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt")).transform(_stage)
     # cnt² and its sum in DECIMAL(38,0): a >3e9-row hot key (exactly
     # the case this preflight exists to catch) overflows BIGINT under
     # ANSI mode before the diagnostic can report it; DuckDB's mirror
@@ -3399,7 +3401,7 @@ def q97_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         ).alias("bg"),
-    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")).localCheckpoint()
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")).transform(_stage)
     # ^ bi feeds BOTH the bigram counts and the scoring join: one
     # materialized corpus pass instead of tokenizing twice. At fleet
     # scale this is persist(DISK_ONLY) vs recompute — materialize wins
@@ -3410,7 +3412,7 @@ def q97_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.select(F.explode("toks").alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("u_cnt"))
-    ).localCheckpoint()
+    ).transform(_stage)
     vocab = uni.agg(F.count(F.lit(1)).alias("v_size"))
     bcnt = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("b_cnt"))
 
@@ -3499,21 +3501,21 @@ def q98_funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
-    ).localCheckpoint()
+    ).transform(_stage)
     s2 = (
         ev.filter(F.col("event_type") == "click")
         .join(s1, "user_id")
         .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + win))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
-    ).localCheckpoint()
+    ).transform(_stage)
     s3 = (
         ev.filter(F.col("event_type") == "purchase")
         .join(s2, "user_id")
         .filter((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t2") + win))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t3"))
-    ).localCheckpoint()
+    ).transform(_stage)
 
     def stage(df: DataFrame, num: int, name: str) -> DataFrame:
         return df.agg(
@@ -3600,7 +3602,7 @@ def q99_embedding_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         var.alias("_var"),
         "mn",
         "mx",
-    ).localCheckpoint()
+    ).transform(_stage)
     tot = dims.agg(F.sum("_var").alias("_tot"))
     return dims.crossJoin(F.broadcast(tot)).select(
         "dim_idx",
@@ -3769,7 +3771,12 @@ def q102_apply_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # op decided FIRST, key remapped only for inserts — otherwise a
     # %13 doc's delete/update would silently target a nonexistent key
     # and the matched-row MERGE paths would go unexercised for them
-    # (review finding r3)
+    # (review finding r3). Insert keys live in the NEGATIVE namespace
+    # (-doc_id - 1): doc_id is non-negative at every sf, so inserts can
+    # never collide with an existing key no matter how large the table
+    # grows — the previous `+ 1000000` offset silently turned inserts
+    # into updates past 1M rows (VERDICT r4 'What's wrong' #2), and
+    # both engines applied it so oracle parity could never catch it.
     op = (
         F.when(F.col("doc_id") % 11 == 4, F.lit("D"))
         .when(F.col("doc_id") % 7 == 2, F.lit("U"))
@@ -3777,7 +3784,7 @@ def q102_apply_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     changes = docs.select(
         op.alias("op"),
-        F.when(op == "I", F.col("doc_id") + 1000000)
+        F.when(op == "I", -F.col("doc_id") - 1)
         .otherwise(F.col("doc_id"))
         .alias("doc_id"),
         (F.col("n_chars") + 7).alias("new_chars"),
@@ -3811,7 +3818,7 @@ WITH ops AS (
   FROM documents
 ), changes AS (
   SELECT op,
-         CASE WHEN op = 'I' THEN doc_id + 1000000 ELSE doc_id END AS doc_id,
+         CASE WHEN op = 'I' THEN -doc_id - 1 ELSE doc_id END AS doc_id,
          n_chars + 7 AS new_chars
   FROM ops WHERE op IS NOT NULL
 ), merged AS (
@@ -3850,7 +3857,7 @@ def q103_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     med = ev.groupBy("event_type").agg(
         F.expr("percentile(value, 0.5)").alias("med"),
         F.count(F.lit(1)).alias("n"),
-    ).localCheckpoint()
+    ).transform(_stage)
     dev = ev.join(F.broadcast(med), "event_type").select(
         "event_type", "value", "med", "n", F.abs(F.col("value") - F.col("med")).alias("adev")
     )
@@ -3858,7 +3865,7 @@ def q103_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("med").alias("med"),
         F.first("n").alias("n"),
         F.expr("percentile(adev, 0.5)").alias("mad"),
-    ).localCheckpoint()
+    ).transform(_stage)
     flagged = (
         dev.select("event_type", "adev")
         .join(F.broadcast(mad.select("event_type", "mad")), "event_type")
@@ -3925,7 +3932,7 @@ def q104_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.length("term") >= 1)
         .groupBy("source", "term")
         .agg(F.count(F.lit(1)).alias("cnt"))
-    ).localCheckpoint()
+    ).transform(_stage)
     pairs = None
     for i, a in enumerate(JS_SOURCES):
         for b in JS_SOURCES[i + 1:]:

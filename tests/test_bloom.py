@@ -36,16 +36,38 @@ def test_bloom_no_false_negatives_and_bounded_fp(spark):
     assert fp < 180
 
 
+def _outside_cached_plans(plan: str) -> str:
+    """Drop subtree lines under any InMemoryRelation node — the lazy
+    staged build side (operators/staging.py) legitimately contains its
+    own aggregate exchange, printed inline by toString; the assertion
+    targets the FACT lineage only."""
+    out: list[str] = []
+    skip_depth: int | None = None
+    for line in plan.splitlines():
+        depth = len(line) - len(line.lstrip(" :+-"))
+        if skip_depth is not None:
+            if depth > skip_depth:
+                continue
+            skip_depth = None
+        if "InMemoryRelation" in line:
+            skip_depth = depth
+            continue
+        out.append(line)
+    return "\n".join(out)
+
+
 def test_bloom_probe_does_not_shuffle_fact(spark):
     members = spark.range(0, 50).select(F.col("id").alias("k"))
     fact = spark.range(0, 10_000).select(F.col("id").alias("k"))
     blocks = bloom_build(members, "k", m=1024, k=4)
     probed = bloom_probe(fact, "k", blocks, m=1024, k=4)
-    plan = probed._jdf.queryExecution().executedPlan().toString()
+    plan = _outside_cached_plans(
+        probed._jdf.queryExecution().executedPlan().toString()
+    )
     assert "BroadcastHashJoin" in plan
     # the probe itself adds no hash/range exchange on the fact lineage
-    # (the only exchanges in the full q63 plan belong to the build
-    # aggregate and the final stats groupBy, not the probe)
+    # (the only exchanges in the full q63 plan belong to the staged
+    # build aggregate — excluded above — and the final stats groupBy)
     assert "Exchange hashpartitioning" not in plan
     assert "Exchange rangepartitioning" not in plan
 

@@ -60,10 +60,13 @@ def _normalize(rows, columns):
 
 @pytest.mark.parametrize("name", sorted(CATALOG.keys()))
 def test_query_matches_oracle(name, spark, duck, sf_dir):
+    from las_vpe_platform_spark.operators.staging import unpersist_all
+
     fn, sql = CATALOG[name]
     sdf = fn(spark, sf_dir)
     spark_rows = [tuple(r) for r in sdf.collect()]
     spark_cols = sdf.columns
+    unpersist_all()  # caller-controlled staging lifecycle (staging.py)
 
     if sql is None:
         pytest.skip(f"{name}: rows-only check (no oracle)")

@@ -269,3 +269,60 @@ def test_q96_group_sample_partial_topk(spark, sf_dir):
     plan = _plan(CATALOG["q96_group_sample"][0](spark, sf_dir))
     assert "WindowGroupLimit" in plan
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def _outside_cached_plans(plan: str) -> str:
+    """Drop subtree lines under InMemoryRelation nodes: staged frames
+    (operators/staging.py) legitimately contain their own exchanges /
+    explodes, and toString re-prints the cached build plan at every
+    InMemoryTableScan reference — assertions about the CONSUMING
+    lineage must not count them."""
+    out: list[str] = []
+    skip_depth: int | None = None
+    for line in plan.splitlines():
+        depth = len(line) - len(line.lstrip(" :+-"))
+        if skip_depth is not None:
+            if depth > skip_depth:
+                continue
+            skip_depth = None
+        if "InMemoryRelation" in line:
+            skip_depth = depth
+            continue
+        out.append(line)
+    return "\n".join(out)
+
+
+def test_q106_ppjoin_staged_postings_no_cartesian(spark, sf_dir):
+    # PPJoin's exactness must never come from a cartesian verify: the
+    # candidate join is an equi-join on the prefix shingle, and every
+    # reference to postings/sizes/prefix reads the STAGED frame — the
+    # shingle explode (Generate) runs only inside the staged builds,
+    # zero times in the consuming lineage (the r4 lesson: the slowest
+    # bench query must carry a plan audit trail)
+    from las_vpe_platform_spark.queries import CATALOG
+
+    plan = _plan(CATALOG["q106_prefix_filter_join"][0](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    outside = _outside_cached_plans(plan)
+    assert "InMemoryTableScan" in plan, "staged frames must be cached"
+    assert "Generate" not in outside, (
+        "shingle explode re-ran outside the staged postings build"
+    )
+
+
+def test_q94_wedge_join_single_lsh_subtree(spark, sf_dir):
+    # the LSH candidate subtree (signature explode + band join) must
+    # run ONCE into the staged pair list; degree counts, the oriented
+    # wedge join, and the closing-edge probe all read the cache — no
+    # Generate (signature/shingle explode) in the consuming lineage
+    # (the d14 double-tracker lesson applied to the dup graph)
+    from las_vpe_platform_spark.queries import CATALOG
+
+    plan = _plan(CATALOG["q94_triangle_count"][0](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    outside = _outside_cached_plans(plan)
+    assert "InMemoryTableScan" in plan, "pair list must be staged"
+    assert "Generate" not in outside, (
+        "LSH signature subtree re-ran outside the staged pair build"
+    )

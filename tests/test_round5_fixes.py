@@ -1,0 +1,167 @@
+"""Round-5 hardening: q102 insert-key namespace, hll_bucketed input
+validation, streaming-harness empty input, and the staging contract
+(lazy materialization + caller-controlled unpersist)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_q102_insert_keys_never_collide_past_1m_rows(spark, tmp_path):
+    """VERDICT r4 'What's wrong' #2: the old ``doc_id + 1000000``
+    insert remap collided with real doc_ids once the table passed 1M
+    rows, silently turning inserts into updates — and both engines
+    applied the same remap, so oracle parity could never catch it.
+    The negative namespace (-doc_id - 1) is disjoint from every
+    non-negative id regardless of table size.
+
+    Ids here straddle the old collision boundary: with the old remap,
+    doc_id=13 (an 'I' op) would have landed on 1_000_013 — an existing
+    row below. The assertion is the MERGE invariant itself: every 'I'
+    op creates a NEW row, so n('inserted') == n(I-ops) exactly.
+    """
+    from las_vpe_platform_spark.queries_data import q102_apply_cdc
+
+    ids = list(range(0, 100)) + [1_000_000 + i for i in range(100)] + [2_000_026]
+    docs = spark.createDataFrame(
+        [(i, "real", 10) for i in ids], "doc_id long, source string, n_chars long"
+    )
+    sf = str(tmp_path)
+    docs.write.parquet(f"{sf}/documents.parquet")
+
+    out = {r["source"]: r for r in q102_apply_cdc(spark, sf).collect()}
+
+    def op(i):
+        if i % 11 == 4:
+            return "D"
+        if i % 7 == 2:
+            return "U"
+        if i % 13 == 0:
+            return "I"
+        return None
+
+    n_inserts = sum(1 for i in ids if op(i) == "I")
+    assert n_inserts > 0
+    assert out["inserted"]["n_docs"] == n_inserts
+    # insert keys live strictly below zero — disjoint from any real id
+    assert out["inserted"]["max_id"] < 0
+    # and the surviving real rows are exactly the non-deleted ones
+    n_kept = sum(1 for i in ids if op(i) != "D")
+    assert out["real"]["n_docs"] == n_kept
+
+
+def test_hll_bucketed_rejects_reserved_columns(spark):
+    """VERDICT r4 'What's wrong' #3: an input already carrying
+    ``_bucket``/``_rho`` produced ambiguous duplicate columns
+    downstream; now it raises like ``hll_distinct`` does for bad m."""
+    from las_vpe_platform_spark.operators.aggregates import hll_bucketed
+
+    df = spark.range(5).select(
+        F.col("id").alias("k"), F.lit(1).alias("_bucket")
+    )
+    with pytest.raises(ValueError, match="_bucket"):
+        hll_bucketed(df, "k")
+    # clean input still works
+    ok = hll_bucketed(spark.range(5).selectExpr("id AS k"), "k")
+    assert {"_bucket", "_rho"} <= set(ok.columns)
+
+
+def test_sliced_parquet_stream_rejects_empty_input(spark):
+    """VERDICT r4 'What's wrong' #4: zero input rows made min/max
+    return NULL and the slicer died with a TypeError; now it raises a
+    clear ValueError naming the problem."""
+    from las_vpe_platform_spark.queries_streaming import (
+        RAW_EVENTS_SCHEMA,
+        _sliced_parquet_stream,
+    )
+
+    empty = spark.createDataFrame([], RAW_EVENTS_SCHEMA)
+    with pytest.raises(ValueError, match="no rows"):
+        _sliced_parquet_stream(spark, empty, "t_empty_")
+
+
+def test_stream_scratch_dirs_under_one_root(spark):
+    """Slice/re-land dirs nest under a single per-process root that is
+    registered for removal at exit — no orphan dirs accumulating
+    across a suite run (VERDICT r4 'What's wrong' #4)."""
+    from las_vpe_platform_spark.queries_streaming import (
+        _SCRATCH_ROOT,
+        _scratch_dir,
+    )
+
+    a = _scratch_dir("t_a_")
+    b = _scratch_dir("t_b_")
+    assert _SCRATCH_ROOT, "root created on first use"
+    root = _SCRATCH_ROOT[0]
+    assert a.startswith(root) and b.startswith(root) and a != b
+    assert os.path.isdir(a) and os.path.isdir(b)
+
+
+def test_staging_default_is_lazy_and_unpersist_releases(spark):
+    """The staging contract (VERDICT r4 'What's wrong' #1): the
+    default materializer must run ZERO jobs at plan-construction time
+    (localCheckpoint ran the subtree eagerly) and must be releasable
+    by the caller via unpersist_all()."""
+    from pyspark.sql import DataFrame
+
+    from las_vpe_platform_spark.operators.staging import (
+        persist_disk,
+        unpersist_all,
+    )
+
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    df = spark.range(1000).selectExpr("id", "id * 2 AS v")
+    staged = persist_disk(df, "t_stage")
+    assert isinstance(staged, DataFrame)
+    after = tracker.getJobIdsForGroup(None)
+    assert len(after) == len(before), "persist_disk must not run a job"
+    # materializes on first action, then the caller releases it
+    assert staged.count() == 1000
+    assert staged.storageLevel.useDisk
+    released = unpersist_all()
+    assert released >= 1
+    assert not staged.storageLevel.useDisk
+
+
+def test_operator_plan_construction_runs_zero_jobs(spark, sf_dir):
+    """Building the refactored operators' DataFrames (CMS, IVF, IVF2,
+    n-gram Jaccard, PPJoin, DSIR, bloom probe) must execute no Spark
+    jobs until an action — the done-criterion for the staging refactor
+    (plan capture used to run the staged subtrees eagerly)."""
+    from las_vpe_platform_spark.operators.aggregates import cms_heavy_hitters
+    from las_vpe_platform_spark.operators.bloom import bloom_build, bloom_probe
+    from las_vpe_platform_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filter_pairs,
+    )
+    from las_vpe_platform_spark.operators.sampling import hashed_ngram_importance
+    from las_vpe_platform_spark.operators.similarity import ivf2_topk, ivf_topk
+    from las_vpe_platform_spark.operators.staging import unpersist_all
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") % 100 == 7)
+
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None))
+    cms_heavy_hitters(docs, ["source"], d=2, w=16, k=3)
+    ngram_jaccard_pairs(docs.limit(50), "doc_id", "text", threshold=0.5)
+    prefix_filter_pairs(docs.limit(50), "doc_id", "text", threshold=0.5)
+    hashed_ngram_importance(
+        docs.limit(50), docs.limit(20), "doc_id", "text", buckets=16
+    )
+    ivf_topk(probes, emb, "vec_id", "vec_id", k=3)
+    ivf2_topk(probes, emb, "vec_id", "vec_id", k=3)
+    bloom_probe(
+        docs.select("doc_id"), "doc_id", bloom_build(docs.select("doc_id"), "doc_id")
+    )
+    after = len(tracker.getJobIdsForGroup(None))
+    unpersist_all()
+    assert after == before, (
+        f"operator construction ran {after - before} Spark job(s); "
+        "staging must be lazy"
+    )

@@ -55,7 +55,7 @@ HEADLINERS = [
     ("q70_ivf2_topk",
      "two broadcast descent levels (coarse cells then per-cell fine slices); the gallery never joins the full fine table"),
     ("q71_retrieval_pipeline",
-     "decontaminate -> dedup run once into a STAGED survivor set (localCheckpoint = the curation/indexing stage boundary; unstaged, every BM25 statistic re-ran the whole upstream: 16 corpus passes measured); BM25 statistics then read the staged corpus"),
+     "decontaminate -> dedup run once into a STAGED survivor set (lazy persist via operators/staging.py = the curation/indexing stage boundary; unstaged, every BM25 statistic re-ran the whole upstream: 16 corpus passes measured); BM25 statistics then read the staged corpus"),
     ("q72_hourly_rollup_gapfill",
      "gap-fill spine generated from broadcast min/max bounds, left join against the grouped count — spine size is calendar-bounded"),
     ("q73_quality_percentile_filter",
@@ -88,7 +88,44 @@ HEADLINERS = [
      "bigram LM trained in-plan: three corpus reductions with map-side partials; scoring joins shuffle narrow token keys; final top-k is TakeOrderedAndProject"),
     ("m07_patch_neardup",
      "perceptual dedup: signature + content hash in the scan stage, then two cascaded aggregates — the verify stage is a (bucket, hash) groupBy, never a pair join"),
+    ("q106_prefix_filter_join",
+     "EXACT PPJoin: postings/sizes/prefix are STAGED once (lazy persist); the candidate join is an equi-join on prefix shingles with length + positional prunes (7.9M -> 256 candidates measured at sf0.1); verify cost is bounded by candidates, zero cartesian anywhere (guarded by test_q106_ppjoin_staged_postings_no_cartesian)"),
+    ("q93_cluster_keep_best",
+     "LSH candidates -> iterative connected components (path halving; per-round localCheckpoint IS correct there — lineage must truncate) -> per-component window top-1; the plan below is the final keep-best stage reading the converged labels"),
+    ("q94_triangle_count",
+     "degree-oriented wedge join: the LSH pair list is STAGED once and re-read by degree counts, the oriented join, and the closing-edge probe (28 document scans -> 1 measured); wedge width bounded by sqrt(m) out-degree (guarded by test_q94_wedge_join_single_lsh_subtree)"),
+    ("m08_audio_energy_windows",
+     "int16 PCM sum-of-squares computed by hex arithmetic over the binary column inside codegen — samples never materialize as rows; one grouped aggregate per (clip, window)"),
 ]
+
+# Streaming queries execute to completion inside their catalog entry,
+# so explaining the RETURNED frame would show only the memory sink.
+# These capture the UNSTARTED streaming transformation over an
+# empty-dir file source instead: the analyzed plan with the stateful
+# operator (FlatMapGroupsInPandasWithState) and its state schema —
+# zero jobs, zero data.
+STREAMING_HEADLINERS = [
+    ("s10_stream_locf (unstarted streaming plan)",
+     "custom stateful LOCF via applyInPandasWithState: state is ONE (ts, value) pair per user (bounded, watermark-expired); the plan shows the state store operator directly above the file source — no pre-shuffle beyond the groupBy exchange",
+     "_locf_stream_plan"),
+]
+
+
+def _locf_stream_plan(spark):
+    import tempfile
+
+    from las_vpe_platform_spark.queries_streaming import RAW_EVENTS_SCHEMA
+    from las_vpe_platform_spark.streaming.stateful import locf_stream
+    from pyspark.sql import functions as F
+
+    src = tempfile.mkdtemp(prefix="plan_s10_")
+    stream = (
+        spark.readStream.schema(RAW_EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withColumn("ts", F.timestamp_micros("ts_micros"))
+    )
+    return locf_stream(stream, fill_type="click")
 
 
 def main() -> None:
@@ -107,8 +144,14 @@ def main() -> None:
         with redirect_stdout(buf):
             df.explain("formatted")
         out += ["", f"## {name}", "", f"*{note}*", "", "```", buf.getvalue().rstrip(), "```"]
+    for name, note, builder in STREAMING_HEADLINERS:
+        df = globals()[builder](spark)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain(True)
+        out += ["", f"## {name}", "", f"*{note}*", "", "```", buf.getvalue().rstrip(), "```"]
     (_REPO / "PLANS.md").write_text("\n".join(out) + "\n")
-    print(f"wrote PLANS.md with {len(HEADLINERS)} plans")
+    print(f"wrote PLANS.md with {len(HEADLINERS) + len(STREAMING_HEADLINERS)} plans")
 
 
 if __name__ == "__main__":
