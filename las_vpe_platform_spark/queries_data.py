@@ -3190,10 +3190,13 @@ def q94_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     fwd = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
     )
+    # the oriented edge list is itself referenced twice (both wedge
+    # sides) and sits above two deg-joins — stage it too, or the join
+    # tower under it runs once per side
     o = e.select(
         F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("src"),
         F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("dst"),
-    )
+    ).transform(_stage)
     w1 = o.select(F.col("src"), F.col("dst").alias("v"))
     w2 = o.select(F.col("src"), F.col("dst").alias("w"))
     wedges = w1.join(w2, "src").filter(F.col("v") < F.col("w"))
