@@ -165,3 +165,55 @@ def test_operator_plan_construction_runs_zero_jobs(spark, sf_dir):
         f"operator construction ran {after - before} Spark job(s); "
         "staging must be lazy"
     )
+
+
+def test_staging_writer_roundtrip(spark, tmp_path):
+    """The cluster-grade materializer: writes parquet under the
+    staging dir and reads it back — durable across executor loss and
+    driver restart, at the cost of one eager job."""
+    from las_vpe_platform_spark.operators.staging import staging_writer
+
+    mat = staging_writer(str(tmp_path))
+    df = spark.range(100).selectExpr("id", "id % 7 AS g")
+    staged = mat(df, "roundtrip")
+    assert staged.count() == 100
+    assert sorted(staged.columns) == ["g", "id"]
+    # the frame landed on disk under the hint-prefixed path
+    import os
+
+    names = os.listdir(tmp_path)
+    assert any(n.startswith("roundtrip_") for n in names)
+
+
+def test_passthrough_enables_streaming_composition(spark, tmp_path):
+    """An operator taking a Materializer can run inside a streaming
+    plan with passthrough (persist of the static side is legal too,
+    but passthrough proves the hook removes every materialization):
+    bloom-probe a rate stream against a static member set."""
+    from las_vpe_platform_spark.operators.bloom import bloom_build, bloom_probe
+    from las_vpe_platform_spark.operators.staging import passthrough
+
+    members = spark.range(0, 50).select(F.col("id").alias("k"))
+    blocks = bloom_build(members, "k", m=1024, k=4)
+    stream = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", "100")
+        .load()
+        .select(F.col("value").alias("k"))
+    )
+    probed = bloom_probe(
+        stream, "k", blocks, m=1024, k=4, materialize=passthrough
+    )
+    assert probed.isStreaming
+    q = (
+        probed.writeStream.format("memory")
+        .queryName("t_bloom_stream")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.sql("SELECT * FROM t_bloom_stream")
+    assert "bloom_pass" in out.columns
