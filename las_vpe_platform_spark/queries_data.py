@@ -3926,36 +3926,74 @@ JS_SMOOTH = 0.5
 
 def q104_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").filter(F.col("source").isin(JS_SOURCES))
-    # materialize the (source, term) counts ONCE: the pair loop below
-    # references tf twelve times (6 pairs x 2 sides) and Catalyst would
-    # re-run the tokenize+count subtree per reference (measured: 24
-    # document scans -> 1); the frame is vocab-sized per source
+    # SHAPE (round 5, replacing 6 pairwise full-outer joins): pivot the
+    # (source, term) counts into one vocab-sized row per term — a
+    # single term-keyed shuffle — then expand the 6 source pairs
+    # MAP-SIDE from the pivoted row. Pair totals collapse to a 1-row
+    # broadcast aggregate (na is just source a's token total: every
+    # term with ca>0 is in any pair's union vocab), so the term table
+    # is the only data-sized frame and it is staged once. The old
+    # formulation ran 12 cache reads + 6 join exchanges for the same
+    # answer.
     tf = (
         docs.select("source", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("term"))
         .filter(F.length("term") >= 1)
         .groupBy("source", "term")
         .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    piv = (
+        tf.groupBy("term").pivot("source", JS_SOURCES).agg(F.first("cnt"))
     ).transform(_stage)
-    pairs = None
-    for i, a in enumerate(JS_SOURCES):
-        for b in JS_SOURCES[i + 1:]:
-            pa = tf.filter(F.col("source") == a).select("term", F.col("cnt").alias("ca"))
-            pb = tf.filter(F.col("source") == b).select("term", F.col("cnt").alias("cb"))
-            j = pa.join(pb, "term", "full_outer").select(
+
+    src_pairs = [
+        (i, j, a, JS_SOURCES[j])
+        for i, a in enumerate(JS_SOURCES)
+        for j in range(i + 1, len(JS_SOURCES))
+    ]
+    # per-source token totals + per-pair union-vocab sizes: one tiny
+    # aggregate over the pivoted table, broadcast as a single row
+    stats = piv.agg(
+        *[
+            F.sum(F.coalesce(F.col(s), F.lit(0))).cast("long").alias(f"_tot{i}")
+            for i, s in enumerate(JS_SOURCES)
+        ],
+        *[
+            F.sum((F.col(a).isNotNull() | F.col(b).isNotNull()).cast("long"))
+            .alias(f"_voc{k}")
+            for k, (_i, _j, a, b) in enumerate(src_pairs)
+        ],
+    )
+    branches = F.array(
+        *[
+            F.struct(
                 F.lit(a).alias("source_a"),
                 F.lit(b).alias("source_b"),
-                "term",
-                F.coalesce("ca", F.lit(0)).alias("ca"),
-                F.coalesce("cb", F.lit(0)).alias("cb"),
+                F.coalesce(F.col(a), F.lit(0)).cast("long").alias("ca"),
+                F.coalesce(F.col(b), F.lit(0)).cast("long").alias("cb"),
+                F.lit(i).alias("_i"),
+                F.lit(j).alias("_j"),
+                F.lit(k).alias("_k"),
             )
-            pairs = j if pairs is None else pairs.unionByName(j)
-    stats = pairs.groupBy("source_a", "source_b").agg(
-        F.sum("ca").alias("na"),
-        F.sum("cb").alias("nb"),
-        F.count(F.lit(1)).alias("vocab"),
+            for k, (i, j, a, b) in enumerate(src_pairs)
+        ]
+    )
+    pairs = (
+        piv.select(F.explode(branches).alias("p"))
+        .select("p.*")
+        .filter((F.col("ca") > 0) | (F.col("cb") > 0))
+    )
+    tot_arr = F.array(*[F.col(f"_tot{i}") for i in range(len(JS_SOURCES))])
+    voc_arr = F.array(*[F.col(f"_voc{k}") for k in range(len(src_pairs))])
+    joined = pairs.crossJoin(F.broadcast(stats)).select(
+        "source_a",
+        "source_b",
+        "ca",
+        "cb",
+        F.element_at(tot_arr, F.col("_i") + 1).alias("na"),
+        F.element_at(tot_arr, F.col("_j") + 1).alias("nb"),
+        F.element_at(voc_arr, F.col("_k") + 1).alias("vocab"),
     )
     sm = F.lit(JS_SMOOTH)
-    joined = pairs.join(F.broadcast(stats), ["source_a", "source_b"])
     p = (F.col("ca") + sm) / (F.col("na") + sm * F.col("vocab"))
     q = (F.col("cb") + sm) / (F.col("nb") + sm * F.col("vocab"))
     m = (p + q) / 2.0
