@@ -702,3 +702,120 @@ def prefix_filter_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+def prefix_filter_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    text_col: str,
+    threshold: float,
+    shingle_k: int = 2,
+    materialize: Materializer = persist_disk,
+) -> DataFrame:
+    """EXACT Jaccard-threshold join BETWEEN TWO TABLES (R x S) via
+    prefix filtering — :func:`prefix_filter_pairs` generalized from
+    the self-join to record linkage: fuzzy decontamination (corpus
+    docs near-duplicating any eval doc), cross-corpus-version overlap,
+    query-against-catalog matching.
+
+    Same completeness theorem as the self-join — J(r,s) >= t forces a
+    common element within the first |x| - ceil(t*|x|) + 1 positions of
+    EACH side under one shared global order — so the prefixes of both
+    sides are taken under a SINGLE rarest-first order computed from
+    the union of both posting sets (per-side orders would break the
+    guarantee: the pair's first common element must be the same
+    element on both sides). Length and positional prunes carry over
+    verbatim; candidates verify against the full shingle sets, so the
+    result is exact at any float threshold (epsilon-slacked ceils only
+    ever ADMIT more candidates).
+
+    At scale the right side is typically the small one (an eval set);
+    the asymmetric cost profile is the point — the left/corpus side
+    shuffles only its prefix tokens (factor ~(1-t) of its postings),
+    never the full text. Returns (left_id, right_id, size_l, size_r,
+    shared, jaccard) for pairs with jaccard >= threshold.
+    """
+    exl = materialize(
+        exploded_shingles(left, left_id, text_col, shingle_k), "ppj2_left"
+    )
+    exr = materialize(
+        exploded_shingles(right, right_id, text_col, shingle_k), "ppj2_right"
+    )
+    sizes_l = materialize(
+        exl.groupBy("doc_id_").agg(F.count(F.lit(1)).alias("sz")), "ppj2_sizes_l"
+    )
+    sizes_r = materialize(
+        exr.groupBy("doc_id_").agg(F.count(F.lit(1)).alias("sz")), "ppj2_sizes_r"
+    )
+    # ONE global order for both sides: frequency over the union
+    freq = materialize(
+        exl.select("shingle")
+        .unionAll(exr.select("shingle"))
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("_gf")),
+        "ppj2_freq",
+    )
+
+    def _ceil_slack(x):
+        return F.ceil(x - F.lit(1e-9))
+
+    def build_prefix(ex: DataFrame, sizes: DataFrame, hint: str) -> DataFrame:
+        w = W.partitionBy("doc_id_").orderBy(F.asc("_gf"), F.asc("shingle"))
+        return materialize(
+            ex.join(freq, on="shingle")
+            .join(sizes, on="doc_id_")
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(
+                F.col("_rn")
+                <= F.col("sz") - _ceil_slack(F.lit(threshold) * F.col("sz")) + 1
+            )
+            .select("doc_id_", "shingle", "_rn", "sz"),
+            hint,
+        )
+
+    pl = build_prefix(exl, sizes_l, "ppj2_prefix_l").alias("l")
+    pr = build_prefix(exr, sizes_r, "ppj2_prefix_r").alias("r")
+    alpha = _ceil_slack(
+        F.lit(threshold / (1.0 + threshold))
+        * (F.col("l.sz") + F.col("r.sz")).cast("double")
+    )
+    ubound = 1 + F.least(
+        F.col("l.sz") - F.col("l._rn"), F.col("r.sz") - F.col("r._rn")
+    )
+    cand = (
+        pl.join(pr, on="shingle")
+        .filter(
+            (F.col("r.sz") >= _ceil_slack(F.lit(threshold) * F.col("l.sz")))
+            & (F.col("l.sz") >= _ceil_slack(F.lit(threshold) * F.col("r.sz")))
+        )
+        .filter(ubound >= alpha)
+        .select(
+            F.col("l.doc_id_").alias("_lid"), F.col("r.doc_id_").alias("_rid")
+        )
+        .distinct()
+    )
+    shared = (
+        cand.join(exl.selectExpr("doc_id_ AS _lid", "shingle"), on="_lid")
+        .join(exr.selectExpr("doc_id_ AS _rid", "shingle"), on=["_rid", "shingle"])
+        .groupBy("_lid", "_rid")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        shared.join(sizes_l.selectExpr("doc_id_ AS _lid", "sz AS size_l"), on="_lid")
+        .join(sizes_r.selectExpr("doc_id_ AS _rid", "sz AS size_r"), on="_rid")
+        .withColumn(
+            "jaccard",
+            F.col("shared").cast("double")
+            / (F.col("size_l") + F.col("size_r") - F.col("shared")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col("_lid").alias(left_id + "_l"),
+            F.col("_rid").alias(right_id + "_r"),
+            "size_l",
+            "size_r",
+            "shared",
+            "jaccard",
+        )
+    )

@@ -86,8 +86,11 @@ DRIVER_PRIORITY: list[str] = [
     "q63_bloom_semi_join",
     "s03_stream_sessions",
     "s10_stream_locf",
+    # NEW this round (no evidence possible before it existed): the
+    # two-table exact similarity join — must gate now
+    "q107_fuzzy_decontaminate",
     # -- tier 2: stalest evidence — only driver row is round 1 (the
-    #    24 oldest; q45/q46/q47/q49 lose the tiebreak and stay in
+    #    23 oldest; q44-q47/q49 lose the tiebreak and stay in
     #    overflow with their r01 rows) --
     "q02_top_customers_per_nation",
     "q03_shipping_priority",
@@ -112,10 +115,10 @@ DRIVER_PRIORITY: list[str] = [
     "q41_segment_set_ops",
     "q42_doc_repetition",
     "q43_vocab_top_terms",
-    "q44_doc_chunks",
     # -- overflow (positions 50+): every entry below is driver-green
     #    in some prior round (union r01-r04) and stays DuckDB-gated
     #    at sf0.01 on every test run --
+    "q44_doc_chunks",
     "q89_bpe_pair_counts",
     "q94_triangle_count",
     "q97_perplexity_filter",
@@ -220,7 +223,7 @@ if len(DRIVER_PRIORITY) != len(set(DRIVER_PRIORITY)):
 # The must-gate block (tiers 0-1, everything through the re-gates)
 # has to sit inside the driver's first-50 window — review finding r3
 # caught an earlier ordering leaving re-gated entries at 61-63.
-_MUST_GATE_LAST = "s10_stream_locf"
+_MUST_GATE_LAST = "q107_fuzzy_decontaminate"
 if DRIVER_PRIORITY.index(_MUST_GATE_LAST) >= 50:
     raise ValueError(
         "DRIVER_PRIORITY stale: must-gate tiers exceed the 50-entry "

@@ -4185,6 +4185,66 @@ FROM j WHERE jaccard >= {PREFIX_JACCARD_T}
 """
 
 
+
+# --- q107: fuzzy decontamination (exact R x S similarity join) ---------------
+# q60 flags corpus docs sharing any EXACT 13-gram with the eval set;
+# real leakage is often paraphrased-but-near-identical, which exact
+# n-grams miss. q107 is the lossless fuzzy version: an exact
+# Jaccard-threshold JOIN between corpus and eval via two-table prefix
+# filtering (operators/dedup.prefix_filter_join) — both sides' prefixes
+# under ONE rarest-first order computed from the union of posting
+# sets, length + positional prunes, candidates verified on full
+# shingle sets. The oracle proves exactness by running the threshold
+# join exhaustively on the full inverted index. Same k/t as q106 (the
+# corpus vocabulary rationale there applies unchanged); the eval side
+# is the deterministic doc_id % 10 == 0 slice (q60's split).
+
+def q107_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.operators.dedup import prefix_filter_join
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    ev = docs.filter(F.col("doc_id") % 10 == 0)
+    pairs = prefix_filter_join(
+        corpus, ev, left_id="doc_id", right_id="doc_id", text_col="text",
+        threshold=PREFIX_JACCARD_T, shingle_k=PREFIX_SHINGLE_K,
+    )
+    return pairs.select(
+        F.col("doc_id_l").alias("corpus_id"),
+        F.col("doc_id_r").alias("eval_id"),
+        F.col("size_l").cast("bigint").alias("size_corpus"),
+        F.col("size_r").cast("bigint").alias("size_eval"),
+        F.col("shared").cast("bigint").alias("shared"),
+        pround("jaccard", 6).alias("jaccard"),
+    )
+
+
+Q107_SQL = f"""
+WITH base AS (
+  SELECT doc_id, {sql_shingles(PREFIX_SHINGLE_K)} AS sh
+  FROM (SELECT doc_id, {SQL_TOKENS} AS toks FROM documents)
+), ex AS (
+  SELECT doc_id, unnest(sh) AS shingle FROM base
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id
+), pairs AS (
+  SELECT c.doc_id AS corpus_id, e.doc_id AS eval_id, count(*) AS shared
+  FROM (SELECT * FROM ex WHERE doc_id % 10 != 0) c
+  JOIN (SELECT * FROM ex WHERE doc_id % 10 = 0) e ON c.shingle = e.shingle
+  GROUP BY 1, 2
+)
+SELECT corpus_id, eval_id,
+       sc.sz::BIGINT AS size_corpus, se.sz::BIGINT AS size_eval,
+       shared::BIGINT AS shared,
+       floor((shared::DOUBLE / (sc.sz + se.sz - shared)::DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+FROM pairs
+JOIN sizes sc ON sc.doc_id = corpus_id
+JOIN sizes se ON se.doc_id = eval_id
+WHERE shared::DOUBLE / (sc.sz + se.sz - shared)::DOUBLE >= {PREFIX_JACCARD_T}
+"""
+
+
 DATA_QUERIES = {
     "q20_doc_token_stats": (q20_doc_token_stats, Q20_SQL),
     "q21_doc_quality": (q21_doc_quality, Q21_SQL),
@@ -4256,4 +4316,5 @@ DATA_QUERIES = {
     "q104_source_drift": (q104_source_drift, Q104_SQL),
     "q105_decayed_trending": (q105_decayed_trending, Q105_SQL),
     "q106_prefix_filter_join": (q106_prefix_filter_join, Q106_SQL),
+    "q107_fuzzy_decontaminate": (q107_fuzzy_decontaminate, Q107_SQL),
 }

@@ -211,3 +211,44 @@ def test_prefix_filter_complete_at_float_hostile_thresholds(spark):
             if j >= t:
                 want.add((min(ia, ib), max(ia, ib)))
         assert got == want, (t, got, want)
+
+
+def test_prefix_filter_join_matches_brute_force(spark):
+    """Two-table PPJoin completeness at float-hostile thresholds —
+    the R x S generalization must find exactly the brute-force pair
+    set under the SHARED global order (per-side orders would break the
+    first-common-element guarantee)."""
+    from las_vpe_platform_spark.operators.dedup import prefix_filter_join
+
+    corpus = [
+        (1, "a b c d e f g h i"),
+        (2, "m n o p q r s t u"),
+        (3, "z z2 z3 z4 z5 z6 z7 z8 z9"),
+    ]
+    evals = [
+        (10, "z y x w f g h i q"),    # overlaps 1
+        (11, "m n o p q r s t v"),    # near-clone of 2
+        (12, "totally different words here indeed"),
+    ]
+    cdf = spark.createDataFrame(corpus, "doc_id long, text string")
+    edf = spark.createDataFrame(evals, "doc_id long, text string")
+
+    def sh(s):
+        toks = s.split()
+        return {" ".join(toks[i:i + 2]) for i in range(len(toks) - 1)}
+
+    for t in (0.2, 0.22, 1.0 / 3.0, 0.5):
+        got = {
+            (r["doc_id_l"], r["doc_id_r"])
+            for r in prefix_filter_join(
+                cdf, edf, "doc_id", "doc_id", "text",
+                threshold=t, shingle_k=2,
+            ).collect()
+        }
+        want = set()
+        for ci, ct in corpus:
+            for ei, et in evals:
+                a, b = sh(ct), sh(et)
+                if len(a & b) / len(a | b) >= t:
+                    want.add((ci, ei))
+        assert got == want, (t, got, want)
