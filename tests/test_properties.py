@@ -194,3 +194,48 @@ def test_matmul_topk_matches_python_reference(spark, vecs, k):
         for rank, (_s, gid) in enumerate(scored[:k], start=1):
             want[(pid, rank)] = gid
     assert got == want
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=1,
+        max_size=40,
+    )
+)
+@slow
+def test_connected_components_match_union_find(spark, edges):
+    """CC by min-label + path halving must equal a plain union-find:
+    every node labeled with the minimum node id of its component —
+    on random multigraphs with self-loops, duplicates, and both edge
+    orientations (edges_canonical=False exercises the symmetrize +
+    distinct path)."""
+    from las_vpe_platform_spark.operators.dedup import connected_components
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df, "id_a", "id_b").collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+
+    for a, b in edges:
+        union(a, b)
+    comps: dict[int, list[int]] = {}
+    for n in parent:
+        comps.setdefault(find(n), []).append(n)
+    want = {n: min(members) for members in comps.values() for n in members}
+    assert got == want
