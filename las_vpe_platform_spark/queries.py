@@ -86,11 +86,13 @@ DRIVER_PRIORITY: list[str] = [
     "q63_bloom_semi_join",
     "s03_stream_sessions",
     "s10_stream_locf",
-    # NEW this round (no evidence possible before it existed): the
-    # two-table exact similarity join — must gate now
+    # NEW this round (no evidence possible before they existed): the
+    # two-table exact similarity join and the patch scene-cut
+    # detector — must gate now
     "q107_fuzzy_decontaminate",
+    "m09_patch_brightness_cuts",
     # -- tier 2: stalest evidence — only driver row is round 1 (the
-    #    23 oldest; q44-q47/q49 lose the tiebreak and stay in
+    #    22 oldest; q43-q47/q49 lose the tiebreak and stay in
     #    overflow with their r01 rows) --
     "q02_top_customers_per_nation",
     "q03_shipping_priority",
@@ -114,10 +116,10 @@ DRIVER_PRIORITY: list[str] = [
     "q40_part_name_strings",
     "q41_segment_set_ops",
     "q42_doc_repetition",
-    "q43_vocab_top_terms",
     # -- overflow (positions 50+): every entry below is driver-green
     #    in some prior round (union r01-r04) and stays DuckDB-gated
     #    at sf0.01 on every test run --
+    "q43_vocab_top_terms",
     "q44_doc_chunks",
     "q89_bpe_pair_counts",
     "q94_triangle_count",
@@ -216,6 +218,15 @@ _missing = [n for n in DRIVER_PRIORITY if n not in _ALL]
 if _missing:  # fail fast at import — a typo here silently drops a query
     raise KeyError(f"DRIVER_PRIORITY names not in catalog: {_missing}")
 
+_unlisted = sorted(set(_ALL) - set(DRIVER_PRIORITY))
+if _unlisted:  # a catalog entry outside DRIVER_PRIORITY lands past the
+    # window via CATALOG.setdefault with NO guard coverage — every
+    # entry must be placed explicitly (round-5 near-miss: m09)
+    raise ValueError(
+        f"catalog entries missing from DRIVER_PRIORITY: {_unlisted} — "
+        "place each explicitly (window or overflow)"
+    )
+
 if len(DRIVER_PRIORITY) != len(set(DRIVER_PRIORITY)):
     _dupes = sorted({n for n in DRIVER_PRIORITY if DRIVER_PRIORITY.count(n) > 1})
     raise ValueError(f"DRIVER_PRIORITY has duplicates: {_dupes}")
@@ -223,7 +234,7 @@ if len(DRIVER_PRIORITY) != len(set(DRIVER_PRIORITY)):
 # The must-gate block (tiers 0-1, everything through the re-gates)
 # has to sit inside the driver's first-50 window — review finding r3
 # caught an earlier ordering leaving re-gated entries at 61-63.
-_MUST_GATE_LAST = "q107_fuzzy_decontaminate"
+_MUST_GATE_LAST = "m09_patch_brightness_cuts"
 if DRIVER_PRIORITY.index(_MUST_GATE_LAST) >= 50:
     raise ValueError(
         "DRIVER_PRIORITY stale: must-gate tiers exceed the 50-entry "

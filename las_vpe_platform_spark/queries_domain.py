@@ -1098,6 +1098,106 @@ FROM wins
 M08_SQL = _m08_sql()
 
 
+
+# --- m09: appearance-change (scene-cut) detection over patch brightness -----
+# Shot/appearance-boundary detection, the video-curation primitive the
+# reference's tracker consumes upstream (a tracklet whose patches jump
+# in appearance spans a tracking error or a lighting cut): per patch,
+# a brightness proxy from a FIXED 64-byte sample of the raw BGR
+# payload (cost O(64) per patch regardless of patch size — the
+# thumbnail trick real shot detectors use), then a per-tracklet lag
+# window flags deltas above threshold. All JVM expressions: bytes are
+# read via the hex/conv route (m08's machinery), never materialized
+# as rows, and the only exchange is the per-tracklet window.
+
+M09_SAMPLES = 64
+M09_CUT_T = 500
+
+
+def m09_patch_brightness_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    tr = _fx(spark, "tracklets")
+    ex = (
+        tr.select(
+            "video_id",
+            "tracklet_key",
+            F.posexplode("location_sequence").alias("patch_idx", "box"),
+        )
+        .filter(F.col("box.patch_data").isNotNull())
+        .select(
+            "video_id",
+            "tracklet_key",
+            "patch_idx",
+            F.col("box.patch_data").alias("patch_data"),
+        )
+        .filter(F.length("patch_data") > 0)
+    )
+    ns = M09_SAMPLES
+    byte_at = (
+        "CAST(conv(hex(substring(patch_data,"
+        f" CAST((j * _n) DIV {ns} AS INT) + 1, 1)), 16, 10) AS BIGINT)"
+    )
+    bright = ex.selectExpr(
+        "video_id",
+        "tracklet_key",
+        "patch_idx",
+        "CAST(length(patch_data) AS BIGINT) AS _n",
+        "patch_data",
+    ).selectExpr(
+        "video_id",
+        "tracklet_key",
+        "CAST(patch_idx AS BIGINT) AS patch_idx",
+        f"aggregate(sequence(0, {ns - 1}), 0L, (acc, j) -> acc + {byte_at})"
+        " AS brightness",
+    )
+    w = W.partitionBy("tracklet_key").orderBy("patch_idx")
+    delta = F.col("brightness") - F.lag("brightness").over(w)
+    return bright.select(
+        "video_id",
+        "tracklet_key",
+        "patch_idx",
+        "brightness",
+        F.abs(delta).alias("brightness_delta"),
+        F.when(F.abs(delta) > M09_CUT_T, 1).otherwise(0).alias("is_cut"),
+    )
+
+
+def _m09_sql() -> str:
+    ns = M09_SAMPLES
+    b = (
+        "('0x' || substr(hx, 2 * CAST((j * n) // "
+        f"{ns} AS INT) + 1, 2))::BIGINT"
+    )
+    return f"""
+WITH ex AS (
+  SELECT video_id, tracklet_key,
+         unnest(list_transform(generate_series(1, len(location_sequence)),
+                i -> {{'patch_idx': i - 1,
+                      'pd': location_sequence[i].patch_data}})) AS u
+  FROM {_fxsql('tracklets')}
+), px AS (
+  SELECT video_id, tracklet_key, u.patch_idx AS patch_idx,
+         hex(u.pd) AS hx, octet_length(u.pd) AS n
+  FROM ex WHERE u.pd IS NOT NULL AND octet_length(u.pd) > 0
+), br AS (
+  SELECT video_id, tracklet_key, patch_idx::BIGINT AS patch_idx,
+         list_sum(list_transform(generate_series(0, {ns - 1}),
+                                 j -> {b}))::BIGINT AS brightness
+  FROM px
+)
+SELECT video_id, tracklet_key, patch_idx, brightness,
+       abs(brightness - lag(brightness) OVER w)::BIGINT AS brightness_delta,
+       (CASE WHEN abs(brightness - lag(brightness) OVER w) > {M09_CUT_T}
+             THEN 1 ELSE 0 END) AS is_cut
+FROM br
+WINDOW w AS (PARTITION BY tracklet_key ORDER BY patch_idx)
+"""
+
+
+M09_SQL = _m09_sql()
+
+
 DOMAIN_QUERIES = {
     "d01_tracklet_sampling": (d01_tracklet_sampling, D01_SQL),
     "d02_attribute_average": (d02_attribute_average, D02_SQL),
@@ -1123,4 +1223,5 @@ DOMAIN_QUERIES = {
     "m06_keyframe_selection": (m06_keyframe_selection, M06_SQL),
     "m07_patch_neardup": (m07_patch_neardup, M07_SQL),
     "m08_audio_energy_windows": (m08_audio_energy_windows, M08_SQL),
+    "m09_patch_brightness_cuts": (m09_patch_brightness_cuts, M09_SQL),
 }
