@@ -98,6 +98,10 @@ HEADLINERS = [
      "int16 PCM sum-of-squares computed by hex arithmetic over the binary column inside codegen — samples never materialize as rows; one grouped aggregate per (clip, window)"),
     ("q104_source_drift",
      "pairwise JS divergence via ONE term-keyed pivot: source pairs expand map-side from the pivoted row, pair totals collapse to a 1-row broadcast aggregate — replaced 6 full-outer joins + 12 cache reads (3.3 -> ~1.3 s at sf0.1)"),
+    ("q107_fuzzy_decontaminate",
+     "two-table exact PPJoin: both prefixes under ONE shared rarest-first order (union posting frequencies); the corpus ships only prefix postings, the eval side is the small one; candidates equi-join on prefix shingle with length + positional prunes, verify bounded by candidates"),
+    ("m09_patch_brightness_cuts",
+     "scene-cut pre-pass: fixed 64-byte brightness sample per patch via hex/conv codegen (pixels never materialize as rows); the per-tracklet lag window is the only exchange"),
 ]
 
 # Streaming queries execute to completion inside their catalog entry,
