@@ -91,8 +91,10 @@ DRIVER_PRIORITY: list[str] = [
     # detector — must gate now
     "q107_fuzzy_decontaminate",
     "m09_patch_brightness_cuts",
+    "q108_event_trigrams",
+    "q109_cohort_retention",
     # -- tier 2: stalest evidence — only driver row is round 1 (the
-    #    22 oldest; q43-q47/q49 lose the tiebreak and stay in
+    #    20 oldest; q41-q47/q49 lose the tiebreak and stay in
     #    overflow with their r01 rows) --
     "q02_top_customers_per_nation",
     "q03_shipping_priority",
@@ -114,11 +116,11 @@ DRIVER_PRIORITY: list[str] = [
     "q38_running_user_value",
     "q39_event_navigation",
     "q40_part_name_strings",
-    "q41_segment_set_ops",
-    "q42_doc_repetition",
     # -- overflow (positions 50+): every entry below is driver-green
     #    in some prior round (union r01-r04) and stays DuckDB-gated
     #    at sf0.01 on every test run --
+    "q41_segment_set_ops",
+    "q42_doc_repetition",
     "q43_vocab_top_terms",
     "q44_doc_chunks",
     "q89_bpe_pair_counts",
@@ -234,7 +236,7 @@ if len(DRIVER_PRIORITY) != len(set(DRIVER_PRIORITY)):
 # The must-gate block (tiers 0-1, everything through the re-gates)
 # has to sit inside the driver's first-50 window — review finding r3
 # caught an earlier ordering leaving re-gated entries at 61-63.
-_MUST_GATE_LAST = "m09_patch_brightness_cuts"
+_MUST_GATE_LAST = "q109_cohort_retention"
 if DRIVER_PRIORITY.index(_MUST_GATE_LAST) >= 50:
     raise ValueError(
         "DRIVER_PRIORITY stale: must-gate tiers exceed the 50-entry "

@@ -1171,6 +1171,124 @@ FROM events
 """
 
 
+
+# --- q108: event-sequence mining (top behavioral trigrams) -------------------
+# Sequential-pattern analytics the funnel (q98) cannot express: the
+# funnel fixes a stage list up front; this DISCOVERS the dominant
+# behavior paths by counting consecutive event-type trigrams over each
+# user's time-ordered stream. One per-user window (lead x2, the only
+# data-sized exchange — same partitioning q18's sessionizer already
+# needs) then a hash aggregate on the trigram; top-k compiles to
+# TakeOrderedAndProject. Tie-broken by event_id so both engines order
+# identically at equal timestamps.
+
+SEQ_TOPK = 15
+
+
+def q108_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("e1"),
+            F.lead("event_type", 1).over(w).alias("e2"),
+            F.lead("event_type", 2).over(w).alias("e3"),
+        )
+        .filter(F.col("e3").isNotNull())
+    )
+    return (
+        tri.groupBy("e1", "e2", "e3")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .orderBy(F.desc("n"), F.asc("e1"), F.asc("e2"), F.asc("e3"))
+        .limit(SEQ_TOPK)
+    )
+
+
+Q108_SQL = f"""
+WITH tri AS (
+  SELECT user_id, event_type AS e1,
+         lead(event_type, 1) OVER w AS e2,
+         lead(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT e1, e2, e3, count(*)::BIGINT AS n,
+       count(DISTINCT user_id)::BIGINT AS n_users
+FROM tri WHERE e3 IS NOT NULL
+GROUP BY e1, e2, e3
+ORDER BY n DESC, e1, e2, e3
+LIMIT {SEQ_TOPK}
+"""
+
+
+# --- q109: cohort retention --------------------------------------------------
+# Classic cohort analysis: users grouped by first-activity day, then
+# the fraction still active k days later. Shape: first-seen per user
+# (one user-keyed hash agg with map-side partials), events join their
+# user's cohort on user_id — a shuffle equi-join at scale (AQE picks
+# broadcast at small sf; the user dimension is NOT broadcastable at
+# 10^9 users and the plan does not force it) — then one
+# (cohort_day, age_days) count. Only the retention DENOMINATORS
+# re-enter via an explicit broadcast: cohort_day is calendar-bounded,
+# so that side stays KB-sized at any corpus size.
+
+def q109_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    first = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    aged = (
+        ev.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff("day", F.col("cohort_day")).alias("age_days"),
+        )
+        .distinct()
+    )
+    sizes = aged.filter(F.col("age_days") == 0).groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return (
+        aged.groupBy("cohort_day", "age_days")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
+        .join(F.broadcast(sizes), "cohort_day")
+        .select(
+            F.col("cohort_day").cast("string").alias("cohort_day"),
+            F.col("age_days").cast("bigint").alias("age_days"),
+            "n_active",
+            F.col("cohort_size").cast("bigint").alias("cohort_size"),
+            pround(
+                F.col("n_active").cast("double") / F.col("cohort_size"), 6
+            ).alias("retention"),
+        )
+    )
+
+
+Q109_SQL = """
+WITH ev AS (
+  SELECT user_id, ts::DATE AS day FROM events
+), first AS (
+  SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id
+), aged AS (
+  SELECT DISTINCT ev.user_id, cohort_day,
+         datediff('day', cohort_day, day) AS age_days
+  FROM ev JOIN first USING (user_id)
+), sizes AS (
+  SELECT cohort_day, count(*) AS cohort_size FROM aged WHERE age_days = 0 GROUP BY cohort_day
+)
+SELECT cohort_day::VARCHAR AS cohort_day, age_days::BIGINT AS age_days,
+       count(*)::BIGINT AS n_active, any_value(cohort_size)::BIGINT AS cohort_size,
+       floor((count(*)::DOUBLE / any_value(cohort_size)) * 1000000.0 + 0.5) / 1000000.0 AS retention
+FROM aged JOIN sizes USING (cohort_day)
+GROUP BY cohort_day, age_days
+"""
+
+
 RELATIONAL_QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_top_customers_per_nation": (q02_top_customers_per_nation, Q02_SQL),
@@ -1208,4 +1326,6 @@ RELATIONAL_QUERIES = {
     "q63_bloom_semi_join": (q63_bloom_semi_join, Q63_SQL),
     "q72_hourly_rollup_gapfill": (q72_hourly_rollup_gapfill, Q72_SQL),
     "q76_locf_backfill": (q76_locf_backfill, Q76_SQL),
+    "q108_event_trigrams": (q108_event_trigrams, Q108_SQL),
+    "q109_cohort_retention": (q109_cohort_retention, Q109_SQL),
 }
