@@ -145,6 +145,47 @@ def bench(spark, path: str) -> dict[str, float]:
         .save()
     )
     out["bpe_pairs"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    # q108 shape: per-user ordered window (lead x2) + trigram aggregate
+    w108 = W.partitionBy("user_id").orderBy("ts", "event_id")
+    (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("e1"),
+            F.lead("event_type", 1).over(w108).alias("e2"),
+            F.lead("event_type", 2).over(w108).alias("e3"),
+        )
+        .filter(F.col("e3").isNotNull())
+        .groupBy("e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("user_id"))
+        .orderBy(F.desc("n"), "e1", "e2", "e3")
+        .limit(15)
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    out["event_trigrams"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    # q109 shape: first-seen per user, join back, cohort x age counts
+    days = ev.select("user_id", F.to_date("ts").alias("day"))
+    first = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    aged = (
+        days.join(first, "user_id")
+        .select("user_id", "cohort_day", F.datediff("day", "cohort_day").alias("age"))
+        .distinct()
+    )
+    sizes = aged.filter("age = 0").groupBy("cohort_day").count()
+    (
+        aged.groupBy("cohort_day", "age")
+        .count()
+        .join(F.broadcast(sizes.withColumnRenamed("count", "sz")), "cohort_day")
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    out["cohort_retention"] = round(time.perf_counter() - t0, 2)
     return out
 
 
