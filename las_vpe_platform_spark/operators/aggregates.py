@@ -280,6 +280,12 @@ def cms_bucketed(
 ) -> DataFrame:
     """Annotate items with their d bucket ids (_b0.._b{d-1}) — the
     shared map side of the batch AND streaming CMS paths."""
+    clash = {f"_b{j}" for j in range(d)} & set(key_cols)
+    if clash:  # same hazard class as hll_bucketed's _bucket/_rho
+        raise ValueError(
+            f"cms_bucketed: key column(s) {sorted(clash)} collide with the "
+            "reserved _b0.._b{d-1} bucket names — rename them first"
+        )
     joined = F.concat_ws("\x1f", *[F.col(c) for c in key_cols])
 
     def bucket(j: int) -> Column:

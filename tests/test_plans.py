@@ -326,3 +326,30 @@ def test_q94_wedge_join_single_lsh_subtree(spark, sf_dir):
     assert "Generate" not in outside, (
         "LSH signature subtree re-ran outside the staged pair build"
     )
+
+
+def test_q108_topk_is_take_ordered(spark, sf_dir):
+    # the global trigram top-k must be TakeOrderedAndProject (per-
+    # partition heaps + driver merge), never a single-partition sort;
+    # and the only exchanges are the per-user window + the trigram
+    # aggregate + the distinct-user count
+    from las_vpe_platform_spark.queries import CATALOG
+
+    plan = _plan(CATALOG["q108_event_trigrams"][0](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange SinglePartition" not in plan.split("TakeOrderedAndProject")[0]
+
+
+def test_q109_only_forced_broadcast_is_calendar_bounded(spark, sf_dir):
+    # the user-dimension join must NOT be forced broadcast (10^9 users
+    # at scale) — only the cohort-day denominator side is, and that
+    # side is calendar-bounded. AQE may still choose broadcast for the
+    # user join at tiny sf; the assertion is on the LOGICAL plan's
+    # explicit hints, not the runtime choice.
+    from las_vpe_platform_spark.queries import CATALOG
+
+    df = CATALOG["q109_cohort_retention"][0](spark, sf_dir)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    # exactly one explicit broadcast hint survives to the optimized
+    # plan as a ResolvedHint/broadcast marker on the sizes subtree
+    assert logical.lower().count("broadcast") <= 1

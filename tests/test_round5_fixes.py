@@ -217,3 +217,15 @@ def test_passthrough_enables_streaming_composition(spark, tmp_path):
         q.stop()
     out = spark.sql("SELECT * FROM t_bloom_stream")
     assert "bloom_pass" in out.columns
+
+
+def test_cms_bucketed_rejects_reserved_key_columns(spark):
+    """Key columns colliding with the reserved _b0.._b{d-1} bucket
+    names must raise instead of producing ambiguous columns."""
+    from las_vpe_platform_spark.operators.aggregates import cms_bucketed
+
+    df = spark.range(5).selectExpr("id AS _b0", "id AS k")
+    with pytest.raises(ValueError, match="_b0"):
+        cms_bucketed(df, ["_b0", "k"], d=2, w=16)
+    ok = cms_bucketed(df, ["k"], d=2, w=16)
+    assert {"_b0", "_b1"} <= set(ok.columns)
