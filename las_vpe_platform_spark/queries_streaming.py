@@ -45,6 +45,14 @@ def _scratch_dir(prefix: str) -> str:
     return tempfile.mkdtemp(prefix=prefix, dir=_SCRATCH_ROOT[0])
 
 
+# landed-source cache: re-landing the source table is a pure
+# deterministic function of sf_dir, so every one-shot streaming entry
+# can share one parquet copy per process — each query still opens its
+# OWN stream with a fresh checkpoint/sink over the static dir, so
+# stream semantics are untouched; only the redundant re-write goes.
+_LANDED: dict[tuple, str] = {}
+
+
 def _events_micros(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events with ``ts`` replaced by absolute epoch-micros (``ts_micros``).
 
@@ -61,6 +69,25 @@ def _events_micros(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("ts")
         .select("event_id", "ts_micros", "user_id", "event_type", "value", "props")
     )
+
+def _landed_events8(
+    spark: SparkSession, sf_dir: str, event_types: tuple[str, ...] | None = None
+) -> str:
+    """The 8-file re-land of the events table, shared per process.
+
+    ``event_types`` lands only those types (the landing-zone filter —
+    cheaper than filtering after the stream scan); the cache key
+    includes it so filtered and full landings never alias."""
+    key = ("events8", sf_dir, event_types)
+    if key not in _LANDED:
+        src = _scratch_dir("events8_")
+        raw = _events_micros(spark, sf_dir)
+        if event_types is not None:
+            raw = raw.filter(F.col("event_type").isin(*event_types))
+        raw.coalesce(8).write.mode("overwrite").parquet(src)
+        _LANDED[key] = src
+    return _LANDED[key]
+
 
 @contextlib.contextmanager
 def _stream_partitions(spark: SparkSession, n: int = 8):
@@ -99,26 +126,40 @@ RAW_EVENTS_SCHEMA = T.StructType(
 
 
 def _sliced_parquet_stream(
-    spark: SparkSession, raw: DataFrame, prefix: str, n_slices: int = 2
+    spark: SparkSession,
+    raw: DataFrame,
+    prefix: str,
+    n_slices: int = 2,
+    cache_key: tuple | None = None,
 ):
     """Land ``raw`` (events with ``ts_micros``) as ``n_slices``
     time-ordered parquet slices and open them as a one-file-per-trigger
     stream — so micro-batches arrive in non-decreasing event-time
     ranges, the arrival order the stateful operators contract for
-    (sequential writes -> increasing mtimes -> batch order)."""
-    lo, hi = raw.agg(F.min("ts_micros"), F.max("ts_micros")).first()
-    if lo is None or hi is None:  # min/max of zero rows is NULL
-        raise ValueError(
-            "_sliced_parquet_stream: input has no rows — cannot derive "
-            "time slices (check the sf_dir / upstream filters)"
-        )
-    src = _scratch_dir(prefix)
-    step = (hi - lo) // n_slices + 1
-    for i in range(n_slices):
-        raw.filter(
-            (F.col("ts_micros") >= lo + i * step)
-            & (F.col("ts_micros") < lo + (i + 1) * step)
-        ).coalesce(1).write.mode("overwrite").parquet(f"{src}/slice{i}")
+    (sequential writes -> increasing mtimes -> batch order).
+
+    ``cache_key``: callers whose ``raw`` is a pure function of the key
+    (e.g. ("events_sliced", sf_dir)) share one landed copy per process
+    — the stateful entries s03/s10 slice the identical table."""
+    full_key = None if cache_key is None else ("sliced", n_slices) + cache_key
+    if full_key is not None and full_key in _LANDED:
+        src = _LANDED[full_key]
+    else:
+        lo, hi = raw.agg(F.min("ts_micros"), F.max("ts_micros")).first()
+        if lo is None or hi is None:  # min/max of zero rows is NULL
+            raise ValueError(
+                "_sliced_parquet_stream: input has no rows — cannot derive "
+                "time slices (check the sf_dir / upstream filters)"
+            )
+        src = _scratch_dir(prefix)
+        step = (hi - lo) // n_slices + 1
+        for i in range(n_slices):
+            raw.filter(
+                (F.col("ts_micros") >= lo + i * step)
+                & (F.col("ts_micros") < lo + (i + 1) * step)
+            ).coalesce(1).write.mode("overwrite").parquet(f"{src}/slice{i}")
+        if full_key is not None:
+            _LANDED[full_key] = src
     return (
         spark.readStream.schema(RAW_EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", "1")
@@ -135,13 +176,11 @@ def s01_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output uses epoch seconds for the window start so the comparison is
     session-timezone independent.
     """
-    raw = _events_micros(spark, sf_dir)
-    src = _scratch_dir("s01_events_")
     # 8 files / 4 per trigger = 2 micro-batches: still proves
     # incremental multi-trigger processing (the many-trigger case is
     # covered by tests/test_streaming.py) without paying 8 triggers of
     # harness overhead in the bench
-    raw.coalesce(8).write.mode("overwrite").parquet(src)
+    src = _landed_events8(spark, sf_dir)
     stream = file_stream(spark, src, RAW_EVENTS_SCHEMA, max_files_per_trigger=4).withColumn(
         "ts", F.timestamp_micros("ts_micros")
     )
@@ -174,9 +213,7 @@ def s02_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded-state behavior itself is pytest-covered)."""
     from las_vpe_platform_spark.streaming.engine import dedup_stream
 
-    raw = _events_micros(spark, sf_dir)
-    src = _scratch_dir("s02_events_")
-    raw.coalesce(8).write.mode("overwrite").parquet(src)
+    src = _landed_events8(spark, sf_dir)
     stream = file_stream(spark, src, RAW_EVENTS_SCHEMA, max_files_per_trigger=4).withColumn(
         "ts", F.timestamp_micros("ts_micros")
     )
@@ -210,7 +247,9 @@ def s03_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from las_vpe_platform_spark.streaming.stateful import sessionize_stream
 
     raw = _events_micros(spark, sf_dir)
-    stream = _sliced_parquet_stream(spark, raw, "s03_events_")
+    stream = _sliced_parquet_stream(
+        spark, raw, "s03_events_", cache_key=("events", sf_dir)
+    )
     sessions = sessionize_stream(stream, "user_id", "ts", gap_seconds=1800)
     name = f"s03_out_{uuid.uuid4().hex[:8]}"
     with _stream_partitions(spark):
@@ -267,11 +306,7 @@ def s04_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # land only the two event types the join touches — the filter
     # belongs at the landing zone, not after the stream scan
-    raw = _events_micros(spark, sf_dir).filter(
-        F.col("event_type").isin("click", "purchase")
-    )
-    src = _scratch_dir("s04_events_")
-    raw.coalesce(8).write.mode("overwrite").parquet(src)
+    src = _landed_events8(spark, sf_dir, event_types=("click", "purchase"))
 
     def typed_stream():
         return file_stream(
@@ -337,11 +372,7 @@ def s05_stream_demux_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from las_vpe_platform_spark.operators.routing import demux
 
-    raw = _events_micros(spark, sf_dir).filter(
-        F.col("event_type").isin("click", "purchase")
-    )
-    src = _scratch_dir("s05_events_")
-    raw.coalesce(8).write.mode("overwrite").parquet(src)
+    src = _landed_events8(spark, sf_dir, event_types=("click", "purchase"))
     stream = file_stream(spark, src, RAW_EVENTS_SCHEMA, max_files_per_trigger=4).withColumn(
         "ts", F.timestamp_micros("ts_micros")
     )
@@ -402,9 +433,7 @@ def s06_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_ids are 0-based, TPC-H custkeys 1-based); the result is
     per-market-segment traffic, hash-compared to the batch join.
     """
-    raw = _events_micros(spark, sf_dir)
-    src = _scratch_dir("s06_events_")
-    raw.coalesce(8).write.mode("overwrite").parquet(src)
+    src = _landed_events8(spark, sf_dir)
     stream = file_stream(spark, src, RAW_EVENTS_SCHEMA, max_files_per_trigger=4)
     dim = load_table(spark, sf_dir, "customer").select(
         (F.col("c_custkey") - 1).alias("user_id"),
@@ -456,9 +485,7 @@ def s07_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         cms_sketch,
     )
 
-    raw = _events_micros(spark, sf_dir)
-    src = _scratch_dir("s07_events_")
-    raw.coalesce(8).write.mode("overwrite").parquet(src)
+    src = _landed_events8(spark, sf_dir)
     stream = file_stream(spark, src, RAW_EVENTS_SCHEMA, max_files_per_trigger=4)
 
     def keyed(df: DataFrame) -> DataFrame:
@@ -583,9 +610,7 @@ S09_M = 64
 def s09_stream_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from las_vpe_platform_spark.operators.aggregates import hll_bucketed, hll_finish
 
-    raw = _events_micros(spark, sf_dir)
-    src = _scratch_dir("s09_events_")
-    raw.coalesce(8).write.mode("overwrite").parquet(src)
+    src = _landed_events8(spark, sf_dir)
     stream = file_stream(
         spark, src, RAW_EVENTS_SCHEMA, max_files_per_trigger=4
     ).withColumn("ts", F.timestamp_micros("ts_micros"))
@@ -632,7 +657,9 @@ def s10_stream_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from las_vpe_platform_spark.streaming.stateful import locf_stream
 
     raw = _events_micros(spark, sf_dir)
-    stream = _sliced_parquet_stream(spark, raw, "s10_events_")
+    stream = _sliced_parquet_stream(
+        spark, raw, "s10_events_", cache_key=("events", sf_dir)
+    )
     filled = locf_stream(stream, fill_type="click")
     name = f"s10_out_{uuid.uuid4().hex[:8]}"
     with _stream_partitions(spark):
@@ -670,9 +697,7 @@ S11_TOPK = 3
 def s11_stream_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W2
 
-    raw = _events_micros(spark, sf_dir)
-    src = _scratch_dir("s11_events_")
-    raw.coalesce(8).write.mode("overwrite").parquet(src)
+    src = _landed_events8(spark, sf_dir)
     stream = file_stream(
         spark, src, RAW_EVENTS_SCHEMA, max_files_per_trigger=4
     ).withColumn("ts", F.timestamp_micros("ts_micros"))
