@@ -229,3 +229,25 @@ def test_cms_bucketed_rejects_reserved_key_columns(spark):
         cms_bucketed(df, ["_b0", "k"], d=2, w=16)
     ok = cms_bucketed(df, ["k"], d=2, w=16)
     assert {"_b0", "_b1"} <= set(ok.columns)
+
+
+def test_landed_events_shared_and_filtered_never_alias(spark, sf_dir):
+    """The per-process streaming landing cache: one copy per
+    (sf_dir, filter) — repeated calls reuse it, and a filtered landing
+    never aliases the full one."""
+    from las_vpe_platform_spark.queries_streaming import (
+        _LANDED,
+        _landed_events8,
+    )
+
+    a = _landed_events8(spark, sf_dir)
+    b = _landed_events8(spark, sf_dir)
+    assert a == b, "same key must reuse the landed copy"
+    f = _landed_events8(spark, sf_dir, event_types=("click", "purchase"))
+    assert f != a, "filtered landing must not alias the full landing"
+    full_rows = spark.read.parquet(a).count()
+    filt = spark.read.parquet(f)
+    assert filt.count() < full_rows
+    types = {r["event_type"] for r in filt.select("event_type").distinct().collect()}
+    assert types <= {"click", "purchase"}
+    assert ("events8", sf_dir, None) in _LANDED
