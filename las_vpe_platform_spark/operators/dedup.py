@@ -478,19 +478,31 @@ def connected_components(
     round changes nothing. Rounds = graph diameter in the worst case —
     dedup-cluster graphs are shallow (near-clique blobs), so this
     converges in a handful of rounds. Each round is one equi-join +
-    one grouped min (shuffle on node id both times); `localCheckpoint`
-    truncates the growing lineage. The driver-side loop is inherent to
-    iterative convergence (same structure as GraphX/Pregel supersteps);
-    the per-round convergence check is one count of changed labels.
-    At larger diameters swap in the large-star/small-star variant
-    (Kiveris et al.) -- same join primitive, O(log n) rounds.
+    one grouped min (shuffle on node id both times). The driver-side
+    loop is inherent to iterative convergence (same structure as
+    GraphX/Pregel supersteps); the per-round convergence check is one
+    cheap aggregate. At larger diameters swap in the
+    large-star/small-star variant (Kiveris et al.) -- same join
+    primitive, O(log n) rounds.
+
+    Materialization (round 5): ``localCheckpoint`` IS required here —
+    each round references its input three times, so without lineage
+    truncation the analyzed tree grows 3^rounds (measured: plan
+    stringification alone OOMs the driver near round 8 under plain
+    persist). But the checkpoints are LAZY (``eager=False``): the
+    per-round convergence aggregate doubles as the materializing
+    action, one Spark job per round where the eager form paid two
+    (checkpoint + sum), and the three setup frames materialize inside
+    round 1's job instead of three jobs of their own. Executor-loss
+    unrecoverability is accepted for iterative loops (the documented
+    localCheckpoint carve-out in operators/staging.py).
 
     Returns (node, component) with component = min node id reachable.
     """
     # materialize the (possibly expensive) edge subtree ONCE — the
     # symmetrizing union references it twice and Spark would compute
     # it per branch otherwise
-    e = edges.selectExpr(f"{src} AS a", f"{dst} AS b").localCheckpoint()
+    e = edges.selectExpr(f"{src} AS a", f"{dst} AS b").localCheckpoint(eager=False)
     # edges_canonical: caller guarantees distinct pairs with src < dst,
     # so the two union branches are disjoint and the defensive
     # distinct() — a full shuffle of the doubled edge list — is skipped
@@ -498,17 +510,18 @@ def connected_components(
     sym = e.union(e.selectExpr("b AS a", "a AS b"))
     if not edges_canonical:
         sym = sym.distinct()
-    sym = sym.localCheckpoint()
+    sym = sym.localCheckpoint(eager=False)
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # convergence detector: sum(component) is monotonically
     # non-increasing under min-propagation and stalls exactly at the
     # fixed point — one cheap aggregate per round instead of a
-    # changed-labels comparison join
+    # changed-labels comparison join; the aggregate IS the
+    # materializing action for the lazy checkpoint
     prev_sum = labels.agg(F.sum("component")).collect()[0][0]
 
     def step(lbl: DataFrame) -> DataFrame:
@@ -536,10 +549,10 @@ def connected_components(
     for _ in range(max_iterations):
         # one step per materialization: step() references its input
         # three times (neighbor/shortcut/self), so the input must be a
-        # materialized (checkpointed) frame — fusing two steps per
-        # barrier recomputes the inner step per reference and measures
-        # ~25% slower, not faster
-        labels = step(labels).localCheckpoint()
+        # materialized frame — fusing two steps per barrier recomputes
+        # the inner step per reference and measures ~25% slower, not
+        # faster
+        labels = step(labels).localCheckpoint(eager=False)
         new_sum = labels.agg(F.sum("component")).collect()[0][0]
         if new_sum == prev_sum:
             break
