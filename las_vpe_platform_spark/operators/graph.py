@@ -50,20 +50,22 @@ def pagerank_fixed_point(
     decisively), so the whole thing is ONE Catalyst plan per call with
     linear lineage; edge/node subtrees are localCheckpoint'd so the
     (possibly expensive) upstream pair-generation runs once, not once
-    per iteration. At 1000-executor scale, pre-partition ``edges`` by
+    per iteration (checkpoints are lazy — eager=False — so plan
+    construction runs zero jobs and the final action materializes
+    them once). At 1000-executor scale, pre-partition ``edges`` by
     ``src`` and ranks co-shuffle onto it each round; state is 16 bytes
     per node.
     """
-    e = edges.selectExpr(f"{src} AS src", f"{dst} AS dst").localCheckpoint()
+    e = edges.selectExpr(f"{src} AS src", f"{dst} AS dst").localCheckpoint(eager=False)
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    ewd = e.join(deg, "src").localCheckpoint()
+    ewd = e.join(deg, "src").localCheckpoint(eager=False)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
     )
     n_df = nodes.agg(F.count(F.lit(1)).alias("n"))
-    nodes = nodes.crossJoin(F.broadcast(n_df)).localCheckpoint()
+    nodes = nodes.crossJoin(F.broadcast(n_df)).localCheckpoint(eager=False)
     ranks = nodes.selectExpr("node", "n", f"CAST({scale} AS BIGINT) div n AS rank")
     for _ in range(iterations):
         contrib = (
