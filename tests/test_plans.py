@@ -353,3 +353,27 @@ def test_q109_only_forced_broadcast_is_calendar_bounded(spark, sf_dir):
     # exactly one explicit broadcast hint survives to the optimized
     # plan as a ResolvedHint/broadcast marker on the sizes subtree
     assert logical.lower().count("broadcast") <= 1
+
+
+def test_catalog_batch_plans_have_no_cartesian_product(spark, sf_dir):
+    """Catalog-wide scale invariant: no batch entry may plan a
+    non-broadcast cross join — Spark emits CartesianProduct only when
+    a cross join's build side cannot broadcast, which at 100 TB means
+    a shuffle of the full product. Broadcast crossJoins of 1-row
+    aggregate frames compile to BroadcastNestedLoopJoin and are fine.
+
+    Streaming entries are excluded (calling them RUNS the stream);
+    everything else constructs lazily enough to plan-check cheaply.
+    """
+    from las_vpe_platform_spark.operators.staging import unpersist_all
+    from las_vpe_platform_spark.queries import CATALOG
+
+    offenders = []
+    for name, (fn, _sql) in CATALOG.items():
+        if name.startswith("s"):  # streaming: construction executes
+            continue
+        plan = _plan(fn(spark, sf_dir))
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    unpersist_all()
+    assert not offenders, f"non-broadcast cross joins in: {offenders}"
