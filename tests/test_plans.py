@@ -356,11 +356,16 @@ def test_q109_only_forced_broadcast_is_calendar_bounded(spark, sf_dir):
 
 
 def test_catalog_batch_plans_have_no_cartesian_product(spark, sf_dir):
-    """Catalog-wide scale invariant: no batch entry may plan a
-    non-broadcast cross join — Spark emits CartesianProduct only when
-    a cross join's build side cannot broadcast, which at 100 TB means
-    a shuffle of the full product. Broadcast crossJoins of 1-row
-    aggregate frames compile to BroadcastNestedLoopJoin and are fine.
+    """Catalog-wide scale invariants, one pass over every batch plan:
+
+    1. No CartesianProduct — Spark emits it only when a cross join's
+       build side cannot broadcast, i.e. a full-product shuffle at
+       100 TB. Broadcast crossJoins of 1-row aggregate frames compile
+       to BroadcastNestedLoopJoin and are fine.
+    2. No BatchEvalPython — the row-at-a-time Python UDF node. The
+       engine rule (SCALE.md 'Python boundaries') is Arrow-batched
+       pandas stages only (ArrowEvalPython / MapInPandas /
+       FlatMapGroupsInPandas), and only where a model genuinely runs.
 
     Streaming entries are excluded (calling them RUNS the stream);
     everything else constructs lazily enough to plan-check cheaply.
@@ -368,12 +373,15 @@ def test_catalog_batch_plans_have_no_cartesian_product(spark, sf_dir):
     from las_vpe_platform_spark.operators.staging import unpersist_all
     from las_vpe_platform_spark.queries import CATALOG
 
-    offenders = []
+    cartesian, row_udfs = [], []
     for name, (fn, _sql) in CATALOG.items():
         if name.startswith("s"):  # streaming: construction executes
             continue
         plan = _plan(fn(spark, sf_dir))
         if "CartesianProduct" in plan:
-            offenders.append(name)
+            cartesian.append(name)
+        if "BatchEvalPython" in plan:
+            row_udfs.append(name)
     unpersist_all()
-    assert not offenders, f"non-broadcast cross joins in: {offenders}"
+    assert not cartesian, f"non-broadcast cross joins in: {cartesian}"
+    assert not row_udfs, f"row-at-a-time Python UDFs in: {row_udfs}"
