@@ -239,3 +239,52 @@ def test_connected_components_match_union_find(spark, edges):
         comps.setdefault(find(n), []).append(n)
     want = {n: min(members) for members in comps.values() for n in members}
     assert got == want
+
+
+@st.composite
+def jaccard_corpus(draw):
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff", "gg"]
+    def doc():
+        toks = draw(st.lists(st.sampled_from(vocab), min_size=2, max_size=9))
+        return " ".join(toks)
+    n_l = draw(st.integers(1, 5))
+    n_r = draw(st.integers(1, 4))
+    left = [(i, doc()) for i in range(n_l)]
+    right = [(100 + i, doc()) for i in range(n_r)]
+    t = draw(st.sampled_from([0.2, 0.25, 1.0 / 3.0, 0.5, 0.75, 1.0]))
+    return left, right, t
+
+
+@given(case=jaccard_corpus())
+@slow
+def test_prefix_filter_join_property(spark, case):
+    """R x S PPJoin completeness/precision on random corpora from a
+    tiny vocabulary (maximally hot shingles — the prefix filter's
+    worst case) at thresholds including exact rationals: the result
+    must equal brute-force exact Jaccard, pair for pair."""
+    from las_vpe_platform_spark.operators.dedup import prefix_filter_join
+
+    left, right, t = case
+    ldf = spark.createDataFrame(left, "doc_id long, text string")
+    rdf = spark.createDataFrame(right, "doc_id long, text string")
+
+    def sh(s):
+        toks = s.split()
+        return {" ".join(toks[i:i + 2]) for i in range(len(toks) - 1)}
+
+    got = {
+        (r["doc_id_l"], r["doc_id_r"]): r["jaccard"]
+        for r in prefix_filter_join(
+            ldf, rdf, "doc_id", "doc_id", "text", threshold=t, shingle_k=2
+        ).collect()
+    }
+    want = {}
+    for li, lt in left:
+        for ri, rt in right:
+            a, b = sh(lt), sh(rt)
+            j = len(a & b) / len(a | b)
+            if j >= t:
+                want[(li, ri)] = j
+    assert got.keys() == want.keys(), (t, got, want)
+    for k in got:
+        assert abs(got[k] - want[k]) < 1e-9
