@@ -1289,6 +1289,75 @@ GROUP BY cohort_day, age_days
 """
 
 
+
+# --- q110: portable approximate quantiles (bottom-hash sample sketch) --------
+# Completes the engine-portable sketch family (HLL q56 = distinct,
+# CMS q81 = frequency, this = quantiles): `approx_percentile` is the
+# production call but its t-digest is engine-private, so — like HLL —
+# this builds a quantile estimate BOTH engines reproduce bit-for-bit:
+# a deterministic bottom-k-by-md5 uniform sample per group, exact
+# percentiles over the sample.
+#
+# Scale shape (the point): the FULL data never shuffles. Per-group
+# counts are a map-side-partial aggregate (groups-sized), the
+# acceptance threshold ~ 2*k/n is a per-row FILTER against the
+# broadcast counts, and only the ~2k-row survivor set pays the
+# rank-trim window + percentile. Sample size k bounds the error
+# (standard order-statistics confidence ~ 1/sqrt(k)); groups smaller
+# than the slack accept everything and the estimate is exact.
+# Threshold arithmetic is (2^60 div n) * 2k in exact integers —
+# associativity chosen so both engines round identically.
+
+SQ_K = 256
+_SQ_HASH60 = (
+    "CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 15), 16, 10)"
+    " AS BIGINT)"
+)
+
+
+def q110_sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    thr = F.expr(f"(1152921504606846976L div n) * {2 * SQ_K}")
+    survivors = (
+        ev.join(F.broadcast(counts), "event_type")
+        .withColumn("_h", F.expr(_SQ_HASH60))
+        .filter((F.col("_h") < thr) | (F.col("n") <= F.lit(2 * SQ_K)))
+    )
+    w = W.partitionBy("event_type").orderBy("_h", "event_id")
+    sample = survivors.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= SQ_K
+    )
+    return sample.groupBy("event_type").agg(
+        F.first("n").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("sample_n"),
+        pround(F.expr("percentile(value, 0.5)"), 6).alias("p50_est"),
+        pround(F.expr("percentile(value, 0.9)"), 6).alias("p90_est"),
+        pround(F.expr("percentile(value, 0.99)"), 6).alias("p99_est"),
+    )
+
+
+Q110_SQL = f"""
+WITH counts AS (
+  SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+), hashed AS (
+  SELECT e.event_type, e.event_id, e.value, c.n,
+         ('0x' || substr(md5(event_id::VARCHAR), 1, 15))::BIGINT AS _h
+  FROM events e JOIN counts c USING (event_type)
+), survivors AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY _h, event_id) AS _rn
+  FROM hashed
+  WHERE _h < (1152921504606846976 // n) * {2 * SQ_K} OR n <= {2 * SQ_K}
+)
+SELECT event_type, any_value(n)::BIGINT AS n, count(*)::BIGINT AS sample_n,
+       floor((quantile_cont(value, 0.5)) * 1000000.0 + 0.5) / 1000000.0 AS p50_est,
+       floor((quantile_cont(value, 0.9)) * 1000000.0 + 0.5) / 1000000.0 AS p90_est,
+       floor((quantile_cont(value, 0.99)) * 1000000.0 + 0.5) / 1000000.0 AS p99_est
+FROM survivors WHERE _rn <= {SQ_K}
+GROUP BY event_type
+"""
+
+
 RELATIONAL_QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_top_customers_per_nation": (q02_top_customers_per_nation, Q02_SQL),
@@ -1328,4 +1397,5 @@ RELATIONAL_QUERIES = {
     "q76_locf_backfill": (q76_locf_backfill, Q76_SQL),
     "q108_event_trigrams": (q108_event_trigrams, Q108_SQL),
     "q109_cohort_retention": (q109_cohort_retention, Q109_SQL),
+    "q110_sampled_quantiles": (q110_sampled_quantiles, Q110_SQL),
 }
