@@ -251,3 +251,24 @@ def test_landed_events_shared_and_filtered_never_alias(spark, sf_dir):
     types = {r["event_type"] for r in filt.select("event_type").distinct().collect()}
     assert types <= {"click", "purchase"}
     assert ("events8", sf_dir, None) in _LANDED
+
+
+def test_staged_frames_recover_after_block_loss(spark, sf_dir):
+    """The recoverability claim of the staging refactor, exercised:
+    unpersisting a staged frame AFTER plan construction but BEFORE the
+    action simulates total cache loss — the consumer must recompute
+    through lineage and produce the identical result (eager
+    localCheckpoint had no lineage to recompute through)."""
+    from las_vpe_platform_spark.operators.aggregates import cms_heavy_hitters
+    from las_vpe_platform_spark.operators.staging import unpersist_all
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    intact = cms_heavy_hitters(docs, ["source"], d=4, w=64, k=5)
+    expected = sorted(tuple(r) for r in intact.collect())
+    unpersist_all()
+
+    lost = cms_heavy_hitters(docs, ["source"], d=4, w=64, k=5)
+    released = unpersist_all()  # drop every staged block pre-action
+    assert released >= 1
+    got = sorted(tuple(r) for r in lost.collect())
+    assert got == expected
