@@ -94,8 +94,9 @@ DRIVER_PRIORITY: list[str] = [
     "q108_event_trigrams",
     "q109_cohort_retention",
     "q110_sampled_quantiles",
+    "s12_stream_trigrams",
     # -- tier 2: stalest evidence — only driver row is round 1 (the
-    #    19 oldest; q40-q47/q49 lose the tiebreak and stay in
+    #    18 oldest; q39-q47/q49 lose the tiebreak and stay in
     #    overflow with their r01 rows) --
     "q02_top_customers_per_nation",
     "q03_shipping_priority",
@@ -115,10 +116,10 @@ DRIVER_PRIORITY: list[str] = [
     "q36_cheapest_customer_per_nation",
     "q37_bilateral_volume",
     "q38_running_user_value",
-    "q39_event_navigation",
     # -- overflow (positions 50+): every entry below is driver-green
     #    in some prior round (union r01-r04) and stays DuckDB-gated
     #    at sf0.01 on every test run --
+    "q39_event_navigation",
     "q40_part_name_strings",
     "q41_segment_set_ops",
     "q42_doc_repetition",
@@ -237,7 +238,7 @@ if len(DRIVER_PRIORITY) != len(set(DRIVER_PRIORITY)):
 # The must-gate block (tiers 0-1, everything through the re-gates)
 # has to sit inside the driver's first-50 window — review finding r3
 # caught an earlier ordering leaving re-gated entries at 61-63.
-_MUST_GATE_LAST = "q110_sampled_quantiles"
+_MUST_GATE_LAST = "s12_stream_trigrams"
 if DRIVER_PRIORITY.index(_MUST_GATE_LAST) >= 50:
     raise ValueError(
         "DRIVER_PRIORITY stale: must-gate tiers exceed the 50-entry "

@@ -737,6 +737,44 @@ FROM ranked WHERE rank <= {S11_TOPK}
 """
 
 
+
+def s12_stream_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming event-sequence mining — the stateful counterpart of
+    batch q108: per-user trigrams emitted by a custom
+    applyInPandasWithState operator carrying only the last TWO event
+    types per key, then batch-finished into the same top-15 table the
+    lead()-window formulation produces (oracle: Q108's SQL verbatim —
+    the two formulations must agree exactly)."""
+    from las_vpe_platform_spark.streaming.stateful import trigram_stream
+
+    raw = _events_micros(spark, sf_dir)
+    stream = _sliced_parquet_stream(
+        spark, raw, "s12_events_", cache_key=("events", sf_dir)
+    )
+    tri = trigram_stream(stream)
+    name = f"s12_out_{uuid.uuid4().hex[:8]}"
+    with _stream_partitions(spark):
+        sink = run_to_completion(tri, name, output_mode="append")
+    return (
+        sink.groupBy("e1", "e2", "e3")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .orderBy(F.desc("n"), F.asc("e1"), F.asc("e2"), F.asc("e3"))
+        .limit(15)
+    )
+
+
+def _s12_sql() -> str:
+    from las_vpe_platform_spark.queries_relational import Q108_SQL
+
+    return Q108_SQL
+
+
+S12_SQL = _s12_sql()
+
+
 STREAMING_QUERIES = {
     "s01_stream_windowed_counts": (s01_stream_windowed_counts, S01_SQL),
     "s02_stream_dedup": (s02_stream_dedup, S02_SQL),
@@ -749,4 +787,5 @@ STREAMING_QUERIES = {
     "s09_stream_distinct_sketch": (s09_stream_distinct_sketch, S09_SQL),
     "s10_stream_locf": (s10_stream_locf, S10_SQL),
     "s11_stream_leaderboard": (s11_stream_leaderboard, S11_SQL),
+    "s12_stream_trigrams": (s12_stream_trigrams, S12_SQL),
 }

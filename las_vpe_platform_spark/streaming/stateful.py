@@ -326,3 +326,67 @@ def locf_stream(stream: DataFrame, fill_type: str = "click") -> DataFrame:
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+TRIGRAM_OUTPUT_SCHEMA = "user_id long, e1 string, e2 string, e3 string"
+TRIGRAM_STATE_SCHEMA = "e1 string, e2 string"
+
+
+def trigram_stream(stream: DataFrame) -> DataFrame:
+    """Streaming event-sequence mining (the stateful counterpart of
+    batch q108): per user, emit every consecutive event-type TRIGRAM
+    as it completes — the carried state is just the last TWO event
+    types, the minimum a length-3 pattern needs, bounded per key
+    regardless of stream length.
+
+    Input contract: the events shape (``user_id``, ``ts``,
+    ``event_id``, ``event_type``) with micro-batches arriving in
+    non-decreasing event-time ranges per key (the time-sliced landing
+    s03/s10 use); within a batch rows sort by (event-time, event_id),
+    so the emitted trigram multiset equals the batch lead()-window
+    formulation exactly.
+    """
+    key_col, ts_col = "user_id", "ts"
+
+    def emit(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        pdf = pd.concat(list(batches), ignore_index=True)
+        ts_us = pd.to_datetime(pdf[ts_col]).astype("int64") // 1000
+        pdf = pdf.assign(_ts=ts_us).sort_values(
+            ["_ts", "event_id"], kind="mergesort"
+        )
+        carried = list(state.get) if state.exists else []
+        carried = [c for c in carried if c is not None]
+        seq = carried + pdf["event_type"].tolist()
+        # every length-3 window over carried+batch contains at least
+        # one NEW element (carried is at most 2 long), so emitting all
+        # of them never duplicates a prior batch's trigrams
+        rows = [
+            (key[0], seq[i], seq[i + 1], seq[i + 2])
+            for i in range(len(seq) - 2)
+        ]
+        tail = seq[-2:]
+        if len(tail) == 2:
+            state.update((tail[0], tail[1]))
+        elif len(tail) == 1:
+            state.update((None, tail[0]))
+        if rows:
+            yield pd.DataFrame(rows, columns=["user_id", "e1", "e2", "e3"])
+
+    from las_vpe_platform_spark.session import ensure_package_on_workers
+
+    ensure_package_on_workers(stream.sparkSession)
+    return (
+        stream.select(key_col, ts_col, "event_id", "event_type")
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            emit,
+            TRIGRAM_OUTPUT_SCHEMA,
+            TRIGRAM_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
