@@ -701,3 +701,68 @@ def test_locf_state_recovered_across_restart(spark, sf_dir, tmp_path):
     mismatch = [k for k in got if (got[k] is None) != (want[k] is None)
                 or (got[k] is not None and abs(got[k] - want[k]) > 1e-9)]
     assert not mismatch, f"{len(mismatch)} rows lost their carried state, e.g. {mismatch[:5]}"
+
+
+def test_trigram_state_recovered_across_restart(spark, sf_dir, tmp_path):
+    """T3 for the trigram miner's custom state: stop after the first
+    time slice, restart from the checkpoint over a newly-landed second
+    slice — the boundary trigrams (spanning the restart) must appear
+    exactly once, i.e. the two-event-type carry was restored, not
+    rebuilt and not replayed. Oracle: batch lead()-window trigrams
+    over the full table."""
+    from pyspark.sql import Window as W
+
+    from las_vpe_platform_spark.streaming.stateful import trigram_stream
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    )
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    mid = lo + (hi - lo) / 2
+    src = str(tmp_path / "tri_src")
+    ckpt = str(tmp_path / "tri_ckpt")
+    out = str(tmp_path / "tri_out")
+    ev.filter(F.col("ts") < mid).coalesce(1).write.mode("overwrite").parquet(src)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            trigram_stream(stream)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    ev.filter(F.col("ts") >= mid).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+
+    got = sorted(
+        (r["user_id"], r["e1"], r["e2"], r["e3"])
+        for r in spark.read.parquet(out).collect()
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    want = sorted(
+        (r["user_id"], r["e1"], r["e2"], r["e3"])
+        for r in ev.select(
+            "user_id",
+            F.col("event_type").alias("e1"),
+            F.lead("event_type", 1).over(w).alias("e2"),
+            F.lead("event_type", 2).over(w).alias("e3"),
+        )
+        .filter(F.col("e3").isNotNull())
+        .collect()
+    )
+    assert got == want, (
+        f"trigram multiset diverged after restart: {len(got)} vs {len(want)}"
+    )
