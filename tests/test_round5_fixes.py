@@ -272,3 +272,33 @@ def test_staged_frames_recover_after_block_loss(spark, sf_dir):
     assert released >= 1
     got = sorted(tuple(r) for r in lost.collect())
     assert got == expected
+
+
+def test_sampled_quantiles_close_to_exact(spark):
+    """q110's bottom-hash sample must actually estimate well, not just
+    be portable: on 20k skewed values per group, the sampled p50/p90
+    must land within the order-statistics tolerance (~1/sqrt(256) in
+    rank space) of the exact quantiles."""
+    from las_vpe_platform_spark.queries_relational import q110_sampled_quantiles
+
+    n = 20_000
+    df = spark.range(n).selectExpr(
+        "'g' AS event_type",
+        "id AS event_id",
+        # skewed (quadratic) values: rank tolerance must hold anyway
+        "CAST(id * id AS DOUBLE) / 1e6 AS value",
+        # loader contract: events tables carry a ts column
+        "timestamp_micros(CAST(1704067200000000 + id AS BIGINT)) AS ts",
+    )
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="q110_t_")
+    df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    row = q110_sampled_quantiles(spark, d).collect()[0]
+    assert row["n"] == n and row["sample_n"] == 256
+    # rank-space check: the value at estimated p is value(rank p*n ± eps*n)
+    eps = 3.0 / (256 ** 0.5)  # ~3 sigma of the order statistic
+    for p, est in ((0.5, row["p50_est"]), (0.9, row["p90_est"])):
+        lo = ((p - eps) * n) ** 2 / 1e6
+        hi = ((p + eps) * n) ** 2 / 1e6
+        assert lo <= est <= hi, (p, est, lo, hi)

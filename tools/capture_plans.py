@@ -114,7 +114,27 @@ STREAMING_HEADLINERS = [
     ("s10_stream_locf (unstarted streaming plan)",
      "custom stateful LOCF via applyInPandasWithState: state is ONE (ts, value) pair per user (bounded, watermark-expired); the plan shows the state store operator directly above the file source — no pre-shuffle beyond the groupBy exchange",
      "_locf_stream_plan"),
+    ("s12_stream_trigrams (unstarted streaming plan)",
+     "stateful sequence mining: state is the last TWO event types per user (the minimum a length-3 pattern needs); one groupBy exchange into the state operator, batch-finished top-k outside the stream",
+     "_trigram_stream_plan"),
 ]
+
+
+def _trigram_stream_plan(spark):
+    import tempfile
+
+    from las_vpe_platform_spark.queries_streaming import RAW_EVENTS_SCHEMA
+    from las_vpe_platform_spark.streaming.stateful import trigram_stream
+    from pyspark.sql import functions as F
+
+    src = tempfile.mkdtemp(prefix="plan_s12_")
+    stream = (
+        spark.readStream.schema(RAW_EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withColumn("ts", F.timestamp_micros("ts_micros"))
+    )
+    return trigram_stream(stream)
 
 
 def _locf_stream_plan(spark):
