@@ -302,3 +302,17 @@ def test_sampled_quantiles_close_to_exact(spark):
         lo = ((p - eps) * n) ** 2 / 1e6
         hi = ((p + eps) * n) ** 2 / 1e6
         assert lo <= est <= hi, (p, est, lo, hi)
+
+
+def test_eager_local_checkpoint_materializer(spark):
+    """The opt-in round-3-behavior materializer: eager (runs the
+    subtree at call time) and lineage-truncating — kept for
+    single-session batch jobs that want blocks dropped with the JVM."""
+    from las_vpe_platform_spark.operators.staging import eager_local_checkpoint
+
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None))
+    staged = eager_local_checkpoint(spark.range(100).selectExpr("id * 3 AS v"))
+    after = len(tracker.getJobIdsForGroup(None))
+    assert after > before, "eager form must run the subtree immediately"
+    assert staged.count() == 100
