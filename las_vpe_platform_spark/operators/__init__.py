@@ -15,6 +15,21 @@ from las_vpe_platform_spark.operators.aggregates import (  # noqa: F401
 from las_vpe_platform_spark.operators.clustering import (  # noqa: F401
     kmeans_assign,
 )
+from las_vpe_platform_spark.operators.dedup import (  # noqa: F401
+    connected_components,
+    exact_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    prefix_filter_join,
+    prefix_filter_pairs,
+)
+from las_vpe_platform_spark.operators.staging import (  # noqa: F401
+    Materializer,
+    passthrough,
+    persist_disk,
+    staging_writer,
+    unpersist_all,
+)
 from las_vpe_platform_spark.operators.joins import (  # noqa: F401
     full_outer_assemble,
     pairwise_similarity_topk,
