@@ -18,19 +18,23 @@ catalog).  ``DRIVER_PRIORITY`` is therefore RE-DERIVED EVERY ROUND as
    round's changes touch (q102 insert-key namespace fix; the
    localCheckpoint->caller-staging refactor in cms/ivf/ngram/ppjoin/
    dsir/bloom; the _sliced_parquet_stream harness hardening behind
-   s03/s10),
+   s03/s10) plus the SIX round-5 additions (q107 fuzzy
+   decontamination, m09 appearance cuts, q108 trigrams, q109 cohort
+   retention, q110 sampled quantiles, s12 streaming trigrams),
 3. tier 2 — stalest evidence: entries whose ONLY driver row is
    round 1.
 
-After round 4, every catalog entry has at least one driver-green row
-(union of CORRECTNESS_r01-r04 covers 125/141; tier 0 closes the other
-16 this round), so the overflow (positions 50+) is entirely
-prior-driver-green and ``ACKNOWLEDGED_OVERFLOW`` is empty.  The
-import-time guards enforce (a) the re-gate block sits inside the
-window and (b) every overflow entry has a prior-round driver row or
-an explicit acknowledgement.  Every catalog entry is additionally
-hash-verified against DuckDB on every test run by
-``tests/test_oracle_parity.py`` (at sf0.01, the driver's scale).
+After round 4, every pre-round-5 catalog entry has at least one
+driver-green row (union of CORRECTNESS_r01-r04 covers 125/141; tier 0
+closes the other 16 this round), so the overflow (positions 50+) is
+entirely prior-driver-green and ``ACKNOWLEDGED_OVERFLOW`` is empty.
+The import-time guards enforce (a) the re-gate block sits inside the
+window, (b) every overflow entry has a prior-round driver row or an
+explicit acknowledgement, and (c) every catalog entry appears in this
+list explicitly (nothing reaches the catalog tail unplaced).  Every
+catalog entry is additionally hash-verified against DuckDB on every
+test run by ``tests/test_oracle_parity.py`` (at sf0.01, the driver's
+scale), and the full catalog also passed a sweep at sf0.1 this round.
 """
 
 from __future__ import annotations
