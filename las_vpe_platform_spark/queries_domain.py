@@ -1198,6 +1198,90 @@ WINDOW w AS (PARTITION BY tracklet_key ORDER BY patch_idx)
 M09_SQL = _m09_sql()
 
 
+
+# --- d17: tracklet trajectory statistics ------------------------------------
+# Motion features from the bounding-box sequence — the downstream
+# signal a pedestrian platform derives from its tracklets (dwell vs
+# transit classification, camera-handoff prediction; the reference
+# stores the raw location_sequence, Tracklet.java:216-225, and leaves
+# analytics to consumers). Pure array expressions over the struct
+# array: centers, per-step displacements, path length, net
+# displacement, straightness — no explode, no shuffle except none at
+# all (the plan is Project over the scan; a 100 TB tracklet table
+# streams through in one stage).
+
+def d17_trajectory_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tr = _fx(spark, "tracklets")
+    cx = "(ls[{i}].x + ls[{i}].width / 2.0D)"
+    cy = "(ls[{i}].y + ls[{i}].height / 2.0D)"
+    step = (
+        "sqrt(pow(" + cx.format(i="i") + " - " + cx.format(i="i-1") + ", 2.0D)"
+        " + pow(" + cy.format(i="i") + " - " + cy.format(i="i-1") + ", 2.0D))"
+    )
+    net = (
+        "sqrt(pow(" + cx.format(i="size(ls)-1") + " - " + cx.format(i="0") + ", 2.0D)"
+        " + pow(" + cy.format(i="size(ls)-1") + " - " + cy.format(i="0") + ", 2.0D))"
+    )
+    return tr.selectExpr(
+        "tracklet_key", "location_sequence AS ls"
+    ).selectExpr(
+        "tracklet_key",
+        "CAST(size(ls) AS BIGINT) AS n_boxes",
+        f"CASE WHEN size(ls) >= 2 THEN aggregate(sequence(1, size(ls) - 1),"
+        f" 0.0D, (acc, i) -> acc + {step}) ELSE 0.0D END AS _path",
+        f"CASE WHEN size(ls) >= 2 THEN {net} ELSE 0.0D END AS _net",
+        "CASE WHEN size(ls) > 0 THEN aggregate(ls, 0.0D,"
+        " (acc, b) -> acc + CAST(b.width AS DOUBLE) * b.height)"
+        " / size(ls) ELSE 0.0D END AS _area",
+    ).selectExpr(
+        "tracklet_key",
+        "n_boxes",
+        "floor(_path * 1000000.0D + 0.5D) / 1000000.0D AS path_len",
+        "floor(_net * 1000000.0D + 0.5D) / 1000000.0D AS net_disp",
+        "CASE WHEN _path > 0.0D THEN floor(_net / _path * 1000000.0D + 0.5D)"
+        " / 1000000.0D ELSE NULL END AS straightness",
+        "floor(_area * 1000000.0D + 0.5D) / 1000000.0D AS avg_area",
+    )
+
+
+def _d17_sql() -> str:
+    cx = "(ls[{i}].x + ls[{i}].width / 2.0)"
+    cy = "(ls[{i}].y + ls[{i}].height / 2.0)"
+    step = (
+        "sqrt(pow(" + cx.format(i="i") + " - " + cx.format(i="i-1") + ", 2.0)"
+        " + pow(" + cy.format(i="i") + " - " + cy.format(i="i-1") + ", 2.0))"
+    )
+    net = (
+        "sqrt(pow(" + cx.format(i="len(ls)") + " - " + cx.format(i="1") + ", 2.0)"
+        " + pow(" + cy.format(i="len(ls)") + " - " + cy.format(i="1") + ", 2.0))"
+    )
+    return f"""
+WITH base AS (
+  SELECT tracklet_key, location_sequence AS ls FROM {_fxsql('tracklets')}
+), m AS (
+  SELECT tracklet_key, len(ls)::BIGINT AS n_boxes,
+         CASE WHEN len(ls) >= 2 THEN coalesce(list_sum(
+           list_transform(generate_series(2, len(ls)), i -> {step})), 0.0)
+         ELSE 0.0 END AS _path,
+         CASE WHEN len(ls) >= 2 THEN {net} ELSE 0.0 END AS _net,
+         CASE WHEN len(ls) > 0 THEN list_sum(
+           list_transform(ls, b -> b.width::DOUBLE * b.height)) / len(ls)
+         ELSE 0.0 END AS _area
+  FROM base
+)
+SELECT tracklet_key, n_boxes,
+       floor(_path * 1000000.0 + 0.5) / 1000000.0 AS path_len,
+       floor(_net * 1000000.0 + 0.5) / 1000000.0 AS net_disp,
+       CASE WHEN _path > 0.0 THEN floor(_net / _path * 1000000.0 + 0.5) / 1000000.0
+            ELSE NULL END AS straightness,
+       floor(_area * 1000000.0 + 0.5) / 1000000.0 AS avg_area
+FROM m
+"""
+
+
+D17_SQL = _d17_sql()
+
+
 DOMAIN_QUERIES = {
     "d01_tracklet_sampling": (d01_tracklet_sampling, D01_SQL),
     "d02_attribute_average": (d02_attribute_average, D02_SQL),
@@ -1224,4 +1308,5 @@ DOMAIN_QUERIES = {
     "m07_patch_neardup": (m07_patch_neardup, M07_SQL),
     "m08_audio_energy_windows": (m08_audio_energy_windows, M08_SQL),
     "m09_patch_brightness_cuts": (m09_patch_brightness_cuts, M09_SQL),
+    "d17_trajectory_stats": (d17_trajectory_stats, D17_SQL),
 }
