@@ -385,3 +385,13 @@ def test_catalog_batch_plans_have_no_cartesian_product(spark, sf_dir):
     unpersist_all()
     assert not cartesian, f"non-broadcast cross joins in: {cartesian}"
     assert not row_udfs, f"row-at-a-time Python UDFs in: {row_udfs}"
+
+
+def test_d17_trajectory_stats_exchange_free(spark, sf_dir):
+    # trajectory stats are pure array expressions over the struct
+    # column: the plan must be Project over the scan — zero exchanges,
+    # so a 100 TB tracklet table streams through in one stage
+    from las_vpe_platform_spark.queries import CATALOG
+
+    plan = _plan(CATALOG["d17_trajectory_stats"][0](spark, sf_dir))
+    assert "Exchange" not in plan
