@@ -100,8 +100,9 @@ DRIVER_PRIORITY: list[str] = [
     "q110_sampled_quantiles",
     "s12_stream_trigrams",
     "d17_trajectory_stats",
+    "d18_fragment_heal_candidates",
     # -- tier 2: stalest evidence — only driver row is round 1 (the
-    #    17 oldest; q38-q47/q49 lose the tiebreak and stay in
+    #    16 oldest; q37-q47/q49 lose the tiebreak and stay in
     #    overflow with their r01 rows) --
     "q02_top_customers_per_nation",
     "q03_shipping_priority",
@@ -119,10 +120,10 @@ DRIVER_PRIORITY: list[str] = [
     "q34_value_percentiles",
     "q35_customers_with_urgent_orders",
     "q36_cheapest_customer_per_nation",
-    "q37_bilateral_volume",
     # -- overflow (positions 50+): every entry below is driver-green
     #    in some prior round (union r01-r04) and stays DuckDB-gated
     #    at sf0.01 on every test run --
+    "q37_bilateral_volume",
     "q38_running_user_value",
     "q39_event_navigation",
     "q40_part_name_strings",
@@ -243,7 +244,7 @@ if len(DRIVER_PRIORITY) != len(set(DRIVER_PRIORITY)):
 # The must-gate block (tiers 0-1, everything through the re-gates)
 # has to sit inside the driver's first-50 window — review finding r3
 # caught an earlier ordering leaving re-gated entries at 61-63.
-_MUST_GATE_LAST = "d17_trajectory_stats"
+_MUST_GATE_LAST = "d18_fragment_heal_candidates"
 if DRIVER_PRIORITY.index(_MUST_GATE_LAST) >= 50:
     raise ValueError(
         "DRIVER_PRIORITY stale: must-gate tiers exceed the 50-entry "

@@ -1282,6 +1282,87 @@ FROM m
 D17_SQL = _d17_sql()
 
 
+
+# --- d18: tracker fragment-healing candidates --------------------------------
+# The classic MOT post-process the reference leaves to consumers: a
+# tracker drops fragments when occlusion breaks a track
+# (BasicTracker.java's per-segment tracklets); healing merges pairs
+# that are temporally adjacent AND spatially continuous. Candidate
+# generation is a BANDED equi-join, never per-video all-pairs: the
+# predecessor side explodes into its end-frame bucket and the next
+# (gap <= G means the successor's start bucket is one of exactly
+# those two), so the join keys on (video, frame-bucket) and pair mass
+# is bounded by per-bucket occupancy — the same skew-safe shape as
+# the LSH band join, with the bucket width G doubling as the temporal
+# gate.
+
+HEAL_GAP = 600      # frames: max temporal gap between fragments
+HEAL_RADIUS = 300.0  # px: max center distance (exit -> entry)
+
+
+def d18_fragment_heal_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tr = _fx(spark, "tracklets")
+    ends = tr.selectExpr(
+        "video_id",
+        "tracklet_key",
+        "start_frame_index + size(location_sequence) AS ef",
+        "element_at(location_sequence, size(location_sequence)).x"
+        " + element_at(location_sequence, size(location_sequence)).width / 2.0D AS lx",
+        "element_at(location_sequence, size(location_sequence)).y"
+        " + element_at(location_sequence, size(location_sequence)).height / 2.0D AS ly",
+    ).selectExpr(
+        "video_id", "tracklet_key AS key_a", "ef", "lx", "ly",
+        f"explode(array(ef div {HEAL_GAP}, ef div {HEAL_GAP} + 1)) AS bucket",
+    )
+    starts = tr.selectExpr(
+        "video_id",
+        "tracklet_key AS key_b",
+        "start_frame_index AS sf",
+        f"start_frame_index div {HEAL_GAP} AS bucket",
+        "element_at(location_sequence, 1).x"
+        " + element_at(location_sequence, 1).width / 2.0D AS fx",
+        "element_at(location_sequence, 1).y"
+        " + element_at(location_sequence, 1).height / 2.0D AS fy",
+    )
+    dist = "sqrt(pow(fx - lx, 2.0D) + pow(fy - ly, 2.0D))"
+    return (
+        ends.join(starts, on=["video_id", "bucket"])
+        .filter("key_a != key_b")
+        .filter(f"sf - ef BETWEEN 0 AND {HEAL_GAP}")
+        .filter(f"{dist} <= {HEAL_RADIUS}D")
+        .selectExpr(
+            "video_id",
+            "key_a",
+            "key_b",
+            "CAST(sf - ef AS BIGINT) AS gap_frames",
+            f"floor({dist} * 1000000.0D + 0.5D) / 1000000.0D AS exit_entry_dist",
+        )
+    )
+
+
+D18_SQL = f"""
+WITH t AS (
+  SELECT video_id, tracklet_key, start_frame_index AS sf,
+         start_frame_index + len(location_sequence) AS ef,
+         (location_sequence[1].x + location_sequence[1].width / 2.0) AS fx,
+         (location_sequence[1].y + location_sequence[1].height / 2.0) AS fy,
+         (location_sequence[len(location_sequence)].x
+          + location_sequence[len(location_sequence)].width / 2.0) AS lx,
+         (location_sequence[len(location_sequence)].y
+          + location_sequence[len(location_sequence)].height / 2.0) AS ly
+  FROM {_fxsql('tracklets')}
+)
+SELECT a.video_id, a.tracklet_key AS key_a, b.tracklet_key AS key_b,
+       (b.sf - a.ef)::BIGINT AS gap_frames,
+       floor(sqrt(pow(b.fx - a.lx, 2.0) + pow(b.fy - a.ly, 2.0))
+             * 1000000.0 + 0.5) / 1000000.0 AS exit_entry_dist
+FROM t a JOIN t b
+  ON a.video_id = b.video_id AND a.tracklet_key != b.tracklet_key
+WHERE b.sf - a.ef BETWEEN 0 AND {HEAL_GAP}
+  AND sqrt(pow(b.fx - a.lx, 2.0) + pow(b.fy - a.ly, 2.0)) <= {HEAL_RADIUS}
+"""
+
+
 DOMAIN_QUERIES = {
     "d01_tracklet_sampling": (d01_tracklet_sampling, D01_SQL),
     "d02_attribute_average": (d02_attribute_average, D02_SQL),
@@ -1309,4 +1390,5 @@ DOMAIN_QUERIES = {
     "m08_audio_energy_windows": (m08_audio_energy_windows, M08_SQL),
     "m09_patch_brightness_cuts": (m09_patch_brightness_cuts, M09_SQL),
     "d17_trajectory_stats": (d17_trajectory_stats, D17_SQL),
+    "d18_fragment_heal_candidates": (d18_fragment_heal_candidates, D18_SQL),
 }
