@@ -102,6 +102,10 @@ HEADLINERS = [
      "two-table exact PPJoin: both prefixes under ONE shared rarest-first order (union posting frequencies); the corpus ships only prefix postings, the eval side is the small one; candidates equi-join on prefix shingle with length + positional prunes, verify bounded by candidates"),
     ("m09_patch_brightness_cuts",
      "scene-cut pre-pass: fixed 64-byte brightness sample per patch via hex/conv codegen (pixels never materialize as rows); the per-tracklet lag window is the only exchange"),
+    ("d17_trajectory_stats",
+     "pure array expressions over the struct column: Project over the scan, ZERO exchanges (guarded by test_d17_trajectory_stats_exchange_free) — 100 TB of tracklets streams through in one stage"),
+    ("d18_fragment_heal_candidates",
+     "banded (video, frame-bucket) equi-join: predecessor explodes into exactly two bucket keys so a gap <= G successor cannot be missed; no per-video all-pairs anywhere"),
 ]
 
 # Streaming queries execute to completion inside their catalog entry,
