@@ -280,11 +280,13 @@ def cms_bucketed(
 ) -> DataFrame:
     """Annotate items with their d bucket ids (_b0.._b{d-1}) — the
     shared map side of the batch AND streaming CMS paths."""
-    clash = {f"_b{j}" for j in range(d)} & set(key_cols)
-    if clash:  # same hazard class as hll_bucketed's _bucket/_rho
+    clash = {f"_b{j}" for j in range(d)} & set(items.columns)
+    if clash:  # same hazard class as hll_bucketed's _bucket/_rho —
+        # checked against ALL input columns, not just keys: a non-key
+        # _b0 would be silently clobbered by the select below
         raise ValueError(
-            f"cms_bucketed: key column(s) {sorted(clash)} collide with the "
-            "reserved _b0.._b{d-1} bucket names — rename them first"
+            f"cms_bucketed: input column(s) {sorted(clash)} collide with "
+            f"the reserved _b0.._b{d - 1} bucket names — rename them first"
         )
     joined = F.concat_ws("\x1f", *[F.col(c) for c in key_cols])
 

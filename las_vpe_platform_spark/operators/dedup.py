@@ -608,6 +608,21 @@ def eval_overlap_flags(
     )
 
 
+def _ceil_slack(x):
+    """EPSILON-SLACKED ceil shared by BOTH prefix-filter joins
+    (self-join and R x S): t arrives as a float, and a double ceil can
+    land ONE ABOVE the exact rational bound (e.g. t=0.2, |a|+|b|=18:
+    ceil(18*0.2/1.2) = 4 in float64, exactly 3) — which would shrink a
+    prefix / tighten a prune and silently drop a qualifying pair.
+    ceil(x - 1e-9) can only err DOWNWARD, which only ever ADMITS more
+    candidates; the verify stage restores exactness, so completeness
+    survives any float rounding. Any change here affects q106 AND
+    q107 — both are brute-force-tested at float-hostile thresholds
+    (tests/test_dedup_ops.py, tests/test_properties.py).
+    """
+    return F.ceil(x - F.lit(1e-9))
+
+
 def prefix_filter_pairs(
     df: DataFrame,
     id_col: str,
@@ -646,15 +661,6 @@ def prefix_filter_pairs(
     )
     freq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("_gf"))
     w = W.partitionBy("doc_id_").orderBy(F.asc("_gf"), F.asc("shingle"))
-    # EPSILON-SLACKED ceils throughout: t arrives as a float, and a
-    # double ceil can land ONE ABOVE the exact rational bound (e.g.
-    # t=0.2, |a|+|b|=18: ceil(18·0.2/1.2) = 4 in float64, exactly 3) —
-    # which would shrink a prefix / tighten a prune and silently drop
-    # a qualifying pair. ceil(x − 1e-9) can only err DOWNWARD, which
-    # only ever ADMITS more candidates; the verify stage restores
-    # exactness, so completeness survives any float rounding.
-    def _ceil_slack(x):
-        return F.ceil(x - F.lit(1e-9))
 
     prefix = (
         ex.join(freq, on="shingle")
@@ -770,8 +776,6 @@ def prefix_filter_join(
         "ppj2_freq",
     )
 
-    def _ceil_slack(x):
-        return F.ceil(x - F.lit(1e-9))
 
     def build_prefix(ex: DataFrame, sizes: DataFrame, hint: str) -> DataFrame:
         w = W.partitionBy("doc_id_").orderBy(F.asc("_gf"), F.asc("shingle"))

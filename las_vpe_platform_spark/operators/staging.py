@@ -41,6 +41,16 @@ from pyspark.storagelevel import StorageLevel
 Materializer = Callable[[DataFrame, str], DataFrame]
 
 # Frames persisted via persist_disk since the last unpersist_all().
+# Deliberately STRONG references (review r5 considered GC-triggered
+# unpersist via weakref.finalize and rejected it): a staged frame is
+# usually a function local whose Python object dies before the query
+# executes, while the JVM-side cache entry must survive until the
+# consuming plan runs — GC-based release would unpersist the cache
+# before first use and silently defeat the multi-reference
+# materialization. The contract is therefore explicit: harnesses call
+# unpersist_all() between queries; a caller that never does holds at
+# most its session's staged frames, the same bound Spark's own
+# CacheManager imposes on any df.persist() user.
 _PERSISTED: list[DataFrame] = []
 
 
@@ -90,13 +100,22 @@ def staging_writer(staging_dir: str) -> Materializer:
 def unpersist_all() -> int:
     """Drop every frame persisted through :func:`persist_disk` since
     the last call. Harness-level lifecycle: bench/tests call this
-    between catalog queries so a 141-query session doesn't accrete
-    DISK_ONLY blocks. Returns the number of frames released."""
-    n = len(_PERSISTED)
-    for df in _PERSISTED:
-        try:
+    between catalog queries so a multi-query session doesn't accrete
+    DISK_ONLY blocks. Returns the number of frames released.
+
+    Tolerates exactly one failure mode silently — a stopped
+    SparkContext (interpreter teardown ordering) — and re-raises
+    anything else: a real unpersist failure must not be reported as a
+    release (review r5: the old blanket ``except Exception`` hid
+    genuine errors behind an inflated count)."""
+    n = 0
+    try:
+        for df in _PERSISTED:
+            sc = df.sparkSession.sparkContext
+            if sc._jsc is None:  # context stopped: nothing left to free
+                continue
             df.unpersist()
-        except Exception:
-            pass  # session already stopped — nothing to release
-    _PERSISTED.clear()
+            n += 1
+    finally:
+        _PERSISTED.clear()
     return n

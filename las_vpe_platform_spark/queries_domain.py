@@ -1301,7 +1301,9 @@ HEAL_RADIUS = 300.0  # px: max center distance (exit -> entry)
 
 
 def d18_fragment_heal_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tr = _fx(spark, "tracklets")
+    # empty sequences carry no endpoints — skip them instead of dying
+    # on element_at(ls, 0) (review r5; d17 guards the same way)
+    tr = _fx(spark, "tracklets").filter("size(location_sequence) > 0")
     ends = tr.selectExpr(
         "video_id",
         "tracklet_key",
@@ -1350,7 +1352,7 @@ WITH t AS (
           + location_sequence[len(location_sequence)].width / 2.0) AS lx,
          (location_sequence[len(location_sequence)].y
           + location_sequence[len(location_sequence)].height / 2.0) AS ly
-  FROM {_fxsql('tracklets')}
+  FROM {_fxsql('tracklets')} WHERE len(location_sequence) > 0
 )
 SELECT a.video_id, a.tracklet_key AS key_a, b.tracklet_key AS key_b,
        (b.sf - a.ef)::BIGINT AS gap_frames,

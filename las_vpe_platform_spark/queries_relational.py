@@ -1318,11 +1318,18 @@ _SQ_HASH60 = (
 def q110_sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select("event_type", "event_id", "value")
     counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
-    thr = F.expr(f"(1152921504606846976L div n) * {2 * SQ_K}")
+    # small groups take the accept-all branch FIRST: for n <= 2k the
+    # product (2^60 div n) * 2k exceeds BIGINT (review r5: n <= 64
+    # overflowed under ANSI before the OR could save the row), and the
+    # CASE short-circuits per row so the multiplication never runs
+    thr = F.expr(
+        f"CASE WHEN n <= {2 * SQ_K} THEN 1152921504606846976L"
+        f" ELSE (1152921504606846976L div n) * {2 * SQ_K} END"
+    )
     survivors = (
         ev.join(F.broadcast(counts), "event_type")
         .withColumn("_h", F.expr(_SQ_HASH60))
-        .filter((F.col("_h") < thr) | (F.col("n") <= F.lit(2 * SQ_K)))
+        .filter(F.col("_h") < thr)
     )
     w = W.partitionBy("event_type").orderBy("_h", "event_id")
     sample = survivors.withColumn("_rn", F.row_number().over(w)).filter(
@@ -1347,7 +1354,8 @@ WITH counts AS (
 ), survivors AS (
   SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY _h, event_id) AS _rn
   FROM hashed
-  WHERE _h < (1152921504606846976 // n) * {2 * SQ_K} OR n <= {2 * SQ_K}
+  WHERE _h < (CASE WHEN n <= {2 * SQ_K} THEN 1152921504606846976
+              ELSE (1152921504606846976 // n) * {2 * SQ_K} END)
 )
 SELECT event_type, any_value(n)::BIGINT AS n, count(*)::BIGINT AS sample_n,
        floor((quantile_cont(value, 0.5)) * 1000000.0 + 0.5) / 1000000.0 AS p50_est,

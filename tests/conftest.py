@@ -36,3 +36,25 @@ def duck():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_DIR
+
+
+def outside_cached_plans(plan: str) -> str:
+    """Drop subtree lines under InMemoryRelation nodes: staged frames
+    (operators/staging.py) legitimately contain their own exchanges /
+    explodes, and toString re-prints the cached build plan at every
+    InMemoryTableScan reference — assertions about the CONSUMING
+    lineage must not count them. Shared by test_plans and test_bloom
+    (review r5: two drifting copies of a nontrivial parser)."""
+    out: list[str] = []
+    skip_depth: int | None = None
+    for line in plan.splitlines():
+        depth = len(line) - len(line.lstrip(" :+-"))
+        if skip_depth is not None:
+            if depth > skip_depth:
+                continue
+            skip_depth = None
+        if "InMemoryRelation" in line:
+            skip_depth = depth
+            continue
+        out.append(line)
+    return "\n".join(out)

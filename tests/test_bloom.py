@@ -8,6 +8,8 @@ never shuffles the fact side.
 
 from __future__ import annotations
 
+from conftest import outside_cached_plans
+
 import pyspark.sql.functions as F
 import pytest
 
@@ -36,32 +38,13 @@ def test_bloom_no_false_negatives_and_bounded_fp(spark):
     assert fp < 180
 
 
-def _outside_cached_plans(plan: str) -> str:
-    """Drop subtree lines under any InMemoryRelation node — the lazy
-    staged build side (operators/staging.py) legitimately contains its
-    own aggregate exchange, printed inline by toString; the assertion
-    targets the FACT lineage only."""
-    out: list[str] = []
-    skip_depth: int | None = None
-    for line in plan.splitlines():
-        depth = len(line) - len(line.lstrip(" :+-"))
-        if skip_depth is not None:
-            if depth > skip_depth:
-                continue
-            skip_depth = None
-        if "InMemoryRelation" in line:
-            skip_depth = depth
-            continue
-        out.append(line)
-    return "\n".join(out)
-
 
 def test_bloom_probe_does_not_shuffle_fact(spark):
     members = spark.range(0, 50).select(F.col("id").alias("k"))
     fact = spark.range(0, 10_000).select(F.col("id").alias("k"))
     blocks = bloom_build(members, "k", m=1024, k=4)
     probed = bloom_probe(fact, "k", blocks, m=1024, k=4)
-    plan = _outside_cached_plans(
+    plan = outside_cached_plans(
         probed._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan

@@ -6,6 +6,8 @@ Guards against silent plan regressions when operators are refactored.
 
 from __future__ import annotations
 
+from conftest import outside_cached_plans
+
 from las_vpe_platform_spark.queries_relational import (
     q01_pricing_summary,
     q04_regional_revenue,
@@ -271,26 +273,6 @@ def test_q96_group_sample_partial_topk(spark, sf_dir):
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
 
 
-def _outside_cached_plans(plan: str) -> str:
-    """Drop subtree lines under InMemoryRelation nodes: staged frames
-    (operators/staging.py) legitimately contain their own exchanges /
-    explodes, and toString re-prints the cached build plan at every
-    InMemoryTableScan reference — assertions about the CONSUMING
-    lineage must not count them."""
-    out: list[str] = []
-    skip_depth: int | None = None
-    for line in plan.splitlines():
-        depth = len(line) - len(line.lstrip(" :+-"))
-        if skip_depth is not None:
-            if depth > skip_depth:
-                continue
-            skip_depth = None
-        if "InMemoryRelation" in line:
-            skip_depth = depth
-            continue
-        out.append(line)
-    return "\n".join(out)
-
 
 def test_q106_ppjoin_staged_postings_no_cartesian(spark, sf_dir):
     # PPJoin's exactness must never come from a cartesian verify: the
@@ -304,7 +286,7 @@ def test_q106_ppjoin_staged_postings_no_cartesian(spark, sf_dir):
     plan = _plan(CATALOG["q106_prefix_filter_join"][0](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    outside = _outside_cached_plans(plan)
+    outside = outside_cached_plans(plan)
     assert "InMemoryTableScan" in plan, "staged frames must be cached"
     assert "Generate" not in outside, (
         "shingle explode re-ran outside the staged postings build"
@@ -321,7 +303,7 @@ def test_q94_wedge_join_single_lsh_subtree(spark, sf_dir):
 
     plan = _plan(CATALOG["q94_triangle_count"][0](spark, sf_dir))
     assert "CartesianProduct" not in plan
-    outside = _outside_cached_plans(plan)
+    outside = outside_cached_plans(plan)
     assert "InMemoryTableScan" in plan, "pair list must be staged"
     assert "Generate" not in outside, (
         "LSH signature subtree re-ran outside the staged pair build"

@@ -220,14 +220,18 @@ def test_passthrough_enables_streaming_composition(spark, tmp_path):
 
 
 def test_cms_bucketed_rejects_reserved_key_columns(spark):
-    """Key columns colliding with the reserved _b0.._b{d-1} bucket
-    names must raise instead of producing ambiguous columns."""
+    """ANY input column colliding with the reserved _b0.._b{d-1}
+    bucket names must raise — key collisions produce ambiguity, and a
+    NON-key _b0 would be silently clobbered by the projection
+    (review r5 widened the guard from key_cols to all columns)."""
     from las_vpe_platform_spark.operators.aggregates import cms_bucketed
 
     df = spark.range(5).selectExpr("id AS _b0", "id AS k")
     with pytest.raises(ValueError, match="_b0"):
         cms_bucketed(df, ["_b0", "k"], d=2, w=16)
-    ok = cms_bucketed(df, ["k"], d=2, w=16)
+    with pytest.raises(ValueError, match="_b0"):  # non-key collision
+        cms_bucketed(df, ["k"], d=2, w=16)
+    ok = cms_bucketed(spark.range(5).selectExpr("id AS k"), ["k"], d=2, w=16)
     assert {"_b0", "_b1"} <= set(ok.columns)
 
 
@@ -316,3 +320,23 @@ def test_eager_local_checkpoint_materializer(spark):
     after = len(tracker.getJobIdsForGroup(None))
     assert after > before, "eager form must run the subtree immediately"
     assert staged.count() == 100
+
+
+def test_sampled_quantiles_tiny_group_no_overflow(spark, tmp_path):
+    """Review r5: groups with n <= 64 made (2^60 div n) * 512 overflow
+    BIGINT under ANSI before the accept-all OR-branch could apply; the
+    CASE now short-circuits so tiny groups never evaluate the product
+    and their quantiles are exact (sample == group)."""
+    from las_vpe_platform_spark.queries_relational import q110_sampled_quantiles
+
+    df = spark.range(10).selectExpr(
+        "'tiny' AS event_type",
+        "id AS event_id",
+        "CAST(id AS DOUBLE) AS value",
+        "timestamp_micros(CAST(1704067200000000 + id AS BIGINT)) AS ts",
+    )
+    d = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    row = q110_sampled_quantiles(spark, d).collect()[0]
+    assert row["n"] == 10 and row["sample_n"] == 10
+    assert row["p50_est"] == 4.5  # exact interpolated median of 0..9

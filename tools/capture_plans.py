@@ -125,13 +125,15 @@ STREAMING_HEADLINERS = [
 
 
 def _trigram_stream_plan(spark):
-    import tempfile
-
-    from las_vpe_platform_spark.queries_streaming import RAW_EVENTS_SCHEMA
+    from las_vpe_platform_spark.queries_streaming import (
+        RAW_EVENTS_SCHEMA,
+        _scratch_dir,
+    )
     from las_vpe_platform_spark.streaming.stateful import trigram_stream
     from pyspark.sql import functions as F
 
-    src = tempfile.mkdtemp(prefix="plan_s12_")
+    # atexit-cleaned scratch root — no per-run orphan dirs (review r5)
+    src = _scratch_dir("plan_s12_")
     stream = (
         spark.readStream.schema(RAW_EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", "1")
@@ -142,13 +144,15 @@ def _trigram_stream_plan(spark):
 
 
 def _locf_stream_plan(spark):
-    import tempfile
-
-    from las_vpe_platform_spark.queries_streaming import RAW_EVENTS_SCHEMA
+    from las_vpe_platform_spark.queries_streaming import (
+        RAW_EVENTS_SCHEMA,
+        _scratch_dir,
+    )
     from las_vpe_platform_spark.streaming.stateful import locf_stream
     from pyspark.sql import functions as F
 
-    src = tempfile.mkdtemp(prefix="plan_s10_")
+    # atexit-cleaned scratch root — no per-run orphan dirs (review r5)
+    src = _scratch_dir("plan_s10_")
     stream = (
         spark.readStream.schema(RAW_EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", "1")
