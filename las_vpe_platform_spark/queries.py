@@ -101,6 +101,8 @@ DRIVER_PRIORITY: list[str] = [
     "s12_stream_trigrams",
     "d17_trajectory_stats",
     "d18_fragment_heal_candidates",
+    "d19_camera_transitions",
+    "d20_attribute_search",
     # -- tier 2: stalest evidence — only driver row is round 1 (the
     #    16 oldest; q37-q47/q49 lose the tiebreak and stay in
     #    overflow with their r01 rows) --
@@ -244,7 +246,7 @@ if len(DRIVER_PRIORITY) != len(set(DRIVER_PRIORITY)):
 # The must-gate block (tiers 0-1, everything through the re-gates)
 # has to sit inside the driver's first-50 window — review finding r3
 # caught an earlier ordering leaving re-gated entries at 61-63.
-_MUST_GATE_LAST = "d18_fragment_heal_candidates"
+_MUST_GATE_LAST = "d20_attribute_search"
 if DRIVER_PRIORITY.index(_MUST_GATE_LAST) >= 50:
     raise ValueError(
         "DRIVER_PRIORITY stale: must-gate tiers exceed the 50-entry "

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from las_vpe_platform_spark.compat import pround, pround_expr
 from las_vpe_platform_spark.fixtures import FIXTURES_DIR
+from las_vpe_platform_spark.functions.scalar import ntz_epoch_micros
 from las_vpe_platform_spark.operators.aggregates import wide_avg
 from las_vpe_platform_spark.operators.joins import pairwise_similarity_topk
 from las_vpe_platform_spark.operators.routing import term_sig_filter
@@ -1365,6 +1366,169 @@ WHERE b.sf - a.ef BETWEEN 0 AND {HEAL_GAP}
 """
 
 
+# --- d19: camera-transition matrix -------------------------------------------
+# The topology question a multi-camera re-id deployment ultimately
+# answers: which camera pairs exchange pedestrians, and how long does
+# the hand-off take?  The reference stores the raw material — weighted
+# [:Similar] edges between person nodes (GraphDatabaseConnector.java:
+# 102-123, Neo4jConnector.java:192-202) plus per-person start times
+# hung off the time tree (Neo4jConnector.java:105-173) — and ranks
+# neighbors per query node (Neo4jConnector.java:770-776, W1).  This
+# composes those pieces: per-node top-k strongest matches (row_number
+# window — partial per-partition top-k, no global sort), tracklet →
+# camera via a BROADCAST join against the tiny videos dim, orient each
+# link by wall-clock time, and one hash aggregate to the (from, to)
+# matrix.  Scale shape: the only shuffles are the edge top-k window
+# and the two key-joins to the tracklet side; the camera dim never
+# shuffles, and transit averaging sums exact BIGINT micros (order-
+# independent, rounded once at the end) rather than averaging doubles.
+
+D19_TOPK = 3
+
+
+def d19_camera_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vids = _fx(spark, "videos").select("video_id", "camera_id")
+    tk = (
+        _fx(spark, "tracklets")
+        .select("tracklet_key", "video_id", ntz_epoch_micros("start_ts").alias("us"))
+        .join(F.broadcast(vids), "video_id")
+        .select("tracklet_key", "camera_id", "us")
+    )
+    top = topk_per_group(
+        _fx(spark, "similarity_edges"),
+        ["node_a"], "similarity", D19_TOPK, tiebreak_cols=["node_b"],
+    ).drop("rank")
+    a = tk.selectExpr("tracklet_key AS node_a", "camera_id AS cam_a", "us AS us_a")
+    b = tk.selectExpr("tracklet_key AS node_b", "camera_id AS cam_b", "us AS us_b")
+    oriented = (
+        top.join(a, "node_a")
+        .join(b, "node_b")
+        .filter("cam_a != cam_b")
+        .selectExpr(
+            "CASE WHEN us_a <= us_b THEN cam_a ELSE cam_b END AS cam_from",
+            "CASE WHEN us_a <= us_b THEN cam_b ELSE cam_a END AS cam_to",
+            "abs(us_b - us_a) AS transit_us",
+        )
+    )
+    return (
+        oriented.groupBy("cam_from", "cam_to")
+        .agg(
+            F.count(F.lit(1)).alias("n_links"),
+            F.sum("transit_us").alias("_sum_us"),
+            F.min("transit_us").alias("_min_us"),
+            F.max("transit_us").alias("_max_us"),
+        )
+        .selectExpr(
+            "cam_from",
+            "cam_to",
+            "n_links",
+            # round to whole micros first (exact: sum fits a double far
+            # below 2^53 at any realistic link count), THEN divide —
+            # avg is reproducible under any aggregation order
+            "floor(CAST(_sum_us AS DOUBLE) / n_links + 0.5D) / 1000000.0D"
+            " AS avg_transit_s",
+            "_min_us / 1000000.0D AS min_transit_s",
+            "_max_us / 1000000.0D AS max_transit_s",
+        )
+    )
+
+
+D19_SQL = f"""
+WITH tk AS (
+  SELECT t.tracklet_key, v.camera_id, epoch_us(t.start_ts) AS us
+  FROM {_fxsql('tracklets')} t
+  JOIN {_fxsql('videos')} v USING (video_id)
+), top AS (
+  SELECT node_a, node_b,
+         row_number() OVER (PARTITION BY node_a
+                            ORDER BY similarity DESC, node_b) AS rk
+  FROM {_fxsql('similarity_edges')}
+), oriented AS (
+  SELECT CASE WHEN a.us <= b.us THEN a.camera_id ELSE b.camera_id END AS cam_from,
+         CASE WHEN a.us <= b.us THEN b.camera_id ELSE a.camera_id END AS cam_to,
+         abs(b.us - a.us) AS transit_us
+  FROM top e
+  JOIN tk a ON e.node_a = a.tracklet_key
+  JOIN tk b ON e.node_b = b.tracklet_key
+  WHERE e.rk <= {D19_TOPK} AND a.camera_id != b.camera_id
+)
+SELECT cam_from, cam_to, count(*)::BIGINT AS n_links,
+       floor(CAST(sum(transit_us) AS DOUBLE) / count(*) + 0.5) / 1000000.0
+         AS avg_transit_s,
+       min(transit_us) / 1000000.0 AS min_transit_s,
+       max(transit_us) / 1000000.0 AS max_transit_s
+FROM oriented GROUP BY cam_from, cam_to
+"""
+
+
+# --- d20: attribute-conditioned person search --------------------------------
+# The reference's end-user query: find pedestrians matching an
+# attribute description, ranked — its attr-recognition stream scores
+# 125 attributes per tracklet (PedestrianAttrRecogApp.java:50, DeepMAR
+# logit scores stored via Neo4jConnector.java:222-480) precisely so a
+# consumer can later MATCH people by attribute predicate
+# (getPedestrianAttributes, Neo4jConnector.java:483-749) and rank the
+# hits (the ReID stream's IDRANK, PedestrianReIDUsingAttrApp.java:48).
+# Spark shape: predicate pushed into the attributes scan (only the two
+# queried columns + key are read), one key-join to tracklets for
+# where/when, broadcast camera dim, then a per-camera top-k window
+# over the few surviving hits.  At 100 TB the attribute filter is the
+# selective step and it runs inside the scan; nothing quadratic,
+# nothing driver-side.
+
+D20_TOPK = 5
+
+
+def d20_attribute_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hits = (
+        _fx(spark, "attributes")
+        .select("tracklet_key", "gender_male", "accessory_backpack")
+        .filter("gender_male > 0.0D AND accessory_backpack > 0.0D")
+        .join(
+            _fx(spark, "tracklets").select("tracklet_key", "video_id", "start_ts"),
+            "tracklet_key",
+        )
+        .join(F.broadcast(_fx(spark, "videos").select("video_id", "camera_id")), "video_id")
+        .selectExpr(
+            "camera_id",
+            "tracklet_key",
+            "gender_male + accessory_backpack AS score",
+            "start_ts",
+        )
+    )
+    ranked = topk_per_group(
+        hits, ["camera_id"], "score", D20_TOPK, tiebreak_cols=["tracklet_key"]
+    )
+    return ranked.selectExpr(
+        "camera_id",
+        "CAST(rank AS BIGINT) AS rank",
+        "tracklet_key",
+        "floor(score * 1000000.0D + 0.5D) / 1000000.0D AS score",
+        "date_trunc('minute', start_ts) AS seen_minute",
+    )
+
+
+D20_SQL = f"""
+WITH hits AS (
+  SELECT v.camera_id, a.tracklet_key,
+         a.gender_male + a.accessory_backpack AS score, t.start_ts
+  FROM {_fxsql('attributes')} a
+  JOIN {_fxsql('tracklets')} t USING (tracklet_key)
+  JOIN {_fxsql('videos')} v USING (video_id)
+  WHERE a.gender_male > 0.0 AND a.accessory_backpack > 0.0
+), rk AS (
+  SELECT camera_id, tracklet_key, score, start_ts,
+         row_number() OVER (PARTITION BY camera_id
+                            ORDER BY score DESC, tracklet_key) AS rank
+  FROM hits
+)
+SELECT camera_id, rank::BIGINT AS rank, tracklet_key,
+       floor(score * 1000000.0 + 0.5) / 1000000.0 AS score,
+       date_trunc('minute', start_ts) AS seen_minute
+FROM rk WHERE rank <= {D20_TOPK}
+"""
+
+
 DOMAIN_QUERIES = {
     "d01_tracklet_sampling": (d01_tracklet_sampling, D01_SQL),
     "d02_attribute_average": (d02_attribute_average, D02_SQL),
@@ -1393,4 +1557,6 @@ DOMAIN_QUERIES = {
     "m09_patch_brightness_cuts": (m09_patch_brightness_cuts, M09_SQL),
     "d17_trajectory_stats": (d17_trajectory_stats, D17_SQL),
     "d18_fragment_heal_candidates": (d18_fragment_heal_candidates, D18_SQL),
+    "d19_camera_transitions": (d19_camera_transitions, D19_SQL),
+    "d20_attribute_search": (d20_attribute_search, D20_SQL),
 }

@@ -377,3 +377,42 @@ def test_d17_trajectory_stats_exchange_free(spark, sf_dir):
 
     plan = _plan(CATALOG["d17_trajectory_stats"][0](spark, sf_dir))
     assert "Exchange" not in plan
+
+
+def test_d19_partial_topk_and_no_forced_broadcast(spark, sf_dir):
+    # the per-node strongest-match selection must compile to
+    # WindowGroupLimit (per-partition partial top-k BEFORE the node_a
+    # exchange) — at 10^9 tracklets the edge table never fully sorts;
+    # only the camera dim carries an explicit broadcast hint, so the
+    # tracklet-side joins stay free to pick SMJ at scale
+    from las_vpe_platform_spark.queries import CATALOG
+
+    plan = _plan(CATALOG["d19_camera_transitions"][0](spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_d20_attribute_predicate_in_scan(spark, sf_dir):
+    # the attribute predicate is the selective step and must run
+    # INSIDE the parquet scan: pushed filters on both queried columns,
+    # and the 126-column attribute table prunes to exactly key + the
+    # two queried scores
+    from las_vpe_platform_spark.queries import CATALOG
+
+    import contextlib
+    import io
+
+    # the compact plan string elides long pushed-filter lists — use the
+    # formatted explain, which prints each scan's full detail
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        CATALOG["d20_attribute_search"][0](spark, sf_dir).explain("formatted")
+    plan = buf.getvalue()
+    pushed = plan.split("PushedFilters", 1)[1].split("]", 1)[0]
+    assert "GreaterThan(gender_male,0.0)" in pushed
+    assert "GreaterThan(accessory_backpack,0.0)" in pushed
+    assert (
+        "struct<tracklet_key:string,gender_male:double,accessory_backpack:double>"
+        in plan
+    )
+    assert "WindowGroupLimit" in plan

@@ -106,6 +106,10 @@ HEADLINERS = [
      "pure array expressions over the struct column: Project over the scan, ZERO exchanges (guarded by test_d17_trajectory_stats_exchange_free) — 100 TB of tracklets streams through in one stage"),
     ("d18_fragment_heal_candidates",
      "banded (video, frame-bucket) equi-join: predecessor explodes into exactly two bucket keys so a gap <= G successor cannot be missed; no per-video all-pairs anywhere"),
+    ("d19_camera_transitions",
+     "camera topology from re-id links: per-node top-k compiles to WindowGroupLimit (partial top-k BEFORE the node_a exchange); camera dim broadcast; transit averaging sums exact BIGINT micros (order-independent) — guarded by test_d19_partial_topk_and_no_forced_broadcast"),
+    ("d20_attribute_search",
+     "attribute person search: the predicate runs INSIDE the attributes scan (PushedFilters on both scores, 126 -> 3 column pruning); filtered hits broadcast into the tracklet join; per-camera top-5 is WindowGroupLimit above ONE exchange — guarded by test_d20_attribute_predicate_in_scan"),
 ]
 
 # Streaming queries execute to completion inside their catalog entry,
