@@ -99,6 +99,7 @@ DRIVER_PRIORITY: list[str] = [
     "q109_cohort_retention",
     "q110_sampled_quantiles",
     "s12_stream_trigrams",
+    "s13_stream_ivf_assign",
     "d17_trajectory_stats",
     "d18_fragment_heal_candidates",
     "d19_camera_transitions",

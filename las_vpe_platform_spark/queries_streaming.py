@@ -775,6 +775,143 @@ def _s12_sql() -> str:
 S12_SQL = _s12_sql()
 
 
+# --- s13: streaming IVF cell assignment (continuous ANN ingest) --------------
+
+S13_CENTROID_MOD = 100
+
+EMBEDDINGS_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("label", T.IntegerType()),
+    ]
+)
+
+
+def ivf_assign_cells(
+    stream: DataFrame, centroids: list[tuple[int, list[float]]]
+) -> DataFrame:
+    """Per-cell occupancy stats for a (possibly streaming) embedding
+    frame: stateless nearest-centroid assignment, then one grouped
+    aggregate whose state is #cells rows.
+
+    ``centroids`` enter as PLAN-TIME LITERALS (the SRP hyperplane
+    pattern, `srp_neardup_pairs`) so assignment is a pure column
+    expression — no stream-side join, no shuffle below the aggregate.
+    """
+    cen_lit = "array(" + ", ".join(
+        "named_struct('id', %dL, 'c', array(%s))"
+        % (cid, ", ".join(repr(float(x)) + "D" for x in vec))
+        for cid, vec in centroids
+    ) + ")"
+    assigned = stream.selectExpr(
+        "vec_id",
+        "embedding",
+        # row norm materializes as a column FIRST — HOF lambdas
+        # re-evaluate inline subexpressions per centroid otherwise
+        "sqrt(aggregate(embedding, 0.0D,"
+        " (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS _nv",
+    ).selectExpr(
+        "vec_id",
+        # ONE transform over the literal centroid structs; array_max on
+        # (sim, id) structs = argmax with ties to the larger id —
+        # mirrored exactly by the oracle's ORDER BY sim DESC, id DESC
+        f"array_max(transform({cen_lit}, ce -> named_struct("
+        "'sim', aggregate(zip_with(embedding, ce.c,"
+        " (x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (acc, v) -> acc + v)"
+        " / (_nv * sqrt(aggregate(ce.c, 0.0D, (acc, x) -> acc + x * x))),"
+        "'id', ce.id))) AS _best",
+    )
+    return assigned.groupBy(
+        F.col("_best.id").alias("centroid_id")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_assigned"),
+        F.min("_best.sim").alias("_min"),
+        F.max("_best.sim").alias("_max"),
+    )
+
+
+def _landed_embeddings4(spark: SparkSession, sf_dir: str) -> str:
+    key = ("embeddings4", sf_dir)
+    if key not in _LANDED:
+        src = _scratch_dir("emb4_")
+        load_table(spark, sf_dir, "embeddings").coalesce(4).write.mode(
+            "overwrite"
+        ).parquet(src)
+        _LANDED[key] = src
+    return _LANDED[key]
+
+
+def s13_stream_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming IVF cell assignment — the ingest half of the q29/q70
+    ANN index run continuously: each arriving embedding is assigned to
+    its nearest coarse centroid and the per-cell occupancy stats are
+    maintained incrementally (the signal that triggers cell splits /
+    re-balancing in a real index).
+
+    Scale shape: the centroid table enters the STREAM as plan-time
+    literals (the SRP hyperplane pattern — `srp_neardup_pairs`; the
+    centroid set is the same sqrt-sized table `ivf_topk` broadcasts,
+    collected ONCE at plan build), so per-row assignment is a pure
+    column expression — stateless, no stream-side join, no shuffle
+    below the aggregate. The only streaming state is the per-cell
+    running aggregate: #cells rows, input-size-independent — the same
+    bounded-state argument as s07's CMS and s09's HLL. Batch-parity
+    oracle: DuckDB re-derives every assignment by exhaustive argmax
+    (sim DESC, centroid_id DESC ties) and must produce the identical
+    cell table.
+    """
+    cen = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % S13_CENTROID_MOD == 0)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    src = _landed_embeddings4(spark, sf_dir)
+    stream = file_stream(spark, src, EMBEDDINGS_SCHEMA, max_files_per_trigger=2)
+    cells = ivf_assign_cells(
+        stream, [(r["vec_id"], list(r["embedding"])) for r in cen]
+    )
+    name = f"s13_out_{uuid.uuid4().hex[:8]}"
+    with _stream_partitions(spark):
+        sink = run_to_completion(cells, name, output_mode="complete")
+    return sink.select(
+        "centroid_id",
+        "n_assigned",
+        pround("_min", 6).alias("min_sim"),
+        pround("_max", 6).alias("max_sim"),
+    )
+
+
+def _s13_sql() -> str:
+    from las_vpe_platform_spark.queries_data import sql_cosine
+
+    return f"""
+WITH cen AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings
+  WHERE vec_id % {S13_CENTROID_MOD} = 0
+), scored AS (
+  SELECT e.vec_id AS vec_id, c.centroid_id AS centroid_id,
+         {sql_cosine('evec', 'cvec')} AS sim
+  FROM (SELECT vec_id, embedding AS evec FROM embeddings) e
+  CROSS JOIN cen c
+), best AS (
+  SELECT vec_id, centroid_id, sim,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY sim DESC, centroid_id DESC) AS rk
+  FROM scored
+)
+SELECT centroid_id, count(*)::BIGINT AS n_assigned,
+       floor(min(sim) * 1000000.0 + 0.5) / 1000000.0 AS min_sim,
+       floor(max(sim) * 1000000.0 + 0.5) / 1000000.0 AS max_sim
+FROM best WHERE rk = 1 GROUP BY centroid_id
+"""
+
+
+S13_SQL = _s13_sql()
+
+
 STREAMING_QUERIES = {
     "s01_stream_windowed_counts": (s01_stream_windowed_counts, S01_SQL),
     "s02_stream_dedup": (s02_stream_dedup, S02_SQL),
@@ -788,4 +925,5 @@ STREAMING_QUERIES = {
     "s10_stream_locf": (s10_stream_locf, S10_SQL),
     "s11_stream_leaderboard": (s11_stream_leaderboard, S11_SQL),
     "s12_stream_trigrams": (s12_stream_trigrams, S12_SQL),
+    "s13_stream_ivf_assign": (s13_stream_ivf_assign, S13_SQL),
 }

@@ -125,7 +125,29 @@ STREAMING_HEADLINERS = [
     ("s12_stream_trigrams (unstarted streaming plan)",
      "stateful sequence mining: state is the last TWO event types per user (the minimum a length-3 pattern needs); one groupBy exchange into the state operator, batch-finished top-k outside the stream",
      "_trigram_stream_plan"),
+    ("s13_stream_ivf_assign (unstarted streaming plan, toy centroids)",
+     "continuous ANN ingest: nearest-centroid assignment is a pure column expression over plan-time centroid literals (no stream-side join); the only state is the per-cell running aggregate — #cells rows, input-size-independent",
+     "_ivf_assign_stream_plan"),
 ]
+
+
+def _ivf_assign_stream_plan(spark):
+    from las_vpe_platform_spark.queries_streaming import (
+        EMBEDDINGS_SCHEMA,
+        _scratch_dir,
+        ivf_assign_cells,
+    )
+
+    # toy centroids: identical plan shape to the catalog entry, but no
+    # Spark job at capture time (the entry collects the sqrt-sized
+    # centroid table once at plan build)
+    src = _scratch_dir("plan_s13_")
+    stream = (
+        spark.readStream.schema(EMBEDDINGS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    return ivf_assign_cells(stream, [(0, [1.0, 0.0]), (100, [0.0, 1.0])])
 
 
 def _trigram_stream_plan(spark):
