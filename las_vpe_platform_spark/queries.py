@@ -18,9 +18,11 @@ catalog).  ``DRIVER_PRIORITY`` is therefore RE-DERIVED EVERY ROUND as
    round's changes touch (q102 insert-key namespace fix; the
    localCheckpoint->caller-staging refactor in cms/ivf/ngram/ppjoin/
    dsir/bloom; the _sliced_parquet_stream harness hardening behind
-   s03/s10) plus the SIX round-5 additions (q107 fuzzy
-   decontamination, m09 appearance cuts, q108 trigrams, q109 cohort
-   retention, q110 sampled quantiles, s12 streaming trigrams),
+   s03/s10) plus the round-5 additions (q107 fuzzy decontamination,
+   m09 appearance cuts, q108 trigrams, q109 cohort retention, q110
+   sampled quantiles, s12 streaming trigrams, s13 streaming IVF cell
+   assignment, d17 trajectory stats, d18 fragment healing, d19 camera
+   transitions, d20 attribute search),
 3. tier 2 — stalest evidence: entries whose ONLY driver row is
    round 1.
 

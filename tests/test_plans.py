@@ -416,3 +416,24 @@ def test_d20_attribute_predicate_in_scan(spark, sf_dir):
         in plan
     )
     assert "WindowGroupLimit" in plan
+
+
+def test_s13_assignment_is_join_free(spark, tmp_path):
+    # the stream-side contract: nearest-centroid assignment is a pure
+    # column expression over plan-time literals — NO stream-static
+    # join, and the only aggregate is the per-cell occupancy (bounded
+    # state). Built unstarted over an empty dir: zero jobs.
+    from las_vpe_platform_spark.queries_streaming import (
+        EMBEDDINGS_SCHEMA,
+        ivf_assign_cells,
+    )
+
+    stream = (
+        spark.readStream.schema(EMBEDDINGS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(tmp_path))
+    )
+    cells = ivf_assign_cells(stream, [(0, [1.0, 0.0]), (100, [0.0, 1.0])])
+    plan = cells._jdf.queryExecution().analyzed().toString()
+    assert "Join" not in plan
+    assert plan.count("Aggregate") == 1

@@ -766,3 +766,24 @@ def test_trigram_state_recovered_across_restart(spark, sf_dir, tmp_path):
     assert got == want, (
         f"trigram multiset diverged after restart: {len(got)} vs {len(want)}"
     )
+
+
+def test_ivf_assign_cells_argmax_and_tiebreak(spark):
+    # the assignment contract the s13 oracle mirrors: nearest centroid
+    # by cosine, ties broken toward the LARGER centroid id (array_max
+    # on (sim, id) structs == ORDER BY sim DESC, id DESC)
+    from las_vpe_platform_spark.queries_streaming import ivf_assign_cells
+
+    rows = [
+        (1, [1.0, 0.0], 0),   # exactly centroid 0's direction
+        (2, [0.0, 2.0], 0),   # exactly centroid 100's direction
+        (3, [1.0, 1.0], 0),   # equidistant -> tie -> larger id (100)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {
+        r["centroid_id"]: r["n_assigned"]
+        for r in ivf_assign_cells(
+            df, [(0, [1.0, 0.0]), (100, [0.0, 1.0])]
+        ).collect()
+    }
+    assert out == {0: 1, 100: 2}
