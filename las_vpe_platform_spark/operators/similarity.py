@@ -704,3 +704,199 @@ WITH _keyed AS (
 SELECT k.{id_col}, k.cluster::INT AS cluster
 FROM _keyed k ANTI JOIN _dropped d ON k.{id_col} = d.{id_col}
 """
+
+
+def pq_topk(
+    probes: DataFrame,
+    gallery: DataFrame,
+    probe_key: str,
+    gallery_key: str,
+    vector_col: str = "embedding",
+    dim: int = 64,
+    m: int = 8,
+    n_codes: int = 16,
+    k: int = 5,
+    materialize: Materializer = persist_disk,
+) -> DataFrame:
+    """Product-quantization ANN (FAISS IVF-PQ's storage half): the
+    gallery is encoded as ``m`` sub-vector codes against a shared
+    codebook, and probes score gallery rows by asymmetric distance —
+    a sum of ``m`` table lookups instead of a ``dim``-wide float dot.
+
+    Fifth ANN path after q27 (exact), q29/q70 (IVF), q59 (SRP), q66
+    (SQ8).  SQ8 compresses 4x and still pays O(dim) per pair; PQ
+    compresses ``dim*4 / m`` bytes-per-vector (32x here: 8 one-byte
+    codes for a 64-dim float vector) and pays O(m) per pair.  At 10^11
+    vectors this is the difference between a code table that fits in
+    cluster RAM and one that doesn't — compose with ``ivf_topk``'s
+    cell pruning for the full IVF-PQ (reference pairwise comparer J9,
+    ExternPedestrianComparerUsingAttr.java:170-194, is the O(P x N)
+    primitive this replaces at scale).
+
+    Determinism contract (what the DuckDB oracle mirrors):
+
+    - codebook = the ``n_codes`` smallest ``gallery_key`` rows
+      (TakeOrderedAndProject — per-partition top-k, no full sort),
+      positions 0..n_codes-1 in key order;
+    - encode: per subspace, argmin squared-L2 over codebook positions,
+      ties to the smaller position; sub-dim folds run in index order;
+    - ADC: the probe's per-(subspace, position) distance table is
+      computed once per probe BELOW the pair join; the pair expression
+      is m array lookups summed in subspace order.
+
+    Everything is lazy column expressions over a one-row broadcast
+    codebook aggregate — no job at plan-build, composable into
+    streaming plans (the s13 assignment pattern).
+    """
+    sub_d = dim // m
+    cb = (
+        gallery.select(
+            F.col(gallery_key).cast("bigint").alias("_cid"),
+            F.transform(vector_col, lambda x: x.cast("double")).alias("_cvec"),
+        )
+        .orderBy("_cid")
+        .limit(n_codes)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_cid"), F.col("_cvec")))
+            ).alias("_cb")
+        )
+        .select(F.transform("_cb", lambda c: c["_cvec"]).alias("_cb"))
+    )
+    # the one-row codebook is referenced by BOTH the gallery encode and
+    # the probe ADC subtree — stage it (SCALE.md multi-reference rule)
+    # or each side pays its own full-gallery TakeOrderedAndProject scan
+    cb = materialize(cb)
+
+    def dist2(vec, cvec, s):
+        # squared L2 over subspace s, folded in sub-dim index order
+        return F.aggregate(
+            F.sequence(F.lit(1), F.lit(sub_d)),
+            F.lit(0.0),
+            lambda acc, i: acc
+            + (
+                F.element_at(vec, (s * sub_d + i).cast("int"))
+                - F.element_at(cvec, (s * sub_d + i).cast("int"))
+            )
+            * (
+                F.element_at(vec, (s * sub_d + i).cast("int"))
+                - F.element_at(cvec, (s * sub_d + i).cast("int"))
+            ),
+        )
+
+    g = (
+        gallery.select(
+            F.col(gallery_key).alias("gallery_key"),
+            F.transform(vector_col, lambda x: x.cast("double")).alias("_gvec"),
+        )
+        .crossJoin(F.broadcast(cb))
+        .select(
+            "gallery_key",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.array_min(
+                    F.transform(
+                        F.col("_cb"),
+                        lambda c, j: F.struct(
+                            dist2(F.col("_gvec"), c, s).alias("d"),
+                            j.alias("j"),
+                        ),
+                    )
+                )["j"],
+            ).alias("_codes"),
+        )
+    )
+    p = (
+        probes.select(
+            F.col(probe_key).alias("probe_key"),
+            F.transform(vector_col, lambda x: x.cast("double")).alias("_pvec"),
+        )
+        .crossJoin(F.broadcast(cb))
+        .select(
+            "probe_key",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.transform(
+                    F.col("_cb"), lambda c: dist2(F.col("_pvec"), c, s)
+                ),
+            ).alias("_adc"),
+        )
+    )
+    adc_dist = F.aggregate(
+        F.zip_with(
+            "_adc", "_codes", lambda a, c: F.element_at(a, (c + 1).cast("int"))
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        F.broadcast(p)
+        .crossJoin(g)
+        .select("probe_key", "gallery_key", adc_dist.alias("adc_dist"))
+    )
+    w = W.partitionBy("probe_key").orderBy(
+        F.asc("adc_dist"), F.asc("gallery_key")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def pq_topk_sql(
+    table: str,
+    probe_filter: str,
+    id_col: str,
+    vector_col: str,
+    dim: int,
+    m: int = 8,
+    n_codes: int = 16,
+    k: int = 5,
+) -> str:
+    """DuckDB mirror of :func:`pq_topk` — identical codebook choice,
+    argmin tie-break, and fold orders (``probe_filter`` is applied to
+    alias ``p``)."""
+    sub_d = dim // m
+
+    def d2(vec: str, cvec: str) -> str:
+        return (
+            f"list_sum(list_transform(generate_series(1, {sub_d}),"
+            f" i -> ({vec}[s.s*{sub_d}+i]::DOUBLE - {cvec}[s.s*{sub_d}+i]::DOUBLE)"
+            f" * ({vec}[s.s*{sub_d}+i]::DOUBLE - {cvec}[s.s*{sub_d}+i]::DOUBLE)))"
+        )
+
+    return f"""
+WITH cb0 AS (
+  SELECT {id_col} AS cid, {vector_col} AS cvec
+  FROM {table} ORDER BY {id_col} LIMIT {n_codes}
+), cb AS (
+  SELECT row_number() OVER (ORDER BY cid) - 1 AS j, cvec FROM cb0
+), g_sub AS (
+  SELECT g.{id_col} AS gallery_key, s.s AS s, cb.j,
+         {d2('g.' + vector_col, 'cb.cvec')} AS d2
+  FROM {table} g CROSS JOIN cb CROSS JOIN generate_series(0, {m - 1}) AS s(s)
+), g_codes AS (
+  SELECT gallery_key, s, j AS code FROM (
+    SELECT gallery_key, s, j,
+           row_number() OVER (PARTITION BY gallery_key, s ORDER BY d2, j) AS rn
+    FROM g_sub
+  ) WHERE rn = 1
+), p_sub AS (
+  SELECT p.{id_col} AS probe_key, s.s AS s, cb.j,
+         {d2('p.' + vector_col, 'cb.cvec')} AS d2
+  FROM {table} p CROSS JOIN cb CROSS JOIN generate_series(0, {m - 1}) AS s(s)
+  WHERE {probe_filter}
+), pair AS (
+  SELECT ps.probe_key, gc.gallery_key,
+         list_sum(list(ps.d2 ORDER BY gc.s)) AS adc_dist
+  FROM g_codes gc JOIN p_sub ps ON ps.s = gc.s AND ps.j = gc.code
+  GROUP BY ps.probe_key, gc.gallery_key
+), ranked AS (
+  SELECT probe_key, gallery_key, adc_dist,
+         row_number() OVER (PARTITION BY probe_key
+                            ORDER BY adc_dist, gallery_key) AS rank
+  FROM pair
+)
+SELECT probe_key, gallery_key, rank::BIGINT AS rank,
+       floor((adc_dist) * 1000000.0 + 0.5) / 1000000.0 AS adc_dist
+FROM ranked WHERE rank <= {k}
+"""

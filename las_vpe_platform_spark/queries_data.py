@@ -4245,6 +4245,44 @@ WHERE shared::DOUBLE / (sc.sz + se.sz - shared)::DOUBLE >= {PREFIX_JACCARD_T}
 """
 
 
+# --- q111: product-quantization ANN top-k ------------------------------------
+# Fifth ANN path, completing the compression ladder: q27 exact float
+# (4*dim bytes/vector), q66 SQ8 (dim bytes, O(dim) per pair), q111 PQ
+# (m bytes, O(m) per pair). The codebook is the n_codes smallest
+# vec_ids (deterministic, like q29's mod-centroids); gallery rows
+# carry only their m sub-vector codes; probes score by asymmetric
+# distance — m lookups into a per-probe table computed once below the
+# pair join. Compose with q70's IVF cells for the full IVF-PQ at
+# 10^11 vectors.
+
+def q111_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.operators.similarity import pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")  # no forced repartition, see q27
+    probes = emb.filter(F.col("vec_id") % 100 == 13)
+    top = pq_topk(
+        probes, emb, probe_key="vec_id", gallery_key="vec_id",
+        vector_col="embedding", dim=64, m=8, n_codes=16, k=5,
+    )
+    return top.select(
+        "probe_key", "gallery_key",
+        F.col("rank").cast("bigint").alias("rank"),
+        pround("adc_dist", 6).alias("adc_dist"),
+    )
+
+
+def _q111_sql() -> str:
+    from las_vpe_platform_spark.operators.similarity import pq_topk_sql
+
+    return pq_topk_sql(
+        "embeddings", "p.vec_id % 100 = 13", "vec_id", "embedding",
+        dim=64, m=8, n_codes=16, k=5,
+    )
+
+
+Q111_SQL = _q111_sql()
+
+
 DATA_QUERIES = {
     "q20_doc_token_stats": (q20_doc_token_stats, Q20_SQL),
     "q21_doc_quality": (q21_doc_quality, Q21_SQL),
@@ -4317,4 +4355,5 @@ DATA_QUERIES = {
     "q105_decayed_trending": (q105_decayed_trending, Q105_SQL),
     "q106_prefix_filter_join": (q106_prefix_filter_join, Q106_SQL),
     "q107_fuzzy_decontaminate": (q107_fuzzy_decontaminate, Q107_SQL),
+    "q111_pq_ann_topk": (q111_pq_ann_topk, Q111_SQL),
 }

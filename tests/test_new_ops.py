@@ -202,3 +202,53 @@ def test_ivf2_matches_flat_ivf_assignment_quality(spark, sf_dir):
     a = {(r["probe_key"], r["gallery_key"]) for r in approx.collect()}
     e = {(r["probe_key"], r["gallery_key"]) for r in exact.collect()}
     assert len(a & e) / len(e) >= 0.4, "two-level IVF recall collapsed"
+
+
+def test_pq_topk_synthetic_codes_adc_and_ties(spark):
+    """Hand-computed PQ example (dim=4, m=2, n_codes=2): verifies the
+    argmin encoding, the asymmetric-distance sum, and the
+    (adc_dist, gallery_key) tie-break."""
+    from las_vpe_platform_spark.operators.similarity import pq_topk
+
+    rows = [
+        (0, [0.0, 0.0, 10.0, 10.0]),   # codebook position 0
+        (1, [5.0, 5.0, 0.0, 0.0]),     # codebook position 1
+        (2, [0.4, 0.0, 10.0, 10.0]),   # encodes to [0, 0]
+        (3, [5.0, 5.0, 0.5, 0.0]),     # encodes to [1, 1]
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    probes = emb.filter("vec_id = 0")
+    got = [
+        (r["gallery_key"], r["rank"], r["adc_dist"])
+        for r in pq_topk(
+            probes, emb, probe_key="vec_id", gallery_key="vec_id",
+            vector_col="embedding", dim=4, m=2, n_codes=2, k=4,
+        ).orderBy("rank").collect()
+    ]
+    # probe 0 == codebook 0: ADC to code 0 is 0 per subspace, to code 1
+    # it's 50 (sub 0) / 200 (sub 1); ids 0,2 share codes [0,0] (dist 0,
+    # tie -> smaller key), ids 1,3 share [1,1] (dist 250)
+    assert got == [(0, 1, 0.0), (2, 2, 0.0), (1, 3, 250.0), (3, 4, 250.0)]
+
+
+def test_pq_topk_codebook_probes_self_distance_zero(spark, sf_dir):
+    """A probe that IS a codebook member encodes with zero error, so
+    its rank-1 asymmetric distance must be exactly 0.0 and its own id
+    must appear among the zero-distance hits."""
+    from las_vpe_platform_spark.operators.similarity import pq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") < 16)
+    out = pq_topk(
+        probes, emb, probe_key="vec_id", gallery_key="vec_id",
+        vector_col="embedding", dim=64, m=8, n_codes=16, k=5,
+    ).collect()
+    by_probe = {}
+    for r in out:
+        by_probe.setdefault(r["probe_key"], []).append(r)
+    assert len(by_probe) == 16
+    for pk, rs in by_probe.items():
+        top1 = min(rs, key=lambda r: r["rank"])
+        assert top1["adc_dist"] == 0.0, (pk, top1)
+        zero_hits = {r["gallery_key"] for r in rs if r["adc_dist"] == 0.0}
+        assert pk in zero_hits, (pk, sorted(zero_hits))

@@ -437,3 +437,21 @@ def test_s13_assignment_is_join_free(spark, tmp_path):
     plan = cells._jdf.queryExecution().analyzed().toString()
     assert "Join" not in plan
     assert plan.count("Aggregate") == 1
+
+
+def test_q111_pq_gallery_never_shuffles(spark, sf_dir):
+    # same contract as q66: probes broadcast over the gallery scan;
+    # the only hash exchange is the per-probe rank window. The
+    # codebook build must be TakeOrderedAndProject (per-partition
+    # top-n_codes merge), NOT a global sort of the gallery.
+    from las_vpe_platform_spark.queries_data import q111_pq_ann_topk
+
+    plan = _plan(q111_pq_ann_topk(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    import re
+
+    all_hash = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
+    other_hash = [m for m in all_hash if m != "probe_key"]
+    assert not other_hash, f"unexpected gallery-side shuffle on {other_hash}"
+    assert len(all_hash) >= 1
