@@ -22,7 +22,8 @@ catalog).  ``DRIVER_PRIORITY`` is therefore RE-DERIVED EVERY ROUND as
    m09 appearance cuts, q108 trigrams, q109 cohort retention, q110
    sampled quantiles, s12 streaming trigrams, s13 streaming IVF cell
    assignment, d17 trajectory stats, d18 fragment healing, d19 camera
-   transitions, d20 attribute search, q111 product-quantization ANN),
+   transitions, d20 attribute search, q111 product-quantization ANN,
+   s14 streaming quantile sketch),
 3. tier 2 — stalest evidence: entries whose ONLY driver row is
    round 1.
 
@@ -103,6 +104,7 @@ DRIVER_PRIORITY: list[str] = [
     "s12_stream_trigrams",
     "s13_stream_ivf_assign",
     "q111_pq_ann_topk",
+    "s14_stream_quantile_sketch",
     "d17_trajectory_stats",
     "d18_fragment_heal_candidates",
     "d19_camera_transitions",

@@ -912,6 +912,101 @@ FROM best WHERE rk = 1 GROUP BY centroid_id
 S13_SQL = _s13_sql()
 
 
+# --- s14: streaming quantile sketch (bottom-hash survivors in-stream) --------
+# Completes the STREAMING portable-sketch trio (s07 CMS = frequency,
+# s09 HLL = distinct, this = quantiles) — the live face of batch q110.
+# q110's acceptance threshold depends on the group's TOTAL count,
+# which a stream only knows at end-of-input, so the stream applies a
+# FIXED hash threshold instead: a stateless per-row filter (the
+# sketch's whole data-movement claim — only ~1/RATE_DIV of rows ever
+# cross to the survivor sink) running beside ONE bounded aggregate
+# (per-group totals, #groups state rows). Percentiles finish
+# batch-side over the survivor sample, exactly where a production
+# pipeline queries its sketch store.
+
+S14_RATE_DIV = 16
+S14_THR = 1152921504606846976 // S14_RATE_DIV  # 2^60 / 16
+
+
+def quantile_survivors(stream: DataFrame) -> DataFrame:
+    """The stateless half of the streaming quantile sketch: the
+    deterministic bottom-hash acceptance filter. Pure per-row column
+    expressions — no join, no aggregate, no state; this is the branch
+    that sees 100% of the input and forwards ~1/RATE_DIV of it."""
+    from las_vpe_platform_spark.queries_relational import _SQ_HASH60
+
+    return (
+        stream.withColumn("_h", F.expr(_SQ_HASH60))
+        .filter(F.col("_h") < S14_THR)
+        .select("event_type", "value")
+    )
+
+
+def s14_stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming approximate quantiles via a fixed-rate bottom-hash
+    sample: two branch queries over one shared landed source (the s05
+    demux pattern) — an append-mode stateless survivor filter and a
+    complete-mode per-group count whose state is one row per group —
+    then exact percentiles over the survivors, batch-finished.
+
+    The md5-based acceptance makes the sample a deterministic function
+    of event_id, so the stream sample equals the batch sample under
+    ANY micro-batch interleaving, and the DuckDB oracle reproduces the
+    whole table bit-for-bit. Error is the standard order-statistics
+    bound ~ 1/sqrt(n/RATE_DIV) per group; RATE_DIV is the knob (state
+    and sink bytes scale down by it, error scales up by sqrt of it).
+    """
+    src = _landed_events8(spark, sf_dir)
+
+    def typed_stream():
+        return file_stream(
+            spark, src, RAW_EVENTS_SCHEMA, max_files_per_trigger=4
+        )
+
+    survivors_s = quantile_survivors(typed_stream())
+    counts_s = typed_stream().groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    sfx = uuid.uuid4().hex[:8]
+    with _stream_partitions(spark):
+        survivors = run_to_completion(
+            survivors_s, f"s14_surv_{sfx}", output_mode="append"
+        )
+        counts = run_to_completion(
+            counts_s, f"s14_cnt_{sfx}", output_mode="complete"
+        )
+    agg = survivors.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sample_n"),
+        pround(F.expr("percentile(value, 0.5)"), 6).alias("p50_est"),
+        pround(F.expr("percentile(value, 0.9)"), 6).alias("p90_est"),
+        pround(F.expr("percentile(value, 0.99)"), 6).alias("p99_est"),
+    )
+    return agg.join(F.broadcast(counts), "event_type").select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        "sample_n",
+        "p50_est",
+        "p90_est",
+        "p99_est",
+    )
+
+
+S14_SQL = f"""
+WITH counts AS (
+  SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+), survivors AS (
+  SELECT event_type, value FROM events
+  WHERE ('0x' || substr(md5(event_id::VARCHAR), 1, 15))::BIGINT < {S14_THR}
+)
+SELECT s.event_type, c.n::BIGINT AS n, count(*)::BIGINT AS sample_n,
+       floor((quantile_cont(value, 0.5)) * 1000000.0 + 0.5) / 1000000.0 AS p50_est,
+       floor((quantile_cont(value, 0.9)) * 1000000.0 + 0.5) / 1000000.0 AS p90_est,
+       floor((quantile_cont(value, 0.99)) * 1000000.0 + 0.5) / 1000000.0 AS p99_est
+FROM survivors s JOIN counts c USING (event_type)
+GROUP BY s.event_type, c.n
+"""
+
+
 STREAMING_QUERIES = {
     "s01_stream_windowed_counts": (s01_stream_windowed_counts, S01_SQL),
     "s02_stream_dedup": (s02_stream_dedup, S02_SQL),
@@ -926,4 +1021,5 @@ STREAMING_QUERIES = {
     "s11_stream_leaderboard": (s11_stream_leaderboard, S11_SQL),
     "s12_stream_trigrams": (s12_stream_trigrams, S12_SQL),
     "s13_stream_ivf_assign": (s13_stream_ivf_assign, S13_SQL),
+    "s14_stream_quantile_sketch": (s14_stream_quantile_sketch, S14_SQL),
 }

@@ -455,3 +455,22 @@ def test_q111_pq_gallery_never_shuffles(spark, sf_dir):
     other_hash = [m for m in all_hash if m != "probe_key"]
     assert not other_hash, f"unexpected gallery-side shuffle on {other_hash}"
     assert len(all_hash) >= 1
+
+
+def test_s14_survivor_branch_is_stateless(spark, tmp_path):
+    # the survivor branch must carry NO join and NO aggregate — it is
+    # the stateless fast path that forwards ~1/16 of rows; built
+    # unstarted over an empty dir: zero jobs
+    from las_vpe_platform_spark.queries_streaming import (
+        RAW_EVENTS_SCHEMA,
+        quantile_survivors,
+    )
+
+    stream = (
+        spark.readStream.schema(RAW_EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(tmp_path))
+    )
+    plan = quantile_survivors(stream)._jdf.queryExecution().analyzed().toString()
+    assert "Join" not in plan
+    assert "Aggregate" not in plan

@@ -787,3 +787,33 @@ def test_ivf_assign_cells_argmax_and_tiebreak(spark):
         ).collect()
     }
     assert out == {0: 1, 100: 2}
+
+
+def test_s14_survivor_rate_and_bounds(spark, sf_dir):
+    # the sketch's data-movement claim: only ~1/RATE_DIV of rows cross
+    # to the survivor sink (md5 is uniform, so the realized rate sits
+    # near the nominal one), and estimates stay inside the group's
+    # true value range
+    from las_vpe_platform_spark.queries_streaming import (
+        S14_RATE_DIV,
+        s14_stream_quantile_sketch,
+    )
+
+    out = s14_stream_quantile_sketch(spark, sf_dir).collect()
+    assert out
+    total_n = sum(r["n"] for r in out)
+    total_s = sum(r["sample_n"] for r in out)
+    nominal = total_n / S14_RATE_DIV
+    assert nominal / 3 <= total_s <= nominal * 3, (total_s, nominal)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rng = {
+        r["event_type"]: (r["mn"], r["mx"])
+        for r in ev.groupBy("event_type")
+        .agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+        .collect()
+    }
+    for r in out:
+        mn, mx = rng[r["event_type"]]
+        for c in ("p50_est", "p90_est", "p99_est"):
+            assert mn - 1e-6 <= r[c] <= mx + 1e-6, (r["event_type"], c, r[c])
+        assert r["sample_n"] <= r["n"]

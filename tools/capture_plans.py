@@ -130,7 +130,26 @@ STREAMING_HEADLINERS = [
     ("s13_stream_ivf_assign (unstarted streaming plan, toy centroids)",
      "continuous ANN ingest: nearest-centroid assignment is a pure column expression over plan-time centroid literals (no stream-side join); the only state is the per-cell running aggregate — #cells rows, input-size-independent",
      "_ivf_assign_stream_plan"),
+    ("s14_stream_quantile_sketch (unstarted survivor branch)",
+     "streaming quantile sketch, stateless half: the bottom-hash acceptance filter is pure per-row expressions (no join, no aggregate, no state) — 100% of input scanned, ~1/16 forwarded; the counts branch is one bounded aggregate (#groups state rows); percentiles finish batch-side over the survivor sink",
+     "_quantile_survivor_stream_plan"),
 ]
+
+
+def _quantile_survivor_stream_plan(spark):
+    from las_vpe_platform_spark.queries_streaming import (
+        RAW_EVENTS_SCHEMA,
+        _scratch_dir,
+        quantile_survivors,
+    )
+
+    src = _scratch_dir("plan_s14_")
+    stream = (
+        spark.readStream.schema(RAW_EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    return quantile_survivors(stream)
 
 
 def _ivf_assign_stream_plan(spark):
