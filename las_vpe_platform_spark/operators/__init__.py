@@ -17,6 +17,7 @@ from las_vpe_platform_spark.operators.clustering import (  # noqa: F401
 )
 from las_vpe_platform_spark.operators.dedup import (  # noqa: F401
     connected_components,
+    containment_pairs,
     exact_dedup,
     minhash_lsh_candidates,
     ngram_jaccard_pairs,

@@ -836,3 +836,95 @@ def prefix_filter_join(
             "jaccard",
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    materialize: Materializer = persist_disk,
+) -> DataFrame:
+    """EXACT token-sequence containment join: every (inner, outer)
+    pair where inner's whitespace-token sequence appears contiguously
+    inside outer's — truncations, quoted excerpts, and boilerplate
+    wrappers around an existing document, the containment face of
+    exact dedup (which only catches WHOLE-document equality; the
+    reference's idempotency check, DataManagingApp.java:422-473, is
+    the degenerate inner == outer case).
+
+    Scale shape — rarest-anchor filtering: containment implies EVERY
+    bigram of inner is a bigram of outer, so joining inner's single
+    globally-rarest bigram against a bigram inverted index misses no
+    qualifying pair, and the candidate count is sum over docs of
+    df(rarest bigram) — the rarest-first idea of
+    :func:`prefix_filter_pairs` taken to prefix length 1, which is
+    exactly what containment (J = |inner|/|outer| can be arbitrarily
+    small, so no Jaccard threshold applies) still admits. One-token
+    documents anchor on their token against a unigram index instead;
+    the verify stage is a space-delimited substring check on
+    whitespace-normalized text, bounded by candidates, never corpus².
+
+    Returns (inner_id, outer_id, n_tok_inner, n_tok_outer,
+    exact_equal) — both orientations appear for exactly-equal texts,
+    matching the symmetric truth.
+    """
+    norm = materialize(
+        df.select(
+            F.col(id_col).alias("doc_id_"),
+            F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ").alias("_t"),
+        ).filter(F.col("_t") != ""),
+        "containment_norm",
+    )
+    # bigram postings over ALL docs (potential outers); inner anchors
+    # are one row per doc — its rarest bigram under (global df, value)
+    bi = materialize(
+        exploded_shingles(df, id_col, text_col, 2), "containment_bigrams"
+    )
+    bifreq = bi.withColumn("_df", F.count(F.lit(1)).over(W.partitionBy("shingle")))
+    anchor_w = W.partitionBy("doc_id_").orderBy(F.asc("_df"), F.asc("shingle"))
+    anchors2 = (
+        bifreq.withColumn("_rn", F.row_number().over(anchor_w))
+        .filter(F.col("_rn") == 1)
+        .select(F.col("doc_id_").alias("_iid"), "shingle")
+    )
+    cand2 = anchors2.join(
+        bi.selectExpr("doc_id_ AS _oid", "shingle"), on="shingle"
+    ).select("_iid", "_oid")
+    # one-token docs have no bigram: anchor them on the token itself
+    # against a unigram index (the index is corpus-sized but the probe
+    # side is only the one-token docs — typically a sliver)
+    uni = exploded_shingles(df, id_col, text_col, 1)
+    one_tok = (
+        norm.filter(~F.col("_t").contains(" "))
+        .select(F.col("doc_id_").alias("_iid"), F.col("_t").alias("shingle"))
+    )
+    cand1 = one_tok.join(
+        uni.selectExpr("doc_id_ AS _oid", "shingle"), on="shingle"
+    ).select("_iid", "_oid")
+    inner_n = norm.select(
+        F.col("doc_id_").alias("_iid"),
+        (F.size(F.split(F.col("_t"), " "))).alias("n_tok_inner"),
+        F.col("_t").alias("_ti"),
+    )
+    outer_n = norm.select(
+        F.col("doc_id_").alias("_oid"),
+        (F.size(F.split(F.col("_t"), " "))).alias("n_tok_outer"),
+        F.col("_t").alias("_to"),
+    )
+    return (
+        cand2.unionByName(cand1)
+        .filter(F.col("_iid") != F.col("_oid"))
+        .join(inner_n, on="_iid")
+        .join(outer_n, on="_oid")
+        .filter(F.col("n_tok_inner") <= F.col("n_tok_outer"))
+        .filter(
+            F.expr("instr(concat(' ', _to, ' '), concat(' ', _ti, ' ')) > 0")
+        )
+        .select(
+            F.col("_iid").alias("inner_id"),
+            F.col("_oid").alias("outer_id"),
+            F.col("n_tok_inner").cast("bigint").alias("n_tok_inner"),
+            F.col("n_tok_outer").cast("bigint").alias("n_tok_outer"),
+            (F.col("_ti") == F.col("_to")).cast("int").alias("exact_equal"),
+        )
+    )

@@ -4283,6 +4283,147 @@ def _q111_sql() -> str:
 Q111_SQL = _q111_sql()
 
 
+
+# --- q112: token-sequence containment dedup ----------------------------------
+# The containment face of exact dedup: documents whose whole token
+# sequence appears contiguously inside another document (truncations,
+# quoted excerpts, boilerplate-wrapped re-posts) — pairs exact dedup
+# (q23, whole-doc equality only) with the substring case C4-style span
+# dedup (q61) handles at span granularity. Uses
+# operators/dedup.containment_pairs: rarest-bigram anchor join against
+# a bigram inverted index (complete — containment implies every inner
+# bigram is an outer bigram), verify = one space-delimited instr on
+# whitespace-normalized text, bounded by candidates, never corpus².
+
+def q112_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.operators.dedup import containment_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return containment_pairs(docs, id_col="doc_id", text_col="text")
+
+
+Q112_SQL = r"""
+WITH norm AS (
+  SELECT doc_id, regexp_replace(trim(text), '\s+', ' ', 'g') AS t,
+         len(list_filter(string_split_regex(trim(text), '\s+'), x -> x != '')) AS n_tok
+  FROM documents
+  WHERE regexp_replace(trim(text), '\s+', ' ', 'g') != ''
+)
+SELECT i.doc_id AS inner_id, o.doc_id AS outer_id,
+       i.n_tok::BIGINT AS n_tok_inner, o.n_tok::BIGINT AS n_tok_outer,
+       (i.t = o.t)::INT AS exact_equal
+FROM norm i JOIN norm o
+  ON i.doc_id != o.doc_id
+ AND i.n_tok <= o.n_tok
+ AND strpos(' ' || o.t || ' ', ' ' || i.t || ' ') > 0
+"""
+
+
+# --- q113: reciprocal-rank fusion (lexical + semantic retrieval) -------------
+# Hybrid retrieval — THE production shape for mining topical training
+# subsets: a lexical ranked list (q65's BM25 over the fixed query
+# terms) and a semantic ranked list (exact cosine against a fixed
+# probe embedding, q27's scorer) fused with reciprocal-rank fusion
+# (Cormack et al.: score = sum 1/(RRF_K + rank)) — rank-based, so the
+# fusion is immune to the two scorers' incomparable scales. Scale
+# shape: both lists are top-N TakeOrderedAndProject reductions (never
+# a full sort), the fusion is a full-outer join of two N-row tables —
+# driver-trivial at any corpus size — and each side reuses the exact
+# operators benchmarked elsewhere (q65/q27).
+
+RRF_K = 60
+RRF_N = 50
+RRF_TOPK = 20
+RRF_PROBE_ID = 0
+
+
+def q113_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W2
+
+    lex = (
+        q65_bm25_topk(spark, sf_dir)
+        .select(F.col("doc_id"), F.col("rank").alias("rank_lex"))
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == RRF_PROBE_ID).select(
+        F.col("embedding").alias("pvec")
+    )
+    # gallery streams past the broadcast 1-row probe; top-N is
+    # TakeOrderedAndProject, the rank window runs over N rows
+    dot = F.expr(
+        "aggregate(zip_with(embedding, pvec, (a, b) -> a * CAST(b AS DOUBLE)),"
+        " 0D, (acc, x) -> acc + x)"
+    )
+    nrm = F.expr(
+        "sqrt(aggregate(embedding, 0D, (acc, x) -> acc + x * CAST(x AS DOUBLE)))"
+    )
+    pnrm = F.expr(
+        "sqrt(aggregate(pvec, 0D, (acc, x) -> acc + x * CAST(x AS DOUBLE)))"
+    )
+    sem_scored = (
+        emb.crossJoin(F.broadcast(probe))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            (dot / (nrm * pnrm)).alias("sim"),
+        )
+        .orderBy(F.desc("sim"), F.asc("doc_id"))
+        .limit(RRF_N)
+    )
+    sem = sem_scored.withColumn(
+        "rank_sem", F.row_number().over(W2.orderBy(F.desc("sim"), F.asc("doc_id")))
+    ).select("doc_id", "rank_sem")
+    fused = (
+        lex.join(sem, on="doc_id", how="full_outer")
+        .withColumn(
+            "rrf",
+            F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("rank_lex")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("rank_sem")), F.lit(0.0)),
+        )
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(RRF_TOPK)
+    )
+    return fused.withColumn(
+        "rank", F.row_number().over(W2.orderBy(F.desc("rrf"), F.asc("doc_id")))
+    ).select(
+        "doc_id",
+        F.col("rank").cast("bigint").alias("rank"),
+        F.col("rank_lex").cast("bigint").alias("rank_lex"),
+        F.col("rank_sem").cast("bigint").alias("rank_sem"),
+        pround("rrf", 6).alias("rrf"),
+    )
+
+
+def _q113_sql() -> str:
+    lex_sql = _q65_sql().strip().rstrip(";")
+    return f"""
+WITH lex AS (
+  SELECT doc_id, rank AS rank_lex FROM ({lex_sql})
+), probe AS (
+  SELECT embedding AS pvec FROM embeddings WHERE vec_id = {RRF_PROBE_ID}
+), sem_scored AS (
+  SELECT vec_id AS doc_id, {sql_cosine('embedding', 'pvec')} AS sim
+  FROM embeddings CROSS JOIN probe
+  ORDER BY sim DESC, doc_id LIMIT {RRF_N}
+), sem AS (
+  SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id) AS rank_sem
+  FROM sem_scored
+), fused AS (
+  SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id, rank_lex, rank_sem,
+         coalesce(1.0::DOUBLE / ({RRF_K} + rank_lex), 0.0::DOUBLE)
+         + coalesce(1.0::DOUBLE / ({RRF_K} + rank_sem), 0.0::DOUBLE) AS rrf
+  FROM lex FULL OUTER JOIN sem USING (doc_id)
+  ORDER BY rrf DESC, doc_id LIMIT {RRF_TOPK}
+)
+SELECT doc_id, row_number() OVER (ORDER BY rrf DESC, doc_id)::BIGINT AS rank,
+       rank_lex::BIGINT AS rank_lex, rank_sem::BIGINT AS rank_sem,
+       floor((rrf) * 1000000.0 + 0.5) / 1000000.0 AS rrf
+FROM fused
+"""
+
+
+Q113_SQL = _q113_sql()
+
+
 DATA_QUERIES = {
     "q20_doc_token_stats": (q20_doc_token_stats, Q20_SQL),
     "q21_doc_quality": (q21_doc_quality, Q21_SQL),
@@ -4356,4 +4497,6 @@ DATA_QUERIES = {
     "q106_prefix_filter_join": (q106_prefix_filter_join, Q106_SQL),
     "q107_fuzzy_decontaminate": (q107_fuzzy_decontaminate, Q107_SQL),
     "q111_pq_ann_topk": (q111_pq_ann_topk, Q111_SQL),
+    "q112_containment_dedup": (q112_containment_dedup, Q112_SQL),
+    "q113_rrf_fusion": (q113_rrf_fusion, Q113_SQL),
 }

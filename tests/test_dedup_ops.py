@@ -252,3 +252,40 @@ def test_prefix_filter_join_matches_brute_force(spark):
                 if len(a & b) / len(a | b) >= t:
                     want.add((ci, ei))
         assert got == want, (t, got, want)
+
+
+def test_containment_pairs_matches_brute_force(spark):
+    """Rarest-bigram anchoring must find EXACTLY the brute-force
+    token-sequence containment set — including the one-token inner
+    (no bigram to anchor on), the non-boundary substring that must
+    NOT match ('b c' inside 'ab c' at char level but not at token
+    level), and both orientations of an exact-equal pair."""
+    from las_vpe_platform_spark.operators.dedup import containment_pairs
+
+    rows = [
+        (1, "a b c d e"),
+        (2, "b c d"),          # contained in 1
+        (3, "  b   c  d "),    # whitespace-normalized clone of 2 (both ways)
+        (4, "e"),              # one token, contained in 1
+        (5, "xb c"),           # 'b c' is a char substring but not token-aligned
+        (6, "q r s"),          # contained in nothing
+        (7, "c d e"),          # suffix of 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["inner_id"], r["outer_id"], r["exact_equal"])
+        for r in containment_pairs(df, "doc_id", "text").collect()
+    }
+
+    def norm(s):
+        return " ".join(s.split())
+
+    want = set()
+    for ii, ti in rows:
+        for oi, to in rows:
+            ni, no = norm(ti), norm(to)
+            if ii != oi and ni and f" {ni} " in f" {no} ":
+                want.add((ii, oi, int(ni == no)))
+    assert (2, 1, 0) in want and (3, 2, 1) in want and (2, 3, 1) in want
+    assert (4, 1, 0) in want and (2, 5, 0) not in want
+    assert got == want
