@@ -23,7 +23,8 @@ catalog).  ``DRIVER_PRIORITY`` is therefore RE-DERIVED EVERY ROUND as
    sampled quantiles, s12 streaming trigrams, s13 streaming IVF cell
    assignment, d17 trajectory stats, d18 fragment healing, d19 camera
    transitions, d20 attribute search, q111 product-quantization ANN,
-   s14 streaming quantile sketch),
+   s14 streaming quantile sketch, q112 containment dedup, q113
+   reciprocal-rank fusion, d21 co-appearance pairs),
 3. tier 2 — stalest evidence: entries whose ONLY driver row is
    round 1.
 
@@ -109,6 +110,9 @@ DRIVER_PRIORITY: list[str] = [
     "d18_fragment_heal_candidates",
     "d19_camera_transitions",
     "d20_attribute_search",
+    "q112_containment_dedup",
+    "q113_rrf_fusion",
+    "d21_cotravel_pairs",
     # -- tier 2: stalest evidence — only driver row is round 1 (the
     #    16 oldest; q37-q47/q49 lose the tiebreak and stay in
     #    overflow with their r01 rows) --
@@ -252,7 +256,7 @@ if len(DRIVER_PRIORITY) != len(set(DRIVER_PRIORITY)):
 # The must-gate block (tiers 0-1, everything through the re-gates)
 # has to sit inside the driver's first-50 window — review finding r3
 # caught an earlier ordering leaving re-gated entries at 61-63.
-_MUST_GATE_LAST = "d20_attribute_search"
+_MUST_GATE_LAST = "d21_cotravel_pairs"
 if DRIVER_PRIORITY.index(_MUST_GATE_LAST) >= 50:
     raise ValueError(
         "DRIVER_PRIORITY stale: must-gate tiers exceed the 50-entry "

@@ -1529,6 +1529,93 @@ FROM rk WHERE rank <= {D20_TOPK}
 """
 
 
+
+# --- d21: co-appearance pairs (who walks with whom) ---------------------------
+# The within-camera companion analytic to d19's cross-camera topology:
+# tracklet pairs in the SAME video whose frame intervals overlap and
+# whose mean bounding-box centers sit within a radius — the raw
+# material for group/tailgating detection over the reference's tracker
+# output (Tracklet location sequences, Tracklet.java:56-138; the
+# reference stores the tracks and leaves co-occurrence to the graph,
+# GraphDatabaseConnector.java:102-123). Scale shape: a banded
+# (video, frame-bucket) equi-join — each tracklet explodes into the
+# <= 2 buckets its (span <= COTRAVEL_BUCKET frames) interval touches,
+# and the CANONICAL-BUCKET filter (bucket == greatest(sf_a, sf_b) div
+# COTRAVEL_BUCKET) admits each qualifying pair EXACTLY once, so no
+# distinct is needed and no per-video all-pairs product exists. Mean
+# centers are one array fold per tracklet, computed in the scan stage.
+
+COTRAVEL_BUCKET = 64   # >= max tracklet span (fixtures: <= 31 frames)
+COTRAVEL_RADIUS = 300.0
+COTRAVEL_MIN_OVERLAP = 1
+
+
+def d21_cotravel_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tr = _fx(spark, "tracklets").filter("size(location_sequence) > 0")
+    base = tr.selectExpr(
+        "video_id",
+        "tracklet_key",
+        "start_frame_index AS sf",
+        "start_frame_index + size(location_sequence) AS ef",
+        "aggregate(location_sequence, 0D, (acc, b) -> acc + b.x + b.width / 2.0D)"
+        " / size(location_sequence) AS cx",
+        "aggregate(location_sequence, 0D, (acc, b) -> acc + b.y + b.height / 2.0D)"
+        " / size(location_sequence) AS cy",
+    )
+    a = base.selectExpr(
+        "video_id", "tracklet_key AS key_a", "sf AS sf_a", "ef AS ef_a",
+        "cx AS cx_a", "cy AS cy_a",
+        f"explode(sequence(sf div {COTRAVEL_BUCKET}, ef div {COTRAVEL_BUCKET}))"
+        " AS bucket",
+    )
+    b = base.selectExpr(
+        "video_id", "tracklet_key AS key_b", "sf AS sf_b", "ef AS ef_b",
+        "cx AS cx_b", "cy AS cy_b",
+        f"explode(sequence(sf div {COTRAVEL_BUCKET}, ef div {COTRAVEL_BUCKET}))"
+        " AS bucket",
+    )
+    dist = "sqrt(pow(cx_a - cx_b, 2.0D) + pow(cy_a - cy_b, 2.0D))"
+    return (
+        a.join(b, on=["video_id", "bucket"])
+        .filter("key_a < key_b")
+        .filter(f"bucket = greatest(sf_a, sf_b) div {COTRAVEL_BUCKET}")
+        .filter(
+            "least(ef_a, ef_b) - greatest(sf_a, sf_b)"
+            f" >= {COTRAVEL_MIN_OVERLAP}"
+        )
+        .filter(f"{dist} <= {COTRAVEL_RADIUS}D")
+        .selectExpr(
+            "video_id",
+            "key_a",
+            "key_b",
+            "CAST(least(ef_a, ef_b) - greatest(sf_a, sf_b) AS BIGINT)"
+            " AS overlap_frames",
+            f"floor({dist} * 1000000.0D + 0.5D) / 1000000.0D AS pair_dist",
+        )
+    )
+
+
+D21_SQL = f"""
+WITH t AS (
+  SELECT video_id, tracklet_key, start_frame_index AS sf,
+         start_frame_index + len(location_sequence) AS ef,
+         list_sum(list_transform(location_sequence, b -> b.x + b.width / 2.0))
+           / len(location_sequence) AS cx,
+         list_sum(list_transform(location_sequence, b -> b.y + b.height / 2.0))
+           / len(location_sequence) AS cy
+  FROM {_fxsql('tracklets')} WHERE len(location_sequence) > 0
+)
+SELECT a.video_id, a.tracklet_key AS key_a, b.tracklet_key AS key_b,
+       (least(a.ef, b.ef) - greatest(a.sf, b.sf))::BIGINT AS overlap_frames,
+       floor(sqrt(pow(a.cx - b.cx, 2.0) + pow(a.cy - b.cy, 2.0))
+             * 1000000.0 + 0.5) / 1000000.0 AS pair_dist
+FROM t a JOIN t b
+  ON a.video_id = b.video_id AND a.tracklet_key < b.tracklet_key
+WHERE least(a.ef, b.ef) - greatest(a.sf, b.sf) >= {COTRAVEL_MIN_OVERLAP}
+  AND sqrt(pow(a.cx - b.cx, 2.0) + pow(a.cy - b.cy, 2.0)) <= {COTRAVEL_RADIUS}
+"""
+
+
 DOMAIN_QUERIES = {
     "d01_tracklet_sampling": (d01_tracklet_sampling, D01_SQL),
     "d02_attribute_average": (d02_attribute_average, D02_SQL),
@@ -1559,4 +1646,5 @@ DOMAIN_QUERIES = {
     "d18_fragment_heal_candidates": (d18_fragment_heal_candidates, D18_SQL),
     "d19_camera_transitions": (d19_camera_transitions, D19_SQL),
     "d20_attribute_search": (d20_attribute_search, D20_SQL),
+    "d21_cotravel_pairs": (d21_cotravel_pairs, D21_SQL),
 }
