@@ -1007,6 +1007,54 @@ GROUP BY s.event_type, c.n
 """
 
 
+
+# --- s15: streaming anomaly detection (prequential 3-sigma) -------------------
+# Online monitoring over the event stream: flag values more than
+# 3 sample-sigmas from the running per-type baseline of all STRICTLY
+# EARLIER rows. The stateful operator keeps (n, sum, sumsq) per
+# event_type — three scalars per key — and accumulates in event order,
+# so the oracle's running-window sums reproduce the same statistics
+# (the margin to the cutoff is ~1e-3 at sf0.01; accumulation-order
+# drift is ~1e-12). Arrival contract: the time-sliced landing shared
+# with s03/s10.
+
+def s15_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.streaming.stateful import anomaly_stream
+
+    raw = _events_micros(spark, sf_dir)
+    stream = _sliced_parquet_stream(
+        spark, raw, "s15_events_", cache_key=("events", sf_dir)
+    )
+    flagged = anomaly_stream(stream)
+    name = f"s15_out_{uuid.uuid4().hex[:8]}"
+    with _stream_partitions(spark):
+        out = run_to_completion(flagged, name, output_mode="append")
+    return out.select(
+        "event_id", "event_type", "value", "n_prev", "deviation", "sd_prev"
+    )
+
+
+S15_SQL = """
+WITH o AS (
+  SELECT event_id, event_type, value,
+         count(value) OVER w AS n_prev,
+         sum(value) OVER w AS s_prev,
+         sum(value * value) OVER w AS ss_prev
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, event_type, value, n_prev::BIGINT AS n_prev,
+       floor(abs(value - s_prev / n_prev) * 1000000.0 + 0.5) / 1000000.0 AS deviation,
+       floor(sqrt(greatest((ss_prev - s_prev * s_prev / n_prev) / (n_prev - 1), 0.0))
+             * 1000000.0 + 0.5) / 1000000.0 AS sd_prev
+FROM o
+WHERE n_prev >= 30
+  AND abs(value - s_prev / n_prev)
+      > 3.0 * sqrt(greatest((ss_prev - s_prev * s_prev / n_prev) / (n_prev - 1), 0.0))
+"""
+
+
 STREAMING_QUERIES = {
     "s01_stream_windowed_counts": (s01_stream_windowed_counts, S01_SQL),
     "s02_stream_dedup": (s02_stream_dedup, S02_SQL),
@@ -1022,4 +1070,5 @@ STREAMING_QUERIES = {
     "s12_stream_trigrams": (s12_stream_trigrams, S12_SQL),
     "s13_stream_ivf_assign": (s13_stream_ivf_assign, S13_SQL),
     "s14_stream_quantile_sketch": (s14_stream_quantile_sketch, S14_SQL),
+    "s15_stream_anomaly": (s15_stream_anomaly, S15_SQL),
 }

@@ -390,3 +390,90 @@ def trigram_stream(stream: DataFrame) -> DataFrame:
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+ANOMALY_OUTPUT_SCHEMA = (
+    "event_id long, event_type string, value double,"
+    " n_prev long, deviation double, sd_prev double"
+)
+ANOMALY_STATE_SCHEMA = "n long, s double, ss double"
+ANOMALY_MIN_N = 30
+ANOMALY_NSIGMA = 3.0
+
+
+def anomaly_stream(stream: DataFrame) -> DataFrame:
+    """Streaming prequential anomaly detection: per event_type, flag
+    each row whose value deviates more than NSIGMA sample standard
+    deviations from the running statistics of the rows STRICTLY BEFORE
+    it (event-time order) — the monitoring face of the reference's
+    per-stream health reports (SURVEY K9; the reference reports fixed
+    counters, this learns the baseline online).
+
+    State per key is THREE scalars — (n, sum, sum-of-squares) — so the
+    footprint is key-cardinality-bounded at any volume, and the
+    statistics equal a batch engine's running-window sums exactly: the
+    Welford formulation would drift from SQL's sum/sumsq by more than
+    float-epsilon, while naive sums accumulated in event order are
+    bit-reproducible against ``SUM(value) OVER (... ROWS UNBOUNDED
+    PRECEDING AND 1 PRECEDING)``. The flag compares deviation against
+    NSIGMA*sd directly (no division), so sd == 0 degenerates exactly
+    like the SQL predicate. Same arrival contract as locf_stream:
+    micro-batches in non-decreasing event-time ranges per key, rows
+    sorted (ts, event_id) within each batch.
+    """
+
+    def detect(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        pdf = pd.concat(list(batches), ignore_index=True)
+        ts_us = pd.to_datetime(pdf["ts"]).astype("int64") // 1000
+        pdf = pdf.assign(_ts=ts_us).sort_values(
+            ["_ts", "event_id"], kind="mergesort"
+        )
+        n0, s0, ss0 = state.get if state.exists else (0, 0.0, 0.0)
+        v = pdf["value"].to_numpy(dtype="float64")
+        cs, css = np.cumsum(v), np.cumsum(v * v)
+        n_prev = n0 + np.arange(len(v), dtype="int64")
+        s_prev = s0 + np.concatenate([[0.0], cs[:-1]])
+        ss_prev = ss0 + np.concatenate([[0.0], css[:-1]])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mean = s_prev / n_prev
+            var = (ss_prev - s_prev * s_prev / n_prev) / (n_prev - 1)
+        sd = np.sqrt(np.maximum(var, 0.0))
+        dev = np.abs(v - mean)
+        mask = (n_prev >= ANOMALY_MIN_N) & (dev > ANOMALY_NSIGMA * sd)
+        if len(v):
+            state.update((int(n0 + len(v)), float(s0 + cs[-1]), float(ss0 + css[-1])))
+
+        def r6(x):
+            return np.floor(x * 1000000.0 + 0.5) / 1000000.0
+
+        yield pd.DataFrame(
+            {
+                "event_id": pdf["event_id"].to_numpy()[mask],
+                "event_type": [key[0]] * int(mask.sum()),
+                "value": v[mask],
+                "n_prev": n_prev[mask],
+                "deviation": r6(dev[mask]),
+                "sd_prev": r6(sd[mask]),
+            }
+        )
+
+    from las_vpe_platform_spark.session import ensure_package_on_workers
+
+    ensure_package_on_workers(stream.sparkSession)
+    return (
+        stream.select("event_type", "ts", "event_id", "value")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            detect,
+            ANOMALY_OUTPUT_SCHEMA,
+            ANOMALY_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

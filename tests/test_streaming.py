@@ -817,3 +817,88 @@ def test_s14_survivor_rate_and_bounds(spark, sf_dir):
         for c in ("p50_est", "p90_est", "p99_est"):
             assert mn - 1e-6 <= r[c] <= mx + 1e-6, (r["event_type"], c, r[c])
         assert r["sample_n"] <= r["n"]
+
+
+def test_anomaly_state_recovered_across_restart(spark, sf_dir, tmp_path):
+    """T3 for the anomaly detector's custom state: stop after the
+    first time slice, restart from the checkpoint over a second slice
+    — slice-2 flags must be computed against the FULL running (n, sum,
+    sumsq), i.e. the three-scalar state was restored, not rebuilt.
+    Oracle: batch running-window statistics over the full table."""
+    from pyspark.sql import Window as W
+
+    from las_vpe_platform_spark.streaming.stateful import (
+        ANOMALY_MIN_N,
+        ANOMALY_NSIGMA,
+        anomaly_stream,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    )
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    mid = lo + (hi - lo) / 2
+    src = str(tmp_path / "anom_src")
+    ckpt = str(tmp_path / "anom_ckpt")
+    out = str(tmp_path / "anom_out")
+    ev.filter(F.col("ts") < mid).coalesce(1).write.mode("overwrite").parquet(src)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            anomaly_stream(stream)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    ev.filter(F.col("ts") >= mid).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+
+    got = sorted(r["event_id"] for r in spark.read.parquet(out).collect())
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    stats = ev.select(
+        "event_id",
+        "value",
+        F.count("value").over(w).alias("n_prev"),
+        F.sum("value").over(w).alias("s_prev"),
+        F.sum(F.col("value") * F.col("value")).over(w).alias("ss_prev"),
+    )
+    want = sorted(
+        r["event_id"]
+        for r in stats.filter(
+            (F.col("n_prev") >= ANOMALY_MIN_N)
+            & (
+                F.abs(F.col("value") - F.col("s_prev") / F.col("n_prev"))
+                > ANOMALY_NSIGMA
+                * F.sqrt(
+                    F.greatest(
+                        (
+                            F.col("ss_prev")
+                            - F.col("s_prev") * F.col("s_prev") / F.col("n_prev")
+                        )
+                        / (F.col("n_prev") - 1),
+                        F.lit(0.0),
+                    )
+                )
+            )
+        ).collect()
+    )
+    assert got == want, (
+        f"anomaly set diverged after restart: {len(got)} vs {len(want)}"
+    )
