@@ -4424,6 +4424,142 @@ FROM fused
 Q113_SQL = _q113_sql()
 
 
+
+# --- q114: PCA top component (one-pass Gramian + power iteration) ------------
+# The FIX for what q99 measures: anisotropic embeddings get whitened by
+# projecting off the top principal components (Mu & Viswanath's
+# all-but-the-top; standard practice before cosine retrieval). Scale
+# shape — the corpus is read EXACTLY ONCE: a single double-posexplode
+# aggregate builds the d x d second-moment table S_ij = sum x_i x_j
+# (4096 rows at d=64 — map-side partials make the shuffle
+# input-size-independent, the HLL/CMS sketch argument), with the mean
+# vector and row count read off S's i=0 slice rather than a second
+# scan. The centered covariance is then a d x d matrix — CONSTANT size
+# at any corpus volume — so the eight power-iteration steps run on the
+# driver over the collected sketch, exactly like the IVF centroid
+# collect and the CMS slice broadcast: collecting data-sized state is
+# banned, collecting sketch-sized state is the design. (A first cut
+# chained the iterations in-plan through broadcast joins; Catalyst
+# multiplied the nested broadcast subqueries into thousands of stages
+# — the d² collect is both the honest and the fast shape.) The
+# iteration arithmetic is plain left-to-right float64, matching the
+# oracle's unrolled CTE chain to ~1e-13, far under the 1e-6 rounding.
+
+PCA_DIM = 64
+PCA_ITERS = 8
+
+
+def q114_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    e1 = emb.select(
+        F.posexplode("embedding").alias("i", "xi"), F.col("embedding")
+    )
+    e2 = e1.select(
+        "i", F.col("xi").cast("double").alias("xi"),
+        F.posexplode("embedding").alias("j", "xj"),
+    ).select("i", "xi", "j", F.col("xj").cast("double").alias("xj"))
+    # ONE aggregate: S_ij, plus sum(xj) per (i,j) whose i=0 slice is
+    # the mean numerator and whose (0,0) count is n
+    s_rows = (
+        e2.groupBy("i", "j")
+        .agg(
+            F.sum(F.col("xi") * F.col("xj")).alias("s_ij"),
+            F.sum("xj").alias("m_j"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    d = PCA_DIM
+    n = next(r["n"] for r in s_rows if r["i"] == 0 and r["j"] == 0)
+    mu = [0.0] * d
+    for r in s_rows:
+        if r["i"] == 0:
+            mu[r["j"]] = r["m_j"] / n
+    cov = [[0.0] * d for _ in range(d)]
+    for r in s_rows:
+        cov[r["i"]][r["j"]] = (r["s_ij"] - n * mu[r["i"]] * mu[r["j"]]) / (n - 1)
+    v = [0.125] * d  # 1/sqrt(64), exact
+    for _ in range(PCA_ITERS):
+        y = [0.0] * d
+        for i in range(d):
+            acc = 0.0
+            for j in range(d):
+                acc += cov[i][j] * v[j]
+            y[i] = acc
+        nrm = 0.0
+        for i in range(d):
+            nrm += y[i] * y[i]
+        nrm = nrm ** 0.5
+        v = [yi / nrm for yi in y]
+    lam = 0.0
+    for i in range(d):
+        acc = 0.0
+        for j in range(d):
+            acc += cov[i][j] * v[j]
+        lam += v[i] * acc
+    import math
+
+    def r6(x: float) -> float:
+        return math.floor(x * 1000000.0 + 0.5) / 1000000.0
+
+    return spark.createDataFrame(
+        [(i + 1, r6(v[i]), r6(lam)) for i in range(d)],
+        "dim_idx bigint, loading double, eigenvalue double",
+    )
+
+
+def _q114_sql() -> str:
+    iters = []
+    prev = "v0"
+    for t in range(1, PCA_ITERS + 1):
+        iters.append(f"""y{t} AS MATERIALIZED (
+  SELECT i, sum(c * v) AS y
+  FROM cov JOIN {prev} USING (j) GROUP BY i
+), n{t} AS (
+  SELECT sqrt(sum(y * y)) AS nrm FROM y{t}
+), v{t} AS MATERIALIZED (
+  SELECT i AS j, y / nrm AS v FROM y{t} CROSS JOIN n{t}
+)""")
+        prev = f"v{t}"
+    chain = ",\n".join(iters)
+    return f"""
+WITH e2 AS (
+  SELECT i.i - 1 AS i, embedding[i.i]::DOUBLE AS xi,
+         j.j - 1 AS j, embedding[j.j]::DOUBLE AS xj
+  FROM embeddings,
+       unnest(generate_series(1, {PCA_DIM})) AS i(i),
+       unnest(generate_series(1, {PCA_DIM})) AS j(j)
+), s AS MATERIALIZED (
+  SELECT i, j, sum(xi * xj) AS s_ij, sum(xj) AS m_j, count(*) AS n
+  FROM e2 GROUP BY i, j
+), mean AS (
+  SELECT j, m_j / n AS mu, n FROM s WHERE i = 0
+), cov AS MATERIALIZED (
+  SELECT s.i, s.j,
+         (s.s_ij - s.n * mi.mu * mj.mu) / (s.n - 1) AS c
+  FROM s
+  JOIN mean mi ON mi.j = s.i
+  JOIN mean mj ON mj.j = s.j
+), v0 AS (
+  SELECT i - 1 AS j, 0.125::DOUBLE AS v
+  FROM unnest(generate_series(1, {PCA_DIM})) AS t(i)
+),
+{chain},
+lam AS (
+  SELECT sum(vi.v * cov.c * vj.v) AS lam
+  FROM cov JOIN {prev} vj USING (j)
+  JOIN (SELECT j AS i, v FROM {prev}) vi USING (i)
+)
+SELECT (j + 1)::BIGINT AS dim_idx,
+       floor(v * 1000000.0 + 0.5) / 1000000.0 AS loading,
+       floor(lam * 1000000.0 + 0.5) / 1000000.0 AS eigenvalue
+FROM {prev} CROSS JOIN lam
+"""
+
+
+Q114_SQL = _q114_sql()
+
+
 DATA_QUERIES = {
     "q20_doc_token_stats": (q20_doc_token_stats, Q20_SQL),
     "q21_doc_quality": (q21_doc_quality, Q21_SQL),
@@ -4499,4 +4635,5 @@ DATA_QUERIES = {
     "q111_pq_ann_topk": (q111_pq_ann_topk, Q111_SQL),
     "q112_containment_dedup": (q112_containment_dedup, Q112_SQL),
     "q113_rrf_fusion": (q113_rrf_fusion, Q113_SQL),
+    "q114_pca_power": (q114_pca_power, Q114_SQL),
 }

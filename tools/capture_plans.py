@@ -112,6 +112,18 @@ HEADLINERS = [
      "attribute person search: the predicate runs INSIDE the attributes scan (PushedFilters on both scores, 126 -> 3 column pruning); filtered hits broadcast into the tracklet join; per-camera top-5 is WindowGroupLimit above ONE exchange — guarded by test_d20_attribute_predicate_in_scan"),
     ("q111_pq_ann_topk",
      "product-quantization ANN: codebook = TakeOrderedAndProject (per-partition top-n_codes, never a global sort) folded to a ONE-ROW broadcast; encode and ADC tables are pure column expressions below the pair join; per-pair cost is m lookups, not a dim-wide dot; only exchange is the probe_key rank window (WindowGroupLimit) — guarded by test_q111_pq_gallery_never_shuffles"),
+    ("q108_event_trigrams",
+     "sequence mining: ONE user-keyed sort-window produces both lead columns (no self-join), then a partial+final hash aggregate on the trigram; top-k is TakeOrderedAndProject"),
+    ("q109_cohort_retention",
+     "cohort analysis: first-seen is a user-keyed aggregate; the cohort join shuffles on user_id (AQE may pick broadcast at small sf, the plan does NOT force it — the user dim is unbroadcastable at 10^9 users); only the calendar-bounded denominators re-enter via an explicit broadcast"),
+    ("q110_sampled_quantiles",
+     "portable quantile sketch: per-group counts broadcast back as a per-row acceptance FILTER, so the full table never shuffles — only the ~2k bottom-hash survivors pay the rank window + exact percentile"),
+    ("q112_containment_dedup",
+     "containment dedup: rarest-bigram anchors (one row per doc via window top-1) equi-join the bigram inverted index; verify is one instr() on whitespace-normalized text, bounded by candidates — no corpus x corpus product anywhere"),
+    ("q113_rrf_fusion",
+     "hybrid retrieval fusion: both input lists are TakeOrderedAndProject top-N reductions (lexical BM25 / semantic cosine vs a broadcast 1-row probe); the fusion full-outer join and rank window run over 2xN rows — constant-size at any corpus"),
+    ("d21_cotravel_pairs",
+     "co-appearance pairs: banded (video, frame-bucket) equi-join with the canonical-bucket filter admitting each qualifying pair exactly once (no distinct); mean centers are one array fold in the scan stage — no per-video all-pairs product"),
 ]
 
 # Streaming queries execute to completion inside their catalog entry,
@@ -133,7 +145,28 @@ STREAMING_HEADLINERS = [
     ("s14_stream_quantile_sketch (unstarted survivor branch)",
      "streaming quantile sketch, stateless half: the bottom-hash acceptance filter is pure per-row expressions (no join, no aggregate, no state) — 100% of input scanned, ~1/16 forwarded; the counts branch is one bounded aggregate (#groups state rows); percentiles finish batch-side over the survivor sink",
      "_quantile_survivor_stream_plan"),
+    ("s15_stream_anomaly (unstarted streaming plan)",
+     "prequential anomaly detection: state is THREE scalars (n, sum, sumsq) per event_type — key-cardinality-bounded at any volume; the plan is the groupBy exchange straight into FlatMapGroupsInPandasWithState, nothing else",
+     "_anomaly_stream_plan"),
 ]
+
+
+def _anomaly_stream_plan(spark):
+    from las_vpe_platform_spark.queries_streaming import (
+        RAW_EVENTS_SCHEMA,
+        _scratch_dir,
+    )
+    from las_vpe_platform_spark.streaming.stateful import anomaly_stream
+    from pyspark.sql import functions as F
+
+    src = _scratch_dir("plan_s15_")
+    stream = (
+        spark.readStream.schema(RAW_EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withColumn("ts", F.timestamp_micros("ts_micros"))
+    )
+    return anomaly_stream(stream)
 
 
 def _quantile_survivor_stream_plan(spark):
