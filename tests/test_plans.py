@@ -474,3 +474,42 @@ def test_s14_survivor_branch_is_stateless(spark, tmp_path):
     plan = quantile_survivors(stream)._jdf.queryExecution().analyzed().toString()
     assert "Join" not in plan
     assert "Aggregate" not in plan
+
+
+def test_q112_anchor_topk_and_no_nested_loop(spark, sf_dir):
+    # containment dedup: the rarest-bigram anchor (row_number == 1)
+    # must compile to WindowGroupLimit (per-partition top-1 BEFORE the
+    # doc exchange), and every join must be a hash equi-join — the
+    # whole point is that no text-vs-text nested loop exists anywhere
+    from las_vpe_platform_spark.queries import CATALOG
+
+    plan = CATALOG["q112_containment_dedup"][0](
+        spark, sf_dir
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_d21_banded_equi_join_no_nested_loop(spark, sf_dir):
+    # co-appearance: the pair join must be an equi-join on the
+    # (video, frame-bucket) band — never a per-video nested loop —
+    # and both sides must explode into their bucket keys (Generate)
+    from las_vpe_platform_spark.queries import CATALOG
+
+    plan = CATALOG["d21_cotravel_pairs"][0](
+        spark, sf_dir
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert plan.count("Generate explode") >= 2
+
+
+def test_q113_both_lists_are_topk_reductions(spark, sf_dir):
+    # RRF fusion: the lexical and semantic lists must each reach the
+    # fusion as TakeOrderedAndProject top-N reductions — a full sort
+    # of either scored table would defeat the rank-based design
+    from las_vpe_platform_spark.queries import CATALOG
+
+    plan = CATALOG["q113_rrf_fusion"][0](
+        spark, sf_dir
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("TakeOrderedAndProject") >= 2
