@@ -1616,6 +1616,77 @@ WHERE least(a.ef, b.ef) - greatest(a.sf, b.sf) >= {COTRAVEL_MIN_OVERLAP}
 """
 
 
+
+# --- m10: loudness segmentation (gaps-and-islands over window energies) ------
+# Audio curation's segmentation primitive: split each clip into maximal
+# RUNS of consecutive energy windows above/below the clip's own mean
+# energy-per-sample — the structure VAD / highlight-extraction passes
+# consume (the reference stops at raw PCM storage; SURVEY §2.1 S3).
+# Composes m08's in-scan hex-arithmetic energies with the classic
+# gaps-and-islands window pattern. Everything is INTEGER-exact: the
+# above-mean flag compares energy x total_samples > total_energy x
+# n_in_window by BIGINT cross-multiplication (max ~1e14, no overflow,
+# no float boundary to drift), so both engines agree bit-for-bit.
+# Scale shape: energies in the scan stage; ONE per-clip sort window
+# (the only exchange) computes flag + island id; one hash aggregate
+# per island.
+
+def m10_loudness_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W2
+
+    wins = m08_audio_energy_windows(spark, sf_dir)
+    tot = wins.groupBy("clip_id").agg(
+        F.sum("energy").alias("tot_energy"),
+        F.sum("n_in_window").alias("tot_n"),
+    )
+    flagged = wins.join(F.broadcast(tot), "clip_id").withColumn(
+        "is_loud",
+        (F.col("energy") * F.col("tot_n")
+         > F.col("tot_energy") * F.col("n_in_window")).cast("int"),
+    )
+    grp = (
+        F.col("window_id")
+        - F.row_number().over(
+            W2.partitionBy("clip_id", "is_loud").orderBy("window_id")
+        )
+    )
+    return (
+        flagged.withColumn("_grp", grp)
+        .groupBy("clip_id", "is_loud", "_grp")
+        .agg(
+            F.min("window_id").alias("start_window"),
+            F.max("window_id").alias("end_window"),
+            F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+            F.sum("energy").alias("seg_energy"),
+        )
+        .drop("_grp")
+    )
+
+
+M10_SQL = f"""
+WITH wins AS ({_m08_sql()}),
+tot AS (
+  SELECT clip_id, sum(energy) AS tot_energy, sum(n_in_window) AS tot_n
+  FROM wins GROUP BY clip_id
+), flagged AS (
+  SELECT wins.clip_id, window_id, n_in_window, energy,
+         (energy * tot_n > tot_energy * n_in_window)::INT AS is_loud
+  FROM wins JOIN tot USING (clip_id)
+), grouped AS (
+  SELECT *, window_id - row_number() OVER (
+           PARTITION BY clip_id, is_loud ORDER BY window_id) AS _grp
+  FROM flagged
+)
+SELECT clip_id, is_loud,
+       min(window_id)::BIGINT AS start_window,
+       max(window_id)::BIGINT AS end_window,
+       count(*)::BIGINT AS n_windows,
+       sum(energy)::BIGINT AS seg_energy
+FROM grouped
+GROUP BY clip_id, is_loud, _grp
+"""
+
+
 DOMAIN_QUERIES = {
     "d01_tracklet_sampling": (d01_tracklet_sampling, D01_SQL),
     "d02_attribute_average": (d02_attribute_average, D02_SQL),
@@ -1647,4 +1718,5 @@ DOMAIN_QUERIES = {
     "d19_camera_transitions": (d19_camera_transitions, D19_SQL),
     "d20_attribute_search": (d20_attribute_search, D20_SQL),
     "d21_cotravel_pairs": (d21_cotravel_pairs, D21_SQL),
+    "m10_loudness_segments": (m10_loudness_segments, M10_SQL),
 }

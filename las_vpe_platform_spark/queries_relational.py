@@ -1366,6 +1366,87 @@ GROUP BY event_type
 """
 
 
+
+# --- q115: Markov transition entropy (next-event predictability) -------------
+# The predictability face of q108's sequence mining: the first-order
+# Markov transition matrix over per-user event streams, collapsed to
+# one row per source state with its Shannon entropy H(next|state) and
+# modal next state. Shape: the SAME user-keyed sort window q108/q18
+# already pay (one data-sized exchange), one (e1, e2) hash aggregate
+# (≤ types² rows after map-side partials — sketch-sized), then
+# entropy/argmax over the tiny matrix. Entropy terms sum over ≤ types
+# rows; aggregation-order drift ~1e-16 is absorbed by the 1e-6
+# rounding.
+
+def q115_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("e1"),
+            F.lead("event_type", 1).over(w).alias("e2"),
+        )
+        .filter(F.col("e2").isNotNull())
+        .groupBy("e1", "e2")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = pairs.groupBy("e1").agg(F.sum("c").alias("n_total"))
+    probs = pairs.join(F.broadcast(tot), "e1").withColumn(
+        "p", F.col("c").cast("double") / F.col("n_total")
+    )
+    w2 = W.partitionBy("e1").orderBy(F.desc("c"), F.asc("e2"))
+    modal = (
+        probs.withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") == 1)
+        .select("e1", F.col("e2").alias("modal_next"), F.col("p").alias("modal_p"))
+    )
+    ent = probs.groupBy("e1").agg(
+        (-F.sum(F.col("p") * F.log2("p"))).alias("entropy_bits"),
+        F.count(F.lit(1)).cast("bigint").alias("n_next_types"),
+        F.first("n_total").cast("bigint").alias("n_transitions"),
+    )
+    return ent.join(modal, "e1").select(
+        "e1",
+        "n_transitions",
+        "n_next_types",
+        pround("entropy_bits", 6).alias("entropy_bits"),
+        "modal_next",
+        pround("modal_p", 6).alias("modal_p"),
+    )
+
+
+Q115_SQL = """
+WITH pairs AS (
+  SELECT e1, e2, count(*) AS c FROM (
+    SELECT event_type AS e1,
+           lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2
+    FROM events
+  ) WHERE e2 IS NOT NULL
+  GROUP BY e1, e2
+), tot AS (
+  SELECT e1, sum(c) AS n_total FROM pairs GROUP BY e1
+), probs AS (
+  SELECT pairs.e1, e2, c, n_total, c::DOUBLE / n_total AS p
+  FROM pairs JOIN tot USING (e1)
+), modal AS (
+  SELECT e1, e2 AS modal_next, p AS modal_p FROM (
+    SELECT *, row_number() OVER (PARTITION BY e1 ORDER BY c DESC, e2) AS _rn
+    FROM probs
+  ) WHERE _rn = 1
+), ent AS (
+  SELECT e1, -sum(p * log2(p)) AS entropy_bits,
+         count(*)::BIGINT AS n_next_types,
+         any_value(n_total)::BIGINT AS n_transitions
+  FROM probs GROUP BY e1
+)
+SELECT e1, n_transitions, n_next_types,
+       floor(entropy_bits * 1000000.0 + 0.5) / 1000000.0 AS entropy_bits,
+       modal_next,
+       floor(modal_p * 1000000.0 + 0.5) / 1000000.0 AS modal_p
+FROM ent JOIN modal USING (e1)
+"""
+
+
 RELATIONAL_QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_top_customers_per_nation": (q02_top_customers_per_nation, Q02_SQL),
@@ -1406,4 +1487,5 @@ RELATIONAL_QUERIES = {
     "q108_event_trigrams": (q108_event_trigrams, Q108_SQL),
     "q109_cohort_retention": (q109_cohort_retention, Q109_SQL),
     "q110_sampled_quantiles": (q110_sampled_quantiles, Q110_SQL),
+    "q115_transition_entropy": (q115_transition_entropy, Q115_SQL),
 }
