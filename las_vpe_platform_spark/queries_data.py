@@ -4454,12 +4454,19 @@ def q114_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     e1 = emb.select(
         F.posexplode("embedding").alias("i", "xi"), F.col("embedding")
     )
+    # S is symmetric: explode only the j >= i suffix (slice), halving
+    # the d² blowup; the missing triangle is mirrored after collect
     e2 = e1.select(
         "i", F.col("xi").cast("double").alias("xi"),
-        F.posexplode("embedding").alias("j", "xj"),
-    ).select("i", "xi", "j", F.col("xj").cast("double").alias("xj"))
-    # ONE aggregate: S_ij, plus sum(xj) per (i,j) whose i=0 slice is
-    # the mean numerator and whose (0,0) count is n
+        F.posexplode(
+            F.expr(f"slice(embedding, i + 1, {PCA_DIM} - i)")
+        ).alias("j0", "xj"),
+    ).select(
+        "i", "xi", (F.col("i") + F.col("j0")).alias("j"),
+        F.col("xj").cast("double").alias("xj"),
+    )
+    # ONE aggregate: S_ij (j >= i), plus sum(xj) per (i,j) whose i=0
+    # slice spans ALL j (the mean numerator) and whose (0,0) count is n
     s_rows = (
         e2.groupBy("i", "j")
         .agg(
@@ -4477,7 +4484,9 @@ def q114_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             mu[r["j"]] = r["m_j"] / n
     cov = [[0.0] * d for _ in range(d)]
     for r in s_rows:
-        cov[r["i"]][r["j"]] = (r["s_ij"] - n * mu[r["i"]] * mu[r["j"]]) / (n - 1)
+        c = (r["s_ij"] - n * mu[r["i"]] * mu[r["j"]]) / (n - 1)
+        cov[r["i"]][r["j"]] = c
+        cov[r["j"]][r["i"]] = c
     v = [0.125] * d  # 1/sqrt(64), exact
     for _ in range(PCA_ITERS):
         y = [0.0] * d

@@ -1634,7 +1634,14 @@ WHERE least(a.ef, b.ef) - greatest(a.sf, b.sf) >= {COTRAVEL_MIN_OVERLAP}
 def m10_loudness_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W2
 
-    wins = m08_audio_energy_windows(spark, sf_dir)
+    from las_vpe_platform_spark.operators.staging import persist_disk
+
+    # wins is referenced by the clip totals AND the flag join — stage
+    # it so the per-window hex-energy fold (the expensive stage) runs
+    # once, not twice (the multi-reference materialization rule)
+    wins = persist_disk(
+        m08_audio_energy_windows(spark, sf_dir), "m10_windows"
+    )
     tot = wins.groupBy("clip_id").agg(
         F.sum("energy").alias("tot_energy"),
         F.sum("n_in_window").alias("tot_n"),

@@ -186,6 +186,51 @@ def bench(spark, path: str) -> dict[str, float]:
         .save()
     )
     out["cohort_retention"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    # q115 shape: one user-keyed window + types² aggregate + entropy
+    w115 = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("e1"),
+            F.lead("event_type", 1).over(w115).alias("e2"),
+        )
+        .filter(F.col("e2").isNotNull())
+        .groupBy("e1", "e2")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = pairs.groupBy("e1").agg(F.sum("c").alias("n"))
+    (
+        pairs.join(F.broadcast(tot), "e1")
+        .withColumn("p", F.col("c") / F.col("n"))
+        .groupBy("e1")
+        .agg((-F.sum(F.col("p") * F.log2("p"))).alias("h"))
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    out["transition_entropy"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    # q112 shape: rarest-bigram anchor join + instr verify. Synthetic
+    # docs are hash-unique in their value token, so rarest-bigram df
+    # ~ 1 and candidate mass stays linear — the operator's design case
+    from las_vpe_platform_spark.operators.dedup import containment_pairs
+
+    docs112 = ev.select(
+        F.col("event_id").alias("doc_id"),
+        F.concat_ws(
+            " ", "event_type", F.col("user_id").cast("string"),
+            F.col("value").cast("string"),
+        ).alias("text"),
+    )
+    containment_pairs(docs112, "doc_id", "text").groupBy().count().write.format(
+        "noop"
+    ).mode("overwrite").save()
+    from las_vpe_platform_spark.operators.staging import unpersist_all
+
+    unpersist_all()
+    out["containment"] = round(time.perf_counter() - t0, 2)
     return out
 
 
@@ -212,7 +257,25 @@ def bench_vectors(spark, path: str, n_probes: int = 500) -> dict[str, float]:
         probes, gal, probe_key="vec_id", gallery_key="vec_id",
         vector_col="embedding", k=10,
     ).write.format("noop").mode("overwrite").save()
-    return {"blas_topk": round(time.perf_counter() - t0, 2)}
+    out = {"blas_topk": round(time.perf_counter() - t0, 2)}
+
+    t0 = time.perf_counter()
+    # q114 shape: the one-pass d² Gramian aggregate (the corpus-side
+    # cost of PCA; the shuffle is 4096 rows REGARDLESS of input size)
+    (
+        gal.select(F.posexplode("embedding").alias("i", "xi"), "embedding")
+        .select(
+            "i", F.col("xi").cast("double").alias("xi"),
+            F.posexplode("embedding").alias("j", "xj"),
+        )
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("xi") * F.col("xj").cast("double")), F.count(F.lit(1)))
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    out["pca_gramian"] = round(time.perf_counter() - t0, 2)
+    return out
 
 
 def main() -> None:
