@@ -223,3 +223,67 @@ def recognizer_drop_filter(df: DataFrame, key_col: str = "tracklet_key") -> Colu
     """Which tracklets the recognizer never answers for (~10% — the
     fixture's late/missing-attribute simulation)."""
     return _hash_unit([F.lit(str(SEED)), F.lit("attr_drop"), F.col(key_col)]) >= 0.1
+
+
+def fake_cross_encoder_sql(
+    pairs: DataFrame, query_col: str = "query", id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic fake cross-encoder as a pure column expression:
+    relevance(query, doc) = md5-unit(seed, 'ce', query, doc) in [0, 1).
+
+    The reranking plug point of the retrieval path — the reference's
+    pattern of model-behind-an-interface (PedestrianReIDerWithAttr,
+    `FakePedestrianReIDerWithAttr.java:43-49`) applied to the q113
+    fused list: a real cross-encoder swaps in through
+    ``CROSS_ENCODERS`` without touching the plan around it.
+    """
+    return pairs.withColumn(
+        "ce_score",
+        _hash_unit(
+            [F.lit(str(SEED)), F.lit("ce"), F.col(query_col),
+             F.col(id_col).cast("string")]
+        ),
+    )
+
+
+def fake_cross_encoder_pandas(
+    pairs: DataFrame, query_col: str = "query", id_col: str = "doc_id"
+) -> DataFrame:
+    """Same fake cross-encoder through the Arrow-batched model-provider
+    shape (iterator-of-batches, worker-local model slot) — the path a
+    real ONNX/torch cross-encoder takes; parity-tested against the SQL
+    fake so swapping execution paths can never change results.
+    """
+    import hashlib
+
+    from las_vpe_platform_spark.session import ensure_package_on_workers
+
+    ensure_package_on_workers(pairs.sparkSession)
+    cols = pairs.columns
+    out_schema = ", ".join(
+        [f"`{c}` {pairs.schema[c].dataType.simpleString()}" for c in cols]
+        + ["ce_score double"]
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # worker-local model would be loaded once here (Singleton
+        # parity: util/Singleton.java:33-96)
+        def val(q: str, d) -> float:
+            h = hashlib.md5(f"{SEED}:ce:{q}:{d}".encode()).hexdigest()
+            return int(h[:8], 16) / 2**32
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["ce_score"] = [
+                val(q, d) for q, d in zip(pdf[query_col], pdf[id_col])
+            ]
+            yield pdf
+
+    return pairs.mapInPandas(score, out_schema)
+
+
+# reranker registry — the cross-encoder analog of RECOGNIZERS
+CROSS_ENCODERS = {
+    "fake_sql": fake_cross_encoder_sql,
+    "fake_pandas": fake_cross_encoder_pandas,
+}

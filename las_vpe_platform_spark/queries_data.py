@@ -4569,6 +4569,75 @@ FROM {prev} CROSS JOIN lam
 Q114_SQL = _q114_sql()
 
 
+
+# --- q116: cross-encoder reranking over the fused retrieval list -------------
+# The last stage of the production retrieval stack: retrieve wide
+# (q113's RRF fusion of BM25 + cosine), then RERANK the short list
+# with a pairwise (query, doc) model. The model is the plug point —
+# providers.CROSS_ENCODERS mirrors the reference's
+# model-behind-an-interface registry (FakePedestrianReIDerWithAttr
+# .java:43-49): here the deterministic fake scores via md5-unit
+# column expressions; a real cross-encoder swaps in through the
+# registry's mapInPandas path (parity-tested against the SQL fake)
+# without touching the surrounding plan. Scale shape: the model only
+# ever sees the FUSED TOP-K (constant-sized at any corpus) — the
+# wide/cheap retrieval bounds the narrow/expensive model calls, which
+# is the entire economics of the rerank pattern.
+
+RERANK_BLEND = 0.1
+
+
+def q116_reranked_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W2
+
+    from las_vpe_platform_spark.providers import fake_cross_encoder_sql
+
+    fused = q113_rrf_fusion(spark, sf_dir).select(
+        "doc_id", F.col("rank").alias("rank_fused"), "rrf"
+    )
+    scored = fake_cross_encoder_sql(
+        fused.withColumn("query", F.lit(" ".join(BM25_TERMS)))
+    ).withColumn(
+        "final_score", F.col("rrf") + F.lit(RERANK_BLEND) * F.col("ce_score")
+    )
+    w = W2.orderBy(F.desc("final_score"), F.asc("doc_id"))
+    return scored.select(
+        "doc_id",
+        "rank_fused",
+        F.row_number().over(w).cast("bigint").alias("rank_reranked"),
+        pround("ce_score", 6).alias("ce_score"),
+        pround("final_score", 6).alias("final_score"),
+    )
+
+
+def _q116_sql() -> str:
+    from las_vpe_platform_spark.fixtures import SEED
+
+    query = " ".join(BM25_TERMS)
+    ce = (
+        f"(('0x' || substr(md5(concat_ws(':', '{SEED}', 'ce', '{query}', "
+        f"doc_id::VARCHAR)), 1, 8))::BIGINT)::DOUBLE / 4294967296.0::DOUBLE"
+    )
+    return f"""
+WITH fused AS ({_q113_sql()}),
+scored AS (
+  SELECT doc_id, rank AS rank_fused, rrf, {ce} AS ce_score
+  FROM fused
+)
+SELECT doc_id, rank_fused,
+       row_number() OVER (
+         ORDER BY rrf + {RERANK_BLEND}::DOUBLE * ce_score DESC, doc_id
+       )::BIGINT AS rank_reranked,
+       floor(ce_score * 1000000.0 + 0.5) / 1000000.0 AS ce_score,
+       floor((rrf + {RERANK_BLEND}::DOUBLE * ce_score) * 1000000.0 + 0.5)
+         / 1000000.0 AS final_score
+FROM scored
+"""
+
+
+Q116_SQL = _q116_sql()
+
+
 DATA_QUERIES = {
     "q20_doc_token_stats": (q20_doc_token_stats, Q20_SQL),
     "q21_doc_quality": (q21_doc_quality, Q21_SQL),
@@ -4645,4 +4714,5 @@ DATA_QUERIES = {
     "q112_containment_dedup": (q112_containment_dedup, Q112_SQL),
     "q113_rrf_fusion": (q113_rrf_fusion, Q113_SQL),
     "q114_pca_power": (q114_pca_power, Q114_SQL),
+    "q116_reranked_retrieval": (q116_reranked_retrieval, Q116_SQL),
 }

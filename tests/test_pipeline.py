@@ -194,3 +194,24 @@ def test_fixture_generation_deterministic(tmp_path):
         committed = pq.read_table(FIXTURES_DIR / f"{name}.parquet")
         assert fresh.num_rows == committed.num_rows == counts[name]
         assert fresh.equals(committed), f"{name} regeneration differs"
+
+
+def test_cross_encoder_provider_parity(spark):
+    """The mapInPandas cross-encoder path (what a real ONNX/torch
+    model rides) must score bit-identically to the SQL fake — swapping
+    execution paths through CROSS_ENCODERS can never change results."""
+    from las_vpe_platform_spark.providers import (
+        CROSS_ENCODERS,
+        fake_cross_encoder_pandas,
+        fake_cross_encoder_sql,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, "spark join vector stream") for i in range(40)],
+        "doc_id long, query string",
+    )
+    a = fake_cross_encoder_sql(pairs).orderBy("doc_id").collect()
+    b = fake_cross_encoder_pandas(pairs).orderBy("doc_id").collect()
+    assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b]
+    assert all(abs(x["ce_score"] - y["ce_score"]) == 0.0 for x, y in zip(a, b))
+    assert set(CROSS_ENCODERS) == {"fake_sql", "fake_pandas"}
