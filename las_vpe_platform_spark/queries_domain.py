@@ -1694,6 +1694,64 @@ GROUP BY clip_id, is_loud, _grp
 """
 
 
+
+# --- d22: per-camera dwell-time distribution ---------------------------------
+# The occupancy dashboard over tracker output: how long do pedestrians
+# stay in each camera's view? Dwell = tracklet box count x the exact
+# 80_000 us frame period (d08's integer frame-time arithmetic,
+# Neo4jConnector.java:53-54's 12.5 fps), aggregated per camera via the
+# broadcast videos dim. Percentiles here are EXACT (percentile() holds
+# one camera's dwell list per task — fine at 8 cameras x fixture
+# scale); at 10^10 tracklets the same question routes through q110's
+# bottom-hash quantile sketch per camera, which this query's shape
+# composes with directly (the dwell column is just another value).
+
+def d22_dwell_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vids = _fx(spark, "videos").select("video_id", "camera_id")
+    tr = (
+        _fx(spark, "tracklets")
+        .filter("size(location_sequence) > 0")
+        .select(
+            "video_id",
+            (F.expr("size(location_sequence)").cast("bigint") * 80000)
+            .alias("dwell_us"),
+        )
+    )
+    return (
+        tr.join(F.broadcast(vids), "video_id")
+        .groupBy("camera_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tracklets"),
+            pround(
+                F.expr("percentile(dwell_us, 0.5)") / F.lit(1000000.0), 6
+            ).alias("p50_dwell_s"),
+            pround(
+                F.expr("percentile(dwell_us, 0.9)") / F.lit(1000000.0), 6
+            ).alias("p90_dwell_s"),
+            pround(
+                F.max("dwell_us").cast("double") / F.lit(1000000.0), 6
+            ).alias("max_dwell_s"),
+        )
+    )
+
+
+D22_SQL = f"""
+WITH tr AS (
+  SELECT video_id, len(location_sequence)::BIGINT * 80000 AS dwell_us
+  FROM {_fxsql('tracklets')} WHERE len(location_sequence) > 0
+)
+SELECT camera_id, count(*)::BIGINT AS n_tracklets,
+       floor((quantile_cont(dwell_us, 0.5) / 1000000.0::DOUBLE) * 1000000.0 + 0.5)
+         / 1000000.0 AS p50_dwell_s,
+       floor((quantile_cont(dwell_us, 0.9) / 1000000.0::DOUBLE) * 1000000.0 + 0.5)
+         / 1000000.0 AS p90_dwell_s,
+       floor((max(dwell_us)::DOUBLE / 1000000.0::DOUBLE) * 1000000.0 + 0.5)
+         / 1000000.0 AS max_dwell_s
+FROM tr JOIN {_fxsql('videos')} v USING (video_id)
+GROUP BY camera_id
+"""
+
+
 DOMAIN_QUERIES = {
     "d01_tracklet_sampling": (d01_tracklet_sampling, D01_SQL),
     "d02_attribute_average": (d02_attribute_average, D02_SQL),
@@ -1726,4 +1784,5 @@ DOMAIN_QUERIES = {
     "d20_attribute_search": (d20_attribute_search, D20_SQL),
     "d21_cotravel_pairs": (d21_cotravel_pairs, D21_SQL),
     "m10_loudness_segments": (m10_loudness_segments, M10_SQL),
+    "d22_dwell_distribution": (d22_dwell_distribution, D22_SQL),
 }
