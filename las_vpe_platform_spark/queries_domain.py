@@ -1646,7 +1646,10 @@ def m10_loudness_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("energy").alias("tot_energy"),
         F.sum("n_in_window").alias("tot_n"),
     )
-    flagged = wins.join(F.broadcast(tot), "clip_id").withColumn(
+    # NO forced broadcast: tot is clip-cardinality (data-sized at
+    # production volume — the q109 user-dim rule), and a shuffle join
+    # on clip_id co-partitions with the island window right below it
+    flagged = wins.join(tot, "clip_id").withColumn(
         "is_loud",
         (F.col("energy") * F.col("tot_n")
          > F.col("tot_energy") * F.col("n_in_window")).cast("int"),

@@ -260,16 +260,21 @@ def bench_vectors(spark, path: str, n_probes: int = 500) -> dict[str, float]:
     out = {"blas_topk": round(time.perf_counter() - t0, 2)}
 
     t0 = time.perf_counter()
-    # q114 shape: the one-pass d² Gramian aggregate (the corpus-side
-    # cost of PCA; the shuffle is 4096 rows REGARDLESS of input size)
+    # q114 shape: the one-pass Gramian aggregate over the SYMMETRIC
+    # j >= i triangle (the slice-explode q114 actually runs; the
+    # shuffle is ≤ d²/2 rows REGARDLESS of input size)
     (
         gal.select(F.posexplode("embedding").alias("i", "xi"), "embedding")
         .select(
             "i", F.col("xi").cast("double").alias("xi"),
-            F.posexplode("embedding").alias("j", "xj"),
+            F.posexplode(F.expr("slice(embedding, i + 1, 64 - i)")).alias(
+                "j0", "xj"
+            ),
         )
+        .select("i", "xi", (F.col("i") + F.col("j0")).alias("j"),
+                F.col("xj").cast("double").alias("xj"))
         .groupBy("i", "j")
-        .agg(F.sum(F.col("xi") * F.col("xj").cast("double")), F.count(F.lit(1)))
+        .agg(F.sum(F.col("xi") * F.col("xj")), F.count(F.lit(1)))
         .write.format("noop")
         .mode("overwrite")
         .save()
