@@ -124,6 +124,14 @@ HEADLINERS = [
      "hybrid retrieval fusion: both input lists are TakeOrderedAndProject top-N reductions (lexical BM25 / semantic cosine vs a broadcast 1-row probe); the fusion full-outer join and rank window run over 2xN rows — constant-size at any corpus"),
     ("d21_cotravel_pairs",
      "co-appearance pairs: banded (video, frame-bucket) equi-join with the canonical-bucket filter admitting each qualifying pair exactly once (no distinct); mean centers are one array fold in the scan stage — no per-video all-pairs product"),
+    ("q115_transition_entropy",
+     "Markov transition matrix: ONE user-keyed sort window feeds the (e1,e2) aggregate (types² rows after map-side partials); entropy and the modal transition run over the sketch-sized matrix"),
+    ("m10_loudness_segments",
+     "gaps-and-islands over m08's hex energies: the window subtree is STAGED (referenced by clip totals AND the flag join — 2 folds -> 1); the only exchanges are the clip-total aggregate and the per-clip island window; flags are BIGINT cross-multiplications"),
+    ("q116_reranked_retrieval",
+     "rerank stage: the cross-encoder (md5-unit fake; registry plug point) scores ONLY the fused top-20 — the plan shows the model expression sitting above q113's constant-sized fusion, never touching the corpus"),
+    ("d22_dwell_distribution",
+     "dwell distribution: exact 80ms frame-period arithmetic in the scan stage, broadcast camera dim, ONE camera-grouped percentile aggregate"),
 ]
 
 # Streaming queries execute to completion inside their catalog entry,
