@@ -288,3 +288,41 @@ def test_prefix_filter_join_property(spark, case):
     assert got.keys() == want.keys(), (t, got, want)
     for k in got:
         assert abs(got[k] - want[k]) < 1e-9
+
+
+@st.composite
+def containment_corpus(draw):
+    # tiny vocabulary -> maximally hot bigrams (the anchor's worst
+    # case) + short docs so one-token anchors and exact-equal pairs
+    # all occur
+    vocab = ["aa", "bb", "cc"]
+
+    def doc():
+        toks = draw(st.lists(st.sampled_from(vocab), min_size=1, max_size=6))
+        return " ".join(toks)
+
+    n = draw(st.integers(2, 7))
+    return [(i, doc()) for i in range(n)]
+
+
+@given(docs=containment_corpus())
+@slow
+def test_containment_pairs_property(spark, docs):
+    """Containment completeness/precision on random hot-bigram corpora:
+    the rarest-bigram/unigram anchor join must find EXACTLY the
+    brute-force token-subsequence containment set, including duplicate
+    texts (both orientations) and one-token docs."""
+    from las_vpe_platform_spark.operators.dedup import containment_pairs
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["inner_id"], r["outer_id"])
+        for r in containment_pairs(df, "doc_id", "text").collect()
+    }
+    want = set()
+    for ii, ti in docs:
+        for oi, to in docs:
+            ni, no = " ".join(ti.split()), " ".join(to.split())
+            if ii != oi and ni and f" {ni} " in f" {no} ":
+                want.add((ii, oi))
+    assert got == want
