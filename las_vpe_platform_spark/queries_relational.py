@@ -1447,6 +1447,76 @@ FROM ent JOIN modal USING (e1)
 """
 
 
+
+# --- q117: incremental aggregate maintenance (materialized-view delta) -------
+# The aggregate-level half of warehouse incrementality next to q102's
+# row-level MERGE: a stored per-type aggregate is brought current by
+# signed-folding a CDC changelog (inserts + deletes) and merging with
+# ONE full-outer join on the group key — the base facts are never
+# rescanned, so at 100 TB the maintenance job is sized by the delta
+# and the aggregate table alone (operators/maintenance.py::
+# maintain_aggregate). Base = events outside the insert slice; the
+# changelog inserts the event_id % 20 slice and deletes the % 17
+# slice of base, deletes carrying their original values (the CDC
+# contract that makes counts reach exact zero).
+
+def q117_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.operators.maintenance import maintain_aggregate
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.filter(F.col("event_id") % 20 != 0)
+    stored = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("total")
+    )
+    inserts = ev.filter(F.col("event_id") % 20 == 0).select(
+        "event_type", F.lit("I").alias("op"), "value"
+    )
+    deletes = base.filter(F.col("event_id") % 17 == 0).select(
+        "event_type", F.lit("D").alias("op"), "value"
+    )
+    maintained = maintain_aggregate(
+        stored,
+        inserts.unionByName(deletes),
+        group_cols=["event_type"],
+        count_col="n",
+        sum_cols={"total": "value"},
+    )
+    return maintained.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        pround("total", 6).alias("total"),
+        pround(F.col("total") / F.col("n"), 6).alias("avg_value"),
+    )
+
+
+Q117_SQL = """
+WITH base AS (
+  SELECT * FROM events WHERE event_id % 20 != 0
+), stored AS (
+  SELECT event_type, count(*) AS n, sum(value) AS total
+  FROM base GROUP BY event_type
+), changes AS (
+  SELECT event_type, 'I' AS op, value FROM events WHERE event_id % 20 = 0
+  UNION ALL
+  SELECT event_type, 'D' AS op, value FROM base WHERE event_id % 17 = 0
+), delta AS (
+  SELECT event_type,
+         sum(CASE WHEN op = 'I' THEN 1 ELSE -1 END) AS _dn,
+         sum((CASE WHEN op = 'I' THEN 1 ELSE -1 END)::DOUBLE * value) AS _dtotal
+  FROM changes GROUP BY event_type
+), merged AS (
+  SELECT coalesce(stored.event_type, delta.event_type) AS event_type,
+         coalesce(n, 0) + coalesce(_dn, 0) AS n,
+         coalesce(total, 0.0) + coalesce(_dtotal, 0.0) AS total
+  FROM stored FULL OUTER JOIN delta USING (event_type)
+)
+SELECT event_type, n::BIGINT AS n,
+       floor(total * 1000000.0 + 0.5) / 1000000.0 AS total,
+       floor((total / n) * 1000000.0 + 0.5) / 1000000.0 AS avg_value
+FROM merged WHERE n > 0
+"""
+
+
 RELATIONAL_QUERIES = {
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_top_customers_per_nation": (q02_top_customers_per_nation, Q02_SQL),
@@ -1488,4 +1558,5 @@ RELATIONAL_QUERIES = {
     "q109_cohort_retention": (q109_cohort_retention, Q109_SQL),
     "q110_sampled_quantiles": (q110_sampled_quantiles, Q110_SQL),
     "q115_transition_entropy": (q115_transition_entropy, Q115_SQL),
+    "q117_incremental_agg": (q117_incremental_agg, Q117_SQL),
 }

@@ -252,3 +252,39 @@ def test_pq_topk_codebook_probes_self_distance_zero(spark, sf_dir):
         assert top1["adc_dist"] == 0.0, (pk, top1)
         zero_hits = {r["gallery_key"] for r in rs if r["adc_dist"] == 0.0}
         assert pk in zero_hits, (pk, sorted(zero_hits))
+
+
+def test_maintain_aggregate_matches_recompute(spark):
+    """Folding the changelog into the stored aggregate must equal a
+    full recompute of (base - deletes + inserts) — including a group
+    that vanishes entirely (count reaches exact zero and drops out)
+    and a group born purely from inserts."""
+    from las_vpe_platform_spark.operators.maintenance import maintain_aggregate
+
+    base = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 5.0), ("c", 7.0)],
+        "k string, v double",
+    )
+    stored = base.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("total")
+    )
+    changes = spark.createDataFrame(
+        [
+            ("a", "I", 10.0),          # grows a
+            ("b", "D", 5.0),           # b vanishes (exact zero)
+            ("d", "I", 3.0),           # d born from inserts
+            ("c", "D", 7.0), ("c", "I", 4.0),  # c fully replaced
+        ],
+        "k string, op string, v double",
+    )
+    got = {
+        r["k"]: (r["n"], r["total"])
+        for r in maintain_aggregate(
+            stored, changes, ["k"], count_col="n", sum_cols={"total": "v"}
+        ).collect()
+    }
+    assert got == {
+        "a": (3, 13.0),
+        "c": (1, 4.0),
+        "d": (1, 3.0),
+    }
