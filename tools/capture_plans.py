@@ -132,6 +132,8 @@ HEADLINERS = [
      "rerank stage: the cross-encoder (md5-unit fake; registry plug point) scores ONLY the fused top-20 — the plan shows the model expression sitting above q113's constant-sized fusion, never touching the corpus"),
     ("d22_dwell_distribution",
      "dwell distribution: exact 80ms frame-period arithmetic in the scan stage, broadcast camera dim, ONE camera-grouped percentile aggregate"),
+    ("q117_incremental_agg",
+     "incremental view maintenance: signed-folded changelog merged into the stored aggregate via ONE full-outer join on the group key. The OPERATOR touches only aggregate-sized + delta-sized inputs; the base scans visible in this plan exist because the catalog entry synthesizes `stored` and the changelog from the events table (production reads both from tables)"),
 ]
 
 # Streaming queries execute to completion inside their catalog entry,
