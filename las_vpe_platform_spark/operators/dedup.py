@@ -843,6 +843,7 @@ def containment_pairs(
     id_col: str,
     text_col: str,
     materialize: Materializer = persist_disk,
+    one_token_inners: bool = True,
 ) -> DataFrame:
     """EXACT token-sequence containment join: every (inner, outer)
     pair where inner's whitespace-token sequence appears contiguously
@@ -863,6 +864,13 @@ def containment_pairs(
     documents anchor on their token against a unigram index instead;
     the verify stage is a space-delimited substring check on
     whitespace-normalized text, bounded by candidates, never corpus².
+
+    The unigram index costs ONE extra token-split pass over the
+    corpus and exists solely to serve one-token inner documents; at
+    100 TB a caller that filters sub-bigram docs upstream (most
+    curation pipelines drop them long before dedup) passes
+    ``one_token_inners=False`` to skip that pass entirely —
+    completeness for all >= 2-token inners is unaffected.
 
     Returns (inner_id, outer_id, n_tok_inner, n_tok_outer,
     exact_equal) — both orientations appear for exactly-equal texts,
@@ -893,14 +901,17 @@ def containment_pairs(
     # one-token docs have no bigram: anchor them on the token itself
     # against a unigram index (the index is corpus-sized but the probe
     # side is only the one-token docs — typically a sliver)
-    uni = exploded_shingles(df, id_col, text_col, 1)
-    one_tok = (
-        norm.filter(~F.col("_t").contains(" "))
-        .select(F.col("doc_id_").alias("_iid"), F.col("_t").alias("shingle"))
-    )
-    cand1 = one_tok.join(
-        uni.selectExpr("doc_id_ AS _oid", "shingle"), on="shingle"
-    ).select("_iid", "_oid")
+    cand = cand2
+    if one_token_inners:
+        uni = exploded_shingles(df, id_col, text_col, 1)
+        one_tok = (
+            norm.filter(~F.col("_t").contains(" "))
+            .select(F.col("doc_id_").alias("_iid"), F.col("_t").alias("shingle"))
+        )
+        cand1 = one_tok.join(
+            uni.selectExpr("doc_id_ AS _oid", "shingle"), on="shingle"
+        ).select("_iid", "_oid")
+        cand = cand2.unionByName(cand1)
     inner_n = norm.select(
         F.col("doc_id_").alias("_iid"),
         (F.size(F.split(F.col("_t"), " "))).alias("n_tok_inner"),
@@ -912,7 +923,7 @@ def containment_pairs(
         F.col("_t").alias("_to"),
     )
     return (
-        cand2.unionByName(cand1)
+        cand
         .filter(F.col("_iid") != F.col("_oid"))
         .join(inner_n, on="_iid")
         .join(outer_n, on="_oid")

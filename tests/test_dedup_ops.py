@@ -289,3 +289,25 @@ def test_containment_pairs_matches_brute_force(spark):
     assert (2, 1, 0) in want and (3, 2, 1) in want and (2, 3, 1) in want
     assert (4, 1, 0) in want and (2, 5, 0) not in want
     assert got == want
+
+
+def test_containment_pairs_skip_one_token_inners(spark):
+    """one_token_inners=False drops exactly the 1-token inner rows and
+    nothing else — the knob that skips the unigram index pass when
+    sub-bigram docs were filtered upstream."""
+    from las_vpe_platform_spark.operators.dedup import containment_pairs
+
+    rows = [(1, "a b c d e"), (2, "b c d"), (4, "e"), (7, "c d e")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    full = {
+        (r["inner_id"], r["outer_id"])
+        for r in containment_pairs(df, "doc_id", "text").collect()
+    }
+    fast = {
+        (r["inner_id"], r["outer_id"])
+        for r in containment_pairs(
+            df, "doc_id", "text", one_token_inners=False
+        ).collect()
+    }
+    assert (4, 1) in full and (4, 7) in full
+    assert fast == {p for p in full if p[0] != 4}
