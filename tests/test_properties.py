@@ -326,3 +326,58 @@ def test_containment_pairs_property(spark, docs):
             if ii != oi and ni and f" {ni} " in f" {no} ":
                 want.add((ii, oi))
     assert got == want
+
+
+@st.composite
+def cotravel_tracklets(draw):
+    # random short intervals in a handful of videos; spans ≤ 31 so the
+    # ≤ 2-bucket explode invariant (COTRAVEL_BUCKET = 64) is exercised
+    # at its edge, including intervals that straddle a bucket boundary
+    n = draw(st.integers(2, 10))
+    rows = []
+    for i in range(n):
+        vid = draw(st.sampled_from(["v1", "v2"]))
+        sf = draw(st.integers(0, 200))
+        ln = draw(st.integers(1, 31))
+        cx = draw(st.integers(0, 1000))
+        rows.append((vid, f"t{i}", sf, ln, cx))
+    return rows
+
+
+@given(rows=cotravel_tracklets())
+@slow
+def test_cotravel_bucket_join_property(spark, rows):
+    """The banded join + canonical-bucket filter must admit each
+    overlapping pair EXACTLY once (no duplicates, no misses) for
+    random intervals, including bucket-straddling ones."""
+    from pyspark.sql import functions as F
+
+    B = 64
+    df = spark.createDataFrame(
+        rows, "video_id string, key string, sf long, ln long, cx long"
+    ).selectExpr("video_id", "key", "sf", "sf + ln AS ef", "cx")
+    a = df.selectExpr(
+        "video_id", "key AS key_a", "sf AS sf_a", "ef AS ef_a", "cx AS cx_a",
+        f"explode(sequence(sf div {B}, ef div {B})) AS bucket",
+    )
+    b = df.selectExpr(
+        "video_id", "key AS key_b", "sf AS sf_b", "ef AS ef_b", "cx AS cx_b",
+        f"explode(sequence(sf div {B}, ef div {B})) AS bucket",
+    )
+    got_rows = (
+        a.join(b, on=["video_id", "bucket"])
+        .filter("key_a < key_b")
+        .filter(f"bucket = greatest(sf_a, sf_b) div {B}")
+        .filter("least(ef_a, ef_b) - greatest(sf_a, sf_b) >= 1")
+        .select("video_id", "key_a", "key_b")
+        .collect()
+    )
+    got = [(r["video_id"], r["key_a"], r["key_b"]) for r in got_rows]
+    assert len(got) == len(set(got)), "duplicate pair emitted"
+    want = set()
+    for va, ka, sa, la, _ in rows:
+        for vb, kb, sb, lb, _ in rows:
+            if va == vb and ka < kb:
+                if min(sa + la, sb + lb) - max(sa, sb) >= 1:
+                    want.add((va, ka, kb))
+    assert set(got) == want
