@@ -903,7 +903,15 @@ def containment_pairs(
     # side is only the one-token docs — typically a sliver)
     cand = cand2
     if one_token_inners:
-        uni = exploded_shingles(df, id_col, text_col, 1)
+        # the unigram index reads the STAGED normalized text (split on
+        # the single space normalization guarantees) instead of paying
+        # a second raw-text scan + regex split
+        uni = (
+            norm.select(
+                "doc_id_", F.explode(F.split("_t", " ")).alias("shingle")
+            )
+            .dropDuplicates(["doc_id_", "shingle"])
+        )
         one_tok = (
             norm.filter(~F.col("_t").contains(" "))
             .select(F.col("doc_id_").alias("_iid"), F.col("_t").alias("shingle"))
