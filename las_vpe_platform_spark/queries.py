@@ -42,7 +42,8 @@ explicit acknowledgement, and (c) every catalog entry appears in this
 list explicitly (nothing reaches the catalog tail unplaced).  Every
 catalog entry is additionally hash-verified against DuckDB on every
 test run by ``tests/test_oracle_parity.py`` (at sf0.01, the driver's
-scale), and the full catalog also passed a sweep at sf0.1 this round.
+scale), and the complete 164-entry catalog also passed a full
+sweep at sf0.1 this round.
 """
 
 from __future__ import annotations
