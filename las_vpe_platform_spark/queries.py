@@ -28,7 +28,7 @@ catalog).  ``DRIVER_PRIORITY`` is therefore RE-DERIVED EVERY ROUND as
    anomaly detection, q114 in-plan PCA power iteration, q115 Markov
    transition entropy, m10 loudness segmentation, q116 cross-encoder
    reranking, d22 dwell-time distribution, q117 incremental aggregate
-   maintenance),
+   maintenance, s16 native session-window streaming),
 3. tier 2 — stalest evidence: entries whose ONLY driver row is
    round 1.
 
@@ -125,6 +125,7 @@ DRIVER_PRIORITY: list[str] = [
     "q116_reranked_retrieval",
     "d22_dwell_distribution",
     "q117_incremental_agg",
+    "s16_stream_session_native",
     # -- tier 2: stalest evidence — only driver row is round 1 (the
     #    16 oldest; q37-q47/q49 lose the tiebreak and stay in
     #    overflow with their r01 rows) --
@@ -268,7 +269,7 @@ if len(DRIVER_PRIORITY) != len(set(DRIVER_PRIORITY)):
 # The must-gate block (tiers 0-1, everything through the re-gates)
 # has to sit inside the driver's first-50 window — review finding r3
 # caught an earlier ordering leaving re-gated entries at 61-63.
-_MUST_GATE_LAST = "q117_incremental_agg"
+_MUST_GATE_LAST = "s16_stream_session_native"
 if DRIVER_PRIORITY.index(_MUST_GATE_LAST) >= 50:
     raise ValueError(
         "DRIVER_PRIORITY stale: must-gate tiers exceed the 50-entry "

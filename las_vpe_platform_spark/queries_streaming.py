@@ -1055,6 +1055,74 @@ WHERE n_prev >= 30
 """
 
 
+
+# --- s16: NATIVE session-window streaming aggregation -------------------------
+# The built-in counterpart of s03's custom stateful sessionizer:
+# Spark's own `session_window` merges per-user events whose gaps are
+# <= 30 minutes (strictly-greater gaps split — verified empirically;
+# an event exactly at prev + gap MERGES) and the watermark emits each
+# session once it can no longer grow. Emission contract under
+# run-to-completion with a 0-second watermark delay: the final
+# watermark is the global max event time, so exactly the sessions
+# whose [last_event + gap] close bound is <= that max emit — the
+# oracle applies the same cutoff (s03's custom operator instead
+# excludes each user's final session; the two contracts differ
+# precisely where the operator semantics differ, which is the point
+# of carrying both). State = one row per OPEN session, evicted at the
+# watermark — the same bounded-state argument as s01's windows.
+
+S16_GAP_US = 1_800_000_000
+
+
+def s16_stream_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = _events_micros(spark, sf_dir)
+    stream = _sliced_parquet_stream(
+        spark, raw, "s16_events_", cache_key=("events", sf_dir)
+    )
+    agg = (
+        stream.withWatermark("ts", "0 seconds")
+        .groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), F.col("user_id")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    )
+    name = f"s16_out_{uuid.uuid4().hex[:8]}"
+    with _stream_partitions(spark):
+        out = run_to_completion(agg, name, output_mode="append")
+    return out.select(
+        "user_id",
+        F.unix_micros(F.col("w.start")).alias("session_start_us"),
+        F.unix_micros(F.col("w.end")).alias("session_end_us"),
+        "n_events",
+    )
+
+
+S16_SQL = f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us FROM events
+), mx AS (
+  SELECT max(us) AS max_us FROM e
+), seq AS (
+  SELECT user_id, us,
+         CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                   > {S16_GAP_US} THEN 1 ELSE 0 END AS brk
+  FROM e
+), isl AS (
+  SELECT user_id, us,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY us
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM seq
+), ses AS (
+  SELECT user_id, min(us) AS session_start_us,
+         max(us) + {S16_GAP_US} AS session_end_us,
+         count(*)::BIGINT AS n_events
+  FROM isl GROUP BY user_id, sid
+)
+SELECT user_id, session_start_us, session_end_us, n_events
+FROM ses CROSS JOIN mx WHERE session_end_us <= max_us
+"""
+
+
 STREAMING_QUERIES = {
     "s01_stream_windowed_counts": (s01_stream_windowed_counts, S01_SQL),
     "s02_stream_dedup": (s02_stream_dedup, S02_SQL),
@@ -1071,4 +1139,5 @@ STREAMING_QUERIES = {
     "s13_stream_ivf_assign": (s13_stream_ivf_assign, S13_SQL),
     "s14_stream_quantile_sketch": (s14_stream_quantile_sketch, S14_SQL),
     "s15_stream_anomaly": (s15_stream_anomaly, S15_SQL),
+    "s16_stream_session_native": (s16_stream_session_native, S16_SQL),
 }
