@@ -158,7 +158,31 @@ STREAMING_HEADLINERS = [
     ("s15_stream_anomaly (unstarted streaming plan)",
      "prequential anomaly detection: state is THREE scalars (n, sum, sumsq) per event_type — key-cardinality-bounded at any volume; the plan is the groupBy exchange straight into FlatMapGroupsInPandasWithState, nothing else",
      "_anomaly_stream_plan"),
+    ("s16_stream_session_native (unstarted streaming plan)",
+     "NATIVE session windows: the plan shows Spark's SessionWindowStateStore aggregation (merge-capable state, one row per OPEN session, watermark-evicted) — the built-in counterpart of s03's FlatMapGroupsInPandasWithState sessionizer",
+     "_session_native_stream_plan"),
 ]
+
+
+def _session_native_stream_plan(spark):
+    from las_vpe_platform_spark.queries_streaming import (
+        RAW_EVENTS_SCHEMA,
+        _scratch_dir,
+    )
+    from pyspark.sql import functions as F
+
+    src = _scratch_dir("plan_s16_")
+    stream = (
+        spark.readStream.schema(RAW_EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withColumn("ts", F.timestamp_micros("ts_micros"))
+    )
+    return (
+        stream.withWatermark("ts", "0 seconds")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    )
 
 
 def _anomaly_stream_plan(spark):
