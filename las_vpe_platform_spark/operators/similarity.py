@@ -41,22 +41,70 @@ def _nearest_centroids(
     vector_col: str,
     keep: int,
 ) -> DataFrame:
-    """Rank centroids per vector by cosine (norms precomputed), keep
-    the best ``keep``; ties broken by centroid id."""
-    c = F.broadcast(
+    """Rank centroids per vector by cosine, keep the best ``keep``;
+    ties broken by the smaller centroid id.
+
+    Shape (round-5 rewrite): the centroid table folds to ONE broadcast
+    row of (id, vec, norm) structs and every vector scores all
+    centroids inside a single projection — ``array_sort`` on
+    (-sim, centroid_id) structs, ``slice``, ``explode``.  The previous
+    crossJoin + rank-window shape expanded the vector side
+    x|centroids| rows and shuffled the FULL vector frame on ``id_col``
+    — a corpus-wide exchange when the vector side is the gallery
+    (q29/q70/q118), gone here.  Results are bit-identical: the cosine
+    fold is unchanged, and ascending struct order on (-sim, id) is the
+    same total order as (sim DESC, id ASC) row_number ranking for
+    non-NaN similarities (zero-norm vectors, the NaN source, are out
+    of contract exactly as before — embeddings are dense).
+    """
+    arr = _nearest_centroid_arr(vectors, centroids, vector_col, keep)
+    return arr.withColumn("_t", F.explode("_cells")).select(
+        *vectors.columns, F.col("_t").alias("centroid_id")
+    )
+
+
+def _nearest_centroid_arr(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    vector_col: str,
+    keep: int,
+) -> DataFrame:
+    """The fold core of :func:`_nearest_centroids`: adds ``_vnorm``
+    and ``_cells`` (the ``keep`` best centroid ids, best-first) as
+    COLUMNS — no explode, so callers that go on to fold over the cell
+    set (:func:`ivf2_topk`'s descent) never multiply rows."""
+    crow = F.broadcast(
         centroids.select(
-            "centroid_id", F.col(vector_col).alias("_cvec")
-        ).withColumn("_cnorm", l2_norm("_cvec"))
+            F.struct(
+                F.col("centroid_id"),
+                F.transform(vector_col, lambda x: x.cast("double")).alias("_cvec"),
+                l2_norm(vector_col).alias("_cnorm"),
+            ).alias("_c")
+        ).agg(F.array_sort(F.collect_list("_c")).alias("_cents"))
     )
-    v = vectors.withColumn("_vnorm", l2_norm(vector_col))
-    scored = v.crossJoin(c).withColumn(
-        "_csim", dot_product(vector_col, "_cvec") / (F.col("_vnorm") * F.col("_cnorm"))
+    scored = F.transform(
+        F.col("_cents"),
+        lambda c: F.struct(
+            (
+                -(
+                    dot_product(F.col(vector_col), c["_cvec"])
+                    / (F.col("_vnorm") * c["_cnorm"])
+                )
+            ).alias("_negsim"),
+            c["centroid_id"].alias("centroid_id"),
+        ),
     )
-    w = W.partitionBy(id_col).orderBy(F.desc("_csim"), F.asc("centroid_id"))
     return (
-        scored.withColumn("_crank", F.row_number().over(w))
-        .filter(F.col("_crank") <= keep)
-        .drop("_cvec", "_cnorm", "_vnorm", "_csim", "_crank")
+        vectors.withColumn("_vnorm", l2_norm(vector_col))
+        .crossJoin(crow)
+        .withColumn(
+            "_cells",
+            F.transform(
+                F.slice(F.array_sort(scored), 1, keep),
+                lambda t: t["centroid_id"],
+            ),
+        )
+        .drop("_cents")
     )
 
 
@@ -121,7 +169,9 @@ def ivf_topk(
     ).withColumn("_pnorm", l2_norm("_pvec"))
 
     scored = (
-        probe_buckets.join(gal_assigned, on="centroid_id")
+        # probes are the small-by-contract side: broadcast them so the
+        # assigned gallery never shuffles on the cell id
+        F.broadcast(probe_buckets).join(gal_assigned, on="centroid_id")
         .withColumn(
             "similarity",
             dot_product("_pvec", "_gvec") / (F.col("_pnorm") * F.col("_gnorm")),
@@ -508,30 +558,76 @@ def ivf2_topk(
         ).select("fid", "centroid_id"),
         "ivf2_f2c",
     )
-    fine_vecs = fine.select("fid", F.col(vector_col).alias("_fvec")).withColumn(
-        "_fnorm", l2_norm("_fvec")
+    # per-coarse-cell fine slices, folded to ONE broadcast map row:
+    # centroid_id -> sorted array of (fid, fvec, fnorm) structs. Same
+    # total bytes as the broadcast-hash fine_vecs join it replaces;
+    # beyond the broadcast budget the per-cell slices must be served
+    # partitioned (SCALE.md q70 row) — unchanged trade.
+    cell_map = F.broadcast(
+        f2c.join(
+            fine.select(
+                "fid",
+                F.transform(vector_col, lambda x: x.cast("double")).alias("_fvec"),
+                l2_norm(vector_col).alias("_fnorm"),
+            ),
+            on="fid",
+        )
+        .groupBy("centroid_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("fid", "_fvec", "_fnorm"))
+            ).alias("_fines")
+        )
+        .agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("centroid_id", "_fines")))
+            ).alias("_cellmap")
+        )
     )
 
     def descend(vectors: DataFrame, id_name: str, keep_fine: int) -> DataFrame:
         """coarse cells (nprobe) -> candidate fine centroids -> keep
-        the best ``keep_fine`` fine cells per vector."""
-        cells = _nearest_centroids(
-            vectors, coarse, id_col=id_name, vector_col=vector_col, keep=nprobe
-        )
+        the best ``keep_fine`` fine cells per vector.
+
+        Round-5 fold shape: the coarse cells arrive as an ARRAY column
+        (no explode), their fine slices come out of the one-row
+        broadcast map, and the cross-cell ranking is an array_sort
+        over the concatenated candidates — the old join + rank-window
+        pair shuffled the FULL vector side twice (cells explode +
+        fine rank).  Total order (fsim DESC, fid ASC) is unchanged.
+        """
         cand = (
-            cells.join(F.broadcast(f2c), on="centroid_id")
-            .join(F.broadcast(fine_vecs), on="fid")
-            .withColumn("_vnorm", l2_norm(vector_col))
+            _nearest_centroid_arr(vectors, coarse, vector_col, keep=nprobe)
+            .crossJoin(cell_map)
             .withColumn(
-                "_fsim",
-                dot_product(vector_col, "_fvec") / (F.col("_vnorm") * F.col("_fnorm")),
+                "_cands",
+                F.flatten(
+                    F.filter(
+                        F.transform(
+                            "_cells", lambda cid: F.element_at("_cellmap", cid)
+                        ),
+                        lambda a: a.isNotNull(),
+                    )
+                ),
             )
         )
-        w = W.partitionBy(id_name).orderBy(F.desc("_fsim"), F.asc("fid"))
+        scored = F.transform(
+            F.col("_cands"),
+            lambda f: F.struct(
+                (
+                    -(
+                        dot_product(F.col(vector_col), f["_fvec"])
+                        / (F.col("_vnorm") * f["_fnorm"])
+                    )
+                ).alias("_negsim"),
+                f["fid"].alias("fid"),
+            ),
+        )
         return (
-            cand.withColumn("_frank", F.row_number().over(w))
-            .filter(F.col("_frank") <= keep_fine)
-            .select(id_name, vector_col, "fid")
+            cand.withColumn(
+                "_t", F.explode(F.slice(F.array_sort(scored), 1, keep_fine))
+            )
+            .select(id_name, vector_col, F.col("_t.fid").alias("fid"))
         )
 
     g2f = descend(
@@ -550,7 +646,9 @@ def ivf2_topk(
     ).withColumn("_pnorm", l2_norm("_pvec"))
 
     scored = (
-        p2f.join(g2f, on="fid")
+        # probes broadcast (small by contract) — the bucketed gallery
+        # side never shuffles on the fine-cell id
+        F.broadcast(p2f).join(g2f, on="fid")
         .withColumn(
             "similarity",
             dot_product("_pvec", "_gvec") / (F.col("_pnorm") * F.col("_gnorm")),
@@ -769,20 +867,8 @@ def pq_topk(
     cb = materialize(cb)
 
     def dist2(vec, cvec, s):
-        # squared L2 over subspace s, folded in sub-dim index order
-        return F.aggregate(
-            F.sequence(F.lit(1), F.lit(sub_d)),
-            F.lit(0.0),
-            lambda acc, i: acc
-            + (
-                F.element_at(vec, (s * sub_d + i).cast("int"))
-                - F.element_at(cvec, (s * sub_d + i).cast("int"))
-            )
-            * (
-                F.element_at(vec, (s * sub_d + i).cast("int"))
-                - F.element_at(cvec, (s * sub_d + i).cast("int"))
-            ),
-        )
+        # squared L2 over subspace s (shared with ivfpq_topk)
+        return _subspace_sq_dist(vec, cvec, s, sub_d)
 
     g = (
         gallery.select(
@@ -889,6 +975,296 @@ WITH cb0 AS (
   SELECT ps.probe_key, gc.gallery_key,
          list_sum(list(ps.d2 ORDER BY gc.s)) AS adc_dist
   FROM g_codes gc JOIN p_sub ps ON ps.s = gc.s AND ps.j = gc.code
+  GROUP BY ps.probe_key, gc.gallery_key
+), ranked AS (
+  SELECT probe_key, gallery_key, adc_dist,
+         row_number() OVER (PARTITION BY probe_key
+                            ORDER BY adc_dist, gallery_key) AS rank
+  FROM pair
+)
+SELECT probe_key, gallery_key, rank::BIGINT AS rank,
+       floor((adc_dist) * 1000000.0 + 0.5) / 1000000.0 AS adc_dist
+FROM ranked WHERE rank <= {k}
+"""
+
+
+# --- IVF-PQ: coarse cells + residual product quantization -------------------
+
+def _subspace_sq_dist(vec, cvec, s, sub_d: int):
+    """Squared L2 between two double arrays over subspace ``s``
+    (elements ``s*sub_d+1 .. (s+1)*sub_d``), folded in sub-dim index
+    order — the shared primitive of :func:`pq_topk` (raw vectors) and
+    :func:`ivfpq_topk` (residuals). Both DuckDB mirrors spell the
+    identical fold so the doubles match bit-for-bit."""
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(sub_d)),
+        F.lit(0.0),
+        lambda acc, i: acc
+        + (
+            F.element_at(vec, (s * sub_d + i).cast("int"))
+            - F.element_at(cvec, (s * sub_d + i).cast("int"))
+        )
+        * (
+            F.element_at(vec, (s * sub_d + i).cast("int"))
+            - F.element_at(cvec, (s * sub_d + i).cast("int"))
+        ),
+    )
+
+
+def ivfpq_topk(
+    probes: DataFrame,
+    gallery: DataFrame,
+    probe_key: str,
+    gallery_key: str,
+    vector_col: str = "embedding",
+    dim: int = 64,
+    m: int = 8,
+    n_codes: int = 16,
+    k: int = 5,
+    num_centroids_mod: int = 50,
+    nprobe: int = 2,
+    materialize: Materializer = persist_disk,
+) -> DataFrame:
+    """The full FAISS-architecture ANN: IVF coarse cells (q29's
+    deterministic ``key % mod`` quantizer) + product quantization of
+    the RESIDUAL ``vec - centroid`` (not the raw vector, as
+    :func:`pq_topk` encodes) + asymmetric-distance scoring restricted
+    to the probe's ``nprobe`` nearest cells.
+
+    Why this is the 10^11-vector shape (completing the ladder q27 ->
+    q29/q70 -> q59 -> q66 -> q111): IVF alone still pays O(dim) floats
+    per scanned pair; PQ alone still scans every gallery code. Composed,
+    a probe touches ``nprobe/num_cells`` of the corpus at O(m) bytes
+    per pair, and residual encoding recovers most of the quantization
+    error IVF leaves (residual norms are a cell-radius, not a
+    corpus-radius — the same codebook budget buys finer resolution).
+    Replaces the reference's O(P x N) socket comparer (J9,
+    ExternPedestrianComparerUsingAttr.java:170-194) at scale.
+
+    Determinism contract (mirrored by :func:`ivfpq_topk_sql`):
+
+    - coarse centroids: gallery rows with ``key % num_centroids_mod
+      == 0``; cell assignment by cosine, ties to the smaller centroid;
+    - residual codebook: residuals of the ``n_codes`` smallest
+      ``gallery_key`` rows (post-assignment), positions in key order;
+    - encode: per subspace argmin squared-L2, ties to the smaller
+      position, sub-dim folds in index order;
+    - ADC: per (probe, probed cell) the probe residual's distance
+      table is built once BELOW the pair join; pair cost is m lookups
+      summed in subspace order; final ties to the smaller gallery key.
+
+    Everything below the pair join is lazy column expressions; the
+    gallery is touched by exactly two full passes (assign, encode) and
+    never shuffled — the pair join broadcasts the (probes x nprobe)
+    ADC side into the cells.
+    """
+    sub_d = dim // m
+    # coarse quantizer — same multi-reference staging as ivf_topk
+    centroids = materialize(
+        gallery.filter((F.col(gallery_key) % num_centroids_mod) == 0).select(
+            F.col(gallery_key).alias("centroid_id"), F.col(vector_col)
+        ),
+        "ivfpq_centroids",
+    )
+    cvecs = F.broadcast(
+        centroids.select(
+            "centroid_id",
+            F.transform(vector_col, lambda x: x.cast("double")).alias("_cvec"),
+        )
+    )
+
+    # gallery -> nearest cell -> residual; referenced by BOTH the
+    # codebook derivation and the encode pass, so stage it once
+    gal_resid = materialize(
+        assign_centroids(
+            gallery.select(F.col(gallery_key), F.col(vector_col)),
+            centroids,
+            id_col=gallery_key,
+            vector_col=vector_col,
+        )
+        .join(cvecs, on="centroid_id")
+        .select(
+            F.col(gallery_key).cast("bigint").alias("gallery_key"),
+            "centroid_id",
+            F.zip_with(
+                F.transform(vector_col, lambda x: x.cast("double")),
+                "_cvec",
+                lambda a, b: a - b,
+            ).alias("_rvec"),
+        ),
+        "ivfpq_residuals",
+    )
+
+    cb = materialize(
+        gal_resid.orderBy("gallery_key")
+        .limit(n_codes)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("gallery_key"), F.col("_rvec")))
+            ).alias("_cb")
+        )
+        .select(F.transform("_cb", lambda c: c["_rvec"]).alias("_cb")),
+        "ivfpq_codebook",
+    )
+
+    g_codes = (
+        gal_resid.crossJoin(F.broadcast(cb)).select(
+            "gallery_key",
+            "centroid_id",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.array_min(
+                    F.transform(
+                        F.col("_cb"),
+                        lambda c, j: F.struct(
+                            _subspace_sq_dist(F.col("_rvec"), c, s, sub_d).alias("d"),
+                            j.alias("j"),
+                        ),
+                    )
+                )["j"],
+            ).alias("_codes"),
+        )
+    )
+
+    p_adc = (
+        _nearest_centroids(
+            probes.select(
+                F.col(probe_key).alias("probe_key"),
+                F.col(vector_col).alias("_pvec"),
+            ),
+            centroids.withColumnRenamed(vector_col, "_pvec"),
+            id_col="probe_key",
+            vector_col="_pvec",
+            keep=nprobe,
+        )
+        .join(cvecs, on="centroid_id")
+        .select(
+            "probe_key",
+            "centroid_id",
+            F.zip_with(
+                F.transform("_pvec", lambda x: x.cast("double")),
+                "_cvec",
+                lambda a, b: a - b,
+            ).alias("_prvec"),
+        )
+        .crossJoin(F.broadcast(cb))
+        .select(
+            "probe_key",
+            "centroid_id",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.transform(
+                    F.col("_cb"),
+                    lambda c: _subspace_sq_dist(F.col("_prvec"), c, s, sub_d),
+                ),
+            ).alias("_adc"),
+        )
+    )
+
+    adc_dist = F.aggregate(
+        F.zip_with(
+            "_adc", "_codes", lambda a, c: F.element_at(a, (c + 1).cast("int"))
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        F.broadcast(p_adc)
+        .join(g_codes, on="centroid_id")
+        .select("probe_key", "gallery_key", adc_dist.alias("adc_dist"))
+    )
+    w = W.partitionBy("probe_key").orderBy(F.asc("adc_dist"), F.asc("gallery_key"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def ivfpq_topk_sql(
+    table: str,
+    probe_filter: str,
+    id_col: str,
+    vector_col: str,
+    dim: int,
+    m: int = 8,
+    n_codes: int = 16,
+    k: int = 5,
+    num_centroids_mod: int = 50,
+    nprobe: int = 2,
+) -> str:
+    """DuckDB mirror of :func:`ivfpq_topk` — identical coarse
+    quantizer, residual codebook choice, argmin tie-breaks and fold
+    orders (``probe_filter`` is applied to alias ``p``)."""
+    sub_d = dim // m
+    # same fragments as queries_data.SQL_DOT / SQL_NORM (spelled here
+    # to keep the operator module import-cycle-free)
+    def cos(a: str, b: str) -> str:
+        dot = (
+            f"list_sum(list_transform(generate_series(1, len({a})), "
+            f"i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
+        )
+        na = f"sqrt(list_sum(list_transform({a}, x -> x::DOUBLE * x::DOUBLE)))"
+        nb = f"sqrt(list_sum(list_transform({b}, x -> x::DOUBLE * x::DOUBLE)))"
+        return f"({dot} / ({na} * {nb}))"
+
+    def d2(vec: str, cvec: str) -> str:
+        # residual lists are already DOUBLE
+        return (
+            f"list_sum(list_transform(generate_series(1, {sub_d}),"
+            f" i -> ({vec}[s.s*{sub_d}+i] - {cvec}[s.s*{sub_d}+i])"
+            f" * ({vec}[s.s*{sub_d}+i] - {cvec}[s.s*{sub_d}+i])))"
+        )
+
+    return f"""
+WITH cen AS (
+  SELECT {id_col}::BIGINT AS centroid_id, {vector_col} AS cvec
+  FROM {table} WHERE {id_col} % {num_centroids_mod} = 0
+), gal AS (
+  SELECT {id_col} AS gallery_key, {vector_col} AS gvec, centroid_id, cvec,
+         row_number() OVER (PARTITION BY {id_col}
+                            ORDER BY {cos(vector_col, 'cvec')} DESC, centroid_id) AS crank
+  FROM {table} CROSS JOIN cen
+  QUALIFY crank = 1
+), gres AS (
+  SELECT gallery_key, centroid_id,
+         list_transform(generate_series(1, {dim}),
+                        i -> gvec[i]::DOUBLE - cvec[i]::DOUBLE) AS rvec
+  FROM gal
+), cb0 AS (
+  SELECT gallery_key, rvec FROM gres ORDER BY gallery_key LIMIT {n_codes}
+), cb AS (
+  SELECT row_number() OVER (ORDER BY gallery_key) - 1 AS j, rvec AS cvec FROM cb0
+), g_sub AS (
+  SELECT g.gallery_key, g.centroid_id, s.s AS s, cb.j,
+         {d2('g.rvec', 'cb.cvec')} AS d2
+  FROM gres g CROSS JOIN cb CROSS JOIN generate_series(0, {m - 1}) AS s(s)
+), g_codes AS (
+  SELECT gallery_key, centroid_id, s, j AS code FROM (
+    SELECT gallery_key, centroid_id, s, j,
+           row_number() OVER (PARTITION BY gallery_key, s ORDER BY d2, j) AS rn
+    FROM g_sub
+  ) WHERE rn = 1
+), pcell AS (
+  SELECT p.{id_col} AS probe_key, p.{vector_col} AS pvec, centroid_id, cvec,
+         row_number() OVER (PARTITION BY p.{id_col}
+                            ORDER BY {cos('p.' + vector_col, 'cvec')} DESC, centroid_id) AS crank
+  FROM {table} p CROSS JOIN cen
+  WHERE {probe_filter}
+  QUALIFY crank <= {nprobe}
+), pres AS (
+  SELECT probe_key, centroid_id,
+         list_transform(generate_series(1, {dim}),
+                        i -> pvec[i]::DOUBLE - cvec[i]::DOUBLE) AS rvec
+  FROM pcell
+), p_adc AS (
+  SELECT p.probe_key, p.centroid_id, s.s AS s, cb.j,
+         {d2('p.rvec', 'cb.cvec')} AS d2
+  FROM pres p CROSS JOIN cb CROSS JOIN generate_series(0, {m - 1}) AS s(s)
+), pair AS (
+  SELECT ps.probe_key, gc.gallery_key,
+         list_sum(list(ps.d2 ORDER BY gc.s)) AS adc_dist
+  FROM g_codes gc
+  JOIN p_adc ps ON ps.centroid_id = gc.centroid_id
+               AND ps.s = gc.s AND ps.j = gc.code
   GROUP BY ps.probe_key, gc.gallery_key
 ), ranked AS (
   SELECT probe_key, gallery_key, adc_dist,

@@ -4638,6 +4638,47 @@ FROM scored
 Q116_SQL = _q116_sql()
 
 
+# --- q118: IVF-PQ ANN top-k (coarse cells + residual codes) ------------------
+# The composed FAISS architecture the q111 docstring promised: q29's
+# deterministic mod-centroid cells prune the corpus to nprobe cells
+# per probe, and within a cell gallery rows are scored from m residual
+# PQ codes by asymmetric distance. Completes the ANN ladder at its
+# 10^11-vector end: nprobe/num_cells of the corpus touched, O(m)
+# bytes per scanned pair, residual encoding (vs q111's raw-vector
+# codes) spends the same codebook budget on a cell-radius, not a
+# corpus-radius. Reference analog: the socket-offloaded pairwise
+# comparer (J9, ExternPedestrianComparerUsingAttr.java:170-194) this
+# family replaces at scale.
+
+def q118_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.operators.similarity import ivfpq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")  # no forced repartition, see q27
+    probes = emb.filter(F.col("vec_id") % 100 == 31)
+    top = ivfpq_topk(
+        probes, emb, probe_key="vec_id", gallery_key="vec_id",
+        vector_col="embedding", dim=64, m=8, n_codes=16, k=5,
+        num_centroids_mod=50, nprobe=2,
+    )
+    return top.select(
+        "probe_key", "gallery_key",
+        F.col("rank").cast("bigint").alias("rank"),
+        pround("adc_dist", 6).alias("adc_dist"),
+    )
+
+
+def _q118_sql() -> str:
+    from las_vpe_platform_spark.operators.similarity import ivfpq_topk_sql
+
+    return ivfpq_topk_sql(
+        "embeddings", "p.vec_id % 100 = 31", "vec_id", "embedding",
+        dim=64, m=8, n_codes=16, k=5, num_centroids_mod=50, nprobe=2,
+    )
+
+
+Q118_SQL = _q118_sql()
+
+
 DATA_QUERIES = {
     "q20_doc_token_stats": (q20_doc_token_stats, Q20_SQL),
     "q21_doc_quality": (q21_doc_quality, Q21_SQL),
@@ -4715,4 +4756,5 @@ DATA_QUERIES = {
     "q113_rrf_fusion": (q113_rrf_fusion, Q113_SQL),
     "q114_pca_power": (q114_pca_power, Q114_SQL),
     "q116_reranked_retrieval": (q116_reranked_retrieval, Q116_SQL),
+    "q118_ivfpq_topk": (q118_ivfpq_topk, Q118_SQL),
 }

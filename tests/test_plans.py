@@ -513,3 +513,47 @@ def test_q113_both_lists_are_topk_reductions(spark, sf_dir):
         spark, sf_dir
     )._jdf.queryExecution().executedPlan().toString()
     assert plan.count("TakeOrderedAndProject") >= 2
+
+
+def test_ivf_assignment_fold_gallery_never_shuffles(spark, sf_dir):
+    # round-5 rewrite: centroid assignment is a broadcast array fold
+    # (one projection), not a crossJoin + rank window — the ONLY hash
+    # exchange left in flat IVF is the final per-probe rank window.
+    from las_vpe_platform_spark.queries_data import q29_embedding_ivf_topk
+    import re
+
+    plan = _plan(q29_embedding_ivf_topk(spark, sf_dir))
+    all_hash = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
+    other = [m for m in all_hash if m != "probe_key"]
+    assert not other, f"gallery-side shuffle reappeared on {other}"
+    assert len(all_hash) >= 1
+
+
+def test_q118_ivfpq_single_exchange_on_probe_key(spark, sf_dir):
+    # composed IVF-PQ: cell assignment, residuals, codebook encode and
+    # ADC tables are all column expressions under broadcasts; the
+    # gallery is scanned (assign + encode) but NEVER hash-shuffled.
+    from las_vpe_platform_spark.queries_data import q118_ivfpq_topk
+    import re
+
+    plan = _plan(q118_ivfpq_topk(spark, sf_dir))
+    all_hash = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
+    other = [m for m in all_hash if m != "probe_key"]
+    assert not other, f"unexpected gallery-side shuffle on {other}"
+    assert len(all_hash) >= 1
+    # codebook build stays a per-partition top-n (never a global sort)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q70_ivf2_gallery_never_shuffles(spark, sf_dir):
+    # round-5 fold: both descent levels are broadcast folds and the
+    # probe side broadcasts into the bucket join — the gallery is
+    # never hash-partitioned. Remaining exchanges move only the fine
+    # table (cell-map build on centroid_id) + the probe rank window.
+    from las_vpe_platform_spark.queries_data import q70_ivf2_topk
+    import re
+
+    plan = _plan(q70_ivf2_topk(spark, sf_dir))
+    all_hash = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
+    other = [m for m in all_hash if m not in ("probe_key", "centroid_id")]
+    assert not other, f"gallery-side shuffle reappeared on {other}"

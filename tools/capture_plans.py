@@ -110,6 +110,13 @@ HEADLINERS = [
      "camera topology from re-id links: per-node top-k compiles to WindowGroupLimit (partial top-k BEFORE the node_a exchange); camera dim broadcast; transit averaging sums exact BIGINT micros (order-independent) — guarded by test_d19_partial_topk_and_no_forced_broadcast"),
     ("d20_attribute_search",
      "attribute person search: the predicate runs INSIDE the attributes scan (PushedFilters on both scores, 126 -> 3 column pruning); filtered hits broadcast into the tracklet join; per-camera top-5 is WindowGroupLimit above ONE exchange — guarded by test_d20_attribute_predicate_in_scan"),
+    ("q118_ivfpq_topk",
+     "composed IVF-PQ ANN: cell assignment is the round-5 broadcast array fold "
+     "(no crossJoin + rank window — the gallery is never hash-shuffled); "
+     "residuals, the one-row codebook, encode argmins and per-(probe,cell) ADC "
+     "tables are all lazy column expressions; the pair join broadcasts the ADC "
+     "side into the cells and the only exchange is the probe_key rank window — "
+     "guarded by test_q118_ivfpq_single_exchange_on_probe_key"),
     ("q111_pq_ann_topk",
      "product-quantization ANN: codebook = TakeOrderedAndProject (per-partition top-n_codes, never a global sort) folded to a ONE-ROW broadcast; encode and ADC tables are pure column expressions below the pair join; per-pair cost is m lookups, not a dim-wide dot; only exchange is the probe_key rank window (WindowGroupLimit) — guarded by test_q111_pq_gallery_never_shuffles"),
     ("q108_event_trigrams",
