@@ -221,6 +221,8 @@ DRIVER_PRIORITY: list[str] = [
     # -- round-5 late additions (window already full; see
     #    ACKNOWLEDGED_OVERFLOW) --
     "q118_ivfpq_topk",
+    "q119_mmr_diversify",
+    "s17_stream_left_outer_join",
     "q01_pricing_summary",
     "q06_customers_without_recent_orders",
     "q07_order_point_lookup",
@@ -339,6 +341,8 @@ _PRIOR_DRIVER_GREEN = {
 # move to the head of the round-6 window re-derivation.
 ACKNOWLEDGED_OVERFLOW: set[str] = {
     "q118_ivfpq_topk",
+    "q119_mmr_diversify",
+    "s17_stream_left_outer_join",
 }
 
 _unaccounted = [

@@ -4679,6 +4679,191 @@ def _q118_sql() -> str:
 Q118_SQL = _q118_sql()
 
 
+# --- q119: MMR diversity reranking (retrieval post-stage) --------------------
+# Maximal Marginal Relevance (Carbonell & Goldstein 1998): greedily
+# re-rank a top-N candidate list so each pick maximizes
+# lambda*rel(probe, d) - (1-lambda)*max_sim(d, already-picked) —
+# the diversity counterpart of q116's pointwise cross-encoder rerank
+# (a dedup-at-serving-time semantics the reference's IDRANK output,
+# PedestrianReIDUsingAttrApp.java:226-228, leaves to the consumer).
+# Scale shape: the expensive half is the q27-style exact top-N
+# (probes broadcast over the gallery scan, WindowGroupLimit rank);
+# the greedy selection runs on probes x N rows — CONSTANT-size at any
+# corpus — as K-1 unrolled join+top-1 steps. K is fixed and small by
+# construction (it is a result-page size), so unrolling is the honest
+# plan: no iteration state, no UDF, bit-identical folds both engines.
+
+MMR_PROBE_RES = 57
+MMR_N = 10
+MMR_LAMBDA = 0.5  # exactly representable; 1-lambda exact too
+
+
+def q119_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.functions.vector import dot_product, l2_norm
+    from las_vpe_platform_spark.operators.staging import persist_disk
+
+    lam = F.lit(MMR_LAMBDA)
+    one_m_lam = F.lit(1.0 - MMR_LAMBDA)
+
+    emb = _t(spark, sf_dir, "embeddings")
+    g = emb.select(
+        F.col("vec_id").alias("gallery_key"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("_gvec"),
+    ).withColumn("_gnorm", l2_norm("_gvec"))
+    p = emb.filter(F.col("vec_id") % 100 == MMR_PROBE_RES).select(
+        F.col("vec_id").alias("probe_key"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("_pvec"),
+    ).withColumn("_pnorm", l2_norm("_pvec"))
+
+    scored = F.broadcast(p).crossJoin(g).withColumn(
+        "rel",
+        dot_product("_pvec", "_gvec") / (F.col("_pnorm") * F.col("_gnorm")),
+    )
+    w = W.partitionBy("probe_key").orderBy(F.desc("rel"), F.asc("gallery_key"))
+    # candidate lists are probes x N rows and feed all three selection
+    # steps — stage once (multi-reference rule)
+    cand = persist_disk(
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= MMR_N)
+        .select("probe_key", "gallery_key", "_gvec", "_gnorm", "rel"),
+        "mmr_candidates",
+    )
+
+    def pairsim(vec_a, norm_a, vec_b, norm_b):
+        return dot_product(vec_a, vec_b) / (F.col(norm_a) * F.col(norm_b))
+
+    def top1(df, score_col):
+        w1 = W.partitionBy("probe_key").orderBy(
+            F.desc(score_col), F.asc("gallery_key")
+        )
+        return (
+            df.withColumn("_r1", F.row_number().over(w1))
+            .filter(F.col("_r1") == 1)
+            .drop("_r1")
+        )
+
+    sel1 = top1(cand, "rel").select(
+        "probe_key",
+        F.col("gallery_key").alias("_k1"),
+        F.col("_gvec").alias("_v1"),
+        F.col("_gnorm").alias("_n1"),
+        (lam * F.col("rel")).alias("_score1"),
+    )
+    r2 = (
+        cand.join(F.broadcast(sel1), "probe_key")
+        .filter(F.col("gallery_key") != F.col("_k1"))
+        .withColumn("_sim1", pairsim("_gvec", "_gnorm", F.col("_v1"), "_n1"))
+        .withColumn("_mmr", lam * F.col("rel") - one_m_lam * F.col("_sim1"))
+    )
+    sel2 = top1(r2, "_mmr").select(
+        "probe_key",
+        F.col("gallery_key").alias("_k2"),
+        F.col("_gvec").alias("_v2"),
+        F.col("_gnorm").alias("_n2"),
+        F.col("_mmr").alias("_score2"),
+    )
+    r3 = (
+        cand.join(F.broadcast(sel1.select("probe_key", "_k1", "_v1", "_n1")), "probe_key")
+        .join(F.broadcast(sel2), "probe_key")
+        .filter(
+            (F.col("gallery_key") != F.col("_k1"))
+            & (F.col("gallery_key") != F.col("_k2"))
+        )
+        .withColumn(
+            "_maxsim",
+            F.greatest(
+                pairsim("_gvec", "_gnorm", F.col("_v1"), "_n1"),
+                pairsim("_gvec", "_gnorm", F.col("_v2"), "_n2"),
+            ),
+        )
+        .withColumn("_mmr", lam * F.col("rel") - one_m_lam * F.col("_maxsim"))
+    )
+    sel3 = top1(r3, "_mmr").select(
+        "probe_key",
+        F.col("gallery_key").alias("_k3"),
+        F.col("_mmr").alias("_score3"),
+    )
+
+    out = (
+        sel1.select(
+            "probe_key", F.col("_k1").alias("gallery_key"),
+            F.lit(1).cast("bigint").alias("mmr_rank"),
+            F.col("_score1").alias("_score"),
+        )
+        .unionByName(
+            sel2.select(
+                "probe_key", F.col("_k2").alias("gallery_key"),
+                F.lit(2).cast("bigint").alias("mmr_rank"),
+                F.col("_score2").alias("_score"),
+            )
+        )
+        .unionByName(
+            sel3.select(
+                "probe_key", F.col("_k3").alias("gallery_key"),
+                F.lit(3).cast("bigint").alias("mmr_rank"),
+                F.col("_score3").alias("_score"),
+            )
+        )
+    )
+    return out.select(
+        "probe_key", "gallery_key", "mmr_rank", pround("_score", 6).alias("mmr_score")
+    )
+
+
+Q119_SQL = f"""
+WITH cand AS MATERIALIZED (
+  SELECT * FROM (
+    SELECT p.vec_id AS probe_key, g.vec_id AS gallery_key,
+           g.embedding AS gvec,
+           {sql_cosine('p.embedding', 'g.embedding')} AS rel,
+           row_number() OVER (PARTITION BY p.vec_id
+                              ORDER BY {sql_cosine('p.embedding', 'g.embedding')} DESC,
+                                       g.vec_id) AS rk
+    FROM (SELECT * FROM embeddings WHERE vec_id % 100 = {MMR_PROBE_RES}) p
+    CROSS JOIN embeddings g
+  ) WHERE rk <= {MMR_N}
+), s1 AS MATERIALIZED (
+  SELECT probe_key, gallery_key AS k1, gvec AS v1,
+         {MMR_LAMBDA}::DOUBLE * rel AS score1
+  FROM cand WHERE rk = 1
+), r2 AS MATERIALIZED (
+  SELECT c.probe_key, c.gallery_key, c.gvec, c.rel,
+         {MMR_LAMBDA}::DOUBLE * c.rel
+           - {1.0 - MMR_LAMBDA}::DOUBLE * {sql_cosine('c.gvec', 's1.v1')} AS mmr
+  FROM cand c JOIN s1 USING (probe_key)
+  WHERE c.gallery_key != s1.k1
+), s2 AS MATERIALIZED (
+  SELECT probe_key, gallery_key AS k2, gvec AS v2, mmr AS score2 FROM (
+    SELECT *, row_number() OVER (PARTITION BY probe_key
+                                 ORDER BY mmr DESC, gallery_key) AS r
+    FROM r2
+  ) WHERE r = 1
+), r3 AS MATERIALIZED (
+  SELECT c.probe_key, c.gallery_key,
+         {MMR_LAMBDA}::DOUBLE * c.rel - {1.0 - MMR_LAMBDA}::DOUBLE *
+           greatest({sql_cosine('c.gvec', 's1.v1')},
+                    {sql_cosine('c.gvec', 's2.v2')}) AS mmr
+  FROM cand c JOIN s1 USING (probe_key) JOIN s2 USING (probe_key)
+  WHERE c.gallery_key != s1.k1 AND c.gallery_key != s2.k2
+), s3 AS (
+  SELECT probe_key, gallery_key AS k3, mmr AS score3 FROM (
+    SELECT *, row_number() OVER (PARTITION BY probe_key
+                                 ORDER BY mmr DESC, gallery_key) AS r
+    FROM r3
+  ) WHERE r = 1
+), unioned AS (
+  SELECT probe_key, k1 AS gallery_key, 1::BIGINT AS mmr_rank, score1 AS s FROM s1
+  UNION ALL
+  SELECT probe_key, k2, 2::BIGINT, score2 FROM s2
+  UNION ALL
+  SELECT probe_key, k3, 3::BIGINT, score3 FROM s3
+)
+SELECT probe_key, gallery_key, mmr_rank,
+       floor((s) * 1000000.0 + 0.5) / 1000000.0 AS mmr_score
+FROM unioned
+"""
+
+
 DATA_QUERIES = {
     "q20_doc_token_stats": (q20_doc_token_stats, Q20_SQL),
     "q21_doc_quality": (q21_doc_quality, Q21_SQL),
@@ -4757,4 +4942,5 @@ DATA_QUERIES = {
     "q114_pca_power": (q114_pca_power, Q114_SQL),
     "q116_reranked_retrieval": (q116_reranked_retrieval, Q116_SQL),
     "q118_ivfpq_topk": (q118_ivfpq_topk, Q118_SQL),
+    "q119_mmr_diversify": (q119_mmr_diversify, Q119_SQL),
 }

@@ -1123,6 +1123,98 @@ FROM ses CROSS JOIN mx WHERE session_end_us <= max_us
 """
 
 
+S17_ATTR_HOURS = 24
+
+
+def s17_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join with watermark-expiry
+    null emission — the one J-family semantics no other catalog entry
+    drives end-to-end: the reference's leftover-window flush
+    (SparkStreamingApp.java:176-192 — a tracklet whose attribute
+    partner never arrives inside the buffer proceeds alone), observed
+    from the left side.  s04 pins the INNER pair set; here a click
+    with no purchase in its following {S17_ATTR_HOURS}-hour window
+    must STILL emit (purchase_id NULL) — but only once the joint
+    watermark proves no partner can arrive.
+
+    The oracle pins Spark's exact emission rule, derived empirically
+    and stable across scales: matched rows always emit (inner results
+    never wait); an unmatched left row emits iff its expiry
+    ``c_ts + interval`` is strictly below the final watermark, which
+    is the MIN over both sides' max observed event time (each
+    watermark node sees only its own filtered stream).  Clicks at the
+    tail of the stream whose window is still open when input ends are
+    withheld — that is the honest streaming answer, not an artifact:
+    state for them cannot be proven complete.
+
+    Scale shape: state per side is bounded by the watermark horizon +
+    interval (SCALE.md s04 row); null emission adds no state — it
+    rides the same eviction scan.
+    """
+    raw = _events_micros(spark, sf_dir)
+
+    def side():
+        # same 2-slice time-ordered landing as s16 (shared per process)
+        return _sliced_parquet_stream(
+            spark, raw, "s17_events_", cache_key=("events_s17", sf_dir)
+        )
+
+    clicks = (
+        side()
+        .filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "0 seconds")
+    )
+    purchases = (
+        side()
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "0 seconds")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr(f"INTERVAL {S17_ATTR_HOURS} HOURS")),
+        "leftOuter",
+    )
+    out = joined.select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        F.unix_micros("c_ts").alias("click_us"),
+    )
+    name = f"s17_out_{uuid.uuid4().hex[:8]}"
+    with _stream_partitions(spark):
+        return run_to_completion(out, name, output_mode="append")
+
+
+S17_SQL = f"""
+WITH c AS (
+  SELECT user_id, event_id AS click_id, ts FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT user_id, event_id AS purchase_id, ts FROM events WHERE event_type = 'purchase'
+), wm AS (
+  -- final joint watermark: min over both sides' max observed event time
+  SELECT least((SELECT max(ts) FROM c), (SELECT max(ts) FROM p)) AS w
+)
+SELECT c.user_id, c.click_id, p.purchase_id, epoch_us(c.ts) AS click_us
+FROM c LEFT JOIN p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL {S17_ATTR_HOURS} HOUR
+WHERE p.purchase_id IS NOT NULL
+   OR c.ts + INTERVAL {S17_ATTR_HOURS} HOUR < (SELECT w FROM wm)
+"""
+
+
 STREAMING_QUERIES = {
     "s01_stream_windowed_counts": (s01_stream_windowed_counts, S01_SQL),
     "s02_stream_dedup": (s02_stream_dedup, S02_SQL),
@@ -1140,4 +1232,5 @@ STREAMING_QUERIES = {
     "s14_stream_quantile_sketch": (s14_stream_quantile_sketch, S14_SQL),
     "s15_stream_anomaly": (s15_stream_anomaly, S15_SQL),
     "s16_stream_session_native": (s16_stream_session_native, S16_SQL),
+    "s17_stream_left_outer_join": (s17_stream_left_outer_join, S17_SQL),
 }

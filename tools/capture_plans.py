@@ -117,6 +117,11 @@ HEADLINERS = [
      "tables are all lazy column expressions; the pair join broadcasts the ADC "
      "side into the cells and the only exchange is the probe_key rank window — "
      "guarded by test_q118_ivfpq_single_exchange_on_probe_key"),
+    ("q119_mmr_diversify",
+     "MMR diversity rerank: the exact top-N (probes broadcast over the gallery "
+     "scan, WindowGroupLimit rank) is the only corpus-sized stage; the K-1 "
+     "unrolled greedy selection steps are join+top-1 over probes x N rows — "
+     "constant-size at any corpus, no UDF, no driver loop"),
     ("q111_pq_ann_topk",
      "product-quantization ANN: codebook = TakeOrderedAndProject (per-partition top-n_codes, never a global sort) folded to a ONE-ROW broadcast; encode and ADC tables are pure column expressions below the pair join; per-pair cost is m lookups, not a dim-wide dot; only exchange is the probe_key rank window (WindowGroupLimit) — guarded by test_q111_pq_gallery_never_shuffles"),
     ("q108_event_trigrams",
@@ -150,6 +155,12 @@ HEADLINERS = [
 # operator (FlatMapGroupsInPandasWithState) and its state schema —
 # zero jobs, zero data.
 STREAMING_HEADLINERS = [
+    ("s17_stream_left_outer_join (unstarted streaming plan)",
+     "stream-stream LEFT OUTER interval join: both sides watermarked, the "
+     "interval bound sizes the state store, null emission rides the eviction "
+     "scan (no extra state); the plan shows one StreamingSymmetricHashJoin "
+     "above the two watermark nodes",
+     "_left_outer_join_stream_plan"),
     ("s10_stream_locf (unstarted streaming plan)",
      "custom stateful LOCF via applyInPandasWithState: state is ONE (ts, value) pair per user (bounded, watermark-expired); the plan shows the state store operator directly above the file source — no pre-shuffle beyond the groupBy exchange",
      "_locf_stream_plan"),
@@ -281,6 +292,42 @@ def _locf_stream_plan(spark):
         .withColumn("ts", F.timestamp_micros("ts_micros"))
     )
     return locf_stream(stream, fill_type="click")
+
+
+def _left_outer_join_stream_plan(spark):
+    from las_vpe_platform_spark.queries_streaming import (
+        RAW_EVENTS_SCHEMA,
+        _scratch_dir,
+    )
+    from pyspark.sql import functions as F
+
+    src = _scratch_dir("plan_s17_")
+
+    def side():
+        return (
+            spark.readStream.schema(RAW_EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .withColumn("ts", F.timestamp_micros("ts_micros"))
+        )
+
+    clicks = (
+        side().filter(F.col("event_type") == "click")
+        .select("user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "0 seconds")
+    )
+    purchases = (
+        side().filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "0 seconds")
+    )
+    return clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 24 HOURS")),
+        "leftOuter",
+    )
 
 
 def main() -> None:
