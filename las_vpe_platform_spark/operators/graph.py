@@ -117,3 +117,59 @@ _pr{i} AS (
         + ",\n".join(parts)
         + f"\nSELECT node, rank::BIGINT AS rank_fp FROM _pr{iterations}"
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 3,
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) over an
+    undirected edge list — COMMUNITY detection, the denser-than-
+    connectivity grouping the dedup pipeline wants when q55's
+    connected components chain unrelated documents through one bridge
+    pair: a node adopts the label most frequent among its neighbors,
+    so sparse bridges lose the vote and dense near-dup blobs keep it.
+
+    Deterministic contract (LPA is notoriously order-dependent; this
+    pins it): labels start as the node id; ALL nodes update
+    simultaneously each round (synchronous, not the paper's sequential
+    sweep); a node's new label is the most frequent among its
+    neighbors' current labels ONLY (self excluded), ties to the
+    smallest label; ``rounds`` is fixed — the engine-independent
+    formulation an oracle can replay exactly.
+
+    Execution shape: the symmetrized edge list is built once; each
+    round is one join (neighbor labels) + one grouped count + one
+    per-node top-1 window — a Pregel superstep, state 16 B/node.
+    ``rounds`` is small and fixed so the whole thing stays ONE lazy
+    Catalyst plan (no per-round checkpoint needed — lineage grows
+    linearly, unlike CC's data-dependent loop).  Returns (node,
+    label) after the final round.
+    """
+    e = edges.selectExpr(f"{src} AS a", f"{dst} AS b")
+    sym = e.unionByName(e.selectExpr("b AS a", "a AS b")).localCheckpoint(
+        eager=False
+    )  # referenced every round — lazy-truncate like the CC/PageRank loops
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    from pyspark.sql import Window as W
+
+    for _ in range(rounds):
+        contrib = sym.join(
+            labels.withColumnRenamed("node", "b"), on="b"
+        ).select(F.col("a").alias("node"), "label")
+        counts = contrib.groupBy("node", "label").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        w = W.partitionBy("node").orderBy(F.desc("cnt"), F.asc("label"))
+        labels = (
+            counts.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") == 1)
+            .select("node", "label")
+        )
+    return labels

@@ -223,6 +223,8 @@ DRIVER_PRIORITY: list[str] = [
     "q118_ivfpq_topk",
     "q119_mmr_diversify",
     "s17_stream_left_outer_join",
+    "q120_label_prop_communities",
+    "d23_cross_camera_stitch",
     "q01_pricing_summary",
     "q06_customers_without_recent_orders",
     "q07_order_point_lookup",
@@ -343,6 +345,8 @@ ACKNOWLEDGED_OVERFLOW: set[str] = {
     "q118_ivfpq_topk",
     "q119_mmr_diversify",
     "s17_stream_left_outer_join",
+    "q120_label_prop_communities",
+    "d23_cross_camera_stitch",
 }
 
 _unaccounted = [

@@ -4864,6 +4864,67 @@ FROM unioned
 """
 
 
+# --- q120: label-propagation communities over near-dup candidates -----------
+# The community-detection face of the dedup graph family: q55's
+# connected components chain unrelated docs through one bridge pair;
+# LPA's majority vote drops sparse bridges, so communities track the
+# dense near-dup blobs. Same LSH edge source as q55 (comparable
+# outputs), deterministic synchronous rounds (operators/graph.py::
+# label_propagation pins start labels, tie-breaks, and round count),
+# oracle = the identical 3 rounds unrolled over Q24's pair set.
+
+LPA_ROUNDS = 3
+
+
+def q120_label_prop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.operators.dedup import minhash_lsh_candidates
+    from las_vpe_platform_spark.operators.graph import label_propagation
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(
+        docs, id_col="doc_id", text_col="text",
+        shingle_k=MINHASH_K, num_hashes=MINHASH_HASHES, bands=MINHASH_BANDS,
+    )
+    labels = label_propagation(pairs, src="id_a", dst="id_b", rounds=LPA_ROUNDS)
+    return labels.groupBy(F.col("label").alias("community")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("node").alias("min_member"),
+    )
+
+
+def _q120_sql() -> str:
+    step = """
+{next} AS MATERIALIZED (
+  SELECT node, label FROM (
+    SELECT e.a AS node, l.label, count(*) AS cnt,
+           row_number() OVER (PARTITION BY e.a
+                              ORDER BY count(*) DESC, l.label) AS rn
+    FROM edges e JOIN {prev} l ON e.b = l.node
+    GROUP BY e.a, l.label
+  ) WHERE rn = 1
+)"""
+    rounds = ", ".join(
+        step.format(next=f"r{i + 1}", prev=f"r{i}" if i else "l0")
+        for i in range(LPA_ROUNDS)
+    )
+    return f"""
+WITH pairs AS MATERIALIZED (
+  SELECT id_a, id_b FROM ({_q24_sql()}) t
+), edges AS MATERIALIZED (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM pairs
+), l0 AS MATERIALIZED (
+  SELECT DISTINCT a AS node, a AS label FROM edges
+), {rounds}
+SELECT label AS community, count(*) AS n_members, min(node) AS min_member
+FROM r{LPA_ROUNDS} GROUP BY label
+"""
+
+
+Q120_SQL = _q120_sql()
+
+
 DATA_QUERIES = {
     "q20_doc_token_stats": (q20_doc_token_stats, Q20_SQL),
     "q21_doc_quality": (q21_doc_quality, Q21_SQL),
@@ -4943,4 +5004,5 @@ DATA_QUERIES = {
     "q116_reranked_retrieval": (q116_reranked_retrieval, Q116_SQL),
     "q118_ivfpq_topk": (q118_ivfpq_topk, Q118_SQL),
     "q119_mmr_diversify": (q119_mmr_diversify, Q119_SQL),
+    "q120_label_prop_communities": (q120_label_prop_communities, Q120_SQL),
 }

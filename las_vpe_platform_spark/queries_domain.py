@@ -1755,6 +1755,104 @@ GROUP BY camera_id
 """
 
 
+# --- d23: cross-camera stitch candidates (topology-calibrated) ---------------
+# The recall extension of the re-id graph: high-confidence similarity
+# links (>= SIM_HI) calibrate a transit-time band per ordered camera
+# pair — the learned topology d19 aggregates — and lower-confidence
+# links (SIM_LO..SIM_HI) are admitted as stitch candidates only when
+# their transit falls inside the calibrated band. The reference's
+# consumer-side rank join (getPedestrianSimilarities,
+# Neo4jConnector.java:756-811, over the IDRANK edges K7 stores) has no
+# physical-plausibility gate; this is the composite a tracking team
+# builds from exactly those stored edges. Scale shape: the band table
+# is cameras^2 rows (broadcast); links shuffle on tracklet keys only;
+# seed thresholds are compared in DOUBLE on both engines.
+
+D23_SIM_HI = 0.06
+D23_SIM_LO = 0.03
+
+
+def d23_cross_camera_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vids = _fx(spark, "videos").select("video_id", "camera_id")
+    tk = (
+        _fx(spark, "tracklets")
+        .select("tracklet_key", "video_id", ntz_epoch_micros("start_ts").alias("us"))
+        .join(F.broadcast(vids), "video_id")
+        .select("tracklet_key", "camera_id", "us")
+    )
+    a = tk.selectExpr("tracklet_key AS node_a", "camera_id AS cam_a", "us AS us_a")
+    b = tk.selectExpr("tracklet_key AS node_b", "camera_id AS cam_b", "us AS us_b")
+    links = (
+        _fx(spark, "similarity_edges")
+        .join(a, "node_a")
+        .join(b, "node_b")
+        .filter("cam_a != cam_b")
+        .selectExpr(
+            "CASE WHEN us_a <= us_b THEN cam_a ELSE cam_b END AS cam_from",
+            "CASE WHEN us_a <= us_b THEN cam_b ELSE cam_a END AS cam_to",
+            "CASE WHEN us_a <= us_b THEN node_a ELSE node_b END AS key_from",
+            "CASE WHEN us_a <= us_b THEN node_b ELSE node_a END AS key_to",
+            "abs(us_b - us_a) AS transit_us",
+            "CAST(similarity AS DOUBLE) AS sim",
+        )
+    )
+    bands = links.filter(F.col("sim") >= D23_SIM_HI).groupBy(
+        "cam_from", "cam_to"
+    ).agg(
+        F.min("transit_us").alias("_lo"),
+        F.max("transit_us").alias("_hi"),
+        F.count(F.lit(1)).alias("n_seeds"),
+    )
+    return (
+        links.filter(
+            (F.col("sim") >= D23_SIM_LO) & (F.col("sim") < D23_SIM_HI)
+        )
+        .join(F.broadcast(bands), ["cam_from", "cam_to"])
+        .filter("transit_us BETWEEN _lo AND _hi")
+        .selectExpr(
+            "cam_from",
+            "cam_to",
+            "key_from",
+            "key_to",
+            "n_seeds",
+            "transit_us / 1000000.0D AS transit_s",
+            "floor(sim * 1000000.0D + 0.5D) / 1000000.0D AS similarity",
+        )
+    )
+
+
+D23_SQL = f"""
+WITH tk AS (
+  SELECT t.tracklet_key, v.camera_id, epoch_us(t.start_ts) AS us
+  FROM {_fxsql('tracklets')} t
+  JOIN {_fxsql('videos')} v USING (video_id)
+), links AS (
+  SELECT CASE WHEN a.us <= b.us THEN a.camera_id ELSE b.camera_id END AS cam_from,
+         CASE WHEN a.us <= b.us THEN b.camera_id ELSE a.camera_id END AS cam_to,
+         CASE WHEN a.us <= b.us THEN a.tracklet_key ELSE b.tracklet_key END AS key_from,
+         CASE WHEN a.us <= b.us THEN b.tracklet_key ELSE a.tracklet_key END AS key_to,
+         abs(b.us - a.us) AS transit_us,
+         e.similarity::DOUBLE AS sim
+  FROM {_fxsql('similarity_edges')} e
+  JOIN tk a ON e.node_a = a.tracklet_key
+  JOIN tk b ON e.node_b = b.tracklet_key
+  WHERE a.camera_id != b.camera_id
+), bands AS (
+  SELECT cam_from, cam_to, min(transit_us) AS lo, max(transit_us) AS hi,
+         count(*) AS n_seeds
+  FROM links WHERE sim >= {D23_SIM_HI}::DOUBLE
+  GROUP BY cam_from, cam_to
+)
+SELECT l.cam_from, l.cam_to, l.key_from, l.key_to, b.n_seeds,
+       l.transit_us / 1000000.0 AS transit_s,
+       floor(l.sim * 1000000.0 + 0.5) / 1000000.0 AS similarity
+FROM links l
+JOIN bands b USING (cam_from, cam_to)
+WHERE l.sim >= {D23_SIM_LO}::DOUBLE AND l.sim < {D23_SIM_HI}::DOUBLE
+  AND l.transit_us BETWEEN b.lo AND b.hi
+"""
+
+
 DOMAIN_QUERIES = {
     "d01_tracklet_sampling": (d01_tracklet_sampling, D01_SQL),
     "d02_attribute_average": (d02_attribute_average, D02_SQL),
@@ -1786,6 +1884,7 @@ DOMAIN_QUERIES = {
     "d19_camera_transitions": (d19_camera_transitions, D19_SQL),
     "d20_attribute_search": (d20_attribute_search, D20_SQL),
     "d21_cotravel_pairs": (d21_cotravel_pairs, D21_SQL),
+    "d23_cross_camera_stitch": (d23_cross_camera_stitch, D23_SQL),
     "m10_loudness_segments": (m10_loudness_segments, M10_SQL),
     "d22_dwell_distribution": (d22_dwell_distribution, D22_SQL),
 }

@@ -117,6 +117,15 @@ HEADLINERS = [
      "tables are all lazy column expressions; the pair join broadcasts the ADC "
      "side into the cells and the only exchange is the probe_key rank window — "
      "guarded by test_q118_ivfpq_single_exchange_on_probe_key"),
+    ("q120_label_prop_communities",
+     "label propagation, 3 synchronous rounds in ONE lazy plan: each superstep "
+     "is a labels-by-edge join + (node,label) count + per-node top-1 "
+     "(WindowGroupLimit); the symmetrized edge list is lazily checkpointed and "
+     "reused every round"),
+    ("d23_cross_camera_stitch",
+     "topology-calibrated stitch: the transit band aggregates to cameras^2 rows "
+     "and re-enters as a broadcast filter over the candidate links — recall "
+     "extension adds zero shuffle width"),
     ("q119_mmr_diversify",
      "MMR diversity rerank: the exact top-N (probes broadcast over the gallery "
      "scan, WindowGroupLimit rank) is the only corpus-sized stage; the K-1 "
