@@ -381,3 +381,145 @@ def test_cotravel_bucket_join_property(spark, rows):
                 if min(sa + la, sb + lb) - max(sa, sb) >= 1:
                     want.add((va, ka, kb))
     assert set(got) == want
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)),
+        min_size=1,
+        max_size=20,
+    ),
+    rounds=st.integers(1, 3),
+)
+@slow
+def test_label_propagation_matches_python_reference(spark, edges, rounds):
+    """Synchronous LPA with pinned tie-breaks must equal a dict-based
+    reference on random multigraphs (self-loops and duplicate edges
+    included — both engines count them identically because neither
+    dedups)."""
+    from las_vpe_platform_spark.operators.graph import label_propagation
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(df, "id_a", "id_b", rounds=rounds).collect()
+    }
+
+    adj: dict[int, list[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    labels = {n: n for n in adj}
+    for _ in range(rounds):
+        nxt = {}
+        for n, neigh in adj.items():
+            counts: dict[int, int] = {}
+            for m in neigh:
+                lbl = labels[m]
+                counts[lbl] = counts.get(lbl, 0) + 1
+            # most frequent, tie -> smallest label
+            nxt[n] = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        labels = nxt
+    assert got == labels
+
+
+@st.composite
+def ivfpq_case(draw):
+    dim, m = 8, 2
+    n = draw(st.integers(4, 14))
+    vecs = []
+    for _ in range(n):
+        # integer-valued components keep every dot/distance EXACT in
+        # float64, so the numpy reference and Spark agree bitwise even
+        # through ties; first component >= 1 rules out zero norms
+        v = [float(draw(st.integers(1, 4)))] + [
+            float(draw(st.integers(-3, 3))) for _ in range(dim - 1)
+        ]
+        vecs.append(v)
+    return vecs
+
+
+@given(case=ivfpq_case())
+@slow
+def test_ivfpq_matches_python_reference(spark, case):
+    """ivfpq_topk's full deterministic contract — mod-centroids,
+    cosine cell assignment (tie: smaller centroid), residual codebook
+    from the n_codes smallest keys, per-subspace argmin encode (tie:
+    smaller position), ADC scoring within nprobe cells, final
+    (distance, key) rank — replayed in plain python/math."""
+    import math
+
+    from las_vpe_platform_spark.operators.similarity import ivfpq_topk
+
+    vecs = case
+    dim, m, n_codes, mod, nprobe, k = 8, 2, 4, 3, 2, 3
+    sub_d = dim // m
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    probes = df.filter(F.col("vec_id") % 2 == 0)
+    got = [
+        (r["probe_key"], r["gallery_key"], r["rank"])
+        for r in ivfpq_topk(
+            probes, df, "vec_id", "vec_id", "embedding",
+            dim=dim, m=m, n_codes=n_codes, k=k,
+            num_centroids_mod=mod, nprobe=nprobe,
+        ).collect()
+    ]
+
+    def dot(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+        return s
+
+    def norm(a):
+        s = 0.0
+        for x in a:
+            s += x * x
+        return math.sqrt(s)
+
+    cents = [(i, v) for i, v in rows if i % mod == 0]
+
+    def cells_for(v, keep):
+        scored = sorted(
+            (( -(dot(v, cv) / (norm(v) * norm(cv))), cid) for cid, cv in cents)
+        )
+        return [cid for _negsim, cid in scored[:keep]]
+
+    assign = {i: cells_for(v, 1)[0] for i, v in rows}
+    cvec = dict(cents)
+    resid = {i: [a - b for a, b in zip(v, cvec[assign[i]])] for i, v in rows}
+    cb = [resid[i] for i in sorted(resid)[:n_codes]]
+
+    def sub_d2(a, b, s):
+        t = 0.0
+        for i in range(sub_d):
+            d = a[s * sub_d + i] - b[s * sub_d + i]
+            t += d * d
+        return t
+
+    def encode(r):
+        return [
+            min(((sub_d2(r, c, s), j) for j, c in enumerate(cb)))[1]
+            for s in range(m)
+        ]
+
+    codes = {i: encode(resid[i]) for i, _ in rows}
+    expected = []
+    for pid, pv in rows:
+        if pid % 2 != 0:
+            continue
+        scored = []
+        for cell in cells_for(pv, nprobe):
+            pr = [a - b for a, b in zip(pv, cvec[cell])]
+            adc = [[sub_d2(pr, c, s) for c in cb] for s in range(m)]
+            for gid, gv in rows:
+                if assign[gid] != cell:
+                    continue
+                dist = 0.0
+                for s in range(m):
+                    dist += adc[s][codes[gid][s]]
+                scored.append((dist, gid))
+        for rank, (_d, gid) in enumerate(sorted(scored)[:k], start=1):
+            expected.append((pid, gid, rank))
+    assert sorted(got) == sorted(expected)
