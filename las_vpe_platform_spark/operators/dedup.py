@@ -947,3 +947,52 @@ def containment_pairs(
             (F.col("_ti") == F.col("_to")).cast("int").alias("exact_equal"),
         )
     )
+
+
+def edit_distance_pairs(
+    strings: DataFrame,
+    string_col: str,
+    threshold: int = 2,
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Exact edit-distance (Levenshtein) self-join over a string
+    dictionary: every unordered pair with distance <= ``threshold``,
+    admitted exactly once (``s_a < s_b``).
+
+    The record-linkage primitive the token-set joins (PPJoin q106/q107)
+    cannot express — typo-level similarity. Blocking is the length
+    band |la - lb| <= threshold, a TRUE lower bound on edit distance
+    (completeness-preserving, unlike the recall-lossy doc-freq cap in
+    ngram_jaccard_pairs): realized as the d18/d21 banded bucket
+    equi-join — the canonical side explodes to the 3 adjacent
+    width-(threshold+1) length buckets, the other side keeps its one
+    bucket, so a qualifying pair lands in exactly one joined bucket
+    and needs no distinct. The O(len^2) DP verify runs only on banded
+    candidates. Callers should pass the DISTINCT-string dictionary
+    (with match cardinalities in ``carry_cols``), never raw rows —
+    the quadratic stage must run on vocabulary.
+    """
+    w = threshold + 1
+    a_cols = [f"{string_col} AS s_a"] + [f"{c} AS {c}_a" for c in carry_cols]
+    b_cols = [f"{string_col} AS s_b"] + [f"{c} AS {c}_b" for c in carry_cols]
+    a = strings.selectExpr(*a_cols, f"length({string_col}) AS la").selectExpr(
+        "*", f"explode(array(la div {w} - 1, la div {w}, la div {w} + 1)) AS bucket"
+    )
+    b = strings.selectExpr(
+        *b_cols,
+        f"length({string_col}) AS lb",
+        f"length({string_col}) div {w} AS bucket",
+    )
+    return (
+        a.join(b, "bucket")
+        .filter("s_a < s_b")
+        .filter(f"abs(la - lb) <= {threshold}")
+        .filter(f"levenshtein(s_a, s_b) <= {threshold}")
+        .selectExpr(
+            "s_a",
+            "s_b",
+            "CAST(levenshtein(s_a, s_b) AS BIGINT) AS edit_dist",
+            *[f"{c}_a" for c in carry_cols],
+            *[f"{c}_b" for c in carry_cols],
+        )
+    )

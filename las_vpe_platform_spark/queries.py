@@ -225,6 +225,7 @@ DRIVER_PRIORITY: list[str] = [
     "s17_stream_left_outer_join",
     "q120_label_prop_communities",
     "d23_cross_camera_stitch",
+    "q121_fuzzy_name_join",
     "q01_pricing_summary",
     "q06_customers_without_recent_orders",
     "q07_order_point_lookup",
@@ -347,6 +348,7 @@ ACKNOWLEDGED_OVERFLOW: set[str] = {
     "s17_stream_left_outer_join",
     "q120_label_prop_communities",
     "d23_cross_camera_stitch",
+    "q121_fuzzy_name_join",
 }
 
 _unaccounted = [

@@ -4925,6 +4925,52 @@ FROM r{LPA_ROUNDS} GROUP BY label
 Q120_SQL = _q120_sql()
 
 
+# --- q121: edit-distance fuzzy name join (entity resolution) -----------------
+# The string-ER face of the similarity-join family: q106/q107 join on
+# TOKEN-SET overlap (typo-blind), this joins on CHARACTER edit
+# distance — the classic record-linkage primitive for catalog/name
+# columns. Scale shape (the part every naive Levenshtein join gets
+# wrong): (1) the corpus collapses to its DISTINCT-string dictionary
+# first (one hash aggregate, carrying match cardinalities), so the
+# quadratic stage runs on vocabulary, not rows; (2) blocking is the
+# length band |la-lb| <= t — a TRUE lower bound on edit distance, so
+# unlike q26's doc-freq cap it is completeness-PRESERVING — realized
+# as a banded bucket equi-join (d18/d21's trick: the canonical side
+# explodes to 3 adjacent width-(t+1) buckets, the other keeps its one
+# bucket, so every qualifying pair is admitted exactly once, no
+# distinct needed); (3) the O(|a|*|b|) DP verify runs only on banded
+# candidates.
+
+LEV_T = 2
+
+
+def q121_fuzzy_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.operators.dedup import edit_distance_pairs
+
+    names = (
+        _t(spark, sf_dir, "part")
+        .groupBy(F.col("p_name").alias("s"))
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+    return edit_distance_pairs(
+        names, string_col="s", threshold=LEV_T, carry_cols=("n_parts",)
+    )
+
+
+Q121_SQL = f"""
+WITH names AS (
+  SELECT p_name AS s, count(*) AS n_parts FROM part GROUP BY p_name
+)
+SELECT a.s AS s_a, b.s AS s_b,
+       levenshtein(a.s, b.s)::BIGINT AS edit_dist,
+       a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+FROM names a JOIN names b
+  ON a.s < b.s
+ AND abs(length(a.s) - length(b.s)) <= {LEV_T}
+ AND levenshtein(a.s, b.s) <= {LEV_T}
+"""
+
+
 DATA_QUERIES = {
     "q20_doc_token_stats": (q20_doc_token_stats, Q20_SQL),
     "q21_doc_quality": (q21_doc_quality, Q21_SQL),
@@ -5005,4 +5051,5 @@ DATA_QUERIES = {
     "q118_ivfpq_topk": (q118_ivfpq_topk, Q118_SQL),
     "q119_mmr_diversify": (q119_mmr_diversify, Q119_SQL),
     "q120_label_prop_communities": (q120_label_prop_communities, Q120_SQL),
+    "q121_fuzzy_name_join": (q121_fuzzy_name_join, Q121_SQL),
 }

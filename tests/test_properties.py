@@ -523,3 +523,46 @@ def test_ivfpq_matches_python_reference(spark, case):
         for rank, (_d, gid) in enumerate(sorted(scored)[:k], start=1):
             expected.append((pid, gid, rank))
     assert sorted(got) == sorted(expected)
+
+
+@given(
+    strings=st.lists(
+        st.text(alphabet="abc", min_size=0, max_size=7),
+        min_size=1,
+        max_size=12,
+        unique=True,
+    ),
+    t=st.integers(1, 3),
+)
+@slow
+def test_edit_distance_pairs_matches_brute_force(spark, strings, t):
+    """The banded length-bucket blocking must be lossless AND admit
+    each qualifying pair exactly once — compared against an O(n^2)
+    python DP over random (incl. empty) strings."""
+    from las_vpe_platform_spark.operators.dedup import edit_distance_pairs
+
+    df = spark.createDataFrame([(s,) for s in strings], "s string")
+    got = sorted(
+        (r["s_a"], r["s_b"], r["edit_dist"])
+        for r in edit_distance_pairs(df, "s", threshold=t).collect()
+    )
+
+    def lev(x, y):
+        prev = list(range(len(y) + 1))
+        for i, cx in enumerate(x, 1):
+            cur = [i]
+            for j, cy in enumerate(y, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (cx != cy))
+                )
+            prev = cur
+        return prev[-1]
+
+    import itertools
+
+    expected = sorted(
+        (min(x, y), max(x, y), lev(x, y))
+        for x, y in itertools.combinations(strings, 2)
+        if lev(x, y) <= t
+    )
+    assert got == expected

@@ -117,6 +117,10 @@ HEADLINERS = [
      "tables are all lazy column expressions; the pair join broadcasts the ADC "
      "side into the cells and the only exchange is the probe_key rank window — "
      "guarded by test_q118_ivfpq_single_exchange_on_probe_key"),
+    ("q121_fuzzy_name_join",
+     "edit-distance ER join: DISTINCT-name dictionary aggregate first, then the "
+     "banded length-bucket equi-join (canonical side explodes to 3 adjacent "
+     "buckets) with the Levenshtein DP verify on banded candidates only"),
     ("q120_label_prop_communities",
      "label propagation, 3 synchronous rounds in ONE lazy plan: each superstep "
      "is a labels-by-edge join + (node,label) count + per-node top-1 "
