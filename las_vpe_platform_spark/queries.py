@@ -226,6 +226,8 @@ DRIVER_PRIORITY: list[str] = [
     "q120_label_prop_communities",
     "d23_cross_camera_stitch",
     "q121_fuzzy_name_join",
+    "q122_scd2_history",
+    "q123_bootstrap_ci",
     "q01_pricing_summary",
     "q06_customers_without_recent_orders",
     "q07_order_point_lookup",
@@ -349,6 +351,8 @@ ACKNOWLEDGED_OVERFLOW: set[str] = {
     "q120_label_prop_communities",
     "d23_cross_camera_stitch",
     "q121_fuzzy_name_join",
+    "q122_scd2_history",
+    "q123_bootstrap_ci",
 }
 
 _unaccounted = [

@@ -4971,6 +4971,232 @@ FROM names a JOIN names b
 """
 
 
+# --- q122: SCD Type-2 history build (changelog -> validity intervals) --------
+# The third member of the storage family (q102 applies a CDC changelog
+# as upserts, q117 folds one into stored aggregates): build the
+# slowly-changing-dimension HISTORY — one row per run of equal
+# attribute values per key, with [valid_from, valid_to) intervals and
+# an is_current flag. Classic gaps-and-islands: a change flag from
+# lag(), a running-sum island id, one grouped aggregate, and lead()
+# for the closing edge — two user-keyed windows sharing ONE exchange.
+# Deterministic under ties by the (ts, event_id) total order s03/q18
+# pin.
+
+SCD2_TIER_WIDTH = 50.0
+
+
+def q122_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.functions.scalar import ntz_epoch_micros
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        ntz_epoch_micros("ts").alias("us"),
+        F.floor(F.col("value") / F.lit(SCD2_TIER_WIDTH)).cast("int").alias("tier"),
+    )
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    flagged = ev.withColumn(
+        "chg",
+        F.when(
+            F.lag("tier").over(w).isNull()
+            | (F.lag("tier").over(w) != F.col("tier")),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "island",
+        F.sum("chg").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    runs = flagged.groupBy("user_id", "island", "tier").agg(
+        F.min("us").alias("valid_from_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w2 = W.partitionBy("user_id").orderBy("valid_from_us")
+    return runs.withColumn(
+        "valid_to_us", F.lead("valid_from_us").over(w2)
+    ).select(
+        "user_id",
+        "tier",
+        "valid_from_us",
+        "valid_to_us",
+        "n_events",
+        F.col("valid_to_us").isNull().cast("int").alias("is_current"),
+    )
+
+
+Q122_SQL = f"""
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         CAST(floor(value / {SCD2_TIER_WIDTH}) AS INT) AS tier
+  FROM events
+), flagged AS (
+  SELECT *,
+         CASE WHEN lag(tier) OVER w IS NULL
+                OR lag(tier) OVER w != tier THEN 1 ELSE 0 END AS chg
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+), islands AS (
+  SELECT *,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM flagged
+), runs AS (
+  SELECT user_id, island, tier,
+         min(us) AS valid_from_us, count(*)::BIGINT AS n_events
+  FROM islands GROUP BY user_id, island, tier
+)
+SELECT user_id, tier, valid_from_us,
+       lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY valid_from_us)
+         AS valid_to_us,
+       n_events,
+       CASE WHEN lead(valid_from_us) OVER (PARTITION BY user_id
+                                           ORDER BY valid_from_us) IS NULL
+            THEN 1 ELSE 0 END AS is_current
+FROM runs
+"""
+
+
+# --- q123: Poisson-bootstrap confidence intervals ----------------------------
+# Uncertainty for grouped means at corpus scale: classic bootstrap
+# resampling draws n rows WITH replacement per replicate — impossible
+# distributed — but each row's multiplicity in a replicate is
+# asymptotically Poisson(1), so the standard scale formulation
+# (Poisson bootstrap) assigns every row a hash-seeded Poisson weight
+# per replicate and reduces (group, replicate) partial sums map-side:
+# the shuffle is groups x B rows, never data x B. Determinism: the
+# uniform is the q45/q85 md5 unit-interval idiom keyed by
+# (event_id, replicate); values sum as exact BIGINT cents (the
+# q57/q82 fixed-point rule) so replicate means are bit-identical in
+# any aggregation order; the CI picks pinned order statistics.
+
+BOOT_B = 50  # replicates
+# cumulative Poisson(1) CDF, truncated at weight 4 (tail mass 0.37%)
+_BOOT_CDF = [0.36787944117144233, 0.7357588823428847,
+             0.9196986029286058, 0.9810118431238462]
+
+
+def q123_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    point = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (
+            F.sum("cents").cast("double")
+            / (F.count(F.lit(1)) * F.lit(100)).cast("double")
+        ).alias("mean_value"),
+    )
+    rep = ev.select(
+        "event_type",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b"),
+        F.col("event_id"),
+    ).withColumn(
+        "_u",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("boot:"),
+                        F.col("event_id").cast("string"),
+                        F.lit(":"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(2**32)),
+    ).withColumn(
+        "_w",
+        F.when(F.col("_u") < _BOOT_CDF[0], F.lit(0))
+        .when(F.col("_u") < _BOOT_CDF[1], F.lit(1))
+        .when(F.col("_u") < _BOOT_CDF[2], F.lit(2))
+        .when(F.col("_u") < _BOOT_CDF[3], F.lit(3))
+        .otherwise(F.lit(4)),
+    )
+    means = (
+        rep.groupBy("event_type", "b")
+        .agg(
+            F.sum("_w").alias("_nw"),
+            F.sum(F.col("_w") * F.col("cents")).alias("_wc"),
+        )
+        .filter(F.col("_nw") > 0)
+        .withColumn(
+            "mean_b",
+            F.col("_wc").cast("double") / (F.col("_nw") * F.lit(100)).cast("double"),
+        )
+    )
+    wr = W.partitionBy("event_type").orderBy("mean_b", "b")
+    ci = (
+        means.withColumn("_r", F.row_number().over(wr))
+        .groupBy("event_type")
+        .agg(
+            F.max(F.when(F.col("_r") == 2, F.col("mean_b"))).alias("ci_lo"),
+            F.max(F.when(F.col("_r") == BOOT_B - 1, F.col("mean_b"))).alias("ci_hi"),
+        )
+    )
+    return point.join(ci, "event_type").select(
+        "event_type",
+        "n_rows",
+        pround("mean_value", 6).alias("mean_value"),
+        pround("ci_lo", 6).alias("ci_lo"),
+        pround("ci_hi", 6).alias("ci_hi"),
+    )
+
+
+Q123_SQL = f"""
+WITH ev AS (
+  SELECT event_type, event_id,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM events
+), point AS (
+  SELECT event_type, count(*)::BIGINT AS n_rows,
+         sum(cents)::DOUBLE / (count(*) * 100)::DOUBLE AS mean_value
+  FROM ev GROUP BY event_type
+), rep AS (
+  SELECT event_type, cents, b.b AS b,
+         (('0x' || substr(md5('boot:' || CAST(event_id AS VARCHAR) || ':'
+                              || CAST(b.b AS VARCHAR)), 1, 8))::BIGINT::DOUBLE
+          / 4294967296.0) AS u
+  FROM ev CROSS JOIN generate_series(0, {BOOT_B - 1}) AS b(b)
+), weighted AS (
+  SELECT event_type, b,
+         CASE WHEN u < {_BOOT_CDF[0]!r}::DOUBLE THEN 0
+              WHEN u < {_BOOT_CDF[1]!r}::DOUBLE THEN 1
+              WHEN u < {_BOOT_CDF[2]!r}::DOUBLE THEN 2
+              WHEN u < {_BOOT_CDF[3]!r}::DOUBLE THEN 3
+              ELSE 4 END AS w,
+         cents
+  FROM rep
+), means AS (
+  SELECT event_type, b, sum(w) AS nw, sum(w * cents) AS wc
+  FROM weighted GROUP BY event_type, b
+  HAVING sum(w) > 0
+), ranked AS (
+  SELECT event_type, b,
+         wc::DOUBLE / (nw * 100)::DOUBLE AS mean_b,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY wc::DOUBLE / (nw * 100)::DOUBLE, b) AS r
+  FROM means
+), ci AS (
+  SELECT event_type,
+         max(CASE WHEN r = 2 THEN mean_b END) AS ci_lo,
+         max(CASE WHEN r = {BOOT_B - 1} THEN mean_b END) AS ci_hi
+  FROM ranked GROUP BY event_type
+)
+SELECT p.event_type, p.n_rows,
+       floor((p.mean_value) * 1000000.0 + 0.5) / 1000000.0 AS mean_value,
+       floor((c.ci_lo) * 1000000.0 + 0.5) / 1000000.0 AS ci_lo,
+       floor((c.ci_hi) * 1000000.0 + 0.5) / 1000000.0 AS ci_hi
+FROM point p JOIN ci c USING (event_type)
+"""
+
+
 DATA_QUERIES = {
     "q20_doc_token_stats": (q20_doc_token_stats, Q20_SQL),
     "q21_doc_quality": (q21_doc_quality, Q21_SQL),
@@ -5052,4 +5278,6 @@ DATA_QUERIES = {
     "q119_mmr_diversify": (q119_mmr_diversify, Q119_SQL),
     "q120_label_prop_communities": (q120_label_prop_communities, Q120_SQL),
     "q121_fuzzy_name_join": (q121_fuzzy_name_join, Q121_SQL),
+    "q122_scd2_history": (q122_scd2_history, Q122_SQL),
+    "q123_bootstrap_ci": (q123_bootstrap_ci, Q123_SQL),
 }

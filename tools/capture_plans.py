@@ -117,6 +117,14 @@ HEADLINERS = [
      "tables are all lazy column expressions; the pair join broadcasts the ADC "
      "side into the cells and the only exchange is the probe_key rank window — "
      "guarded by test_q118_ivfpq_single_exchange_on_probe_key"),
+    ("q123_bootstrap_ci",
+     "Poisson bootstrap: the replicate explode collapses map-side into "
+     "(group, b) partial sums — the shuffle is groups x B rows, never data x B; "
+     "the CI rank window runs over B rows per group"),
+    ("q122_scd2_history",
+     "SCD2 gaps-and-islands: lag flag + running island id fuse into ONE "
+     "user-keyed sort window; the runs aggregate and lead() closing edge sit "
+     "above it"),
     ("q121_fuzzy_name_join",
      "edit-distance ER join: DISTINCT-name dictionary aggregate first, then the "
      "banded length-bucket equi-join (canonical side explodes to 3 adjacent "
