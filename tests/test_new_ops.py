@@ -288,3 +288,71 @@ def test_maintain_aggregate_matches_recompute(spark):
         "c": (1, 4.0),
         "d": (1, 3.0),
     }
+
+
+def test_left_outer_stream_join_null_emission_and_no_retro_match(spark):
+    """The s17 semantics, driven batch-by-batch: once the joint
+    watermark passes a left row's window expiry, the unmatched row
+    emits with nulls AND its state is gone — a late in-window right
+    row arriving afterwards must NOT retro-match it. A left row whose
+    window is still open when input ends is withheld (no emission)."""
+    from las_vpe_platform_spark.streaming.engine import run_to_completion
+
+    schema = "user string, ts timestamp, id long, side string"
+    src = tempfile.mkdtemp(prefix="loj_")
+    # batch 1: left row at 10:00 (window [10:00, 10:30]) + rows at
+    # 12:00 on BOTH sides so each side's watermark advances past 10:30
+    spark.createDataFrame(
+        [
+            ("u1", _ts("2024-01-01 10:00:00"), 1, "L"),
+            ("u1", _ts("2024-01-01 12:00:00"), 2, "L"),
+            ("u1", _ts("2024-01-01 12:00:00"), 3, "R"),
+        ],
+        schema,
+    ).coalesce(1).write.mode("overwrite").parquet(f"{src}/b1")
+    # batch 2: innocuous filler (outside every open window) — state
+    # cleanup runs at the end of the batch AFTER the watermark
+    # advanced (the same one-batch grace the interval-join eviction
+    # test documents), so THIS batch is where left #1 expires and its
+    # null row emits
+    spark.createDataFrame(
+        [("u1", _ts("2024-01-01 12:40:00"), 5, "R")], schema
+    ).coalesce(1).write.mode("overwrite").parquet(f"{src}/b2")
+    # batch 3: a right row at 10:10 — inside left #1's window, but its
+    # state is gone; must NOT retro-match
+    spark.createDataFrame(
+        [("u1", _ts("2024-01-01 10:10:00"), 4, "R")], schema
+    ).coalesce(1).write.mode("overwrite").parquet(f"{src}/b3")
+
+    def side(tag, cols):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("latestFirst", "false")
+            .parquet(f"{src}/*")
+            .filter(F.col("side") == tag)
+            .selectExpr(*cols)
+        )
+
+    left = side("L", ["user", "id AS left_id", "ts AS l_ts"]).withWatermark(
+        "l_ts", "0 seconds"
+    )
+    right = side(
+        "R", ["user AS r_user", "id AS right_id", "ts AS r_ts"]
+    ).withWatermark("r_ts", "0 seconds")
+    joined = left.join(
+        right,
+        (F.col("user") == F.col("r_user"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "leftOuter",
+    ).select("left_id", "right_id")
+    out = run_to_completion(
+        joined, f"loj_{uuid.uuid4().hex[:8]}", output_mode="append"
+    )
+    pairs = {(r["left_id"], r["right_id"]) for r in out.collect()}
+    assert (1, None) in pairs, pairs          # expired unmatched -> nulls
+    assert (1, 4) not in pairs, pairs         # late partner can't retro-match
+    # left #2's window [12:00, 12:30] is still open at end of input:
+    # withheld, not emitted with nulls
+    assert (2, None) not in pairs, pairs
