@@ -311,3 +311,54 @@ def maintain_aggregate(
         ],
     )
     return out.filter(F.col(count_col) > 0)
+
+
+def scd2_history(
+    changelog: DataFrame,
+    key_col: str,
+    attr_col: str,
+    time_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Slowly-changing-dimension Type-2 history from a changelog: one
+    row per run of equal ``attr_col`` values per key, with
+    ``[valid_from, valid_to)`` epoch-micros intervals, the run's event
+    count, and an ``is_current`` flag (open interval).
+
+    Classic gaps-and-islands — a change flag from lag(), a running-sum
+    island id (both over the SAME (time, tiebreak) total order, so
+    tied timestamps resolve identically everywhere), one grouped
+    aggregate, and lead() for the closing edge.  The two key-ordered
+    windows fuse into ONE exchange + sort; the lead() window runs on
+    the runs-sized result.  ``time_col`` must already be epoch micros
+    (BIGINT) — interval arithmetic stays exact and timezone-free.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(key_col).orderBy(time_col, tiebreak_col)
+    flagged = changelog.withColumn(
+        "_chg",
+        F.when(
+            F.lag(attr_col).over(w).isNull()
+            | (F.lag(attr_col).over(w) != F.col(attr_col)),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "_island",
+        F.sum("_chg").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    runs = flagged.groupBy(key_col, "_island", attr_col).agg(
+        F.min(time_col).alias("valid_from_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w2 = W.partitionBy(key_col).orderBy("valid_from_us")
+    return runs.withColumn(
+        "valid_to_us", F.lead("valid_from_us").over(w2)
+    ).select(
+        key_col,
+        attr_col,
+        "valid_from_us",
+        "valid_to_us",
+        "n_events",
+        F.col("valid_to_us").isNull().cast("int").alias("is_current"),
+    )

@@ -228,6 +228,8 @@ DRIVER_PRIORITY: list[str] = [
     "q121_fuzzy_name_join",
     "q122_scd2_history",
     "q123_bootstrap_ci",
+    "s18_stream_scd2_asof_enrich",
+    "q124_grouped_trend",
     "q01_pricing_summary",
     "q06_customers_without_recent_orders",
     "q07_order_point_lookup",
@@ -353,6 +355,8 @@ ACKNOWLEDGED_OVERFLOW: set[str] = {
     "q121_fuzzy_name_join",
     "q122_scd2_history",
     "q123_bootstrap_ci",
+    "s18_stream_scd2_asof_enrich",
+    "q124_grouped_trend",
 }
 
 _unaccounted = [

@@ -4987,6 +4987,7 @@ SCD2_TIER_WIDTH = 50.0
 
 def q122_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     from las_vpe_platform_spark.functions.scalar import ntz_epoch_micros
+    from las_vpe_platform_spark.operators.maintenance import scd2_history
 
     ev = _t(spark, sf_dir, "events").select(
         "user_id",
@@ -4994,32 +4995,9 @@ def q122_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         ntz_epoch_micros("ts").alias("us"),
         F.floor(F.col("value") / F.lit(SCD2_TIER_WIDTH)).cast("int").alias("tier"),
     )
-    w = W.partitionBy("user_id").orderBy("us", "event_id")
-    flagged = ev.withColumn(
-        "chg",
-        F.when(
-            F.lag("tier").over(w).isNull()
-            | (F.lag("tier").over(w) != F.col("tier")),
-            F.lit(1),
-        ).otherwise(F.lit(0)),
-    ).withColumn(
-        "island",
-        F.sum("chg").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
-    )
-    runs = flagged.groupBy("user_id", "island", "tier").agg(
-        F.min("us").alias("valid_from_us"),
-        F.count(F.lit(1)).alias("n_events"),
-    )
-    w2 = W.partitionBy("user_id").orderBy("valid_from_us")
-    return runs.withColumn(
-        "valid_to_us", F.lead("valid_from_us").over(w2)
-    ).select(
-        "user_id",
-        "tier",
-        "valid_from_us",
-        "valid_to_us",
-        "n_events",
-        F.col("valid_to_us").isNull().cast("int").alias("is_current"),
+    return scd2_history(
+        ev, key_col="user_id", attr_col="tier", time_col="us",
+        tiebreak_col="event_id",
     )
 
 
@@ -5197,6 +5175,76 @@ FROM point p JOIN ci c USING (event_type)
 """
 
 
+# --- q124: grouped OLS trend (exact-sufficient-statistics regression) --------
+# Completes the monitoring family (q101 level, q103 outliers, q104
+# drift, q105 trending, q115 entropy) with the regression member:
+# per-group least-squares slope/intercept of value over time. The
+# scale discipline is the q57/q82 fixed-point rule applied to
+# regression: the FIVE sufficient statistics (n, Sx, Sy, Sxy, Sxx)
+# accumulate as exact BIGINTs (x = whole seconds since a plan-time
+# base, y = cents), so partial aggregation order cannot perturb them;
+# the closed-form combination happens ONCE per group in double on
+# exact inputs — bit-identical across engines and cluster layouts.
+# Engine-private regr_slope/regr_intercept float-sum in shuffle order
+# and are NOT reproducible; this is the portable formulation.
+
+TREND_BASE_EPOCH_S = 1704067200  # 2024-01-01 UTC, plan-time literal
+
+
+def q124_grouped_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.functions.scalar import ntz_epoch_micros
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        (
+            F.floor(ntz_epoch_micros("ts") / F.lit(1000000))
+            - F.lit(TREND_BASE_EPOCH_S)
+        ).cast("bigint").alias("x"),
+        F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("bigint").alias("y"),
+    )
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxyd, sxxd = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    slope_cents_per_s = (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
+    intercept_cents = (syd - slope_cents_per_s * sxd) / nd
+    return stats.select(
+        "event_type",
+        "n",
+        pround((slope_cents_per_s * F.lit(864.0)), 8).alias("slope_per_day"),
+        pround((intercept_cents / F.lit(100.0)), 6).alias("intercept_value"),
+    )
+
+
+Q124_SQL = f"""
+WITH ev AS (
+  SELECT event_type,
+         CAST(floor(epoch_us(ts) / 1000000) - {TREND_BASE_EPOCH_S} AS BIGINT) AS x,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS y
+  FROM events
+), stats AS (
+  SELECT event_type, count(*)::BIGINT AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM ev GROUP BY event_type
+)
+SELECT event_type, n,
+       floor(((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+              / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) * 864.0)
+             * 100000000.0 + 0.5) / 100000000.0 AS slope_per_day,
+       floor(((sy::DOUBLE - (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                            / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                            * sx::DOUBLE) / n::DOUBLE / 100.0)
+             * 1000000.0 + 0.5) / 1000000.0 AS intercept_value
+FROM stats
+"""
+
+
 DATA_QUERIES = {
     "q20_doc_token_stats": (q20_doc_token_stats, Q20_SQL),
     "q21_doc_quality": (q21_doc_quality, Q21_SQL),
@@ -5280,4 +5328,5 @@ DATA_QUERIES = {
     "q121_fuzzy_name_join": (q121_fuzzy_name_join, Q121_SQL),
     "q122_scd2_history": (q122_scd2_history, Q122_SQL),
     "q123_bootstrap_ci": (q123_bootstrap_ci, Q123_SQL),
+    "q124_grouped_trend": (q124_grouped_trend, Q124_SQL),
 }

@@ -1215,6 +1215,104 @@ WHERE p.purchase_id IS NOT NULL
 """
 
 
+def s18_stream_scd2_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal dimension enrichment: every streaming click joins the
+    SCD2 dimension row (q122's spend-tier history, built from purchase
+    events) whose ``[valid_from, valid_to)`` interval contains the
+    click's event time — the as-of face of s06's equi enrich, and the
+    production shape for 'enrich with the dimension AS IT WAS at event
+    time' (a plain equi-join silently back-dates attributes).
+
+    Stream-static joins are stateless per batch and accept arbitrary
+    conditions, so this needs NO watermark and holds nothing across
+    batches; the dimension is persisted once (the static side re-
+    resolves per micro-batch otherwise — the multi-reference staging
+    rule applied to streams) and broadcast into each batch. Clicks
+    before the user's first purchase keep a NULL tier (left join).
+    """
+    from las_vpe_platform_spark.functions.scalar import ntz_epoch_micros
+    from las_vpe_platform_spark.operators.maintenance import scd2_history
+    from las_vpe_platform_spark.operators.staging import persist_disk
+    from las_vpe_platform_spark.sources.tables import load_table
+
+    purchases = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        "user_id",
+        "event_id",
+        ntz_epoch_micros("ts").alias("us"),
+        F.floor(F.col("value") / F.lit(50.0)).cast("int").alias("tier"),
+    )
+    dim = persist_disk(
+        scd2_history(
+            purchases, key_col="user_id", attr_col="tier",
+            time_col="us", tiebreak_col="event_id",
+        ).select(
+            F.col("user_id").alias("d_user"),
+            "tier",
+            "valid_from_us",
+            "valid_to_us",
+        ),
+        "s18_scd2_dim",
+    )
+
+    src = _landed_events8(spark, sf_dir, event_types=("click", "purchase"))
+    clicks = (
+        file_stream(spark, src, RAW_EVENTS_SCHEMA, max_files_per_trigger=4)
+        .filter(F.col("event_type") == "click")
+        .select("event_id", "user_id", F.col("ts_micros").alias("click_us"))
+    )
+    enriched = clicks.join(
+        F.broadcast(dim),
+        (F.col("user_id") == F.col("d_user"))
+        & (F.col("click_us") >= F.col("valid_from_us"))
+        & (
+            F.col("valid_to_us").isNull()
+            | (F.col("click_us") < F.col("valid_to_us"))
+        ),
+        "left",
+    ).select("event_id", "user_id", "click_us", "tier")
+    name = f"s18_out_{uuid.uuid4().hex[:8]}"
+    with _stream_partitions(spark):
+        return run_to_completion(enriched, name, output_mode="append")
+
+
+S18_SQL = """
+WITH p AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         CAST(floor(value / 50.0) AS INT) AS tier
+  FROM events WHERE event_type = 'purchase'
+), flagged AS (
+  SELECT *,
+         CASE WHEN lag(tier) OVER w IS NULL
+                OR lag(tier) OVER w != tier THEN 1 ELSE 0 END AS chg
+  FROM p
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+), islands AS (
+  SELECT *,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM flagged
+), runs AS (
+  SELECT user_id, island, tier, min(us) AS valid_from_us
+  FROM islands GROUP BY user_id, island, tier
+), dim AS (
+  SELECT user_id, tier, valid_from_us,
+         lead(valid_from_us) OVER (PARTITION BY user_id
+                                   ORDER BY valid_from_us) AS valid_to_us
+  FROM runs
+), c AS (
+  SELECT event_id, user_id, epoch_us(ts) AS click_us
+  FROM events WHERE event_type = 'click'
+)
+SELECT c.event_id, c.user_id, c.click_us, d.tier
+FROM c LEFT JOIN dim d
+  ON c.user_id = d.user_id
+ AND c.click_us >= d.valid_from_us
+ AND (d.valid_to_us IS NULL OR c.click_us < d.valid_to_us)
+"""
+
+
 STREAMING_QUERIES = {
     "s01_stream_windowed_counts": (s01_stream_windowed_counts, S01_SQL),
     "s02_stream_dedup": (s02_stream_dedup, S02_SQL),
@@ -1233,4 +1331,5 @@ STREAMING_QUERIES = {
     "s15_stream_anomaly": (s15_stream_anomaly, S15_SQL),
     "s16_stream_session_native": (s16_stream_session_native, S16_SQL),
     "s17_stream_left_outer_join": (s17_stream_left_outer_join, S17_SQL),
+    "s18_stream_scd2_asof_enrich": (s18_stream_scd2_asof_enrich, S18_SQL),
 }

@@ -117,6 +117,10 @@ HEADLINERS = [
      "tables are all lazy column expressions; the pair join broadcasts the ADC "
      "side into the cells and the only exchange is the probe_key rank window — "
      "guarded by test_q118_ivfpq_single_exchange_on_probe_key"),
+    ("q124_grouped_trend",
+     "grouped regression: ONE partial+final hash aggregate of five exact "
+     "BIGINT sufficient statistics; the closed-form slope/intercept combine "
+     "is a projection over the groups-sized result"),
     ("q123_bootstrap_ci",
      "Poisson bootstrap: the replicate explode collapses map-side into "
      "(group, b) partial sums — the shuffle is groups x B rows, never data x B; "
