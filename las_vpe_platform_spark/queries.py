@@ -230,6 +230,7 @@ DRIVER_PRIORITY: list[str] = [
     "q123_bootstrap_ci",
     "s18_stream_scd2_asof_enrich",
     "q124_grouped_trend",
+    "q125_lagged_crosscorr",
     "q01_pricing_summary",
     "q06_customers_without_recent_orders",
     "q07_order_point_lookup",
@@ -357,6 +358,7 @@ ACKNOWLEDGED_OVERFLOW: set[str] = {
     "q123_bootstrap_ci",
     "s18_stream_scd2_asof_enrich",
     "q124_grouped_trend",
+    "q125_lagged_crosscorr",
 }
 
 _unaccounted = [

@@ -5245,6 +5245,116 @@ FROM stats
 """
 
 
+# --- q125: lagged cross-correlation between event series ---------------------
+# The cross-series member of the monitoring family: does one signal
+# LEAD another (clicks now -> purchases L hours later)? Pearson
+# correlation between the hourly click series and the purchase series
+# shifted by lag 0..3, on a DENSE calendar spine (q72's gap-fill:
+# missing hours are real zeros — skipping them biases the
+# correlation). Everything before the final division is exact BIGINT
+# counts and sums (order-independent); the spine and all per-lag
+# frames are calendar-bounded, so the whole analysis is KB-sized above
+# one corpus aggregate.
+
+XCORR_MAX_LAG = 3
+
+
+def q125_lagged_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.functions.scalar import ntz_epoch_micros
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    ).select(
+        "event_type",
+        F.floor(ntz_epoch_micros("ts") / F.lit(3600000000)).cast("bigint").alias("h"),
+    )
+    counts = (
+        ev.groupBy("h")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("a"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("b"),
+        )
+    )
+    bounds = ev.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("h")
+    )
+    dense = (
+        spine.join(counts, "h", "left")
+        .select(
+            "h",
+            F.coalesce("a", F.lit(0)).alias("a"),
+            F.coalesce("b", F.lit(0)).alias("b"),
+        )
+    )
+    from las_vpe_platform_spark.operators.staging import persist_disk
+
+    dense = persist_disk(dense, "xcorr_dense")  # referenced per lag x 2
+    lags = spark.range(XCORR_MAX_LAG + 1).select(F.col("id").alias("lag"))
+    pairs = (
+        dense.crossJoin(F.broadcast(lags))
+        .select("lag", "h", "a")
+        .join(
+            dense.select(F.col("h").alias("h2"), F.col("b").alias("b2")),
+            F.col("h2") == F.col("h") + F.col("lag"),
+        )
+    )
+    stats = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("a").alias("sa"),
+        F.sum("b2").alias("sb"),
+        F.sum(F.col("a") * F.col("b2")).alias("sab"),
+        F.sum(F.col("a") * F.col("a")).alias("saa"),
+        F.sum(F.col("b2") * F.col("b2")).alias("sbb"),
+    )
+    nd = F.col("n").cast("double")
+    sa, sb = F.col("sa").cast("double"), F.col("sb").cast("double")
+    sab = F.col("sab").cast("double")
+    saa, sbb = F.col("saa").cast("double"), F.col("sbb").cast("double")
+    corr = (nd * sab - sa * sb) / F.sqrt(
+        (nd * saa - sa * sa) * (nd * sbb - sb * sb)
+    )
+    return stats.select(
+        "lag", "n", pround(corr, 8).alias("xcorr")
+    )
+
+
+Q125_SQL = f"""
+WITH ev AS (
+  SELECT event_type,
+         CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS h
+  FROM events WHERE event_type IN ('click', 'purchase')
+), counts AS (
+  SELECT h,
+         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS a,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS b
+  FROM ev GROUP BY h
+), bounds AS (
+  SELECT min(h) AS lo, max(h) AS hi FROM ev
+), dense AS (
+  SELECT s.h, coalesce(c.a, 0) AS a, coalesce(c.b, 0) AS b
+  FROM (SELECT unnest(generate_series(lo, hi)) AS h FROM bounds) s
+  LEFT JOIN counts c USING (h)
+), pairs AS (
+  SELECT l.lag, d.a, d2.b AS b2
+  FROM generate_series(0, {XCORR_MAX_LAG}) AS l(lag)
+  CROSS JOIN dense d
+  JOIN dense d2 ON d2.h = d.h + l.lag
+), stats AS (
+  SELECT lag, count(*)::BIGINT AS n,
+         sum(a) AS sa, sum(b2) AS sb, sum(a * b2) AS sab,
+         sum(a * a) AS saa, sum(b2 * b2) AS sbb
+  FROM pairs GROUP BY lag
+)
+SELECT lag, n,
+       floor(((n::DOUBLE * sab::DOUBLE - sa::DOUBLE * sb::DOUBLE)
+              / sqrt((n::DOUBLE * saa::DOUBLE - sa::DOUBLE * sa::DOUBLE)
+                     * (n::DOUBLE * sbb::DOUBLE - sb::DOUBLE * sb::DOUBLE)))
+             * 100000000.0 + 0.5) / 100000000.0 AS xcorr
+FROM stats
+"""
+
+
 DATA_QUERIES = {
     "q20_doc_token_stats": (q20_doc_token_stats, Q20_SQL),
     "q21_doc_quality": (q21_doc_quality, Q21_SQL),
@@ -5329,4 +5439,5 @@ DATA_QUERIES = {
     "q122_scd2_history": (q122_scd2_history, Q122_SQL),
     "q123_bootstrap_ci": (q123_bootstrap_ci, Q123_SQL),
     "q124_grouped_trend": (q124_grouped_trend, Q124_SQL),
+    "q125_lagged_crosscorr": (q125_lagged_crosscorr, Q125_SQL),
 }

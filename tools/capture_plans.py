@@ -117,6 +117,10 @@ HEADLINERS = [
      "tables are all lazy column expressions; the pair join broadcasts the ADC "
      "side into the cells and the only exchange is the probe_key rank window — "
      "guarded by test_q118_ivfpq_single_exchange_on_probe_key"),
+    ("q125_lagged_crosscorr",
+     "cross-series lag analysis: one corpus-sized hourly aggregate; the dense "
+     "spine join, per-lag pair join and Pearson statistics all run on "
+     "calendar-bounded frames (hours x lags rows)"),
     ("q124_grouped_trend",
      "grouped regression: ONE partial+final hash aggregate of five exact "
      "BIGINT sufficient statistics; the closed-form slope/intercept combine "
