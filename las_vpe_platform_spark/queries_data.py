@@ -5355,6 +5355,67 @@ FROM stats
 """
 
 
+# --- q126: IVF-PQ recall harness ---------------------------------------------
+# q84 for the composed index: measured in-plan recall@5 of q118's
+# IVF-PQ against the exact top-k. The compression ladder is only
+# usable when its recall is MEASURED, not assumed — this is the
+# harness a deployment runs after retuning nprobe/m/n_codes.
+
+def q126_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.operators.similarity import ivfpq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 100 == 31)
+    kw = dict(probe_key="vec_id", gallery_key="vec_id", vector_col="embedding", k=5)
+    approx = ivfpq_topk(
+        probes, emb, dim=64, m=8, n_codes=16,
+        num_centroids_mod=50, nprobe=2, **kw,
+    ).select("probe_key", "gallery_key", F.lit(1).alias("_hit"))
+    exact = pairwise_similarity_topk(probes, emb, **kw).select(
+        "probe_key", "gallery_key"
+    )
+    return (
+        exact.join(approx, on=["probe_key", "gallery_key"], how="left")
+        .groupBy("probe_key")
+        .agg(F.count("_hit").alias("n_hits"))
+        .select(
+            "probe_key",
+            F.col("n_hits").cast("bigint").alias("n_hits"),
+            pround(F.col("n_hits").cast("double") / 5, 4).alias("recall"),
+        )
+    )
+
+
+def _q126_sql() -> str:
+    from las_vpe_platform_spark.operators.similarity import ivfpq_topk_sql
+
+    ap = ivfpq_topk_sql(
+        "embeddings", "p.vec_id % 100 = 31", "vec_id", "embedding",
+        dim=64, m=8, n_codes=16, k=5, num_centroids_mod=50, nprobe=2,
+    )
+    return f"""
+WITH approx AS (
+  SELECT probe_key, gallery_key FROM ({ap}) ap
+), ex AS (
+  SELECT probe_key, gallery_key FROM (
+    SELECT p.vec_id AS probe_key, g.vec_id AS gallery_key,
+           row_number() OVER (PARTITION BY p.vec_id
+                              ORDER BY {sql_cosine('p.embedding', 'g.embedding')} DESC, g.vec_id) AS rank
+    FROM embeddings p CROSS JOIN embeddings g
+    WHERE p.vec_id % 100 = 31
+  ) WHERE rank <= 5
+)
+SELECT e.probe_key, count(a.gallery_key)::BIGINT AS n_hits,
+       floor((count(a.gallery_key)::DOUBLE / 5) * 10000.0 + 0.5) / 10000.0 AS recall
+FROM ex e LEFT JOIN approx a
+  ON e.probe_key = a.probe_key AND e.gallery_key = a.gallery_key
+GROUP BY e.probe_key
+"""
+
+
+Q126_SQL = _q126_sql()
+
+
 DATA_QUERIES = {
     "q20_doc_token_stats": (q20_doc_token_stats, Q20_SQL),
     "q21_doc_quality": (q21_doc_quality, Q21_SQL),
@@ -5440,4 +5501,5 @@ DATA_QUERIES = {
     "q123_bootstrap_ci": (q123_bootstrap_ci, Q123_SQL),
     "q124_grouped_trend": (q124_grouped_trend, Q124_SQL),
     "q125_lagged_crosscorr": (q125_lagged_crosscorr, Q125_SQL),
+    "q126_ivfpq_recall": (q126_ivfpq_recall, Q126_SQL),
 }
