@@ -5416,6 +5416,114 @@ GROUP BY e.probe_key
 Q126_SQL = _q126_sql()
 
 
+# --- q127: deterministic negative-edge sampling ------------------------------
+# Training-data generation for link prediction / contrastive graph
+# learning: k NEGATIVE partners per node — pairs that are NOT edges of
+# the near-dup graph — complementing q79's embedding-based hard
+# negatives with the graph-based easy ones. Scale shape: never the
+# n^2 candidate space — each node hashes its way to k partners
+# through a dense-rank lookup table (k*n candidate rows), the
+# anti-join against the true edge set removes accidental positives,
+# and everything (ranks, hashes, partners) is a pure function of the
+# node ids, so any engine reproduces the same sample.
+
+NEG_K = 3
+
+
+def q127_negative_edge_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.operators.dedup import minhash_lsh_candidates
+    from las_vpe_platform_spark.operators.staging import persist_disk
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = persist_disk(
+        minhash_lsh_candidates(
+            docs, id_col="doc_id", text_col="text",
+            shingle_k=MINHASH_K, num_hashes=MINHASH_HASHES, bands=MINHASH_BANDS,
+        ).select("id_a", "id_b"),
+        "neg_edges",
+    )
+    nodes = (
+        pairs.selectExpr("id_a AS node")
+        .unionByName(pairs.selectExpr("id_b AS node"))
+        .distinct()
+    )
+    w = W.orderBy("node")
+    ranked = persist_disk(
+        nodes.withColumn("rk", F.row_number().over(w) - 1), "neg_ranks"
+    )
+    n_nodes = ranked.groupBy().agg(F.max("rk").alias("_max"))
+    cand = (
+        ranked.select("node")
+        .crossJoin(F.broadcast(n_nodes))
+        .select(
+            "node",
+            "_max",
+            F.explode(F.sequence(F.lit(1), F.lit(NEG_K))).alias("i"),
+        )
+        .withColumn(
+            "prk",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("neg:"),
+                            F.col("node").cast("string"),
+                            F.lit(":"),
+                            F.col("i").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % (F.col("_max") + 1),
+        )
+        .join(
+            F.broadcast(ranked.selectExpr("rk AS prk", "node AS partner")),
+            "prk",
+        )
+        .filter(F.col("partner") != F.col("node"))
+        .selectExpr(
+            "least(node, partner) AS id_a",
+            "greatest(node, partner) AS id_b",
+        )
+        .distinct()
+    )
+    negatives = cand.join(pairs, ["id_a", "id_b"], "left_anti")
+    return negatives.select("id_a", "id_b")
+
+
+def _q127_sql() -> str:
+    return f"""
+WITH pairs AS MATERIALIZED (
+  SELECT id_a, id_b FROM ({_q24_sql()}) t
+), nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT id_a AS node FROM pairs UNION ALL SELECT id_b FROM pairs
+  )
+), ranked AS MATERIALIZED (
+  SELECT node, row_number() OVER (ORDER BY node) - 1 AS rk FROM nodes
+), cand AS (
+  SELECT DISTINCT least(r.node, p.node) AS id_a, greatest(r.node, p.node) AS id_b
+  FROM ranked r
+  CROSS JOIN generate_series(1, {NEG_K}) AS g(i)
+  JOIN ranked p
+    ON p.rk = (('0x' || substr(md5('neg:' || CAST(r.node AS VARCHAR) || ':'
+                                   || CAST(g.i AS VARCHAR)), 1, 8))::BIGINT
+               % (SELECT max(rk) + 1 FROM ranked))
+  WHERE p.node != r.node
+)
+SELECT c.id_a, c.id_b
+FROM cand c
+ANTI JOIN pairs e ON c.id_a = e.id_a AND c.id_b = e.id_b
+"""
+
+
+Q127_SQL = _q127_sql()
+
+
 DATA_QUERIES = {
     "q20_doc_token_stats": (q20_doc_token_stats, Q20_SQL),
     "q21_doc_quality": (q21_doc_quality, Q21_SQL),
@@ -5502,4 +5610,5 @@ DATA_QUERIES = {
     "q124_grouped_trend": (q124_grouped_trend, Q124_SQL),
     "q125_lagged_crosscorr": (q125_lagged_crosscorr, Q125_SQL),
     "q126_ivfpq_recall": (q126_ivfpq_recall, Q126_SQL),
+    "q127_negative_edge_samples": (q127_negative_edge_samples, Q127_SQL),
 }

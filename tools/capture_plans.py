@@ -117,6 +117,10 @@ HEADLINERS = [
      "tables are all lazy column expressions; the pair join broadcasts the ADC "
      "side into the cells and the only exchange is the probe_key rank window — "
      "guarded by test_q118_ivfpq_single_exchange_on_probe_key"),
+    ("q127_negative_edge_samples",
+     "negative sampling: k*n hash-derived candidates through the broadcast "
+     "rank lookup + one anti-join against the true edges — the n^2 non-edge "
+     "space is never enumerated"),
     ("q125_lagged_crosscorr",
      "cross-series lag analysis: one corpus-sized hourly aggregate; the dense "
      "spine join, per-lag pair join and Pearson statistics all run on "
