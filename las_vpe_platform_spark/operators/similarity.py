@@ -36,10 +36,11 @@ brute_force_topk = pairwise_similarity_topk
 
 def _nearest_centroids(
     vectors: DataFrame,
-    centroids: DataFrame,
+    centroids: DataFrame | None,
     id_col: str,
     vector_col: str,
     keep: int,
+    crow: DataFrame | None = None,
 ) -> DataFrame:
     """Rank centroids per vector by cosine, keep the best ``keep``;
     ties broken by the smaller centroid id.
@@ -57,31 +58,52 @@ def _nearest_centroids(
     non-NaN similarities (zero-norm vectors, the NaN source, are out
     of contract exactly as before — embeddings are dense).
     """
-    arr = _nearest_centroid_arr(vectors, centroids, vector_col, keep)
+    arr = _nearest_centroid_arr(vectors, centroids, vector_col, keep, crow=crow)
+    if keep == 1:
+        # no Generate: explode makes Catalyst re-evaluate the whole
+        # scoring lambda through the Generate node (measured 1.17 s vs
+        # 0.17 s for the same rows at sf0.1) — and keep=1 is exactly
+        # the GALLERY-sized call (assign_centroids), where that
+        # re-evaluation is corpus-priced
+        return arr.select(
+            *vectors.columns, F.element_at("_cells", 1).alias("centroid_id")
+        ).filter(F.col("centroid_id").isNotNull())  # empty centroid set: drop, as explode did
     return arr.withColumn("_t", F.explode("_cells")).select(
         *vectors.columns, F.col("_t").alias("centroid_id")
     )
 
 
+def _centroid_fold(centroids: DataFrame, vector_col: str) -> DataFrame:
+    """The ONE-ROW centroid fold frame: (id, double vec, norm) structs
+    sorted by id.  Built once per index and shared by every
+    assignment/bucketing call in the same query (each
+    :func:`_nearest_centroid_arr` call used to rebuild and re-broadcast
+    its own — two extra jobs per query measured locally)."""
+    return centroids.select(
+        F.struct(
+            F.col("centroid_id"),
+            F.transform(vector_col, lambda x: x.cast("double")).alias("_cvec"),
+            l2_norm(vector_col).alias("_cnorm"),
+        ).alias("_c")
+    ).agg(F.array_sort(F.collect_list("_c")).alias("_cents"))
+
+
 def _nearest_centroid_arr(
     vectors: DataFrame,
-    centroids: DataFrame,
+    centroids: DataFrame | None,
     vector_col: str,
     keep: int,
+    crow: DataFrame | None = None,
 ) -> DataFrame:
     """The fold core of :func:`_nearest_centroids`: adds ``_vnorm``
     and ``_cells`` (the ``keep`` best centroid ids, best-first) as
     COLUMNS — no explode, so callers that go on to fold over the cell
-    set (:func:`ivf2_topk`'s descent) never multiply rows."""
-    crow = F.broadcast(
-        centroids.select(
-            F.struct(
-                F.col("centroid_id"),
-                F.transform(vector_col, lambda x: x.cast("double")).alias("_cvec"),
-                l2_norm(vector_col).alias("_cnorm"),
-            ).alias("_c")
-        ).agg(F.array_sort(F.collect_list("_c")).alias("_cents"))
-    )
+    set (:func:`ivf2_topk`'s descent) never multiply rows.  Pass a
+    prebuilt (ideally staged) ``crow`` from :func:`_centroid_fold` to
+    share one fold row across several calls."""
+    if crow is None:
+        crow = _centroid_fold(centroids, vector_col)
+    crow = F.broadcast(crow)
     scored = F.transform(
         F.col("_cents"),
         lambda c: F.struct(
@@ -139,21 +161,21 @@ def ivf_topk(
     ``nprobe`` nearest centroid buckets only.
     """
     # centroid derivation costs a full gallery scan (the % filter is
-    # not parquet-pushable) and the frame is referenced by BOTH the
-    # gallery assignment and the probe bucketing — materialize the
-    # centroid-count-sized result once instead of scanning twice
-    centroids = materialize(
-        gallery.filter((F.col(gallery_key) % num_centroids_mod) == 0).select(
-            F.col(gallery_key).alias("centroid_id"), F.col(vector_col)
-        ),
-        "ivf_centroids",
-    )
+    # not parquet-pushable) and the fold row is referenced by BOTH the
+    # gallery assignment and the probe bucketing — stage the ONE-ROW
+    # centroid fold once instead of re-aggregating per call
+    centroids = gallery.filter(
+        (F.col(gallery_key) % num_centroids_mod) == 0
+    ).select(F.col(gallery_key).alias("centroid_id"), F.col(vector_col))
+    crow = materialize(_centroid_fold(centroids, vector_col), "ivf_crow")
 
-    gal_assigned = assign_centroids(
+    gal_assigned = _nearest_centroids(
         gallery.select(F.col(gallery_key), F.col(vector_col)),
-        centroids,
+        None,
         id_col=gallery_key,
         vector_col=vector_col,
+        keep=1,
+        crow=crow,
     ).select(
         F.col(gallery_key).alias("gallery_key"),
         F.col(vector_col).alias("_gvec"),
@@ -162,10 +184,11 @@ def ivf_topk(
 
     probe_buckets = _nearest_centroids(
         probes.select(F.col(probe_key).alias("probe_key"), F.col(vector_col).alias("_pvec")),
-        centroids.withColumnRenamed(vector_col, "_pvec"),
+        None,
         id_col="probe_key",
         vector_col="_pvec",
         keep=nprobe,
+        crow=crow,
     ).withColumn("_pnorm", l2_norm("_pvec"))
 
     scored = (
@@ -551,10 +574,16 @@ def ivf2_topk(
         ),
         "ivf2_coarse",
     )
+    # the ONE-ROW coarse fold, shared by the level-1 index and both
+    # descents (staged: three references, one aggregate)
+    coarse_crow = materialize(
+        _centroid_fold(coarse, vector_col), "ivf2_coarse_crow"
+    )
     # level-1 index: fine centroid -> its nearest coarse cell
     f2c = materialize(
         _nearest_centroids(
-            fine, coarse, id_col="fid", vector_col=vector_col, keep=1
+            fine, None, id_col="fid", vector_col=vector_col, keep=1,
+            crow=coarse_crow,
         ).select("fid", "centroid_id"),
         "ivf2_f2c",
     )
@@ -597,7 +626,9 @@ def ivf2_topk(
         fine rank).  Total order (fsim DESC, fid ASC) is unchanged.
         """
         cand = (
-            _nearest_centroid_arr(vectors, coarse, vector_col, keep=nprobe)
+            _nearest_centroid_arr(
+                vectors, None, vector_col, keep=nprobe, crow=coarse_crow
+            )
             .crossJoin(cell_map)
             .withColumn(
                 "_cands",
@@ -623,6 +654,12 @@ def ivf2_topk(
                 f["fid"].alias("fid"),
             ),
         )
+        if keep_fine == 1:
+            # gallery-sized call: array_min instead of explode (the
+            # Generate re-evaluation cost — see _nearest_centroids)
+            return cand.select(
+                id_name, vector_col, F.array_min(scored)["fid"].alias("fid")
+            ).filter(F.col("fid").isNotNull())  # no fines in probed cells: drop, as explode did
         return (
             cand.withColumn(
                 "_t", F.explode(F.slice(F.array_sort(scored), 1, keep_fine))
@@ -1073,14 +1110,20 @@ def ivfpq_topk(
         )
     )
 
+    # the ONE-ROW centroid fold, shared by the gallery assignment and
+    # the probe bucketing (staged: one aggregate, not one per call)
+    crow = materialize(_centroid_fold(centroids, vector_col), "ivfpq_crow")
+
     # gallery -> nearest cell -> residual; referenced by BOTH the
     # codebook derivation and the encode pass, so stage it once
     gal_resid = materialize(
-        assign_centroids(
+        _nearest_centroids(
             gallery.select(F.col(gallery_key), F.col(vector_col)),
-            centroids,
+            None,
             id_col=gallery_key,
             vector_col=vector_col,
+            keep=1,
+            crow=crow,
         )
         .join(cvecs, on="centroid_id")
         .select(
@@ -1132,10 +1175,11 @@ def ivfpq_topk(
                 F.col(probe_key).alias("probe_key"),
                 F.col(vector_col).alias("_pvec"),
             ),
-            centroids.withColumnRenamed(vector_col, "_pvec"),
+            None,
             id_col="probe_key",
             vector_col="_pvec",
             keep=nprobe,
+            crow=crow,
         )
         .join(cvecs, on="centroid_id")
         .select(
