@@ -557,3 +557,68 @@ def test_q70_ivf2_gallery_never_shuffles(spark, sf_dir):
     all_hash = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
     other = [m for m in all_hash if m not in ("probe_key", "centroid_id")]
     assert not other, f"gallery-side shuffle reappeared on {other}"
+
+
+def test_q122_scd2_single_exchange(spark, sf_dir):
+    # gaps-and-islands: the lag flag, the island running sum, the runs
+    # aggregate AND the lead() closing edge all share ONE user_id
+    # exchange — the SCALE.md claim, enforced.
+    from las_vpe_platform_spark.queries_data import q122_scd2_history
+    import re
+
+    plan = _plan(q122_scd2_history(spark, sf_dir))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_q123_bootstrap_replicate_reduction_is_map_side(spark, sf_dir):
+    # the Poisson-bootstrap claim: the replicate explode collapses
+    # MAP-SIDE, so the (group, b) exchange ships groups x B partial
+    # rows, never data x B — there must be a partial HashAggregate
+    # BETWEEN that exchange and the Generate node.
+    from las_vpe_platform_spark.queries_data import q123_bootstrap_ci
+
+    plan = q123_bootstrap_ci(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    exch = next(
+        i for i, l in enumerate(lines)
+        if "Exchange hashpartitioning" in l and ", b#" in l
+    )
+    gen = next(i for i, l in enumerate(lines) if "Generate" in l)
+    assert exch < gen, "replicate exchange should sit above the explode"
+    between = "\n".join(lines[exch:gen])
+    assert "HashAggregate" in between, (
+        "no map-side partial between the replicate exchange and the "
+        "explode — the shuffle would ship data x B rows"
+    )
+
+
+def test_s18_asof_enrich_stream_plan_is_stateless(spark, sf_dir):
+    # stream-static joins hold nothing across batches: the streaming
+    # side of s18 carries NO watermark and NO stateful operator — the
+    # interval condition runs as a plain per-batch join.
+    from las_vpe_platform_spark.queries_streaming import RAW_EVENTS_SCHEMA
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    dim = spark.createDataFrame(
+        [(1, 0, 0, None)],
+        "d_user long, tier int, valid_from_us long, valid_to_us long",
+    )
+    stream = (
+        spark.readStream.schema(RAW_EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(tempfile.mkdtemp(prefix="s18_plan_"))
+        .filter(F.col("event_type") == "click")
+        .select("event_id", "user_id", F.col("ts_micros").alias("click_us"))
+    )
+    joined = stream.join(
+        F.broadcast(dim),
+        (F.col("user_id") == F.col("d_user"))
+        & (F.col("click_us") >= F.col("valid_from_us"))
+        & (F.col("valid_to_us").isNull() | (F.col("click_us") < F.col("valid_to_us"))),
+        "left",
+    )
+    plan = joined._jdf.queryExecution().analyzed().toString()
+    assert "Join" in plan
+    assert "EventTimeWatermark" not in plan
