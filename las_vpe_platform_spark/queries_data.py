@@ -5524,6 +5524,129 @@ ANTI JOIN pairs e ON c.id_a = e.id_a AND c.id_b = e.id_b
 Q127_SQL = _q127_sql()
 
 
+# --- q128: LSH recall harness (dedup's q84) ----------------------------------
+# "Measure, don't guess" applied to the dedup family: per
+# similarity-bucket recall of the MinHash-LSH candidate set (q24's
+# operator at 3-word shingles) against the EXACT Jaccard-threshold
+# pairs (q106's lossless PPJoin at the same shingles) — the measured
+# LSH S-curve a deployment consults before trusting banded candidates
+# at a given threshold. Both sides are existing scale-shaped
+# operators; the harness adds one left join + one bucket aggregate.
+
+LSH_RECALL_K = 3       # shingle size shared by BOTH sides
+LSH_RECALL_T = 0.5     # exact-side threshold
+
+
+def q128_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        prefix_filter_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    exact = prefix_filter_pairs(
+        docs, id_col="doc_id", text_col="text",
+        threshold=LSH_RECALL_T, shingle_k=LSH_RECALL_K,
+    )
+    cand = minhash_lsh_candidates(
+        docs, id_col="doc_id", text_col="text",
+        shingle_k=LSH_RECALL_K, num_hashes=MINHASH_HASHES, bands=MINHASH_BANDS,
+    ).select("id_a", "id_b", F.lit(1).alias("_hit"))
+    return (
+        exact.join(cand, on=["id_a", "id_b"], how="left")
+        .groupBy(
+            F.floor(F.col("jaccard") * 10).cast("bigint").alias("sim_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.count("_hit").alias("n_caught"),
+        )
+        .select(
+            "sim_bucket",
+            "n_true",
+            F.col("n_caught").cast("bigint").alias("n_caught"),
+            pround(
+                F.col("n_caught").cast("double") / F.col("n_true").cast("double"), 4
+            ).alias("recall"),
+        )
+    )
+
+
+def _lsh_pairs_sql(shingle_k: int) -> str:
+    """q24's LSH candidate SQL, parametric in shingle size."""
+    from las_vpe_platform_spark.functions.text import MINHASH_COEFFS, MINHASH_PRIME
+
+    rpb = MINHASH_HASHES // MINHASH_BANDS
+    mins = ", ".join(
+        f"min(({a} * lo + {b} * hi + {c}) % {MINHASH_PRIME}) AS mh{i}"
+        for i, (a, b, c) in enumerate(MINHASH_COEFFS[:MINHASH_HASHES])
+    )
+    bands = ", ".join(
+        "'{b}:' || md5({parts})".format(
+            b=b,
+            parts=" || '|' || ".join(
+                f"mh{i}::VARCHAR" for i in range(b * rpb, (b + 1) * rpb)
+            ),
+        )
+        for b in range(MINHASH_BANDS)
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, {SQL_TOKENS} AS toks FROM documents
+), shingled AS (
+  SELECT doc_id, {sql_shingles(shingle_k)} AS sh FROM base
+), exploded AS (
+  SELECT doc_id, unnest(sh) AS shingle FROM shingled
+), hashed AS (
+  SELECT doc_id,
+         (('0x' || substr(md5(shingle), 1, 15))::BIGINT & 1073741823) AS lo,
+         (('0x' || substr(md5(shingle), 1, 15))::BIGINT >> 30)        AS hi
+  FROM exploded
+), sigs AS (
+  SELECT doc_id, {mins} FROM hashed GROUP BY doc_id
+), banded AS (
+  SELECT doc_id, unnest([{bands}]) AS band FROM sigs
+)
+SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+FROM banded l JOIN banded r ON l.band = r.band AND l.doc_id < r.doc_id
+"""
+
+
+def _q128_sql() -> str:
+    return f"""
+WITH cand AS MATERIALIZED (
+  SELECT id_a, id_b FROM ({_lsh_pairs_sql(LSH_RECALL_K)}) c
+), toks AS (
+  SELECT doc_id, {SQL_TOKENS} AS toks FROM documents
+), sh AS (
+  SELECT doc_id, unnest({sql_shingles(LSH_RECALL_K)}) AS shingle FROM toks
+), sizes AS MATERIALIZED (
+  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), exact AS MATERIALIZED (
+  SELECT id_a, id_b,
+         shared::DOUBLE / (sa.sz + sb.sz - shared)::DOUBLE AS jaccard
+  FROM pairs
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE shared::DOUBLE / (sa.sz + sb.sz - shared)::DOUBLE >= {LSH_RECALL_T}
+)
+SELECT CAST(floor(jaccard * 10) AS BIGINT) AS sim_bucket,
+       count(*)::BIGINT AS n_true,
+       count(c.id_a)::BIGINT AS n_caught,
+       floor((count(c.id_a)::DOUBLE / count(*)::DOUBLE) * 10000.0 + 0.5)
+         / 10000.0 AS recall
+FROM exact e LEFT JOIN cand c ON e.id_a = c.id_a AND e.id_b = c.id_b
+GROUP BY 1
+"""
+
+
+Q128_SQL = _q128_sql()
+
+
 DATA_QUERIES = {
     "q20_doc_token_stats": (q20_doc_token_stats, Q20_SQL),
     "q21_doc_quality": (q21_doc_quality, Q21_SQL),
@@ -5611,4 +5734,5 @@ DATA_QUERIES = {
     "q125_lagged_crosscorr": (q125_lagged_crosscorr, Q125_SQL),
     "q126_ivfpq_recall": (q126_ivfpq_recall, Q126_SQL),
     "q127_negative_edge_samples": (q127_negative_edge_samples, Q127_SQL),
+    "q128_lsh_recall": (q128_lsh_recall, Q128_SQL),
 }

@@ -117,6 +117,10 @@ HEADLINERS = [
      "tables are all lazy column expressions; the pair join broadcasts the ADC "
      "side into the cells and the only exchange is the probe_key rank window — "
      "guarded by test_q118_ivfpq_single_exchange_on_probe_key"),
+    ("q128_lsh_recall",
+     "dedup recall harness: exact PPJoin pairs LEFT JOIN the LSH candidate set, "
+     "then one buckets-sized aggregate — the harness adds no corpus-sized work "
+     "beyond its two audited operands"),
     ("q127_negative_edge_samples",
      "negative sampling: k*n hash-derived candidates through the broadcast "
      "rank lookup + one anti-join against the true edges — the n^2 non-edge "
