@@ -1853,6 +1853,132 @@ WHERE l.sim >= {D23_SIM_LO}::DOUBLE AND l.sim < {D23_SIM_HI}::DOUBLE
 """
 
 
+# --- m11: diverse exemplar selection per tracklet ----------------------------
+# The modern upgrade of the reference's even-spaced tracklet sampling
+# (W4/Tracklet.sample, d01): a re-id gallery wants COMPLEMENTARY
+# views, not evenly-spaced ones. Per tracklet: exemplar 1 = the
+# highest-energy patch (the m09 brightness proxy); exemplar 2 = the
+# patch most VISUALLY DIFFERENT from it (lowest cosine between
+# 4-quarter byte-sum features). Every feature is an exact BIGINT
+# derived from hex arithmetic in the scan stage (the m08/m09 trick —
+# pixels never become Python rows), so cosines are bit-identical
+# across engines; the only exchanges are the two per-tracklet rank
+# windows over patch-index rows. Tracklets need >= 2 retained patches
+# (48-byte patch_data) to emit.
+
+def m11_diverse_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    tr = _fx(spark, "tracklets")
+    patches = (
+        tr.select(
+            "tracklet_key",
+            F.posexplode("location_sequence").alias("idx0", "box"),
+        )
+        .filter(F.col("box.patch_data").isNotNull())
+        .filter(F.length(F.col("box.patch_data")) == 48)
+        .selectExpr(
+            "tracklet_key",
+            "idx0 + 1 AS idx",
+            "box.patch_data AS pd",
+        )
+    )
+    qexprs = [
+        f"aggregate(sequence(1, 12), CAST(0 AS BIGINT), (acc, i) -> acc"
+        f" + CAST(conv(hex(substring(pd, {q} * 12 + i, 1)), 16, 10) AS BIGINT))"
+        f" AS f{q}"
+        for q in range(4)
+    ]
+    feats = patches.selectExpr("tracklet_key", "idx", *qexprs).selectExpr(
+        "*",
+        "f0 + f1 + f2 + f3 AS energy",
+        "f0*f0 + f1*f1 + f2*f2 + f3*f3 AS sq",
+    )
+    w1 = W.partitionBy("tracklet_key").orderBy(F.desc("energy"), F.asc("idx"))
+    pick1 = (
+        feats.withColumn("_r", F.row_number().over(w1))
+        .filter(F.col("_r") == 1)
+        .selectExpr(
+            "tracklet_key", "idx AS idx1", "energy AS energy1",
+            "f0 AS g0", "f1 AS g1", "f2 AS g2", "f3 AS g3", "sq AS gsq",
+        )
+    )
+    rest = (
+        feats.join(pick1, "tracklet_key")
+        .filter(F.col("idx") != F.col("idx1"))
+        .selectExpr(
+            "tracklet_key", "idx", "idx1", "energy1",
+            "CAST(f0*g0 + f1*g1 + f2*g2 + f3*g3 AS DOUBLE)"
+            " / (sqrt(CAST(sq AS DOUBLE)) * sqrt(CAST(gsq AS DOUBLE)))"
+            " AS cos_sim",
+        )
+    )
+    w2 = W.partitionBy("tracklet_key").orderBy(F.asc("cos_sim"), F.asc("idx"))
+    return (
+        rest.withColumn("_r", F.row_number().over(w2))
+        .filter(F.col("_r") == 1)
+        .select(
+            "tracklet_key",
+            F.col("idx1").cast("bigint").alias("exemplar_hi_energy"),
+            F.col("energy1").cast("bigint").alias("energy1"),
+            F.col("idx").cast("bigint").alias("exemplar_most_diff"),
+            pround("cos_sim", 6).alias("div_cosine"),
+        )
+    )
+
+
+def _m11_q(q: str, col: str = "hx") -> str:
+    # byte b (1-based) of quarter q from the 96-char hex string
+    return (
+        f"list_sum(list_transform(generate_series(1, 12),"
+        f" b -> ('0x' || substr({col}, 2 * ({q} * 12 + b) - 1, 2))::BIGINT))"
+    )
+
+
+M11_SQL = f"""
+WITH patches AS (
+  SELECT t.tracklet_key, u.s.idx AS idx, hex(u.s.pd) AS hx
+  FROM {_fxsql('tracklets')} t,
+       unnest(list_transform(t.location_sequence,
+                             (b, i) -> {{'idx': i, 'pd': b.patch_data}})) AS u(s)
+  WHERE u.s.pd IS NOT NULL AND octet_length(u.s.pd) = 48
+), feats AS (
+  SELECT tracklet_key, idx,
+         {_m11_q('0')} AS f0, {_m11_q('1')} AS f1,
+         {_m11_q('2')} AS f2, {_m11_q('3')} AS f3
+  FROM patches
+), scored AS (
+  SELECT *, f0 + f1 + f2 + f3 AS energy,
+         f0*f0 + f1*f1 + f2*f2 + f3*f3 AS sq
+  FROM feats
+), pick1 AS (
+  SELECT tracklet_key, idx AS idx1, energy AS energy1,
+         f0 AS g0, f1 AS g1, f2 AS g2, f3 AS g3, sq AS gsq
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY tracklet_key
+                                 ORDER BY energy DESC, idx) AS r
+    FROM scored
+  ) WHERE r = 1
+), rest AS (
+  SELECT s.tracklet_key, s.idx, p.idx1, p.energy1,
+         (s.f0*p.g0 + s.f1*p.g1 + s.f2*p.g2 + s.f3*p.g3)::DOUBLE
+           / (sqrt(s.sq::DOUBLE) * sqrt(p.gsq::DOUBLE)) AS cos_sim
+  FROM scored s JOIN pick1 p USING (tracklet_key)
+  WHERE s.idx != p.idx1
+)
+SELECT tracklet_key,
+       idx1::BIGINT AS exemplar_hi_energy,
+       energy1::BIGINT AS energy1,
+       idx::BIGINT AS exemplar_most_diff,
+       floor((cos_sim) * 1000000.0 + 0.5) / 1000000.0 AS div_cosine
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY tracklet_key
+                               ORDER BY cos_sim, idx) AS r
+  FROM rest
+) WHERE r = 1
+"""
+
+
 DOMAIN_QUERIES = {
     "d01_tracklet_sampling": (d01_tracklet_sampling, D01_SQL),
     "d02_attribute_average": (d02_attribute_average, D02_SQL),
@@ -1885,6 +2011,7 @@ DOMAIN_QUERIES = {
     "d20_attribute_search": (d20_attribute_search, D20_SQL),
     "d21_cotravel_pairs": (d21_cotravel_pairs, D21_SQL),
     "d23_cross_camera_stitch": (d23_cross_camera_stitch, D23_SQL),
+    "m11_diverse_exemplars": (m11_diverse_exemplars, M11_SQL),
     "m10_loudness_segments": (m10_loudness_segments, M10_SQL),
     "d22_dwell_distribution": (d22_dwell_distribution, D22_SQL),
 }

@@ -117,6 +117,10 @@ HEADLINERS = [
      "tables are all lazy column expressions; the pair join broadcasts the ADC "
      "side into the cells and the only exchange is the probe_key rank window — "
      "guarded by test_q118_ivfpq_single_exchange_on_probe_key"),
+    ("m11_diverse_exemplars",
+     "diverse exemplars: exact-BIGINT quarter-sum features from hex arithmetic "
+     "in the scan stage; two per-tracklet rank windows over patch-index rows — "
+     "pixels never become rows"),
     ("q128_lsh_recall",
      "dedup recall harness: exact PPJoin pairs LEFT JOIN the LSH candidate set, "
      "then one buckets-sized aggregate — the harness adds no corpus-sized work "
