@@ -123,6 +123,7 @@ def minhash_lsh_candidates(
     shingle_k: int = 3,
     num_hashes: int = 16,
     bands: int = 4,
+    exploded: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs via MinHash + banded LSH.
 
@@ -138,7 +139,10 @@ def minhash_lsh_candidates(
     scan; hot bands are bounded by band size and AQE skew splitting.
     """
     rows_per_band = num_hashes // bands
-    exploded = exploded_shingles(df, id_col, text_col, shingle_k)
+    if exploded is None:  # callers sharing the shingle stage (q128's
+        # harness runs LSH and the exact join over ONE staged explode)
+        # pass it in — the multi-reference rule across operators
+        exploded = exploded_shingles(df, id_col, text_col, shingle_k)
     h = shingle_hash60("shingle")
     lo = h.bitwiseAND(F.lit((1 << 30) - 1))
     hi = F.shiftright(h, 30)
@@ -630,6 +634,7 @@ def prefix_filter_pairs(
     threshold: float,
     shingle_k: int = 2,
     materialize: Materializer = persist_disk,
+    exploded: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT Jaccard-threshold self-join via prefix filtering
     (Chaudhuri et al. SSJoin / Bayardo et al. All-Pairs) — the LOSSLESS
@@ -650,8 +655,13 @@ def prefix_filter_pairs(
     by candidate count, not corpus²). Returns (id_a, id_b, size_a,
     size_b, shared, jaccard) for pairs with jaccard >= threshold.
     """
-    ex = materialize(
-        exploded_shingles(df, id_col, text_col, shingle_k), "ppjoin_postings"
+    ex = (
+        exploded  # caller-staged (shared across operators — see q128)
+        if exploded is not None
+        else materialize(
+            exploded_shingles(df, id_col, text_col, shingle_k),
+            "ppjoin_postings",
+        )
     )
     # sizes is referenced three times (prefix filter + both verify-side
     # joins) and prefix twice (both sides of the self-join) — the

@@ -5543,14 +5543,25 @@ def q128_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         prefix_filter_pairs,
     )
 
+    from las_vpe_platform_spark.operators.dedup import exploded_shingles
+    from las_vpe_platform_spark.operators.staging import persist_disk
+
     docs = _t(spark, sf_dir, "documents")
+    # BOTH sides consume the same (doc, shingle) explode — one staged
+    # corpus text pass instead of two (multi-reference rule applied
+    # ACROSS operators)
+    shingles = persist_disk(
+        exploded_shingles(docs, "doc_id", "text", LSH_RECALL_K),
+        "lsh_recall_shingles",
+    )
     exact = prefix_filter_pairs(
         docs, id_col="doc_id", text_col="text",
-        threshold=LSH_RECALL_T, shingle_k=LSH_RECALL_K,
+        threshold=LSH_RECALL_T, shingle_k=LSH_RECALL_K, exploded=shingles,
     )
     cand = minhash_lsh_candidates(
         docs, id_col="doc_id", text_col="text",
         shingle_k=LSH_RECALL_K, num_hashes=MINHASH_HASHES, bands=MINHASH_BANDS,
+        exploded=shingles,
     ).select("id_a", "id_b", F.lit(1).alias("_hit"))
     return (
         exact.join(cand, on=["id_a", "id_b"], how="left")
