@@ -116,6 +116,58 @@ def incremental_dedup(
     )
 
 
+def banded_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    exploded: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id_, band) rows — the banded-LSH index entries a document
+    contributes. Factored out of :func:`minhash_lsh_candidates` so
+    INCREMENTAL indexing (q129) can band a new batch and probe an
+    existing index without re-pairing the corpus.
+
+    Band key = (band index, raw minhash slice) as a STRUCT, not a
+    hashed string: struct equality joins/shuffles natively, so an
+    md5-of-concat digest would only re-hash what the shuffle
+    partitioner hashes anyway — measured ~15% off this subtree's
+    codegen+run with identical candidate pairs.
+    """
+    rows_per_band = num_hashes // bands
+    if exploded is None:  # callers sharing the shingle stage (q128's
+        # harness runs LSH and the exact join over ONE staged explode)
+        # pass it in — the multi-reference rule across operators
+        exploded = exploded_shingles(df, id_col, text_col, shingle_k)
+    h = shingle_hash60("shingle")
+    lo = h.bitwiseAND(F.lit((1 << 30) - 1))
+    hi = F.shiftright(h, 30)
+    hashed = exploded.select("doc_id_", lo.alias("_lo"), hi.alias("_hi"))
+    mins = [
+        F.min(
+            (F.lit(a) * F.col("_lo") + F.lit(b) * F.col("_hi") + F.lit(c))
+            % MINHASH_PRIME
+        ).alias(f"mh{i}")
+        for i, (a, b, c) in enumerate(MINHASH_COEFFS[:num_hashes])
+    ]
+    sig = hashed.groupBy("doc_id_").agg(*mins)
+    band_exprs = [
+        F.struct(
+            F.lit(b).alias("b"),
+            *[
+                F.col(f"mh{i}").alias(f"k{j}")
+                for j, i in enumerate(
+                    range(b * rows_per_band, (b + 1) * rows_per_band)
+                )
+            ],
+        )
+        for b in range(bands)
+    ]
+    return sig.select("doc_id_", F.explode(F.array(*band_exprs)).alias("band"))
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str,
@@ -138,40 +190,9 @@ def minhash_lsh_candidates(
     generation is an equi-join on the band hash, never an all-pairs
     scan; hot bands are bounded by band size and AQE skew splitting.
     """
-    rows_per_band = num_hashes // bands
-    if exploded is None:  # callers sharing the shingle stage (q128's
-        # harness runs LSH and the exact join over ONE staged explode)
-        # pass it in — the multi-reference rule across operators
-        exploded = exploded_shingles(df, id_col, text_col, shingle_k)
-    h = shingle_hash60("shingle")
-    lo = h.bitwiseAND(F.lit((1 << 30) - 1))
-    hi = F.shiftright(h, 30)
-    hashed = exploded.select(
-        "doc_id_", lo.alias("_lo"), hi.alias("_hi")
+    banded = banded_signatures(
+        df, id_col, text_col, shingle_k, num_hashes, bands, exploded=exploded
     )
-    mins = [
-        F.min((F.lit(a) * F.col("_lo") + F.lit(b) * F.col("_hi") + F.lit(c)) % MINHASH_PRIME).alias(
-            f"mh{i}"
-        )
-        for i, (a, b, c) in enumerate(MINHASH_COEFFS[:num_hashes])
-    ]
-    sig = hashed.groupBy("doc_id_").agg(*mins)
-    # band key = (band index, raw minhash slice) as a STRUCT, not a
-    # hashed string: struct equality joins/shuffles natively, so the
-    # md5-of-concat digest would only re-hash what the shuffle
-    # partitioner hashes anyway — measured ~15% off this subtree's
-    # codegen+run with identical candidate pairs
-    band_exprs = [
-        F.struct(
-            F.lit(b).alias("b"),
-            *[
-                F.col(f"mh{i}").alias(f"k{j}")
-                for j, i in enumerate(range(b * rows_per_band, (b + 1) * rows_per_band))
-            ],
-        )
-        for b in range(bands)
-    ]
-    banded = sig.select("doc_id_", F.explode(F.array(*band_exprs)).alias("band"))
     # shuffle-hash, not broadcast: broadcasting one side makes Spark
     # compute the whole shingle->sig subtree twice (once per side);
     # a shuffled self-join partitions one computed result by band key.

@@ -5658,6 +5658,72 @@ GROUP BY 1
 Q128_SQL = _q128_sql()
 
 
+# --- q129: incremental LSH indexing (delta near-dup) -------------------------
+# Completes the incremental family (q67 exact-dedup delta, q117
+# aggregate maintenance, s08 streaming ingest) at the NEAR-dup end:
+# band an incoming batch and probe it against the existing banded
+# index — candidate pairs must touch the new batch (new x stored and
+# new x new); stored x stored pairs were found when THOSE batches
+# arrived. At scale the stored side is a materialized (doc, band)
+# index table read from storage, exactly like q67's stored
+# fingerprint column — here both sides derive in-plan from the same
+# corpus so the oracle can replay the split, and the asymmetric join
+# is the part under test: the corpus is probed, never re-paired.
+
+INC_LSH_MOD = 10
+INC_LSH_RES = 7  # doc_id % 10 == 7 -> the incoming batch
+
+
+def q129_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.operators.dedup import banded_signatures
+    from las_vpe_platform_spark.operators.staging import persist_disk
+
+    docs = _t(spark, sf_dir, "documents")
+    is_new = (F.col("doc_id") % INC_LSH_MOD) == INC_LSH_RES
+    kw = dict(
+        id_col="doc_id", text_col="text", shingle_k=MINHASH_K,
+        num_hashes=MINHASH_HASHES, bands=MINHASH_BANDS,
+    )
+    # the NEW batch's band entries — small, staged (probed twice:
+    # against the stored index and against itself)
+    new_banded = persist_disk(
+        banded_signatures(docs.filter(is_new), **kw), "inc_lsh_new"
+    )
+    # the stored index: at scale a materialized (doc, band) table read
+    # from storage (q67's stored-fingerprint pattern); derived in-plan
+    # here so the oracle replays the split
+    stored_banded = banded_signatures(docs.filter(~is_new), **kw)
+    vs_stored = (
+        new_banded.alias("l")
+        .hint("shuffle_hash")
+        .join(stored_banded.alias("r").hint("shuffle_hash"), on="band")
+        .selectExpr(
+            "least(l.doc_id_, r.doc_id_) AS id_a",
+            "greatest(l.doc_id_, r.doc_id_) AS id_b",
+        )
+        .withColumn("both_new", F.lit(0))
+    )
+    vs_new = (
+        new_banded.alias("l")
+        .join(new_banded.alias("r"), on="band")
+        .filter(F.col("l.doc_id_") < F.col("r.doc_id_"))
+        .selectExpr("l.doc_id_ AS id_a", "r.doc_id_ AS id_b")
+        .withColumn("both_new", F.lit(1))
+    )
+    return vs_stored.unionByName(vs_new).distinct()
+
+
+Q129_SQL = f"""
+SELECT id_a, id_b,
+       CASE WHEN id_a % {INC_LSH_MOD} = {INC_LSH_RES}
+             AND id_b % {INC_LSH_MOD} = {INC_LSH_RES}
+            THEN 1 ELSE 0 END AS both_new
+FROM ({_q24_sql()}) p
+WHERE id_a % {INC_LSH_MOD} = {INC_LSH_RES}
+   OR id_b % {INC_LSH_MOD} = {INC_LSH_RES}
+"""
+
+
 DATA_QUERIES = {
     "q20_doc_token_stats": (q20_doc_token_stats, Q20_SQL),
     "q21_doc_quality": (q21_doc_quality, Q21_SQL),
@@ -5746,4 +5812,5 @@ DATA_QUERIES = {
     "q126_ivfpq_recall": (q126_ivfpq_recall, Q126_SQL),
     "q127_negative_edge_samples": (q127_negative_edge_samples, Q127_SQL),
     "q128_lsh_recall": (q128_lsh_recall, Q128_SQL),
+    "q129_incremental_lsh": (q129_incremental_lsh, Q129_SQL),
 }

@@ -121,6 +121,10 @@ HEADLINERS = [
      "diverse exemplars: exact-BIGINT quarter-sum features from hex arithmetic "
      "in the scan stage; two per-tracklet rank windows over patch-index rows — "
      "pixels never become rows"),
+    ("q129_incremental_lsh",
+     "delta near-dup: the staged new-batch band entries probe the stored band "
+     "index via an asymmetric shuffle-hash equi-join plus one batch-sized "
+     "self-join — the corpus side is probed, never re-paired"),
     ("q128_lsh_recall",
      "dedup recall harness: exact PPJoin pairs LEFT JOIN the LSH candidate set, "
      "then one buckets-sized aggregate — the harness adds no corpus-sized work "
