@@ -239,6 +239,7 @@ DRIVER_PRIORITY: list[str] = [
     "q128_lsh_recall",
     "m11_diverse_exemplars",
     "q129_incremental_lsh",
+    "s19_stream_lsh_ingest_gate",
     "q01_pricing_summary",
     "q06_customers_without_recent_orders",
     "q07_order_point_lookup",
@@ -372,6 +373,7 @@ ACKNOWLEDGED_OVERFLOW: set[str] = {
     "q128_lsh_recall",
     "m11_diverse_exemplars",
     "q129_incremental_lsh",
+    "s19_stream_lsh_ingest_gate",
 }
 
 _unaccounted = [

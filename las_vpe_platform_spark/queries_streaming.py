@@ -1313,6 +1313,80 @@ FROM c LEFT JOIN dim d
 """
 
 
+def s19_stream_lsh_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup ingest gate — q129's asymmetric index probe
+    run continuously (the live near-dup member of the incremental
+    family, next to s08's exact-fingerprint gate): every micro-batch
+    is banded (the q24 MinHash pipeline, batch-mode inside
+    ``foreachBatch`` because signature aggregation is per-document,
+    not cross-batch state) and probed against the STORED band index —
+    staged once and re-used by every batch. Emitted rows are the
+    collision alerts (incoming doc, stored doc) an ingest pipeline
+    routes to near-dup resolution; pair emission is a pure function of
+    the pair, so the result is deterministic under any batching.
+
+    Stored corpus = doc_id % 3 == 0 (s08's split). The stream re-lands
+    the whole table, so stored docs stream past their own index —
+    self-pairs are excluded, stored-vs-stored collisions appear in
+    both orientations (one per ingest direction), exactly what the
+    batch oracle replays.
+    """
+    from las_vpe_platform_spark.operators.dedup import banded_signatures
+    from las_vpe_platform_spark.operators.staging import persist_disk
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = _scratch_dir("s19_docs_")
+    docs.coalesce(8).write.mode("overwrite").parquet(src)
+    kw = dict(id_col="doc_id", text_col="text", shingle_k=2,
+              num_hashes=16, bands=4)
+    stored_banded = persist_disk(
+        banded_signatures(docs.filter(F.col("doc_id") % 3 == 0), **kw)
+        .selectExpr("doc_id_ AS id_stored", "band"),
+        "s19_stored_index",
+    )
+    out_dir = _scratch_dir("s19_pairs_")
+
+    def probe_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        incoming = banded_signatures(
+            batch_df.select("doc_id", "text"), **kw
+        ).selectExpr("doc_id_ AS id_in", "band")
+        (
+            incoming.join(stored_banded, on="band")
+            .filter(F.col("id_in") != F.col("id_stored"))
+            .select("id_in", "id_stored")
+            .distinct()
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    stream = file_stream(spark, src, RAW_DOCS_SCHEMA, max_files_per_trigger=4)
+    with _stream_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(probe_batch)
+            .outputMode("append")
+            .queryName(f"s19_{uuid.uuid4().hex[:8]}")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    return spark.read.parquet(out_dir).distinct()
+
+
+def _s19_sql() -> str:
+    from las_vpe_platform_spark.queries_data import _lsh_banded_cte_sql
+
+    return f"""{_lsh_banded_cte_sql(2)}
+SELECT DISTINCT l.doc_id AS id_in, r.doc_id AS id_stored
+FROM banded l JOIN banded r ON l.band = r.band
+WHERE r.doc_id % 3 = 0 AND l.doc_id != r.doc_id
+"""
+
+
+S19_SQL = _s19_sql()
+
+
 STREAMING_QUERIES = {
     "s01_stream_windowed_counts": (s01_stream_windowed_counts, S01_SQL),
     "s02_stream_dedup": (s02_stream_dedup, S02_SQL),
@@ -1332,4 +1406,5 @@ STREAMING_QUERIES = {
     "s16_stream_session_native": (s16_stream_session_native, S16_SQL),
     "s17_stream_left_outer_join": (s17_stream_left_outer_join, S17_SQL),
     "s18_stream_scd2_asof_enrich": (s18_stream_scd2_asof_enrich, S18_SQL),
+    "s19_stream_lsh_ingest_gate": (s19_stream_lsh_ingest_gate, S19_SQL),
 }
