@@ -5623,39 +5623,7 @@ WITH base AS (
 
 def _lsh_pairs_sql(shingle_k: int) -> str:
     """q24's LSH candidate SQL, parametric in shingle size."""
-    from las_vpe_platform_spark.functions.text import MINHASH_COEFFS, MINHASH_PRIME
-
-    rpb = MINHASH_HASHES // MINHASH_BANDS
-    mins = ", ".join(
-        f"min(({a} * lo + {b} * hi + {c}) % {MINHASH_PRIME}) AS mh{i}"
-        for i, (a, b, c) in enumerate(MINHASH_COEFFS[:MINHASH_HASHES])
-    )
-    bands = ", ".join(
-        "'{b}:' || md5({parts})".format(
-            b=b,
-            parts=" || '|' || ".join(
-                f"mh{i}::VARCHAR" for i in range(b * rpb, (b + 1) * rpb)
-            ),
-        )
-        for b in range(MINHASH_BANDS)
-    )
-    return f"""
-WITH base AS (
-  SELECT doc_id, {SQL_TOKENS} AS toks FROM documents
-), shingled AS (
-  SELECT doc_id, {sql_shingles(shingle_k)} AS sh FROM base
-), exploded AS (
-  SELECT doc_id, unnest(sh) AS shingle FROM shingled
-), hashed AS (
-  SELECT doc_id,
-         (('0x' || substr(md5(shingle), 1, 15))::BIGINT & 1073741823) AS lo,
-         (('0x' || substr(md5(shingle), 1, 15))::BIGINT >> 30)        AS hi
-  FROM exploded
-), sigs AS (
-  SELECT doc_id, {mins} FROM hashed GROUP BY doc_id
-), banded AS (
-  SELECT doc_id, unnest([{bands}]) AS band FROM sigs
-)
+    return f"""{_lsh_banded_cte_sql(shingle_k)}
 SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
 FROM banded l JOIN banded r ON l.band = r.band AND l.doc_id < r.doc_id
 """
