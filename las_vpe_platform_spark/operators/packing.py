@@ -91,6 +91,7 @@ def pack_sequences(
     id_col: str,
     n_tokens_col: str,
     order_seed: str = "pack",
+    order_col: str | None = None,
 ) -> DataFrame:
     """Assign every document its exclusive prefix-sum of tokens in a
     deterministic global shuffle order (md5 of the id) — the
@@ -116,11 +117,19 @@ def pack_sequences(
     sampling nondeterminism in repartitionByRange cannot change the
     output — which is what makes the operator oracle-checkable.
     """
+    # default order = a deterministic hash shuffle; pass ``order_col``
+    # (a BIGINT total-order key, ties broken by id) to prefix-sum in a
+    # MEANINGFUL order instead — q130's quality-ranked budget cut
+    ord_expr = (
+        F.col(order_col).cast("bigint")
+        if order_col is not None
+        else shingle_hash60(
+            F.concat_ws(":", F.lit(order_seed), F.col(id_col).cast("string"))
+        )
+    )
     d = df.select(
         F.col(id_col),
-        shingle_hash60(
-            F.concat_ws(":", F.lit(order_seed), F.col(id_col).cast("string"))
-        ).alias("_ord"),
+        ord_expr.alias("_ord"),
         F.col(n_tokens_col).cast("bigint").alias("n"),
     ).filter(F.col("n") > 0)
     npart = max(2, d.sparkSession.sparkContext.defaultParallelism)

@@ -240,6 +240,8 @@ DRIVER_PRIORITY: list[str] = [
     "m11_diverse_exemplars",
     "q129_incremental_lsh",
     "s19_stream_lsh_ingest_gate",
+    "q130_quality_budget_cut",
+    "d24_journey_reconstruction",
     "q01_pricing_summary",
     "q06_customers_without_recent_orders",
     "q07_order_point_lookup",
@@ -374,6 +376,8 @@ ACKNOWLEDGED_OVERFLOW: set[str] = {
     "m11_diverse_exemplars",
     "q129_incremental_lsh",
     "s19_stream_lsh_ingest_gate",
+    "q130_quality_budget_cut",
+    "d24_journey_reconstruction",
 }
 
 _unaccounted = [

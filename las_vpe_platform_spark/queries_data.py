@@ -5730,6 +5730,63 @@ WHERE id_a % {INC_LSH_MOD} = {INC_LSH_RES}
 """
 
 
+# --- q130: quality-ranked token-budget selection ------------------------------
+# THE dataset-curation cut: "give me the best B tokens" — rank the
+# corpus by a quality key and keep whole documents while the running
+# token total fits the budget. q86 mixes sources PROPORTIONALLY; this
+# selects by RANK, which needs a global prefix sum — and a global
+# prefix sum done as one Window.orderBy funnels 100 TB through a
+# single task, so it reuses q62's distributed two-phase scan
+# (range-repartition -> per-partition Arrow running sums -> broadcast
+# partition offsets), here ordered by the quality key instead of the
+# shuffle hash. The quality key is an exact BIGINT (distinct-token
+# count, richness-first) so ordering is engine-identical by
+# construction, no float rank hazards.
+
+TOKEN_BUDGET = 20000
+
+
+def q130_quality_budget_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.functions.text import tokens
+    from las_vpe_platform_spark.operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        F.size(tokens("text")).cast("bigint").alias("n_tokens"),
+        (-F.size(F.array_distinct(tokens("text")))).cast("bigint").alias("_qord"),
+    )
+    pref = pack_sequences(
+        scored, id_col="doc_id", n_tokens_col="n_tokens", order_col="_qord"
+    )
+    return (
+        pref.filter(F.col("prefix") + F.col("n") <= TOKEN_BUDGET)
+        .select(
+            "doc_id",
+            F.col("n").alias("n_tokens"),
+            F.col("prefix").alias("tokens_before"),
+        )
+    )
+
+
+Q130_SQL = f"""
+WITH scored AS (
+  SELECT doc_id,
+         len({SQL_TOKENS})::BIGINT AS n_tokens,
+         -len(list_distinct({SQL_TOKENS}))::BIGINT AS qord
+  FROM documents
+), pref AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (ORDER BY qord, doc_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0) AS tokens_before
+  FROM scored WHERE n_tokens > 0
+)
+SELECT doc_id, n_tokens, tokens_before
+FROM pref WHERE tokens_before + n_tokens <= {TOKEN_BUDGET}
+"""
+
+
 DATA_QUERIES = {
     "q20_doc_token_stats": (q20_doc_token_stats, Q20_SQL),
     "q21_doc_quality": (q21_doc_quality, Q21_SQL),
@@ -5819,4 +5876,5 @@ DATA_QUERIES = {
     "q127_negative_edge_samples": (q127_negative_edge_samples, Q127_SQL),
     "q128_lsh_recall": (q128_lsh_recall, Q128_SQL),
     "q129_incremental_lsh": (q129_incremental_lsh, Q129_SQL),
+    "q130_quality_budget_cut": (q130_quality_budget_cut, Q130_SQL),
 }

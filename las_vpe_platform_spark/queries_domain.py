@@ -1773,6 +1773,10 @@ D23_SIM_LO = 0.03
 
 
 def d23_cross_camera_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _stitch_candidates(spark)
+
+
+def _stitch_candidates(spark: SparkSession) -> DataFrame:
     vids = _fx(spark, "videos").select("video_id", "camera_id")
     tk = (
         _fx(spark, "tracklets")
@@ -1979,6 +1983,63 @@ FROM (
 """
 
 
+# --- d24: journey reconstruction (chained stitch candidates) -----------------
+# The multi-camera deliverable the stitch graph exists for: 2-leg
+# journeys A -> B -> C, chained where leg2 continues from leg1's
+# arrival tracklet (shared middle key makes camera continuity and
+# time ordering structural — d23 already oriented each leg by wall
+# clock). Journey confidence = the WEAKER leg's similarity (a chain
+# is only as strong as its weakest link). Scale shape: the candidate
+# frame is staged once (both legs read it) and the chain is one
+# equi-join on the middle tracklet key — journeys never touch raw
+# tracklets again.
+
+def d24_journey_reconstruction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.operators.staging import persist_disk
+
+    cand = persist_disk(
+        _stitch_candidates(spark).select(
+            "cam_from", "cam_to", "key_from", "key_to", "transit_s", "similarity"
+        ),
+        "d24_stitch_candidates",
+    )
+    leg1 = cand.selectExpr(
+        "cam_from AS cam_a", "cam_to AS cam_b",
+        "key_from AS key_a", "key_to AS key_b",
+        "transit_s AS t1", "similarity AS sim1",
+    )
+    leg2 = cand.selectExpr(
+        "cam_from AS cam_b2", "cam_to AS cam_c",
+        "key_from AS key_b", "key_to AS key_c",
+        "transit_s AS t2", "similarity AS sim2",
+    )
+    return (
+        leg1.join(leg2, on="key_b")
+        .filter("key_a != key_c")
+        .selectExpr(
+            "key_a", "key_b", "key_c",
+            "cam_a", "cam_b", "cam_c",
+            "t1 + t2 AS total_transit_s",
+            "least(sim1, sim2) AS journey_confidence",
+        )
+    )
+
+
+D24_SQL = f"""
+WITH cand AS MATERIALIZED (
+  SELECT cam_from, cam_to, key_from, key_to, transit_s, similarity
+  FROM ({D23_SQL}) c
+)
+SELECT l1.key_from AS key_a, l1.key_to AS key_b, l2.key_to AS key_c,
+       l1.cam_from AS cam_a, l1.cam_to AS cam_b, l2.cam_to AS cam_c,
+       l1.transit_s + l2.transit_s AS total_transit_s,
+       least(l1.similarity, l2.similarity) AS journey_confidence
+FROM cand l1
+JOIN cand l2 ON l2.key_from = l1.key_to
+WHERE l1.key_from != l2.key_to
+"""
+
+
 DOMAIN_QUERIES = {
     "d01_tracklet_sampling": (d01_tracklet_sampling, D01_SQL),
     "d02_attribute_average": (d02_attribute_average, D02_SQL),
@@ -2012,6 +2073,7 @@ DOMAIN_QUERIES = {
     "d21_cotravel_pairs": (d21_cotravel_pairs, D21_SQL),
     "d23_cross_camera_stitch": (d23_cross_camera_stitch, D23_SQL),
     "m11_diverse_exemplars": (m11_diverse_exemplars, M11_SQL),
+    "d24_journey_reconstruction": (d24_journey_reconstruction, D24_SQL),
     "m10_loudness_segments": (m10_loudness_segments, M10_SQL),
     "d22_dwell_distribution": (d22_dwell_distribution, D22_SQL),
 }

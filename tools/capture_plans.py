@@ -121,6 +121,9 @@ HEADLINERS = [
      "diverse exemplars: exact-BIGINT quarter-sum features from hex arithmetic "
      "in the scan stage; two per-tracklet rank windows over patch-index rows — "
      "pixels never become rows"),
+    ("q130_quality_budget_cut",
+     "budget cut: ONE range exchange into the per-partition Arrow prefix scan, "
+     "broadcast partition offsets — no single-task global window"),
     ("q129_incremental_lsh",
      "delta near-dup: the staged new-batch band entries probe the stored band "
      "index via an asymmetric shuffle-hash equi-join plus one batch-sized "
