@@ -1018,7 +1018,8 @@ def edit_distance_pairs(
         a.join(b, "bucket")
         .filter("s_a < s_b")
         .filter(f"abs(la - lb) <= {threshold}")
-        .filter(f"levenshtein(s_a, s_b) <= {threshold}")
+        # compute the O(len^2) DP once as a column, THEN filter on it —
+        # filter + re-project would run it twice per candidate
         .selectExpr(
             "s_a",
             "s_b",
@@ -1026,4 +1027,5 @@ def edit_distance_pairs(
             *[f"{c}_a" for c in carry_cols],
             *[f"{c}_b" for c in carry_cols],
         )
+        .filter(f"edit_dist <= {threshold}")
     )

@@ -136,9 +136,12 @@ def label_propagation(
     pins it): labels start as the node id; ALL nodes update
     simultaneously each round (synchronous, not the paper's sequential
     sweep); a node's new label is the most frequent among its
-    neighbors' current labels ONLY (self excluded), ties to the
-    smallest label; ``rounds`` is fixed — the engine-independent
-    formulation an oracle can replay exactly.
+    NEIGHBORS' current labels, ties to the smallest label (a node has
+    no implicit self-vote, but a SELF-LOOP edge is a real neighbor
+    relation and — being symmetrized like every edge — contributes the
+    node's own label twice, which the property test pins); ``rounds``
+    is fixed — the engine-independent formulation an oracle can
+    replay exactly.
 
     Execution shape: the symmetrized edge list is built once; each
     round is one join (neighbor labels) + one grouped count + one

@@ -336,13 +336,18 @@ def scd2_history(
     from pyspark.sql import Window as W
 
     w = W.partitionBy(key_col).orderBy(time_col, tiebreak_col)
+    # change flag: first row of the key always flags (lag of the
+    # never-null time column is NULL there); attribute comparison is
+    # NULL-SAFE so a run of NULL attrs is ONE island, not one island
+    # per row (review r5: `lag != attr` is NULL against a NULL attr,
+    # which silently fragmented NULL runs)
     flagged = changelog.withColumn(
         "_chg",
-        F.when(
-            F.lag(attr_col).over(w).isNull()
-            | (F.lag(attr_col).over(w) != F.col(attr_col)),
-            F.lit(1),
-        ).otherwise(F.lit(0)),
+        F.when(F.lag(time_col).over(w).isNull(), F.lit(1))
+        .when(
+            ~F.col(attr_col).eqNullSafe(F.lag(attr_col).over(w)), F.lit(1)
+        )
+        .otherwise(F.lit(0)),
     ).withColumn(
         "_island",
         F.sum("_chg").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
@@ -351,7 +356,11 @@ def scd2_history(
         F.min(time_col).alias("valid_from_us"),
         F.count(F.lit(1)).alias("n_events"),
     )
-    w2 = W.partitionBy(key_col).orderBy("valid_from_us")
+    # successor order must include the island id: two adjacent runs
+    # share valid_from_us when tied timestamps straddle the change
+    # boundary, and valid_from_us alone would order them arbitrarily
+    # (review r5) — _island increases in event order by construction
+    w2 = W.partitionBy(key_col).orderBy("valid_from_us", "_island")
     return runs.withColumn(
         "valid_to_us", F.lead("valid_from_us").over(w2)
     ).select(

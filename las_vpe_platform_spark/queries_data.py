@@ -213,7 +213,9 @@ def q24_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q24_sql() -> str:
+def _lsh_banded_cte_sql(shingle_k: int) -> str:
+    """The WITH-body producing the ``banded`` CTE (doc_id, band) —
+    shared by the recall harness and the streaming ingest gate."""
     from las_vpe_platform_spark.functions.text import MINHASH_COEFFS, MINHASH_PRIME
 
     rpb = MINHASH_HASHES // MINHASH_BANDS
@@ -232,9 +234,9 @@ def _q24_sql() -> str:
     )
     return f"""
 WITH base AS (
-  SELECT doc_id, {SQL_TOKENS} AS toks FROM documents
+  SELECT doc_id, {{SQL_TOKENS}} AS toks FROM documents
 ), shingled AS (
-  SELECT doc_id, {sql_shingles(MINHASH_K)} AS sh FROM base
+  SELECT doc_id, {{shingles}} AS sh FROM base
 ), exploded AS (
   SELECT doc_id, unnest(sh) AS shingle FROM shingled
 ), hashed AS (
@@ -246,10 +248,19 @@ WITH base AS (
   SELECT doc_id, {mins} FROM hashed GROUP BY doc_id
 ), banded AS (
   SELECT doc_id, unnest([{bands}]) AS band FROM sigs
-)
+)""".format(SQL_TOKENS=SQL_TOKENS, shingles=sql_shingles(shingle_k))
+
+
+def _lsh_pairs_sql(shingle_k: int) -> str:
+    """q24's LSH candidate SQL, parametric in shingle size."""
+    return f"""{_lsh_banded_cte_sql(shingle_k)}
 SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
 FROM banded l JOIN banded r ON l.band = r.band AND l.doc_id < r.doc_id
 """
+
+
+def _q24_sql() -> str:
+    return _lsh_pairs_sql(MINHASH_K)
 
 
 Q24_SQL = _q24_sql()
@@ -5008,8 +5019,9 @@ WITH ev AS (
   FROM events
 ), flagged AS (
   SELECT *,
-         CASE WHEN lag(tier) OVER w IS NULL
-                OR lag(tier) OVER w != tier THEN 1 ELSE 0 END AS chg
+         CASE WHEN lag(us) OVER w IS NULL THEN 1
+              WHEN tier IS DISTINCT FROM lag(tier) OVER w THEN 1
+              ELSE 0 END AS chg
   FROM ev
   WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
 ), islands AS (
@@ -5023,11 +5035,12 @@ WITH ev AS (
   FROM islands GROUP BY user_id, island, tier
 )
 SELECT user_id, tier, valid_from_us,
-       lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY valid_from_us)
+       lead(valid_from_us) OVER (PARTITION BY user_id
+                                 ORDER BY valid_from_us, island)
          AS valid_to_us,
        n_events,
        CASE WHEN lead(valid_from_us) OVER (PARTITION BY user_id
-                                           ORDER BY valid_from_us) IS NULL
+                                           ORDER BY valid_from_us, island) IS NULL
             THEN 1 ELSE 0 END AS is_current
 FROM runs
 """
@@ -5268,14 +5281,19 @@ def q125_lagged_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.floor(ntz_epoch_micros("ts") / F.lit(3600000000)).cast("bigint").alias("h"),
     )
-    counts = (
-        ev.groupBy("h")
-        .agg(
+    from las_vpe_platform_spark.operators.staging import persist_disk
+
+    # counts is hours-sized and feeds the spine bounds AND the dense
+    # join — stage it; bounds derive from it (review r5: a second full
+    # events scan for two scalars)
+    counts = persist_disk(
+        ev.groupBy("h").agg(
             F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("a"),
             F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("b"),
-        )
+        ),
+        "xcorr_counts",
     )
-    bounds = ev.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    bounds = counts.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
     spine = bounds.select(
         F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("h")
     )
@@ -5324,13 +5342,13 @@ WITH ev AS (
   SELECT event_type,
          CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS h
   FROM events WHERE event_type IN ('click', 'purchase')
-), counts AS (
+), counts AS MATERIALIZED (
   SELECT h,
          sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS a,
          sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS b
   FROM ev GROUP BY h
 ), bounds AS (
-  SELECT min(h) AS lo, max(h) AS hi FROM ev
+  SELECT min(h) AS lo, max(h) AS hi FROM counts
 ), dense AS (
   SELECT s.h, coalesce(c.a, 0) AS a, coalesce(c.b, 0) AS b
   FROM (SELECT unnest(generate_series(lo, hi)) AS h FROM bounds) s
@@ -5583,52 +5601,6 @@ def q128_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lsh_banded_cte_sql(shingle_k: int) -> str:
-    """The WITH-body producing the ``banded`` CTE (doc_id, band) —
-    shared by the recall harness and the streaming ingest gate."""
-    from las_vpe_platform_spark.functions.text import MINHASH_COEFFS, MINHASH_PRIME
-
-    rpb = MINHASH_HASHES // MINHASH_BANDS
-    mins = ", ".join(
-        f"min(({a} * lo + {b} * hi + {c}) % {MINHASH_PRIME}) AS mh{i}"
-        for i, (a, b, c) in enumerate(MINHASH_COEFFS[:MINHASH_HASHES])
-    )
-    bands = ", ".join(
-        "'{b}:' || md5({parts})".format(
-            b=b,
-            parts=" || '|' || ".join(
-                f"mh{i}::VARCHAR" for i in range(b * rpb, (b + 1) * rpb)
-            ),
-        )
-        for b in range(MINHASH_BANDS)
-    )
-    return f"""
-WITH base AS (
-  SELECT doc_id, {{SQL_TOKENS}} AS toks FROM documents
-), shingled AS (
-  SELECT doc_id, {{shingles}} AS sh FROM base
-), exploded AS (
-  SELECT doc_id, unnest(sh) AS shingle FROM shingled
-), hashed AS (
-  SELECT doc_id,
-         (('0x' || substr(md5(shingle), 1, 15))::BIGINT & 1073741823) AS lo,
-         (('0x' || substr(md5(shingle), 1, 15))::BIGINT >> 30)        AS hi
-  FROM exploded
-), sigs AS (
-  SELECT doc_id, {mins} FROM hashed GROUP BY doc_id
-), banded AS (
-  SELECT doc_id, unnest([{bands}]) AS band FROM sigs
-)""".format(SQL_TOKENS=SQL_TOKENS, shingles=sql_shingles(shingle_k))
-
-
-def _lsh_pairs_sql(shingle_k: int) -> str:
-    """q24's LSH candidate SQL, parametric in shingle size."""
-    return f"""{_lsh_banded_cte_sql(shingle_k)}
-SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-FROM banded l JOIN banded r ON l.band = r.band AND l.doc_id < r.doc_id
-"""
-
-
 def _q128_sql() -> str:
     return f"""
 WITH cand AS MATERIALIZED (
@@ -5743,7 +5715,7 @@ WHERE id_a % {INC_LSH_MOD} = {INC_LSH_RES}
 # count, richness-first) so ordering is engine-identical by
 # construction, no float rank hazards.
 
-TOKEN_BUDGET = 20000
+CUT_TOKEN_BUDGET = 20000
 
 
 def q130_quality_budget_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5760,7 +5732,7 @@ def q130_quality_budget_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored, id_col="doc_id", n_tokens_col="n_tokens", order_col="_qord"
     )
     return (
-        pref.filter(F.col("prefix") + F.col("n") <= TOKEN_BUDGET)
+        pref.filter(F.col("prefix") + F.col("n") <= CUT_TOKEN_BUDGET)
         .select(
             "doc_id",
             F.col("n").alias("n_tokens"),
@@ -5783,7 +5755,7 @@ WITH scored AS (
   FROM scored WHERE n_tokens > 0
 )
 SELECT doc_id, n_tokens, tokens_before
-FROM pref WHERE tokens_before + n_tokens <= {TOKEN_BUDGET}
+FROM pref WHERE tokens_before + n_tokens <= {CUT_TOKEN_BUDGET}
 """
 
 

@@ -1786,6 +1786,8 @@ def _stitch_candidates(spark: SparkSession) -> DataFrame:
     )
     a = tk.selectExpr("tracklet_key AS node_a", "camera_id AS cam_a", "us AS us_a")
     b = tk.selectExpr("tracklet_key AS node_b", "camera_id AS cam_b", "us AS us_b")
+    from las_vpe_platform_spark.operators.staging import persist_disk
+
     links = (
         _fx(spark, "similarity_edges")
         .join(a, "node_a")
@@ -1800,6 +1802,9 @@ def _stitch_candidates(spark: SparkSession) -> DataFrame:
             "CAST(similarity AS DOUBLE) AS sim",
         )
     )
+    # referenced by the band calibration AND the candidate filter —
+    # stage once (review r5: the edge-tracklet join computed twice)
+    links = persist_disk(links, "d23_links")
     bands = links.filter(F.col("sim") >= D23_SIM_HI).groupBy(
         "cam_from", "cam_to"
     ).agg(
@@ -1830,7 +1835,7 @@ WITH tk AS (
   SELECT t.tracklet_key, v.camera_id, epoch_us(t.start_ts) AS us
   FROM {_fxsql('tracklets')} t
   JOIN {_fxsql('videos')} v USING (video_id)
-), links AS (
+), links AS MATERIALIZED (
   SELECT CASE WHEN a.us <= b.us THEN a.camera_id ELSE b.camera_id END AS cam_from,
          CASE WHEN a.us <= b.us THEN b.camera_id ELSE a.camera_id END AS cam_to,
          CASE WHEN a.us <= b.us THEN a.tracklet_key ELSE b.tracklet_key END AS key_from,

@@ -1284,8 +1284,9 @@ WITH p AS (
   FROM events WHERE event_type = 'purchase'
 ), flagged AS (
   SELECT *,
-         CASE WHEN lag(tier) OVER w IS NULL
-                OR lag(tier) OVER w != tier THEN 1 ELSE 0 END AS chg
+         CASE WHEN lag(us) OVER w IS NULL THEN 1
+              WHEN tier IS DISTINCT FROM lag(tier) OVER w THEN 1
+              ELSE 0 END AS chg
   FROM p
   WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
 ), islands AS (
@@ -1299,7 +1300,7 @@ WITH p AS (
 ), dim AS (
   SELECT user_id, tier, valid_from_us,
          lead(valid_from_us) OVER (PARTITION BY user_id
-                                   ORDER BY valid_from_us) AS valid_to_us
+                                   ORDER BY valid_from_us, island) AS valid_to_us
   FROM runs
 ), c AS (
   SELECT event_id, user_id, epoch_us(ts) AS click_us

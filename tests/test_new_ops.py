@@ -356,3 +356,37 @@ def test_left_outer_stream_join_null_emission_and_no_retro_match(spark):
     # left #2's window [12:00, 12:30] is still open at end of input:
     # withheld, not emitted with nulls
     assert (2, None) not in pairs, pairs
+
+
+def test_scd2_history_null_runs_and_tied_timestamps(spark):
+    """Two review-r5 fixes pinned: (a) a run of NULL attributes is ONE
+    island (null-safe change comparison), (b) adjacent runs sharing
+    valid_from_us (tied timestamps straddling a change) order their
+    closing edges by island, deterministically."""
+    from las_vpe_platform_spark.operators.maintenance import scd2_history
+
+    rows = [
+        # user 1: A, NULL, NULL, B  -> 3 runs; NULLs are one island
+        (1, 1, 100, "A"), (1, 2, 200, None), (1, 3, 300, None), (1, 4, 400, "B"),
+        # user 2: tied timestamps across a change boundary
+        (2, 1, 500, "X"), (2, 2, 500, "Y"), (2, 3, 600, "Y"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, us long, attr string"
+    )
+    out = {
+        (r["user_id"], r["attr"]): (
+            r["valid_from_us"], r["valid_to_us"], r["n_events"], r["is_current"]
+        )
+        for r in scd2_history(
+            df, key_col="user_id", attr_col="attr",
+            time_col="us", tiebreak_col="event_id",
+        ).collect()
+    }
+    assert out[(1, "A")] == (100, 200, 1, 0)
+    assert out[(1, None)] == (200, 400, 2, 0)   # ONE null run, closed by B
+    assert out[(1, "B")] == (400, None, 1, 1)
+    # tied starts: X's island precedes Y's, so X closes at 500 and the
+    # Y run (2 events, started at the tied 500) stays current
+    assert out[(2, "X")] == (500, 500, 1, 0)
+    assert out[(2, "Y")] == (500, None, 2, 1)

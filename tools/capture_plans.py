@@ -345,6 +345,7 @@ def _locf_stream_plan(spark):
 def _left_outer_join_stream_plan(spark):
     from las_vpe_platform_spark.queries_streaming import (
         RAW_EVENTS_SCHEMA,
+        S17_ATTR_HOURS,
         _scratch_dir,
     )
     from pyspark.sql import functions as F
@@ -373,7 +374,10 @@ def _left_outer_join_stream_plan(spark):
         purchases,
         (F.col("user_id") == F.col("p_user"))
         & (F.col("p_ts") >= F.col("c_ts"))
-        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 24 HOURS")),
+        & (
+            F.col("p_ts")
+            <= F.col("c_ts") + F.expr(f"INTERVAL {S17_ATTR_HOURS} HOURS")
+        ),
         "leftOuter",
     )
 
