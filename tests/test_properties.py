@@ -566,3 +566,60 @@ def test_edit_distance_pairs_matches_brute_force(spark, strings, t):
         if lev(x, y) <= t
     )
     assert got == expected
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 2),                         # key
+            st.integers(0, 50),                        # time
+            st.one_of(st.none(), st.integers(0, 2)),   # attr (nullable)
+        ),
+        min_size=1,
+        max_size=16,
+    )
+)
+@slow
+def test_scd2_history_matches_python_reference(spark, rows):
+    """scd2_history vs a straightforward sequential reference on random
+    changelogs — tied timestamps (broken by event_id) and NULL
+    attribute runs included, the two cases review r5 caught."""
+    from las_vpe_platform_spark.operators.maintenance import scd2_history
+
+    recs = [(k, i, t, a) for i, (k, t, a) in enumerate(rows)]
+    df = spark.createDataFrame(
+        recs, "key long, event_id long, us long, attr long"
+    )
+    def skey(t):  # rows carry NULLs (attr, open valid_to) — sortable form
+        return tuple((v is None, v if v is not None else 0) for v in t)
+
+    got = sorted(
+        (
+            (
+                r["key"], r["attr"], r["valid_from_us"], r["valid_to_us"],
+                r["n_events"], r["is_current"],
+            )
+            for r in scd2_history(
+                df, key_col="key", attr_col="attr",
+                time_col="us", tiebreak_col="event_id",
+            ).collect()
+        ),
+        key=skey,
+    )
+
+    bykey: dict[int, list] = {}
+    for k, eid, t, a in recs:
+        bykey.setdefault(k, []).append((t, eid, a))
+    expected = []
+    for k, evs in bykey.items():
+        evs.sort()
+        runs = []  # (attr, first_t, n)
+        for t, _eid, a in evs:
+            if runs and runs[-1][0] == a:
+                runs[-1][2] += 1
+            else:
+                runs.append([a, t, 1])
+        for i, (a, t, n) in enumerate(runs):
+            nxt = runs[i + 1][1] if i + 1 < len(runs) else None
+            expected.append((k, a, t, nxt, n, 1 if nxt is None else 0))
+    assert got == sorted(expected, key=skey)
