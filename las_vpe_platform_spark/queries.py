@@ -36,7 +36,7 @@ After round 4, every pre-round-5 catalog entry has at least one
 driver-green row (union of CORRECTNESS_r01-r04 covers 125/141; tier 0
 closes the other 16 this round), so the overflow (positions 50+) is
 entirely prior-driver-green — EXCEPT the round-5 late additions
-(q118-q129, s17, s18, d23, m11), which landed after the 50-entry window
+(q118-q131, s17-s19, d23, d24, m11), which landed after the 50-entry window
 filled and are parked in ``ACKNOWLEDGED_OVERFLOW`` with full local
 gates; they move to the head of the round-6 window re-derivation.
 The import-time guards enforce (a) the re-gate block sits inside the
@@ -242,6 +242,7 @@ DRIVER_PRIORITY: list[str] = [
     "s19_stream_lsh_ingest_gate",
     "q130_quality_budget_cut",
     "d24_journey_reconstruction",
+    "q131_seasonal_anomalies",
     "q01_pricing_summary",
     "q06_customers_without_recent_orders",
     "q07_order_point_lookup",
@@ -378,6 +379,7 @@ ACKNOWLEDGED_OVERFLOW: set[str] = {
     "s19_stream_lsh_ingest_gate",
     "q130_quality_budget_cut",
     "d24_journey_reconstruction",
+    "q131_seasonal_anomalies",
 }
 
 _unaccounted = [

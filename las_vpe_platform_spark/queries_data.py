@@ -5759,6 +5759,93 @@ FROM pref WHERE tokens_before + n_tokens <= {CUT_TOKEN_BUDGET}
 """
 
 
+# --- q131: seasonal-baseline anomalies ---------------------------------------
+# The seasonal member of the monitoring family: traffic has a weekly
+# shape, so "is this value anomalous" must be asked against the
+# (day-of-week, hour) baseline, not a global one (q103's MAD flags
+# every Monday morning as an outlier). Baseline mean and std per
+# (dow, hour) bucket come from exact BIGINT cent sums (Σy, Σy², n —
+# aggregation-order-independent); day-of-week derives from epoch-day
+# arithmetic ((days + 4) % 7), NOT the engines' dayofweek() functions,
+# whose numbering conventions differ. Top anomalies by |z| are a
+# TakeOrderedAndProject, never a full sort.
+
+SEASONAL_TOP = 25
+
+
+def q131_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.functions.scalar import ntz_epoch_micros
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        ntz_epoch_micros("ts").alias("us"),
+        F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("bigint").alias("cents"),
+    ).selectExpr(
+        "event_id",
+        "cents",
+        "CAST((us div 86400000000 + 4) % 7 AS BIGINT) AS dow",
+        "CAST((us div 3600000000) % 24 AS BIGINT) AS hod",
+    )
+    base = ev.groupBy("dow", "hod").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("sy"),
+        F.sum(F.col("cents") * F.col("cents")).alias("syy"),
+    ).selectExpr(
+        "dow", "hod", "n",
+        "CAST(sy AS DOUBLE) / CAST(n * 100 AS DOUBLE) AS mu",
+        # population std in value units, from exact integer moments
+        "sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " / (CAST(n AS DOUBLE) * 100.0D) AS sigma",
+    )
+    scored = (
+        ev.join(F.broadcast(base), ["dow", "hod"])
+        .filter("sigma > 0.0D AND n >= 2")
+        .selectExpr(
+            "event_id", "dow", "hod",
+            "CAST(cents AS DOUBLE) / 100.0D AS value",
+            "abs(CAST(cents AS DOUBLE) / 100.0D - mu) / sigma AS z",
+        )
+    )
+    return (
+        scored.orderBy(F.desc("z"), F.asc("event_id"))
+        .limit(SEASONAL_TOP)
+        .selectExpr(
+            "event_id", "dow", "hod", "value",
+            "floor(z * 1000000.0D + 0.5D) / 1000000.0D AS z_score",
+        )
+    )
+
+
+Q131_SQL = f"""
+WITH ev AS (
+  SELECT event_id,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+         CAST((epoch_us(ts) // 86400000000 + 4) % 7 AS BIGINT) AS dow,
+         CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT) AS hod
+  FROM events
+), base AS (
+  SELECT dow, hod, count(*)::BIGINT AS n,
+         sum(cents) AS sy, sum(cents * cents) AS syy
+  FROM ev GROUP BY dow, hod
+), stats AS (
+  SELECT dow, hod, n,
+         sy::DOUBLE / (n * 100)::DOUBLE AS mu,
+         sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)
+           / (n::DOUBLE * 100.0) AS sigma
+  FROM base
+), scored AS (
+  SELECT e.event_id, e.dow, e.hod,
+         e.cents::DOUBLE / 100.0 AS value,
+         abs(e.cents::DOUBLE / 100.0 - s.mu) / s.sigma AS z
+  FROM ev e JOIN stats s USING (dow, hod)
+  WHERE s.sigma > 0.0 AND s.n >= 2
+)
+SELECT event_id, dow, hod, value,
+       floor(z * 1000000.0 + 0.5) / 1000000.0 AS z_score
+FROM scored ORDER BY z DESC, event_id LIMIT {SEASONAL_TOP}
+"""
+
+
 DATA_QUERIES = {
     "q20_doc_token_stats": (q20_doc_token_stats, Q20_SQL),
     "q21_doc_quality": (q21_doc_quality, Q21_SQL),
@@ -5849,4 +5936,5 @@ DATA_QUERIES = {
     "q128_lsh_recall": (q128_lsh_recall, Q128_SQL),
     "q129_incremental_lsh": (q129_incremental_lsh, Q129_SQL),
     "q130_quality_budget_cut": (q130_quality_budget_cut, Q130_SQL),
+    "q131_seasonal_anomalies": (q131_seasonal_anomalies, Q131_SQL),
 }

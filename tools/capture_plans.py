@@ -121,6 +121,10 @@ HEADLINERS = [
      "diverse exemplars: exact-BIGINT quarter-sum features from hex arithmetic "
      "in the scan stage; two per-tracklet rank windows over patch-index rows — "
      "pixels never become rows"),
+    ("q131_seasonal_anomalies",
+     "seasonal anomalies: ONE bucket aggregate of exact integer moments (168 "
+     "rows), broadcast back for per-row z-scoring; global top-k compiles to "
+     "TakeOrderedAndProject"),
     ("q130_quality_budget_cut",
      "budget cut: ONE range exchange into the per-partition Arrow prefix scan, "
      "broadcast partition offsets — no single-task global window"),
