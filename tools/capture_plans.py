@@ -90,6 +90,10 @@ HEADLINERS = [
      "perceptual dedup: signature + content hash in the scan stage, then two cascaded aggregates — the verify stage is a (bucket, hash) groupBy, never a pair join"),
     ("q106_prefix_filter_join",
      "EXACT PPJoin: postings/sizes/prefix are STAGED once (lazy persist); the candidate join is an equi-join on prefix shingles with length + positional prunes (7.9M -> 256 candidates measured at sf0.1); verify cost is bounded by candidates, zero cartesian anywhere (guarded by test_q106_ppjoin_staged_postings_no_cartesian)"),
+    ("q55_dedup_clusters",
+     "connected components over LSH pairs: min-label + path halving with "
+     "per-round lazy localCheckpoint (the iterative-loop carve-out); the plan "
+     "below is the final component aggregate reading the converged labels"),
     ("q93_cluster_keep_best",
      "LSH candidates -> iterative connected components (path halving; per-round localCheckpoint IS correct there — lineage must truncate) -> per-component window top-1; the plan below is the final keep-best stage reading the converged labels"),
     ("q94_triangle_count",
