@@ -243,6 +243,7 @@ DRIVER_PRIORITY: list[str] = [
     "q130_quality_budget_cut",
     "d24_journey_reconstruction",
     "q131_seasonal_anomalies",
+    "q132_ann_ndcg",
     "q01_pricing_summary",
     "q06_customers_without_recent_orders",
     "q07_order_point_lookup",
@@ -380,6 +381,7 @@ ACKNOWLEDGED_OVERFLOW: set[str] = {
     "q130_quality_budget_cut",
     "d24_journey_reconstruction",
     "q131_seasonal_anomalies",
+    "q132_ann_ndcg",
 }
 
 _unaccounted = [

@@ -5846,6 +5846,149 @@ FROM scored ORDER BY z DESC, event_id LIMIT {SEASONAL_TOP}
 """
 
 
+# --- q132: ANN ranking quality (nDCG@10 vs exact cosine) ---------------------
+# The position-aware member of the measurement family: q84/q126 check
+# recall (set overlap), q128 the LSH S-curve — nDCG also penalizes
+# putting the right documents in the WRONG ORDER, which is what
+# degrades a retrieval product long before recall does. Truth = exact
+# cosine top-20 per probe with linear gains (21 - exact_rank); system
+# = the flat-IVF ranking at k=10. Determinism: discount weights and
+# the ideal DCG are PLAN-TIME python literals (identical doubles in
+# both engines — no runtime log2); gains are exact ints; each probe's
+# DCG folds its 10 terms in rank order via a sorted-array aggregate,
+# never an unordered SUM.
+
+import math as _math
+
+NDCG_K = 10
+NDCG_TRUTH = 20
+_NDCG_W = [1.0 / _math.log2(p + 1) for p in range(1, NDCG_K + 1)]
+_NDCG_IDCG = 0.0
+for _i in range(1, NDCG_K + 1):
+    _NDCG_IDCG += (NDCG_TRUTH + 1 - _i) * _NDCG_W[_i - 1]
+
+
+def q132_ann_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.functions.vector import dot_product, l2_norm
+    from las_vpe_platform_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % IVF_PROBE_MOD == 0)
+
+    # exact-cosine truth, bit-identical to the SQL mirror (fold scorer,
+    # not BLAS — sub-ulp BLAS drift could flip a gain at a rank edge)
+    g = emb.select(
+        F.col("vec_id").alias("gallery_key"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("_gvec"),
+    ).withColumn("_gnorm", l2_norm("_gvec"))
+    p = probes.select(
+        F.col("vec_id").alias("probe_key"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("_pvec"),
+    ).withColumn("_pnorm", l2_norm("_pvec"))
+    w = W.partitionBy("probe_key").orderBy(F.desc("_sim"), F.asc("gallery_key"))
+    truth = (
+        F.broadcast(p)
+        .crossJoin(g)
+        .withColumn(
+            "_sim", dot_product("_pvec", "_gvec") / (F.col("_pnorm") * F.col("_gnorm"))
+        )
+        .withColumn("_er", F.row_number().over(w))
+        .filter(F.col("_er") <= NDCG_TRUTH)
+        .select(
+            "probe_key",
+            "gallery_key",
+            (F.lit(NDCG_TRUTH + 1) - F.col("_er")).cast("bigint").alias("gain"),
+        )
+    )
+
+    approx = ivf_topk(
+        probes, emb, probe_key="vec_id", gallery_key="vec_id",
+        vector_col="embedding", k=NDCG_K,
+        num_centroids_mod=IVF_CENTROID_MOD, nprobe=IVF_NPROBE,
+    ).select("probe_key", "gallery_key", "rank")
+
+    w_arr = F.array(*[F.lit(x) for x in _NDCG_W])
+    terms = (
+        approx.join(truth, ["probe_key", "gallery_key"], "left")
+        .select(
+            "probe_key",
+            "rank",
+            (
+                F.coalesce(F.col("gain"), F.lit(0)).cast("double")
+                * F.element_at(w_arr, F.col("rank").cast("int"))
+            ).alias("term"),
+        )
+    )
+    dcg = F.aggregate(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("rank", "term"))),
+            lambda s: s["term"],
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        terms.groupBy("probe_key")
+        .agg(dcg.alias("_dcg"), F.count(F.lit(1)).alias("n_ranked"))
+        .select(
+            "probe_key",
+            "n_ranked",
+            pround(F.col("_dcg") / F.lit(_NDCG_IDCG), 6).alias("ndcg"),
+        )
+    )
+
+
+Q132_SQL = f"""
+WITH truth AS (
+  SELECT probe_key, gallery_key, ({NDCG_TRUTH} + 1 - er)::BIGINT AS gain
+  FROM (
+    SELECT p.vec_id AS probe_key, g.vec_id AS gallery_key,
+           row_number() OVER (PARTITION BY p.vec_id
+                              ORDER BY {sql_cosine('p.embedding', 'g.embedding')} DESC,
+                                       g.vec_id) AS er
+    FROM embeddings p CROSS JOIN embeddings g
+    WHERE p.vec_id % {IVF_PROBE_MOD} = 0
+  ) WHERE er <= {NDCG_TRUTH}
+), cen AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings
+  WHERE vec_id % {IVF_CENTROID_MOD} = 0
+), gal AS (
+  SELECT vec_id AS gallery_key, embedding AS gvec, centroid_id,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY {sql_cosine('embedding', 'cvec')} DESC, centroid_id) AS crank
+  FROM embeddings CROSS JOIN cen
+  QUALIFY crank = 1
+), pb AS (
+  SELECT vec_id AS probe_key, embedding AS pvec, centroid_id,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY {sql_cosine('embedding', 'cvec')} DESC, centroid_id) AS crank
+  FROM embeddings CROSS JOIN cen
+  WHERE vec_id % {IVF_PROBE_MOD} = 0
+  QUALIFY crank <= {IVF_NPROBE}
+), approx AS (
+  SELECT probe_key, gallery_key, rank FROM (
+    SELECT pb.probe_key, gal.gallery_key,
+           row_number() OVER (PARTITION BY pb.probe_key
+                              ORDER BY {sql_cosine('pvec', 'gvec')} DESC, gallery_key) AS rank
+    FROM pb JOIN gal USING (centroid_id)
+  ) WHERE rank <= {NDCG_K}
+), wts(pos, w) AS (
+  VALUES {", ".join(f"({p}, {w!r}::DOUBLE)" for p, w in enumerate(_NDCG_W, start=1))}
+), terms AS (
+  SELECT a.probe_key, a.rank,
+         coalesce(t.gain, 0)::DOUBLE * wts.w AS term
+  FROM approx a
+  LEFT JOIN truth t ON t.probe_key = a.probe_key
+                   AND t.gallery_key = a.gallery_key
+  JOIN wts ON wts.pos = a.rank
+)
+SELECT probe_key, count(*)::BIGINT AS n_ranked,
+       floor((list_sum(list(term ORDER BY rank)) / {_NDCG_IDCG!r})
+             * 1000000.0 + 0.5) / 1000000.0 AS ndcg
+FROM terms GROUP BY probe_key
+"""
+
+
 DATA_QUERIES = {
     "q20_doc_token_stats": (q20_doc_token_stats, Q20_SQL),
     "q21_doc_quality": (q21_doc_quality, Q21_SQL),
@@ -5937,4 +6080,5 @@ DATA_QUERIES = {
     "q129_incremental_lsh": (q129_incremental_lsh, Q129_SQL),
     "q130_quality_budget_cut": (q130_quality_budget_cut, Q130_SQL),
     "q131_seasonal_anomalies": (q131_seasonal_anomalies, Q131_SQL),
+    "q132_ann_ndcg": (q132_ann_ndcg, Q132_SQL),
 }

@@ -125,6 +125,9 @@ HEADLINERS = [
      "diverse exemplars: exact-BIGINT quarter-sum features from hex arithmetic "
      "in the scan stage; two per-tracklet rank windows over patch-index rows — "
      "pixels never become rows"),
+    ("q132_ann_ndcg",
+     "nDCG eval: exact-truth window + IVF ranking + one per-probe join; the "
+     "DCG is a sorted-array fold per probe, the discounts are plan literals"),
     ("q131_seasonal_anomalies",
      "seasonal anomalies: ONE bucket aggregate of exact integer moments (168 "
      "rows), broadcast back for per-row z-scoring; global top-k compiles to "
