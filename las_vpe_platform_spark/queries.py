@@ -5,48 +5,38 @@ and ``oracle_sql()``; tests iterate it to verify every entry against
 DuckDB locally before the driver does.
 
 Ordering matters: the external correctness driver evaluates exactly
-the FIRST 50 catalog entries in insertion order (rounds 1-4 all
+the FIRST 50 catalog entries in insertion order (rounds 1-5 all
 confirm: CORRECTNESS_r0N.json == first 50 keys of that round's
 catalog).  ``DRIVER_PRIORITY`` is therefore RE-DERIVED EVERY ROUND as
 "everything not yet driver-green, oldest evidence first" (VERDICT r2
 'What's wrong' #2 — a stale list wastes the round's sample):
 
-1. tier 0 — the 16 queries with NO driver row in any of r01-r04
-   (VERDICT r4 'Next round' #1: the round-3 overflow set, judge-green
-   at sf0.01 but never driver-sampled),
-2. tier 1 — re-gated THIS round: queries whose code paths this
-   round's changes touch (q102 insert-key namespace fix; the
-   localCheckpoint->caller-staging refactor in cms/ivf/ngram/ppjoin/
-   dsir/bloom; the _sliced_parquet_stream harness hardening behind
-   s03/s10) plus the round-5 additions (q107 fuzzy decontamination,
-   m09 appearance cuts, q108 trigrams, q109 cohort retention, q110
-   sampled quantiles, s12 streaming trigrams, s13 streaming IVF cell
-   assignment, d17 trajectory stats, d18 fragment healing, d19 camera
-   transitions, d20 attribute search, q111 product-quantization ANN,
-   s14 streaming quantile sketch, q112 containment dedup, q113
-   reciprocal-rank fusion, d21 co-appearance pairs, s15 streaming
-   anomaly detection, q114 in-plan PCA power iteration, q115 Markov
-   transition entropy, m10 loudness segmentation, q116 cross-encoder
-   reranking, d22 dwell-time distribution, q117 incremental aggregate
-   maintenance, s16 native session-window streaming),
-3. tier 2 — stalest evidence: entries whose ONLY driver row is
-   round 1.
+1. tier 0 — the 21 round-5 late additions (q118-q132, d23, d24, m11,
+   s17-s19) that landed after round 5's window filled and sat in
+   ``ACKNOWLEDGED_OVERFLOW``; VERDICT r5 'Next round' #1 makes them
+   this round's head.  All were judge-green at sf0.01 in the round-5
+   verdict session; a green row here completes 186/186 cumulative
+   driver coverage,
+2. tier 1 — re-gated THIS round: queries whose code paths round-6
+   changes touch (q117 via the maintain_aggregate negative-count
+   contract fix; q29/q70 via the ANN forced-broadcast gating; s15 via
+   the anomaly-stream state-fold change; q11 via the events-loader
+   NTZ root-cause, VERDICT r5 'What's wrong' #2) plus any NEW round-6
+   entries inserted at the end of this tier as they land,
+3. tier 2 — stalest evidence: the 28 entries whose ONLY driver row is
+   round 1; the 24 slots left take the 12 that lost round 5's
+   tiebreak (q37-q47, q49) first, then the oldest of the rest
+   (q32/q34/q35/q36 lose this round's tiebreak and keep r01 rows).
 
-After round 4, every pre-round-5 catalog entry has at least one
-driver-green row (union of CORRECTNESS_r01-r04 covers 125/141; tier 0
-closes the other 16 this round), so the overflow (positions 50+) is
-entirely prior-driver-green — EXCEPT the round-5 late additions
-(q118-q131, s17-s19, d23, d24, m11), which landed after the 50-entry window
-filled and are parked in ``ACKNOWLEDGED_OVERFLOW`` with full local
-gates; they move to the head of the round-6 window re-derivation.
-The import-time guards enforce (a) the re-gate block sits inside the
+After round 5, EVERY pre-round-5 entry has at least one driver-green
+row (union r01-r05 = 165/186); tier 0 closes the remaining 21.  The
+import-time guards enforce (a) the must-gate tiers sit inside the
 window, (b) every overflow entry has a prior-round driver row or an
 explicit acknowledgement, and (c) every catalog entry appears in this
 list explicitly (nothing reaches the catalog tail unplaced).  Every
 catalog entry is additionally hash-verified against DuckDB on every
 test run by ``tests/test_oracle_parity.py`` (at sf0.01, the driver's
-scale), and every entry also passed sf0.1 this round (the 164-entry
-full sweep plus per-entry runs for everything added after).
+scale).
 """
 
 from __future__ import annotations
@@ -70,7 +60,68 @@ _ALL.update(STREAMING_QUERIES)
 
 # First 50 = the driver's correctness window (see module docstring).
 DRIVER_PRIORITY: list[str] = [
-    # -- tier 0: no driver row in any of r01-r04 (VERDICT r4 #1) --
+    # -- tier 0: round-5 late additions, never driver-sampled
+    #    (VERDICT r5 'Next round' #1) --
+    "q118_ivfpq_topk",
+    "q119_mmr_diversify",
+    "s17_stream_left_outer_join",
+    "q120_label_prop_communities",
+    "d23_cross_camera_stitch",
+    "q121_fuzzy_name_join",
+    "q122_scd2_history",
+    "q123_bootstrap_ci",
+    "s18_stream_scd2_asof_enrich",
+    "q124_grouped_trend",
+    "q125_lagged_crosscorr",
+    "q126_ivfpq_recall",
+    "q127_negative_edge_samples",
+    "q128_lsh_recall",
+    "m11_diverse_exemplars",
+    "q129_incremental_lsh",
+    "s19_stream_lsh_ingest_gate",
+    "q130_quality_budget_cut",
+    "d24_journey_reconstruction",
+    "q131_seasonal_anomalies",
+    "q132_ann_ndcg",
+    # -- tier 1: re-gated this round (maintain_aggregate contract fix
+    #    -> q117; ANN broadcast gating -> q29/q70; anomaly state fold
+    #    -> s15; events-loader NTZ root-cause -> q11); NEW round-6
+    #    entries append here as they land --
+    "q117_incremental_agg",
+    "q29_embedding_ivf_topk",
+    "q70_ivf2_topk",
+    "s15_stream_anomaly",
+    "q11_events_json_props",
+    # -- tier 2: stalest evidence — only driver row is round 1; the
+    #    round-5 tiebreak losers (q37-q47, q49) go first, then the
+    #    oldest of the rest (q32/q34/q35/q36 lose this round) --
+    "q37_bilateral_volume",
+    "q38_running_user_value",
+    "q39_event_navigation",
+    "q40_part_name_strings",
+    "q41_segment_set_ops",
+    "q42_doc_repetition",
+    "q43_vocab_top_terms",
+    "q44_doc_chunks",
+    "q45_dataset_split",
+    "q46_multi_distinct",
+    "q47_null_semantics",
+    "q49_embedding_quantize",
+    "q02_top_customers_per_nation",
+    "q03_shipping_priority",
+    "q04_regional_revenue",
+    "q05_daily_activity_full_outer",
+    "q10_events_minutely",
+    "q13_sampled_lineitems",
+    "q15_frame_time_arithmetic",
+    "q16_event_type_pivot",
+    "q17_rollup_returnflag",
+    "q19_entity_union",
+    "q23_dedup_exact",
+    "q28_label_centroids",
+    # -- overflow (positions 50+): every entry below is driver-green
+    #    in some prior round (union r01-r05) and stays DuckDB-gated
+    #    at sf0.01 on every test run --
     "q64_bigram_novelty",
     "q65_bm25_topk",
     "q66_sq8_ann_topk",
@@ -87,24 +138,14 @@ DRIVER_PRIORITY: list[str] = [
     "q98_funnel_analysis",
     "m06_keyframe_selection",
     "s06_stream_static_enrich",
-    # -- tier 1: re-gated this round — q102's insert-key fix, the
-    #    operator-level localCheckpoint -> caller-controlled staging
-    #    refactor (cms q81, ivf q29/q70, ngram q26, ppjoin q106,
-    #    dsir q78, bloom q63), and the hardened streaming harness
-    #    behind s03/s10 --
     "q102_apply_cdc",
     "q26_ngram_jaccard_top_pairs",
     "q106_prefix_filter_join",
-    "q29_embedding_ivf_topk",
-    "q70_ivf2_topk",
     "q78_dsir_importance",
     "q81_cms_heavy_hitters",
     "q63_bloom_semi_join",
     "s03_stream_sessions",
     "s10_stream_locf",
-    # NEW this round (no evidence possible before they existed): the
-    # two-table exact similarity join and the patch scene-cut
-    # detector — must gate now
     "q107_fuzzy_decontaminate",
     "m09_patch_brightness_cuts",
     "q108_event_trigrams",
@@ -121,44 +162,16 @@ DRIVER_PRIORITY: list[str] = [
     "q112_containment_dedup",
     "q113_rrf_fusion",
     "d21_cotravel_pairs",
-    "s15_stream_anomaly",
     "q114_pca_power",
     "q115_transition_entropy",
     "m10_loudness_segments",
     "q116_reranked_retrieval",
     "d22_dwell_distribution",
-    "q117_incremental_agg",
     "s16_stream_session_native",
-    # -- tier 2: stalest evidence — only driver row is round 1 (the
-    #    16 oldest; q37-q47/q49 lose the tiebreak and stay in
-    #    overflow with their r01 rows) --
-    "q02_top_customers_per_nation",
-    "q03_shipping_priority",
-    "q04_regional_revenue",
-    "q05_daily_activity_full_outer",
-    "q10_events_minutely",
-    "q13_sampled_lineitems",
-    "q15_frame_time_arithmetic",
-    "q16_event_type_pivot",
-    "q17_rollup_returnflag",
-    "q19_entity_union",
-    "q23_dedup_exact",
-    "q28_label_centroids",
     "q32_cube_orders",
     "q34_value_percentiles",
     "q35_customers_with_urgent_orders",
     "q36_cheapest_customer_per_nation",
-    # -- overflow (positions 50+): every entry below is driver-green
-    #    in some prior round (union r01-r04) and stays DuckDB-gated
-    #    at sf0.01 on every test run --
-    "q37_bilateral_volume",
-    "q38_running_user_value",
-    "q39_event_navigation",
-    "q40_part_name_strings",
-    "q41_segment_set_ops",
-    "q42_doc_repetition",
-    "q43_vocab_top_terms",
-    "q44_doc_chunks",
     "q89_bpe_pair_counts",
     "q94_triangle_count",
     "q97_perplexity_filter",
@@ -201,10 +214,6 @@ DRIVER_PRIORITY: list[str] = [
     "q73_quality_percentile_filter",
     "d05_reid_assembly",
     "d11_pipeline_attr_recog",
-    "q45_dataset_split",
-    "q46_multi_distinct",
-    "q47_null_semantics",
-    "q49_embedding_quantize",
     "d01_tracklet_sampling",
     "d02_attribute_average",
     "d03_similarity_neighbors",
@@ -221,35 +230,11 @@ DRIVER_PRIORITY: list[str] = [
     "s01_stream_windowed_counts",
     "q18_user_sessions",
     "q50_training_prep_pipeline",
-    # -- round-5 late additions (window already full; see
-    #    ACKNOWLEDGED_OVERFLOW) --
-    "q118_ivfpq_topk",
-    "q119_mmr_diversify",
-    "s17_stream_left_outer_join",
-    "q120_label_prop_communities",
-    "d23_cross_camera_stitch",
-    "q121_fuzzy_name_join",
-    "q122_scd2_history",
-    "q123_bootstrap_ci",
-    "s18_stream_scd2_asof_enrich",
-    "q124_grouped_trend",
-    "q125_lagged_crosscorr",
-    "q126_ivfpq_recall",
-    "q127_negative_edge_samples",
-    "q128_lsh_recall",
-    "m11_diverse_exemplars",
-    "q129_incremental_lsh",
-    "s19_stream_lsh_ingest_gate",
-    "q130_quality_budget_cut",
-    "d24_journey_reconstruction",
-    "q131_seasonal_anomalies",
-    "q132_ann_ndcg",
     "q01_pricing_summary",
     "q06_customers_without_recent_orders",
     "q07_order_point_lookup",
     "q08_order_completeness",
     "q09_last_events",
-    "q11_events_json_props",
     "q12_events_demux_union",
     "q14_key_roundtrip",
     "q33_asof_last_click",
@@ -295,41 +280,52 @@ if len(DRIVER_PRIORITY) != len(set(DRIVER_PRIORITY)):
 # The must-gate block (tiers 0-1, everything through the re-gates)
 # has to sit inside the driver's first-50 window — review finding r3
 # caught an earlier ordering leaving re-gated entries at 61-63.
-_MUST_GATE_LAST = "s16_stream_session_native"
+_MUST_GATE_LAST = "q11_events_json_props"
 if DRIVER_PRIORITY.index(_MUST_GATE_LAST) >= 50:
     raise ValueError(
         "DRIVER_PRIORITY stale: must-gate tiers exceed the 50-entry "
         f"driver window (position {DRIVER_PRIORITY.index(_MUST_GATE_LAST)})"
     )
 
-# Names with a driver-green row in some CORRECTNESS_r01-r04.json —
+# Names with a driver-green row in some CORRECTNESS_r01-r05.json —
 # these may sit past position 50 without losing hard evidence.
 _PRIOR_DRIVER_GREEN = {
     "d01_tracklet_sampling", "d02_attribute_average",
-    "d03_similarity_neighbors", "d04_persons_minutely", "d05_reid_assembly",
-    "d06_claim_check", "d07_task_kill_filter", "d08_frame_time_check",
-    "d09_feature_topk", "d10_command_fanout", "d11_pipeline_attr_recog",
-    "d12_similar_persons_in_window", "d13_two_hop_neighbors",
-    "d14_pipeline_reid", "d15_pipeline_storage_reid",
-    "d16_pipeline_reid_command", "m01_patch_metadata", "m02_patch_features",
-    "m03_patch_resize", "m04_audio_decimate", "m05_frame_fragments",
-    "m07_patch_neardup", "m08_audio_energy_windows", "q01_pricing_summary",
+    "d03_similarity_neighbors", "d04_persons_minutely",
+    "d05_reid_assembly", "d06_claim_check", "d07_task_kill_filter",
+    "d08_frame_time_check", "d09_feature_topk", "d10_command_fanout",
+    "d11_pipeline_attr_recog", "d12_similar_persons_in_window",
+    "d13_two_hop_neighbors", "d14_pipeline_reid",
+    "d15_pipeline_storage_reid", "d16_pipeline_reid_command",
+    "d17_trajectory_stats", "d18_fragment_heal_candidates",
+    "d19_camera_transitions", "d20_attribute_search",
+    "d21_cotravel_pairs", "d22_dwell_distribution", "m01_patch_metadata",
+    "m02_patch_features", "m03_patch_resize", "m04_audio_decimate",
+    "m05_frame_fragments", "m06_keyframe_selection", "m07_patch_neardup",
+    "m08_audio_energy_windows", "m09_patch_brightness_cuts",
+    "m10_loudness_segments", "q01_pricing_summary",
     "q02_top_customers_per_nation", "q03_shipping_priority",
     "q04_regional_revenue", "q05_daily_activity_full_outer",
     "q06_customers_without_recent_orders", "q07_order_point_lookup",
     "q08_order_completeness", "q09_last_events", "q100_weighted_sample",
     "q101_rolling_stats", "q102_apply_cdc", "q103_mad_outliers",
-    "q104_source_drift", "q105_decayed_trending", "q106_prefix_filter_join",
-    "q10_events_minutely", "q11_events_json_props",
-    "q12_events_demux_union", "q13_sampled_lineitems", "q14_key_roundtrip",
-    "q15_frame_time_arithmetic", "q16_event_type_pivot",
-    "q17_rollup_returnflag", "q18_user_sessions", "q19_entity_union",
-    "q20_doc_token_stats", "q21_doc_quality", "q22_doc_lang_id",
-    "q23_dedup_exact", "q24_minhash_lsh_pairs", "q25_simhash",
-    "q26_ngram_jaccard_top_pairs", "q27_embedding_topk",
-    "q28_label_centroids", "q29_embedding_ivf_topk", "q30_tfidf_top_terms",
-    "q31_embedding_neardup", "q32_cube_orders", "q33_asof_last_click",
-    "q34_value_percentiles", "q35_customers_with_urgent_orders",
+    "q104_source_drift", "q105_decayed_trending",
+    "q106_prefix_filter_join", "q107_fuzzy_decontaminate",
+    "q108_event_trigrams", "q109_cohort_retention", "q10_events_minutely",
+    "q110_sampled_quantiles", "q111_pq_ann_topk",
+    "q112_containment_dedup", "q113_rrf_fusion", "q114_pca_power",
+    "q115_transition_entropy", "q116_reranked_retrieval",
+    "q117_incremental_agg", "q11_events_json_props",
+    "q12_events_demux_union", "q13_sampled_lineitems",
+    "q14_key_roundtrip", "q15_frame_time_arithmetic",
+    "q16_event_type_pivot", "q17_rollup_returnflag", "q18_user_sessions",
+    "q19_entity_union", "q20_doc_token_stats", "q21_doc_quality",
+    "q22_doc_lang_id", "q23_dedup_exact", "q24_minhash_lsh_pairs",
+    "q25_simhash", "q26_ngram_jaccard_top_pairs", "q27_embedding_topk",
+    "q28_label_centroids", "q29_embedding_ivf_topk",
+    "q30_tfidf_top_terms", "q31_embedding_neardup", "q32_cube_orders",
+    "q33_asof_last_click", "q34_value_percentiles",
+    "q35_customers_with_urgent_orders",
     "q36_cheapest_customer_per_nation", "q37_bilateral_volume",
     "q38_running_user_value", "q39_event_navigation",
     "q40_part_name_strings", "q41_segment_set_ops", "q42_doc_repetition",
@@ -341,48 +337,35 @@ _PRIOR_DRIVER_GREEN = {
     "q56_distinct_sketch", "q57_neardup_pagerank",
     "q58_hopping_window_stats", "q59_srp_neardup", "q60_decontaminate",
     "q61_span_dedup", "q62_sequence_pack", "q63_bloom_semi_join",
-    "q68_salted_join_agg", "q69_source_overlap", "q70_ivf2_topk",
-    "q71_retrieval_pipeline", "q72_hourly_rollup_gapfill",
-    "q73_quality_percentile_filter", "q77_blocklist_filter",
-    "q78_dsir_importance", "q79_hard_negatives", "q80_semantic_dedup",
-    "q81_cms_heavy_hitters", "q82_kmeans_clusters", "q83_curation_pipeline",
-    "q84_ann_recall", "q85_epoch_shuffle", "q86_token_budget_mix",
-    "q87_quality_classifier", "q88_skew_diagnostics", "q89_bpe_pair_counts",
-    "q94_triangle_count", "q97_perplexity_filter",
+    "q64_bigram_novelty", "q65_bm25_topk", "q66_sq8_ann_topk",
+    "q67_incremental_dedup", "q68_salted_join_agg", "q69_source_overlap",
+    "q70_ivf2_topk", "q71_retrieval_pipeline",
+    "q72_hourly_rollup_gapfill", "q73_quality_percentile_filter",
+    "q74_pmi_collocations", "q75_leakage_free_split", "q76_locf_backfill",
+    "q77_blocklist_filter", "q78_dsir_importance", "q79_hard_negatives",
+    "q80_semantic_dedup", "q81_cms_heavy_hitters", "q82_kmeans_clusters",
+    "q83_curation_pipeline", "q84_ann_recall", "q85_epoch_shuffle",
+    "q86_token_budget_mix", "q87_quality_classifier",
+    "q88_skew_diagnostics", "q89_bpe_pair_counts", "q90_table_profile",
+    "q91_snapshot_diff", "q92_zorder_layout", "q93_cluster_keep_best",
+    "q94_triangle_count", "q95_join_preflight", "q96_group_sample",
+    "q97_perplexity_filter", "q98_funnel_analysis",
     "q99_embedding_anisotropy", "s01_stream_windowed_counts",
     "s02_stream_dedup", "s03_stream_sessions", "s04_stream_interval_join",
-    "s05_stream_demux_sinks", "s07_stream_heavy_hitters",
-    "s08_stream_incremental_dedup", "s09_stream_distinct_sketch",
-    "s10_stream_locf", "s11_stream_leaderboard"
+    "s05_stream_demux_sinks", "s06_stream_static_enrich",
+    "s07_stream_heavy_hitters", "s08_stream_incremental_dedup",
+    "s09_stream_distinct_sketch", "s10_stream_locf",
+    "s11_stream_leaderboard", "s12_stream_trigrams",
+    "s13_stream_ivf_assign", "s14_stream_quantile_sketch",
+    "s15_stream_anomaly", "s16_stream_session_native"
 }
 
-# Round-5 late additions: the window filled at exactly 50 must-gate
-# entries before these landed, so they are parked in overflow with the
-# full local gates (sf0.01 DuckDB hash parity on every test run) and
-# move to the head of the round-6 window re-derivation.
-ACKNOWLEDGED_OVERFLOW: set[str] = {
-    "q118_ivfpq_topk",
-    "q119_mmr_diversify",
-    "s17_stream_left_outer_join",
-    "q120_label_prop_communities",
-    "d23_cross_camera_stitch",
-    "q121_fuzzy_name_join",
-    "q122_scd2_history",
-    "q123_bootstrap_ci",
-    "s18_stream_scd2_asof_enrich",
-    "q124_grouped_trend",
-    "q125_lagged_crosscorr",
-    "q126_ivfpq_recall",
-    "q127_negative_edge_samples",
-    "q128_lsh_recall",
-    "m11_diverse_exemplars",
-    "q129_incremental_lsh",
-    "s19_stream_lsh_ingest_gate",
-    "q130_quality_budget_cut",
-    "d24_journey_reconstruction",
-    "q131_seasonal_anomalies",
-    "q132_ann_ndcg",
-}
+# Entries added AFTER this round's 50-entry window fills may be
+# parked here with full local gates (sf0.01 DuckDB hash parity on
+# every test run); they move to the head of the next round's window
+# re-derivation.  Empty at round-6 start: the round-5 overflow (21
+# entries) now heads the window above.
+ACKNOWLEDGED_OVERFLOW: set[str] = set()
 
 _unaccounted = [
     n for n in DRIVER_PRIORITY[50:]
