@@ -264,6 +264,7 @@ def maintain_aggregate(
     count_col: str = "n",
     sum_cols: dict[str, str] | None = None,
     op_col: str = "op",
+    on_negative: str = "error",
 ) -> DataFrame:
     """Incremental materialized-aggregate maintenance: fold a CDC
     changelog (+rows / -rows) into a stored per-group aggregate WITHOUT
@@ -285,7 +286,17 @@ def maintain_aggregate(
     Deletes must carry the same values the original inserts did (the
     CDC contract); float sums regain exactness only under that
     contract, which is why count reaches exact zero.
+
+    A maintained count going NEGATIVE is a CDC-contract violation (a
+    delete with no matching insert or stored row) — the sums for that
+    group are already corrupted. ``on_negative`` decides (ADVICE r5):
+    ``"error"`` (default) raises at execution via ``raise_error`` so
+    the violation is never silently discarded; ``"drop"`` keeps the
+    historical behavior (negative groups vanish like zero groups) for
+    callers that pre-validate their changelog.
     """
+    if on_negative not in ("error", "drop"):
+        raise ValueError(f"on_negative must be 'error' or 'drop', got {on_negative!r}")
     sum_cols = sum_cols or {}
     sign = F.when(F.col(op_col) == "I", F.lit(1)).otherwise(F.lit(-1))
     delta = changes.groupBy(*group_cols).agg(
@@ -299,6 +310,25 @@ def maintain_aggregate(
     n_new = F.coalesce(F.col(count_col), F.lit(0)) + F.coalesce(
         F.col("_dn"), F.lit(0)
     )
+    if on_negative == "error":
+        # JVM-side guard, evaluated lazily with the plan: a negative
+        # maintained count fails the job loudly instead of being
+        # filtered away as if the group had legitimately vanished
+        n_new = F.when(
+            n_new < 0,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "maintain_aggregate: CDC contract violation — "
+                        f"maintained {count_col} went negative for group ("
+                    ),
+                    F.concat_ws(
+                        ", ", *[F.col(c).cast("string") for c in group_cols]
+                    ),
+                    F.lit(")"),
+                )
+            ).cast("long"),
+        ).otherwise(n_new)
     out = merged.select(
         *group_cols,
         n_new.alias(count_col),

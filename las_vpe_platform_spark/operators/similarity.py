@@ -33,6 +33,23 @@ from las_vpe_platform_spark.operators.joins import pairwise_similarity_topk
 # exact search is the same operator as the ReID ranking join
 brute_force_topk = pairwise_similarity_topk
 
+# HARD PRECONDITION on every *_topk entry point (ADVICE r5): the probe
+# side (probes × nprobe rows, plus per-probe ADC tables for the PQ
+# family) must fit the executor broadcast budget — these operators
+# force-broadcast it so the gallery NEVER shuffles, bypassing AQE's
+# size check. Rule of thumb at spark.sql.autoBroadcastJoinThreshold
+# defaults: ≤ ~10^5 probes for float vectors, ≤ ~10^4 for PQ ADC
+# tables (m × n_codes doubles per probed cell). Beyond that, pass
+# ``probe_broadcast=False`` to drop the hint and let AQE degrade to a
+# shuffled equi-join on the cell id (correct, slower, no OOM risk);
+# the gallery then shuffles, so prefer sharding the probe set instead.
+
+
+def _probe_side(df: DataFrame, probe_broadcast: bool) -> DataFrame:
+    """Forced broadcast of the small-by-contract probe side, or the
+    AQE-decided fallback (see module precondition note)."""
+    return F.broadcast(df) if probe_broadcast else df
+
 
 def _nearest_centroids(
     vectors: DataFrame,
@@ -152,8 +169,12 @@ def ivf_topk(
     num_centroids_mod: int = 50,
     nprobe: int = 2,
     materialize: Materializer = persist_disk,
+    probe_broadcast: bool = True,
 ) -> DataFrame:
     """Approximate per-probe top-k via IVF bucketing.
+
+    Precondition: probes × nprobe must fit the broadcast budget (see
+    the module-level note); ``probe_broadcast=False`` opts out.
 
     Centroids = gallery rows where ``key % num_centroids_mod == 0``
     (deterministic, seedless — reproducible in SQL). Gallery vectors
@@ -194,7 +215,7 @@ def ivf_topk(
     scored = (
         # probes are the small-by-contract side: broadcast them so the
         # assigned gallery never shuffles on the cell id
-        F.broadcast(probe_buckets).join(gal_assigned, on="centroid_id")
+        _probe_side(probe_buckets, probe_broadcast).join(gal_assigned, on="centroid_id")
         .withColumn(
             "similarity",
             dot_product("_pvec", "_gvec") / (F.col("_pnorm") * F.col("_gnorm")),
@@ -376,6 +397,7 @@ def sq8_topk(
     gallery_key: str,
     vector_col: str = "embedding",
     k: int = 10,
+    probe_broadcast: bool = True,
 ) -> DataFrame:
     """Approximate top-k over an int8-quantized gallery (FAISS-SQ8
     style asymmetric distance): probes stay float, the gallery is
@@ -455,7 +477,7 @@ def sq8_topk(
     )
     denom = F.col("_pnorm") * F.col("_gnorm")
     scored = (
-        F.broadcast(p)
+        _probe_side(p, probe_broadcast)
         .crossJoin(g)
         .withColumn(
             "similarity",
@@ -536,6 +558,7 @@ def ivf2_topk(
     coarse_mod: int = 80,
     nprobe: int = 2,
     materialize: Materializer = persist_disk,
+    probe_broadcast: bool = True,
 ) -> DataFrame:
     """Two-level IVF ANN (coarse quantizer over the fine centroids) —
     the fix for flat IVF's scale limit (SCALE.md): at 10^11 vectors a
@@ -683,9 +706,9 @@ def ivf2_topk(
     ).withColumn("_pnorm", l2_norm("_pvec"))
 
     scored = (
-        # probes broadcast (small by contract) — the bucketed gallery
-        # side never shuffles on the fine-cell id
-        F.broadcast(p2f).join(g2f, on="fid")
+        # probes broadcast (small by contract; module precondition
+        # note) — the bucketed gallery never shuffles on the cell id
+        _probe_side(p2f, probe_broadcast).join(g2f, on="fid")
         .withColumn(
             "similarity",
             dot_product("_pvec", "_gvec") / (F.col("_pnorm") * F.col("_gnorm")),
@@ -852,6 +875,7 @@ def pq_topk(
     n_codes: int = 16,
     k: int = 5,
     materialize: Materializer = persist_disk,
+    probe_broadcast: bool = True,
 ) -> DataFrame:
     """Product-quantization ANN (FAISS IVF-PQ's storage half): the
     gallery is encoded as ``m`` sub-vector codes against a shared
@@ -953,7 +977,7 @@ def pq_topk(
         lambda acc, v: acc + v,
     )
     scored = (
-        F.broadcast(p)
+        _probe_side(p, probe_broadcast)
         .crossJoin(g)
         .select("probe_key", "gallery_key", adc_dist.alias("adc_dist"))
     )
@@ -1061,6 +1085,7 @@ def ivfpq_topk(
     num_centroids_mod: int = 50,
     nprobe: int = 2,
     materialize: Materializer = persist_disk,
+    probe_broadcast: bool = True,
 ) -> DataFrame:
     """The full FAISS-architecture ANN: IVF coarse cells (q29's
     deterministic ``key % mod`` quantizer) + product quantization of
@@ -1213,7 +1238,7 @@ def ivfpq_topk(
         lambda acc, v: acc + v,
     )
     scored = (
-        F.broadcast(p_adc)
+        _probe_side(p_adc, probe_broadcast)
         .join(g_codes, on="centroid_id")
         .select("probe_key", "gallery_key", adc_dist.alias("adc_dist"))
     )

@@ -410,12 +410,19 @@ def anomaly_stream(stream: DataFrame) -> DataFrame:
     counters, this learns the baseline online).
 
     State per key is THREE scalars — (n, sum, sum-of-squares) — so the
-    footprint is key-cardinality-bounded at any volume, and the
-    statistics equal a batch engine's running-window sums exactly: the
-    Welford formulation would drift from SQL's sum/sumsq by more than
-    float-epsilon, while naive sums accumulated in event order are
-    bit-reproducible against ``SUM(value) OVER (... ROWS UNBOUNDED
-    PRECEDING AND 1 PRECEDING)``. The flag compares deviation against
+    footprint is key-cardinality-bounded at any volume. The naive-sum
+    formulation tracks a batch engine's running-window ``SUM(value)
+    OVER (... ROWS UNBOUNDED PRECEDING AND 1 PRECEDING)`` far tighter
+    than Welford would, but it is NOT bit-reproducible once a key's
+    rows span micro-batches (ADVICE r5): ``s_prev = s0 + cumsum(batch)``
+    reassociates float addition at every batch boundary relative to a
+    sequential fold, and SQL window SUM may itself sum pairwise. The
+    residual drift is ~1e-12 relative and is absorbed by the flag's
+    decision margin — the s15 oracle (queries_streaming.py) rounds
+    deviation/sd to 1e-6 and compares against a 3-sigma boundary that
+    real values sit ~1e-3 away from, so the flag bit agrees across
+    engines; values engineered to sit WITHIN float drift of the
+    boundary are out of contract. The flag compares deviation against
     NSIGMA*sd directly (no division), so sd == 0 degenerates exactly
     like the SQL predicate. Same arrival contract as locf_stream:
     micro-batches in non-decreasing event-time ranges per key, rows

@@ -1,0 +1,118 @@
+"""Round-6 regression tests for the ADVICE r5 items.
+
+- maintain_aggregate's negative-count CDC-contract guard
+  (``on_negative``: error vs drop);
+- the ANN probe-broadcast escape hatch (``probe_broadcast=False``
+  must produce identical results through an AQE-decided join).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _stored_and_changes(spark, extra_changes=()):
+    base = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 5.0)],
+        "k string, v double",
+    )
+    stored = base.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("total")
+    )
+    changes = spark.createDataFrame(
+        [("a", "I", 10.0), *extra_changes],
+        "k string, op string, v double",
+    )
+    return stored, changes
+
+
+def test_maintain_aggregate_negative_count_raises(spark):
+    """A delete with no matching insert/stored row drives the
+    maintained count negative — a CDC-contract violation that must
+    fail the job loudly (default on_negative='error'), never be
+    silently filtered away like a legitimately vanished group."""
+    from las_vpe_platform_spark.operators.maintenance import maintain_aggregate
+
+    stored, changes = _stored_and_changes(
+        spark, extra_changes=[("ghost", "D", 9.0), ("ghost", "D", 1.0)]
+    )
+    out = maintain_aggregate(
+        stored, changes, ["k"], count_col="n", sum_cols={"total": "v"}
+    )
+    with pytest.raises(Exception, match="CDC contract violation"):
+        out.collect()
+
+
+def test_maintain_aggregate_negative_count_drop_mode(spark):
+    """on_negative='drop' preserves the historical behavior for
+    callers that pre-validate: the violating group vanishes and the
+    healthy groups fold normally."""
+    from las_vpe_platform_spark.operators.maintenance import maintain_aggregate
+
+    stored, changes = _stored_and_changes(
+        spark, extra_changes=[("ghost", "D", 9.0)]
+    )
+    got = {
+        r["k"]: (r["n"], r["total"])
+        for r in maintain_aggregate(
+            stored,
+            changes,
+            ["k"],
+            count_col="n",
+            sum_cols={"total": "v"},
+            on_negative="drop",
+        ).collect()
+    }
+    assert got == {"a": (3, 13.0), "b": (1, 5.0)}
+
+
+def test_maintain_aggregate_rejects_unknown_mode(spark):
+    from las_vpe_platform_spark.operators.maintenance import maintain_aggregate
+
+    stored, changes = _stored_and_changes(spark)
+    with pytest.raises(ValueError, match="on_negative"):
+        maintain_aggregate(
+            stored, changes, ["k"], on_negative="ignore"
+        )
+
+
+def test_maintain_aggregate_zero_group_still_drops_under_error_mode(spark):
+    """The guard must not confuse exact-zero (legitimate vanish) with
+    negative (violation): a group deleted down to zero drops silently
+    even with on_negative='error'."""
+    from las_vpe_platform_spark.operators.maintenance import maintain_aggregate
+
+    stored, changes = _stored_and_changes(
+        spark, extra_changes=[("b", "D", 5.0)]
+    )
+    got = {
+        r["k"]: (r["n"], r["total"])
+        for r in maintain_aggregate(
+            stored, changes, ["k"], count_col="n", sum_cols={"total": "v"}
+        ).collect()
+    }
+    assert got == {"a": (3, 13.0)}
+
+
+def test_ann_probe_broadcast_opt_out_same_results(spark, sf_dir):
+    """probe_broadcast=False (the over-budget escape hatch, ADVICE r5)
+    drops the forced broadcast hint and lets AQE pick the join; the
+    ranked results must be identical to the forced-broadcast plan."""
+    from las_vpe_platform_spark.operators.similarity import ivf_topk
+    from las_vpe_platform_spark.operators.staging import unpersist_all
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") % 97 == 0)
+    try:
+        fast = ivf_topk(probes, emb, "vec_id", "vec_id", k=3)
+        slow = ivf_topk(
+            probes, emb, "vec_id", "vec_id", k=3, probe_broadcast=False
+        )
+        assert sorted(
+            (r["probe_key"], r["rank"], r["gallery_key"]) for r in fast.collect()
+        ) == sorted(
+            (r["probe_key"], r["rank"], r["gallery_key"]) for r in slow.collect()
+        )
+    finally:
+        unpersist_all()
