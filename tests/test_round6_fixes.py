@@ -95,6 +95,25 @@ def test_maintain_aggregate_zero_group_still_drops_under_error_mode(spark):
     assert got == {"a": (3, 13.0)}
 
 
+def test_s17_emission_rule_is_version_pinned(spark):
+    """s17's oracle mirrors Spark's OBSERVED left-outer eviction
+    timing, not a spec (VERDICT r5 'What's wrong' #3). This test fails
+    LOUDLY — it does not re-derive — when the engine minor version
+    moves, forcing a human re-verification of the emission rule before
+    the pin is updated."""
+    from las_vpe_platform_spark.queries_streaming import S17_PINNED_SPARK_MINOR
+
+    got = tuple(int(p) for p in spark.version.split(".")[:2])
+    assert got == S17_PINNED_SPARK_MINOR, (
+        f"Spark {spark.version} != pinned {S17_PINNED_SPARK_MINOR}: the s17 "
+        "left-outer null-emission rule (unmatched left emits iff expiry < "
+        "min over both sides' final max event time) was derived empirically "
+        "on the pinned minor version. Re-run test_left_outer_stream_join_"
+        "null_emission_and_no_retro_match, re-verify S17_SQL batch-by-batch "
+        "at sf0.001/0.01/0.1, THEN update S17_PINNED_SPARK_MINOR."
+    )
+
+
 def test_ann_probe_broadcast_opt_out_same_results(spark, sf_dir):
     """probe_broadcast=False (the over-budget escape hatch, ADVICE r5)
     drops the forced broadcast hint and lets AQE pick the join; the
