@@ -545,6 +545,24 @@ def test_q118_ivfpq_single_exchange_on_probe_key(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_q126_recall_exchanges_probe_keyed_only(spark, sf_dir):
+    # the recall harness runs the q118 codec AND the exact BLAS branch
+    # by construction (2x work IS the semantics), but it must add no
+    # gallery-side shuffle of its own: outside the staged (cached)
+    # codec subtrees, every hash exchange — both rank windows, the
+    # hit join, the recall aggregate — leads with probe_key.
+    from las_vpe_platform_spark.queries_data import q126_ivfpq_recall
+    import re
+
+    plan = outside_cached_plans(_plan(q126_ivfpq_recall(spark, sf_dir)))
+    all_hash = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
+    other = [m for m in all_hash if m != "probe_key"]
+    assert not other, f"non-probe-keyed exchange in the recall harness: {other}"
+    assert len(all_hash) >= 3  # two rank windows + join/aggregate
+    # the exact branch is present (BLAS scorer), the codec staged
+    assert "MapInPandas" in plan
+
+
 def test_q70_ivf2_gallery_never_shuffles(spark, sf_dir):
     # round-5 fold: both descent levels are broadcast folds and the
     # probe side broadcasts into the bucket join — the gallery is
