@@ -1029,3 +1029,114 @@ def edit_distance_pairs(
         )
         .filter(f"edit_dist <= {threshold}")
     )
+
+
+def weighted_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    t_num: int,
+    t_den: int,
+    shingle_k: int = 2,
+    materialize: Materializer = persist_disk,
+    exploded: DataFrame | None = None,
+) -> DataFrame:
+    """EXACT weighted-cosine self-join via the All-Pairs prefix bound
+    (Bayardo/Ma/Srikant, WWW'07) — the WEIGHTED member of the exact
+    similarity-join family: q106's PPJoin treats every shingle equally
+    (set Jaccard), this one scores rarity-weighted cosine, so two docs
+    sharing distinctive phrasing outrank two docs sharing boilerplate
+    (the reference's similarity-edge builder J9/K7 ranks by weighted
+    feature cosine for the same reason,
+    ExternPedestrianComparerUsingAttr.java:170-194).
+
+    Weights are EXACT INTEGERS — w(s) = 1000 div df(s) (rarity), per-doc
+    squared norm na2 = sum(w^2) a BIGINT — and the threshold a rational
+    ``t_num/t_den``, so the verify predicate
+
+        t_den^2 * dot^2 >= t_num^2 * na2 * nb2   (dot >= 0)
+
+    is pure BIGINT arithmetic: the emitted pair set is bit-identical on
+    any engine, no float boundary anywhere. (Bounds: ~2e2 shingles/doc
+    x w<=1e3 gives dot<=2e8, dot^2*t_den^2 ~ 1e18 < 2^63.)
+
+    Completeness of the candidate stage: sort each doc's shingles by
+    one global rarest-first order; with normalized weights u = w/sqrt(na2)
+    and per-shingle corpus max cmax, cos(a,b) <= sum over any shared
+    suffix of u_a*cmax. The FIRST shared shingle s* of a qualifying
+    pair therefore sits inside BOTH docs' prefixes (if it were past
+    a's prefix head every shared shingle would be, bounding cos below
+    t — contradiction), so the prefix-to-prefix equi-join misses no
+    qualifying pair. The float suffix bound only SELECTS the prefix:
+    it is slackened by 1e-9 (>> the ~1e-13 window-sum association
+    drift), so both engines keep identical supersets and exactness
+    rests on the integer verify alone.
+
+    Scale shape: postings stream shuffles on shingle (df), doc (norms +
+    suffix bound), shingle (cmax) — all linear in corpus tokens; the
+    candidate join moves prefix postings only (rarest-first shrinks
+    them exactly where df is hot); verify cost is candidates x shared
+    shingles. No corpus x corpus product anywhere.
+    """
+    ex = (
+        exploded
+        if exploded is not None
+        else materialize(
+            exploded_shingles(df, id_col, text_col, shingle_k), "wcos_postings"
+        )
+    )
+    base = (
+        ex.withColumn("_df", F.count(F.lit(1)).over(W.partitionBy("shingle")))
+        .withColumn("w", F.expr("1000 div _df").cast("bigint"))
+        .filter(F.col("w") > 0)
+        .withColumn(
+            "na2", F.sum(F.col("w") * F.col("w")).over(W.partitionBy("doc_id_"))
+        )
+        .withColumn(
+            "uw", F.col("w").cast("double") / F.sqrt(F.col("na2").cast("double"))
+        )
+        .withColumn("cmax", F.max("uw").over(W.partitionBy("shingle")))
+    )
+    # base is referenced three times (prefix + both verify sides) —
+    # the multi-reference materialization rule (SCALE.md)
+    base = materialize(base, "wcos_base")
+    thr = t_num / t_den
+    ws = (
+        W.partitionBy("doc_id_")
+        .orderBy(F.asc("_df"), F.asc("shingle"))
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    prefix = (
+        base.withColumn("_sb", F.sum(F.col("uw") * F.col("cmax")).over(ws))
+        .filter(F.col("_sb") >= F.lit(thr - 1e-9))
+        .select("doc_id_", "shingle")
+    )
+    cand = (
+        prefix.selectExpr("doc_id_ AS id_a", "shingle")
+        .join(prefix.selectExpr("doc_id_ AS id_b", "shingle"), on="shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates()
+    )
+    pa = base.selectExpr("doc_id_ AS id_a", "shingle", "w AS _wa", "na2 AS _na2")
+    pb = base.selectExpr("doc_id_ AS id_b", "shingle", "w AS _wb", "na2 AS _nb2")
+    dots = (
+        cand.join(pa, on="id_a")
+        .join(pb, on=["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.sum(F.col("_wa") * F.col("_wb")).alias("dot"),
+            F.min("_na2").alias("na2"),
+            F.min("_nb2").alias("nb2"),
+        )
+    )
+    return dots.filter(
+        F.lit(t_den * t_den) * F.col("dot") * F.col("dot")
+        >= F.lit(t_num * t_num) * F.col("na2") * F.col("nb2")
+    ).select(
+        "id_a",
+        "id_b",
+        F.col("dot").cast("bigint").alias("dot"),
+        F.col("na2").cast("bigint").alias("na2"),
+        F.col("nb2").cast("bigint").alias("nb2"),
+    )

@@ -176,3 +176,92 @@ def label_propagation(
             .select("node", "label")
         )
     return labels
+
+
+def kcore_peel(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    k: int = 2,
+    rounds: int = 4,
+) -> DataFrame:
+    """k-core decomposition by synchronous peeling, ``rounds`` rounds
+    unrolled into ONE lazy plan: each round drops every node whose
+    degree among SURVIVING nodes is < k, until the survivor set is a
+    fixed point — the densest-substructure filter between plain
+    connected components (q55: any bridge chains clusters) and
+    triangle counting (q94: local only). Training-data use: a near-dup
+    cluster's k-core is its template-generated heart; the peeled
+    fringe is organic variation worth keeping.
+
+    ``rounds`` is fixed so both engines run the identical computation
+    (the DuckDB mirror unrolls the same rounds as chained CTEs);
+    convergence for the catalog graphs is asserted by running one
+    EXTRA round in tests (peel(R+1) == peel(R)) at every pinned scale
+    — the q120/LPA contract. All arithmetic is integer (degrees), so
+    the survivor set is bit-identical on any engine.
+
+    Execution shape per round: two semi-joins restrict the
+    (lazily-checkpointed, symmetrized) edge list to surviving
+    endpoints, then one grouped count — a Pregel superstep, linear in
+    surviving edges; per-round ``localCheckpoint(eager=False)``
+    truncates lineage (the documented iterative-loop carve-out from
+    the staging rule). At cluster scale, pre-partition the edge list
+    by ``a`` and survivors co-shuffle onto it each round.
+    """
+    e = edges.selectExpr(f"{src} AS a", f"{dst} AS b")
+    sym = e.union(e.selectExpr("b AS a", "a AS b")).localCheckpoint(eager=False)
+    surv = sym.select(F.col("a").alias("node")).distinct()
+    deg = None
+    for _ in range(rounds):
+        alive = sym.join(
+            surv.withColumnRenamed("node", "a"), "a", "left_semi"
+        ).join(surv.withColumnRenamed("node", "b"), "b", "left_semi")
+        deg = alive.groupBy("a").agg(F.count(F.lit(1)).alias("degree"))
+        surv = (
+            deg.filter(F.col("degree") >= k)
+            .select(F.col("a").alias("node"))
+            .localCheckpoint(eager=False)
+        )
+    # degrees WITHIN the final core (at the fixed point the last
+    # filter removed nothing, but degrees must be re-restricted so a
+    # non-converged call still reports core-internal degrees)
+    final = sym.join(
+        surv.withColumnRenamed("node", "a"), "a", "left_semi"
+    ).join(surv.withColumnRenamed("node", "b"), "b", "left_semi")
+    return final.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("core_degree")
+    )
+
+
+def kcore_sql(edges_cte: str, k: int = 2, rounds: int = 4) -> str:
+    """DuckDB mirror of :func:`kcore_peel`, rounds unrolled as chained
+    CTEs. ``edges_cte`` must yield (src, dst) unordered unique pairs."""
+    parts = [
+        f"""_kedges AS ({edges_cte}),
+_ksym AS (SELECT src AS a, dst AS b FROM _kedges
+          UNION ALL SELECT dst, src FROM _kedges),
+_n0 AS (SELECT DISTINCT a AS node FROM _ksym)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""_d{i} AS (
+  SELECT a, count(*) AS degree FROM _ksym
+  WHERE a IN (SELECT node FROM _n{i - 1})
+    AND b IN (SELECT node FROM _n{i - 1})
+  GROUP BY a
+),
+_n{i} AS (SELECT a AS node FROM _d{i} WHERE degree >= {k})"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+_fin AS (
+  SELECT a, count(*) AS degree FROM _ksym
+  WHERE a IN (SELECT node FROM _n{rounds})
+    AND b IN (SELECT node FROM _n{rounds})
+  GROUP BY a
+)
+SELECT a AS node, degree::BIGINT AS core_degree FROM _fin"""
+    )

@@ -5989,6 +5989,106 @@ FROM terms GROUP BY probe_key
 """
 
 
+# --- q134: k-core decomposition of the near-dup graph ------------------------
+# The densest-substructure member of the graph family (q55 CC, q57/q94
+# PageRank+triangles, q120 LPA): synchronous peeling with fixed
+# unrolled rounds and an extra-round convergence assertion in tests —
+# see operators/graph.py::kcore_peel for the full contract.
+
+KCORE_K = 2
+KCORE_ROUNDS = 4
+
+
+def q134_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.operators.graph import kcore_peel
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(
+        docs, id_col="doc_id", text_col="text",
+        shingle_k=MINHASH_K, num_hashes=MINHASH_HASHES, bands=MINHASH_BANDS,
+    )
+    return kcore_peel(pairs, src="id_a", dst="id_b", k=KCORE_K, rounds=KCORE_ROUNDS)
+
+
+def _q134_sql() -> str:
+    from las_vpe_platform_spark.operators.graph import kcore_sql
+
+    edges = f"SELECT id_a AS src, id_b AS dst FROM ({_q24_sql()}) t"
+    return kcore_sql(edges, k=KCORE_K, rounds=KCORE_ROUNDS)
+
+
+Q134_SQL = _q134_sql()
+
+
+# --- q133: exact weighted-cosine All-Pairs self-join -------------------------
+# The WEIGHTED member of the exact similarity-join family (q106 = set
+# Jaccard, q121 = edit distance): rarity-weighted cosine via the
+# All-Pairs prefix bound (Bayardo/Ma/Srikant WWW'07), integer-exact
+# verify — see operators/dedup.py::weighted_cosine_pairs for the
+# completeness argument and the BIGINT predicate that removes every
+# float boundary from the emitted pair set.
+
+WCOS_NUM, WCOS_DEN = 3, 5  # threshold 0.6 as a rational
+WCOS_K = 3  # 3-word shingles: the prefix bound needs vocabulary skew
+# to bite — on this small-vocab corpus 2-word shingles are so common
+# (avg df ~160) that prefixes cover ~72% of postings and candidates
+# hit 8.2M at sf0.1 (measured); trigrams push avg df low enough that
+# the rarest-first prune works as designed (241k candidates, 34x less)
+_WCOS_SB_CUT = WCOS_NUM / WCOS_DEN - 1e-9  # one Python double, both engines
+
+
+def q133_weighted_allpairs_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.operators.dedup import weighted_cosine_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_cosine_pairs(
+        docs, "doc_id", "text", WCOS_NUM, WCOS_DEN, shingle_k=WCOS_K
+    )
+
+
+Q133_SQL = f"""
+WITH _toks AS (
+  SELECT doc_id, {SQL_TOKENS} AS toks FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, s AS shingle FROM (
+    SELECT doc_id, unnest({sql_shingles(WCOS_K)}) AS s FROM _toks
+  )
+), wdf AS (
+  SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS _df
+  FROM sh
+), ww AS (
+  SELECT doc_id, shingle, _df, (1000 // _df)::BIGINT AS w
+  FROM wdf WHERE (1000 // _df) > 0
+), wn AS (
+  SELECT *, sum(w * w) OVER (PARTITION BY doc_id) AS na2 FROM ww
+), wu AS (
+  SELECT *, w::DOUBLE / sqrt(na2::DOUBLE) AS uw FROM wn
+), base AS (
+  SELECT *, max(uw) OVER (PARTITION BY shingle) AS cmax FROM wu
+), pref AS (
+  SELECT doc_id, shingle FROM (
+    SELECT doc_id, shingle,
+           sum(uw * cmax) OVER (PARTITION BY doc_id ORDER BY _df, shingle
+                                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS sb
+    FROM base
+  ) WHERE sb >= {_WCOS_SB_CUT!r}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM pref a JOIN pref b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+), dots AS (
+  SELECT c.id_a, c.id_b,
+         sum(pa.w * pb.w) AS dot, min(pa.na2) AS na2, min(pb.na2) AS nb2
+  FROM cand c
+  JOIN base pa ON pa.doc_id = c.id_a
+  JOIN base pb ON pb.doc_id = c.id_b AND pb.shingle = pa.shingle
+  GROUP BY c.id_a, c.id_b
+)
+SELECT id_a, id_b, dot::BIGINT AS dot, na2::BIGINT AS na2, nb2::BIGINT AS nb2
+FROM dots
+WHERE {WCOS_DEN * WCOS_DEN} * dot * dot >= {WCOS_NUM * WCOS_NUM} * na2 * nb2
+"""
+
+
 DATA_QUERIES = {
     "q20_doc_token_stats": (q20_doc_token_stats, Q20_SQL),
     "q21_doc_quality": (q21_doc_quality, Q21_SQL),
@@ -6081,4 +6181,6 @@ DATA_QUERIES = {
     "q130_quality_budget_cut": (q130_quality_budget_cut, Q130_SQL),
     "q131_seasonal_anomalies": (q131_seasonal_anomalies, Q131_SQL),
     "q132_ann_ndcg": (q132_ann_ndcg, Q132_SQL),
+    "q133_weighted_allpairs_join": (q133_weighted_allpairs_join, Q133_SQL),
+    "q134_kcore_decomposition": (q134_kcore_decomposition, Q134_SQL),
 }

@@ -311,3 +311,58 @@ def test_containment_pairs_skip_one_token_inners(spark):
     }
     assert (4, 1) in full and (4, 7) in full
     assert fast == {p for p in full if p[0] != 4}
+
+
+def test_weighted_cosine_pairs_matches_brute_force(spark):
+    """All-Pairs completeness (q133's operator): the prefix-bound
+    candidate stage + integer verify must emit exactly the brute-force
+    rarity-weighted cosine pair set, including threshold-boundary
+    cases the integer predicate decides exactly."""
+    from fractions import Fraction
+
+    from las_vpe_platform_spark.operators.dedup import weighted_cosine_pairs
+    from las_vpe_platform_spark.operators.staging import unpersist_all
+
+    corpus = [
+        (1, "a b c d e f g h i"),
+        (2, "a b c d e f g h j"),      # near-clone of 1
+        (3, "m n o p q r s t u"),
+        (4, "m n o p q r s t u"),      # exact clone of 3 (cos = 1)
+        (5, "z1 z2 z3 z4 z5 z6"),      # all-unique, no partner
+        (6, "a b m n z9 z8 z7"),       # mixes 1's and 3's shingles
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+
+    def wvec(toks):
+        return {" ".join(toks[i:i + 2]) for i in range(len(toks) - 1)}
+
+    shingles = {d: wvec(t.split()) for d, t in corpus}
+    dfreq = {}
+    for ss in shingles.values():
+        for s in ss:
+            dfreq[s] = dfreq.get(s, 0) + 1
+    w = {s: 1000 // c for s, c in dfreq.items()}
+
+    for t_num, t_den in ((3, 5), (1, 2), (1, 1)):
+        try:
+            got = {
+                (r["id_a"], r["id_b"])
+                for r in weighted_cosine_pairs(
+                    df, "doc_id", "text", t_num, t_den
+                ).collect()
+            }
+        finally:
+            unpersist_all()
+        want = set()
+        docs = sorted(shingles)
+        for i, a in enumerate(docs):
+            for b in docs[i + 1:]:
+                dot = sum(w[s] * w[s] for s in shingles[a] & shingles[b])
+                na2 = sum(w[s] ** 2 for s in shingles[a])
+                nb2 = sum(w[s] ** 2 for s in shingles[b])
+                # exact rational comparison, mirroring the BIGINT verify
+                if dot >= 0 and Fraction(dot * dot, na2 * nb2) >= Fraction(
+                    t_num * t_num, t_den * t_den
+                ):
+                    want.add((a, b))
+        assert got == want, (t_num, t_den, got, want)

@@ -36,3 +36,62 @@ def test_pagerank_ring_is_uniform(spark):
     edges = [(i, (i + 1) % n) for i in range(n)] + [((i + 1) % n, i) for i in range(n)]
     ranks = _pr(spark, edges)
     assert len(set(ranks.values())) == 1
+
+
+def _kcore_py(pairs, k, rounds):
+    """Sequential reference peel: same synchronous rounds."""
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    surv = set(adj)
+    for _ in range(rounds):
+        surv = {n for n in surv if len(adj[n] & surv) >= k}
+    return {n: len(adj[n] & surv) for n in surv}
+
+
+def test_kcore_matches_python_reference(spark):
+    from las_vpe_platform_spark.operators.graph import kcore_peel
+
+    # triangle 0-1-2 (2-core) + a tail 2-3-4 (peels away) + an
+    # isolated edge 5-6 (peels) + a 4-clique 7,8,9,10 (3-core)
+    pairs = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (5, 6)]
+    pairs += [(a, b) for a in (7, 8, 9, 10) for b in (7, 8, 9, 10) if a < b]
+    df = spark.createDataFrame(pairs, ["src", "dst"])
+    for k in (2, 3):
+        got = {
+            r["node"]: r["core_degree"]
+            for r in kcore_peel(df, k=k, rounds=4).collect()
+        }
+        assert got == _kcore_py(pairs, k, 4), k
+
+
+def test_q134_extra_round_is_fixed_point(spark, sf_dir):
+    """The catalog's KCORE_ROUNDS must have converged: one extra round
+    changes nothing (the q120/LPA unrolled-iteration contract)."""
+    from las_vpe_platform_spark.operators.dedup import minhash_lsh_candidates
+    from las_vpe_platform_spark.operators.graph import kcore_peel
+    from las_vpe_platform_spark.queries_data import (
+        KCORE_K,
+        KCORE_ROUNDS,
+        MINHASH_BANDS,
+        MINHASH_HASHES,
+        MINHASH_K,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_lsh_candidates(
+        docs, id_col="doc_id", text_col="text",
+        shingle_k=MINHASH_K, num_hashes=MINHASH_HASHES, bands=MINHASH_BANDS,
+    )
+    at_r = sorted(
+        (r["node"], r["core_degree"])
+        for r in kcore_peel(pairs, "id_a", "id_b", KCORE_K, KCORE_ROUNDS).collect()
+    )
+    at_r1 = sorted(
+        (r["node"], r["core_degree"])
+        for r in kcore_peel(
+            pairs, "id_a", "id_b", KCORE_K, KCORE_ROUNDS + 1
+        ).collect()
+    )
+    assert at_r == at_r1 and len(at_r) > 0
