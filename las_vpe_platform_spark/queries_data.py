@@ -5989,6 +5989,98 @@ FROM terms GROUP BY probe_key
 """
 
 
+# --- q135: HLL sketch-merge rollup (partials -> coarser grain) ---------------
+# The sketch-ALGEBRA member of the sketch family: q56/s09 build one
+# HLL estimate from raw rows; this entry materializes per-DAY register
+# partials (the "stored sketch table" a warehouse keeps next to its
+# rollups) and then answers BOTH grains from them — day estimates
+# directly, week estimates by merging registers with MAX — without
+# touching a raw row twice. The scale story IS the merge step: at 100
+# TB the weekly rollup reads days x m register rows (KBs), never the
+# events table; the same algebra serves backfill (re-merge after a
+# late partition lands) and cross-source union (max registers across
+# feeds). Registers are integers, so every engine merges identically;
+# the estimate arithmetic mirrors aggregates.hll_finish / hll_sql.
+
+HLL_ROLLUP_M = 64
+
+
+def q135_sketch_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.functions.scalar import ntz_epoch_micros
+    from las_vpe_platform_spark.operators.aggregates import hll_bucketed, hll_finish
+
+    ev = _t(spark, sf_dir, "events").select(
+        ntz_epoch_micros("ts").alias("us"), "user_id"
+    )
+    days = ev.selectExpr("us div 86400000000 AS day", "user_id")
+    b = hll_bucketed(days, "user_id", m=HLL_ROLLUP_M, keep_cols=["day"])
+    # the stored partials table — referenced by BOTH output grains
+    daily = _stage(
+        b.groupBy("day", "_bucket").agg(F.max("_rho").alias("_r")),
+        "q135_daily_sketches",
+    )
+    day_est = hll_finish(daily, ["day"], m=HLL_ROLLUP_M).selectExpr(
+        "'day' AS level", "day AS period", "hll_sum", "n_zero", "hll_est"
+    )
+    weekly = (
+        daily.selectExpr("day div 7 AS week", "_bucket", "_r")
+        .groupBy("week", "_bucket")
+        .agg(F.max("_r").alias("_r"))
+    )
+    week_est = hll_finish(weekly, ["week"], m=HLL_ROLLUP_M).selectExpr(
+        "'week' AS level", "week AS period", "hll_sum", "n_zero", "hll_est"
+    )
+    return day_est.unionByName(week_est)
+
+
+def _q135_sql() -> str:
+    m = HLL_ROLLUP_M
+    width = 60 - (m.bit_length() - 1)
+    rmax = width + 1
+    top = 1 << rmax
+    h = "('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT"
+    alpha = f"(0.7213 / (1.0 + 1.079 / {m}.0))"
+
+    def finish(src: str, grp: str, lvl: str, period_expr: str) -> str:
+        return f"""
+  SELECT '{lvl}' AS level, {period_expr} AS period,
+         (_present_sum + ({m} - _n_present) * {top})::BIGINT AS hll_sum,
+         ({m} - _n_present)::BIGINT AS n_zero,
+         floor((CASE WHEN ({m} - _n_present) > 0
+                      AND {alpha} * {m}.0 * {m}.0 * {float(top)}
+                          / (_present_sum + ({m} - _n_present) * {top})::DOUBLE
+                          <= {2.5 * m}
+                     THEN {m}.0 * ln({m}.0 / ({m} - _n_present)::DOUBLE)
+                     ELSE {alpha} * {m}.0 * {m}.0 * {float(top)}
+                          / (_present_sum + ({m} - _n_present) * {top})::DOUBLE
+                END) * 100.0 + 0.5) / 100.0 AS hll_est
+  FROM (
+    SELECT {grp}, sum(1::BIGINT << ({rmax} - _r))::BIGINT AS _present_sum,
+           count(*) AS _n_present
+    FROM {src} GROUP BY {grp}
+  )"""
+
+    return f"""
+WITH _rb AS (
+  SELECT epoch_us(ts) // 86400000000 AS day,
+         {h} % {m} AS _bucket,
+         CASE WHEN {h} // {m} > 0 THEN {rmax} - length(bin({h} // {m}))
+              ELSE {rmax} END AS _rho
+  FROM events
+), daily AS (
+  SELECT day, _bucket, max(_rho) AS _r FROM _rb GROUP BY day, _bucket
+), weekly AS (
+  SELECT day // 7 AS week, _bucket, max(_r) AS _r FROM daily GROUP BY week, _bucket
+)
+{finish('daily', 'day', 'day', 'day')}
+UNION ALL
+{finish('weekly', 'week', 'week', 'week')}
+"""
+
+
+Q135_SQL = _q135_sql()
+
+
 # --- q134: k-core decomposition of the near-dup graph ------------------------
 # The densest-substructure member of the graph family (q55 CC, q57/q94
 # PageRank+triangles, q120 LPA): synchronous peeling with fixed
@@ -6183,4 +6275,5 @@ DATA_QUERIES = {
     "q132_ann_ndcg": (q132_ann_ndcg, Q132_SQL),
     "q133_weighted_allpairs_join": (q133_weighted_allpairs_join, Q133_SQL),
     "q134_kcore_decomposition": (q134_kcore_decomposition, Q134_SQL),
+    "q135_sketch_merge_rollup": (q135_sketch_merge_rollup, Q135_SQL),
 }

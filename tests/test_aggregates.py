@@ -140,3 +140,37 @@ def test_hll_registers_merge_losslessly(spark):
         for r in hll_finish(merged_regs, ["g"], m=32).collect()
     }
     assert merged == whole and len(whole) == 4
+
+
+def test_hll_merge_of_partials_equals_direct_sketch(spark, sf_dir):
+    """The q135 algebra: weekly registers obtained by MAX-merging the
+    stored daily partials must equal registers computed directly from
+    the raw week's rows (max of maxes == max over the union) — so the
+    rollup never needs the raw table. Exact integer equality, not an
+    estimate comparison."""
+    from pyspark.sql import functions as F
+
+    from las_vpe_platform_spark.functions.scalar import ntz_epoch_micros
+    from las_vpe_platform_spark.operators.aggregates import hll_bucketed
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        ntz_epoch_micros("ts").alias("us"), "user_id"
+    )
+    days = ev.selectExpr("us div 86400000000 AS day", "user_id")
+    b = hll_bucketed(days, "user_id", m=64, keep_cols=["day"])
+    daily = b.groupBy("day", "_bucket").agg(F.max("_rho").alias("_r"))
+    merged = sorted(
+        (r["week"], r["_bucket"], r["_r"])
+        for r in daily.selectExpr("day div 7 AS week", "_bucket", "_r")
+        .groupBy("week", "_bucket")
+        .agg(F.max("_r").alias("_r"))
+        .collect()
+    )
+    direct = sorted(
+        (r["week"], r["_bucket"], r["_r"])
+        for r in b.selectExpr("day div 7 AS week", "_bucket", "_rho")
+        .groupBy("week", "_bucket")
+        .agg(F.max("_rho").alias("_r"))
+        .collect()
+    )
+    assert merged == direct and len(merged) > 0
