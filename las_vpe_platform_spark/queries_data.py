@@ -5989,6 +5989,141 @@ FROM terms GROUP BY probe_key
 """
 
 
+# --- q136: contrastive triplet mining ----------------------------------------
+# The training-PAIR generators composed into training TRIPLES: every
+# anchor with a near-dup partner (the q24 candidate set = positives)
+# gets (anchor, positive, negative) where positive = its smallest
+# partner id (deterministic) and negative = the FIRST hash-derived
+# non-neighbor (q127's dense-rank lookup, per-try anti-joined against
+# the true edge set) — the row shape a contrastive/metric-learning
+# loader consumes directly. Scale shape: everything runs on the
+# pairs/nodes tables (never docs x docs); the "first qualifying try"
+# is a lexicographic struct MIN per anchor, not a window sort.
+
+TRIPLET_TRIES = 4
+
+
+def q136_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.operators.dedup import minhash_lsh_candidates
+    from las_vpe_platform_spark.operators.staging import persist_disk
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = persist_disk(
+        minhash_lsh_candidates(
+            docs, id_col="doc_id", text_col="text",
+            shingle_k=MINHASH_K, num_hashes=MINHASH_HASHES, bands=MINHASH_BANDS,
+        ).select("id_a", "id_b"),
+        "trip_edges",
+    )
+    sym = pairs.unionByName(
+        pairs.selectExpr("id_b AS id_a", "id_a AS id_b")
+    )
+    pos = sym.groupBy(F.col("id_a").alias("anchor")).agg(
+        F.min("id_b").alias("positive")
+    )
+    nodes = (
+        pairs.selectExpr("id_a AS node")
+        .unionByName(pairs.selectExpr("id_b AS node"))
+        .distinct()
+    )
+    ranked = persist_disk(
+        nodes.withColumn("rk", F.row_number().over(W.orderBy("node")) - 1),
+        "trip_ranks",
+    )
+    n_nodes = ranked.groupBy().agg(F.max("rk").alias("_max"))
+    tries = (
+        pos.crossJoin(F.broadcast(n_nodes))
+        .select(
+            "anchor",
+            "positive",
+            "_max",
+            F.explode(F.sequence(F.lit(1), F.lit(TRIPLET_TRIES))).alias("i"),
+        )
+        .withColumn(
+            "prk",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("trip:"),
+                            F.col("anchor").cast("string"),
+                            F.lit(":"),
+                            F.col("i").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % (F.col("_max") + 1),
+        )
+        .join(
+            F.broadcast(ranked.selectExpr("rk AS prk", "node AS negative")),
+            "prk",
+        )
+        .filter(
+            (F.col("negative") != F.col("anchor"))
+            & (F.col("negative") != F.col("positive"))
+        )
+    )
+    # a try that hit a TRUE neighbor is invalid — remove it, keep the
+    # smallest surviving try index per anchor (lexicographic struct
+    # MIN: one aggregate, no window sort over the try fan-out)
+    valid = tries.join(
+        sym.selectExpr("id_a AS anchor", "id_b AS negative"),
+        ["anchor", "negative"],
+        "left_anti",
+    )
+    return (
+        valid.groupBy("anchor", "positive")
+        .agg(F.min(F.struct("i", "negative")).alias("_best"))
+        .select(
+            "anchor",
+            "positive",
+            F.col("_best.negative").alias("negative"),
+        )
+    )
+
+
+def _q136_sql() -> str:
+    return f"""
+WITH pairs AS MATERIALIZED (
+  SELECT id_a, id_b FROM ({_q24_sql()}) t
+), sym AS (
+  SELECT id_a, id_b FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+), pos AS (
+  SELECT id_a AS anchor, min(id_b) AS positive FROM sym GROUP BY id_a
+), nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT id_a AS node FROM pairs UNION ALL SELECT id_b FROM pairs
+  )
+), ranked AS MATERIALIZED (
+  SELECT node, row_number() OVER (ORDER BY node) - 1 AS rk FROM nodes
+), tries AS (
+  SELECT p.anchor, p.positive, g.i, r.node AS negative
+  FROM pos p
+  CROSS JOIN generate_series(1, {TRIPLET_TRIES}) AS g(i)
+  JOIN ranked r
+    ON r.rk = (('0x' || substr(md5('trip:' || CAST(p.anchor AS VARCHAR) || ':'
+                                   || CAST(g.i AS VARCHAR)), 1, 8))::BIGINT
+               % (SELECT max(rk) + 1 FROM ranked))
+  WHERE r.node != p.anchor AND r.node != p.positive
+), valid AS (
+  SELECT t.* FROM tries t
+  ANTI JOIN sym e ON t.anchor = e.id_a AND t.negative = e.id_b
+)
+SELECT anchor, positive,
+       (min(struct_pack(i := i, negative := negative))).negative AS negative
+FROM valid GROUP BY anchor, positive
+"""
+
+
+Q136_SQL = _q136_sql()
+
+
 # --- q135: HLL sketch-merge rollup (partials -> coarser grain) ---------------
 # The sketch-ALGEBRA member of the sketch family: q56/s09 build one
 # HLL estimate from raw rows; this entry materializes per-DAY register
@@ -6276,4 +6411,5 @@ DATA_QUERIES = {
     "q133_weighted_allpairs_join": (q133_weighted_allpairs_join, Q133_SQL),
     "q134_kcore_decomposition": (q134_kcore_decomposition, Q134_SQL),
     "q135_sketch_merge_rollup": (q135_sketch_merge_rollup, Q135_SQL),
+    "q136_triplet_mining": (q136_triplet_mining, Q136_SQL),
 }

@@ -176,3 +176,39 @@ def test_ann_probe_broadcast_opt_out_same_results(spark, sf_dir):
         )
     finally:
         unpersist_all()
+
+
+def test_q136_triplet_invariants(spark, sf_dir):
+    """Contrastive-triplet contract: (anchor, positive) IS a candidate
+    edge, (anchor, negative) is NOT, and the three ids are distinct —
+    for every emitted row."""
+    from pyspark.sql import functions as F
+
+    from las_vpe_platform_spark.operators.dedup import minhash_lsh_candidates
+    from las_vpe_platform_spark.operators.staging import unpersist_all
+    from las_vpe_platform_spark.queries_data import (
+        MINHASH_BANDS,
+        MINHASH_HASHES,
+        MINHASH_K,
+        q136_triplet_mining,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    edges = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(
+            docs, id_col="doc_id", text_col="text",
+            shingle_k=MINHASH_K, num_hashes=MINHASH_HASHES, bands=MINHASH_BANDS,
+        ).collect()
+    }
+    sym = edges | {(b, a) for a, b in edges}
+    try:
+        rows = q136_triplet_mining(spark, sf_dir).collect()
+    finally:
+        unpersist_all()
+    assert rows
+    for r in rows:
+        a, p, n = r["anchor"], r["positive"], r["negative"]
+        assert len({a, p, n}) == 3, (a, p, n)
+        assert (a, p) in sym, (a, p)
+        assert (a, n) not in sym, (a, n)
