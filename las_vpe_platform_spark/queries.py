@@ -96,6 +96,7 @@ DRIVER_PRIORITY: list[str] = [
     "q134_kcore_decomposition",
     "q135_sketch_merge_rollup",
     "q136_triplet_mining",
+    "m12_tone_detection",
     # -- tier 2: stalest evidence — only driver row is round 1; the
     #    round-5 tiebreak losers (q37-q47, q49) go first, then the
     #    oldest of the rest (q32/q34/q35/q36 lose this round) --
@@ -118,10 +119,10 @@ DRIVER_PRIORITY: list[str] = [
     "q10_events_minutely",
     "q13_sampled_lineitems",
     "q15_frame_time_arithmetic",
-    "q16_event_type_pivot",
     # -- overflow (positions 50+): every entry below is driver-green
     #    in some prior round (union r01-r05) and stays DuckDB-gated
     #    at sf0.01 on every test run --
+    "q16_event_type_pivot",
     "q17_rollup_returnflag",
     "q19_entity_union",
     "q23_dedup_exact",

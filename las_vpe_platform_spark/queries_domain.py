@@ -1100,6 +1100,119 @@ M08_SQL = _m08_sql()
 
 
 
+
+# --- m12: fixed-point Goertzel tone detection over PCM windows ---------------
+# Single-frequency DSP over the audio binary column: per 256-sample
+# window, the Goertzel correlation against one frequency bin (bin 8 =
+# 500 Hz at 16 kHz) — the cheap tone/DTMF/beep detector a curation
+# pipeline runs to find alarm tones or test signals in audio corpora.
+# Exactness: the cos/sin table is quantized to 7-bit fixed point at
+# PLAN-BUILD time (Python literals embedded in BOTH engines' plans —
+# the q59/q132 plan-literal pattern), so the correlations are pure
+# BIGINT folds: c,s <= 2^30, power = c^2+s^2 <= 2.3e18 < 2^63, zero
+# float anywhere (the pagerank_fixed_point philosophy). Scale shape:
+# one explode to full windows, all arithmetic inside the scan stage,
+# NO exchange at all — 100 TB of audio streams through map-side.
+
+M12_WIN = 256
+M12_BIN = 8            # 500 Hz at 16 kHz, 256-sample window
+M12_SCALE = 128        # 7-bit fixed-point table
+M12_TONE_T = 1_500_000_000_000_000  # ~noise mean; flags the loud tail
+
+import math as _m12math
+
+_M12_COS = [
+    int(_m12math.floor(_m12math.cos(2 * _m12math.pi * M12_BIN * i / M12_WIN)
+                       * M12_SCALE + 0.5))
+    for i in range(M12_WIN)
+]
+_M12_SIN = [
+    int(_m12math.floor(_m12math.sin(2 * _m12math.pi * M12_BIN * i / M12_WIN)
+                       * M12_SCALE + 0.5))
+    for i in range(M12_WIN)
+]
+
+
+def m12_tone_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clips = _fx(spark, "audio_clips")
+    w = M12_WIN
+    x = _S16_PCM.format(i="i")
+    cos_arr = "array(" + ",".join(f"{v}L" for v in _M12_COS) + ")"
+    sin_arr = "array(" + ",".join(f"{v}L" for v in _M12_SIN) + ")"
+    ctab = f"element_at({cos_arr}, CAST(i % {w} AS INT) + 1)"
+    stab = f"element_at({sin_arr}, CAST(i % {w} AS INT) + 1)"
+    return (
+        clips.filter(f"n_samples >= {w}")
+        .selectExpr(
+            "clip_id",
+            f"explode(sequence(0, CAST(n_samples div {w} AS INT) - 1)) AS window_id",
+            "pcm",
+        )
+        .selectExpr(
+            "clip_id",
+            "CAST(window_id AS BIGINT) AS window_id",
+            f"CAST(window_id * {w} AS INT) AS _lo",
+            "pcm",
+        )
+        .selectExpr(
+            "clip_id",
+            "window_id",
+            f"aggregate(sequence(_lo, _lo + {w} - 1), 0L,"
+            f" (acc, i) -> acc + {x} * {ctab}) AS g_re",
+            f"aggregate(sequence(_lo, _lo + {w} - 1), 0L,"
+            f" (acc, i) -> acc + {x} * {stab}) AS g_im",
+        )
+        .selectExpr(
+            "clip_id",
+            "window_id",
+            "g_re",
+            "g_im",
+            "g_re * g_re + g_im * g_im AS power",
+            f"CAST(g_re * g_re + g_im * g_im >= {M12_TONE_T} AS INT) AS is_tone",
+        )
+    )
+
+
+def _m12_sql() -> str:
+    w = M12_WIN
+    val = (
+        "(('0x' || substr(hx, 4 * i + 1, 2))::BIGINT"
+        " + 256 * ('0x' || substr(hx, 4 * i + 3, 2))::BIGINT)"
+    )
+    signed = f"(CASE WHEN {val} > 32767 THEN {val} - 65536 ELSE {val} END)"
+    cos_list = "[" + ",".join(str(v) for v in _M12_COS) + "]"
+    sin_list = "[" + ",".join(str(v) for v in _M12_SIN) + "]"
+    ctab = f"({cos_list})[(i % {w}) + 1]"
+    stab = f"({sin_list})[(i % {w}) + 1]"
+    fold = (
+        "list_sum(list_transform(generate_series("
+        f"CAST(window_id * {w} AS INT), CAST(window_id * {w} AS INT) + {w} - 1),"
+        " i -> {body}))::BIGINT"
+    )
+    return f"""
+WITH src AS (
+  SELECT clip_id, n_samples, hex(pcm) AS hx, n_samples // {w} AS n_win
+  FROM {_fxsql('audio_clips')}
+  WHERE n_samples >= {w}
+), wins AS (
+  SELECT clip_id, hx, unnest(generate_series(0, n_win - 1)) AS window_id
+  FROM src
+), g AS (
+  SELECT clip_id, window_id::BIGINT AS window_id,
+         {fold.format(body=f"{signed} * {ctab}")} AS g_re,
+         {fold.format(body=f"{signed} * {stab}")} AS g_im
+  FROM wins
+)
+SELECT clip_id, window_id, g_re, g_im,
+       g_re * g_re + g_im * g_im AS power,
+       (CASE WHEN g_re * g_re + g_im * g_im >= {M12_TONE_T} THEN 1 ELSE 0 END)::INT AS is_tone
+FROM g
+"""
+
+
+M12_SQL = _m12_sql()
+
+
 # --- m09: appearance-change (scene-cut) detection over patch brightness -----
 # Shot/appearance-boundary detection, the video-curation primitive the
 # reference's tracker consumes upstream (a tracklet whose patches jump
@@ -2081,4 +2194,5 @@ DOMAIN_QUERIES = {
     "d24_journey_reconstruction": (d24_journey_reconstruction, D24_SQL),
     "m10_loudness_segments": (m10_loudness_segments, M10_SQL),
     "d22_dwell_distribution": (d22_dwell_distribution, D22_SQL),
+    "m12_tone_detection": (m12_tone_detection, M12_SQL),
 }
