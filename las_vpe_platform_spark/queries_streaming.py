@@ -1400,6 +1400,163 @@ WHERE r.doc_id % 3 = 0 AND l.doc_id != r.doc_id
 S19_SQL = _s19_sql()
 
 
+def s20_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER interval join — completing the outer-
+    join family (s04 inner, s17 left): the reference's leftover-window
+    flush (SparkStreamingApp.java:176-192) observed from BOTH sides at
+    once — a click with no purchase in its following window proceeds
+    alone, AND a purchase with no click in its preceding window does.
+
+    Emission rules (empirically derived round 6, discriminated at
+    sf0.01 where the strict/non-strict variants diverge; rides the
+    same S17_PINNED_SPARK_MINOR version pin):
+    - matched rows always emit;
+    - unmatched LEFT emits iff ``c_ts + interval <`` the final joint
+      watermark w = min over both sides' max observed event time
+      (s17's rule, unchanged by the join type);
+    - unmatched RIGHT emits iff ``p_ts < w`` — symmetric: the right
+      row's match window is [p_ts - interval, p_ts], so its state is
+      provably complete once the watermark passes p_ts itself.
+
+    Scale shape identical to s17: state bounded by horizon + interval
+    per side; both null emissions ride the eviction scan, no extra
+    state.
+    """
+    raw = _events_micros(spark, sf_dir)
+
+    def side():
+        return _sliced_parquet_stream(
+            spark, raw, "s20_events_", cache_key=("events_s20", sf_dir)
+        )
+
+    clicks = (
+        side()
+        .filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "0 seconds")
+    )
+    purchases = (
+        side()
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "0 seconds")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr(f"INTERVAL {S17_ATTR_HOURS} HOURS")),
+        "fullOuter",
+    )
+    out = joined.select(
+        F.coalesce("user_id", "p_user").alias("uid"),
+        "click_id",
+        "purchase_id",
+        F.unix_micros("c_ts").alias("click_us"),
+        F.unix_micros("p_ts").alias("purchase_us"),
+    )
+    name = f"s20_out_{uuid.uuid4().hex[:8]}"
+    with _stream_partitions(spark):
+        return run_to_completion(out, name, output_mode="append")
+
+
+S20_SQL = f"""
+WITH c AS (
+  SELECT user_id, event_id AS click_id, ts FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT user_id, event_id AS purchase_id, ts FROM events WHERE event_type = 'purchase'
+), wm AS (
+  SELECT least((SELECT max(ts) FROM c), (SELECT max(ts) FROM p)) AS w
+)
+SELECT coalesce(c.user_id, p.user_id) AS uid, c.click_id, p.purchase_id,
+       epoch_us(c.ts) AS click_us, epoch_us(p.ts) AS purchase_us
+FROM c FULL JOIN p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL {S17_ATTR_HOURS} HOUR
+WHERE (c.click_id IS NOT NULL AND p.purchase_id IS NOT NULL)
+   OR (p.purchase_id IS NULL
+       AND c.ts + INTERVAL {S17_ATTR_HOURS} HOUR < (SELECT w FROM wm))
+   OR (c.click_id IS NULL AND p.ts < (SELECT w FROM wm))
+"""
+
+
+
+def s21_stream_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming materialized-aggregate maintenance — q117's operator
+    (maintenance.maintain_aggregate) run continuously: every
+    micro-batch becomes a changelog that foreachBatch signed-folds
+    into the STORED per-user aggregate table with one read-modify-
+    write (versioned parquet, the Delta-MERGE shape without Delta) —
+    the reference re-derives aggregate state by replaying Kafka
+    (DataManagingApp.java:422-473); this maintains it incrementally,
+    sized by each batch, never the history. Values fold as exact
+    integer cents (integers are exact in double far past this scale),
+    so the final table equals a batch GROUP BY bit-for-bit under any
+    batching — which is exactly what the oracle checks.
+
+    Versioned write-backs: batch N reads v(N-1) and writes v(N);
+    micro-batches execute sequentially, so the read side is never the
+    directory being written (the idempotent-sink discipline of K3).
+    """
+    from las_vpe_platform_spark.operators.maintenance import maintain_aggregate
+
+    src = _landed_events8(spark, sf_dir)
+    out_root = _scratch_dir("s21_agg_")
+    state = {"path": None}
+
+    def fold_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        changes = batch_df.selectExpr(
+            "user_id",
+            "'I' AS op",
+            "CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents",
+        )
+        if state["path"] is None:
+            stored = spark.createDataFrame(
+                [], "user_id long, n long, total double"
+            )
+        else:
+            stored = spark.read.parquet(state["path"])
+        new = maintain_aggregate(
+            stored, changes, ["user_id"], count_col="n",
+            sum_cols={"total": "cents"},
+        )
+        path = f"{out_root}/v{epoch_id}"
+        new.write.mode("overwrite").parquet(path)
+        state["path"] = path
+
+    stream = file_stream(spark, src, RAW_EVENTS_SCHEMA, max_files_per_trigger=4)
+    with _stream_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(fold_batch)
+            .outputMode("append")
+            .queryName(f"s21_{uuid.uuid4().hex[:8]}")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    assert state["path"] is not None
+    return spark.read.parquet(state["path"]).selectExpr(
+        "user_id", "CAST(n AS BIGINT) AS n", "CAST(total AS BIGINT) AS total_cents"
+    )
+
+
+S21_SQL = """
+SELECT user_id, count(*)::BIGINT AS n,
+       sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))::BIGINT AS total_cents
+FROM events GROUP BY user_id
+"""
+
+
 STREAMING_QUERIES = {
     "s01_stream_windowed_counts": (s01_stream_windowed_counts, S01_SQL),
     "s02_stream_dedup": (s02_stream_dedup, S02_SQL),
@@ -1418,6 +1575,8 @@ STREAMING_QUERIES = {
     "s15_stream_anomaly": (s15_stream_anomaly, S15_SQL),
     "s16_stream_session_native": (s16_stream_session_native, S16_SQL),
     "s17_stream_left_outer_join": (s17_stream_left_outer_join, S17_SQL),
+    "s20_stream_full_outer_join": (s20_stream_full_outer_join, S20_SQL),
+    "s21_stream_agg_maintenance": (s21_stream_agg_maintenance, S21_SQL),
     "s18_stream_scd2_asof_enrich": (s18_stream_scd2_asof_enrich, S18_SQL),
     "s19_stream_lsh_ingest_gate": (s19_stream_lsh_ingest_gate, S19_SQL),
 }

@@ -390,3 +390,74 @@ def test_scd2_history_null_runs_and_tied_timestamps(spark):
     # Y run (2 events, started at the tied 500) stays current
     assert out[(2, "X")] == (500, 500, 1, 0)
     assert out[(2, "Y")] == (500, None, 2, 1)
+
+
+def test_full_outer_stream_join_both_sides_null_emission(spark):
+    """The s20 semantics batch-by-batch: BOTH sides' unmatched rows
+    emit with nulls once the joint watermark proves them complete —
+    the left at window expiry (s17's rule), the right at its own
+    event time — and neither retro-matches after eviction. Tail rows
+    whose completeness is unproven when input ends are withheld."""
+    from las_vpe_platform_spark.streaming.engine import run_to_completion
+
+    schema = "user string, ts timestamp, id long, side string"
+    src = tempfile.mkdtemp(prefix="foj_")
+    # batch 1: unmatched left at 10:00 (window [10:00, 10:30]) and an
+    # unmatched right at 10:05 (window [09:35, 10:05]); 12:00 rows on
+    # both sides push each watermark past both completeness points
+    spark.createDataFrame(
+        [
+            ("u1", _ts("2024-01-01 10:00:00"), 1, "L"),
+            ("u2", _ts("2024-01-01 10:05:00"), 3, "R"),
+            ("u9", _ts("2024-01-01 12:00:00"), 2, "L"),
+            ("u9", _ts("2024-01-01 12:00:00"), 9, "R"),
+        ],
+        schema,
+    ).coalesce(1).write.mode("overwrite").parquet(f"{src}/b1")
+    # batch 2: filler advancing nothing into open windows — the
+    # one-batch eviction grace runs here, emitting both null rows
+    spark.createDataFrame(
+        [("u8", _ts("2024-01-01 12:40:00"), 5, "R")], schema
+    ).coalesce(1).write.mode("overwrite").parquet(f"{src}/b2")
+    # batch 3: late partners inside both evicted windows — must NOT
+    # retro-match either side
+    spark.createDataFrame(
+        [
+            ("u1", _ts("2024-01-01 10:10:00"), 4, "R"),
+            ("u2", _ts("2024-01-01 10:01:00"), 6, "L"),
+        ],
+        schema,
+    ).coalesce(1).write.mode("overwrite").parquet(f"{src}/b3")
+
+    def side(tag, cols):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("latestFirst", "false")
+            .parquet(f"{src}/*")
+            .filter(F.col("side") == tag)
+            .selectExpr(*cols)
+        )
+
+    left = side("L", ["user", "id AS left_id", "ts AS l_ts"]).withWatermark(
+        "l_ts", "0 seconds"
+    )
+    right = side(
+        "R", ["user AS r_user", "id AS right_id", "ts AS r_ts"]
+    ).withWatermark("r_ts", "0 seconds")
+    joined = left.join(
+        right,
+        (F.col("user") == F.col("r_user"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "fullOuter",
+    ).select("left_id", "right_id")
+    out = run_to_completion(
+        joined, f"foj_{uuid.uuid4().hex[:8]}", output_mode="append"
+    )
+    pairs = {(r["left_id"], r["right_id"]) for r in out.collect()}
+    assert (1, None) in pairs, pairs        # expired unmatched left
+    assert (None, 3) in pairs, pairs        # complete unmatched right
+    assert (2, 9) in pairs, pairs           # matched pair emits
+    assert (1, 4) not in pairs, pairs       # no left retro-match
+    assert (6, 3) not in pairs, pairs       # no right retro-match

@@ -137,8 +137,9 @@ def test_staging_writer_drives_heavy_operator_end_to_end(spark, sf_dir, tmp_path
 
 
 def test_s17_emission_rule_is_version_pinned(spark):
-    """s17's oracle mirrors Spark's OBSERVED left-outer eviction
-    timing, not a spec (VERDICT r5 'What's wrong' #3). This test fails
+    """s17's and s20's oracles mirror Spark's OBSERVED outer-join
+    eviction timing, not a spec (VERDICT r5 'What's wrong' #3; s20's
+    right-side rule rides the same pin). This test fails
     LOUDLY — it does not re-derive — when the engine minor version
     moves, forcing a human re-verification of the emission rule before
     the pin is updated."""
