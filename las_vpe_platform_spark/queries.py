@@ -99,6 +99,7 @@ DRIVER_PRIORITY: list[str] = [
     "m12_tone_detection",
     "s20_stream_full_outer_join",
     "s21_stream_agg_maintenance",
+    "q137_entity_resolution",
     # -- tier 2: stalest evidence — only driver row is round 1; the
     #    round-5 tiebreak losers (q37-q47, q49) go first, then the
     #    oldest of the rest (q32/q34/q35/q36 lose this round) --
@@ -118,10 +119,10 @@ DRIVER_PRIORITY: list[str] = [
     "q03_shipping_priority",
     "q04_regional_revenue",
     "q05_daily_activity_full_outer",
-    "q10_events_minutely",
     # -- overflow (positions 50+): every entry below is driver-green
     #    in some prior round (union r01-r05) and stays DuckDB-gated
     #    at sf0.01 on every test run --
+    "q10_events_minutely",
     "q13_sampled_lineitems",
     "q15_frame_time_arithmetic",
     "q16_event_type_pivot",

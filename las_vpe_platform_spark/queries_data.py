@@ -5989,6 +5989,90 @@ FROM terms GROUP BY probe_key
 """
 
 
+# --- q137: entity resolution (fuzzy blocking -> clusters -> canonical) -------
+# The three ER primitives composed end-to-end: q121's lossless
+# length-band edit-distance join proposes variant pairs over the
+# DISTINCT name dictionary, connected components groups them into
+# entities, and every name resolves to a canonical id (cluster-min
+# name; singletons resolve to themselves via the left join — an ER
+# table must cover EVERY input name, not just the fuzzy ones). Output
+# is the per-entity rollup a downstream join consumes: canonical
+# name, variant count, total base-table mass. Scale shape: the
+# quadratic stage runs on the vocabulary (q121's contract), CC on the
+# variant-pair graph (tiny), and the base table contributes only its
+# GROUP BY p_name counts.
+
+
+def q137_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.operators.dedup import (
+        connected_components,
+        edit_distance_pairs,
+    )
+
+    # dense integer ids, ordered by name: connected_components'
+    # sum-based convergence detector needs NUMERIC labels, and the
+    # order-preserving mapping keeps min-id == lexicographic-min-name.
+    # The single-task global row_number window is safe HERE because it
+    # runs on the DISTINCT-name dictionary (vocabulary-sized by the
+    # q121 contract), never the base table
+    names = _stage(
+        _t(spark, sf_dir, "part")
+        .groupBy(F.col("p_name").alias("s"))
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .withColumn("nid", F.row_number().over(W.orderBy("s")).cast("bigint")),
+        "q137_names",
+    )
+    pairs = edit_distance_pairs(names, string_col="s", threshold=LEV_T)
+    ids = names.select("s", "nid")
+    epairs = (
+        pairs.join(ids.selectExpr("s AS s_a", "nid AS nid_a"), on="s_a")
+        .join(ids.selectExpr("s AS s_b", "nid AS nid_b"), on="s_b")
+        .select("nid_a", "nid_b")
+    )
+    # s_a < s_b and the id mapping is order-preserving, so the pair
+    # list is already canonical (nid_a < nid_b) — no defensive distinct
+    comp = connected_components(
+        epairs, src="nid_a", dst="nid_b", edges_canonical=True
+    )
+    canon = comp.join(
+        ids.selectExpr("s AS entity", "nid AS component"), on="component"
+    ).selectExpr("node AS nid", "entity")
+    resolved = names.join(canon, on="nid", how="left").select(
+        F.coalesce("entity", "s").alias("entity"), "s", "n_parts"
+    )
+    return resolved.groupBy("entity").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_variants"),
+        F.sum("n_parts").cast("bigint").alias("total_parts"),
+    )
+
+
+Q137_SQL = f"""
+WITH RECURSIVE names AS (
+  SELECT p_name AS s, count(*) AS n_parts FROM part GROUP BY p_name
+), pairs AS (
+  SELECT a.s AS s_a, b.s AS s_b
+  FROM names a JOIN names b
+    ON a.s < b.s
+   AND abs(length(a.s) - length(b.s)) <= {LEV_T}
+   AND levenshtein(a.s, b.s) <= {LEV_T}
+), edges AS (
+  SELECT s_a AS a, s_b AS b FROM pairs
+  UNION SELECT s_b AS a, s_a AS b FROM pairs
+), reach(node, root) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node
+), comp AS (
+  SELECT node, min(root) AS component FROM reach GROUP BY node
+), resolved AS (
+  SELECT coalesce(c.component, n.s) AS entity, n.s, n.n_parts
+  FROM names n LEFT JOIN comp c ON c.node = n.s
+)
+SELECT entity, count(*)::BIGINT AS n_variants, sum(n_parts)::BIGINT AS total_parts
+FROM resolved GROUP BY entity
+"""
+
+
 # --- q136: contrastive triplet mining ----------------------------------------
 # The training-PAIR generators composed into training TRIPLES: every
 # anchor with a near-dup partner (the q24 candidate set = positives)
@@ -6412,4 +6496,5 @@ DATA_QUERIES = {
     "q134_kcore_decomposition": (q134_kcore_decomposition, Q134_SQL),
     "q135_sketch_merge_rollup": (q135_sketch_merge_rollup, Q135_SQL),
     "q136_triplet_mining": (q136_triplet_mining, Q136_SQL),
+    "q137_entity_resolution": (q137_entity_resolution, Q137_SQL),
 }
