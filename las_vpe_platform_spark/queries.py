@@ -100,6 +100,8 @@ DRIVER_PRIORITY: list[str] = [
     "s20_stream_full_outer_join",
     "s21_stream_agg_maintenance",
     "q137_entity_resolution",
+    "q138_vocab_growth",
+    "s22_stream_rate_limit",
     # -- tier 2: stalest evidence — only driver row is round 1; the
     #    round-5 tiebreak losers (q37-q47, q49) go first, then the
     #    oldest of the rest (q32/q34/q35/q36 lose this round) --
@@ -117,11 +119,11 @@ DRIVER_PRIORITY: list[str] = [
     "q49_embedding_quantize",
     "q02_top_customers_per_nation",
     "q03_shipping_priority",
-    "q04_regional_revenue",
-    "q05_daily_activity_full_outer",
     # -- overflow (positions 50+): every entry below is driver-green
     #    in some prior round (union r01-r05) and stays DuckDB-gated
     #    at sf0.01 on every test run --
+    "q04_regional_revenue",
+    "q05_daily_activity_full_outer",
     "q10_events_minutely",
     "q13_sampled_lineitems",
     "q15_frame_time_arithmetic",

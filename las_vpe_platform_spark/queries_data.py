@@ -5989,6 +5989,70 @@ FROM terms GROUP BY probe_key
 """
 
 
+# --- q138: vocabulary growth curve (Heaps'-law profile) ----------------------
+# Corpus-health diagnostic: split the corpus into 10 ingestion slices
+# (by doc id) and count the NEW distinct tokens each slice introduces
+# plus the cumulative vocabulary — the Heaps'-law curve whose flattening
+# tells a data pipeline when more of the same source stops buying
+# vocabulary coverage (3-word shingles: the unigram vocabulary of this
+# corpus saturates inside slice 0 — a 1-row curve — while the trigram
+# space keeps growing across slices, which is the curve's point) (and whose sudden jump flags a source/language
+# shift, the growth-side complement of q104's drift stats). Scale
+# shape: first-sight is ONE grouped MIN over the token stream (the
+# explode never re-shuffles), slice counts are a 10-row aggregate, and
+# the running sum is a window over those 10 rows — nothing
+# corpus-sized past the first aggregate.
+
+VOCAB_SLICES = 10
+
+
+def q138_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    bounds = docs.agg(F.max("doc_id").alias("_mx"))
+    toks = (
+        docs.crossJoin(F.broadcast(bounds))
+        .select(
+            # integer div, not double /: a double quotient epsilon
+            # below a slice boundary can round UP and disagree with
+            # the oracle's floor division
+            F.least(
+                F.lit(VOCAB_SLICES - 1).cast("bigint"),
+                F.expr(f"(doc_id * {VOCAB_SLICES}) div (_mx + 1)"),
+            ).alias("slice"),
+            F.explode(word_shingles("text", k=3)).alias("tok"),
+        )
+    )
+    first = toks.groupBy("tok").agg(F.min("slice").alias("first_slice"))
+    growth = first.groupBy("first_slice").agg(
+        F.count(F.lit(1)).cast("bigint").alias("new_terms")
+    )
+    w = W.orderBy("first_slice").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return growth.select(
+        F.col("first_slice").alias("slice"),
+        "new_terms",
+        F.sum("new_terms").over(w).cast("bigint").alias("cum_vocab"),
+    )
+
+
+Q138_SQL = f"""
+WITH mx AS (
+  SELECT max(doc_id) AS _mx FROM documents
+), toks AS (
+  SELECT least({VOCAB_SLICES - 1}, (doc_id * {VOCAB_SLICES}) // (_mx + 1))::BIGINT AS slice,
+         unnest(sh) AS tok
+  FROM (SELECT doc_id, {sql_shingles(3).replace('toks', SQL_TOKENS)} AS sh FROM documents), mx
+), first AS (
+  SELECT tok, min(slice) AS first_slice FROM toks GROUP BY tok
+), growth AS (
+  SELECT first_slice, count(*)::BIGINT AS new_terms FROM first GROUP BY first_slice
+)
+SELECT first_slice AS slice, new_terms,
+       sum(new_terms) OVER (ORDER BY first_slice
+                            ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_vocab
+FROM growth
+"""
+
+
 # --- q137: entity resolution (fuzzy blocking -> clusters -> canonical) -------
 # The three ER primitives composed end-to-end: q121's lossless
 # length-band edit-distance join proposes variant pairs over the
@@ -6497,4 +6561,5 @@ DATA_QUERIES = {
     "q135_sketch_merge_rollup": (q135_sketch_merge_rollup, Q135_SQL),
     "q136_triplet_mining": (q136_triplet_mining, Q136_SQL),
     "q137_entity_resolution": (q137_entity_resolution, Q137_SQL),
+    "q138_vocab_growth": (q138_vocab_growth, Q138_SQL),
 }

@@ -1557,6 +1557,54 @@ FROM events GROUP BY user_id
 """
 
 
+def s22_stream_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-key ingestion quota (stateful.rate_limit_stream):
+    at most RATE_LIMIT_N events admitted per (user, event-time hour),
+    in (ts, event_id) order — admission control in front of expensive
+    downstream stages, keyed state of exactly TWO integers per user.
+    The batch oracle is the per-(user, hour) rank: admission is a pure
+    function of event order, so the admitted set is batching-
+    independent (same arrival contract as s10/s15)."""
+    from las_vpe_platform_spark.streaming.stateful import (
+        RATE_LIMIT_N,
+        rate_limit_stream,
+    )
+
+    raw = _events_micros(spark, sf_dir)
+    stream = _sliced_parquet_stream(
+        spark, raw, "s22_events_", cache_key=("events", sf_dir)
+    )
+    # key by event_type (a hot key by construction): per-user traffic
+    # on this dataset never reaches the quota, which would make the
+    # gate a no-op; per-type it throttles every hour
+    admitted = rate_limit_stream(
+        stream, key_col="event_type", limit=RATE_LIMIT_N
+    )
+    name = f"s22_out_{uuid.uuid4().hex[:8]}"
+    with _stream_partitions(spark):
+        out = run_to_completion(admitted, name, output_mode="append")
+    return out.select("event_id", "event_type", "hour_bucket", "slot")
+
+
+def _s22_sql() -> str:
+    from las_vpe_platform_spark.streaming.stateful import RATE_LIMIT_N
+
+    return f"""
+WITH ranked AS (
+  SELECT event_id, event_type,
+         epoch_us(ts) // 3600000000 AS hour_bucket,
+         row_number() OVER (PARTITION BY event_type, epoch_us(ts) // 3600000000
+                            ORDER BY epoch_us(ts), event_id) AS slot
+  FROM events
+)
+SELECT event_id, event_type, hour_bucket::BIGINT AS hour_bucket, slot::BIGINT AS slot
+FROM ranked WHERE slot <= {RATE_LIMIT_N}
+"""
+
+
+S22_SQL = _s22_sql()
+
+
 STREAMING_QUERIES = {
     "s01_stream_windowed_counts": (s01_stream_windowed_counts, S01_SQL),
     "s02_stream_dedup": (s02_stream_dedup, S02_SQL),
@@ -1577,6 +1625,7 @@ STREAMING_QUERIES = {
     "s17_stream_left_outer_join": (s17_stream_left_outer_join, S17_SQL),
     "s20_stream_full_outer_join": (s20_stream_full_outer_join, S20_SQL),
     "s21_stream_agg_maintenance": (s21_stream_agg_maintenance, S21_SQL),
+    "s22_stream_rate_limit": (s22_stream_rate_limit, S22_SQL),
     "s18_stream_scd2_asof_enrich": (s18_stream_scd2_asof_enrich, S18_SQL),
     "s19_stream_lsh_ingest_gate": (s19_stream_lsh_ingest_gate, S19_SQL),
 }

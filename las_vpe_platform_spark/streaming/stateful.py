@@ -484,3 +484,79 @@ def anomaly_stream(stream: DataFrame) -> DataFrame:
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+RATE_LIMIT_STATE_SCHEMA = "hour long, n long"
+RATE_LIMIT_N = 5
+
+
+def rate_limit_stream(
+    stream: DataFrame, key_col: str = "user_id", limit: int = RATE_LIMIT_N
+) -> DataFrame:
+    """Streaming per-key ingestion quota: admit at most ``limit``
+    events per (key, event-time hour), in (ts, event_id) order — the
+    token-bucket gate an ingest pipeline puts in front of expensive
+    downstream work (dedup, embedding, storage) so one hot key cannot
+    monopolize a batch (the streaming cousin of q68's skew handling,
+    and the admission-control face of the reference's per-stream
+    backpressure, T5).
+
+    State per user is TWO scalars — (current hour, admitted-in-hour) —
+    because the arrival contract (same as locf/anomaly: micro-batches
+    in non-decreasing event-time ranges per key, rows sorted
+    (ts, event_id) within a batch) makes the hour monotone per key:
+    once a later hour appears, earlier hours are closed. Admission is
+    therefore a pure function of the event order, so the admitted set
+    equals the batch oracle (row_number per (user, hour) <= limit)
+    under ANY batching. All-integer state and outputs — bit-identical
+    everywhere.
+    """
+
+    key_type = stream.schema[key_col].dataType.simpleString()
+    out_schema = f"event_id long, {key_col} {key_type}, hour_bucket long, slot long"
+
+    def gate(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        pdf = pd.concat(list(batches), ignore_index=True)
+        ts_us = pd.to_datetime(pdf["ts"]).astype("int64") // 1000
+        pdf = pdf.assign(_us=ts_us).sort_values(
+            ["_us", "event_id"], kind="mergesort"
+        )
+        hours = (pdf["_us"] // 3_600_000_000).to_numpy()
+        h0, n0 = state.get if state.exists else (-1, 0)
+        # occurrence index within each hour, carrying the stored count
+        # for rows continuing the stored hour
+        ser = pd.Series(hours)
+        idx = ser.groupby(ser).cumcount().to_numpy()
+        idx = idx + (hours == h0) * n0
+        mask = idx < limit
+        if len(hours):
+            h_last = int(hours[-1])
+            n_last = int((hours == h_last).sum()) + (n0 if h_last == h0 else 0)
+            state.update((h_last, n_last))
+        yield pd.DataFrame(
+            {
+                "event_id": pdf["event_id"].to_numpy()[mask],
+                key_col: [key[0]] * int(mask.sum()),
+                "hour_bucket": hours[mask],
+                "slot": (idx[mask] + 1).astype("int64"),
+            }
+        )
+
+    from las_vpe_platform_spark.session import ensure_package_on_workers
+
+    ensure_package_on_workers(stream.sparkSession)
+    return (
+        stream.select(key_col, "ts", "event_id")
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            gate,
+            out_schema,
+            RATE_LIMIT_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
