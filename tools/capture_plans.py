@@ -121,6 +121,26 @@ HEADLINERS = [
      "tables are all lazy column expressions; the pair join broadcasts the ADC "
      "side into the cells and the only exchange is the probe_key rank window — "
      "guarded by test_q118_ivfpq_single_exchange_on_probe_key"),
+    ("q133_weighted_allpairs_join",
+     "exact weighted-cosine All-Pairs join: postings stream through four "
+     "linear window passes (df, norms, cmax, suffix bound), the candidate "
+     "join moves prefix postings only, and the verify aggregate is pure "
+     "BIGINT — no corpus x corpus product, no float boundary in the output"),
+    ("q134_kcore_decomposition",
+     "k-core peel, 4 synchronous rounds in ONE lazy plan: per round two "
+     "semi-joins restrict the checkpointed symmetrized edge list to "
+     "survivors, then one grouped count; fixed-point asserted in tests with "
+     "an extra round"),
+    ("q137_entity_resolution",
+     "entity resolution: edit-distance blocking on the name dictionary, CC "
+     "on order-preserving integer ids, left join resolves every name "
+     "(singletons included) — the base table contributes only its GROUP BY "
+     "counts"),
+    ("q135_sketch_merge_rollup",
+     "sketch algebra: ONE raw scan builds the staged daily register "
+     "partials; both output grains read the partials (day finish directly, "
+     "week via a register MAX merge of days x m rows) — the raw table is "
+     "never rescanned"),
     ("q126_ivfpq_recall",
      "IVF-PQ recall harness: runs BOTH the q118 codec (staged codebook/codes "
      "subtrees, cached — the 2x work is the semantics) and the exact BLAS "
