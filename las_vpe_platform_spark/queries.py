@@ -102,6 +102,9 @@ DRIVER_PRIORITY: list[str] = [
     "q137_entity_resolution",
     "q138_vocab_growth",
     "s22_stream_rate_limit",
+    "q139_source_keyness",
+    "q140_quantile_normalize",
+    "q141_fk_integrity_audit",
     # -- tier 2: stalest evidence — only driver row is round 1; the
     #    round-5 tiebreak losers (q37-q47, q49) go first, then the
     #    oldest of the rest (q32/q34/q35/q36 lose this round) --
@@ -116,12 +119,12 @@ DRIVER_PRIORITY: list[str] = [
     "q45_dataset_split",
     "q46_multi_distinct",
     "q47_null_semantics",
-    "q49_embedding_quantize",
-    "q02_top_customers_per_nation",
-    "q03_shipping_priority",
     # -- overflow (positions 50+): every entry below is driver-green
     #    in some prior round (union r01-r05) and stays DuckDB-gated
     #    at sf0.01 on every test run --
+    "q49_embedding_quantize",
+    "q02_top_customers_per_nation",
+    "q03_shipping_priority",
     "q04_regional_revenue",
     "q05_daily_activity_full_outer",
     "q10_events_minutely",

@@ -5989,6 +5989,258 @@ FROM terms GROUP BY probe_key
 """
 
 
+# --- q139: per-source keyness (log-likelihood G2 distinctive terms) ----------
+# Corpus-linguistics keyness: for every (source, term), the Dunning
+# log-likelihood G2 of the 2x2 contingency (term-in-source vs
+# term-in-rest), keeping each source's top over-represented terms —
+# "what does THIS feed talk about that the others don't", the
+# diagnostic complement of q104's distributional drift and q74's
+# within-corpus PMI. Scale shape: one token explode -> (source, term)
+# counts; margins broadcast; G2 is fixed-arity arithmetic per
+# (source, term) row; per-source top-k is a rank window over the
+# counts table, never the corpus. Ranking uses the ROUNDED G2 (1e-6)
+# so the order is identical across engines (~1e-13 ln/assoc drift).
+
+KEYNESS_TOPK = 5
+
+
+def q139_source_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(tokens("text")).alias("tok"))
+    st = _stage(
+        tok.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("a")),
+        "q139_counts",
+    )
+    src_tot = st.groupBy("source").agg(F.sum("a").alias("ns"))
+    term_tot = st.groupBy("tok").agg(F.sum("a").alias("t"))
+    grand = st.agg(F.sum("a").alias("nn"))
+    # G2 = 2 * sum over the 4 cells of o*ln(o/e); empty cells add 0
+    cell = "(CASE WHEN {o} > 0 THEN {o} * ln(({o})::DOUBLE / ({e})) ELSE 0.0D END)"
+    ea = "(ns::DOUBLE * t / nn)"
+    eb = "((nn - ns)::DOUBLE * t / nn)"
+    ec = "(ns::DOUBLE * (nn - t) / nn)"
+    ed = "((nn - ns)::DOUBLE * (nn - t) / nn)"
+    g2 = (
+        "2.0D * ("
+        + cell.format(o="a", e=ea) + " + "
+        + cell.format(o="(t - a)", e=eb) + " + "
+        + cell.format(o="(ns - a)", e=ec) + " + "
+        + cell.format(o="(nn - ns - t + a)", e=ed)
+        + ")"
+    )
+    scored = (
+        st.join(F.broadcast(src_tot), "source")
+        .join(term_tot, "tok")
+        .crossJoin(F.broadcast(grand))
+        .selectExpr(
+            "source", "tok", "a",
+            f"floor(({g2}) * 1000000.0D + 0.5D) / 1000000.0D AS g2",
+            f"CAST(a::DOUBLE * nn > ns::DOUBLE * t AS INT) AS over_rep",
+        )
+        .filter("over_rep = 1")
+    )
+    w = W.partitionBy("source").orderBy(F.desc("g2"), F.asc("tok"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= KEYNESS_TOPK)
+        .select(
+            "source", F.col("rk").cast("bigint").alias("rk"), "tok",
+            F.col("a").cast("bigint").alias("n_in_source"), "g2",
+        )
+    )
+
+
+def _q139_sql() -> str:
+    cell = "(CASE WHEN {o} > 0 THEN {o} * ln(({o})::DOUBLE / ({e})) ELSE 0.0 END)"
+    ea = "(ns::DOUBLE * t / nn)"
+    eb = "((nn - ns)::DOUBLE * t / nn)"
+    ec = "(ns::DOUBLE * (nn - t) / nn)"
+    ed = "((nn - ns)::DOUBLE * (nn - t) / nn)"
+    g2 = (
+        "2.0 * ("
+        + cell.format(o="a", e=ea) + " + "
+        + cell.format(o="(t - a)", e=eb) + " + "
+        + cell.format(o="(ns - a)", e=ec) + " + "
+        + cell.format(o="(nn - ns - t + a)", e=ed)
+        + ")"
+    )
+    return f"""
+WITH tok AS (
+  SELECT source, unnest({SQL_TOKENS}) AS tok FROM documents
+), st AS (
+  SELECT source, tok, count(*) AS a FROM tok GROUP BY source, tok
+), src_tot AS (
+  SELECT source, sum(a) AS ns FROM st GROUP BY source
+), term_tot AS (
+  SELECT tok, sum(a) AS t FROM st GROUP BY tok
+), grand AS (
+  SELECT sum(a) AS nn FROM st
+), scored AS (
+  SELECT st.source, st.tok, st.a,
+         floor(({g2}) * 1000000.0 + 0.5) / 1000000.0 AS g2
+  FROM st
+  JOIN src_tot USING (source)
+  JOIN term_tot USING (tok)
+  CROSS JOIN grand
+  WHERE a::DOUBLE * nn > ns::DOUBLE * t
+), ranked AS (
+  SELECT source, tok, a, g2,
+         row_number() OVER (PARTITION BY source ORDER BY g2 DESC, tok) AS rk
+  FROM scored
+)
+SELECT source, rk::BIGINT AS rk, tok, a::BIGINT AS n_in_source, g2
+FROM ranked WHERE rk <= {KEYNESS_TOPK}
+"""
+
+
+Q139_SQL = _q139_sql()
+
+
+# --- q140: cross-source quantile normalization --------------------------------
+# Batch feature normalization: map every document's n_chars onto the
+# GLOBAL n_chars distribution by matching quantiles — per source,
+# value -> its within-source percentile -> the global value at that
+# percentile. The classic bioinformatics/feature-prep transform that
+# removes per-source scale differences while preserving each source's
+# internal order. All index math is EXACT integers: target global
+# rank = round((r-1)(N-1)/(n_s-1)) + 1 computed as
+# ((r-1)(N-1)*2 + (n_s-1)) div (2(n_s-1)) + 1, so no float boundary
+# can disagree across engines. Scale note: the per-source rank windows
+# shuffle on source; the single GLOBAL rank window is the exact-answer
+# formulation — swap in the q110 sampled quantiles (or packing.py's
+# two-phase distributed ranks) when one task can't hold the order.
+
+
+def q140_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    ws = W.partitionBy("source").orderBy("n_chars", "doc_id")
+    per_src = docs.select(
+        "doc_id", "source", "n_chars",
+        F.row_number().over(ws).alias("r"),
+        F.count(F.lit(1)).over(W.partitionBy("source")).alias("n_src"),
+    )
+    wg = W.orderBy("n_chars", "doc_id")
+    glob = _stage(
+        docs.select(
+            F.col("n_chars").alias("g_val"),
+            F.row_number().over(wg).alias("g_rank"),
+        ),
+        "q140_global_ranks",
+    )
+    n_tot = glob.agg(F.max("g_rank").alias("nn"))
+    idx = (
+        "CASE WHEN n_src > 1 THEN"
+        " ((r - 1) * (nn - 1) * 2 + (n_src - 1)) div (2 * (n_src - 1)) + 1"
+        " ELSE (nn + 1) div 2 END"
+    )
+    return (
+        per_src.crossJoin(F.broadcast(n_tot))
+        .selectExpr("doc_id", "source", "n_chars", f"{idx} AS g_rank")
+        .join(glob, on="g_rank")
+        .selectExpr(
+            "doc_id", "source",
+            "CAST(n_chars AS BIGINT) AS n_chars",
+            "CAST(g_val AS BIGINT) AS normalized",
+        )
+    )
+
+
+Q140_SQL = """
+WITH per_src AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS r,
+         count(*) OVER (PARTITION BY source) AS n_src
+  FROM documents
+), granks AS (
+  SELECT n_chars AS g_val,
+         row_number() OVER (ORDER BY n_chars, doc_id) AS g_rank
+  FROM documents
+), nn AS (
+  SELECT max(g_rank) AS nn FROM granks
+)
+SELECT p.doc_id, p.source, p.n_chars::BIGINT AS n_chars, g.g_val::BIGINT AS normalized
+FROM per_src p
+CROSS JOIN nn
+JOIN granks g
+  ON g.g_rank = (CASE WHEN p.n_src > 1 THEN
+                   ((p.r - 1) * (nn.nn - 1) * 2 + (p.n_src - 1)) // (2 * (p.n_src - 1)) + 1
+                 ELSE (nn.nn + 1) // 2 END)
+"""
+
+
+# --- q141: referential-integrity audit ----------------------------------------
+# Warehouse data-quality sweep over the FK graph, both directions: (a)
+# orphan children — fact keys with no parent row (anti-join counts;
+# zero here, and the audit PROVES it rather than assuming it), and (b)
+# childless parents — dimension rows no fact ever references (real
+# counts: unsold parts, idle suppliers, customers without orders), the
+# numbers a warehouse watches for dimension bloat and load bugs. Scale
+# shape: each relation is one distinct-project + one anti-join keyed
+# on the FK — no row-level output, counts only.
+
+
+def q141_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def audit(rel, child, ckey, parent, pkey):
+        ck = child.select(F.col(ckey).alias("k")).distinct()
+        pk = parent.select(F.col(pkey).alias("k")).distinct()
+        orphans = ck.join(pk, "k", "left_anti").agg(
+            F.count(F.lit(1)).alias("n_orphan_keys")
+        )
+        childless = pk.join(ck, "k", "left_anti").agg(
+            F.count(F.lit(1)).alias("n_childless_parents")
+        )
+        stats = ck.agg(F.count(F.lit(1)).alias("n_child_keys")).crossJoin(
+            pk.agg(F.count(F.lit(1)).alias("n_parent_keys"))
+        )
+        return (
+            stats.crossJoin(orphans)
+            .crossJoin(childless)
+            .selectExpr(
+                f"'{rel}' AS relation",
+                "CAST(n_child_keys AS BIGINT) AS n_child_keys",
+                "CAST(n_parent_keys AS BIGINT) AS n_parent_keys",
+                "CAST(n_orphan_keys AS BIGINT) AS n_orphan_keys",
+                "CAST(n_childless_parents AS BIGINT) AS n_childless_parents",
+            )
+        )
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    out = audit("lineitem->orders", li, "l_orderkey", orders, "o_orderkey")
+    for rel, c, ck, pt, pk in [
+        ("lineitem->part", li, "l_partkey", _t(spark, sf_dir, "part"), "p_partkey"),
+        ("lineitem->supplier", li, "l_suppkey", _t(spark, sf_dir, "supplier"), "s_suppkey"),
+        ("orders->customer", orders, "o_custkey", _t(spark, sf_dir, "customer"), "c_custkey"),
+        ("events->customer", _t(spark, sf_dir, "events"), "user_id",
+         _t(spark, sf_dir, "customer"), "c_custkey"),
+    ]:
+        out = out.unionByName(audit(rel, c, ck, pt, pk))
+    return out
+
+
+def _q141_audit_sql(rel: str, child: str, ckey: str, parent: str, pkey: str) -> str:
+    return f"""
+  SELECT '{rel}' AS relation,
+         (SELECT count(DISTINCT {ckey}) FROM {child})::BIGINT AS n_child_keys,
+         (SELECT count(DISTINCT {pkey}) FROM {parent})::BIGINT AS n_parent_keys,
+         (SELECT count(*) FROM (SELECT DISTINCT {ckey} AS k FROM {child}) c
+           WHERE c.k NOT IN (SELECT {pkey} FROM {parent}))::BIGINT AS n_orphan_keys,
+         (SELECT count(*) FROM (SELECT DISTINCT {pkey} AS k FROM {parent}) p
+           WHERE p.k NOT IN (SELECT {ckey} FROM {child}))::BIGINT AS n_childless_parents"""
+
+
+Q141_SQL = "\nUNION ALL\n".join(
+    _q141_audit_sql(*args)
+    for args in [
+        ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("events->customer", "events", "user_id", "customer", "c_custkey"),
+    ]
+)
+
+
 # --- q138: vocabulary growth curve (Heaps'-law profile) ----------------------
 # Corpus-health diagnostic: split the corpus into 10 ingestion slices
 # (by doc id) and count the NEW distinct tokens each slice introduces
@@ -6562,4 +6814,7 @@ DATA_QUERIES = {
     "q136_triplet_mining": (q136_triplet_mining, Q136_SQL),
     "q137_entity_resolution": (q137_entity_resolution, Q137_SQL),
     "q138_vocab_growth": (q138_vocab_growth, Q138_SQL),
+    "q139_source_keyness": (q139_source_keyness, Q139_SQL),
+    "q140_quantile_normalize": (q140_quantile_normalize, Q140_SQL),
+    "q141_fk_integrity_audit": (q141_fk_integrity_audit, Q141_SQL),
 }
