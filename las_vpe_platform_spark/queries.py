@@ -105,6 +105,8 @@ DRIVER_PRIORITY: list[str] = [
     "q139_source_keyness",
     "q140_quantile_normalize",
     "q141_fk_integrity_audit",
+    "m13_audio_qa",
+    "q142_pair_evidence",
     # -- tier 2: stalest evidence — only driver row is round 1; the
     #    round-5 tiebreak losers (q37-q47, q49) go first, then the
     #    oldest of the rest (q32/q34/q35/q36 lose this round) --
@@ -117,11 +119,11 @@ DRIVER_PRIORITY: list[str] = [
     "q43_vocab_top_terms",
     "q44_doc_chunks",
     "q45_dataset_split",
-    "q46_multi_distinct",
-    "q47_null_semantics",
     # -- overflow (positions 50+): every entry below is driver-green
     #    in some prior round (union r01-r05) and stays DuckDB-gated
     #    at sf0.01 on every test run --
+    "q46_multi_distinct",
+    "q47_null_semantics",
     "q49_embedding_quantize",
     "q02_top_customers_per_nation",
     "q03_shipping_priority",

@@ -5989,6 +5989,91 @@ FROM terms GROUP BY probe_key
 """
 
 
+# --- q142: near-dup pair evidence (explanation mining) -----------------------
+# Interpretability for the dedup family: every LSH candidate pair gets
+# its shared-shingle count and the 3 RAREST shared shingles (global
+# doc-frequency order — the shingles that actually discriminate, not
+# boilerplate) — what a human reviewer or an appeals process sees next
+# to a dedup decision. Scale shape: pairs join the staged postings
+# twice (pair-key shuffles, postings-linear), df rides a shingle
+# window, and the top-3 per pair is ONE aggregate over sorted structs
+# (array_sort + slice), never a rank window over the evidence stream.
+
+EVIDENCE_K = 3
+
+
+def q142_pair_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.operators.dedup import (
+        exploded_shingles,
+        minhash_lsh_candidates,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(
+        docs, id_col="doc_id", text_col="text",
+        shingle_k=MINHASH_K, num_hashes=MINHASH_HASHES, bands=MINHASH_BANDS,
+    ).select("id_a", "id_b")
+    sh = _stage(
+        exploded_shingles(docs, id_col="doc_id", text_col="text", k=MINHASH_K)
+        .withColumn("_df", F.count(F.lit(1)).over(W.partitionBy("shingle"))),
+        "q142_postings",
+    )
+    shared = (
+        pairs.join(sh.selectExpr("doc_id_ AS id_a", "shingle", "_df"), on="id_a")
+        .join(sh.selectExpr("doc_id_ AS id_b", "shingle"), on=["id_b", "shingle"])
+    )
+    return (
+        shared.groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shared"),
+            F.concat_ws(
+                "|",
+                F.transform(
+                    F.slice(
+                        F.array_sort(
+                            F.collect_list(F.struct("_df", "shingle"))
+                        ),
+                        1,
+                        EVIDENCE_K,
+                    ),
+                    lambda t: t["shingle"],
+                ),
+            ).alias("evidence"),
+        )
+    )
+
+
+def _q142_sql() -> str:
+    return f"""
+WITH pairs AS MATERIALIZED (
+  SELECT id_a, id_b FROM ({_q24_sql()}) t
+), _toks AS (
+  SELECT doc_id, {SQL_TOKENS} AS toks FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, s AS shingle FROM (
+    SELECT doc_id, unnest({sql_shingles(MINHASH_K)}) AS s FROM _toks
+  )
+), posts AS (
+  SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS _df FROM sh
+), shared AS (
+  SELECT p.id_a, p.id_b, a.shingle, a._df
+  FROM pairs p
+  JOIN posts a ON a.doc_id = p.id_a
+  JOIN posts b ON b.doc_id = p.id_b AND b.shingle = a.shingle
+)
+SELECT id_a, id_b, count(*)::BIGINT AS n_shared,
+       array_to_string(
+         list_transform(
+           (list_sort(list(struct_pack(df := _df, s := shingle))))[1:{EVIDENCE_K}],
+           t -> t.s),
+         '|') AS evidence
+FROM shared GROUP BY id_a, id_b
+"""
+
+
+Q142_SQL = _q142_sql()
+
+
 # --- q139: per-source keyness (log-likelihood G2 distinctive terms) ----------
 # Corpus-linguistics keyness: for every (source, term), the Dunning
 # log-likelihood G2 of the 2x2 contingency (term-in-source vs
@@ -6817,4 +6902,5 @@ DATA_QUERIES = {
     "q139_source_keyness": (q139_source_keyness, Q139_SQL),
     "q140_quantile_normalize": (q140_quantile_normalize, Q140_SQL),
     "q141_fk_integrity_audit": (q141_fk_integrity_audit, Q141_SQL),
+    "q142_pair_evidence": (q142_pair_evidence, Q142_SQL),
 }

@@ -1101,6 +1101,69 @@ M08_SQL = _m08_sql()
 
 
 
+
+# --- m13: audio QA stats (clipping / silence / level) ------------------------
+# Per-clip audio quality audit over the PCM binary column: rail-value
+# (clipping) counts, near-silent sample counts, and exact level stats
+# (sum/max of |x|) — the ingest gate an audio-corpus pipeline runs
+# before paying for decode/feature work downstream (the audio face of
+# q21's text-quality scoring). All BIGINT folds over the int16
+# samples; zero exchanges — the whole audit runs in the scan stage.
+
+M13_QUIET_T = 16  # |x| below this counts as near-silent
+
+
+def m13_audio_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clips = _fx(spark, "audio_clips")
+    x = _S16_PCM.format(i="i")
+    ax = f"abs({x})"
+    fold = (
+        "aggregate(sequence(0, CAST(n_samples AS INT) - 1), 0L,"
+        " (acc, i) -> acc + {body})"
+    )
+    return clips.filter("n_samples > 0").selectExpr(
+        "clip_id",
+        "CAST(n_samples AS BIGINT) AS n_samples",
+        fold.format(body=f"CAST({x} IN (32767, -32768) AS LONG)") + " AS n_rail",
+        fold.format(body=f"CAST({ax} < {M13_QUIET_T} AS LONG)") + " AS n_quiet",
+        fold.format(body=ax) + " AS sum_abs",
+        (
+            "aggregate(sequence(0, CAST(n_samples AS INT) - 1), 0L,"
+            f" (acc, i) -> greatest(acc, {ax})) AS max_abs"
+        ),
+    )
+
+
+def _m13_sql() -> str:
+    val = (
+        "(('0x' || substr(hx, 4 * i + 1, 2))::BIGINT"
+        " + 256 * ('0x' || substr(hx, 4 * i + 3, 2))::BIGINT)"
+    )
+    signed = f"(CASE WHEN {val} > 32767 THEN {val} - 65536 ELSE {val} END)"
+    ax = f"abs({signed})"
+    fold = (
+        "list_sum(list_transform(generate_series(0, n_samples::INT - 1),"
+        " i -> {body}))::BIGINT"
+    )
+    return f"""
+WITH src AS (
+  SELECT clip_id, n_samples, hex(pcm) AS hx
+  FROM {_fxsql('audio_clips')}
+  WHERE n_samples > 0
+)
+SELECT clip_id, n_samples::BIGINT AS n_samples,
+       {fold.format(body=f"CASE WHEN {signed} IN (32767, -32768) THEN 1 ELSE 0 END")} AS n_rail,
+       {fold.format(body=f"CASE WHEN {ax} < {M13_QUIET_T} THEN 1 ELSE 0 END")} AS n_quiet,
+       {fold.format(body=ax)} AS sum_abs,
+       list_max(list_transform(generate_series(0, n_samples::INT - 1),
+                               i -> {ax}))::BIGINT AS max_abs
+FROM src
+"""
+
+
+M13_SQL = _m13_sql()
+
+
 # --- m12: fixed-point Goertzel tone detection over PCM windows ---------------
 # Single-frequency DSP over the audio binary column: per 256-sample
 # window, the Goertzel correlation against one frequency bin (bin 8 =
@@ -2195,4 +2258,5 @@ DOMAIN_QUERIES = {
     "m10_loudness_segments": (m10_loudness_segments, M10_SQL),
     "d22_dwell_distribution": (d22_dwell_distribution, D22_SQL),
     "m12_tone_detection": (m12_tone_detection, M12_SQL),
+    "m13_audio_qa": (m13_audio_qa, M13_SQL),
 }
