@@ -1605,6 +1605,66 @@ FROM ranked WHERE slot <= {RATE_LIMIT_N}
 S22_SQL = _s22_sql()
 
 
+S23_BUDGET = 2048  # tokens per bin, per source
+
+
+def s23_stream_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sequence packing — the live face of q62/q130's batch
+    packers: documents arrive per source in doc_id order and each is
+    assigned its training bin ``(running token total BEFORE it) div
+    budget`` as it streams past; state per source is ONE BIGINT (the
+    running total). A continuously-ingesting training-data pipeline
+    gets stable bin ids without re-running a global prefix sum over
+    the corpus, and the assignment is batching-independent because the
+    running total is a pure function of the arrival order (time-
+    ordered landing, the s10/s15/s22 contract). The batch oracle is
+    the window cumsum q62 uses.
+    """
+    from las_vpe_platform_spark.streaming.stateful import token_pack_stream
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    src = _scratch_dir("s23_docs_")
+    # land in doc_id order so micro-batches respect the packing order
+    docs.orderBy("doc_id").coalesce(4).write.mode("overwrite").parquet(src)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    stream = file_stream(spark, src, schema, max_files_per_trigger=1)
+    packed = token_pack_stream(stream, budget=S23_BUDGET)
+    name = f"s23_out_{uuid.uuid4().hex[:8]}"
+    with _stream_partitions(spark):
+        out = run_to_completion(packed, name, output_mode="append")
+    return out.select("doc_id", "source", "n_toks", "bin_id")
+
+
+def _s23_sql() -> str:
+    from las_vpe_platform_spark.queries_data import SQL_TOKENS
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id, source, len({SQL_TOKENS})::BIGINT AS n_toks
+  FROM documents
+), cum AS (
+  SELECT doc_id, source, n_toks,
+         coalesce(sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS prior
+  FROM toks
+)
+SELECT doc_id, source, n_toks, (prior // {S23_BUDGET})::BIGINT AS bin_id
+FROM cum
+"""
+
+
+S23_SQL = _s23_sql()
+
+
 STREAMING_QUERIES = {
     "s01_stream_windowed_counts": (s01_stream_windowed_counts, S01_SQL),
     "s02_stream_dedup": (s02_stream_dedup, S02_SQL),
@@ -1626,6 +1686,7 @@ STREAMING_QUERIES = {
     "s20_stream_full_outer_join": (s20_stream_full_outer_join, S20_SQL),
     "s21_stream_agg_maintenance": (s21_stream_agg_maintenance, S21_SQL),
     "s22_stream_rate_limit": (s22_stream_rate_limit, S22_SQL),
+    "s23_stream_packing": (s23_stream_packing, S23_SQL),
     "s18_stream_scd2_asof_enrich": (s18_stream_scd2_asof_enrich, S18_SQL),
     "s19_stream_lsh_ingest_gate": (s19_stream_lsh_ingest_gate, S19_SQL),
 }

@@ -560,3 +560,59 @@ def rate_limit_stream(
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+PACK_STATE_SCHEMA = "total long"
+
+
+def token_pack_stream(stream: DataFrame, budget: int) -> DataFrame:
+    """Streaming per-source sequence packing (the live face of the
+    batch prefix-sum packers, packing.py): each arriving document is
+    assigned bin ``(running token total before it) div budget`` for
+    its source, and the running total is the ONLY state — one BIGINT
+    per source. Arrival contract: documents per source arrive in
+    doc_id order (time-ordered landing); the assignment is then a pure
+    function of that order, so any batching yields the batch window-
+    cumsum result exactly (all-integer arithmetic)."""
+    from pyspark.sql import functions as F
+
+    from las_vpe_platform_spark.functions.text import token_count
+    from las_vpe_platform_spark.session import ensure_package_on_workers
+
+    out_schema = "doc_id long, source string, n_toks long, bin_id long"
+
+    def pack(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        pdf = pd.concat(list(batches), ignore_index=True).sort_values(
+            "doc_id", kind="mergesort"
+        )
+        (total,) = state.get if state.exists else (0,)
+        n = pdf["n_toks"].to_numpy()
+        prior = total + n.cumsum() - n
+        state.update((int(total + n.sum()),))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "source": [key[0]] * len(pdf),
+                "n_toks": n,
+                "bin_id": prior // budget,
+            }
+        )
+
+    ensure_package_on_workers(stream.sparkSession)
+    return (
+        stream.select(
+            "doc_id", "source", token_count("text").cast("long").alias("n_toks")
+        )
+        .groupBy("source")
+        .applyInPandasWithState(
+            pack,
+            out_schema,
+            PACK_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
