@@ -108,6 +108,7 @@ DRIVER_PRIORITY: list[str] = [
     "m13_audio_qa",
     "q142_pair_evidence",
     "s23_stream_packing",
+    "d26_camera_feature_bias",
     # -- tier 2: stalest evidence — only driver row is round 1; the
     #    round-5 tiebreak losers (q37-q47, q49) go first, then the
     #    oldest of the rest (q32/q34/q35/q36 lose this round) --
@@ -118,10 +119,10 @@ DRIVER_PRIORITY: list[str] = [
     "q41_segment_set_ops",
     "q42_doc_repetition",
     "q43_vocab_top_terms",
-    "q44_doc_chunks",
     # -- overflow (positions 50+): every entry below is driver-green
     #    in some prior round (union r01-r05) and stays DuckDB-gated
     #    at sf0.01 on every test run --
+    "q44_doc_chunks",
     "q45_dataset_split",
     "q46_multi_distinct",
     "q47_null_semantics",

@@ -1164,6 +1164,93 @@ FROM src
 M13_SQL = _m13_sql()
 
 
+
+# --- d26: camera embedding-bias report ----------------------------------------
+# Re-id health diagnostic: per camera, the cosine between its tracklet
+# feature CENTROID-SUM and the global one — a camera whose appearance
+# distribution drifts (lens change, angle, lighting regime) pulls away
+# from the fleet and poisons cross-camera ranking long before recall
+# metrics notice (the embedding-space face of d19's topology stats).
+# Scale shape: ONE feature scan -> (camera, dim) partial sums (64 rows
+# per camera after map-side combine); the global vector is a second
+# 64-row aggregate OVER THE CAMERA SUMS (never a second corpus pass);
+# the cosine joins 64-row frames. Float note: grouped double sums
+# reassociate across engines (~1e-13); outputs round at 1e-6 (the d02
+# wide-average precedent).
+
+
+def d26_camera_feature_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.operators.staging import persist_disk
+
+    tr = _fx(spark, "tracklets").select("tracklet_key", "video_id")
+    vids = _fx(spark, "videos").select("video_id", "camera_id")
+    feats = _fx(spark, "features")
+    dims = (
+        feats.join(tr, "tracklet_key")
+        .join(F.broadcast(vids), "video_id")
+        .select(
+            "camera_id",
+            F.posexplode(
+                F.transform("feature", lambda x: x.cast("double"))
+            ).alias("dim", "v"),
+        )
+    )
+    # camera sums feed BOTH the global aggregate and the cosine join
+    csums = persist_disk(
+        dims.groupBy("camera_id", "dim").agg(
+            F.sum("v").alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        ),
+        "d26_camera_sums",
+    )
+    gsums = csums.groupBy("dim").agg(F.sum("s").alias("g"))
+    joined = csums.join(gsums, "dim")
+    per_cam = joined.groupBy("camera_id").agg(
+        F.min("n").cast("bigint").alias("n_tracklets"),
+        F.sum(F.col("s") * F.col("g")).alias("_dot"),
+        F.sum(F.col("s") * F.col("s")).alias("_cc"),
+        F.sum(F.col("g") * F.col("g")).alias("_gg"),
+    )
+    return per_cam.selectExpr(
+        "camera_id",
+        "n_tracklets",
+        "floor((_dot / (sqrt(_cc) * sqrt(_gg))) * 1000000.0D + 0.5D)"
+        " / 1000000.0D AS centroid_cos",
+    )
+
+
+def _d26_sql() -> str:
+    return f"""
+WITH dims AS (
+  SELECT v.camera_id, t.i - 1 AS dim, f.feature[t.i]::DOUBLE AS val
+  FROM {_fxsql('features')} f
+  JOIN {_fxsql('tracklets')} tr USING (tracklet_key)
+  JOIN {_fxsql('videos')} v USING (video_id),
+  unnest(generate_series(1, len(f.feature))) AS t(i)
+), csums AS (
+  SELECT camera_id, dim, sum(val) AS s, count(*) AS n
+  FROM dims GROUP BY camera_id, dim
+), gsums AS (
+  SELECT dim, sum(s) AS g FROM csums GROUP BY dim
+), per_cam AS (
+  SELECT c.camera_id,
+         min(c.n)::BIGINT AS n_tracklets,
+         sum(c.s * g.g) AS _dot,
+         sum(c.s * c.s) AS _cc,
+         sum(g.g * g.g) AS _gg
+  FROM csums c JOIN gsums g USING (dim)
+  GROUP BY c.camera_id
+)
+SELECT camera_id, n_tracklets,
+       floor((_dot / (sqrt(_cc) * sqrt(_gg))) * 1000000.0 + 0.5)
+       / 1000000.0 AS centroid_cos
+FROM per_cam
+"""
+
+
+D26_SQL = _d26_sql()
+
+
 # --- m12: fixed-point Goertzel tone detection over PCM windows ---------------
 # Single-frequency DSP over the audio binary column: per 256-sample
 # window, the Goertzel correlation against one frequency bin (bin 8 =
@@ -2259,4 +2346,5 @@ DOMAIN_QUERIES = {
     "d22_dwell_distribution": (d22_dwell_distribution, D22_SQL),
     "m12_tone_detection": (m12_tone_detection, M12_SQL),
     "m13_audio_qa": (m13_audio_qa, M13_SQL),
+    "d26_camera_feature_bias": (d26_camera_feature_bias, D26_SQL),
 }
