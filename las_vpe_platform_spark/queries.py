@@ -109,6 +109,8 @@ DRIVER_PRIORITY: list[str] = [
     "q142_pair_evidence",
     "s23_stream_packing",
     "d26_camera_feature_bias",
+    "q143_trimmed_means",
+    "q144_gini_concentration",
     # -- tier 2: stalest evidence — only driver row is round 1; the
     #    round-5 tiebreak losers (q37-q47, q49) go first, then the
     #    oldest of the rest (q32/q34/q35/q36 lose this round) --
@@ -117,11 +119,11 @@ DRIVER_PRIORITY: list[str] = [
     "q39_event_navigation",
     "q40_part_name_strings",
     "q41_segment_set_ops",
-    "q42_doc_repetition",
-    "q43_vocab_top_terms",
     # -- overflow (positions 50+): every entry below is driver-green
     #    in some prior round (union r01-r05) and stays DuckDB-gated
     #    at sf0.01 on every test run --
+    "q42_doc_repetition",
+    "q43_vocab_top_terms",
     "q44_doc_chunks",
     "q45_dataset_split",
     "q46_multi_distinct",

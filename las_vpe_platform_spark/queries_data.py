@@ -5989,6 +5989,106 @@ FROM terms GROUP BY probe_key
 """
 
 
+# --- q143: trimmed (winsor-style) robust group means --------------------------
+# Robust-statistics member next to q103's MAD outliers: per event
+# type, the 5%-each-side TRIMMED mean of value — the metric a
+# dashboard uses when heavy tails make the plain mean lie. Exactness:
+# values fold as integer cents, the trim cut is a rank predicate
+# (trim = n div 20 rows off each side of the (value, event_id) total
+# order), and only the final mean divides — so engines agree to the
+# rounded digit by construction. Scale shape: one rank window per
+# group + one grouped aggregate; no global sort.
+
+TRIM_PCT_DIV = 20  # n div 20 = 5% each side
+
+
+def q143_trimmed_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    w = W.partitionBy("event_type").orderBy("cents", "event_id")
+    ranked = ev.select(
+        "event_type",
+        "cents",
+        F.row_number().over(w).alias("r"),
+        F.count(F.lit(1)).over(W.partitionBy("event_type")).alias("n"),
+    )
+    kept = ranked.filter(
+        (F.col("r") > F.expr(f"n div {TRIM_PCT_DIV}"))
+        & (F.col("r") <= F.col("n") - F.expr(f"n div {TRIM_PCT_DIV}"))
+    )
+    return kept.groupBy("event_type").agg(
+        F.min("n").cast("bigint").alias("n_total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.expr(
+            "floor((sum(cents)::DOUBLE / (count(*) * 100)) * 1000000.0D + 0.5D)"
+            " / 1000000.0D"
+        ).alias("trimmed_mean"),
+    )
+
+
+Q143_SQL = f"""
+WITH ev AS (
+  SELECT event_type, event_id,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM events
+), ranked AS (
+  SELECT event_type, cents,
+         row_number() OVER (PARTITION BY event_type ORDER BY cents, event_id) AS r,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM ev
+), kept AS (
+  SELECT * FROM ranked
+  WHERE r > n // {TRIM_PCT_DIV} AND r <= n - n // {TRIM_PCT_DIV}
+)
+SELECT event_type, min(n)::BIGINT AS n_total, count(*)::BIGINT AS n_kept,
+       floor((sum(cents)::DOUBLE / (count(*) * 100)) * 1000000.0 + 0.5)
+       / 1000000.0 AS trimmed_mean
+FROM kept GROUP BY event_type
+"""
+
+
+# --- q144: Gini concentration per source ---------------------------------------
+# Distribution-inequality diagnostic: the Gini coefficient of n_chars
+# per source — "is this feed's mass concentrated in a few huge docs"
+# (sampling and packing both behave differently under concentration;
+# the q88 skew diagnostics measure KEY skew, this measures VALUE
+# concentration). Exact integer numerator/denominator from the rank
+# identity G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) over the
+# ascending (n_chars, doc_id) order; one double division at the end.
+
+
+def q144_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    w = W.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = docs.select(
+        "source", "n_chars", F.row_number().over(w).alias("i")
+    )
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.expr(
+            "floor(((2 * sum(i * n_chars) - (count(*) + 1) * sum(n_chars))::DOUBLE"
+            " / (count(*) * sum(n_chars))) * 1000000.0D + 0.5D) / 1000000.0D"
+        ).alias("gini"),
+    )
+
+
+Q144_SQL = """
+WITH ranked AS (
+  SELECT source, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS i
+  FROM documents
+)
+SELECT source, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS total_chars,
+       floor(((2 * sum(i * n_chars) - (count(*) + 1) * sum(n_chars))::DOUBLE
+              / (count(*) * sum(n_chars))) * 1000000.0 + 0.5) / 1000000.0 AS gini
+FROM ranked GROUP BY source
+"""
+
+
 # --- q142: near-dup pair evidence (explanation mining) -----------------------
 # Interpretability for the dedup family: every LSH candidate pair gets
 # its shared-shingle count and the 3 RAREST shared shingles (global
@@ -6009,13 +6109,19 @@ def q142_pair_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
+    # ONE staged shingle explode feeds BOTH the LSH pair generation
+    # and the evidence postings (the q128 shared-subtree pattern)
+    ex = _stage(
+        exploded_shingles(docs, id_col="doc_id", text_col="text", k=MINHASH_K),
+        "q142_shingles",
+    )
     pairs = minhash_lsh_candidates(
         docs, id_col="doc_id", text_col="text",
         shingle_k=MINHASH_K, num_hashes=MINHASH_HASHES, bands=MINHASH_BANDS,
+        exploded=ex,
     ).select("id_a", "id_b")
     sh = _stage(
-        exploded_shingles(docs, id_col="doc_id", text_col="text", k=MINHASH_K)
-        .withColumn("_df", F.count(F.lit(1)).over(W.partitionBy("shingle"))),
+        ex.withColumn("_df", F.count(F.lit(1)).over(W.partitionBy("shingle"))),
         "q142_postings",
     )
     shared = (
@@ -6344,19 +6450,26 @@ VOCAB_SLICES = 10
 
 
 def q138_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.operators.dedup import exploded_shingles
+
     docs = _t(spark, sf_dir, "documents")
     bounds = docs.agg(F.max("doc_id").alias("_mx"))
+    # exploded_shingles (posexplode + lead windows) over the HOF
+    # word_shingles explode: the HOF evaluates interpreted (~2.4x,
+    # q64's note) and measured 4.3 s here vs ~2 s with the window path;
+    # distinct-per-doc shingles do not change min-over-docs first sight
     toks = (
-        docs.crossJoin(F.broadcast(bounds))
+        exploded_shingles(docs, id_col="doc_id", text_col="text", k=3)
+        .crossJoin(F.broadcast(bounds))
         .select(
             # integer div, not double /: a double quotient epsilon
             # below a slice boundary can round UP and disagree with
             # the oracle's floor division
             F.least(
                 F.lit(VOCAB_SLICES - 1).cast("bigint"),
-                F.expr(f"(doc_id * {VOCAB_SLICES}) div (_mx + 1)"),
+                F.expr(f"(doc_id_ * {VOCAB_SLICES}) div (_mx + 1)"),
             ).alias("slice"),
-            F.explode(word_shingles("text", k=3)).alias("tok"),
+            F.col("shingle").alias("tok"),
         )
     )
     first = toks.groupBy("tok").agg(F.min("slice").alias("first_slice"))
@@ -6903,4 +7016,6 @@ DATA_QUERIES = {
     "q140_quantile_normalize": (q140_quantile_normalize, Q140_SQL),
     "q141_fk_integrity_audit": (q141_fk_integrity_audit, Q141_SQL),
     "q142_pair_evidence": (q142_pair_evidence, Q142_SQL),
+    "q143_trimmed_means": (q143_trimmed_means, Q143_SQL),
+    "q144_gini_concentration": (q144_gini_concentration, Q144_SQL),
 }
