@@ -5989,6 +5989,143 @@ FROM terms GROUP BY probe_key
 """
 
 
+# --- q145: dedup yield report (cluster-size histogram + savings) -------------
+# Curation planning: BEFORE running a destructive dedup, how much will
+# it buy? Cluster the near-dup pairs (q55's components), histogram the
+# cluster sizes, and price the keep-one-per-cluster policy in docs and
+# tokens removed — the numbers that decide whether dedup is worth a
+# corpus rewrite. Scale shape: CC on the pair graph; token counts join
+# only CLUSTERED docs (semi-join sized); the report is
+# cluster-size-cardinality rows.
+
+
+def q145_dedup_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_candidates,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(
+        docs, id_col="doc_id", text_col="text",
+        shingle_k=MINHASH_K, num_hashes=MINHASH_HASHES, bands=MINHASH_BANDS,
+    )
+    comp = connected_components(pairs, src="id_a", dst="id_b", edges_canonical=True)
+    toks = docs.select(
+        F.col("doc_id").alias("node"),
+        token_count("text").cast("bigint").alias("n_toks"),
+    )
+    members = comp.join(toks, on="node")
+    clusters = members.groupBy("component").agg(
+        F.count(F.lit(1)).alias("size"),
+        F.sum("n_toks").alias("tok_total"),
+        # keeper = min doc id; its tokens survive, the rest are saved
+        F.min(F.struct("node", "n_toks")).getField("n_toks").alias("tok_keeper"),
+    )
+    return clusters.groupBy("size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        F.sum("size").cast("bigint").alias("n_docs"),
+        (F.sum("size") - F.count(F.lit(1))).cast("bigint").alias("docs_removable"),
+        F.sum(F.col("tok_total") - F.col("tok_keeper")).cast("bigint").alias("tokens_saved"),
+    ).select(
+        F.col("size").cast("bigint").alias("cluster_size"),
+        "n_clusters", "n_docs", "docs_removable", "tokens_saved",
+    )
+
+
+def _q145_sql() -> str:
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT * FROM ({_q24_sql()}) t
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b AS a, id_a AS b FROM pairs
+), reach(node, root) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node
+), comp AS (
+  SELECT node, min(root) AS component FROM reach GROUP BY node
+), toks AS (
+  SELECT doc_id AS node, len({SQL_TOKENS})::BIGINT AS n_toks FROM documents
+), clusters AS (
+  SELECT component, count(*) AS size, sum(n_toks) AS tok_total,
+         (min(struct_pack(node := c.node, n_toks := n_toks))).n_toks AS tok_keeper
+  FROM comp c JOIN toks USING (node)
+  GROUP BY component
+)
+SELECT size::BIGINT AS cluster_size, count(*)::BIGINT AS n_clusters,
+       sum(size)::BIGINT AS n_docs,
+       (sum(size) - count(*))::BIGINT AS docs_removable,
+       sum(tok_total - tok_keeper)::BIGINT AS tokens_saved
+FROM clusters GROUP BY size
+"""
+
+
+Q145_SQL = _q145_sql()
+
+
+# --- q146: derived-column consistency audit (orders vs lineitem) --------------
+# The cross-table data-quality check q141's key audit can't see: does
+# the DERIVED column hold — o_totalprice vs the recomputed
+# sum(l_extendedprice * (1 - discount) * (1 + tax))? Per order
+# priority: orders checked, mismatches beyond a cent tolerance, and
+# the worst absolute error in cents. Scale shape: one lineitem
+# partial+final aggregate on orderkey, one join to orders, one
+# priority rollup — the fact table shuffles once. Float note: the
+# recomputed sum reassociates across engines (~1e-12) — far inside the
+# cent tolerance, so the flags agree. Finding: the driver's synthetic
+# generator does NOT maintain the TPC-H invariant (every order
+# mismatches, max error ~$10^5) — exactly the class of load bug this
+# audit exists to surface; the oracle confirms both engines measure
+# the identical violation.
+
+CONSISTENCY_TOL = 0.01
+
+
+def q146_order_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    calc = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.sum(
+            F.col("l_extendedprice")
+            * (F.lit(1.0) - F.col("l_discount"))
+            * (F.lit(1.0) + F.col("l_tax"))
+        ).alias("calc")
+    )
+    checked = orders.select("o_orderkey", "o_orderpriority", "o_totalprice").join(
+        calc, on="o_orderkey", how="left"
+    ).selectExpr(
+        "o_orderpriority",
+        "abs(o_totalprice - coalesce(calc, 0.0D)) AS adiff",
+    )
+    return checked.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum((F.col("adiff") > CONSISTENCY_TOL).cast("long"))
+        .cast("bigint")
+        .alias("n_mismatch"),
+        F.expr("CAST(floor(max(adiff) * 100.0D + 0.5D) AS BIGINT)").alias(
+            "max_diff_cents"
+        ),
+    )
+
+
+Q146_SQL = f"""
+WITH calc AS (
+  SELECT l_orderkey AS o_orderkey,
+         sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS calc
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT o_orderpriority, count(*)::BIGINT AS n_orders,
+       sum(CASE WHEN abs(o_totalprice - coalesce(calc, 0.0)) > {CONSISTENCY_TOL}
+                THEN 1 ELSE 0 END)::BIGINT AS n_mismatch,
+       CAST(floor(max(abs(o_totalprice - coalesce(calc, 0.0))) * 100.0 + 0.5)
+            AS BIGINT) AS max_diff_cents
+FROM orders LEFT JOIN calc USING (o_orderkey)
+GROUP BY o_orderpriority
+"""
+
+
 # --- q143: trimmed (winsor-style) robust group means --------------------------
 # Robust-statistics member next to q103's MAD outliers: per event
 # type, the 5%-each-side TRIMMED mean of value — the metric a
@@ -7018,4 +7155,6 @@ DATA_QUERIES = {
     "q142_pair_evidence": (q142_pair_evidence, Q142_SQL),
     "q143_trimmed_means": (q143_trimmed_means, Q143_SQL),
     "q144_gini_concentration": (q144_gini_concentration, Q144_SQL),
+    "q145_dedup_yield": (q145_dedup_yield, Q145_SQL),
+    "q146_order_consistency": (q146_order_consistency, Q146_SQL),
 }
