@@ -115,10 +115,13 @@ DRIVER_PRIORITY: list[str] = [
     "q146_order_consistency",
     "q147_cluster_purity",
     "d27_camera_heatmap",
-    # -- tier 2: stalest evidence — only driver row is round 1; the
-    #    round-5 tiebreak losers (q37-q47, q49) go first, then the
-    #    oldest of the rest (q32/q34/q35/q36 lose this round) --
+    # -- tier 2 (stalest, r01-only evidence) emptied as round-6
+    #    additions filled the window; q37 holds the last slot --
     "q37_bilateral_volume",
+    # -- round-6 late additions past the full window: parked in
+    #    ACKNOWLEDGED_OVERFLOW with full local gates; they head
+    #    round 7's window re-derivation --
+    "q148_cluster_safe_split",
     # -- overflow (positions 50+): every entry below is driver-green
     #    in some prior round (union r01-r05) and stays DuckDB-gated
     #    at sf0.01 on every test run --
@@ -388,7 +391,9 @@ _PRIOR_DRIVER_GREEN = {
 # every test run); they move to the head of the next round's window
 # re-derivation.  Empty at round-6 start: the round-5 overflow (21
 # entries) now heads the window above.
-ACKNOWLEDGED_OVERFLOW: set[str] = set()
+ACKNOWLEDGED_OVERFLOW: set[str] = {
+    "q148_cluster_safe_split",
+}
 
 _unaccounted = [
     n for n in DRIVER_PRIORITY[50:]

@@ -5989,6 +5989,111 @@ FROM terms GROUP BY probe_key
 """
 
 
+# --- q148: near-dup-cluster-safe dataset split ---------------------------------
+# The leakage q75 cannot see: q75 keys its split on the EXACT
+# fingerprint, so two near-duplicate (not byte-equal) documents can
+# straddle train/eval and leak. Here the split key is the near-dup
+# CLUSTER (q55's components; singletons key on themselves), the whole
+# cluster lands on one side by construction, and the output is the
+# per-split summary PLUS the leakage check — clusters spanning splits,
+# provably zero. Scale shape: CC on the pair graph, one hash per
+# cluster id broadcast back over the membership join, corpus touched
+# once for token mass.
+
+CSPLIT_TRAIN_FRAC = 0.8
+
+
+def q148_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_candidates,
+    )
+    from las_vpe_platform_spark.operators.staging import persist_disk
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(
+        docs, id_col="doc_id", text_col="text",
+        shingle_k=MINHASH_K, num_hashes=MINHASH_HASHES, bands=MINHASH_BANDS,
+    )
+    comp = connected_components(pairs, src="id_a", dst="id_b", edges_canonical=True)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("csplit:"), F.col("entity").cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("double")
+        / F.lit(float(2 ** 32))
+    )
+    assigned = persist_disk(
+        docs.join(
+            comp.selectExpr("node AS doc_id", "component"), on="doc_id", how="left"
+        )
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("entity"),
+            token_count("text").cast("bigint").alias("n_toks"),
+        )
+        .withColumn(
+            "split",
+            F.when(u < CSPLIT_TRAIN_FRAC, F.lit("train")).otherwise(F.lit("eval")),
+        ),
+        "q148_assigned",
+    )
+    leaks = (
+        assigned.groupBy("entity")
+        .agg(F.countDistinct("split").alias("_ns"))
+        .filter(F.col("_ns") > 1)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_leaked_clusters"))
+    )
+    summary = assigned.groupBy("split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("entity").cast("bigint").alias("n_clusters"),
+        F.sum("n_toks").cast("bigint").alias("n_tokens"),
+    )
+    return summary.crossJoin(F.broadcast(leaks))
+
+
+def _q148_sql() -> str:
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT * FROM ({_q24_sql()}) t
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b AS a, id_a AS b FROM pairs
+), reach(node, root) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node
+), comp AS (
+  SELECT node, min(root) AS component FROM reach GROUP BY node
+), assigned AS (
+  SELECT d.doc_id,
+         coalesce(c.component, d.doc_id) AS entity,
+         len({SQL_TOKENS})::BIGINT AS n_toks,
+         CASE WHEN ('0x' || substr(md5('csplit:' ||
+                    CAST(coalesce(c.component, d.doc_id) AS VARCHAR)), 1, 8))::BIGINT
+                   / 4294967296.0 < {CSPLIT_TRAIN_FRAC}
+              THEN 'train' ELSE 'eval' END AS split
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+), leaks AS (
+  SELECT count(*)::BIGINT AS n_leaked_clusters FROM (
+    SELECT entity FROM assigned GROUP BY entity
+    HAVING count(DISTINCT split) > 1
+  )
+)
+SELECT split, count(*)::BIGINT AS n_docs,
+       count(DISTINCT entity)::BIGINT AS n_clusters,
+       sum(n_toks)::BIGINT AS n_tokens,
+       (SELECT n_leaked_clusters FROM leaks) AS n_leaked_clusters
+FROM assigned GROUP BY split
+"""
+
+
+Q148_SQL = _q148_sql()
+
+
 # --- q147: cluster label purity (clustering-quality evaluation) ---------------
 # ML-eval member of the clustering family: q82 assigns k-means
 # clusters; this scores them against the embeddings' ground-truth
@@ -7226,4 +7331,5 @@ DATA_QUERIES = {
     "q145_dedup_yield": (q145_dedup_yield, Q145_SQL),
     "q146_order_consistency": (q146_order_consistency, Q146_SQL),
     "q147_cluster_purity": (q147_cluster_purity, Q147_SQL),
+    "q148_cluster_safe_split": (q148_cluster_safe_split, Q148_SQL),
 }
