@@ -122,6 +122,7 @@ DRIVER_PRIORITY: list[str] = [
     #    ACKNOWLEDGED_OVERFLOW with full local gates; they head
     #    round 7's window re-derivation --
     "q148_cluster_safe_split",
+    "q149_zipf_slope",
     # -- overflow (positions 50+): every entry below is driver-green
     #    in some prior round (union r01-r05) and stays DuckDB-gated
     #    at sf0.01 on every test run --
@@ -393,6 +394,7 @@ _PRIOR_DRIVER_GREEN = {
 # entries) now heads the window above.
 ACKNOWLEDGED_OVERFLOW: set[str] = {
     "q148_cluster_safe_split",
+    "q149_zipf_slope",
 }
 
 _unaccounted = [

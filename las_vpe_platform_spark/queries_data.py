@@ -5989,6 +5989,77 @@ FROM terms GROUP BY probe_key
 """
 
 
+# --- q149: Zipf power-law fit of the token frequency spectrum -----------------
+# Corpus-statistics companion to q138's Heaps curve: OLS slope of
+# ln(frequency) on ln(rank) over the top terms — natural language sits
+# near -1; a synthetic or templated corpus (like this one: near-uniform
+# token use) shows up immediately as a shallow slope. The fit is q124's
+# closed-form sufficient-statistics shape on a TOP_R-row frame: token
+# counts -> rank via one TakeOrderedAndProject top-R -> five sums ->
+# arithmetic. Float note: the ln sums reassociate across engines
+# (~1e-14 over 200 terms); outputs round at 1e-6.
+
+ZIPF_TOP_R = 200
+
+
+def q149_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    top = (
+        freq.orderBy(F.desc("f"), F.asc("tok"))
+        .limit(ZIPF_TOP_R)
+        .select(
+            F.row_number()
+            .over(W.orderBy(F.desc("f"), F.asc("tok")))
+            .alias("r"),
+            "f",
+        )
+    )
+    stats = top.selectExpr(
+        "ln(CAST(r AS DOUBLE)) AS x", "ln(CAST(f AS DOUBLE)) AS y"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    return stats.selectExpr(
+        "CAST(n AS BIGINT) AS n_terms",
+        "floor(((n * sxy - sx * sy) / (n * sxx - sx * sx)) * 1000000.0D + 0.5D)"
+        " / 1000000.0D AS zipf_slope",
+        "floor(((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n)"
+        " * 1000000.0D + 0.5D) / 1000000.0D AS intercept",
+    )
+
+
+Q149_SQL = f"""
+WITH freq AS (
+  SELECT tok, count(*) AS f FROM (
+    SELECT unnest({SQL_TOKENS}) AS tok FROM documents
+  ) GROUP BY tok
+), top AS (
+  SELECT row_number() OVER (ORDER BY f DESC, tok) AS r, f
+  FROM freq ORDER BY f DESC, tok LIMIT {ZIPF_TOP_R}
+), stats AS (
+  SELECT count(*) AS n, sum(ln(r::DOUBLE)) AS sx, sum(ln(f::DOUBLE)) AS sy,
+         sum(ln(r::DOUBLE) * ln(r::DOUBLE)) AS sxx,
+         sum(ln(r::DOUBLE) * ln(f::DOUBLE)) AS sxy
+  FROM top
+)
+SELECT n::BIGINT AS n_terms,
+       floor(((n * sxy - sx * sy) / (n * sxx - sx * sx)) * 1000000.0 + 0.5)
+       / 1000000.0 AS zipf_slope,
+       floor(((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n)
+       * 1000000.0 + 0.5) / 1000000.0 AS intercept
+FROM stats
+"""
+
+
 # --- q148: near-dup-cluster-safe dataset split ---------------------------------
 # The leakage q75 cannot see: q75 keys its split on the EXACT
 # fingerprint, so two near-duplicate (not byte-equal) documents can
@@ -7332,4 +7403,5 @@ DATA_QUERIES = {
     "q146_order_consistency": (q146_order_consistency, Q146_SQL),
     "q147_cluster_purity": (q147_cluster_purity, Q147_SQL),
     "q148_cluster_safe_split": (q148_cluster_safe_split, Q148_SQL),
+    "q149_zipf_slope": (q149_zipf_slope, Q149_SQL),
 }
