@@ -20,13 +20,15 @@ catalog).  ``DRIVER_PRIORITY`` is therefore RE-DERIVED EVERY ROUND as
 2. tier 1 — re-gated THIS round: queries whose code paths round-6
    changes touch (q117 via the maintain_aggregate negative-count
    contract fix; q29/q70 via the ANN forced-broadcast gating; s15 via
-   the anomaly-stream state-fold change; q11 via the events-loader
-   NTZ root-cause, VERDICT r5 'What's wrong' #2) plus any NEW round-6
-   entries inserted at the end of this tier as they land,
-3. tier 2 — stalest evidence: the 28 entries whose ONLY driver row is
-   round 1; the 24 slots left take the 12 that lost round 5's
-   tiebreak (q37-q47, q49) first, then the oldest of the rest
-   (q32/q34/q35/q36 lose this round's tiebreak and keep r01 rows).
+   the anomaly-stream state-fold docs; q11 via the events-loader
+   NTZ root-cause, VERDICT r5 'What's wrong' #2), then the 24 NEW
+   round-6 entries (q133-q147, m12, m13, s20-s23, d26, d27) in
+   landing order,
+3. tier 2 — stalest evidence: the 24 new entries displaced all but
+   one of the r01-only block; q37 keeps the last slot, the rest stay
+   in overflow with their r01 rows.  q148/q149 landed after the
+   window filled and sit in ``ACKNOWLEDGED_OVERFLOW`` (full local
+   gates), heading round 7's re-derivation.
 
 After round 5, EVERY pre-round-5 entry has at least one driver-green
 row (union r01-r05 = 165/186); tier 0 closes the remaining 21.  The
