@@ -141,6 +141,23 @@ HEADLINERS = [
      "partials; both output grains read the partials (day finish directly, "
      "week via a register MAX merge of days x m rows) — the raw table is "
      "never rescanned"),
+    ("q145_dedup_yield",
+     "dedup go/no-go report: CC over the pair graph, token mass joins only "
+     "CLUSTERED docs (semi-join sized), the histogram is "
+     "cluster-size-cardinality rows — pricing the rewrite never costs one"),
+    ("q142_pair_evidence",
+     "pair explanations: ONE staged shingle explode feeds both the LSH pair "
+     "generation and the evidence postings; top-3 rarest shared shingles per "
+     "pair is a sorted-struct aggregate, not a rank window over the evidence "
+     "stream"),
+    ("q148_cluster_safe_split",
+     "leakage-safe split: the split hash keys on the CC component, so a "
+     "near-dup cluster cannot straddle train/eval; the in-result leakage "
+     "check (clusters spanning splits) is provably zero by construction"),
+    ("d27_camera_heatmap",
+     "occupancy heatmap: box explode -> integer cell keys inside the scan "
+     "stage -> ONE (camera, cell) aggregate with map-side partials; the "
+     "camera dim broadcasts"),
     ("q126_ivfpq_recall",
      "IVF-PQ recall harness: runs BOTH the q118 codec (staged codebook/codes "
      "subtrees, cached — the 2x work is the semantics) and the exact BLAS "
