@@ -1130,7 +1130,33 @@ def weighted_cosine_pairs(
             F.min("_nb2").alias("nb2"),
         )
     )
-    return dots.filter(
+    # BIGINT-overflow guard (review r6): the docstring's magnitude
+    # bounds (~2e2 shingles/doc) were stated but unenforced — very long
+    # all-rare documents could push t_den^2*dot^2 past 2^63, where
+    # Spark's behavior depends on the ANSI flag (abort vs silent wrap)
+    # and engines could disagree. Out-of-bound rows now fail LOUDLY on
+    # any engine config; in-contract corpora never hit the branch, so
+    # the oracle needs no mirror.
+    import math
+
+    dmax = math.isqrt((2 ** 63 - 1) // (t_den * t_den))
+    nmax = math.isqrt((2 ** 63 - 1) // (t_num * t_num))
+    guarded = F.when(
+        (F.col("dot") > dmax) | (F.col("na2") > nmax) | (F.col("nb2") > nmax),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "weighted_cosine_pairs: verify predicate would overflow "
+                    "int64 for pair ("
+                ),
+                F.col("id_a").cast("string"),
+                F.lit(", "),
+                F.col("id_b").cast("string"),
+                F.lit(") — document shingle mass exceeds the stated contract"),
+            )
+        ).cast("bigint"),
+    ).otherwise(F.col("dot"))
+    return dots.withColumn("dot", guarded).filter(
         F.lit(t_den * t_den) * F.col("dot") * F.col("dot")
         >= F.lit(t_num * t_num) * F.col("na2") * F.col("nb2")
     ).select(

@@ -212,7 +212,6 @@ def kcore_peel(
     e = edges.selectExpr(f"{src} AS a", f"{dst} AS b")
     sym = e.union(e.selectExpr("b AS a", "a AS b")).localCheckpoint(eager=False)
     surv = sym.select(F.col("a").alias("node")).distinct()
-    deg = None
     for _ in range(rounds):
         alive = sym.join(
             surv.withColumnRenamed("node", "a"), "a", "left_semi"

@@ -21,10 +21,10 @@ catalog).  ``DRIVER_PRIORITY`` is therefore RE-DERIVED EVERY ROUND as
    changes touch (q117 via the maintain_aggregate negative-count
    contract fix; q29/q70 via the ANN forced-broadcast gating; s15 via
    the anomaly-stream state-fold docs; q11 via the events-loader
-   NTZ root-cause, VERDICT r5 'What's wrong' #2), then the 24 NEW
+   NTZ root-cause, VERDICT r5 'What's wrong' #2), then the 23 NEW
    round-6 entries (q133-q147, m12, m13, s20-s23, d26, d27) in
    landing order,
-3. tier 2 — stalest evidence: the 24 new entries displaced all but
+3. tier 2 — stalest evidence: the 23 new entries displaced all but
    one of the r01-only block; q37 keeps the last slot, the rest stay
    in overflow with their r01 rows.  q148/q149 landed after the
    window filled and sit in ``ACKNOWLEDGED_OVERFLOW`` (full local

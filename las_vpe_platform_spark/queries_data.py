@@ -6686,16 +6686,19 @@ Q139_SQL = _q139_sql()
 def q140_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
     ws = W.partitionBy("source").orderBy("n_chars", "doc_id")
+    # BIGINT ranks: row_number() is 32-bit and the interpolation
+    # multiplies (r-1)*(nn-1)*2 — int32 overflows past ~32k documents
+    # (ANSI abort or silent wrap) while the oracle's BIGINT stays exact
     per_src = docs.select(
         "doc_id", "source", "n_chars",
-        F.row_number().over(ws).alias("r"),
+        F.row_number().over(ws).cast("bigint").alias("r"),
         F.count(F.lit(1)).over(W.partitionBy("source")).alias("n_src"),
     )
     wg = W.orderBy("n_chars", "doc_id")
     glob = _stage(
         docs.select(
             F.col("n_chars").alias("g_val"),
-            F.row_number().over(wg).alias("g_rank"),
+            F.row_number().over(wg).cast("bigint").alias("g_rank"),
         ),
         "q140_global_ranks",
     )
@@ -6796,9 +6799,11 @@ def _q141_audit_sql(rel: str, child: str, ckey: str, parent: str, pkey: str) -> 
          (SELECT count(DISTINCT {ckey}) FROM {child})::BIGINT AS n_child_keys,
          (SELECT count(DISTINCT {pkey}) FROM {parent})::BIGINT AS n_parent_keys,
          (SELECT count(*) FROM (SELECT DISTINCT {ckey} AS k FROM {child}) c
-           WHERE c.k NOT IN (SELECT {pkey} FROM {parent}))::BIGINT AS n_orphan_keys,
+           WHERE NOT EXISTS (SELECT 1 FROM {parent} p2 WHERE p2.{pkey} = c.k)
+         )::BIGINT AS n_orphan_keys,
          (SELECT count(*) FROM (SELECT DISTINCT {pkey} AS k FROM {parent}) p
-           WHERE p.k NOT IN (SELECT {ckey} FROM {child}))::BIGINT AS n_childless_parents"""
+           WHERE NOT EXISTS (SELECT 1 FROM {child} c2 WHERE c2.{ckey} = p.k)
+         )::BIGINT AS n_childless_parents"""
 
 
 Q141_SQL = "\nUNION ALL\n".join(

@@ -1215,8 +1215,13 @@ WITH c AS (
 ), p AS (
   SELECT user_id, event_id AS purchase_id, ts FROM events WHERE event_type = 'purchase'
 ), wm AS (
-  -- final joint watermark: min over both sides' max observed event time
-  SELECT least((SELECT max(ts) FROM c), (SELECT max(ts) FROM p)) AS w
+  -- final joint watermark: min over both sides' max observed event
+  -- time. NULL-safe: DuckDB least() IGNORES NULLs, but an empty side
+  -- means Spark's watermark never advances and NOTHING unmatched
+  -- emits — so an empty side must make w NULL (review r6)
+  SELECT CASE WHEN (SELECT max(ts) FROM c) IS NULL
+             OR (SELECT max(ts) FROM p) IS NULL THEN NULL
+         ELSE least((SELECT max(ts) FROM c), (SELECT max(ts) FROM p)) END AS w
 )
 SELECT c.user_id, c.click_id, p.purchase_id, epoch_us(c.ts) AS click_us
 FROM c LEFT JOIN p
@@ -1474,7 +1479,10 @@ WITH c AS (
 ), p AS (
   SELECT user_id, event_id AS purchase_id, ts FROM events WHERE event_type = 'purchase'
 ), wm AS (
-  SELECT least((SELECT max(ts) FROM c), (SELECT max(ts) FROM p)) AS w
+  -- NULL-safe joint watermark: see S17_SQL's wm note (review r6)
+  SELECT CASE WHEN (SELECT max(ts) FROM c) IS NULL
+             OR (SELECT max(ts) FROM p) IS NULL THEN NULL
+         ELSE least((SELECT max(ts) FROM c), (SELECT max(ts) FROM p)) END AS w
 )
 SELECT coalesce(c.user_id, p.user_id) AS uid, c.click_id, p.purchase_id,
        epoch_us(c.ts) AS click_us, epoch_us(p.ts) AS purchase_us
