@@ -213,3 +213,73 @@ def test_q136_triplet_invariants(spark, sf_dir):
         assert len({a, p, n}) == 3, (a, p, n)
         assert (a, p) in sym, (a, p)
         assert (a, n) not in sym, (a, n)
+
+
+def test_weighted_cosine_overflow_guard_raises(spark):
+    """Out-of-contract shingle mass (dot beyond the int64-safe bound)
+    must fail LOUDLY instead of ANSI-aborting or silently wrapping
+    (review r6). Two identical very long all-rare documents push dot
+    past isqrt((2^63-1)/t_den^2)."""
+    from las_vpe_platform_spark.operators.dedup import weighted_cosine_pairs
+    from las_vpe_platform_spark.operators.staging import unpersist_all
+
+    # shared shingles have df=2 => w = 500; need dot = n_sh * 500^2
+    # past dmax = isqrt((2^63-1)/25) ~ 6.07e8 => n_sh > 2430
+    text = " ".join(f"t{i}" for i in range(2502))
+    df = spark.createDataFrame(
+        [(1, text), (2, text)], "doc_id long, text string"
+    )
+    try:
+        with pytest.raises(Exception, match="would overflow int64"):
+            weighted_cosine_pairs(df, "doc_id", "text", 3, 5).collect()
+    finally:
+        unpersist_all()
+
+
+def test_outer_stream_join_empty_side_withholds_unmatched(spark):
+    """The review-r6 oracle fix, checked against the engine: with ZERO
+    rows on one side, the joint watermark never advances, so a
+    full-outer stream join emits NO unmatched rows — and the NULL-safe
+    S20 oracle watermark mirrors that (an empty side => w NULL => both
+    unmatched branches false)."""
+    import tempfile
+    import uuid as _uuid
+
+    from las_vpe_platform_spark.streaming.engine import run_to_completion
+
+    schema = "user string, ts timestamp, id long, side string"
+    src = tempfile.mkdtemp(prefix="foj_empty_")
+    rows = [
+        ("u1", __import__("datetime").datetime(2024, 1, 1, 10, 0, 0), 1, "L"),
+        ("u1", __import__("datetime").datetime(2024, 1, 1, 12, 0, 0), 2, "L"),
+    ]
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{src}/b1")
+
+    def side(tag, cols):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/*")
+            .filter(F.col("side") == tag)
+            .selectExpr(*cols)
+        )
+
+    left = side("L", ["user", "id AS left_id", "ts AS l_ts"]).withWatermark(
+        "l_ts", "0 seconds"
+    )
+    right = side(
+        "R", ["user AS r_user", "id AS right_id", "ts AS r_ts"]
+    ).withWatermark("r_ts", "0 seconds")
+    joined = left.join(
+        right,
+        (F.col("user") == F.col("r_user"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "fullOuter",
+    ).select("left_id", "right_id")
+    out = run_to_completion(
+        joined, f"foje_{_uuid.uuid4().hex[:8]}", output_mode="append"
+    )
+    assert out.count() == 0  # nothing matched, nothing evicted-unmatched
