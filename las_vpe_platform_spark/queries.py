@@ -125,6 +125,7 @@ DRIVER_PRIORITY: list[str] = [
     #    round 7's window re-derivation --
     "q148_cluster_safe_split",
     "q149_zipf_slope",
+    "q150_systematic_resample",
     # -- overflow (positions 50+): every entry below is driver-green
     #    in some prior round (union r01-r05) and stays DuckDB-gated
     #    at sf0.01 on every test run --
@@ -397,6 +398,7 @@ _PRIOR_DRIVER_GREEN = {
 ACKNOWLEDGED_OVERFLOW: set[str] = {
     "q148_cluster_safe_split",
     "q149_zipf_slope",
+    "q150_systematic_resample",
 }
 
 _unaccounted = [

@@ -5989,6 +5989,74 @@ FROM terms GROUP BY probe_key
 """
 
 
+# --- q150: systematic importance resampling ------------------------------------
+# Deterministic weighted resampling WITH replacement — the particle-
+# filter / data-reweighting primitive that upsamples high-value
+# documents for a training epoch (q78 scores importance, q100 samples
+# WITHOUT replacement; this is the with-replacement member, stratified
+# by construction: picks are the k evenly spaced points
+# p_j = (2j+1)W/(2k) over the cumulative weight axis, so every doc
+# receives floor-or-ceil of its expected count — zero sampling
+# variance beyond rounding). All arithmetic is exact BIGINT interval
+# counting (odd multiples of W inside [2k*prefix, 2k*(prefix+w)));
+# sum(n_copies) == k holds as an identity and is pytest-asserted.
+# Scale shape: the cumulative axis comes from pack_sequences' two-
+# phase DISTRIBUTED prefix scan (q62's machinery — no global window),
+# and the copy count is a pure projection — no join, no explode.
+
+RESAMPLE_K = 1000
+
+
+def q150_systematic_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("bigint").alias("w")
+    )
+    packed = pack_sequences(
+        docs, id_col="doc_id", n_tokens_col="w", order_col="doc_id"
+    )
+    tot = packed.agg(F.max(F.col("prefix") + F.col("n")).alias("W"))
+    k2 = 2 * RESAMPLE_K
+    return (
+        packed.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "doc_id",
+            "n AS weight",
+            f"({k2} * prefix + W - 1) div W AS _lo",
+            f"({k2} * (prefix + n) + W - 1) div W AS _hi",
+        )
+        .selectExpr(
+            "doc_id",
+            "weight",
+            "CAST((_hi + 1) div 2 - (_lo + 1) div 2 AS BIGINT) AS n_copies",
+        )
+        .filter("n_copies > 0")
+    )
+
+
+Q150_SQL = f"""
+WITH w AS (
+  SELECT doc_id, n_chars::BIGINT AS w FROM documents
+), cum AS (
+  SELECT doc_id, w AS n,
+         coalesce(sum(w) OVER (ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS prefix
+  FROM w
+), tot AS (
+  SELECT max(prefix + n) AS W FROM cum
+), counted AS (
+  SELECT doc_id, n AS weight,
+         ({2 * RESAMPLE_K} * prefix + W - 1) // W AS _lo,
+         ({2 * RESAMPLE_K} * (prefix + n) + W - 1) // W AS _hi
+  FROM cum, tot
+)
+SELECT doc_id, weight, ((_hi + 1) // 2 - (_lo + 1) // 2)::BIGINT AS n_copies
+FROM counted WHERE (_hi + 1) // 2 - (_lo + 1) // 2 > 0
+"""
+
+
 # --- q149: Zipf power-law fit of the token frequency spectrum -----------------
 # Corpus-statistics companion to q138's Heaps curve: OLS slope of
 # ln(frequency) on ln(rank) over the top terms — natural language sits
@@ -7409,4 +7477,5 @@ DATA_QUERIES = {
     "q147_cluster_purity": (q147_cluster_purity, Q147_SQL),
     "q148_cluster_safe_split": (q148_cluster_safe_split, Q148_SQL),
     "q149_zipf_slope": (q149_zipf_slope, Q149_SQL),
+    "q150_systematic_resample": (q150_systematic_resample, Q150_SQL),
 }

@@ -283,3 +283,26 @@ def test_outer_stream_join_empty_side_withholds_unmatched(spark):
         joined, f"foje_{_uuid.uuid4().hex[:8]}", output_mode="append"
     )
     assert out.count() == 0  # nothing matched, nothing evicted-unmatched
+
+
+def test_q150_resample_mass_identity(spark, sf_dir):
+    """Systematic resampling must allocate EXACTLY k copies (the
+    stratified-picks identity), and each doc's count must be within
+    one of its expected share k*w/W."""
+    from las_vpe_platform_spark.operators.staging import unpersist_all
+    from las_vpe_platform_spark.queries_data import (
+        RESAMPLE_K,
+        q150_systematic_resample,
+    )
+
+    try:
+        rows = q150_systematic_resample(spark, sf_dir).collect()
+    finally:
+        unpersist_all()
+    total_w = spark.read.parquet(f"{sf_dir}/documents.parquet").agg(
+        F.sum("n_chars")
+    ).collect()[0][0]
+    assert sum(r["n_copies"] for r in rows) == RESAMPLE_K
+    for r in rows:
+        expected = RESAMPLE_K * r["weight"] / total_w
+        assert abs(r["n_copies"] - expected) <= 1.0, (r, expected)
