@@ -126,6 +126,7 @@ DRIVER_PRIORITY: list[str] = [
     "q148_cluster_safe_split",
     "q149_zipf_slope",
     "q150_systematic_resample",
+    "q151_cms_error",
     # -- overflow (positions 50+): every entry below is driver-green
     #    in some prior round (union r01-r05) and stays DuckDB-gated
     #    at sf0.01 on every test run --
@@ -399,6 +400,7 @@ ACKNOWLEDGED_OVERFLOW: set[str] = {
     "q148_cluster_safe_split",
     "q149_zipf_slope",
     "q150_systematic_resample",
+    "q151_cms_error",
 }
 
 _unaccounted = [

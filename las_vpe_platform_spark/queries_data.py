@@ -5989,6 +5989,96 @@ FROM terms GROUP BY probe_key
 """
 
 
+# --- q151: CMS error harness (estimate vs exact, per key) ----------------------
+# "Measure, don't guess" for the frequency sketch, completing the
+# harness family (q84/q126 ANN recall, q128 LSH S-curve, q132 nDCG):
+# for the exact top terms, the count-min estimate next to the TRUE
+# count and the overestimate — CMS error is ONE-SIDED (estimate >=
+# exact always, the min-over-rows bound), which the result exhibits
+# per key and a test asserts. The retune gate for d/w before trusting
+# q81/s07's heavy hitters at a new corpus scale. Scale shape: sketch
+# build is the d*w-bounded shuffle; exact counts for the TOP keys only
+# (TakeOrderedAndProject); the comparison joins k rows.
+
+CMS_ERR_TOPK = 20
+
+
+def q151_cms_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.operators.aggregates import (
+        cms_bucketed,
+        cms_sketch,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    items = docs.select(F.explode(tokens("text")).alias("tok"))
+    hashed = _stage(
+        cms_bucketed(items, ["tok"], d=CMS_D, w=CMS_W), "q151_hashed"
+    )
+    sketch = _stage(cms_sketch(hashed, d=CMS_D), "q151_sketch")
+    exact = (
+        hashed.groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact"))
+        .orderBy(F.desc("exact"), F.asc("tok"))
+        .limit(CMS_ERR_TOPK)
+    )
+    # point estimates for EXACTLY the top keys (cms_estimate_topk's
+    # min-over-rows loop, minus its top-k-by-estimate ordering): the
+    # candidate frame is k rows, each joining the broadcast d*w sketch
+    cand = hashed.dropDuplicates(["tok"]).join(exact, on="tok")
+    est = None
+    for j in range(CMS_D):
+        s_j = sketch.filter(F.col("row") == j).select(
+            F.col("bucket").alias(f"_b{j}"), F.col("c").alias(f"_c{j}")
+        )
+        cand = cand.join(F.broadcast(s_j), on=f"_b{j}", how="left")
+        cj = F.coalesce(F.col(f"_c{j}"), F.lit(0))
+        est = cj if est is None else F.least(est, cj)
+    return cand.select(
+        "tok",
+        "exact",
+        est.cast("bigint").alias("cms_estimate"),
+        (est.cast("bigint") - F.col("exact")).alias("overestimate"),
+    )
+
+
+def _q151_sql() -> str:
+    d, w, seed = CMS_D, CMS_W, "cms"
+    bucket_cols = ", ".join(
+        f"(('0x' || substr(md5('{seed}:{j}:' || tok), 1, 8))::BIGINT"
+        f" % {w}) AS _b{j}"
+        for j in range(d)
+    )
+    unions = " UNION ALL ".join(
+        f"SELECT {j} AS row, _b{j} AS bucket FROM _hashed" for j in range(d)
+    )
+    mins = ", ".join(
+        f"coalesce((SELECT c FROM _sketch s WHERE s.row = {j}"
+        f" AND s.bucket = h._b{j}), 0)"
+        for j in range(d)
+    )
+    return f"""
+WITH _hashed AS (
+  SELECT tok, {bucket_cols} FROM (
+    SELECT unnest({SQL_TOKENS}) AS tok FROM documents
+  )
+), _sketch AS (
+  SELECT row, bucket, count(*) AS c FROM ({unions}) GROUP BY row, bucket
+), _exact AS (
+  SELECT tok, count(*)::BIGINT AS exact FROM _hashed GROUP BY tok
+  ORDER BY exact DESC, tok LIMIT {CMS_ERR_TOPK}
+), _cand AS (
+  SELECT DISTINCT tok, {", ".join(f"_b{j}" for j in range(d))} FROM _hashed
+), _est AS (
+  SELECT tok, least({mins})::BIGINT AS cms_estimate FROM _cand h
+)
+SELECT e.tok, e.exact, s.cms_estimate, s.cms_estimate - e.exact AS overestimate
+FROM _exact e JOIN _est s USING (tok)
+"""
+
+
+Q151_SQL = _q151_sql()
+
+
 # --- q150: systematic importance resampling ------------------------------------
 # Deterministic weighted resampling WITH replacement — the particle-
 # filter / data-reweighting primitive that upsamples high-value
@@ -7478,4 +7568,5 @@ DATA_QUERIES = {
     "q148_cluster_safe_split": (q148_cluster_safe_split, Q148_SQL),
     "q149_zipf_slope": (q149_zipf_slope, Q149_SQL),
     "q150_systematic_resample": (q150_systematic_resample, Q150_SQL),
+    "q151_cms_error": (q151_cms_error, Q151_SQL),
 }

@@ -306,3 +306,19 @@ def test_q150_resample_mass_identity(spark, sf_dir):
     for r in rows:
         expected = RESAMPLE_K * r["weight"] / total_w
         assert abs(r["n_copies"] - expected) <= 1.0, (r, expected)
+
+
+def test_q151_cms_error_is_one_sided(spark, sf_dir):
+    """CMS point estimates upper-bound true counts (min-over-rows
+    bound) — overestimate >= 0 for EVERY reported key."""
+    from las_vpe_platform_spark.operators.staging import unpersist_all
+    from las_vpe_platform_spark.queries_data import q151_cms_error
+
+    try:
+        rows = q151_cms_error(spark, sf_dir).collect()
+    finally:
+        unpersist_all()
+    assert rows
+    for r in rows:
+        assert r["overestimate"] >= 0, r
+        assert r["cms_estimate"] >= r["exact"], r
