@@ -127,6 +127,7 @@ DRIVER_PRIORITY: list[str] = [
     "q149_zipf_slope",
     "q150_systematic_resample",
     "q151_cms_error",
+    "d28_activity_calendar",
     # -- overflow (positions 50+): every entry below is driver-green
     #    in some prior round (union r01-r05) and stays DuckDB-gated
     #    at sf0.01 on every test run --
@@ -401,6 +402,7 @@ ACKNOWLEDGED_OVERFLOW: set[str] = {
     "q149_zipf_slope",
     "q150_systematic_resample",
     "q151_cms_error",
+    "d28_activity_calendar",
 }
 
 _unaccounted = [

@@ -1220,6 +1220,46 @@ FROM boxes GROUP BY camera_id, gx, gy
 D27_SQL = _d27_sql()
 
 
+
+# --- d28: camera activity calendar (hour-of-week occupancy) --------------------
+# Operations-facing rollup: per camera, the (day-of-week, hour) matrix
+# of tracklet starts — the staffing/retention-policy calendar next to
+# d27's spatial heatmap (WHERE activity concentrates vs WHEN). Exact
+# integer epoch arithmetic (the q131 dow/hod derivation, timezone-free
+# on epoch micros); one grouped aggregate with map-side partials, the
+# camera dim broadcast.
+
+
+def d28_activity_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.functions.scalar import ntz_epoch_micros
+
+    tr = _fx(spark, "tracklets").select(
+        "tracklet_key", "video_id", ntz_epoch_micros("start_ts").alias("us")
+    )
+    vids = _fx(spark, "videos").select("video_id", "camera_id")
+    return (
+        tr.join(F.broadcast(vids), "video_id")
+        .selectExpr(
+            "camera_id",
+            "CAST((us div 86400000000 + 4) % 7 AS BIGINT) AS dow",
+            "CAST((us div 3600000000) % 24 AS BIGINT) AS hod",
+        )
+        .groupBy("camera_id", "dow", "hod")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_tracklets"))
+    )
+
+
+D28_SQL = f"""
+SELECT v.camera_id,
+       CAST((epoch_us(t.start_ts) // 86400000000 + 4) % 7 AS BIGINT) AS dow,
+       CAST((epoch_us(t.start_ts) // 3600000000) % 24 AS BIGINT) AS hod,
+       count(*)::BIGINT AS n_tracklets
+FROM {_fxsql('tracklets')} t
+JOIN {_fxsql('videos')} v USING (video_id)
+GROUP BY 1, 2, 3
+"""
+
+
 # --- d26: camera embedding-bias report ----------------------------------------
 # Re-id health diagnostic: per camera, the cosine between its tracklet
 # feature CENTROID-SUM and the global one — a camera whose appearance
@@ -2403,4 +2443,5 @@ DOMAIN_QUERIES = {
     "m13_audio_qa": (m13_audio_qa, M13_SQL),
     "d26_camera_feature_bias": (d26_camera_feature_bias, D26_SQL),
     "d27_camera_heatmap": (d27_camera_heatmap, D27_SQL),
+    "d28_activity_calendar": (d28_activity_calendar, D28_SQL),
 }
