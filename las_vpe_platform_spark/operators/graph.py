@@ -201,6 +201,14 @@ def kcore_peel(
     — the q120/LPA contract. All arithmetic is integer (degrees), so
     the survivor set is bit-identical on any engine.
 
+    Input contract (same as :func:`kcore_sql`): unordered UNIQUE
+    pairs with no self-loops. Duplicate pairs or self-loops would
+    inflate count(*)-degrees and wrongly keep nodes in the core
+    (ADVICE r6), so the input is defensively canonicalized here —
+    least/greatest + distinct + a!=b — one edge-list-sized dedup
+    shuffle, a no-op pass-through when the contract already holds
+    (q134's LSH pairs are canonical unique by construction).
+
     Execution shape per round: two semi-joins restrict the
     (lazily-checkpointed, symmetrized) edge list to surviving
     endpoints, then one grouped count — a Pregel superstep, linear in
@@ -209,7 +217,13 @@ def kcore_peel(
     the staging rule). At cluster scale, pre-partition the edge list
     by ``a`` and survivors co-shuffle onto it each round.
     """
-    e = edges.selectExpr(f"{src} AS a", f"{dst} AS b")
+    e = (
+        edges.selectExpr(
+            f"least({src}, {dst}) AS a", f"greatest({src}, {dst}) AS b"
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
     sym = e.union(e.selectExpr("b AS a", "a AS b")).localCheckpoint(eager=False)
     surv = sym.select(F.col("a").alias("node")).distinct()
     for _ in range(rounds):

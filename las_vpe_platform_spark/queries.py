@@ -11,27 +11,25 @@ catalog).  ``DRIVER_PRIORITY`` is therefore RE-DERIVED EVERY ROUND as
 "everything not yet driver-green, oldest evidence first" (VERDICT r2
 'What's wrong' #2 — a stale list wastes the round's sample):
 
-1. tier 0 — the 21 round-5 late additions (q118-q132, d23, d24, m11,
-   s17-s19) that landed after round 5's window filled and sat in
-   ``ACKNOWLEDGED_OVERFLOW``; VERDICT r5 'Next round' #1 makes them
-   this round's head.  All were judge-green at sf0.01 in the round-5
-   verdict session; a green row here completes 186/186 cumulative
-   driver coverage,
-2. tier 1 — re-gated THIS round: queries whose code paths round-6
-   changes touch (q117 via the maintain_aggregate negative-count
-   contract fix; q29/q70 via the ANN forced-broadcast gating; s15 via
-   the anomaly-stream state-fold docs; q11 via the events-loader
-   NTZ root-cause, VERDICT r5 'What's wrong' #2), then the 23 NEW
-   round-6 entries (q133-q147, m12, m13, s20-s23, d26, d27) in
-   landing order,
-3. tier 2 — stalest evidence: the 23 new entries displaced all but
-   one of the r01-only block; q37 keeps the last slot, the rest stay
-   in overflow with their r01 rows.  q148/q149 landed after the
-   window filled and sit in ``ACKNOWLEDGED_OVERFLOW`` (full local
-   gates), heading round 7's re-derivation.
+1. tier 0 — q130_quality_budget_cut, round 6's ONLY red row, whose
+   root cause was an oracle-side type slip (DuckDB HUGEINT window sum
+   vs Spark BIGINT; the fix casts ``::BIGINT`` exactly as the
+   driver-green q62 does — VERDICT r6 'What's wrong' #1), plus the 5
+   round-6 late additions (q148-q151, d28) that sat in
+   ``ACKNOWLEDGED_OVERFLOW`` with full local gates; a green row for
+   all six completes 214/214 cumulative driver coverage,
+2. tier 1 — re-gated THIS round: q140 (corpus-sized global rank
+   window replaced by two-phase distributed ranks, VERDICT r6
+   'What's wrong' #2), s23 (fixture slices now written sequentially
+   so FileStreamSource's mtime ordering matches doc_id order, ADVICE
+   r6), q134 (kcore_peel defensive unique-pair contract, ADVICE r6);
+   NEW round-7 entries append here in landing order,
+3. tier 2 — stalest evidence first (r01-r05 rows) fills the window;
+   the 46 round-6 driver-green names carry the freshest evidence and
+   sit at the catalog tail.
 
-After round 5, EVERY pre-round-5 entry has at least one driver-green
-row (union r01-r05 = 165/186); tier 0 closes the remaining 21.  The
+After round 6, union r01-r06 = 208/214 driver-green (q130 red,
+q148-q151/d28 never sampled); tier 0 closes all six.  The
 import-time guards enforce (a) the must-gate tiers sit inside the
 window, (b) every overflow entry has a prior-round driver row or an
 explicit acknowledgement, and (c) every catalog entry appears in this
@@ -62,75 +60,25 @@ _ALL.update(STREAMING_QUERIES)
 
 # First 50 = the driver's correctness window (see module docstring).
 DRIVER_PRIORITY: list[str] = [
-    # -- tier 0: round-5 late additions, never driver-sampled
-    #    (VERDICT r5 'Next round' #1) --
-    "q118_ivfpq_topk",
-    "q119_mmr_diversify",
-    "s17_stream_left_outer_join",
-    "q120_label_prop_communities",
-    "d23_cross_camera_stitch",
-    "q121_fuzzy_name_join",
-    "q122_scd2_history",
-    "q123_bootstrap_ci",
-    "s18_stream_scd2_asof_enrich",
-    "q124_grouped_trend",
-    "q125_lagged_crosscorr",
-    "q126_ivfpq_recall",
-    "q127_negative_edge_samples",
-    "q128_lsh_recall",
-    "m11_diverse_exemplars",
-    "q129_incremental_lsh",
-    "s19_stream_lsh_ingest_gate",
+    # -- tier 0: the round-6 red row (oracle ::BIGINT fix, VERDICT r6
+    #    'What's wrong' #1) + the 5 round-6 late additions parked in
+    #    ACKNOWLEDGED_OVERFLOW (VERDICT r6 'Next round' #1) --
     "q130_quality_budget_cut",
-    "d24_journey_reconstruction",
-    "q131_seasonal_anomalies",
-    "q132_ann_ndcg",
-    # -- tier 1: re-gated this round (maintain_aggregate contract fix
-    #    -> q117; ANN broadcast gating -> q29/q70; anomaly state fold
-    #    -> s15; events-loader NTZ root-cause -> q11); NEW round-6
-    #    entries append here as they land --
-    "q117_incremental_agg",
-    "q29_embedding_ivf_topk",
-    "q70_ivf2_topk",
-    "s15_stream_anomaly",
-    "q11_events_json_props",
-    "q133_weighted_allpairs_join",
-    "q134_kcore_decomposition",
-    "q135_sketch_merge_rollup",
-    "q136_triplet_mining",
-    "m12_tone_detection",
-    "s20_stream_full_outer_join",
-    "s21_stream_agg_maintenance",
-    "q137_entity_resolution",
-    "q138_vocab_growth",
-    "s22_stream_rate_limit",
-    "q139_source_keyness",
-    "q140_quantile_normalize",
-    "q141_fk_integrity_audit",
-    "m13_audio_qa",
-    "q142_pair_evidence",
-    "s23_stream_packing",
-    "d26_camera_feature_bias",
-    "q143_trimmed_means",
-    "q144_gini_concentration",
-    "q145_dedup_yield",
-    "q146_order_consistency",
-    "q147_cluster_purity",
-    "d27_camera_heatmap",
-    # -- tier 2 (stalest, r01-only evidence) emptied as round-6
-    #    additions filled the window; q37 holds the last slot --
-    "q37_bilateral_volume",
-    # -- round-6 late additions past the full window: parked in
-    #    ACKNOWLEDGED_OVERFLOW with full local gates; they head
-    #    round 7's window re-derivation --
     "q148_cluster_safe_split",
     "q149_zipf_slope",
     "q150_systematic_resample",
     "q151_cms_error",
     "d28_activity_calendar",
-    # -- overflow (positions 50+): every entry below is driver-green
-    #    in some prior round (union r01-r05) and stays DuckDB-gated
-    #    at sf0.01 on every test run --
+    # -- tier 1: re-gated THIS round: q140 (global rank replaced by
+    #    two-phase distributed ranks, VERDICT r6 'What's wrong' #2),
+    #    s23 (sequential slice writes for deterministic micro-batch
+    #    order, ADVICE r6), q134 (kcore_peel defensive unique-pair
+    #    contract, ADVICE r6); NEW round-7 entries append here --
+    "q140_quantile_normalize",
+    "s23_stream_packing",
+    "q134_kcore_decomposition",
+    # -- tier 2: stalest prior evidence (r01-r05 rows) fills the
+    #    window; displaced toward overflow as new entries land --
     "q38_running_user_value",
     "q39_event_navigation",
     "q40_part_name_strings",
@@ -290,6 +238,53 @@ DRIVER_PRIORITY: list[str] = [
     "q60_decontaminate",
     "q62_sequence_pack",
     "q48_bpeish_tokens",
+    # -- freshest evidence last: the 46 round-6 driver-green rows --
+    "q118_ivfpq_topk",
+    "q119_mmr_diversify",
+    "s17_stream_left_outer_join",
+    "q120_label_prop_communities",
+    "d23_cross_camera_stitch",
+    "q121_fuzzy_name_join",
+    "q122_scd2_history",
+    "q123_bootstrap_ci",
+    "s18_stream_scd2_asof_enrich",
+    "q124_grouped_trend",
+    "q125_lagged_crosscorr",
+    "q126_ivfpq_recall",
+    "q127_negative_edge_samples",
+    "q128_lsh_recall",
+    "m11_diverse_exemplars",
+    "q129_incremental_lsh",
+    "s19_stream_lsh_ingest_gate",
+    "d24_journey_reconstruction",
+    "q131_seasonal_anomalies",
+    "q132_ann_ndcg",
+    "q117_incremental_agg",
+    "q29_embedding_ivf_topk",
+    "q70_ivf2_topk",
+    "s15_stream_anomaly",
+    "q11_events_json_props",
+    "q133_weighted_allpairs_join",
+    "q135_sketch_merge_rollup",
+    "q136_triplet_mining",
+    "m12_tone_detection",
+    "s20_stream_full_outer_join",
+    "s21_stream_agg_maintenance",
+    "q137_entity_resolution",
+    "q138_vocab_growth",
+    "s22_stream_rate_limit",
+    "q139_source_keyness",
+    "q141_fk_integrity_audit",
+    "m13_audio_qa",
+    "q142_pair_evidence",
+    "d26_camera_feature_bias",
+    "q143_trimmed_means",
+    "q144_gini_concentration",
+    "q145_dedup_yield",
+    "q146_order_consistency",
+    "q147_cluster_purity",
+    "d27_camera_heatmap",
+    "q37_bilateral_volume",
 ]
 
 _missing = [n for n in DRIVER_PRIORITY if n not in _ALL]
@@ -312,7 +307,7 @@ if len(DRIVER_PRIORITY) != len(set(DRIVER_PRIORITY)):
 # The must-gate block (tiers 0-1, everything through the re-gates)
 # has to sit inside the driver's first-50 window — review finding r3
 # caught an earlier ordering leaving re-gated entries at 61-63.
-_MUST_GATE_LAST = "q11_events_json_props"
+_MUST_GATE_LAST = "q134_kcore_decomposition"
 if DRIVER_PRIORITY.index(_MUST_GATE_LAST) >= 50:
     raise ValueError(
         "DRIVER_PRIORITY stale: must-gate tiers exceed the 50-entry "
@@ -389,21 +384,34 @@ _PRIOR_DRIVER_GREEN = {
     "s09_stream_distinct_sketch", "s10_stream_locf",
     "s11_stream_leaderboard", "s12_stream_trigrams",
     "s13_stream_ivf_assign", "s14_stream_quantile_sketch",
-    "s15_stream_anomaly", "s16_stream_session_native"
+    "s15_stream_anomaly", "s16_stream_session_native",
+    # round-6 driver-green rows (CORRECTNESS_r06.json, 49/50):
+    "d23_cross_camera_stitch", "d24_journey_reconstruction",
+    "d26_camera_feature_bias", "d27_camera_heatmap",
+    "m11_diverse_exemplars", "m12_tone_detection", "m13_audio_qa",
+    "q118_ivfpq_topk", "q119_mmr_diversify", "q120_label_prop_communities",
+    "q121_fuzzy_name_join", "q122_scd2_history", "q123_bootstrap_ci",
+    "q124_grouped_trend", "q125_lagged_crosscorr", "q126_ivfpq_recall",
+    "q127_negative_edge_samples", "q128_lsh_recall",
+    "q129_incremental_lsh", "q131_seasonal_anomalies", "q132_ann_ndcg",
+    "q133_weighted_allpairs_join", "q134_kcore_decomposition",
+    "q135_sketch_merge_rollup", "q136_triplet_mining",
+    "q137_entity_resolution", "q138_vocab_growth", "q139_source_keyness",
+    "q140_quantile_normalize", "q141_fk_integrity_audit",
+    "q142_pair_evidence", "q143_trimmed_means", "q144_gini_concentration",
+    "q145_dedup_yield", "q146_order_consistency", "q147_cluster_purity",
+    "s17_stream_left_outer_join", "s18_stream_scd2_asof_enrich",
+    "s19_stream_lsh_ingest_gate", "s20_stream_full_outer_join",
+    "s21_stream_agg_maintenance", "s22_stream_rate_limit",
+    "s23_stream_packing"
 }
 
 # Entries added AFTER this round's 50-entry window fills may be
 # parked here with full local gates (sf0.01 DuckDB hash parity on
 # every test run); they move to the head of the next round's window
-# re-derivation.  Empty at round-6 start: the round-5 overflow (21
-# entries) now heads the window above.
-ACKNOWLEDGED_OVERFLOW: set[str] = {
-    "q148_cluster_safe_split",
-    "q149_zipf_slope",
-    "q150_systematic_resample",
-    "q151_cms_error",
-    "d28_activity_calendar",
-}
+# re-derivation.  Empty at round-7 start: the round-6 overflow (5
+# entries) + the q130 oracle fix now head the window above.
+ACKNOWLEDGED_OVERFLOW: set[str] = set()
 
 _unaccounted = [
     n for n in DRIVER_PRIORITY[50:]

@@ -5751,7 +5751,7 @@ WITH scored AS (
   SELECT doc_id, n_tokens,
          coalesce(sum(n_tokens) OVER (ORDER BY qord, doc_id
                                       ROWS BETWEEN UNBOUNDED PRECEDING
-                                      AND 1 PRECEDING), 0) AS tokens_before
+                                      AND 1 PRECEDING), 0)::BIGINT AS tokens_before
   FROM scored WHERE n_tokens > 0
 )
 SELECT doc_id, n_tokens, tokens_before
@@ -6067,7 +6067,12 @@ WITH _hashed AS (
   SELECT tok, count(*)::BIGINT AS exact FROM _hashed GROUP BY tok
   ORDER BY exact DESC, tok LIMIT {CMS_ERR_TOPK}
 ), _cand AS (
-  SELECT DISTINCT tok, {", ".join(f"_b{j}" for j in range(d))} FROM _hashed
+  -- only the top-k keys get estimated (ADVICE r6): joining _exact
+  -- BEFORE the correlated min-over-sketch lookups keeps the oracle at
+  -- k x d probes instead of vocabulary x d, matching the Spark side's
+  -- join-then-estimate order and the stated "comparison joins k rows"
+  SELECT DISTINCT h.tok, {", ".join(f"h._b{j}" for j in range(d))}
+  FROM _hashed h JOIN _exact USING (tok)
 ), _est AS (
   SELECT tok, least({mins})::BIGINT AS cms_estimate FROM _cand h
 )
@@ -6836,12 +6841,17 @@ Q139_SQL = _q139_sql()
 # rank = round((r-1)(N-1)/(n_s-1)) + 1 computed as
 # ((r-1)(N-1)*2 + (n_s-1)) div (2(n_s-1)) + 1, so no float boundary
 # can disagree across engines. Scale note: the per-source rank windows
-# shuffle on source; the single GLOBAL rank window is the exact-answer
-# formulation — swap in the q110 sampled quantiles (or packing.py's
-# two-phase distributed ranks) when one task can't hold the order.
+# shuffle on source; the GLOBAL ranks are NOT a global window (that
+# would funnel the corpus through one task — VERDICT r6) but the
+# two-phase distributed prefix scan from packing.pack_sequences: a
+# ones-column prefix-summed in (n_chars, doc_id) range-partition
+# order IS row_number()-1 over that total order, computed with one
+# range shuffle + per-partition Arrow cumsums + broadcast offsets.
 
 
 def q140_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.operators.packing import pack_sequences
+
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
     ws = W.partitionBy("source").orderBy("n_chars", "doc_id")
     # BIGINT ranks: row_number() is 32-bit and the interpolation
@@ -6852,11 +6862,18 @@ def q140_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(ws).cast("bigint").alias("r"),
         F.count(F.lit(1)).over(W.partitionBy("source")).alias("n_src"),
     )
-    wg = W.orderBy("n_chars", "doc_id")
+    # global rank via pack_sequences' two-phase scan: prefix of a
+    # ones-column ordered by (n_chars, doc_id) == row_number() - 1,
+    # and the returned _ord column carries n_chars back as g_val
+    ones = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("_gkey"),
+        F.lit(1).alias("_one"),
+    )
     glob = _stage(
-        docs.select(
-            F.col("n_chars").alias("g_val"),
-            F.row_number().over(wg).cast("bigint").alias("g_rank"),
+        pack_sequences(ones, "doc_id", "_one", order_col="_gkey").select(
+            F.col("_ord").alias("g_val"),
+            (F.col("prefix") + F.lit(1)).alias("g_rank"),
         ),
         "q140_global_ranks",
     )

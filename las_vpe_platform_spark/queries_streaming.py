@@ -1634,8 +1634,22 @@ def s23_stream_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "text"
     )
     src = _scratch_dir("s23_docs_")
-    # land in doc_id order so micro-batches respect the packing order
-    docs.orderBy("doc_id").coalesce(4).write.mode("overwrite").parquet(src)
+    # land as SEQUENTIALLY-written doc_id-range slices (ADVICE r6):
+    # FileStreamSource orders micro-batches by file mtime, i.e. task-
+    # completion order — one parallel 4-part write gives no mtime
+    # guarantee, so the doc_id arrival order the single running-total
+    # state requires must come from sequential per-slice writes
+    # (sequential writes -> increasing mtimes -> batch order, the same
+    # contract _sliced_parquet_stream provides for the event streams)
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    if lo is None:
+        raise ValueError("s23_stream_packing: documents table is empty")
+    step = (hi - lo) // 4 + 1
+    for i in range(4):
+        docs.filter(
+            (F.col("doc_id") >= lo + i * step)
+            & (F.col("doc_id") < lo + (i + 1) * step)
+        ).coalesce(1).write.mode("overwrite").parquet(f"{src}/slice{i}")
     schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
@@ -1643,7 +1657,7 @@ def s23_stream_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("text", T.StringType()),
         ]
     )
-    stream = file_stream(spark, src, schema, max_files_per_trigger=1)
+    stream = file_stream(spark, f"{src}/*", schema, max_files_per_trigger=1)
     packed = token_pack_stream(stream, budget=S23_BUDGET)
     name = f"s23_out_{uuid.uuid4().hex[:8]}"
     with _stream_partitions(spark):

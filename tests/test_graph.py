@@ -66,6 +66,28 @@ def test_kcore_matches_python_reference(spark):
         assert got == _kcore_py(pairs, k, 4), k
 
 
+def test_kcore_defensive_against_dirty_input(spark):
+    # ADVICE r6: duplicate pairs, reversed duplicates, and self-loops
+    # must NOT inflate degrees — kcore_peel canonicalizes its input,
+    # so the dirty edge list yields the same core as the clean one
+    from las_vpe_platform_spark.operators.graph import kcore_peel
+
+    clean = [(0, 1), (1, 2), (0, 2), (2, 3)]
+    dirty = clean + [(1, 0), (0, 1), (3, 3), (2, 0)]
+    cdf = spark.createDataFrame(clean, ["src", "dst"])
+    ddf = spark.createDataFrame(dirty, ["src", "dst"])
+    for k in (2, 3):
+        want = {
+            r["node"]: r["core_degree"]
+            for r in kcore_peel(cdf, k=k, rounds=4).collect()
+        }
+        got = {
+            r["node"]: r["core_degree"]
+            for r in kcore_peel(ddf, k=k, rounds=4).collect()
+        }
+        assert got == want == _kcore_py(clean, k, 4), k
+
+
 def test_q134_extra_round_is_fixed_point(spark, sf_dir):
     """The catalog's KCORE_ROUNDS must have converged: one extra round
     changes nothing (the q120/LPA unrolled-iteration contract)."""
