@@ -200,6 +200,98 @@ def _stream_matmul_topk(
     )
 
 
+def broadcast_gallery_topk(
+    probes: DataFrame,
+    gallery: DataFrame,
+    probe_key: str,
+    gallery_key: str,
+    vector_col: str = "feature",
+    k: int = 10,
+    passthrough: list[str] | None = None,
+) -> DataFrame:
+    """Streaming-safe probe→gallery ranking: the dual of
+    :func:`pairwise_similarity_topk` for the LIVE path, where probes
+    arrive on a stream and the gallery is the small static person
+    store (PedestrianReIDUsingAttrApp.java:226-228 ranks each arriving
+    tracklet against the gallery as it flows past).
+
+    Execution shape: the gallery is collected ONCE (key-sorted) and
+    broadcast as a dense float64 matrix; every probe Arrow batch
+    computes all probe×gallery cosines as one BLAS matmul and emits
+    its exact per-row top-k directly — no window, no shuffle, and
+    crucially NO STATE, so the operator composes after stream-stream
+    joins and windowed aggregations where a rank window could not
+    (Structured Streaming forbids window functions and this would
+    otherwise need a per-probe aggregation).  A probe row with a NULL
+    vector emits ONE row with NULL rank/gallery_key — the leftover
+    flush passthrough (SparkStreamingApp.java:176-192: a tracklet
+    whose partner never arrived proceeds alone, unranked).
+
+    100 TB contract: the gallery is the broadcast-dim side (persons,
+    not corpus) — same smallness contract as pairwise_similarity_topk's
+    probe collect, stated in SCALE.md.  Tie-break (similarity DESC,
+    gallery_key ASC) and the ~1e-15 BLAS-vs-sequential-fold float note
+    match pairwise_similarity_topk.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    passthrough = list(passthrough or [probe_key])
+    spark = probes.sparkSession
+    g_rows = gallery.select(
+        F.col(gallery_key).alias("_gkey"), F.col(vector_col).alias("_gvec")
+    ).collect()
+    g_rows.sort(key=lambda r: r["_gkey"])
+    g_keys = [r["_gkey"] for r in g_rows]
+    G = np.asarray([np.asarray(r["_gvec"], dtype=np.float64) for r in g_rows])
+    gnorm = np.sqrt((G * G).sum(axis=1)) if len(g_rows) else np.zeros(0)
+    bc = spark.sparkContext.broadcast((g_keys, G, gnorm))
+
+    out_schema = StructType(
+        [StructField(c, probes.schema[c].dataType) for c in passthrough]
+        + [
+            StructField("rank", LongType()),
+            StructField("gallery_key", gallery.schema[gallery_key].dataType),
+        ]
+    )
+
+    def _rank(batches):
+        keys, G, gnorm = bc.value
+        gk = np.asarray(keys, dtype=object)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            has = pdf["_pvec"].notna()
+            outs = []
+            if (~has).any():
+                sub = pdf.loc[~has, passthrough].copy()
+                sub["rank"] = pd.Series([None] * len(sub), dtype=object, index=sub.index)
+                sub["gallery_key"] = pd.Series([None] * len(sub), dtype=object, index=sub.index)
+                outs.append(sub)
+            if has.any() and len(gk):
+                sub = pdf.loc[has]
+                P = np.asarray([np.asarray(v, dtype=np.float64) for v in sub["_pvec"]])
+                pnorm = np.sqrt((P * P).sum(axis=1))
+                denom = pnorm[:, None] * gnorm[None, :]
+                sims = np.where(denom > 0, (P @ G.T) / np.where(denom > 0, denom, 1.0), -np.inf)
+                kk = min(k, len(gk))
+                idx = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+                rep = (
+                    sub[passthrough]
+                    .iloc[np.repeat(np.arange(len(sub)), kk)]
+                    .reset_index(drop=True)
+                )
+                rep["rank"] = np.tile(np.arange(1, kk + 1, dtype=np.int64), len(sub))
+                rep["gallery_key"] = gk[idx.ravel()]
+                outs.append(rep)
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    in_cols = [F.col(c) for c in passthrough] + [F.col(vector_col).alias("_pvec")]
+    return probes.select(*in_cols).mapInPandas(_rank, out_schema)
+
+
 def pairwise_similarity_topk_expr(
     probes: DataFrame,
     gallery: DataFrame,

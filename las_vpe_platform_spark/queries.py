@@ -60,6 +60,9 @@ _ALL.update(STREAMING_QUERIES)
 
 # First 50 = the driver's correctness window (see module docstring).
 DRIVER_PRIORITY: list[str] = [
+    # -- tier 0 (round 8): NEW entries + this round's re-gates head the
+    #    window (VERDICT r7 'Next round' #1-#3) --
+    "s24_stream_track_attr_reid",
     # -- tier 0: the round-6 red row (oracle ::BIGINT fix, VERDICT r6
     #    'What's wrong' #1) + the 5 round-6 late additions parked in
     #    ACKNOWLEDGED_OVERFLOW (VERDICT r6 'Next round' #1) --

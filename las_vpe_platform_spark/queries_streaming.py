@@ -1687,6 +1687,249 @@ FROM cum
 S23_SQL = _s23_sql()
 
 
+# --- s24: the live flagship — track -> attrrecog -> reid as ONE stream ------
+# The reference's centerpiece runs LIVE, not batch: video tasks arrive
+# on Kafka, the tracker fans them into tracklets, attr-recog averages
+# per-sample CNN outputs, and ReID full-outer-joins tracklets with
+# attributes under the 600 s late-data buffer before ranking against
+# the gallery (PedestrianReIDUsingAttrApp.java:136-243). d14 gates the
+# DAG's batch semantics; s24 is the same DAG as ONE continuous
+# Structured Streaming query: file-landed video slices -> fake-tracker
+# mapInPandas UDTF -> two branches (per-tracklet row / exploded-sample
+# fake recognizer + windowed A1 wide-avg) -> stream-stream FULL OUTER
+# window join (the watermark re-expression of the leftover-window
+# flush, SparkStreamingApp.java:176-192) -> stateless broadcast-gallery
+# BLAS top-k -> append sink. Spark 4.x multi-stateful support makes
+# the two windowed aggregations + full-outer join legal in one query.
+#
+# Emission rule (derived empirically batch-by-batch, riding the
+# S17_PINNED_SPARK_MINOR version pin): a tracklet emits iff its hour
+# window's end <= the final watermark = max observed start_ts minus
+# the {S24_WM_MINUTES}-minute delay; matched rows carry attributes +
+# k gallery ranks, tracklets the recognizer never answered for (the
+# ~10% drop -> the A side never produces their key) emit ONE row with
+# NULL n_samples/rank — the reference's "proceeds alone" tracklet.
+#
+# Scale shape: tracker/recognizer are stateless Arrow UDTFs (per-video
+# unit-of-work repartition); both aggregations and the join keep state
+# bounded by the watermark horizon x keys-per-hour; the gallery is the
+# broadcast-dim side (persons, not corpus); ranking is per-row BLAS
+# with no shuffle. The wide-avg runs in the exploded one-md5-expression
+# form (providers.fake_recognizer_sql_avg rationale) with the 125-attr
+# signature kept EXACT as a BIGINT sum of uint32 hashes, so the oracle
+# reproduces it bit-for-bit.
+
+S24_WM_MINUTES = 30  # > the ~13.3-min max tracklet start offset, so no
+#                      slice-boundary row is ever late-dropped
+S24_K = 10
+
+
+def s24_stream_track_attr_reid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.fixtures import FIXTURES_DIR, SEED
+    from las_vpe_platform_spark.operators.joins import broadcast_gallery_topk
+    from las_vpe_platform_spark.providers import fake_tracker, recognizer_drop_filter
+    from las_vpe_platform_spark.schemas import ATTRIBUTE_NAMES
+
+    key = ("videos_s24",)
+    if key in _LANDED:
+        src = _LANDED[key]
+    else:
+        # driver-side pyarrow landing: the video catalog is the TINY
+        # side (64 rows) — 4 sequential zero-padded slice writes (the
+        # s23/_sliced_parquet_stream mtime-order contract, ADVICE r7)
+        # without paying one Spark job per slice
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        vt = pq.read_table(
+            str(FIXTURES_DIR / "videos.parquet"), columns=["video_id", "start_ts"]
+        )
+        # naive micros == epoch micros as UTC (the fixture convention)
+        micros = vt.column("start_ts").cast(pa.timestamp("us")).cast(pa.int64())
+        landed = pa.table({"video_id": vt.column("video_id"), "ts_micros": micros})
+        order = pa.compute.sort_indices(landed, sort_keys=[("ts_micros", "ascending")])
+        landed = landed.take(order)
+        if landed.num_rows == 0:
+            raise ValueError("s24: videos fixture is empty")
+        src = _scratch_dir("s24_videos_")
+        per = -(-landed.num_rows // 4)
+        for i in range(4):
+            chunk = landed.slice(i * per, per)
+            if chunk.num_rows == 0:
+                continue
+            os.makedirs(f"{src}/slice{i:02d}", exist_ok=True)
+            pq.write_table(chunk, f"{src}/slice{i:02d}/part-0.parquet")
+        _LANDED[key] = src
+
+    schema = T.StructType(
+        [
+            T.StructField("video_id", T.StringType()),
+            T.StructField("ts_micros", T.LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "2")
+        .option("latestFirst", "false")
+        .parquet(f"{src}/*")
+        # epoch-micros end-to-end: the landed long -> absolute TIMESTAMP,
+        # so window boundaries are session-timezone independent
+        .select("video_id", F.timestamp_micros("ts_micros").alias("start_ts"))
+    )
+    tracked = fake_tracker(stream).withWatermark(
+        "start_ts", f"{S24_WM_MINUTES} minutes"
+    )
+
+    # branch T: one row per tracklet, keyed by its hour window
+    tw = tracked.groupBy(
+        F.window("start_ts", "1 hour").alias("w"), "tracklet_key"
+    ).agg(F.max(F.size("location_sequence")).cast("bigint").alias("n_boxes"))
+
+    # branch A: explode retained samples -> recognizer drop filter ->
+    # exploded fake-CNN (one md5 over 125x rows) -> windowed A1 average
+    samples = (
+        tracked.select(
+            "tracklet_key",
+            "start_ts",
+            F.posexplode("location_sequence").alias("sample_idx", "box"),
+        )
+        .filter(F.col("box.patch_data").isNotNull())
+        .select("tracklet_key", "start_ts", "sample_idx")
+    )
+    samples = samples.filter(recognizer_drop_filter(samples))
+    names_sql = ", ".join(f"'{n}'" for n in ATTRIBUTE_NAMES)
+    per_name = samples.selectExpr(
+        "tracklet_key",
+        "start_ts",
+        "sample_idx",
+        f"explode(array({names_sql})) AS _attr",
+    ).selectExpr(
+        "tracklet_key",
+        "start_ts",
+        "_attr",
+        f"CAST(conv(substring(md5(concat_ws(':', '{SEED}', tracklet_key, "
+        f"CAST(sample_idx AS STRING), _attr)), 1, 8), 16, 10) AS BIGINT) AS _h",
+    )
+    aw = (
+        per_name.groupBy(
+            F.window("start_ts", "1 hour").alias("w"),
+            F.col("tracklet_key").alias("a_key"),
+        )
+        .agg(
+            (F.count(F.lit(1)) / len(ATTRIBUTE_NAMES)).cast("bigint").alias("n_samples"),
+            F.sum("_h").alias("attr_sig"),
+            F.avg(
+                F.when(
+                    F.col("_attr") == ATTRIBUTE_NAMES[0],
+                    F.col("_h") / F.lit(float(2**32)) - 0.5,
+                )
+            ).alias("_attr0"),
+        )
+    )
+
+    joined = tw.join(
+        aw,
+        (tw["w"] == aw["w"]) & (tw["tracklet_key"] == aw["a_key"]),
+        "fullOuter",
+    ).select(
+        F.coalesce("tracklet_key", "a_key").alias("tracklet_key"),
+        "n_boxes",
+        "n_samples",
+        "attr_sig",
+        pround(F.col("_attr0"), 4).alias("attr0"),
+    )
+
+    features = spark.read.parquet(str(FIXTURES_DIR / "features.parquet"))
+    assembled = joined.join(F.broadcast(features), "tracklet_key", "left").withColumn(
+        # unmatched tracklets rank nothing: NULL vector -> NULL-rank row
+        "feature",
+        F.when(F.col("n_samples").isNotNull(), F.col("feature")),
+    )
+    ranked = broadcast_gallery_topk(
+        assembled,
+        features,
+        probe_key="tracklet_key",
+        gallery_key="tracklet_key",
+        vector_col="feature",
+        k=S24_K,
+        passthrough=["tracklet_key", "n_boxes", "n_samples", "attr_sig", "attr0"],
+    )
+    name = f"s24_out_{uuid.uuid4().hex[:8]}"
+    # 4 state partitions, not 8: this query has THREE stateful operators
+    # (two windowed aggs + the full-outer join), so per-trigger state
+    # commits are 3x every other streaming entry's; ~1.2k keys/trigger
+    # leave 4-way parallelism ample on the harness (a cluster deployment
+    # sizes this to key cardinality as usual)
+    with _stream_partitions(spark, 4):
+        return run_to_completion(ranked, name, output_mode="append")
+
+
+def _s24_sql() -> str:
+    from las_vpe_platform_spark.fixtures import FIXTURES_DIR, SEED
+    from las_vpe_platform_spark.schemas import ATTRIBUTE_NAMES
+
+    tr = f"read_parquet('{FIXTURES_DIR}/tracklets.parquet')"
+    ft = f"read_parquet('{FIXTURES_DIR}/features.parquet')"
+    names = ", ".join(f"'{n}'" for n in ATTRIBUTE_NAMES)
+    return f"""
+WITH wm AS (
+  SELECT max(start_ts) - INTERVAL {S24_WM_MINUTES} MINUTE AS w FROM {tr}
+), emitted AS (
+  SELECT tracklet_key, len(location_sequence)::BIGINT AS n_boxes
+  FROM {tr}, wm
+  WHERE date_trunc('hour', start_ts) + INTERVAL 1 HOUR <= w
+), samples AS (
+  SELECT tracklet_key, i - 1 AS sample_idx
+  FROM {tr}, unnest(generate_series(1, len(location_sequence))) AS t(i)
+  WHERE location_sequence[i].patch_data IS NOT NULL
+    AND (('0x' || substr(md5('{SEED}:attr_drop:' || tracklet_key), 1, 8))::BIGINT::DOUBLE
+         / 4294967296.0) >= 0.1
+), per AS (
+  SELECT tracklet_key, sample_idx, attr_name,
+         ('0x' || substr(md5('{SEED}:' || tracklet_key || ':' || sample_idx
+                             || ':' || attr_name), 1, 8))::BIGINT AS h
+  FROM samples, unnest([{names}]) AS a(attr_name)
+), agg AS (
+  SELECT tracklet_key,
+         (count(*) // {len(ATTRIBUTE_NAMES)})::BIGINT AS n_samples,
+         sum(h)::BIGINT AS attr_sig,
+         avg(CASE WHEN attr_name = '{ATTRIBUTE_NAMES[0]}'
+                  THEN h / 4294967296.0 - 0.5 END) AS raw_attr0
+  FROM per GROUP BY tracklet_key
+), probes AS (
+  SELECT e.tracklet_key, e.n_boxes, a.n_samples, a.attr_sig,
+         floor(a.raw_attr0 * 10000.0 + 0.5) / 10000.0 AS attr0, f.feature AS pvec
+  FROM emitted e JOIN agg a USING (tracklet_key) JOIN {ft} f USING (tracklet_key)
+), scored AS (
+  SELECT p.tracklet_key, p.n_boxes, p.n_samples, p.attr_sig, p.attr0,
+         g.tracklet_key AS gallery_key,
+         (list_sum(list_transform(generate_series(1, len(pvec)),
+                                  i -> pvec[i]::DOUBLE * g.feature[i]::DOUBLE))
+          / (sqrt(list_sum(list_transform(pvec, x -> x::DOUBLE * x::DOUBLE)))
+             * sqrt(list_sum(list_transform(g.feature, x -> x::DOUBLE * x::DOUBLE))))) AS sim
+  FROM probes p CROSS JOIN {ft} g
+), ranked AS (
+  SELECT tracklet_key, n_boxes, n_samples, attr_sig, attr0, gallery_key,
+         row_number() OVER (PARTITION BY tracklet_key
+                            ORDER BY sim DESC, gallery_key) AS rank
+  FROM scored
+)
+SELECT tracklet_key, n_boxes, n_samples, attr_sig, attr0,
+       rank::BIGINT AS rank, gallery_key
+FROM ranked WHERE rank <= {S24_K}
+UNION ALL
+SELECT e.tracklet_key, e.n_boxes, NULL::BIGINT AS n_samples,
+       NULL::BIGINT AS attr_sig, NULL::DOUBLE AS attr0,
+       NULL::BIGINT AS rank, NULL::VARCHAR AS gallery_key
+FROM emitted e ANTI JOIN agg a ON e.tracklet_key = a.tracklet_key
+"""
+
+
+S24_SQL = _s24_sql()
+
+
 STREAMING_QUERIES = {
     "s01_stream_windowed_counts": (s01_stream_windowed_counts, S01_SQL),
     "s02_stream_dedup": (s02_stream_dedup, S02_SQL),
@@ -1709,6 +1952,7 @@ STREAMING_QUERIES = {
     "s21_stream_agg_maintenance": (s21_stream_agg_maintenance, S21_SQL),
     "s22_stream_rate_limit": (s22_stream_rate_limit, S22_SQL),
     "s23_stream_packing": (s23_stream_packing, S23_SQL),
+    "s24_stream_track_attr_reid": (s24_stream_track_attr_reid, S24_SQL),
     "s18_stream_scd2_asof_enrich": (s18_stream_scd2_asof_enrich, S18_SQL),
     "s19_stream_lsh_ingest_gate": (s19_stream_lsh_ingest_gate, S19_SQL),
 }

@@ -902,3 +902,94 @@ def test_anomaly_state_recovered_across_restart(spark, sf_dir, tmp_path):
     assert got == want, (
         f"anomaly set diverged after restart: {len(got)} vs {len(want)}"
     )
+
+
+# --- s24: the live track->attrrecog->reid flagship ---------------------------
+
+
+def test_broadcast_gallery_topk_matches_batch_blas(spark):
+    """The streaming-safe broadcast-gallery ranking must agree with the
+    batch BLAS operator (pairwise_similarity_topk) on the same probe
+    set — same tie-break, same top-k, per probe."""
+    from las_vpe_platform_spark.fixtures import FIXTURES_DIR
+    from las_vpe_platform_spark.operators.joins import (
+        broadcast_gallery_topk,
+        pairwise_similarity_topk,
+    )
+
+    features = spark.read.parquet(str(FIXTURES_DIR / "features.parquet"))
+    probes = features.filter(F.col("tracklet_key").contains("CAM01")).limit(40)
+    got = broadcast_gallery_topk(
+        probes, features, probe_key="tracklet_key", gallery_key="tracklet_key",
+        vector_col="feature", k=5, passthrough=["tracklet_key"],
+    ).select("tracklet_key", "rank", "gallery_key")
+    want = pairwise_similarity_topk(
+        probes, features, probe_key="tracklet_key", gallery_key="tracklet_key",
+        vector_col="feature", k=5,
+    ).select(
+        F.col("probe_key").alias("tracklet_key"), F.col("rank").cast("long"), "gallery_key"
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_broadcast_gallery_topk_null_vector_passthrough(spark):
+    """A probe row with a NULL vector emits exactly ONE row with NULL
+    rank/gallery_key (the leftover-flush contract of the live path)."""
+    from las_vpe_platform_spark.fixtures import FIXTURES_DIR
+    from las_vpe_platform_spark.operators.joins import broadcast_gallery_topk
+
+    features = spark.read.parquet(str(FIXTURES_DIR / "features.parquet"))
+    probes = features.limit(3).withColumn(
+        "feature",
+        F.when(F.col("tracklet_key") > "", None).cast("array<float>"),
+    )
+    out = broadcast_gallery_topk(
+        probes, features, probe_key="tracklet_key", gallery_key="tracklet_key",
+        vector_col="feature", k=5, passthrough=["tracklet_key"],
+    ).collect()
+    assert len(out) == 3
+    assert all(r["rank"] is None and r["gallery_key"] is None for r in out)
+
+
+def test_s24_emission_and_fanout_contract(spark, sf_dir):
+    """The flagship's structural invariants, independent of the oracle:
+    every matched tracklet emits exactly S24_K ranked rows; every
+    recognizer-dropped tracklet emits exactly ONE null row; the emitted
+    key set is exactly {window_end <= max(start_ts) - watermark} — the
+    empirically derived multi-stateful emission rule pinned by
+    S17_PINNED_SPARK_MINOR."""
+    import pyspark
+
+    from las_vpe_platform_spark.fixtures import FIXTURES_DIR
+    from las_vpe_platform_spark.providers import recognizer_drop_filter
+    from las_vpe_platform_spark.queries_streaming import (
+        S24_K,
+        S24_WM_MINUTES,
+        s24_stream_track_attr_reid,
+    )
+    from las_vpe_platform_spark.queries_streaming import S17_PINNED_SPARK_MINOR
+
+    assert tuple(int(x) for x in pyspark.__version__.split(".")[:2]) == (
+        S17_PINNED_SPARK_MINOR
+    ), "Spark minor bumped: re-derive the s24 emission rule batch-by-batch"
+
+    out = s24_stream_track_attr_reid(spark, sf_dir).cache()
+    tr = spark.read.parquet(str(FIXTURES_DIR / "tracklets.parquet"))
+    mx = tr.agg(F.max("start_ts")).first()[0]
+    gate = (
+        F.unix_micros(F.date_trunc("hour", "start_ts"))
+        + F.lit(3_600_000_000)
+        <= F.unix_micros(F.lit(mx)) - F.lit(S24_WM_MINUTES * 60_000_000)
+    )
+    emitted = tr.filter(gate)
+    kept = emitted.filter(recognizer_drop_filter(emitted))
+    n_kept = kept.count()
+    n_drop = emitted.count() - n_kept
+    per_key = out.groupBy("tracklet_key").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(F.col("rank").isNull().cast("int")).alias("has_null"),
+    )
+    assert per_key.filter((F.col("has_null") == 0) & (F.col("n") == S24_K)).count() == n_kept
+    assert per_key.filter((F.col("has_null") == 1) & (F.col("n") == 1)).count() == n_drop
+    assert per_key.count() == n_kept + n_drop
+    out.unpersist()
