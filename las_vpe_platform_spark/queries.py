@@ -63,6 +63,11 @@ DRIVER_PRIORITY: list[str] = [
     # -- tier 0 (round 8): NEW entries + this round's re-gates head the
     #    window (VERDICT r7 'Next round' #1-#3) --
     "s24_stream_track_attr_reid",
+    # re-gated r8: node ranks moved to the distributed two-phase scan
+    # (global_ranks) + broadcast hints dropped (VERDICT r7 #2)
+    "q127_negative_edge_samples",
+    "q136_triplet_mining",
+    "q137_entity_resolution",
     # -- tier 0: the round-6 red row (oracle ::BIGINT fix, VERDICT r6
     #    'What's wrong' #1) + the 5 round-6 late additions parked in
     #    ACKNOWLEDGED_OVERFLOW (VERDICT r6 'Next round' #1) --
@@ -254,7 +259,6 @@ DRIVER_PRIORITY: list[str] = [
     "q124_grouped_trend",
     "q125_lagged_crosscorr",
     "q126_ivfpq_recall",
-    "q127_negative_edge_samples",
     "q128_lsh_recall",
     "m11_diverse_exemplars",
     "q129_incremental_lsh",
@@ -269,11 +273,9 @@ DRIVER_PRIORITY: list[str] = [
     "q11_events_json_props",
     "q133_weighted_allpairs_join",
     "q135_sketch_merge_rollup",
-    "q136_triplet_mining",
     "m12_tone_detection",
     "s20_stream_full_outer_join",
     "s21_stream_agg_maintenance",
-    "q137_entity_resolution",
     "q138_vocab_growth",
     "s22_stream_rate_limit",
     "q139_source_keyness",

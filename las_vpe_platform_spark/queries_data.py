@@ -5450,6 +5450,7 @@ NEG_K = 3
 
 def q127_negative_edge_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     from las_vpe_platform_spark.operators.dedup import minhash_lsh_candidates
+    from las_vpe_platform_spark.operators.packing import global_ranks
     from las_vpe_platform_spark.operators.staging import persist_disk
 
     docs = _t(spark, sf_dir, "documents")
@@ -5465,10 +5466,10 @@ def q127_negative_edge_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(pairs.selectExpr("id_b AS node"))
         .distinct()
     )
-    w = W.orderBy("node")
-    ranked = persist_disk(
-        nodes.withColumn("rk", F.row_number().over(w) - 1), "neg_ranks"
-    )
+    # dense node ranks via the DISTRIBUTED two-phase scan — at 10^11
+    # docs the near-dup node table is plausibly 10^9 rows, far too many
+    # for one unpartitioned row_number task (VERDICT r7 #1)
+    ranked = persist_disk(global_ranks(nodes, ["node"]), "neg_ranks")
     n_nodes = ranked.groupBy().agg(F.max("rk").alias("_max"))
     cand = (
         ranked.select("node")
@@ -5499,7 +5500,10 @@ def q127_negative_edge_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
             % (F.col("_max") + 1),
         )
         .join(
-            F.broadcast(ranked.selectExpr("rk AS prk", "node AS partner")),
+            # no broadcast hint: the rank table is node-table-sized
+            # (10^9 rows at 100 TB) — AQE broadcasts it at small scale
+            # and shuffle-joins on prk at large, both correct
+            ranked.selectExpr("rk AS prk", "node AS partner"),
             "prk",
         )
         .filter(F.col("partner") != F.col("node"))
@@ -7087,14 +7091,22 @@ def q137_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dense integer ids, ordered by name: connected_components'
     # sum-based convergence detector needs NUMERIC labels, and the
     # order-preserving mapping keeps min-id == lexicographic-min-name.
-    # The single-task global row_number window is safe HERE because it
-    # runs on the DISTINCT-name dictionary (vocabulary-sized by the
-    # q121 contract), never the base table
+    # Ranks come from the DISTRIBUTED two-phase scan (global_ranks, the
+    # q140/q127 machinery generalized to string keys) — the dictionary
+    # is vocabulary-sized by the q121 contract, but a 100 TB corpus's
+    # name dictionary still should not funnel through one WindowExec
+    # task (VERDICT r7 #1)
+    from las_vpe_platform_spark.operators.packing import global_ranks
+
     names = _stage(
-        _t(spark, sf_dir, "part")
-        .groupBy(F.col("p_name").alias("s"))
-        .agg(F.count(F.lit(1)).alias("n_parts"))
-        .withColumn("nid", F.row_number().over(W.orderBy("s")).cast("bigint")),
+        global_ranks(
+            _t(spark, sf_dir, "part")
+            .groupBy(F.col("p_name").alias("s"))
+            .agg(F.count(F.lit(1)).alias("n_parts")),
+            ["s"],
+            rank_col="nid",
+            start=1,
+        ),
         "q137_names",
     )
     pairs = edit_distance_pairs(names, string_col="s", threshold=LEV_T)
@@ -7164,6 +7176,7 @@ TRIPLET_TRIES = 4
 
 def q136_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     from las_vpe_platform_spark.operators.dedup import minhash_lsh_candidates
+    from las_vpe_platform_spark.operators.packing import global_ranks
     from las_vpe_platform_spark.operators.staging import persist_disk
 
     docs = _t(spark, sf_dir, "documents")
@@ -7185,10 +7198,9 @@ def q136_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(pairs.selectExpr("id_b AS node"))
         .distinct()
     )
-    ranked = persist_disk(
-        nodes.withColumn("rk", F.row_number().over(W.orderBy("node")) - 1),
-        "trip_ranks",
-    )
+    # distributed node ranks — same two-phase scan as q127 (never an
+    # unpartitioned row_number window over the node table)
+    ranked = persist_disk(global_ranks(nodes, ["node"]), "trip_ranks")
     n_nodes = ranked.groupBy().agg(F.max("rk").alias("_max"))
     tries = (
         pos.crossJoin(F.broadcast(n_nodes))
@@ -7219,7 +7231,8 @@ def q136_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             % (F.col("_max") + 1),
         )
         .join(
-            F.broadcast(ranked.selectExpr("rk AS prk", "node AS negative")),
+            # no broadcast hint (see q127): AQE decides by actual size
+            ranked.selectExpr("rk AS prk", "node AS negative"),
             "prk",
         )
         .filter(

@@ -157,7 +157,7 @@ def _sliced_parquet_stream(
             raw.filter(
                 (F.col("ts_micros") >= lo + i * step)
                 & (F.col("ts_micros") < lo + (i + 1) * step)
-            ).coalesce(1).write.mode("overwrite").parquet(f"{src}/slice{i}")
+            ).coalesce(1).write.mode("overwrite").parquet(f"{src}/slice{i:02d}")
         if full_key is not None:
             _LANDED[full_key] = src
     return (
@@ -1634,7 +1634,9 @@ def s23_stream_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "text"
     )
     src = _scratch_dir("s23_docs_")
-    # land as SEQUENTIALLY-written doc_id-range slices (ADVICE r6):
+    # land as SEQUENTIALLY-written, ZERO-PADDED doc_id-range slices
+    # (ADVICE r6/r7: padding keeps lexicographic order == slice order
+    # even past 10 slices, removing the mtime-tie tie-break trap):
     # FileStreamSource orders micro-batches by file mtime, i.e. task-
     # completion order — one parallel 4-part write gives no mtime
     # guarantee, so the doc_id arrival order the single running-total
@@ -1649,7 +1651,7 @@ def s23_stream_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(
             (F.col("doc_id") >= lo + i * step)
             & (F.col("doc_id") < lo + (i + 1) * step)
-        ).coalesce(1).write.mode("overwrite").parquet(f"{src}/slice{i}")
+        ).coalesce(1).write.mode("overwrite").parquet(f"{src}/slice{i:02d}")
     schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
