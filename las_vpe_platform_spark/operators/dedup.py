@@ -116,6 +116,40 @@ def incremental_dedup(
     )
 
 
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    num_hashes: int = 16,
+    exploded: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document MinHash signatures ``(doc_id_, mh0..mh{n-1})`` —
+    the signature stage of :func:`banded_signatures`, exposed so
+    estimation-error harnesses (q157) can compare raw component
+    matches against exact Jaccard without re-deriving the family.
+
+    One md5 per distinct shingle, affine hash family, per-doc grouped
+    MIN with map-side partials — shuffle is one row per (doc, n longs).
+    """
+    if exploded is None:  # callers sharing the shingle stage (q128's
+        # harness runs LSH and the exact join over ONE staged explode)
+        # pass it in — the multi-reference rule across operators
+        exploded = exploded_shingles(df, id_col, text_col, shingle_k)
+    h = shingle_hash60("shingle")
+    lo = h.bitwiseAND(F.lit((1 << 30) - 1))
+    hi = F.shiftright(h, 30)
+    hashed = exploded.select("doc_id_", lo.alias("_lo"), hi.alias("_hi"))
+    mins = [
+        F.min(
+            (F.lit(a) * F.col("_lo") + F.lit(b) * F.col("_hi") + F.lit(c))
+            % MINHASH_PRIME
+        ).alias(f"mh{i}")
+        for i, (a, b, c) in enumerate(MINHASH_COEFFS[:num_hashes])
+    ]
+    return hashed.groupBy("doc_id_").agg(*mins)
+
+
 def banded_signatures(
     df: DataFrame,
     id_col: str,
@@ -137,22 +171,9 @@ def banded_signatures(
     codegen+run with identical candidate pairs.
     """
     rows_per_band = num_hashes // bands
-    if exploded is None:  # callers sharing the shingle stage (q128's
-        # harness runs LSH and the exact join over ONE staged explode)
-        # pass it in — the multi-reference rule across operators
-        exploded = exploded_shingles(df, id_col, text_col, shingle_k)
-    h = shingle_hash60("shingle")
-    lo = h.bitwiseAND(F.lit((1 << 30) - 1))
-    hi = F.shiftright(h, 30)
-    hashed = exploded.select("doc_id_", lo.alias("_lo"), hi.alias("_hi"))
-    mins = [
-        F.min(
-            (F.lit(a) * F.col("_lo") + F.lit(b) * F.col("_hi") + F.lit(c))
-            % MINHASH_PRIME
-        ).alias(f"mh{i}")
-        for i, (a, b, c) in enumerate(MINHASH_COEFFS[:num_hashes])
-    ]
-    sig = hashed.groupBy("doc_id_").agg(*mins)
+    sig = minhash_signatures(
+        df, id_col, text_col, shingle_k, num_hashes, exploded=exploded
+    )
     band_exprs = [
         F.struct(
             F.lit(b).alias("b"),

@@ -68,6 +68,17 @@ DRIVER_PRIORITY: list[str] = [
     "q127_negative_edge_samples",
     "q136_triplet_mining",
     "q137_entity_resolution",
+    # NEW round-8 entries (landing order)
+    "q152_equidepth_histogram",
+    "q153_degree_assortativity",
+    "q154_edge_triangle_support",
+    "q155_cdc_chunking",
+    "q156_layout_optimize_audit",
+    "q157_minhash_estimate_error",
+    "d29_camera_load",
+    "m14_scene_segments",
+    "s25_stream_ann_recall",
+    "s26_stream_scd2_maintenance",
     # -- tier 0: the round-6 red row (oracle ::BIGINT fix, VERDICT r6
     #    'What's wrong' #1) + the 5 round-6 late additions parked in
     #    ACKNOWLEDGED_OVERFLOW (VERDICT r6 'Next round' #1) --

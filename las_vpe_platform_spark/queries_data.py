@@ -7488,6 +7488,462 @@ WHERE {WCOS_DEN * WCOS_DEN} * dot * dot >= {WCOS_NUM * WCOS_NUM} * na2 * nb2
 """
 
 
+# --- q152: exact equi-depth histogram (distributed ranks) --------------------
+# Equi-depth (equal-frequency) binning of a numeric column — the
+# histogram a cost-based planner or drift monitor wants (equal-width
+# bins hide skew; q110's sampled quantiles are approximate). Exact
+# bucket = (global_rank * B) div N over the (value, id) total order,
+# with the rank coming from operators.packing.global_ranks' two-phase
+# distributed scan — at 100 TB the rank axis IS the corpus, so this is
+# exactly the computation an unpartitioned window would scale-kill.
+# One range shuffle + one tiny groupBy(bucket); output is B rows.
+
+HIST_BUCKETS = 16
+
+
+def q152_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.operators.packing import global_ranks
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("bigint").alias("v")
+    )
+    ranked = global_ranks(docs, ["v", "doc_id"])
+    n = ranked.groupBy().agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .selectExpr("v", f"(rk * {HIST_BUCKETS}) div _n AS bucket")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+            F.sum("v").cast("bigint").alias("total_chars"),
+        )
+        .selectExpr(
+            "CAST(bucket AS BIGINT) AS bucket", "n_docs", "lo", "hi", "total_chars"
+        )
+    )
+
+
+Q152_SQL = f"""
+WITH r AS (
+  SELECT n_chars::BIGINT AS v,
+         row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS rk,
+         count(*) OVER () AS n
+  FROM documents
+)
+SELECT ((rk * {HIST_BUCKETS}) // n)::BIGINT AS bucket, count(*)::BIGINT AS n_docs,
+       min(v)::BIGINT AS lo, max(v)::BIGINT AS hi, sum(v)::BIGINT AS total_chars
+FROM r GROUP BY 1
+"""
+
+
+# --- q153: near-dup graph degree assortativity --------------------------------
+# Graph-health diagnostic over the LSH candidate graph: degree
+# assortativity (Pearson correlation of endpoint degrees over the
+# symmetrized edge list) tells a dedup pipeline whether near-dups
+# clump into hubs (r < 0: template/boilerplate hubs attach to
+# everything) or into uniform cliques (r > 0: mirrored corpora).
+# Numerics: all sums are exact BIGINTs; symmetry makes sum(da)==sum(db)
+# and sum(da^2)==sum(db^2), so r = (m*Sxy - Sx^2) / (m*Sxx - Sx^2) —
+# ONE double expression evaluated identically by both engines, rounded
+# via pround. Scale: degrees are one groupBy over edges; the stats are
+# a single full aggregate — nothing is ever quadratic.
+
+
+def q153_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pairs = _stage(
+        minhash_lsh_candidates(
+            docs, id_col="doc_id", text_col="text",
+            shingle_k=MINHASH_K, num_hashes=MINHASH_HASHES, bands=MINHASH_BANDS,
+        ).select("id_a", "id_b"),
+        "assort_pairs",
+    )
+    sym = pairs.unionByName(pairs.selectExpr("id_b AS id_a", "id_a AS id_b"))
+    deg = sym.groupBy(F.col("id_a").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    )
+    e = sym.join(deg.selectExpr("node AS id_a", "deg AS da"), "id_a").join(
+        deg.selectExpr("node AS id_b", "deg AS db"), "id_b"
+    )
+    sums = e.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("da").cast("bigint").alias("sx"),
+        F.sum(F.col("da") * F.col("db")).cast("bigint").alias("sxy"),
+        F.sum(F.col("da") * F.col("da")).cast("bigint").alias("sxx"),
+    )
+    numer = F.col("m").cast("double") * F.col("sxy") - F.col("sx").cast(
+        "double"
+    ) * F.col("sx")
+    denom = F.col("m").cast("double") * F.col("sxx") - F.col("sx").cast(
+        "double"
+    ) * F.col("sx")
+    return sums.select(
+        F.col("m").alias("n_directed_edges"),
+        pround(F.when(denom != 0, numer / denom), 6).alias("assortativity"),
+    )
+
+
+def _q153_sql() -> str:
+    return f"""
+WITH pairs AS MATERIALIZED (
+  SELECT id_a, id_b FROM ({_q24_sql()}) t
+), sym AS (
+  SELECT id_a, id_b FROM pairs UNION ALL SELECT id_b, id_a FROM pairs
+), deg AS (
+  SELECT id_a AS node, count(*)::BIGINT AS deg FROM sym GROUP BY 1
+), e AS (
+  SELECT a.deg AS da, b.deg AS db
+  FROM sym JOIN deg a ON a.node = sym.id_a JOIN deg b ON b.node = sym.id_b
+), s AS (
+  SELECT count(*)::BIGINT AS m, sum(da)::BIGINT AS sx,
+         sum(da * db)::BIGINT AS sxy, sum(da * da)::BIGINT AS sxx
+  FROM e
+)
+SELECT m AS n_directed_edges,
+       floor((CASE WHEN (m::DOUBLE * sxx - sx::DOUBLE * sx) != 0
+              THEN (m::DOUBLE * sxy - sx::DOUBLE * sx)
+                   / (m::DOUBLE * sxx - sx::DOUBLE * sx) END) * 1000000.0 + 0.5)
+       / 1000000.0 AS assortativity
+FROM s
+"""
+
+
+Q153_SQL = _q153_sql()
+
+
+# --- q154: per-edge triangle support histogram (k-truss step) -----------------
+# Edge-strength audit of the near-dup graph: an edge's triangle
+# support (# common neighbors) is the k-truss building block — support
+# 0 edges are "weak ties" (likely LSH noise between otherwise
+# unrelated clusters; prime candidates for verification before CC
+# merges two clusters through them), high-support edges are clique
+# cores. Computation: one wedge join (canonical edge x symmetric
+# adjacency) + one closure semi-check — cost ~ sum(deg^2) like q94's
+# triangle count, never the full n^2; output is support-histogram
+# sized.
+
+
+def q154_edge_triangle_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pairs = _stage(
+        minhash_lsh_candidates(
+            docs, id_col="doc_id", text_col="text",
+            shingle_k=MINHASH_K, num_hashes=MINHASH_HASHES, bands=MINHASH_BANDS,
+        ).select("id_a", "id_b"),
+        "supp_pairs",
+    )
+    sym = pairs.unionByName(pairs.selectExpr("id_b AS id_a", "id_a AS id_b"))
+    wedges = (
+        pairs.join(sym.selectExpr("id_a", "id_b AS c"), "id_a")
+        .filter(F.col("c") != F.col("id_b"))
+        .join(sym.selectExpr("id_a AS id_b", "id_b AS c"), ["id_b", "c"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+    )
+    per_edge = pairs.join(wedges, ["id_a", "id_b"], "left").select(
+        F.coalesce("support", F.lit(0)).alias("support")
+    )
+    return per_edge.groupBy("support").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_edges")
+    )
+
+
+def _q154_sql() -> str:
+    return f"""
+WITH pairs AS MATERIALIZED (
+  SELECT id_a, id_b FROM ({_q24_sql()}) t
+), sym AS (
+  SELECT id_a, id_b FROM pairs UNION ALL SELECT id_b, id_a FROM pairs
+), w AS (
+  SELECT p.id_a, p.id_b, count(*)::BIGINT AS support
+  FROM pairs p
+  JOIN sym s1 ON s1.id_a = p.id_a
+  JOIN sym s2 ON s2.id_a = p.id_b AND s2.id_b = s1.id_b
+  WHERE s1.id_b != p.id_b
+  GROUP BY 1, 2
+)
+SELECT coalesce(w.support, 0)::BIGINT AS support, count(*)::BIGINT AS n_edges
+FROM pairs p LEFT JOIN w ON w.id_a = p.id_a AND w.id_b = p.id_b
+GROUP BY 1
+"""
+
+
+Q154_SQL = _q154_sql()
+
+
+# --- q155: content-defined chunking (FastCDC-style) --------------------------
+# Storage-level dedup for training corpora: split each document at
+# CONTENT-DEFINED boundaries (token whose hash ≡ 0 mod P ends a chunk)
+# so that shared passages land in identical chunks regardless of where
+# they sit in a document — the rolling-hash chunking rsync/FastCDC use,
+# re-expressed over the token stream. Per-source report: chunk count,
+# distinct chunk count (identity = (length, position-weighted hash
+# sum) — order-sensitive, engine-portable, no text re-assembly), and
+# mean chunk length. Scale: per-document windows only (prefix sum of
+# boundary flags + in-chunk positions), one grouped aggregate per
+# chunk, one per source — the corpus never self-joins.
+
+CDC_P = 8  # boundary probability 1/8 -> mean chunk ~8 tokens
+
+
+def q155_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.functions.text import shingle_hash60
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("pos", "tok"),
+    ).filter(F.col("tok") != "")
+    flagged = toks.select(
+        "doc_id",
+        "source",
+        "pos",
+        (shingle_hash60("tok") % F.lit(1000003)).alias("_h"),
+        (shingle_hash60("tok") % F.lit(CDC_P) == 0).cast("long").alias("_b"),
+    )
+    wd = W.partitionBy("doc_id").orderBy("pos")
+    chunked = flagged.withColumn(
+        "chunk",
+        F.coalesce(
+            F.sum("_b").over(wd.rowsBetween(W.unboundedPreceding, -1)), F.lit(0)
+        ),
+    )
+    wc = W.partitionBy("doc_id", "chunk").orderBy("pos")
+    pc = chunked.withColumn("rk", F.row_number().over(wc))
+    chunks = pc.groupBy("doc_id", "source", "chunk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_toks"),
+        F.sum(F.col("_h") * F.col("rk")).cast("bigint").alias("wsum"),
+    )
+    return chunks.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.countDistinct(
+            F.concat_ws(":", F.col("n_toks"), F.col("wsum"))
+        ).cast("bigint").alias("distinct_chunks"),
+        pround(F.avg("n_toks"), 4).alias("avg_chunk_toks"),
+    )
+
+
+Q155_SQL = f"""
+WITH t AS (
+  SELECT doc_id, source, i - 1 AS pos, toks[i] AS tok
+  FROM (SELECT doc_id, source, {SQL_TOKENS} AS toks FROM documents),
+       unnest(generate_series(1, len(toks))) AS g(i)
+), f AS (
+  SELECT doc_id, source, pos,
+         ('0x' || substr(md5(tok), 1, 15))::BIGINT % 1000003 AS h,
+         CASE WHEN ('0x' || substr(md5(tok), 1, 15))::BIGINT % {CDC_P} = 0
+              THEN 1 ELSE 0 END AS b
+  FROM t
+), c AS (
+  SELECT doc_id, source, pos, h,
+         coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS chunk
+  FROM f
+), pc AS (
+  SELECT doc_id, source, chunk, h,
+         row_number() OVER (PARTITION BY doc_id, chunk ORDER BY pos) AS rk
+  FROM c
+), ch AS (
+  SELECT doc_id, source, chunk, count(*)::BIGINT AS n_toks,
+         sum(h * rk)::BIGINT AS wsum
+  FROM pc GROUP BY 1, 2, 3
+)
+SELECT source, count(*)::BIGINT AS n_chunks,
+       count(DISTINCT n_toks::VARCHAR || ':' || wsum::VARCHAR)::BIGINT AS distinct_chunks,
+       floor(avg(n_toks) * 10000.0 + 0.5) / 10000.0 AS avg_chunk_toks
+FROM ch GROUP BY source
+"""
+
+
+# --- q156: clustering-layout OPTIMIZE audit -----------------------------------
+# The maintenance decision behind OPTIMIZE/Z-ORDER rewrites (q92 builds
+# the interleaved layout; this audits an EXISTING layout): model files
+# as insertion-order chunks, compute each file's (min, max) range of
+# the sort key, count how many OTHER files each file's range overlaps
+# (the min/max-pruning defeat metric a lakehouse optimizer uses), and
+# flag rewrite candidates (overlapping more than half the files).
+# Scale: the corpus contributes ONE grouped aggregate; the overlap
+# self-join runs on the FILE-SUMMARY table — metadata-sized by
+# construction, exactly like a real table-format planner.
+
+LAYOUT_FILES = 16
+
+
+def q156_layout_optimize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    mx = docs.groupBy().agg(F.max("doc_id").alias("_mx"))
+    summaries = (
+        docs.crossJoin(F.broadcast(mx))
+        .selectExpr(
+            f"least({LAYOUT_FILES - 1}, (doc_id * {LAYOUT_FILES}) div (_mx + 1))"
+            " AS file_id",
+            "n_chars",
+        )
+        .groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("n_chars").cast("bigint").alias("lo"),
+            F.max("n_chars").cast("bigint").alias("hi"),
+        )
+    )
+    a, b = summaries.alias("a"), summaries.alias("b")
+    overlaps = (
+        a.join(
+            b,
+            (F.col("a.file_id") != F.col("b.file_id"))
+            & (F.col("a.lo") <= F.col("b.hi"))
+            & (F.col("b.lo") <= F.col("a.hi")),
+        )
+        .groupBy(F.col("a.file_id").alias("file_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_overlaps"))
+    )
+    return (
+        summaries.join(overlaps, "file_id", "left")
+        .select(
+            F.col("file_id").cast("bigint").alias("file_id"),
+            "n_docs",
+            "lo",
+            "hi",
+            F.coalesce("n_overlaps", F.lit(0)).cast("bigint").alias("n_overlaps"),
+            (F.coalesce("n_overlaps", F.lit(0)) > LAYOUT_FILES // 2).alias(
+                "needs_rewrite"
+            ),
+        )
+    )
+
+
+Q156_SQL = f"""
+WITH mx AS (
+  SELECT max(doc_id) AS _mx FROM documents
+), s AS (
+  SELECT least({LAYOUT_FILES - 1}, (doc_id * {LAYOUT_FILES}) // (_mx + 1))::BIGINT AS file_id,
+         count(*)::BIGINT AS n_docs, min(n_chars)::BIGINT AS lo, max(n_chars)::BIGINT AS hi
+  FROM documents, mx GROUP BY 1
+), o AS (
+  SELECT a.file_id, count(*)::BIGINT AS n_overlaps
+  FROM s a JOIN s b
+    ON a.file_id != b.file_id AND a.lo <= b.hi AND b.lo <= a.hi
+  GROUP BY 1
+)
+SELECT s.file_id, s.n_docs, s.lo, s.hi,
+       coalesce(o.n_overlaps, 0)::BIGINT AS n_overlaps,
+       coalesce(o.n_overlaps, 0) > {LAYOUT_FILES // 2} AS needs_rewrite
+FROM s LEFT JOIN o ON o.file_id = s.file_id
+"""
+
+
+# --- q157: MinHash estimation-error harness -----------------------------------
+# The q128/q151 estimation-audit pattern applied to the MinHash
+# signatures themselves: for every LSH candidate pair, the estimated
+# Jaccard (matching signature components / H) against the EXACT
+# distinct-shingle Jaccard, per pair. This is the calibration curve a
+# dedup pipeline reads before picking band/row parameters — q128
+# measures candidate RECALL, this measures estimator BIAS on the
+# retrieved pairs. Scale: signatures and exact counts both ride the
+# shared staged shingle explode (one md5 pass); the exact join is the
+# q26 inverted-index bound; output is candidate-pairs-sized.
+
+
+def q157_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.operators.dedup import (
+        exploded_shingles,
+        minhash_lsh_candidates,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    exploded = _stage(
+        exploded_shingles(docs, "doc_id", "text", MINHASH_K), "mh_err_postings"
+    )
+    cands = minhash_lsh_candidates(
+        docs, id_col="doc_id", text_col="text",
+        shingle_k=MINHASH_K, num_hashes=MINHASH_HASHES, bands=MINHASH_BANDS,
+        exploded=exploded,
+    ).select("id_a", "id_b")
+    sigs = minhash_signatures(
+        docs, "doc_id", "text", MINHASH_K, MINHASH_HASHES, exploded=exploded
+    )
+    exact = ngram_jaccard_pairs(
+        docs, "doc_id", "text", MINHASH_K, threshold=0.0,
+        materialize=lambda df, hint="": exploded,
+    ).select("id_a", "id_b", "jaccard")
+    sa = sigs.select(
+        F.col("doc_id_").alias("id_a"),
+        *[F.col(f"mh{i}").alias(f"_a{i}") for i in range(MINHASH_HASHES)],
+    )
+    sb = sigs.select(
+        F.col("doc_id_").alias("id_b"),
+        *[F.col(f"mh{i}").alias(f"_b{i}") for i in range(MINHASH_HASHES)],
+    )
+    matches = sum(
+        (F.col(f"_a{i}") == F.col(f"_b{i}")).cast("long")
+        for i in range(MINHASH_HASHES)
+    )
+    est = F.col("matches") / F.lit(float(MINHASH_HASHES))
+    jac = F.coalesce("jaccard", F.lit(0.0))
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("matches", matches.cast("bigint"))
+        .join(exact, ["id_a", "id_b"], "left")
+        .select(
+            "id_a",
+            "id_b",
+            "matches",
+            pround(est, 4).alias("est_jaccard"),
+            pround(jac, 4).alias("exact_jaccard"),
+            pround(F.abs(est - jac), 4).alias("abs_err"),
+        )
+    )
+
+
+def _q157_sql() -> str:
+    h = MINHASH_HASHES
+    match_terms = " + ".join(
+        f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)" for i in range(h)
+    )
+    return f"""{_lsh_banded_cte_sql(MINHASH_K)}, cands AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM banded l JOIN banded r ON l.band = r.band AND l.doc_id < r.doc_id
+), dsh AS (
+  SELECT DISTINCT doc_id, shingle FROM exploded
+), sizes AS (
+  SELECT doc_id, count(*)::BIGINT AS n FROM dsh GROUP BY 1
+), shr AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS shared
+  FROM dsh a JOIN dsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), est AS (
+  SELECT c.id_a, c.id_b, ({match_terms})::BIGINT AS matches
+  FROM cands c JOIN sigs sa ON sa.doc_id = c.id_a JOIN sigs sb ON sb.doc_id = c.id_b
+)
+SELECT id_a, id_b, matches,
+       floor((matches / {float(h)}) * 10000.0 + 0.5) / 10000.0 AS est_jaccard,
+       floor(j6 * 10000.0 + 0.5) / 10000.0 AS exact_jaccard,
+       floor(abs(matches / {float(h)} - j6) * 10000.0 + 0.5) / 10000.0 AS abs_err
+FROM (
+  -- j6 mirrors ngram_jaccard_pairs' 6-digit pround quantization: the
+  -- abs-err's 4-digit rounding must see the SAME grid-snapped value
+  SELECT e.id_a, e.id_b, e.matches,
+         floor((coalesce(s.shared, 0)::DOUBLE
+                / (za.n + zb.n - coalesce(s.shared, 0))) * 1000000.0 + 0.5)
+           / 1000000.0 AS j6
+  FROM est e
+  LEFT JOIN shr s ON s.id_a = e.id_a AND s.id_b = e.id_b
+  JOIN sizes za ON za.doc_id = e.id_a
+  JOIN sizes zb ON zb.doc_id = e.id_b
+)
+"""
+
+
+Q157_SQL = _q157_sql()
+
+
 DATA_QUERIES = {
     "q20_doc_token_stats": (q20_doc_token_stats, Q20_SQL),
     "q21_doc_quality": (q21_doc_quality, Q21_SQL),
@@ -7599,4 +8055,10 @@ DATA_QUERIES = {
     "q149_zipf_slope": (q149_zipf_slope, Q149_SQL),
     "q150_systematic_resample": (q150_systematic_resample, Q150_SQL),
     "q151_cms_error": (q151_cms_error, Q151_SQL),
+    "q152_equidepth_histogram": (q152_equidepth_histogram, Q152_SQL),
+    "q153_degree_assortativity": (q153_degree_assortativity, Q153_SQL),
+    "q154_edge_triangle_support": (q154_edge_triangle_support, Q154_SQL),
+    "q155_cdc_chunking": (q155_cdc_chunking, Q155_SQL),
+    "q156_layout_optimize_audit": (q156_layout_optimize_audit, Q156_SQL),
+    "q157_minhash_estimate_error": (q157_minhash_estimate_error, Q157_SQL),
 }

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 from las_vpe_platform_spark.compat import pround, pround_expr
 from las_vpe_platform_spark.fixtures import FIXTURES_DIR
@@ -2403,6 +2404,146 @@ WHERE l1.key_from != l2.key_to
 """
 
 
+# --- d29: per-camera concurrent-load profile (interval sweep) ----------------
+# Capacity planning for the live pipeline: how many tracklets are
+# simultaneously active per camera (peak concurrency sizes the
+# tracker/recognizer batch the camera feeds; busy time sizes its duty
+# cycle). Classic sweep-line, distributed: each tracklet becomes a
+# (+1, start) and (-1, end) event; a PER-CAMERA time-ordered window
+# running-sums the deltas (end events sort before starts at equal
+# timestamps — intervals are end-exclusive, the back-to-back tracklet
+# does not overlap its successor). Scale: windows partition by camera
+# (bounded cardinality), event stream is 2 rows per tracklet — no
+# joins, no quadratic interval pairing.
+
+
+def d29_camera_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.fixtures import FPS_DEN, FPS_NUM
+    from las_vpe_platform_spark.functions.scalar import ntz_epoch_micros
+
+    frame_us = FPS_DEN * 1_000_000 // FPS_NUM
+    tr = _fx(spark, "tracklets").select(
+        "tracklet_key",
+        "video_id",
+        ntz_epoch_micros("start_ts").alias("s_us"),
+        (F.size("location_sequence").cast("bigint") * frame_us).alias("dur_us"),
+    )
+    vids = _fx(spark, "videos").select("video_id", "camera_id")
+    iv = tr.join(F.broadcast(vids), "video_id")
+    events = iv.selectExpr(
+        "camera_id", "tracklet_key", "s_us AS us", "CAST(1 AS BIGINT) AS delta"
+    ).unionByName(
+        iv.selectExpr(
+            "camera_id", "tracklet_key", "s_us + dur_us AS us",
+            "CAST(-1 AS BIGINT) AS delta",
+        )
+    )
+    w = W.partitionBy("camera_id").orderBy("us", "delta", "tracklet_key")
+    swept = events.select(
+        "camera_id",
+        "delta",
+        "us",
+        F.sum("delta").over(w.rowsBetween(W.unboundedPreceding, 0)).alias("cum"),
+        (F.lead("us").over(w) - F.col("us")).alias("gap"),
+    )
+    return swept.groupBy("camera_id").agg(
+        F.sum((F.col("delta") == 1).cast("long")).cast("bigint").alias("n_tracklets"),
+        F.max("cum").cast("bigint").alias("peak_concurrent"),
+        F.sum(
+            F.when((F.col("cum") > 0) & F.col("gap").isNotNull(), F.col("gap"))
+            .otherwise(F.lit(0))
+        ).cast("bigint").alias("busy_us"),
+    )
+
+
+D29_SQL = f"""
+WITH iv AS (
+  SELECT v.camera_id, t.tracklet_key, epoch_us(t.start_ts) AS s_us,
+         len(t.location_sequence)::BIGINT * 80000 AS dur_us
+  FROM {_fxsql('tracklets')} t JOIN {_fxsql('videos')} v USING (video_id)
+), ev AS (
+  SELECT camera_id, tracklet_key, s_us AS us, 1::BIGINT AS delta FROM iv
+  UNION ALL
+  SELECT camera_id, tracklet_key, s_us + dur_us, -1::BIGINT FROM iv
+), swept AS (
+  SELECT camera_id, delta,
+         sum(delta) OVER (PARTITION BY camera_id
+                          ORDER BY us, delta, tracklet_key
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+         lead(us) OVER (PARTITION BY camera_id
+                        ORDER BY us, delta, tracklet_key) - us AS gap
+  FROM ev
+)
+SELECT camera_id,
+       sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END)::BIGINT AS n_tracklets,
+       max(cum)::BIGINT AS peak_concurrent,
+       sum(CASE WHEN cum > 0 AND gap IS NOT NULL THEN gap ELSE 0 END)::BIGINT AS busy_us
+FROM swept GROUP BY camera_id
+"""
+
+
+# --- m14: content-defined scene segmentation over the frame stream -----------
+# Temporal segmentation of the m05 frame source: a frame whose content
+# hash falls below a fixed cut threshold opens a NEW segment (the
+# deterministic stand-in for a scene-change detector — same plug-point
+# convention as the recognizer fakes: a real detector swaps in at the
+# boundary-flag expression without touching the plan). Per (video,
+# segment): frame count and index range — the shot list a video
+# curation pipeline samples from. Scale: boundary flag is a pure
+# column expression on the frame payload (JVM-side), segment ids are a
+# per-video prefix sum — no shuffle beyond the per-video window.
+
+M14_CUT = (1 << 32) // 20  # ~5% boundary rate -> ~20-frame scenes
+
+
+def m14_scene_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.operators.multimodal import cut_video_frames
+
+    frames = cut_video_frames(_fx(spark, "videos"))
+    flagged = frames.select(
+        "video_id",
+        "frame_index",
+        (
+            F.conv(F.substring(F.lower(F.hex("frame_data")), 1, 8), 16, 10)
+            .cast("bigint")
+            < M14_CUT
+        ).cast("long").alias("_b"),
+    )
+    w = W.partitionBy("video_id").orderBy("frame_index")
+    seg = flagged.withColumn(
+        "segment", F.sum("_b").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    return seg.groupBy("video_id", "segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+        F.min("frame_index").cast("bigint").alias("first_frame"),
+        F.max("frame_index").cast("bigint").alias("last_frame"),
+    )
+
+
+M14_SQL = f"""
+WITH f AS (
+  SELECT video_id,
+         unnest(generate_series(
+           0, CAST(floor(duration_s * fps_num / fps_den) AS BIGINT) - 1, 250)) AS frame_index
+  FROM {_fxsql('videos')}
+), flagged AS (
+  SELECT video_id, frame_index,
+         CASE WHEN ('0x' || substr(md5('frame:' || video_id || ':' || frame_index), 1, 8))::BIGINT
+                   < {M14_CUT} THEN 1 ELSE 0 END AS b
+  FROM f
+), seg AS (
+  SELECT video_id, frame_index,
+         sum(b) OVER (PARTITION BY video_id ORDER BY frame_index
+                      ROWS UNBOUNDED PRECEDING) AS segment
+  FROM flagged
+)
+SELECT video_id, segment::BIGINT AS segment, count(*)::BIGINT AS n_frames,
+       min(frame_index)::BIGINT AS first_frame,
+       max(frame_index)::BIGINT AS last_frame
+FROM seg GROUP BY 1, 2
+"""
+
+
 DOMAIN_QUERIES = {
     "d01_tracklet_sampling": (d01_tracklet_sampling, D01_SQL),
     "d02_attribute_average": (d02_attribute_average, D02_SQL),
@@ -2444,4 +2585,6 @@ DOMAIN_QUERIES = {
     "d26_camera_feature_bias": (d26_camera_feature_bias, D26_SQL),
     "d27_camera_heatmap": (d27_camera_heatmap, D27_SQL),
     "d28_activity_calendar": (d28_activity_calendar, D28_SQL),
+    "d29_camera_load": (d29_camera_load, D29_SQL),
+    "m14_scene_segments": (m14_scene_segments, M14_SQL),
 }

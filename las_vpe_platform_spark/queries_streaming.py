@@ -18,6 +18,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql import Window as W
 
 from las_vpe_platform_spark.compat import pround
 from las_vpe_platform_spark.functions.scalar import ntz_epoch_micros
@@ -1727,10 +1728,7 @@ S24_K = 10
 
 
 def s24_stream_track_attr_reid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from las_vpe_platform_spark.fixtures import FIXTURES_DIR, SEED
-    from las_vpe_platform_spark.operators.joins import broadcast_gallery_topk
-    from las_vpe_platform_spark.providers import fake_tracker, recognizer_drop_filter
-    from las_vpe_platform_spark.schemas import ATTRIBUTE_NAMES
+    from las_vpe_platform_spark.fixtures import FIXTURES_DIR
 
     key = ("videos_s24",)
     if key in _LANDED:
@@ -1765,6 +1763,25 @@ def s24_stream_track_attr_reid(spark: SparkSession, sf_dir: str) -> DataFrame:
             pq.write_table(chunk, f"{src}/slice{i:02d}/part-0.parquet")
         _LANDED[key] = src
 
+    ranked = s24_build_stream(spark, f"{src}/*")
+    name = f"s24_out_{uuid.uuid4().hex[:8]}"
+    # 4 state partitions, not 8: this query has THREE stateful operators
+    # (two windowed aggs + the full-outer join), so per-trigger state
+    # commits are 3x every other streaming entry's; ~1.2k keys/trigger
+    # leave 4-way parallelism ample on the harness (a cluster deployment
+    # sizes this to key cardinality as usual)
+    with _stream_partitions(spark, 4):
+        return run_to_completion(ranked, name, output_mode="append")
+
+
+def s24_build_stream(spark: SparkSession, src_glob: str) -> DataFrame:
+    """The s24 transformation over a landed video-slice source — shared
+    by the catalog entry and the PLANS.md capturer (unstarted plan)."""
+    from las_vpe_platform_spark.fixtures import FIXTURES_DIR, SEED
+    from las_vpe_platform_spark.operators.joins import broadcast_gallery_topk
+    from las_vpe_platform_spark.providers import fake_tracker, recognizer_drop_filter
+    from las_vpe_platform_spark.schemas import ATTRIBUTE_NAMES
+
     schema = T.StructType(
         [
             T.StructField("video_id", T.StringType()),
@@ -1775,7 +1792,7 @@ def s24_stream_track_attr_reid(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "2")
         .option("latestFirst", "false")
-        .parquet(f"{src}/*")
+        .parquet(src_glob)
         # epoch-micros end-to-end: the landed long -> absolute TIMESTAMP,
         # so window boundaries are session-timezone independent
         .select("video_id", F.timestamp_micros("ts_micros").alias("start_ts"))
@@ -1849,7 +1866,7 @@ def s24_stream_track_attr_reid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "feature",
         F.when(F.col("n_samples").isNotNull(), F.col("feature")),
     )
-    ranked = broadcast_gallery_topk(
+    return broadcast_gallery_topk(
         assembled,
         features,
         probe_key="tracklet_key",
@@ -1858,14 +1875,6 @@ def s24_stream_track_attr_reid(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=S24_K,
         passthrough=["tracklet_key", "n_boxes", "n_samples", "attr_sig", "attr0"],
     )
-    name = f"s24_out_{uuid.uuid4().hex[:8]}"
-    # 4 state partitions, not 8: this query has THREE stateful operators
-    # (two windowed aggs + the full-outer join), so per-trigger state
-    # commits are 3x every other streaming entry's; ~1.2k keys/trigger
-    # leave 4-way parallelism ample on the harness (a cluster deployment
-    # sizes this to key cardinality as usual)
-    with _stream_partitions(spark, 4):
-        return run_to_completion(ranked, name, output_mode="append")
 
 
 def _s24_sql() -> str:
@@ -1932,6 +1941,233 @@ FROM emitted e ANTI JOIN agg a ON e.tracklet_key = a.tracklet_key
 S24_SQL = _s24_sql()
 
 
+# --- s25: streaming ANN recall monitor ---------------------------------------
+# q84's recall harness run LIVE: every arriving probe is ranked twice
+# against the static gallery — once through the IVF route (nprobe
+# nearest cells only) and once exhaustively — and emits its per-probe
+# hit count. This is the index-quality canary a production ANN service
+# runs on sampled traffic: recall degradation (centroid drift, cell
+# imbalance) shows up per micro-batch instead of at the next offline
+# eval. Scale: gallery + centroids + cell assignment are ONE broadcast
+# (the q29/ivf_topk smallness contract); per-probe work is two BLAS
+# matvecs inside a stateless mapInPandas — no state, no shuffle, so
+# monitor throughput scales with probe partitions alone. Oracle: the
+# batch q84 SQL verbatim — streaming and batch answers are identical
+# by construction.
+
+
+def s25_stream_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from las_vpe_platform_spark.queries_data import (
+        IVF_CENTROID_MOD,
+        IVF_K,
+        IVF_NPROBE,
+        IVF_PROBE_MOD,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    g_rows = emb.select("vec_id", "embedding").orderBy("vec_id").collect()
+    gk = np.asarray([r["vec_id"] for r in g_rows], dtype=np.int64)
+    G = np.asarray([np.asarray(r["embedding"], dtype=np.float64) for r in g_rows])
+    gnorm = np.sqrt((G * G).sum(axis=1))
+    cmask = gk % IVF_CENTROID_MOD == 0
+    ck, C, cnorm = gk[cmask], G[cmask], gnorm[cmask]
+    # gallery -> cell: argmax cosine, ties to the SMALLEST centroid id
+    # (q84's `ORDER BY sim DESC, centroid_id` crank) — centroids are
+    # id-sorted, so a stable argsort on -sim lands on the smallest
+    gsims = (G @ C.T) / (gnorm[:, None] * cnorm[None, :])
+    cell = ck[np.argsort(-gsims, axis=1, kind="stable")[:, 0]]
+    bc = spark.sparkContext.broadcast((gk, G, gnorm, ck, C, cnorm, cell))
+
+    def _recall(batches):
+        import pandas as pd
+
+        gk, G, gnorm, ck, C, cnorm, cell = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            P = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            pnorm = np.sqrt((P * P).sum(axis=1))
+            exact = (P @ G.T) / (pnorm[:, None] * gnorm[None, :])
+            ex_idx = np.argsort(-exact, axis=1, kind="stable")[:, :IVF_K]
+            psims = (P @ C.T) / (pnorm[:, None] * cnorm[None, :])
+            probe_cells = ck[np.argsort(-psims, axis=1, kind="stable")[:, :IVF_NPROBE]]
+            hits = []
+            for i in range(len(P)):
+                in_cells = np.isin(cell, probe_cells[i])
+                masked = np.where(in_cells, exact[i], -np.inf)
+                ap_idx = np.argsort(-masked, kind="stable")[:IVF_K]
+                ap_idx = ap_idx[~np.isneginf(masked[ap_idx])]
+                hits.append(len(np.intersect1d(gk[ex_idx[i]], gk[ap_idx])))
+            hits = np.asarray(hits, dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    "probe_key": pdf["vec_id"].to_numpy(),
+                    "n_hits": hits,
+                    "recall": np.floor((hits / IVF_K) * 10000.0 + 0.5) / 10000.0,
+                }
+            )
+
+    probes_src_key = ("probes_s25", sf_dir)
+    if probes_src_key in _LANDED:
+        src = _LANDED[probes_src_key]
+    else:
+        src = _scratch_dir("s25_probes_")
+        emb.filter(F.col("vec_id") % IVF_PROBE_MOD == 0).coalesce(4).write.mode(
+            "overwrite"
+        ).parquet(src)
+        _LANDED[probes_src_key] = src
+    stream = file_stream(spark, src, EMBEDDINGS_SCHEMA, max_files_per_trigger=2)
+    monitored = stream.mapInPandas(
+        _recall, "probe_key long, n_hits long, recall double"
+    )
+    name = f"s25_out_{uuid.uuid4().hex[:8]}"
+    with _stream_partitions(spark):
+        return run_to_completion(monitored, name, output_mode="append")
+
+
+def _s25_sql() -> str:
+    from las_vpe_platform_spark.queries_data import Q84_SQL
+
+    return Q84_SQL
+
+
+S25_SQL = _s25_sql()
+
+
+# --- s26: streaming SCD2 dimension maintenance --------------------------------
+# q122's SCD2 history maintained INCREMENTALLY: each micro-batch's
+# events fold into the STORED dimension table with one read-modify-
+# write (the Delta-MERGE shape, s21's K3 discipline) — per batch, runs
+# are computed batch-locally (gaps-and-islands on the batch alone) and
+# merged against only the OPEN rows: an open run whose tier continues
+# extends (counts accumulate), one that changed closes at the new
+# run's start. Work per batch ∝ batch size + touched keys — the
+# history is NEVER replayed (the reference re-derives state by
+# replaying Kafka, DataManagingApp.java:422-473; this is the
+# incremental re-expression). Correct under the time-ordered landing
+# contract (strict ts-range slices: tied timestamps never straddle
+# batches), and the final table equals the batch SCD2 bit-for-bit —
+# which is exactly what the q122 oracle checks.
+
+
+def s26_stream_scd2_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.operators.maintenance import scd2_history
+    from las_vpe_platform_spark.queries_data import SCD2_TIER_WIDTH
+
+    raw = _events_micros(spark, sf_dir)
+    stream = _sliced_parquet_stream(
+        spark, raw, "s26_events_", n_slices=4, cache_key=("events4_s26", sf_dir)
+    )
+    out_root = _scratch_dir("s26_scd2_")
+    state: dict[str, str | None] = {"path": None}
+    HI = 1 << 62  # open-interval sentinel for ordering only
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        sess = batch_df.sparkSession
+        ev = batch_df.selectExpr(
+            "user_id",
+            "event_id",
+            "ts_micros AS us",
+            f"CAST(floor(value / {SCD2_TIER_WIDTH}) AS INT) AS tier",
+        )
+        new_runs = scd2_history(ev, "user_id", "tier", "us", "event_id")
+        if state["path"] is None:
+            merged = new_runs
+        else:
+            stored = sess.read.parquet(state["path"])
+            closed = stored.filter(F.col("is_current") == 0)
+            open_prev = stored.filter(F.col("is_current") == 1)
+            wb = W.partitionBy("user_id").orderBy(
+                "valid_from_us", F.coalesce("valid_to_us", F.lit(HI))
+            )
+            nb = new_runs.withColumn("_rn", F.row_number().over(wb))
+            first = nb.filter(F.col("_rn") == 1).drop("_rn")
+            rest = nb.filter(F.col("_rn") > 1).drop("_rn")
+            j = open_prev.alias("o").join(
+                first.alias("f"), on="user_id", how="full_outer"
+            )
+            cols = lambda side: [  # noqa: E731
+                F.col(f"{side}.tier").alias("tier"),
+                F.col(f"{side}.valid_from_us").alias("valid_from_us"),
+                F.col(f"{side}.valid_to_us").alias("valid_to_us"),
+                F.col(f"{side}.n_events").alias("n_events"),
+                F.col(f"{side}.is_current").alias("is_current"),
+            ]
+            untouched = j.filter(F.col("f.valid_from_us").isNull()).select(
+                "user_id", *cols("o")
+            )
+            fresh = j.filter(F.col("o.valid_from_us").isNull()).select(
+                "user_id", *cols("f")
+            )
+            both = j.filter(
+                F.col("o.valid_from_us").isNotNull()
+                & F.col("f.valid_from_us").isNotNull()
+            )
+            same = F.col("o.tier").eqNullSafe(F.col("f.tier"))
+            extended = both.filter(same).select(
+                "user_id",
+                F.col("o.tier").alias("tier"),
+                F.col("o.valid_from_us").alias("valid_from_us"),
+                F.col("f.valid_to_us").alias("valid_to_us"),
+                (F.col("o.n_events") + F.col("f.n_events")).alias("n_events"),
+                F.col("f.is_current").alias("is_current"),
+            )
+            closed_now = both.filter(~same).select(
+                "user_id",
+                F.col("o.tier").alias("tier"),
+                F.col("o.valid_from_us").alias("valid_from_us"),
+                F.col("f.valid_from_us").alias("valid_to_us"),
+                F.col("o.n_events").alias("n_events"),
+                F.lit(0).cast("int").alias("is_current"),
+            )
+            new_head = both.filter(~same).select("user_id", *cols("f"))
+            merged = (
+                closed.unionByName(untouched)
+                .unionByName(fresh)
+                .unionByName(extended)
+                .unionByName(closed_now)
+                .unionByName(new_head)
+                .unionByName(rest)
+            )
+        path = f"{out_root}/v{epoch_id}"
+        merged.write.mode("overwrite").parquet(path)
+        state["path"] = path
+
+    with _stream_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(fold)
+            .outputMode("append")
+            .queryName(f"s26_{uuid.uuid4().hex[:8]}")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    assert state["path"] is not None
+    return spark.read.parquet(state["path"]).selectExpr(
+        "user_id",
+        "tier",
+        "valid_from_us",
+        "valid_to_us",
+        "CAST(n_events AS BIGINT) AS n_events",
+        "is_current",
+    )
+
+
+def _s26_sql() -> str:
+    from las_vpe_platform_spark.queries_data import Q122_SQL
+
+    return Q122_SQL
+
+
+S26_SQL = _s26_sql()
+
+
 STREAMING_QUERIES = {
     "s01_stream_windowed_counts": (s01_stream_windowed_counts, S01_SQL),
     "s02_stream_dedup": (s02_stream_dedup, S02_SQL),
@@ -1955,6 +2191,8 @@ STREAMING_QUERIES = {
     "s22_stream_rate_limit": (s22_stream_rate_limit, S22_SQL),
     "s23_stream_packing": (s23_stream_packing, S23_SQL),
     "s24_stream_track_attr_reid": (s24_stream_track_attr_reid, S24_SQL),
+    "s25_stream_ann_recall": (s25_stream_ann_recall, S25_SQL),
+    "s26_stream_scd2_maintenance": (s26_stream_scd2_maintenance, S26_SQL),
     "s18_stream_scd2_asof_enrich": (s18_stream_scd2_asof_enrich, S18_SQL),
     "s19_stream_lsh_ingest_gate": (s19_stream_lsh_ingest_gate, S19_SQL),
 }

