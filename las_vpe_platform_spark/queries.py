@@ -5,31 +5,23 @@ and ``oracle_sql()``; tests iterate it to verify every entry against
 DuckDB locally before the driver does.
 
 Ordering matters: the external correctness driver evaluates exactly
-the FIRST 50 catalog entries in insertion order (rounds 1-5 all
+the FIRST 50 catalog entries in insertion order (rounds 1-7 all
 confirm: CORRECTNESS_r0N.json == first 50 keys of that round's
 catalog).  ``DRIVER_PRIORITY`` is therefore RE-DERIVED EVERY ROUND as
 "everything not yet driver-green, oldest evidence first" (VERDICT r2
 'What's wrong' #2 — a stale list wastes the round's sample):
 
-1. tier 0 — q130_quality_budget_cut, round 6's ONLY red row, whose
-   root cause was an oracle-side type slip (DuckDB HUGEINT window sum
-   vs Spark BIGINT; the fix casts ``::BIGINT`` exactly as the
-   driver-green q62 does — VERDICT r6 'What's wrong' #1), plus the 5
-   round-6 late additions (q148-q151, d28) that sat in
-   ``ACKNOWLEDGED_OVERFLOW`` with full local gates; a green row for
-   all six completes 214/214 cumulative driver coverage,
-2. tier 1 — re-gated THIS round: q140 (corpus-sized global rank
-   window replaced by two-phase distributed ranks, VERDICT r6
-   'What's wrong' #2), s23 (fixture slices now written sequentially
-   so FileStreamSource's mtime ordering matches doc_id order, ADVICE
-   r6), q134 (kcore_peel defensive unique-pair contract, ADVICE r6);
-   NEW round-7 entries append here in landing order,
-3. tier 2 — stalest evidence first (r01-r05 rows) fills the window;
-   the 46 round-6 driver-green names carry the freshest evidence and
-   sit at the catalog tail.
+1. tier 0 (round 8) — the NEW entries (s24 flagship, q152-q157, d29,
+   m14, s25, s26) and this round's re-gates (q127/q136/q137 node
+   ranks moved to the distributed two-phase scan, VERDICT r7 'What's
+   wrong' #1),
+2. tier 1 — stalest evidence first: entries whose latest driver row
+   is r01-r05 fill the remaining window slots,
+3. tail — freshest evidence last (the r06/r07 driver-green rows,
+   including round 7's closure set q130/q148-q151/d28/q140/s23/q134).
 
-After round 6, union r01-r06 = 208/214 driver-green (q130 red,
-q148-q151/d28 never sampled); tier 0 closes all six.  The
+After round 7 the cumulative record is 214/214 driver-green (VERDICT
+r7); round 8 adds 11 entries, all placed inside the window.  The
 import-time guards enforce (a) the must-gate tiers sit inside the
 window, (b) every overflow entry has a prior-round driver row or an
 explicit acknowledgement, and (c) every catalog entry appears in this
@@ -79,24 +71,7 @@ DRIVER_PRIORITY: list[str] = [
     "m14_scene_segments",
     "s25_stream_ann_recall",
     "s26_stream_scd2_maintenance",
-    # -- tier 0: the round-6 red row (oracle ::BIGINT fix, VERDICT r6
-    #    'What's wrong' #1) + the 5 round-6 late additions parked in
-    #    ACKNOWLEDGED_OVERFLOW (VERDICT r6 'Next round' #1) --
-    "q130_quality_budget_cut",
-    "q148_cluster_safe_split",
-    "q149_zipf_slope",
-    "q150_systematic_resample",
-    "q151_cms_error",
-    "d28_activity_calendar",
-    # -- tier 1: re-gated THIS round: q140 (global rank replaced by
-    #    two-phase distributed ranks, VERDICT r6 'What's wrong' #2),
-    #    s23 (sequential slice writes for deterministic micro-batch
-    #    order, ADVICE r6), q134 (kcore_peel defensive unique-pair
-    #    contract, ADVICE r6); NEW round-7 entries append here --
-    "q140_quantile_normalize",
-    "s23_stream_packing",
-    "q134_kcore_decomposition",
-    # -- tier 2: stalest prior evidence (r01-r05 rows) fills the
+    # -- tier 1: stalest prior evidence (r01-r05 rows) fills the
     #    window; displaced toward overflow as new entries land --
     "q38_running_user_value",
     "q39_event_navigation",
@@ -301,6 +276,16 @@ DRIVER_PRIORITY: list[str] = [
     "q147_cluster_purity",
     "d27_camera_heatmap",
     "q37_bilateral_volume",
+    # round-7 closure set — freshest driver rows (CORRECTNESS_r07)
+    "q130_quality_budget_cut",
+    "q148_cluster_safe_split",
+    "q149_zipf_slope",
+    "q150_systematic_resample",
+    "q151_cms_error",
+    "d28_activity_calendar",
+    "q140_quantile_normalize",
+    "s23_stream_packing",
+    "q134_kcore_decomposition",
 ]
 
 _missing = [n for n in DRIVER_PRIORITY if n not in _ALL]
@@ -323,7 +308,7 @@ if len(DRIVER_PRIORITY) != len(set(DRIVER_PRIORITY)):
 # The must-gate block (tiers 0-1, everything through the re-gates)
 # has to sit inside the driver's first-50 window — review finding r3
 # caught an earlier ordering leaving re-gated entries at 61-63.
-_MUST_GATE_LAST = "q134_kcore_decomposition"
+_MUST_GATE_LAST = "s26_stream_scd2_maintenance"
 if DRIVER_PRIORITY.index(_MUST_GATE_LAST) >= 50:
     raise ValueError(
         "DRIVER_PRIORITY stale: must-gate tiers exceed the 50-entry "
@@ -419,7 +404,11 @@ _PRIOR_DRIVER_GREEN = {
     "s17_stream_left_outer_join", "s18_stream_scd2_asof_enrich",
     "s19_stream_lsh_ingest_gate", "s20_stream_full_outer_join",
     "s21_stream_agg_maintenance", "s22_stream_rate_limit",
-    "s23_stream_packing"
+    "s23_stream_packing",
+    # round-7 driver-green rows (CORRECTNESS_r07.json, 50/50):
+    "q130_quality_budget_cut", "q148_cluster_safe_split",
+    "q149_zipf_slope", "q150_systematic_resample", "q151_cms_error",
+    "d28_activity_calendar"
 }
 
 # Entries added AFTER this round's 50-entry window fills may be

@@ -2055,7 +2055,7 @@ S25_SQL = _s25_sql()
 
 
 def s26_stream_scd2_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from las_vpe_platform_spark.operators.maintenance import scd2_history
+    from las_vpe_platform_spark.operators.maintenance import scd2_history, scd2_merge
     from las_vpe_platform_spark.queries_data import SCD2_TIER_WIDTH
 
     raw = _events_micros(spark, sf_dir)
@@ -2064,7 +2064,6 @@ def s26_stream_scd2_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out_root = _scratch_dir("s26_scd2_")
     state: dict[str, str | None] = {"path": None}
-    HI = 1 << 62  # open-interval sentinel for ordering only
 
     def fold(batch_df: DataFrame, epoch_id: int) -> None:
         sess = batch_df.sparkSession
@@ -2078,66 +2077,17 @@ def s26_stream_scd2_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         if state["path"] is None:
             merged = new_runs
         else:
-            stored = sess.read.parquet(state["path"])
-            closed = stored.filter(F.col("is_current") == 0)
-            open_prev = stored.filter(F.col("is_current") == 1)
-            wb = W.partitionBy("user_id").orderBy(
-                "valid_from_us", F.coalesce("valid_to_us", F.lit(HI))
-            )
-            nb = new_runs.withColumn("_rn", F.row_number().over(wb))
-            first = nb.filter(F.col("_rn") == 1).drop("_rn")
-            rest = nb.filter(F.col("_rn") > 1).drop("_rn")
-            j = open_prev.alias("o").join(
-                first.alias("f"), on="user_id", how="full_outer"
-            )
-            cols = lambda side: [  # noqa: E731
-                F.col(f"{side}.tier").alias("tier"),
-                F.col(f"{side}.valid_from_us").alias("valid_from_us"),
-                F.col(f"{side}.valid_to_us").alias("valid_to_us"),
-                F.col(f"{side}.n_events").alias("n_events"),
-                F.col(f"{side}.is_current").alias("is_current"),
-            ]
-            untouched = j.filter(F.col("f.valid_from_us").isNull()).select(
-                "user_id", *cols("o")
-            )
-            fresh = j.filter(F.col("o.valid_from_us").isNull()).select(
-                "user_id", *cols("f")
-            )
-            both = j.filter(
-                F.col("o.valid_from_us").isNotNull()
-                & F.col("f.valid_from_us").isNotNull()
-            )
-            same = F.col("o.tier").eqNullSafe(F.col("f.tier"))
-            extended = both.filter(same).select(
-                "user_id",
-                F.col("o.tier").alias("tier"),
-                F.col("o.valid_from_us").alias("valid_from_us"),
-                F.col("f.valid_to_us").alias("valid_to_us"),
-                (F.col("o.n_events") + F.col("f.n_events")).alias("n_events"),
-                F.col("f.is_current").alias("is_current"),
-            )
-            closed_now = both.filter(~same).select(
-                "user_id",
-                F.col("o.tier").alias("tier"),
-                F.col("o.valid_from_us").alias("valid_from_us"),
-                F.col("f.valid_from_us").alias("valid_to_us"),
-                F.col("o.n_events").alias("n_events"),
-                F.lit(0).cast("int").alias("is_current"),
-            )
-            new_head = both.filter(~same).select("user_id", *cols("f"))
-            merged = (
-                closed.unionByName(untouched)
-                .unionByName(fresh)
-                .unionByName(extended)
-                .unionByName(closed_now)
-                .unionByName(new_head)
-                .unionByName(rest)
+            merged = scd2_merge(
+                sess.read.parquet(state["path"]), new_runs, "user_id"
             )
         path = f"{out_root}/v{epoch_id}"
         merged.write.mode("overwrite").parquet(path)
         state["path"] = path
 
-    with _stream_partitions(spark):
+    # 4 state/shuffle partitions: each micro-batch pays ~6 small joins
+    # and 2 windows in the RMW merge — commit overhead dominates at the
+    # harness's batch sizes (same sizing note as s24)
+    with _stream_partitions(spark, 4):
         q = (
             stream.writeStream.foreachBatch(fold)
             .outputMode("append")

@@ -1,0 +1,150 @@
+"""Round-8 operator tests: incremental SCD2 merge, equi-depth
+histogram, triangle support — the structural invariants the oracle
+hash can't articulate on its own."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _runs_set(df):
+    return {
+        (r["user_id"], r["tier"], r["valid_from_us"], r["valid_to_us"],
+         r["n_events"], r["is_current"])
+        for r in df.collect()
+    }
+
+
+def test_scd2_merge_equals_batch_history(spark):
+    """Folding time-ordered batches through scd2_merge must reproduce
+    scd2_history over the union exactly — for every split point,
+    including splits inside a run and splits at a tier change."""
+    from las_vpe_platform_spark.operators.maintenance import scd2_history, scd2_merge
+
+    # hash-derived changelog: 40 users x 30 events, ~4 tiers
+    ev = spark.range(1200).selectExpr(
+        "id AS event_id",
+        "id % 40 AS user_id",
+        "1000000 * CAST(id / 40 AS BIGINT) AS us",
+        "CAST(pmod(hash(CAST(id / 40 AS BIGINT) * 40 + id % 40), 4) AS INT) AS tier",
+    )
+    want = _runs_set(scd2_history(ev, "user_id", "tier", "us", "event_id"))
+    for split_us in (1_000_000 * 7, 1_000_000 * 15, 1_000_000 * 29):
+        b1 = ev.filter(F.col("us") < split_us)
+        b2 = ev.filter(F.col("us") >= split_us)
+        stored = scd2_history(b1, "user_id", "tier", "us", "event_id")
+        folded = scd2_merge(
+            stored, scd2_history(b2, "user_id", "tier", "us", "event_id"), "user_id"
+        )
+        assert _runs_set(folded) == want, f"diverged at split {split_us}"
+
+
+def test_scd2_merge_three_way_fold(spark):
+    """Associativity over more than two batches (the s26 shape: 4
+    micro-batches folding sequentially)."""
+    from las_vpe_platform_spark.operators.maintenance import scd2_history, scd2_merge
+
+    ev = spark.range(900).selectExpr(
+        "id AS event_id",
+        "id % 30 AS user_id",
+        "1000000 * CAST(id / 30 AS BIGINT) AS us",
+        "CAST(pmod(hash(CAST(id / 30 AS BIGINT) * 31 + id % 30), 3) AS INT) AS tier",
+    )
+    want = _runs_set(scd2_history(ev, "user_id", "tier", "us", "event_id"))
+    acc = None
+    for lo, hi in ((0, 10), (10, 20), (20, 31)):
+        b = ev.filter(
+            (F.col("us") >= 1_000_000 * lo) & (F.col("us") < 1_000_000 * hi)
+        )
+        runs = scd2_history(b, "user_id", "tier", "us", "event_id")
+        acc = runs if acc is None else scd2_merge(acc, runs, "user_id")
+        # materialize each fold like the versioned-parquet RMW does
+        acc = spark.createDataFrame(acc.collect(), acc.schema)
+    assert _runs_set(acc) == want
+
+
+def test_equidepth_histogram_is_equi_depth(spark, sf_dir):
+    """Bucket sizes of the exact equi-depth histogram differ by at most
+    one, buckets are contiguous in value order, and they partition the
+    table."""
+    from las_vpe_platform_spark.queries_data import HIST_BUCKETS, q152_equidepth_histogram
+    from las_vpe_platform_spark.sources.tables import load_table
+
+    out = q152_equidepth_histogram(spark, sf_dir).orderBy("bucket").collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    sizes = [r["n_docs"] for r in out]
+    assert sum(sizes) == n_docs
+    assert max(sizes) - min(sizes) <= 1, f"not equi-depth: {sizes}"
+    assert [r["bucket"] for r in out] == list(range(HIST_BUCKETS))
+    for a, b in zip(out, out[1:]):
+        assert a["hi"] <= b["lo"], "buckets overlap in value order"
+
+
+def test_edge_triangle_support_toy_graph(spark):
+    """Known graph: a triangle (1,2,3) plus a pendant edge (3,4).
+    Triangle edges have support 1, the pendant has support 0."""
+    from las_vpe_platform_spark.operators.dedup import minhash_lsh_candidates  # noqa: F401
+    from pyspark.sql import Window  # noqa: F401
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4)], "id_a long, id_b long"
+    )
+    sym = pairs.unionByName(pairs.selectExpr("id_b AS id_a", "id_a AS id_b"))
+    wedges = (
+        pairs.join(sym.selectExpr("id_a", "id_b AS c"), "id_a")
+        .filter(F.col("c") != F.col("id_b"))
+        .join(sym.selectExpr("id_a AS id_b", "id_b AS c"), ["id_b", "c"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["support"]
+        for r in pairs.join(wedges, ["id_a", "id_b"], "left")
+        .fillna(0, "support")
+        .collect()
+    }
+    assert got == {(1, 2): 1, (1, 3): 1, (2, 3): 1, (3, 4): 0}
+
+
+def test_cdc_chunking_boundary_invariance(spark):
+    """Content-defined chunking must assign identical chunk identities
+    to a shared passage regardless of its position: two docs sharing a
+    long token run produce overlapping (n_toks, wsum) chunk keys."""
+    from las_vpe_platform_spark.queries_data import q155_cdc_chunking  # noqa: F401
+    from las_vpe_platform_spark.functions.text import shingle_hash60
+    from pyspark.sql import Window as W
+
+    shared = " ".join(f"tok{i}" for i in range(64))
+    docs = spark.createDataFrame(
+        [
+            (1, "a", "pre1 pre2 " + shared),
+            (2, "b", "zzz1 zzz2 zzz3 zzz4 zzz5 " + shared),
+        ],
+        "doc_id long, source string, text string",
+    )
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "tok"),
+    )
+    flagged = toks.select(
+        "doc_id", "pos",
+        (shingle_hash60("tok") % F.lit(1000003)).alias("h"),
+        (shingle_hash60("tok") % F.lit(8) == 0).cast("long").alias("b"),
+    )
+    wd = W.partitionBy("doc_id").orderBy("pos")
+    chunked = flagged.withColumn(
+        "chunk",
+        F.coalesce(F.sum("b").over(wd.rowsBetween(W.unboundedPreceding, -1)), F.lit(0)),
+    ).withColumn(
+        "rk", F.row_number().over(W.partitionBy("doc_id", "chunk").orderBy("pos"))
+    )
+    keys = (
+        chunked.groupBy("doc_id", "chunk")
+        .agg(F.count(F.lit(1)).alias("n_toks"), F.sum(F.col("h") * F.col("rk")).alias("wsum"))
+        .select("doc_id", "n_toks", "wsum")
+        .collect()
+    )
+    k1 = {(r["n_toks"], r["wsum"]) for r in keys if r["doc_id"] == 1}
+    k2 = {(r["n_toks"], r["wsum"]) for r in keys if r["doc_id"] == 2}
+    # interior chunks of the shared run align after the first boundary
+    assert len(k1 & k2) >= 2, f"no shared chunk identities: {k1} vs {k2}"
