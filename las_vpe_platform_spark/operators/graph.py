@@ -278,3 +278,122 @@ _fin AS (
 )
 SELECT a AS node, degree::BIGINT AS core_degree FROM _fin"""
     )
+
+
+def ktruss_peel(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    k: int = 3,
+    rounds: int = 3,
+) -> DataFrame:
+    """k-truss decomposition by synchronous EDGE peeling, ``rounds``
+    rounds unrolled into one lazy plan: each round drops every edge
+    whose triangle support among SURVIVING edges is < k-2, until the
+    survivor set is a fixed point. The edge-strength counterpart of
+    :func:`kcore_peel` (k-core peels NODES by degree): a k-truss is
+    the strictest of the cohesion filters here — every surviving edge
+    sits in >= k-2 triangles whose other two edges also survive — so
+    the q134 core minus the q158 truss is exactly the "held together
+    by weak ties" mass a dedup verifier should re-check before CC
+    merges clusters through it (q154 measures those weak ties one
+    round deep; this iterates them away).
+
+    Same engine-parity contract as kcore_peel: fixed ``rounds``
+    unrolled identically in the DuckDB mirror (:func:`ktruss_sql`),
+    integer support arithmetic, defensive canonicalization of the
+    input, convergence asserted in tests by running one EXTRA round.
+
+    Execution shape per round: one wedge join (canonical survivors x
+    symmetrized survivors) closed by a second adjacency equi-join —
+    sum(deg^2)-bounded like triangle counting (q94), never quadratic
+    in nodes; per-round localCheckpoint(eager=False) truncates lineage
+    (the iterative-loop carve-out from the staging rule).
+    """
+    par = edges.sparkSession.sparkContext.defaultParallelism
+    cur = (
+        edges.selectExpr(
+            f"least({src}, {dst}) AS a", f"greatest({src}, {dst}) AS b"
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        # keyed repartition: the checkpointed edge list otherwise
+        # inherits the candidate join's few output partitions, serializing
+        # every wedge join on 2 tasks (measured at sf0.1)
+        .repartition(par, "a")
+        .localCheckpoint(eager=False)
+    )
+
+    def support(e: DataFrame) -> DataFrame:
+        sym = e.union(e.selectExpr("b AS a", "a AS b"))
+        return (
+            e.join(sym.selectExpr("a", "b AS c"), "a")
+            .filter(F.col("c") != F.col("b"))
+            .join(sym.selectExpr("a AS b", "b AS c"), ["b", "c"])
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("support"))
+        )
+
+    for _ in range(rounds):
+        supp = support(cur)
+        cur = (
+            cur.join(supp, ["a", "b"], "left")
+            .filter(F.coalesce("support", F.lit(0)) >= k - 2)
+            .select("a", "b")
+            .localCheckpoint(eager=False)
+        )
+    # final support WITHIN the surviving truss (fixed point: the last
+    # round removed nothing, but support must be re-restricted so a
+    # non-converged call still reports truss-internal values)
+    final = cur.join(support(cur), ["a", "b"], "left")
+    return final.select(
+        "a", "b", F.coalesce("support", F.lit(0)).cast("bigint").alias("support")
+    )
+
+
+def ktruss_sql(edges_cte: str, k: int = 3, rounds: int = 3) -> str:
+    """DuckDB mirror of :func:`ktruss_peel`, rounds unrolled as chained
+    CTEs. ``edges_cte`` must yield (src, dst) unordered unique pairs."""
+    # every CTE is MATERIALIZED: DuckDB inlines plain CTEs per
+    # reference, and the unrolled rounds reference each survivor set
+    # multiple times — inlining would re-run the whole chain per
+    # reference (exponential; the q127 MATERIALIZED lesson)
+    parts = [
+        f"""_tedges AS MATERIALIZED ({edges_cte}),
+_t0 AS MATERIALIZED (SELECT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM _tedges WHERE src != dst GROUP BY 1, 2)"""
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(
+            f"""_y{p} AS MATERIALIZED (SELECT a, b FROM _t{p} UNION ALL SELECT b, a FROM _t{p}),
+_s{i} AS MATERIALIZED (
+  SELECT e.a, e.b, count(*) AS support
+  FROM _t{p} e
+  JOIN _y{p} s1 ON s1.a = e.a
+  JOIN _y{p} s2 ON s2.a = e.b AND s2.b = s1.b
+  WHERE s1.b != e.b
+  GROUP BY 1, 2
+),
+_t{i} AS MATERIALIZED (
+  SELECT e.a, e.b FROM _t{p} e LEFT JOIN _s{i} s ON s.a = e.a AND s.b = e.b
+  WHERE coalesce(s.support, 0) >= {k - 2}
+)"""
+        )
+    r = rounds
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+_yf AS MATERIALIZED (SELECT a, b FROM _t{r} UNION ALL SELECT b, a FROM _t{r}),
+_sf AS MATERIALIZED (
+  SELECT e.a, e.b, count(*) AS support
+  FROM _t{r} e
+  JOIN _yf s1 ON s1.a = e.a
+  JOIN _yf s2 ON s2.a = e.b AND s2.b = s1.b
+  WHERE s1.b != e.b
+  GROUP BY 1, 2
+)
+SELECT e.a, e.b, coalesce(s.support, 0)::BIGINT AS support
+FROM _t{r} e LEFT JOIN _sf s ON s.a = e.a AND s.b = e.b"""
+    )

@@ -71,6 +71,7 @@ DRIVER_PRIORITY: list[str] = [
     "m14_scene_segments",
     "s25_stream_ann_recall",
     "s26_stream_scd2_maintenance",
+    "q158_ktruss_edges",
     # -- tier 1: stalest prior evidence (r01-r05 rows) fills the
     #    window; displaced toward overflow as new entries land --
     "q38_running_user_value",

@@ -7507,7 +7507,9 @@ def q152_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", F.col("n_chars").cast("bigint").alias("v")
     )
-    ranked = global_ranks(docs, ["v", "doc_id"])
+    # staged: the rank frame feeds BOTH the total count and the bucket
+    # projection — the multi-reference materialization rule (SCALE.md)
+    ranked = _stage(global_ranks(docs, ["v", "doc_id"]), "q152_ranks")
     n = ranked.groupBy().agg(F.count(F.lit(1)).alias("_n"))
     return (
         ranked.crossJoin(F.broadcast(n))
@@ -7776,7 +7778,10 @@ LAYOUT_FILES = 16
 def q156_layout_optimize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
     mx = docs.groupBy().agg(F.max("doc_id").alias("_mx"))
-    summaries = (
+    # staged: the 16-row file-summary table is referenced THREE times
+    # (both overlap sides + the final report) — without staging the
+    # corpus aggregate would run three times (multi-reference rule)
+    summaries = _stage(
         docs.crossJoin(F.broadcast(mx))
         .selectExpr(
             f"least({LAYOUT_FILES - 1}, (doc_id * {LAYOUT_FILES}) div (_mx + 1))"
@@ -7788,7 +7793,8 @@ def q156_layout_optimize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
             F.min("n_chars").cast("bigint").alias("lo"),
             F.max("n_chars").cast("bigint").alias("hi"),
-        )
+        ),
+        "q156_file_summaries",
     )
     a, b = summaries.alias("a"), summaries.alias("b")
     overlaps = (
@@ -7853,25 +7859,54 @@ def q157_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         exploded_shingles,
         minhash_lsh_candidates,
         minhash_signatures,
-        ngram_jaccard_pairs,
     )
 
     docs = _t(spark, sf_dir, "documents")
     exploded = _stage(
         exploded_shingles(docs, "doc_id", "text", MINHASH_K), "mh_err_postings"
     )
-    cands = minhash_lsh_candidates(
-        docs, id_col="doc_id", text_col="text",
-        shingle_k=MINHASH_K, num_hashes=MINHASH_HASHES, bands=MINHASH_BANDS,
-        exploded=exploded,
-    ).select("id_a", "id_b")
+    cands = _stage(
+        minhash_lsh_candidates(
+            docs, id_col="doc_id", text_col="text",
+            shingle_k=MINHASH_K, num_hashes=MINHASH_HASHES, bands=MINHASH_BANDS,
+            exploded=exploded,
+        ).select("id_a", "id_b"),
+        "mh_err_cands",
+    )
     sigs = minhash_signatures(
         docs, "doc_id", "text", MINHASH_K, MINHASH_HASHES, exploded=exploded
     )
-    exact = ngram_jaccard_pairs(
-        docs, "doc_id", "text", MINHASH_K, threshold=0.0,
-        materialize=lambda df, hint="": exploded,
-    ).select("id_a", "id_b", "jaccard")
+    # exact Jaccard restricted to the CANDIDATE pairs (the q142
+    # evidence-join shape): shared counts come from joining the staged
+    # postings through the candidate list — candidates x shared
+    # shingles, NOT the full co-occurrence pair mass (at 2-word
+    # shingles the unrestricted inverted-index join is the q106 k=2
+    # regime: millions of pairs, measured 12 s at sf0.1 vs ~3 s here)
+    sizes = exploded.groupBy("doc_id_").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sh")
+    )
+    shared = (
+        cands.join(
+            exploded.selectExpr("doc_id_ AS id_a", "shingle"), "id_a"
+        )
+        .join(exploded.selectExpr("doc_id_ AS id_b", "shingle"), ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared"))
+    )
+    exact = (
+        cands.join(shared, ["id_a", "id_b"], "left")
+        .join(sizes.selectExpr("doc_id_ AS id_a", "n_sh AS _na"), "id_a")
+        .join(sizes.selectExpr("doc_id_ AS id_b", "n_sh AS _nb"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            pround(
+                F.coalesce("shared", F.lit(0)).cast("double")
+                / (F.col("_na") + F.col("_nb") - F.coalesce("shared", F.lit(0))),
+                6,
+            ).alias("jaccard"),
+        )
+    )
     sa = sigs.select(
         F.col("doc_id_").alias("id_a"),
         *[F.col(f"mh{i}").alias(f"_a{i}") for i in range(MINHASH_HASHES)],
@@ -7942,6 +7977,42 @@ FROM (
 
 
 Q157_SQL = _q157_sql()
+
+
+# --- q158: k-truss decomposition of the near-dup graph -----------------------
+# The edge-peeling counterpart of q134's k-core: iteratively drop
+# edges in < k-2 surviving triangles until fixed point (q154 is its
+# single-round measurement). Output: every surviving edge with its
+# truss-internal support — the edges a dedup pipeline can merge
+# through WITHOUT verification, because their clusters are
+# triangle-reinforced. Rounds unrolled identically in both engines;
+# convergence (rounds+1 == rounds) pytest-asserted like q134.
+
+KTRUSS_K = 3
+KTRUSS_ROUNDS = 2  # fixed point at both pinned scales (rounds+1 test)
+
+
+def q158_ktruss_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.operators.graph import ktruss_peel
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(
+        docs, id_col="doc_id", text_col="text",
+        shingle_k=MINHASH_K, num_hashes=MINHASH_HASHES, bands=MINHASH_BANDS,
+    )
+    return ktruss_peel(
+        pairs, src="id_a", dst="id_b", k=KTRUSS_K, rounds=KTRUSS_ROUNDS
+    )
+
+
+def _q158_sql() -> str:
+    from las_vpe_platform_spark.operators.graph import ktruss_sql
+
+    edges = f"SELECT id_a AS src, id_b AS dst FROM ({_q24_sql()}) t"
+    return ktruss_sql(edges, k=KTRUSS_K, rounds=KTRUSS_ROUNDS)
+
+
+Q158_SQL = _q158_sql()
 
 
 DATA_QUERIES = {
@@ -8061,4 +8132,5 @@ DATA_QUERIES = {
     "q155_cdc_chunking": (q155_cdc_chunking, Q155_SQL),
     "q156_layout_optimize_audit": (q156_layout_optimize_audit, Q156_SQL),
     "q157_minhash_estimate_error": (q157_minhash_estimate_error, Q157_SQL),
+    "q158_ktruss_edges": (q158_ktruss_edges, Q158_SQL),
 }

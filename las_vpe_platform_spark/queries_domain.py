@@ -2430,14 +2430,21 @@ def d29_camera_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vids = _fx(spark, "videos").select("video_id", "camera_id")
     iv = tr.join(F.broadcast(vids), "video_id")
-    events = iv.selectExpr(
-        "camera_id", "tracklet_key", "s_us AS us", "CAST(1 AS BIGINT) AS delta"
-    ).unionByName(
-        iv.selectExpr(
-            "camera_id", "tracklet_key", "s_us + dur_us AS us",
-            "CAST(-1 AS BIGINT) AS delta",
-        )
-    )
+    # one scan, not a union of two: each interval EXPLODES into its
+    # (+1, start) / (-1, end) event pair map-side
+    events = iv.select(
+        "camera_id",
+        "tracklet_key",
+        F.explode(
+            F.array(
+                F.struct(F.col("s_us").alias("us"), F.lit(1).cast("bigint").alias("delta")),
+                F.struct(
+                    (F.col("s_us") + F.col("dur_us")).alias("us"),
+                    F.lit(-1).cast("bigint").alias("delta"),
+                ),
+            )
+        ).alias("_e"),
+    ).select("camera_id", "tracklet_key", "_e.us", "_e.delta")
     w = W.partitionBy("camera_id").orderBy("us", "delta", "tracklet_key")
     swept = events.select(
         "camera_id",

@@ -148,3 +148,57 @@ def test_cdc_chunking_boundary_invariance(spark):
     k2 = {(r["n_toks"], r["wsum"]) for r in keys if r["doc_id"] == 2}
     # interior chunks of the shared run align after the first boundary
     assert len(k1 & k2) >= 2, f"no shared chunk identities: {k1} vs {k2}"
+
+
+def test_ktruss_toy_graph_and_convergence(spark):
+    """Known graph: triangle (1,2,3) + pendant (3,4) + a path (5,6),(6,7).
+    The 3-truss keeps exactly the triangle (support 1 each); pendant and
+    path edges peel. Convergence: one extra round changes nothing."""
+    from las_vpe_platform_spark.operators.graph import ktruss_peel
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4), (5, 6), (6, 7)],
+        "src long, dst long",
+    )
+    got = {
+        (r["a"], r["b"], r["support"])
+        for r in ktruss_peel(edges, k=3, rounds=3).collect()
+    }
+    assert got == {(1, 2, 1), (1, 3, 1), (2, 3, 1)}
+    more = {
+        (r["a"], r["b"], r["support"])
+        for r in ktruss_peel(edges, k=3, rounds=4).collect()
+    }
+    assert more == got
+
+
+def test_q158_converged_at_pinned_rounds(spark, sf_dir):
+    """The catalog graph must be at the fixed point at KTRUSS_ROUNDS:
+    one extra round returns the identical edge set (the q134 contract)."""
+    from las_vpe_platform_spark.operators.graph import ktruss_peel
+    from las_vpe_platform_spark.queries_data import (
+        KTRUSS_K,
+        KTRUSS_ROUNDS,
+        MINHASH_BANDS,
+        MINHASH_HASHES,
+        MINHASH_K,
+    )
+    from las_vpe_platform_spark.operators.dedup import minhash_lsh_candidates
+    from las_vpe_platform_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(
+        docs, id_col="doc_id", text_col="text",
+        shingle_k=MINHASH_K, num_hashes=MINHASH_HASHES, bands=MINHASH_BANDS,
+    )
+    base = {
+        (r["a"], r["b"], r["support"])
+        for r in ktruss_peel(pairs, "id_a", "id_b", KTRUSS_K, KTRUSS_ROUNDS).collect()
+    }
+    extra = {
+        (r["a"], r["b"], r["support"])
+        for r in ktruss_peel(
+            pairs, "id_a", "id_b", KTRUSS_K, KTRUSS_ROUNDS + 1
+        ).collect()
+    }
+    assert base == extra, "KTRUSS_ROUNDS not at fixed point — bump the constant"

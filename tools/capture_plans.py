@@ -272,6 +272,8 @@ HEADLINERS = [
      "interval sweep-line: 2 events per tracklet, per-CAMERA ordered windows (running concurrency + lead gap), one grouped report — no interval self-join"),
     ("m14_scene_segments",
      "scene segmentation: boundary flag is a JVM expression on the frame payload hash; segment ids are a per-video prefix sum; per-segment aggregate is partial+final"),
+    ("q158_ktruss_edges",
+     "k-truss edge peeling: per-round wedge join (canonical x symmetric survivors) bounded by sum(deg^2); keyed repartition before the checkpointed loop keeps the wedge joins parallel; per-round localCheckpoint truncates lineage (iterative carve-out)"),
 ]
 
 # Streaming queries execute to completion inside their catalog entry,
