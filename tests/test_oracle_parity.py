@@ -98,6 +98,10 @@ def test_timezone_independence(spark, duck, sf_dir):
         "q16_event_type_pivot",
         "q46_multi_distinct",
         "s01_stream_windowed_counts",
+        # the flagship's hour windows + watermark must stay epoch-
+        # aligned under any session TZ (ntz landing + timestamp_micros;
+        # the tracker UDTF round-trips session-tz-naive both ways)
+        "s24_stream_track_attr_reid",
     ]
     original = spark.conf.get("spark.sql.session.timeZone")
     spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")

@@ -728,3 +728,48 @@ def test_global_ranks_matches_row_number_and_string_keys(spark):
         for i, s in enumerate(sorted(r["s"] for r in strs.collect()))
     }
     assert got2 == want2
+
+
+def test_s24_stream_plan_has_three_stateful_operators(spark, sf_dir):
+    # the flagship's analyzed plan must contain EXACTLY the designed
+    # state: two windowed aggregations + one stream-stream join, with
+    # the ranking mapInPandas stateless above them — a silent plan
+    # change (e.g. an extra dedup or a lost watermark) would alter
+    # state size and emission semantics
+    import tempfile
+
+    from las_vpe_platform_spark.queries_streaming import s24_build_stream
+
+    df = s24_build_stream(spark, tempfile.mkdtemp(prefix="s24_plan_"))
+    plan = df._jdf.queryExecution().analyzed().toString()
+    assert plan.count("EventTimeWatermark") == 2, "both branches watermarked"
+    assert "Join FullOuter" in plan
+    assert "MapInPandas" in plan
+    agg_count = plan.count("Aggregate [window")
+    assert agg_count >= 2, f"expected 2 windowed aggregations, saw {agg_count}"
+
+
+def test_s25_monitor_plan_is_stateless(spark, sf_dir):
+    # the recall monitor holds NO state: no watermark, no aggregation,
+    # no join on the stream — one mapInPandas over the probe source
+    import tempfile
+
+    from las_vpe_platform_spark.queries_streaming import EMBEDDINGS_SCHEMA
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    stream = (
+        spark.readStream.schema(EMBEDDINGS_SCHEMA)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(tempfile.mkdtemp(prefix="s25_plan_"))
+    )
+
+    def _noop(batches):
+        for pdf in batches:
+            yield pdf[["vec_id"]].assign(n_hits=0, recall=0.0)
+
+    df = stream.mapInPandas(_noop, "vec_id long, n_hits long, recall double")
+    plan = df._jdf.queryExecution().analyzed().toString()
+    assert "EventTimeWatermark" not in plan
+    assert "Aggregate" not in plan
+    assert "Join" not in plan
