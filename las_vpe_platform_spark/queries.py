@@ -11,7 +11,7 @@ catalog).  ``DRIVER_PRIORITY`` is therefore RE-DERIVED EVERY ROUND as
 "everything not yet driver-green, oldest evidence first" (VERDICT r2
 'What's wrong' #2 — a stale list wastes the round's sample):
 
-1. tier 0 (round 8) — the NEW entries (s24 flagship, q152-q157, d29,
+1. tier 0 (round 8) — the NEW entries (s24 flagship, q152-q159, d29,
    m14, s25, s26) and this round's re-gates (q127/q136/q137 node
    ranks moved to the distributed two-phase scan, VERDICT r7 'What's
    wrong' #1),
@@ -21,7 +21,7 @@ catalog).  ``DRIVER_PRIORITY`` is therefore RE-DERIVED EVERY ROUND as
    including round 7's closure set q130/q148-q151/d28/q140/s23/q134).
 
 After round 7 the cumulative record is 214/214 driver-green (VERDICT
-r7); round 8 adds 11 entries, all placed inside the window.  The
+r7); round 8 adds 13 entries, all placed inside the window.  The
 import-time guards enforce (a) the must-gate tiers sit inside the
 window, (b) every overflow entry has a prior-round driver row or an
 explicit acknowledgement, and (c) every catalog entry appears in this
@@ -72,6 +72,7 @@ DRIVER_PRIORITY: list[str] = [
     "s25_stream_ann_recall",
     "s26_stream_scd2_maintenance",
     "q158_ktruss_edges",
+    "q159_weighted_quantiles",
     # -- tier 1: stalest prior evidence (r01-r05 rows) fills the
     #    window; displaced toward overflow as new entries land --
     "q38_running_user_value",

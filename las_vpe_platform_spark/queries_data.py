@@ -8015,6 +8015,80 @@ def _q158_sql() -> str:
 Q158_SQL = _q158_sql()
 
 
+# --- q159: exact distributed weighted quantiles ------------------------------
+# Token-weighted length quantiles per source — the curation statistic
+# behind context-length budgeting ("what doc length covers 90% of the
+# TOKENS, not 90% of the documents"). q110's sketch is approximate and
+# q34's exact percentiles ride per-group windows; HERE the quantile is
+# EXACT with NO per-source single-task window (a source at 100 TB is
+# corpus-scale, so `PARTITION BY source ORDER BY v` is the same
+# scale-kill as the node-rank family): a global rank over
+# (source, value, id) via global_ranks keeps each source's rows
+# rank-contiguous, pack_sequences prefix-sums the WEIGHTS in that rank
+# order, and each source's internal cumulative weight telescopes out
+# by subtracting its first row's prefix (= everything before the
+# source). Quantile selection is pure integer comparison
+# (cum*100 >= p*total) — no float boundary, any engine agrees.
+
+WQ_PS = (50, 90, 99)
+
+
+def q159_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.operators.packing import global_ranks, pack_sequences
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("bigint").alias("v"),
+            F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint").alias("w"),
+        )
+        .filter(F.col("w") > 0)
+    )
+    ranked = _stage(
+        global_ranks(docs, ["source", "v", "doc_id"]), "q159_ranks"
+    )
+    wpre = pack_sequences(ranked, "doc_id", "w", order_col="rk")
+    joined = _stage(
+        ranked.join(wpre.select("doc_id", "prefix"), "doc_id"), "q159_prefix"
+    )
+    src = joined.groupBy("source").agg(
+        F.sum("w").alias("_tot"), F.min("prefix").alias("_off")
+    )
+    cum = joined.join(src, "source").withColumn(
+        "_cum", F.col("prefix") - F.col("_off") + F.col("w")
+    )
+    aggs = [
+        F.min(
+            F.when(F.col("_cum") * 100 >= F.lit(p) * F.col("_tot"), F.col("v"))
+        ).alias(f"p{p}")
+        for p in WQ_PS
+    ]
+    return cum.groupBy("source").agg(
+        F.sum("w").cast("bigint").alias("total_tokens"), *aggs
+    )
+
+
+Q159_SQL = f"""
+WITH t AS (
+  SELECT doc_id, source, n_chars::BIGINT AS v,
+         len({SQL_TOKENS})::BIGINT AS w
+  FROM documents
+  WHERE len({SQL_TOKENS}) > 0
+), c AS (
+  SELECT source, v, w,
+         sum(w) OVER (PARTITION BY source ORDER BY v, doc_id
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(w) OVER (PARTITION BY source) AS tot
+  FROM t
+)
+SELECT source, sum(w)::BIGINT AS total_tokens,
+       {", ".join(f"min(CASE WHEN cum * 100 >= {p} * tot THEN v END)::BIGINT AS p{p}" for p in WQ_PS)}
+FROM c GROUP BY source
+"""
+
+
 DATA_QUERIES = {
     "q20_doc_token_stats": (q20_doc_token_stats, Q20_SQL),
     "q21_doc_quality": (q21_doc_quality, Q21_SQL),
@@ -8133,4 +8207,5 @@ DATA_QUERIES = {
     "q156_layout_optimize_audit": (q156_layout_optimize_audit, Q156_SQL),
     "q157_minhash_estimate_error": (q157_minhash_estimate_error, Q157_SQL),
     "q158_ktruss_edges": (q158_ktruss_edges, Q158_SQL),
+    "q159_weighted_quantiles": (q159_weighted_quantiles, Q159_SQL),
 }

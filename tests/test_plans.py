@@ -773,3 +773,29 @@ def test_s25_monitor_plan_is_stateless(spark, sf_dir):
     assert "EventTimeWatermark" not in plan
     assert "Aggregate" not in plan
     assert "Join" not in plan
+
+
+def test_q159_no_per_source_window(spark, sf_dir):
+    # exact weighted quantiles must NOT sort a source inside one task:
+    # every window in the plan is the tiny _pid offsets fold (from
+    # global_ranks / pack_sequences); the per-source cumulative weight
+    # telescopes from the GLOBAL prefix instead
+    from las_vpe_platform_spark.operators.staging import unpersist_all
+    from las_vpe_platform_spark.queries_data import q159_weighted_quantiles
+
+    plan = _plan(q159_weighted_quantiles(spark, sf_dir))
+    assert plan.count("MapInPandas") >= 1, "two-phase scans missing"
+    for line in plan.splitlines():
+        if "windowspecdefinition(" not in line:
+            continue
+        spec = line.split("windowspecdefinition(", 1)[1]
+        first_arg = spec.split(",", 1)[0]
+        if " ASC" in first_arg or " DESC" in first_arg:
+            assert first_arg.startswith("_pid"), (
+                f"unpartitioned window in q159 plan: {line.strip()}"
+            )
+        else:
+            assert first_arg.startswith("_pid") or first_arg.startswith("source"), (
+                f"unexpected window partition in q159 plan: {line.strip()}"
+            )
+    unpersist_all()

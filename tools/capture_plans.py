@@ -274,6 +274,8 @@ HEADLINERS = [
      "scene segmentation: boundary flag is a JVM expression on the frame payload hash; segment ids are a per-video prefix sum; per-segment aggregate is partial+final"),
     ("q158_ktruss_edges",
      "k-truss edge peeling: per-round wedge join (canonical x symmetric survivors) bounded by sum(deg^2); keyed repartition before the checkpointed loop keeps the wedge joins parallel; per-round localCheckpoint truncates lineage (iterative carve-out)"),
+    ("q159_weighted_quantiles",
+     "exact weighted quantiles with NO per-source single-task window: global rank over (source, value, id) keeps sources rank-contiguous, weights prefix-sum via the two-phase scan, per-source cums telescope from the global prefix; quantile picks are integer comparisons"),
 ]
 
 # Streaming queries execute to completion inside their catalog entry,
