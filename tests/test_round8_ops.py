@@ -202,3 +202,42 @@ def test_q158_converged_at_pinned_rounds(spark, sf_dir):
         ).collect()
     }
     assert base == extra, "KTRUSS_ROUNDS not at fixed point — bump the constant"
+
+
+def test_weighted_quantiles_coverage_property(spark, sf_dir):
+    """p-th weighted quantile semantics: the reported value's cumulative
+    token weight reaches p% of the source total, and the next-smaller
+    distinct value's does not."""
+    from pyspark.sql import functions as F
+
+    from las_vpe_platform_spark.operators.staging import unpersist_all
+    from las_vpe_platform_spark.queries_data import WQ_PS, q159_weighted_quantiles
+    from las_vpe_platform_spark.sources.tables import load_table
+
+    out = {r["source"]: r for r in q159_weighted_quantiles(spark, sf_dir).collect()}
+    unpersist_all()
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "source",
+            F.col("n_chars").cast("bigint").alias("v"),
+            F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint").alias("w"),
+        )
+        .filter(F.col("w") > 0)
+        .collect()
+    )
+    by_src: dict = {}
+    for r in docs:
+        by_src.setdefault(r["source"], []).append((r["v"], r["w"]))
+    for src, rows in by_src.items():
+        rows.sort()
+        tot = sum(w for _, w in rows)
+        assert out[src]["total_tokens"] == tot
+        for p in WQ_PS:
+            qv = out[src][f"p{p}"]
+            cum_at = sum(w for v, w in rows if v <= qv)
+            cum_below = sum(w for v, w in rows if v < qv)
+            assert cum_at * 100 >= p * tot, (src, p, qv)
+            # the quantile is the MINIMAL such value: everything
+            # strictly below it must fall short of p
+            assert cum_below * 100 < p * tot, (src, p, qv)
