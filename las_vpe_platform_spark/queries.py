@@ -21,7 +21,7 @@ catalog).  ``DRIVER_PRIORITY`` is therefore RE-DERIVED EVERY ROUND as
    including round 7's closure set q130/q148-q151/d28/q140/s23/q134).
 
 After round 7 the cumulative record is 214/214 driver-green (VERDICT
-r7); round 8 adds 13 entries, all placed inside the window.  The
+r7); round 8 adds 14 entries, all placed inside the window.  The
 import-time guards enforce (a) the must-gate tiers sit inside the
 window, (b) every overflow entry has a prior-round driver row or an
 explicit acknowledgement, and (c) every catalog entry appears in this
@@ -73,6 +73,7 @@ DRIVER_PRIORITY: list[str] = [
     "s26_stream_scd2_maintenance",
     "q158_ktruss_edges",
     "q159_weighted_quantiles",
+    "m15_scene_exemplars",
     # -- tier 1: stalest prior evidence (r01-r05 rows) fills the
     #    window; displaced toward overflow as new entries land --
     "q38_running_user_value",

@@ -2551,6 +2551,74 @@ FROM seg GROUP BY 1, 2
 """
 
 
+# --- m15: scene-exemplar frame sampling ---------------------------------------
+# The frame-sampling pass a video training pipeline actually runs:
+# ONE representative frame per SCENE (m14's content-defined segments
+# give temporal diversity; m06's content-addressed argmin gives a
+# deterministic pick within each) — versus m06's per-fragment pick,
+# which oversamples long static scenes and undersamples busy ones.
+# Output is the training manifest row: (video, segment, exemplar
+# frame, scene span). Scale: one frame scan, per-video prefix-sum
+# windows, one (video, segment) argmin aggregate — payload bytes never
+# shuffle (the argmin compares hex digests computed in-scan).
+
+
+def m15_scene_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.operators.multimodal import cut_video_frames
+
+    frames = cut_video_frames(_fx(spark, "videos"))
+    flagged = frames.select(
+        "video_id",
+        "frame_index",
+        F.lower(F.hex("frame_data")).alias("_h"),
+    ).select(
+        "video_id",
+        "frame_index",
+        "_h",
+        (
+            F.conv(F.substring("_h", 1, 8), 16, 10).cast("bigint") < M14_CUT
+        ).cast("long").alias("_b"),
+    )
+    w = W.partitionBy("video_id").orderBy("frame_index")
+    seg = flagged.withColumn(
+        "segment", F.sum("_b").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    return seg.groupBy("video_id", F.col("segment").cast("bigint").alias("segment")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+        F.min("frame_index").cast("bigint").alias("first_frame"),
+        F.max("frame_index").cast("bigint").alias("last_frame"),
+        F.min_by("frame_index", "_h").cast("bigint").alias("exemplar_frame"),
+        F.substring(F.min("_h"), 1, 8).alias("exemplar_hash_prefix"),
+    )
+
+
+M15_SQL = f"""
+WITH f AS (
+  SELECT video_id,
+         unnest(generate_series(
+           0, CAST(floor(duration_s * fps_num / fps_den) AS BIGINT) - 1, 250)) AS frame_index
+  FROM {_fxsql('videos')}
+), h AS (
+  SELECT video_id, frame_index,
+         md5('frame:' || video_id || ':' || frame_index) AS hx
+  FROM f
+), seg AS (
+  SELECT video_id, frame_index, hx,
+         sum(CASE WHEN ('0x' || substr(hx, 1, 8))::BIGINT < {M14_CUT}
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY video_id ORDER BY frame_index
+                 ROWS UNBOUNDED PRECEDING) AS segment
+  FROM h
+)
+SELECT video_id, segment::BIGINT AS segment, count(*)::BIGINT AS n_frames,
+       min(frame_index)::BIGINT AS first_frame,
+       max(frame_index)::BIGINT AS last_frame,
+       arg_min(frame_index, hx)::BIGINT AS exemplar_frame,
+       substr(min(hx), 1, 8) AS exemplar_hash_prefix
+FROM seg GROUP BY 1, 2
+"""
+
+
 DOMAIN_QUERIES = {
     "d01_tracklet_sampling": (d01_tracklet_sampling, D01_SQL),
     "d02_attribute_average": (d02_attribute_average, D02_SQL),
@@ -2594,4 +2662,5 @@ DOMAIN_QUERIES = {
     "d28_activity_calendar": (d28_activity_calendar, D28_SQL),
     "d29_camera_load": (d29_camera_load, D29_SQL),
     "m14_scene_segments": (m14_scene_segments, M14_SQL),
+    "m15_scene_exemplars": (m15_scene_exemplars, M15_SQL),
 }
