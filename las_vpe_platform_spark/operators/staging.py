@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import uuid
 from collections.abc import Callable
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
 from pyspark.storagelevel import StorageLevel
@@ -95,6 +96,31 @@ def staging_writer(staging_dir: str) -> Materializer:
         return df.sparkSession.read.parquet(path)
 
     return _write
+
+
+@contextmanager
+def scoped_persists():
+    """Release only the frames persisted INSIDE this scope.
+
+    For callers that invoke persist_disk-materializing operators in a
+    loop (e.g. a foreachBatch body running ivf_topk per micro-batch):
+    unpersist_all() between catalog queries is too coarse there — it
+    would also drop frames staged by the enclosing query. The scope
+    snapshots the registry length on entry and, on exit, unpersists
+    and deregisters exactly the tail added within, leaving outer
+    stages untouched. Same stopped-context tolerance as
+    unpersist_all."""
+    mark = len(_PERSISTED)
+    try:
+        yield
+    finally:
+        tail = _PERSISTED[mark:]
+        del _PERSISTED[mark:]
+        for df in tail:
+            sc = df.sparkSession.sparkContext
+            if sc._jsc is None:
+                continue
+            df.unpersist()
 
 
 def unpersist_all() -> int:

@@ -8042,7 +8042,7 @@ def q159_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "source",
             F.col("n_chars").cast("bigint").alias("v"),
-            F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint").alias("w"),
+            token_count("text").cast("bigint").alias("w"),
         )
         .filter(F.col("w") > 0)
     )

@@ -749,30 +749,35 @@ def test_s24_stream_plan_has_three_stateful_operators(spark, sf_dir):
     assert agg_count >= 2, f"expected 2 windowed aggregations, saw {agg_count}"
 
 
-def test_s25_monitor_plan_is_stateless(spark, sf_dir):
-    # the recall monitor holds NO state: no watermark, no aggregation,
-    # no join on the stream — one mapInPandas over the probe source
-    import tempfile
+def test_s25_monitor_never_collects_gallery(spark, sf_dir):
+    # VERDICT r8 "What's wrong" #1: the recall monitor must not
+    # materialize the gallery on the driver. (a) structurally — the
+    # query body performs no driver materialization at all (the only
+    # driver-sized object per trigger is the PROBE batch inside
+    # pairwise_similarity_topk, bounded by maxFilesPerTrigger); (b)
+    # behaviorally — streaming output equals batch q84 row-for-row,
+    # which holds for any batching because per-probe results depend
+    # only on (probe row, static gallery).
+    import inspect
 
-    from las_vpe_platform_spark.queries_streaming import EMBEDDINGS_SCHEMA
+    from las_vpe_platform_spark import queries_streaming as qs
+    from las_vpe_platform_spark.operators.staging import unpersist_all
+    from las_vpe_platform_spark.queries_data import q84_ann_recall
 
-    from pyspark.sql import functions as F  # noqa: F401
-
-    stream = (
-        spark.readStream.schema(EMBEDDINGS_SCHEMA)
-        .option("maxFilesPerTrigger", "2")
-        .parquet(tempfile.mkdtemp(prefix="s25_plan_"))
+    body = inspect.getsource(qs.s25_stream_ann_recall)
+    assert ".collect(" not in body and ".toPandas(" not in body, (
+        "s25 must not materialize tables on the driver"
     )
-
-    def _noop(batches):
-        for pdf in batches:
-            yield pdf[["vec_id"]].assign(n_hits=0, recall=0.0)
-
-    df = stream.mapInPandas(_noop, "vec_id long, n_hits long, recall double")
-    plan = df._jdf.queryExecution().analyzed().toString()
-    assert "EventTimeWatermark" not in plan
-    assert "Aggregate" not in plan
-    assert "Join" not in plan
+    streamed = {
+        r["probe_key"]: (r["n_hits"], r["recall"])
+        for r in qs.s25_stream_ann_recall(spark, sf_dir).collect()
+    }
+    batch = {
+        r["probe_key"]: (r["n_hits"], r["recall"])
+        for r in q84_ann_recall(spark, sf_dir).collect()
+    }
+    unpersist_all()
+    assert streamed == batch
 
 
 def test_q159_no_per_source_window(spark, sf_dir):

@@ -210,6 +210,7 @@ def test_weighted_quantiles_coverage_property(spark, sf_dir):
     distinct value's does not."""
     from pyspark.sql import functions as F
 
+    from las_vpe_platform_spark.functions.text import token_count
     from las_vpe_platform_spark.operators.staging import unpersist_all
     from las_vpe_platform_spark.queries_data import WQ_PS, q159_weighted_quantiles
     from las_vpe_platform_spark.sources.tables import load_table
@@ -221,7 +222,7 @@ def test_weighted_quantiles_coverage_property(spark, sf_dir):
         .select(
             "source",
             F.col("n_chars").cast("bigint").alias("v"),
-            F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint").alias("w"),
+            token_count("text").cast("bigint").alias("w"),
         )
         .filter(F.col("w") > 0)
         .collect()
