@@ -225,7 +225,9 @@ def broadcast_gallery_topk(
     otherwise need a per-probe aggregation).  A probe row with a NULL
     vector emits ONE row with NULL rank/gallery_key — the leftover
     flush passthrough (SparkStreamingApp.java:176-192: a tracklet
-    whose partner never arrived proceeds alone, unranked).
+    whose partner never arrived proceeds alone, unranked). An EMPTY
+    gallery routes every probe through that same branch (ADVICE r8):
+    the operator guarantees at least one output row per probe.
 
     100 TB contract: the gallery is the broadcast-dim side (persons,
     not corpus) — same smallness contract as pairwise_similarity_topk's
@@ -262,7 +264,14 @@ def broadcast_gallery_topk(
         for pdf in batches:
             if pdf.empty:
                 continue
-            has = pdf["_pvec"].notna()
+            # empty gallery ⇒ EVERY probe takes the unranked-flush
+            # branch (one NULL-rank row), mirroring the NULL-vector
+            # case — silently dropping vectored probes would violate
+            # the one-row-per-probe-minimum contract (ADVICE r8)
+            if len(gk):
+                has = pdf["_pvec"].notna()
+            else:
+                has = pd.Series(False, index=pdf.index)
             outs = []
             if (~has).any():
                 sub = pdf.loc[~has, passthrough].copy()

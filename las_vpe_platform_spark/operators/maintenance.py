@@ -442,13 +442,38 @@ def scd2_merge(stored: DataFrame, new_runs: DataFrame, key_col: str) -> DataFram
     first = nb.filter(F.col("_rn") == 1).drop("_rn")
     rest = nb.filter(F.col("_rn") > 1).drop("_rn")
     j = open_prev.alias("o").join(first.alias("f"), on=key_col, how="full_outer")
-    attr = [c for c in attr_cols if c not in
-            ("valid_from_us", "valid_to_us", "n_events", "is_current")][0]
+    plain = [c for c in attr_cols if c not in
+             ("valid_from_us", "valid_to_us", "n_events", "is_current")]
+    if len(plain) != 1:  # ADVICE r8: the extend/close reconstruction
+        # below rebuilds exactly ONE tracked attribute — a second one
+        # would be silently mis-merged, so fail at the boundary instead
+        raise ValueError(
+            f"scd2_merge tracks exactly one attribute column, got {plain}"
+        )
+    attr = plain[0]
     untouched = j.filter(F.col("f.valid_from_us").isNull()).select(key_col, *side("o"))
     fresh = j.filter(F.col("o.valid_from_us").isNull()).select(key_col, *side("f"))
     both = j.filter(
         F.col("o.valid_from_us").isNotNull() & F.col("f.valid_from_us").isNotNull()
     )
+    # time-ordered landing guard (ADVICE r8): a batch whose first run
+    # starts BEFORE the stored open run's valid_from violates the
+    # landing contract and would silently mis-place run boundaries.
+    # Fail loudly INSIDE the plan — zero extra jobs; the filter
+    # consumes the guard column so pruning cannot drop the check.
+    both = both.withColumn(
+        "_landing_ok",
+        F.when(
+            F.col("f.valid_from_us") >= F.col("o.valid_from_us"), F.lit(1)
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("scd2_merge: time-ordered landing contract violated for key "),
+                    F.col(key_col).cast("string"),
+                )
+            )
+        ),
+    ).filter(F.col("_landing_ok") == 1).drop("_landing_ok")
     same = F.col(f"o.{attr}").eqNullSafe(F.col(f"f.{attr}"))
     extended = both.filter(same).select(
         key_col,

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from las_vpe_platform_spark.functions.text import shingle_hash60
+from las_vpe_platform_spark.operators.staging import Materializer, persist_disk
 
 
 def dedup_spans(
@@ -91,6 +92,7 @@ def global_ranks(
     order_cols: list[str],
     rank_col: str = "rk",
     start: int = 0,
+    materialize: Materializer = persist_disk,
 ) -> DataFrame:
     """Global ``row_number() OVER (ORDER BY order_cols) - 1 + start``
     as a DISTRIBUTED two-phase scan — :func:`pack_sequences`' prefix
@@ -110,6 +112,15 @@ def global_ranks(
     positions via one Arrow mapInPandas pass; (3) per-partition counts
     (one tiny row each) window-summed driver-sized and broadcast back
     as offsets.
+
+    The positioned frame is PINNED via ``materialize`` before the
+    counts/offsets branch and the output branch fan out from it
+    (ADVICE r8): without pinning, the two branches agree only because
+    ReuseExchange dedupes the identical range exchange — a planner
+    edge case that planned them separately would sample DIFFERENT
+    range boundaries per branch and silently skip/duplicate ranks.
+    Pinning also halves the work: the sort + Arrow position pass runs
+    once, not once per branch.
     """
     import numpy as np
 
@@ -135,7 +146,7 @@ def global_ranks(
             n += len(pdf)
             yield pdf
 
-    local = parted.mapInPandas(_local_pos, out_schema)
+    local = materialize(parted.mapInPandas(_local_pos, out_schema), "global_ranks_local")
     counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
     offs = counts.select(
         "_pid",
@@ -159,6 +170,7 @@ def pack_sequences(
     n_tokens_col: str,
     order_seed: str = "pack",
     order_col: str | None = None,
+    materialize: Materializer = persist_disk,
 ) -> DataFrame:
     """Assign every document its exclusive prefix-sum of tokens in a
     deterministic global shuffle order (md5 of the id) — the
@@ -220,7 +232,10 @@ def pack_sequences(
             running += int(pdf["n"].sum())
             yield pdf
 
-    local = parted.mapInPandas(_local_prefix, out_schema)
+    # pinned for the same two reasons as global_ranks: branch-boundary
+    # consistency must not depend on ReuseExchange, and the sort +
+    # Arrow prefix pass should run once across the totals/output fan-out
+    local = materialize(parted.mapInPandas(_local_prefix, out_schema), "pack_local")
     totals = local.groupBy("_pid").agg(F.sum("n").alias("_tot"))
     offs = totals.select(
         "_pid",

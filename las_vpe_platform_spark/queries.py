@@ -52,8 +52,10 @@ _ALL.update(STREAMING_QUERIES)
 
 # First 50 = the driver's correctness window (see module docstring).
 DRIVER_PRIORITY: list[str] = [
-    # -- tier 0 (round 8): NEW entries + this round's re-gates head the
-    #    window (VERDICT r7 'Next round' #1-#3) --
+    # -- tier 0 (round 9): NEW entries head the window --
+    "s27_stream_storage_attrrecog_reid",
+    "s28_stream_reid_command",
+    # -- tier 0 (round 8): NEW entries + round-8 re-gates --
     "s24_stream_track_attr_reid",
     # re-gated r8: node ranks moved to the distributed two-phase scan
     # (global_ranks) + broadcast hints dropped (VERDICT r7 #2)

@@ -63,6 +63,34 @@ def test_scd2_merge_three_way_fold(spark):
     assert _runs_set(acc) == want
 
 
+def test_scd2_merge_guards(spark):
+    """ADVICE r8: (a) a second tracked attribute column must raise at
+    the boundary (the extend/close reconstruction handles exactly one);
+    (b) a batch violating the time-ordered landing contract must fail
+    loudly at execution, not silently corrupt run boundaries."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from las_vpe_platform_spark.operators.maintenance import scd2_history, scd2_merge
+
+    ev = spark.range(100).selectExpr(
+        "id AS event_id",
+        "id % 5 AS user_id",
+        "1000000 * CAST(id / 5 AS BIGINT) AS us",
+        "CAST(pmod(hash(id), 3) AS INT) AS tier",
+    )
+    early = scd2_history(ev.filter("us < 10000000"), "user_id", "tier", "us", "event_id")
+    late = scd2_history(ev.filter("us >= 10000000"), "user_id", "tier", "us", "event_id")
+
+    with pytest.raises(ValueError, match="exactly one attribute"):
+        scd2_merge(early, late.withColumn("extra_attr", F.lit(1)), "user_id")
+
+    # feed batches in the WRONG order: the stored table already holds
+    # the late runs, so the early batch lands out of contract
+    with pytest.raises((Py4JJavaError, Exception), match="landing contract"):
+        scd2_merge(late, early, "user_id").collect()
+
+
 def test_equidepth_histogram_is_equi_depth(spark, sf_dir):
     """Bucket sizes of the exact equi-depth histogram differ by at most
     one, buckets are contiguous in value order, and they partition the
