@@ -55,6 +55,13 @@ DRIVER_PRIORITY: list[str] = [
     # -- tier 0 (round 9): NEW entries head the window --
     "s27_stream_storage_attrrecog_reid",
     "s28_stream_reid_command",
+    "q160_local_bridges",
+    "q161_contamination_by_source",
+    "q163_lsh_s_curve",
+    "q164_dataset_cards",
+    "q165_cross_source_dup_matrix",
+    "q166_compaction_plan",
+    "m16_audio_silence_trim",
     # -- tier 0 (round 8): NEW entries + round-8 re-gates --
     "s24_stream_track_attr_reid",
     # re-gated r8: node ranks moved to the distributed two-phase scan

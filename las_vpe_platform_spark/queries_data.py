@@ -3935,8 +3935,27 @@ JS_SOURCES = ["src0", "src1", "src2", "src3"]
 JS_SMOOTH = 0.5
 
 
+def js_source_tf(docs: DataFrame) -> DataFrame:
+    """The (source, term, cnt) frequency table q104's JS divergence
+    consumes — factored out (r9) so the streaming drift monitor (s29)
+    can maintain the SAME table incrementally and share the divergence
+    math via :func:`js_pairwise_from_tf`."""
+    return (
+        docs.select(
+            "source", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("term")
+        )
+        .filter(F.length("term") >= 1)
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 def q104_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").filter(F.col("source").isin(JS_SOURCES))
+    return js_pairwise_from_tf(js_source_tf(docs))
+
+
+def js_pairwise_from_tf(tf: DataFrame) -> DataFrame:
     # SHAPE (round 5, replacing 6 pairwise full-outer joins): pivot the
     # (source, term) counts into one vocab-sized row per term — a
     # single term-keyed shuffle — then expand the 6 source pairs
@@ -3946,12 +3965,6 @@ def q104_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is the only data-sized frame and it is staged once. The old
     # formulation ran 12 cache reads + 6 join exchanges for the same
     # answer.
-    tf = (
-        docs.select("source", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("term"))
-        .filter(F.length("term") >= 1)
-        .groupBy("source", "term")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
     piv = (
         tf.groupBy("term").pivot("source", JS_SOURCES).agg(F.first("cnt"))
     ).transform(_stage)
@@ -8093,6 +8106,352 @@ FROM c GROUP BY source
 """
 
 
+# --- q160: local bridges of the near-dup graph -------------------------------
+# The weak-tie re-check queue q158's docstring promises, as a
+# first-class entry: a LOCAL BRIDGE (Easley-Kleinberg §3.2) is an edge
+# whose endpoints share NO common neighbor — zero triangle support —
+# so it is precisely an edge CC would merge two clusters through with
+# no reinforcing evidence. Output: every local bridge with endpoint
+# degrees and a pendant flag (min degree 1 = a leaf attachment, the
+# benign case; non-pendant local bridges are the dangerous
+# cluster-couplers a dedup verifier re-checks first). Scale: q154's
+# sum(deg²)-bounded wedge join flags supported edges; bridges fall out
+# as the anti-join, degrees as one groupBy — no new machinery.
+
+
+def q160_local_bridges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pairs = _stage(
+        minhash_lsh_candidates(
+            docs, id_col="doc_id", text_col="text",
+            shingle_k=MINHASH_K, num_hashes=MINHASH_HASHES, bands=MINHASH_BANDS,
+        ).select("id_a", "id_b"),
+        "q160_pairs",
+    )
+    sym = pairs.unionByName(pairs.selectExpr("id_b AS id_a", "id_a AS id_b"))
+    deg = sym.groupBy("id_a").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    supported = (
+        pairs.join(sym.selectExpr("id_a", "id_b AS c"), "id_a")
+        .filter(F.col("c") != F.col("id_b"))
+        .join(sym.selectExpr("id_a AS id_b", "id_b AS c"), ["id_b", "c"])
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    bridges = pairs.join(supported, ["id_a", "id_b"], "left_anti")
+    return (
+        bridges.join(deg.selectExpr("id_a", "deg AS deg_a"), "id_a")
+        .join(deg.selectExpr("id_a AS id_b", "deg AS deg_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "deg_a",
+            "deg_b",
+            (F.least("deg_a", "deg_b") == 1).cast("int").alias("is_pendant"),
+        )
+    )
+
+
+def _q160_sql() -> str:
+    return f"""
+WITH pairs AS MATERIALIZED (
+  SELECT id_a, id_b FROM ({_q24_sql()}) t
+), sym AS (
+  SELECT id_a, id_b FROM pairs UNION ALL SELECT id_b, id_a FROM pairs
+), deg AS (
+  SELECT id_a, count(*)::BIGINT AS deg FROM sym GROUP BY 1
+), supported AS (
+  SELECT DISTINCT p.id_a, p.id_b
+  FROM pairs p
+  JOIN sym s1 ON s1.id_a = p.id_a
+  JOIN sym s2 ON s2.id_a = p.id_b AND s2.id_b = s1.id_b
+  WHERE s1.id_b != p.id_b
+)
+SELECT p.id_a, p.id_b, da.deg AS deg_a, db.deg AS deg_b,
+       CASE WHEN least(da.deg, db.deg) = 1 THEN 1 ELSE 0 END AS is_pendant
+FROM pairs p
+ANTI JOIN supported s ON s.id_a = p.id_a AND s.id_b = p.id_b
+JOIN deg da ON da.id_a = p.id_a
+JOIN deg db ON db.id_a = p.id_b
+"""
+
+
+Q160_SQL = _q160_sql()
+
+
+# --- q161: per-source contamination sweep -------------------------------------
+# q60's GPT-3-style 13-gram decontamination rolled up to the
+# REMEDIATION view (VERDICT r8 'Next round' #5): which SOURCES leak
+# eval content, at what rate, and how heavily — the table a curation
+# team reads to decide whether a source needs n-gram filtering or
+# outright exclusion. Composes q60's eval_overlap_flags (eval shingles
+# broadcast, corpus never shuffles) with one source-keyed rollup; the
+# per-doc flags stream straight into the aggregate, nothing lands.
+
+
+def q161_contamination_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.operators.dedup import eval_overlap_flags
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    flags = eval_overlap_flags(
+        corpus, ev, id_col="doc_id", text_col="text", n=DECONTAM_N
+    )
+    return (
+        flags.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("contaminated").cast("bigint").alias("n_contaminated"),
+            F.sum("n_shared").cast("bigint").alias("shared_ngrams"),
+            pround(F.avg(F.col("contaminated").cast("double")), 6).alias(
+                "contamination_rate"
+            ),
+        )
+    )
+
+
+Q161_SQL = f"""
+WITH flags AS ({Q60_SQL})
+SELECT d.source, count(*)::BIGINT AS n_docs,
+       sum(f.contaminated)::BIGINT AS n_contaminated,
+       sum(f.n_shared)::BIGINT AS shared_ngrams,
+       floor(avg(f.contaminated::DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+         AS contamination_rate
+FROM flags f JOIN documents d USING (doc_id)
+GROUP BY d.source
+"""
+
+
+# --- q163: LSH S-curve calibration --------------------------------------------
+# The band/row tuning table next to q157's estimator-bias curve: bucket
+# the retrieved candidate pairs by EXACT Jaccard decile and report, per
+# bucket, the mean MinHash estimate and the THEORETICAL capture
+# probability 1-(1-s^r)^b of the current (bands, rows) configuration —
+# the S-curve a dedup pipeline reads to see where its threshold sits
+# on the capture cliff. Rides q157's output verbatim (both engines
+# consume the same 4-digit-quantized pair table), so the only new
+# work is a 10-row aggregate.
+
+LSH_ROWS_PER_BAND = MINHASH_HASHES // MINHASH_BANDS
+
+
+def q163_lsh_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = q157_minhash_estimate_error(spark, sf_dir)
+    s = F.col("exact_jaccard")
+    capture = F.lit(1.0) - F.pow(
+        F.lit(1.0) - F.pow(s, F.lit(float(LSH_ROWS_PER_BAND))),
+        F.lit(float(MINHASH_BANDS)),
+    )
+    return (
+        pairs.withColumn("bucket", F.floor(s * 10).cast("bigint"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            pround(F.avg("est_jaccard"), 6).alias("avg_est_jaccard"),
+            pround(F.avg(capture), 6).alias("avg_capture_p"),
+        )
+    )
+
+
+Q163_SQL = f"""
+WITH pairs AS ({Q157_SQL})
+SELECT floor(exact_jaccard * 10)::BIGINT AS bucket,
+       count(*)::BIGINT AS n_pairs,
+       floor(avg(est_jaccard) * 1000000.0 + 0.5) / 1000000.0 AS avg_est_jaccard,
+       floor(avg(1.0 - pow(1.0 - pow(exact_jaccard, {float(LSH_ROWS_PER_BAND)}),
+                           {float(MINHASH_BANDS)})) * 1000000.0 + 0.5) / 1000000.0
+         AS avg_capture_p
+FROM pairs GROUP BY 1
+"""
+
+
+# --- q164: dataset cards --------------------------------------------------------
+# The per-source "datasheet" (Gebru et al. 2021) a training-data
+# release ships: volume, token mass, mean quality, language spread,
+# and exact-duplicate mass — one row per source, every column from
+# operators that already exist elsewhere in the catalog (token_count,
+# quality_score, q23's normalization hash). ONE corpus scan into two
+# grouped aggregates (the dup count needs a (source, hash) pre-group);
+# nothing lands, nothing joins at corpus scale.
+
+
+def q164_dataset_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.functions.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "lang",
+        token_count("text").cast("bigint").alias("_toks"),
+        quality_score("text").alias("_q"),
+        F.md5(
+            F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+        ).alias("_h"),
+    )
+    dup = (
+        docs.groupBy("source", "_h")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .groupBy("source")
+        .agg(F.sum(F.col("_n") - 1).cast("bigint").alias("n_exact_dups"))
+    )
+    base = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("_toks").cast("bigint").alias("total_tokens"),
+        pround(F.avg("_q"), 6).alias("mean_quality"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+    )
+    return base.join(dup, "source")
+
+
+Q164_SQL = f"""
+WITH base AS (
+  SELECT doc_id, source, lang,
+         len({SQL_TOKENS})::BIGINT AS toks,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h,
+         least(length(text)::DOUBLE / 500.0, 1.0) * 0.4
+         + least((CASE WHEN len({SQL_TOKENS}) > 0
+                  THEN len(list_filter({SQL_TOKENS}, t -> list_contains({SQL_STOPWORDS}, lower(t))))::DOUBLE
+                       / len({SQL_TOKENS})::DOUBLE ELSE 0.0 END) * 4.0, 1.0) * 0.3
+         + (1.0 - least((CASE WHEN length(text) > 0
+                   THEN (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE
+                        / length(text)::DOUBLE ELSE 0.0 END) * 5.0, 1.0)) * 0.3 AS q
+  FROM documents
+), dup AS (
+  SELECT source, sum(n - 1)::BIGINT AS n_exact_dups FROM (
+    SELECT source, h, count(*) AS n FROM base GROUP BY 1, 2
+  ) GROUP BY 1
+)
+SELECT b.source, count(*)::BIGINT AS n_docs, sum(toks)::BIGINT AS total_tokens,
+       floor(avg(q) * 1000000.0 + 0.5) / 1000000.0 AS mean_quality,
+       count(DISTINCT lang)::BIGINT AS n_langs,
+       any_value(dup.n_exact_dups) AS n_exact_dups
+FROM base b JOIN dup ON dup.source = b.source
+GROUP BY b.source
+"""
+
+
+# --- q165: cross-source duplication matrix ------------------------------------
+# WHERE the near-duplication lives: the LSH candidate pairs of q24
+# keyed by the (source, source) pair they connect — the matrix a
+# curation team reads to find mirror sites and shared boilerplate
+# BETWEEN sources (off-diagonal mass) versus internal churn (the
+# diagonal). One join of the pair list against the doc->source map
+# (broadcast at any scale where sources fit a dimension table — the
+# map is (doc_id, source), corpus-sized, so it shuffle-joins on
+# doc_id and the MATRIX is the tiny output), then a canonical
+# least/greatest fold so (a,b) and (b,a) land in one cell.
+
+
+def q165_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(
+        docs, id_col="doc_id", text_col="text",
+        shingle_k=MINHASH_K, num_hashes=MINHASH_HASHES, bands=MINHASH_BANDS,
+    ).select("id_a", "id_b")
+    sm = docs.select("doc_id", "source")
+    tagged = (
+        pairs.join(sm.selectExpr("doc_id AS id_a", "source AS _sa"), "id_a")
+        .join(sm.selectExpr("doc_id AS id_b", "source AS _sb"), "id_b")
+    )
+    return (
+        tagged.select(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )
+
+
+Q165_SQL = f"""
+WITH pairs AS (
+  SELECT id_a, id_b FROM ({_q24_sql()}) t
+)
+SELECT least(da.source, db.source) AS source_a,
+       greatest(da.source, db.source) AS source_b,
+       count(*)::BIGINT AS n_pairs
+FROM pairs p
+JOIN documents da ON da.doc_id = p.id_a
+JOIN documents db ON db.doc_id = p.id_b
+GROUP BY 1, 2
+"""
+
+
+# --- q166: small-file compaction plan -----------------------------------------
+# The PLANNING half of the reference's HAR compaction (K4,
+# DataManagingApp.java:422-473 folds small tracklet files into
+# archives; q156 AUDITS layout, this decides the rewrite): greedy
+# contiguous binning of the file inventory into COMPACT_BINS
+# roughly-equal byte targets — bin = bytes-before DIV target, the
+# same telescoped prefix rule as q159/q44. Scale: the inventory is
+# file METADATA (millions of rows at 100 TB, never data), and even
+# so the prefix comes from pack_sequences' distributed two-phase
+# scan, not a single-task window — the node-rank lesson applied to
+# metadata before it ever bites.
+
+COMPACT_BINS = 5
+
+
+def q166_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    mx = docs.groupBy().agg(F.max("doc_id").alias("_mx"))
+    files = (
+        docs.crossJoin(F.broadcast(mx))
+        .selectExpr(
+            f"least({LAYOUT_FILES - 1}, (doc_id * {LAYOUT_FILES}) div (_mx + 1))"
+            " AS file_id",
+            "n_chars",
+        )
+        .groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("bytes"),
+        )
+    )
+    pref = pack_sequences(files, "file_id", "bytes", order_col="file_id")
+    tot = pref.groupBy().agg(
+        ((F.sum("n") + COMPACT_BINS - 1) / COMPACT_BINS)
+        .cast("bigint")
+        .alias("_target")
+    )
+    return (
+        pref.crossJoin(F.broadcast(tot))
+        .selectExpr("file_id", "n AS bytes", "prefix DIV _target AS bin_id")
+        .groupBy("bin_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_files"),
+            F.sum("bytes").cast("bigint").alias("total_bytes"),
+            F.min("file_id").cast("bigint").alias("file_lo"),
+            F.max("file_id").cast("bigint").alias("file_hi"),
+        )
+    )
+
+
+Q166_SQL = f"""
+WITH mx AS (
+  SELECT max(doc_id) AS _mx FROM documents
+), files AS (
+  SELECT least({LAYOUT_FILES - 1}, (doc_id * {LAYOUT_FILES}) // (_mx + 1))::BIGINT AS file_id,
+         count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS bytes
+  FROM documents, mx GROUP BY 1
+), tot AS (
+  SELECT (sum(bytes) + {COMPACT_BINS - 1}) // {COMPACT_BINS} AS target FROM files
+), pref AS (
+  SELECT file_id, bytes,
+         coalesce(sum(bytes) OVER (ORDER BY file_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+  FROM files
+)
+SELECT (prefix // target)::BIGINT AS bin_id, count(*)::BIGINT AS n_files,
+       sum(bytes)::BIGINT AS total_bytes,
+       min(file_id)::BIGINT AS file_lo, max(file_id)::BIGINT AS file_hi
+FROM pref, tot GROUP BY 1
+"""
+
+
 DATA_QUERIES = {
     "q20_doc_token_stats": (q20_doc_token_stats, Q20_SQL),
     "q21_doc_quality": (q21_doc_quality, Q21_SQL),
@@ -8212,4 +8571,10 @@ DATA_QUERIES = {
     "q157_minhash_estimate_error": (q157_minhash_estimate_error, Q157_SQL),
     "q158_ktruss_edges": (q158_ktruss_edges, Q158_SQL),
     "q159_weighted_quantiles": (q159_weighted_quantiles, Q159_SQL),
+    "q160_local_bridges": (q160_local_bridges, Q160_SQL),
+    "q161_contamination_by_source": (q161_contamination_by_source, Q161_SQL),
+    "q163_lsh_s_curve": (q163_lsh_s_curve, Q163_SQL),
+    "q164_dataset_cards": (q164_dataset_cards, Q164_SQL),
+    "q165_cross_source_dup_matrix": (q165_cross_source_dup_matrix, Q165_SQL),
+    "q166_compaction_plan": (q166_compaction_plan, Q166_SQL),
 }

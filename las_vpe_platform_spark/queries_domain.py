@@ -2619,6 +2619,74 @@ FROM seg GROUP BY 1, 2
 """
 
 
+# --- m16: audio silence trim (VAD-style endpointing) --------------------------
+# The leading/trailing-silence trim every speech-data pipeline runs
+# before training (endpointing): a frame is VOICED when its energy
+# density clears HALF the clip's mean density (the m10 relative-
+# threshold convention — absolute PCM thresholds don't transfer across
+# recording gains), and the trim keeps [first_voiced, last_voiced].
+# Frame granularity is the honest unit (real VADs are frame-based).
+# Scale: rides m08's per-window hex-energy fold (staged once), one
+# clip-keyed join + one grouped aggregate — no per-sample shuffle.
+
+
+def m16_audio_silence_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.operators.staging import persist_disk
+
+    wins = persist_disk(m08_audio_energy_windows(spark, sf_dir), "m16_windows")
+    tot = wins.groupBy("clip_id").agg(
+        F.sum("energy").alias("_te"),
+        F.sum("n_in_window").alias("_tn"),
+        F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+    )
+    voiced = F.when(
+        F.col("energy") * 2 * F.col("_tn") > F.col("_te") * F.col("n_in_window"),
+        F.col("window_id"),
+    )
+    agg = (
+        wins.join(tot, "clip_id")
+        .groupBy("clip_id")
+        .agg(
+            F.max("n_windows").alias("n_windows"),
+            F.min(voiced).cast("bigint").alias("first_voiced"),
+            F.max(voiced).cast("bigint").alias("last_voiced"),
+        )
+    )
+    return agg.select(
+        "clip_id",
+        "n_windows",
+        "first_voiced",
+        "last_voiced",
+        F.coalesce("first_voiced", F.col("n_windows")).cast("bigint").alias(
+            "n_lead_trimmed"
+        ),
+        F.coalesce(
+            F.col("n_windows") - 1 - F.col("last_voiced"), F.lit(0)
+        ).cast("bigint").alias("n_tail_trimmed"),
+    )
+
+
+M16_SQL = f"""
+WITH wins AS ({M08_SQL}
+), tot AS (
+  SELECT clip_id, sum(energy) AS te, sum(n_in_window) AS tn,
+         count(*)::BIGINT AS nw
+  FROM wins GROUP BY 1
+), flags AS (
+  SELECT w.clip_id, any_value(nw) AS nw,
+         min(CASE WHEN w.energy * 2 * tn > te * w.n_in_window
+                  THEN w.window_id END)::BIGINT AS fv,
+         max(CASE WHEN w.energy * 2 * tn > te * w.n_in_window
+                  THEN w.window_id END)::BIGINT AS lv
+  FROM wins w JOIN tot USING (clip_id) GROUP BY w.clip_id
+)
+SELECT clip_id, nw AS n_windows, fv AS first_voiced, lv AS last_voiced,
+       coalesce(fv, nw)::BIGINT AS n_lead_trimmed,
+       coalesce(nw - 1 - lv, 0)::BIGINT AS n_tail_trimmed
+FROM flags
+"""
+
+
 DOMAIN_QUERIES = {
     "d01_tracklet_sampling": (d01_tracklet_sampling, D01_SQL),
     "d02_attribute_average": (d02_attribute_average, D02_SQL),
@@ -2663,4 +2731,5 @@ DOMAIN_QUERIES = {
     "d29_camera_load": (d29_camera_load, D29_SQL),
     "m14_scene_segments": (m14_scene_segments, M14_SQL),
     "m15_scene_exemplars": (m15_scene_exemplars, M15_SQL),
+    "m16_audio_silence_trim": (m16_audio_silence_trim, M16_SQL),
 }
