@@ -62,6 +62,8 @@ DRIVER_PRIORITY: list[str] = [
     "q165_cross_source_dup_matrix",
     "q166_compaction_plan",
     "m16_audio_silence_trim",
+    "q162_ivf_cell_split",
+    "s29_stream_source_drift",
     # -- tier 0 (round 8): NEW entries + round-8 re-gates --
     "s24_stream_track_attr_reid",
     # re-gated r8: node ranks moved to the distributed two-phase scan

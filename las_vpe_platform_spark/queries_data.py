@@ -8378,6 +8378,156 @@ GROUP BY 1, 2
 """
 
 
+# --- q162: IVF cell-split maintenance ------------------------------------------
+# The index-maintenance decision SCALE.md names as s13's live signal:
+# rebalance the HEAVIEST OCTILE of cells (rank by occupancy DESC, id
+# ASC; split the top ceil(C/8)) — the steady-state policy that keeps
+# probing balanced even before any cell overflows an absolute bound.
+# This entry emits the split PLAN: per hot cell, two deterministic
+# seeds (the classic farthest-pair heuristic — seed A = member least
+# similar to the centroid, seed B = member least similar to seed A,
+# ties to the smaller id) and the member counts each side would
+# inherit. Scale: assignment reuses assign_centroids' broadcast-fold
+# (gallery never shuffles); the occupancy rank window runs on the
+# CELL table (index metadata, ~sqrt(N) rows); everything after runs
+# on hot-cell members only; both engines fold cosines sequentially
+# over the same element order, so comparisons are bit-identical.
+
+Q162_SPLIT_DIV = 8  # split the fullest ceil(C/8) cells
+
+
+def q162_ivf_cell_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W2
+
+    from las_vpe_platform_spark.functions.vector import cosine_similarity
+    from las_vpe_platform_spark.operators.similarity import assign_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cen = emb.filter(F.col("vec_id") % IVF_CENTROID_MOD == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("_cvec")
+    )
+    assigned = _stage(
+        assign_centroids(
+            emb.select("vec_id", "embedding"),
+            cen.selectExpr("centroid_id", "_cvec AS embedding"),
+            id_col="vec_id",
+            vector_col="embedding",
+        ),
+        "q162_assigned",
+    )
+    occ = assigned.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    )
+    st = occ.groupBy().agg(F.count(F.lit(1)).alias("_nc"))
+    wocc = W2.partitionBy().orderBy(F.desc("n_members"), F.asc("centroid_id"))
+    split = _stage(
+        occ.withColumn("_orank", F.row_number().over(wocc))
+        .crossJoin(F.broadcast(st))
+        .filter(F.col("_orank") * Q162_SPLIT_DIV <= F.col("_nc") + Q162_SPLIT_DIV - 1)
+        .select("centroid_id", "n_members"),
+        "q162_split",
+    )
+    mem = _stage(
+        assigned.join(split.select("centroid_id"), "centroid_id"), "q162_members"
+    )
+    simc = mem.join(F.broadcast(cen), "centroid_id").withColumn(
+        "_sim", cosine_similarity("embedding", "_cvec")
+    )
+    wa = W2.partitionBy("centroid_id").orderBy(F.asc("_sim"), F.asc("vec_id"))
+    sa = (
+        simc.withColumn("_rk", F.row_number().over(wa))
+        .filter(F.col("_rk") == 1)
+        .select("centroid_id", F.col("vec_id").alias("seed_a"),
+                F.col("embedding").alias("_avec"))
+    )
+    with_a = mem.join(F.broadcast(sa), "centroid_id").withColumn(
+        "_sim_a", cosine_similarity("embedding", "_avec")
+    )
+    wb = W2.partitionBy("centroid_id").orderBy(F.asc("_sim_a"), F.asc("vec_id"))
+    sb = (
+        with_a.filter(F.col("vec_id") != F.col("seed_a"))
+        .withColumn("_rk", F.row_number().over(wb))
+        .filter(F.col("_rk") == 1)
+        .select("centroid_id", F.col("vec_id").alias("seed_b"),
+                F.col("embedding").alias("_bvec"))
+    )
+    re = (
+        mem.join(F.broadcast(sa), "centroid_id")
+        .join(F.broadcast(sb), "centroid_id")
+        .withColumn(
+            "_to_a",
+            (
+                cosine_similarity("embedding", "_avec")
+                >= cosine_similarity("embedding", "_bvec")
+            ).cast("long"),
+        )
+    )
+    return (
+        re.groupBy("centroid_id", "seed_a", "seed_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.sum("_to_a").cast("bigint").alias("n_to_a"),
+            (F.count(F.lit(1)) - F.sum("_to_a")).cast("bigint").alias("n_to_b"),
+        )
+        .select("centroid_id", "n_members", "seed_a", "seed_b", "n_to_a", "n_to_b")
+    )
+
+
+def _q162_sql() -> str:
+    return f"""
+WITH cen AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings
+  WHERE vec_id % {IVF_CENTROID_MOD} = 0
+), asg AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {sql_cosine('e.embedding', 'c.cvec')} DESC, c.centroid_id) AS rk
+    FROM embeddings e CROSS JOIN cen c
+  ) WHERE rk = 1
+), occ AS (
+  SELECT centroid_id, count(*)::BIGINT AS n_members FROM asg GROUP BY 1
+), st AS (
+  SELECT count(*) AS nc FROM occ
+), split AS (
+  SELECT centroid_id, n_members FROM (
+    SELECT centroid_id, n_members,
+           row_number() OVER (ORDER BY n_members DESC, centroid_id) AS orank
+    FROM occ
+  ), st WHERE orank * {Q162_SPLIT_DIV} <= nc + {Q162_SPLIT_DIV - 1}
+), mem AS (
+  SELECT a.vec_id, a.embedding, a.centroid_id FROM asg a JOIN split USING (centroid_id)
+), sa AS (
+  SELECT centroid_id, vec_id AS seed_a, embedding AS avec FROM (
+    SELECT m.centroid_id, m.vec_id, m.embedding,
+           row_number() OVER (PARTITION BY m.centroid_id
+                              ORDER BY {sql_cosine('m.embedding', 'c.cvec')} ASC, m.vec_id) AS rk
+    FROM mem m JOIN cen c USING (centroid_id)
+  ) WHERE rk = 1
+), sb AS (
+  SELECT centroid_id, vec_id AS seed_b, embedding AS bvec FROM (
+    SELECT m.centroid_id, m.vec_id, m.embedding,
+           row_number() OVER (PARTITION BY m.centroid_id
+                              ORDER BY {sql_cosine('m.embedding', 'sa.avec')} ASC, m.vec_id) AS rk
+    FROM mem m JOIN sa USING (centroid_id) WHERE m.vec_id != sa.seed_a
+  ) WHERE rk = 1
+)
+SELECT m.centroid_id, s.n_members, sa.seed_a, sb.seed_b,
+       sum(CASE WHEN {sql_cosine('m.embedding', 'sa.avec')}
+                  >= {sql_cosine('m.embedding', 'sb.bvec')} THEN 1 ELSE 0 END)::BIGINT AS n_to_a,
+       sum(CASE WHEN {sql_cosine('m.embedding', 'sa.avec')}
+                  >= {sql_cosine('m.embedding', 'sb.bvec')} THEN 0 ELSE 1 END)::BIGINT AS n_to_b
+FROM mem m
+JOIN split s USING (centroid_id)
+JOIN sa USING (centroid_id)
+JOIN sb USING (centroid_id)
+GROUP BY 1, 2, 3, 4
+"""
+
+
+Q162_SQL = _q162_sql()
+
+
 # --- q166: small-file compaction plan -----------------------------------------
 # The PLANNING half of the reference's HAR compaction (K4,
 # DataManagingApp.java:422-473 folds small tracklet files into
@@ -8572,6 +8722,7 @@ DATA_QUERIES = {
     "q158_ktruss_edges": (q158_ktruss_edges, Q158_SQL),
     "q159_weighted_quantiles": (q159_weighted_quantiles, Q159_SQL),
     "q160_local_bridges": (q160_local_bridges, Q160_SQL),
+    "q162_ivf_cell_split": (q162_ivf_cell_split, Q162_SQL),
     "q161_contamination_by_source": (q161_contamination_by_source, Q161_SQL),
     "q163_lsh_s_curve": (q163_lsh_s_curve, Q163_SQL),
     "q164_dataset_cards": (q164_dataset_cards, Q164_SQL),
