@@ -11,17 +11,17 @@ catalog).  ``DRIVER_PRIORITY`` is therefore RE-DERIVED EVERY ROUND as
 "everything not yet driver-green, oldest evidence first" (VERDICT r2
 'What's wrong' #2 — a stale list wastes the round's sample):
 
-1. tier 0 (round 8) — the NEW entries (s24 flagship, q152-q159, d29,
-   m14, s25, s26) and this round's re-gates (q127/q136/q137 node
-   ranks moved to the distributed two-phase scan, VERDICT r7 'What's
-   wrong' #1),
-2. tier 1 — stalest evidence first: entries whose latest driver row
-   is r01-r05 fill the remaining window slots,
-3. tail — freshest evidence last (the r06/r07 driver-green rows,
-   including round 7's closure set q130/q148-q151/d28/q140/s23/q134).
+1. tier 0 (round 9) — the 11 NEW entries (s27/s28 command paths,
+   q160-q166, m16, s29) and this round's re-gates (s25 distributed
+   rewrite, s24 oracle mirror, q159 tokenizer fix, q158 incremental
+   support, s26 landing guard, q127/q136/q137/q152 global_ranks pin),
+2. tier 1 — stalest evidence first: the r01 rows then the oldest r02
+   rows fill the remaining window slots,
+3. tail — everything else ordered by (latest driver round, name) so
+   the next re-derivation promotes the stalest mechanically.
 
-After round 7 the cumulative record is 214/214 driver-green (VERDICT
-r7); round 8 adds 14 entries, all placed inside the window.  The
+After round 8 the cumulative record is 228/228 driver-green (VERDICT
+r8); round 9 adds 11 entries, all placed inside the window.  The
 import-time guards enforce (a) the must-gate tiers sit inside the
 window, (b) every overflow entry has a prior-round driver row or an
 explicit acknowledgement, and (c) every catalog entry appears in this
@@ -52,156 +52,40 @@ _ALL.update(STREAMING_QUERIES)
 
 # First 50 = the driver's correctness window (see module docstring).
 DRIVER_PRIORITY: list[str] = [
-    # -- tier 0 (round 9): NEW entries head the window --
+    # -- tier 0 (round 9): the 11 NEW entries (s27/s28 command paths,
+    #    q160-q166 graph/curation/maintenance, m16, s29 drift monitor),
+    #    then the round-9 RE-GATES — entries whose semantics, oracle, or
+    #    plan changed this round (s25 distributed rewrite, s24 oracle
+    #    left-join mirror, q159 tokenizer fix, q158 incremental support,
+    #    s26 landing guard, q127/q136/q137/q152 global_ranks pinning) --
+    # -- tier 1: stalest driver evidence first (r01 then r02 rows fill
+    #    the remaining window slots) --
+    # -- overflow: everything else ordered by (latest driver round,
+    #    name) so the NEXT re-derivation promotes the stalest first --
     "s27_stream_storage_attrrecog_reid",
     "s28_stream_reid_command",
     "q160_local_bridges",
     "q161_contamination_by_source",
+    "q162_ivf_cell_split",
     "q163_lsh_s_curve",
     "q164_dataset_cards",
     "q165_cross_source_dup_matrix",
     "q166_compaction_plan",
     "m16_audio_silence_trim",
-    "q162_ivf_cell_split",
     "s29_stream_source_drift",
-    # -- tier 0 (round 8): NEW entries + round-8 re-gates --
+    "s25_stream_ann_recall",
     "s24_stream_track_attr_reid",
-    # re-gated r8: node ranks moved to the distributed two-phase scan
-    # (global_ranks) + broadcast hints dropped (VERDICT r7 #2)
+    "q159_weighted_quantiles",
+    "q158_ktruss_edges",
+    "s26_stream_scd2_maintenance",
     "q127_negative_edge_samples",
     "q136_triplet_mining",
     "q137_entity_resolution",
-    # NEW round-8 entries (landing order)
     "q152_equidepth_histogram",
-    "q153_degree_assortativity",
-    "q154_edge_triangle_support",
-    "q155_cdc_chunking",
-    "q156_layout_optimize_audit",
-    "q157_minhash_estimate_error",
-    "d29_camera_load",
-    "m14_scene_segments",
-    "s25_stream_ann_recall",
-    "s26_stream_scd2_maintenance",
-    "q158_ktruss_edges",
-    "q159_weighted_quantiles",
-    "m15_scene_exemplars",
-    # -- tier 1: stalest prior evidence (r01-r05 rows) fills the
-    #    window; displaced toward overflow as new entries land --
-    "q38_running_user_value",
-    "q39_event_navigation",
-    "q40_part_name_strings",
-    "q41_segment_set_ops",
-    "q42_doc_repetition",
-    "q43_vocab_top_terms",
-    "q44_doc_chunks",
-    "q45_dataset_split",
-    "q46_multi_distinct",
-    "q47_null_semantics",
-    "q49_embedding_quantize",
-    "q02_top_customers_per_nation",
-    "q03_shipping_priority",
-    "q04_regional_revenue",
-    "q05_daily_activity_full_outer",
-    "q10_events_minutely",
-    "q13_sampled_lineitems",
-    "q15_frame_time_arithmetic",
-    "q16_event_type_pivot",
-    "q17_rollup_returnflag",
-    "q19_entity_union",
-    "q23_dedup_exact",
-    "q28_label_centroids",
-    "q64_bigram_novelty",
-    "q65_bm25_topk",
-    "q66_sq8_ann_topk",
-    "q67_incremental_dedup",
-    "q74_pmi_collocations",
-    "q75_leakage_free_split",
-    "q76_locf_backfill",
-    "q90_table_profile",
-    "q91_snapshot_diff",
-    "q92_zorder_layout",
-    "q93_cluster_keep_best",
-    "q95_join_preflight",
-    "q96_group_sample",
-    "q98_funnel_analysis",
-    "m06_keyframe_selection",
-    "s06_stream_static_enrich",
-    "q102_apply_cdc",
-    "q26_ngram_jaccard_top_pairs",
-    "q106_prefix_filter_join",
-    "q78_dsir_importance",
-    "q81_cms_heavy_hitters",
-    "q63_bloom_semi_join",
-    "s03_stream_sessions",
-    "s10_stream_locf",
-    "q107_fuzzy_decontaminate",
-    "m09_patch_brightness_cuts",
-    "q108_event_trigrams",
-    "q109_cohort_retention",
-    "q110_sampled_quantiles",
-    "s12_stream_trigrams",
-    "s13_stream_ivf_assign",
-    "q111_pq_ann_topk",
-    "s14_stream_quantile_sketch",
-    "d17_trajectory_stats",
-    "d18_fragment_heal_candidates",
-    "d19_camera_transitions",
-    "d20_attribute_search",
-    "q112_containment_dedup",
-    "q113_rrf_fusion",
-    "d21_cotravel_pairs",
-    "q114_pca_power",
-    "q115_transition_entropy",
-    "m10_loudness_segments",
-    "q116_reranked_retrieval",
-    "d22_dwell_distribution",
-    "s16_stream_session_native",
     "q32_cube_orders",
     "q34_value_percentiles",
     "q35_customers_with_urgent_orders",
     "q36_cheapest_customer_per_nation",
-    "q89_bpe_pair_counts",
-    "q94_triangle_count",
-    "q97_perplexity_filter",
-    "q99_embedding_anisotropy",
-    "q100_weighted_sample",
-    "q101_rolling_stats",
-    "q103_mad_outliers",
-    "q104_source_drift",
-    "q105_decayed_trending",
-    "d15_pipeline_storage_reid",
-    "d16_pipeline_reid_command",
-    "s09_stream_distinct_sketch",
-    "s11_stream_leaderboard",
-    "m07_patch_neardup",
-    "m08_audio_energy_windows",
-    "s07_stream_heavy_hitters",
-    "s08_stream_incremental_dedup",
-    "q82_kmeans_clusters",
-    "q83_curation_pipeline",
-    "q84_ann_recall",
-    "q85_epoch_shuffle",
-    "q86_token_budget_mix",
-    "q87_quality_classifier",
-    "q88_skew_diagnostics",
-    "q77_blocklist_filter",
-    "q79_hard_negatives",
-    "q80_semantic_dedup",
-    "d14_pipeline_reid",
-    "m03_patch_resize",
-    "m04_audio_decimate",
-    "m05_frame_fragments",
-    "s02_stream_dedup",
-    "s04_stream_interval_join",
-    "s05_stream_demux_sinks",
-    "q59_srp_neardup",
-    "q68_salted_join_agg",
-    "q69_source_overlap",
-    "q71_retrieval_pipeline",
-    "q72_hourly_rollup_gapfill",
-    "q73_quality_percentile_filter",
-    "d05_reid_assembly",
-    "d11_pipeline_attr_recog",
     "d01_tracklet_sampling",
     "d02_attribute_average",
     "d03_similarity_neighbors",
@@ -215,9 +99,6 @@ DRIVER_PRIORITY: list[str] = [
     "d13_two_hop_neighbors",
     "m01_patch_metadata",
     "m02_patch_features",
-    "s01_stream_windowed_counts",
-    "q18_user_sessions",
-    "q50_training_prep_pipeline",
     "q01_pricing_summary",
     "q06_customers_without_recent_orders",
     "q07_order_point_lookup",
@@ -225,15 +106,7 @@ DRIVER_PRIORITY: list[str] = [
     "q09_last_events",
     "q12_events_demux_union",
     "q14_key_roundtrip",
-    "q33_asof_last_click",
-    "q51_doc_winnow_fingerprints",
-    "q52_purchase_window_clicks",
-    "q53_simhash_neardup_pairs",
-    "q54_corpus_mix",
-    "q55_dedup_clusters",
-    "q56_distinct_sketch",
-    "q57_neardup_pagerank",
-    "q58_hopping_window_stats",
+    "q18_user_sessions",
     "q20_doc_token_stats",
     "q21_doc_quality",
     "q22_doc_lang_id",
@@ -242,65 +115,194 @@ DRIVER_PRIORITY: list[str] = [
     "q27_embedding_topk",
     "q30_tfidf_top_terms",
     "q31_embedding_neardup",
-    "q61_span_dedup",
-    "q60_decontaminate",
-    "q62_sequence_pack",
+    "q33_asof_last_click",
     "q48_bpeish_tokens",
-    # -- freshest evidence last: the 46 round-6 driver-green rows --
+    "q50_training_prep_pipeline",
+    "q51_doc_winnow_fingerprints",
+    "q52_purchase_window_clicks",
+    "q53_simhash_neardup_pairs",
+    "q54_corpus_mix",
+    "q55_dedup_clusters",
+    "q56_distinct_sketch",
+    "q57_neardup_pagerank",
+    "q58_hopping_window_stats",
+    "q60_decontaminate",
+    "q61_span_dedup",
+    "q62_sequence_pack",
+    "s01_stream_windowed_counts",
+    "d05_reid_assembly",
+    "d11_pipeline_attr_recog",
+    "d14_pipeline_reid",
+    "d15_pipeline_storage_reid",
+    "d16_pipeline_reid_command",
+    "m03_patch_resize",
+    "m04_audio_decimate",
+    "m05_frame_fragments",
+    "m07_patch_neardup",
+    "m08_audio_energy_windows",
+    "q100_weighted_sample",
+    "q101_rolling_stats",
+    "q103_mad_outliers",
+    "q104_source_drift",
+    "q105_decayed_trending",
+    "q59_srp_neardup",
+    "q68_salted_join_agg",
+    "q69_source_overlap",
+    "q71_retrieval_pipeline",
+    "q72_hourly_rollup_gapfill",
+    "q73_quality_percentile_filter",
+    "q77_blocklist_filter",
+    "q79_hard_negatives",
+    "q80_semantic_dedup",
+    "q82_kmeans_clusters",
+    "q83_curation_pipeline",
+    "q84_ann_recall",
+    "q85_epoch_shuffle",
+    "q86_token_budget_mix",
+    "q87_quality_classifier",
+    "q88_skew_diagnostics",
+    "q89_bpe_pair_counts",
+    "q94_triangle_count",
+    "q97_perplexity_filter",
+    "q99_embedding_anisotropy",
+    "s02_stream_dedup",
+    "s04_stream_interval_join",
+    "s05_stream_demux_sinks",
+    "s07_stream_heavy_hitters",
+    "s08_stream_incremental_dedup",
+    "s09_stream_distinct_sketch",
+    "s11_stream_leaderboard",
+    "d17_trajectory_stats",
+    "d18_fragment_heal_candidates",
+    "d19_camera_transitions",
+    "d20_attribute_search",
+    "d21_cotravel_pairs",
+    "d22_dwell_distribution",
+    "m09_patch_brightness_cuts",
+    "m10_loudness_segments",
+    "q106_prefix_filter_join",
+    "q107_fuzzy_decontaminate",
+    "q108_event_trigrams",
+    "q109_cohort_retention",
+    "q110_sampled_quantiles",
+    "q111_pq_ann_topk",
+    "q112_containment_dedup",
+    "q113_rrf_fusion",
+    "q114_pca_power",
+    "q115_transition_entropy",
+    "q116_reranked_retrieval",
+    "q63_bloom_semi_join",
+    "q78_dsir_importance",
+    "q81_cms_heavy_hitters",
+    "s03_stream_sessions",
+    "s10_stream_locf",
+    "s12_stream_trigrams",
+    "s13_stream_ivf_assign",
+    "s14_stream_quantile_sketch",
+    "s16_stream_session_native",
+    "d23_cross_camera_stitch",
+    "d24_journey_reconstruction",
+    "d26_camera_feature_bias",
+    "d27_camera_heatmap",
+    "m11_diverse_exemplars",
+    "m12_tone_detection",
+    "m13_audio_qa",
+    "q117_incremental_agg",
     "q118_ivfpq_topk",
     "q119_mmr_diversify",
-    "s17_stream_left_outer_join",
+    "q11_events_json_props",
     "q120_label_prop_communities",
-    "d23_cross_camera_stitch",
     "q121_fuzzy_name_join",
     "q122_scd2_history",
     "q123_bootstrap_ci",
-    "s18_stream_scd2_asof_enrich",
     "q124_grouped_trend",
     "q125_lagged_crosscorr",
     "q126_ivfpq_recall",
     "q128_lsh_recall",
-    "m11_diverse_exemplars",
     "q129_incremental_lsh",
-    "s19_stream_lsh_ingest_gate",
-    "d24_journey_reconstruction",
     "q131_seasonal_anomalies",
     "q132_ann_ndcg",
-    "q117_incremental_agg",
-    "q29_embedding_ivf_topk",
-    "q70_ivf2_topk",
-    "s15_stream_anomaly",
-    "q11_events_json_props",
     "q133_weighted_allpairs_join",
     "q135_sketch_merge_rollup",
-    "m12_tone_detection",
-    "s20_stream_full_outer_join",
-    "s21_stream_agg_maintenance",
     "q138_vocab_growth",
-    "s22_stream_rate_limit",
     "q139_source_keyness",
     "q141_fk_integrity_audit",
-    "m13_audio_qa",
     "q142_pair_evidence",
-    "d26_camera_feature_bias",
     "q143_trimmed_means",
     "q144_gini_concentration",
     "q145_dedup_yield",
     "q146_order_consistency",
     "q147_cluster_purity",
-    "d27_camera_heatmap",
+    "q29_embedding_ivf_topk",
     "q37_bilateral_volume",
-    # round-7 closure set — freshest driver rows (CORRECTNESS_r07)
+    "q70_ivf2_topk",
+    "s15_stream_anomaly",
+    "s17_stream_left_outer_join",
+    "s18_stream_scd2_asof_enrich",
+    "s19_stream_lsh_ingest_gate",
+    "s20_stream_full_outer_join",
+    "s21_stream_agg_maintenance",
+    "s22_stream_rate_limit",
+    "d28_activity_calendar",
+    "m06_keyframe_selection",
+    "q102_apply_cdc",
     "q130_quality_budget_cut",
+    "q134_kcore_decomposition",
+    "q140_quantile_normalize",
     "q148_cluster_safe_split",
     "q149_zipf_slope",
     "q150_systematic_resample",
     "q151_cms_error",
-    "d28_activity_calendar",
-    "q140_quantile_normalize",
+    "q26_ngram_jaccard_top_pairs",
+    "q93_cluster_keep_best",
+    "q95_join_preflight",
+    "q96_group_sample",
+    "q98_funnel_analysis",
+    "s06_stream_static_enrich",
     "s23_stream_packing",
-    "q134_kcore_decomposition",
+    "d29_camera_load",
+    "m14_scene_segments",
+    "m15_scene_exemplars",
+    "q02_top_customers_per_nation",
+    "q03_shipping_priority",
+    "q04_regional_revenue",
+    "q05_daily_activity_full_outer",
+    "q10_events_minutely",
+    "q13_sampled_lineitems",
+    "q153_degree_assortativity",
+    "q154_edge_triangle_support",
+    "q155_cdc_chunking",
+    "q156_layout_optimize_audit",
+    "q157_minhash_estimate_error",
+    "q15_frame_time_arithmetic",
+    "q16_event_type_pivot",
+    "q17_rollup_returnflag",
+    "q19_entity_union",
+    "q23_dedup_exact",
+    "q28_label_centroids",
+    "q38_running_user_value",
+    "q39_event_navigation",
+    "q40_part_name_strings",
+    "q41_segment_set_ops",
+    "q42_doc_repetition",
+    "q43_vocab_top_terms",
+    "q44_doc_chunks",
+    "q45_dataset_split",
+    "q46_multi_distinct",
+    "q47_null_semantics",
+    "q49_embedding_quantize",
+    "q64_bigram_novelty",
+    "q65_bm25_topk",
+    "q66_sq8_ann_topk",
+    "q67_incremental_dedup",
+    "q74_pmi_collocations",
+    "q75_leakage_free_split",
+    "q76_locf_backfill",
+    "q90_table_profile",
+    "q91_snapshot_diff",
+    "q92_zorder_layout",
 ]
+
 
 _missing = [n for n in DRIVER_PRIORITY if n not in _ALL]
 if _missing:  # fail fast at import — a typo here silently drops a query
@@ -322,7 +324,7 @@ if len(DRIVER_PRIORITY) != len(set(DRIVER_PRIORITY)):
 # The must-gate block (tiers 0-1, everything through the re-gates)
 # has to sit inside the driver's first-50 window — review finding r3
 # caught an earlier ordering leaving re-gated entries at 61-63.
-_MUST_GATE_LAST = "s26_stream_scd2_maintenance"
+_MUST_GATE_LAST = "q152_equidepth_histogram"
 if DRIVER_PRIORITY.index(_MUST_GATE_LAST) >= 50:
     raise ValueError(
         "DRIVER_PRIORITY stale: must-gate tiers exceed the 50-entry "
@@ -422,7 +424,15 @@ _PRIOR_DRIVER_GREEN = {
     # round-7 driver-green rows (CORRECTNESS_r07.json, 50/50):
     "q130_quality_budget_cut", "q148_cluster_safe_split",
     "q149_zipf_slope", "q150_systematic_resample", "q151_cms_error",
-    "d28_activity_calendar"
+    "d28_activity_calendar",
+    # round-8 driver-green rows (CORRECTNESS_r08.json, 50/50):
+    "s24_stream_track_attr_reid", "q152_equidepth_histogram",
+    "q153_degree_assortativity", "q154_edge_triangle_support",
+    "q155_cdc_chunking", "q156_layout_optimize_audit",
+    "q157_minhash_estimate_error", "q158_ktruss_edges",
+    "q159_weighted_quantiles", "d29_camera_load", "m14_scene_segments",
+    "m15_scene_exemplars", "s25_stream_ann_recall",
+    "s26_stream_scd2_maintenance"
 }
 
 # Entries added AFTER this round's 50-entry window fills may be

@@ -273,9 +273,26 @@ HEADLINERS = [
     ("m14_scene_segments",
      "scene segmentation: boundary flag is a JVM expression on the frame payload hash; segment ids are a per-video prefix sum; per-segment aggregate is partial+final"),
     ("q158_ktruss_edges",
-     "k-truss edge peeling: per-round wedge join (canonical x symmetric survivors) bounded by sum(deg^2); keyed repartition before the checkpointed loop keeps the wedge joins parallel; per-round localCheckpoint truncates lineage (iterative carve-out)"),
+     "k-truss edge peeling (r9 incremental rewrite): ONE full wedge join seeds an exact support table; every round advances it by support-delta (only edges triangle-adjacent to a deletion recompute), and the maintained table IS the output — deletion-free rounds are no-ops; per-round localCheckpoint truncates lineage (iterative carve-out)"),
     ("q159_weighted_quantiles",
      "exact weighted quantiles with NO per-source single-task window: global rank over (source, value, id) keeps sources rank-contiguous, weights prefix-sum via the two-phase scan, per-source cums telescope from the global prefix; quantile picks are integer comparisons"),
+    # round 9
+    ("q160_local_bridges",
+     "local bridges: q154's wedge join marks supported edges once; bridges are the anti-join, degrees one groupBy — the weak-tie re-check queue with no new corpus machinery"),
+    ("q161_contamination_by_source",
+     "per-source contamination: q60's broadcast-shingle flags stream straight into one source-keyed rollup; the corpus never shuffles before the per-doc hit counts"),
+    ("q162_ivf_cell_split",
+     "IVF cell-split planning: assignment via the broadcast centroid fold (gallery never shuffles); occupancy rank on the cell-METADATA table; farthest-pair seeds + reassignment run on hot-cell members only"),
+    ("q163_lsh_s_curve",
+     "S-curve calibration: rides q157's quantized pair table; the only new work is a 10-row bucket aggregate with the theoretical capture probability as a column expression"),
+    ("q164_dataset_cards",
+     "dataset cards: ONE corpus scan into two grouped aggregates (the dup count pre-groups on (source, normalization hash)); no joins at corpus scale"),
+    ("q165_cross_source_dup_matrix",
+     "cross-source dup matrix: LSH pairs join the (doc_id, source) map on doc_id; the matrix aggregate is sources^2-sized"),
+    ("q166_compaction_plan",
+     "compaction planning: file inventory (metadata) prefix-summed by pack_sequences' two-phase scan; bin = bytes-before DIV target — no single-task window even over metadata"),
+    ("m16_audio_silence_trim",
+     "silence trim: rides m08's staged per-window hex-energy fold; one clip-keyed join + one grouped aggregate pick the first/last voiced frame"),
 ]
 
 # Streaming queries execute to completion inside their catalog entry,
@@ -335,12 +352,28 @@ STREAMING_HEADLINERS = [
      "three stateful operators, state bounded by watermark horizon x "
      "keys-per-hour",
      "_s24_stream_plan"),
-    ("s25_stream_ann_recall (unstarted streaming plan)",
-     "streaming ANN recall monitor: gallery + centroids + cell assignment in "
-     "ONE broadcast; per-probe IVF and exact rankings inside a stateless "
-     "mapInPandas — no state operator, no shuffle; oracle is batch q84 "
-     "verbatim",
-     "_s25_stream_plan"),
+    ("s25_stream_ann_recall (per-batch probe plan, r9 distributed rewrite)",
+     "streaming ANN recall monitor: the foreachBatch body — q84's dual "
+     "ranking DISTRIBUTED per trigger (exact side streams the gallery "
+     "through pairwise_similarity_topk's mapInPandas, IVF side shuffles "
+     "only probe x nprobe candidate cells); the gallery NEVER reaches the "
+     "driver — the only driver-sized object is the probe batch, bounded by "
+     "maxFilesPerTrigger; oracle is batch q84 verbatim",
+     "_s25_batch_plan"),
+    ("s27_stream_storage_attrrecog_reid (unstarted streaming plan)",
+     "the ATTRRECOG_REID command path live (s28's REID-only bypass is the "
+     "same shape minus the recognizer filter, plus the attrs broadcast "
+     "join): stored-tracklet stream -> serial point filter -> retained-"
+     "sample + drop filters -> stream-static broadcast feature join -> "
+     "stateless broadcast-gallery BLAS top-k; NO watermark, NO state "
+     "operator anywhere in the plan",
+     "_s27_stream_plan"),
+    ("s29_stream_source_drift (per-batch fold plan, literal batch)",
+     "streaming drift monitor: the foreachBatch read-modify-write — batch "
+     "term counts union the STORED vocab-sized frequency table and re-group; "
+     "counts are additive so the final table equals the batch computation "
+     "for any slicing; divergence math is q104's shared js_pairwise_from_tf",
+     "_s29_fold_plan"),
 ]
 
 
@@ -545,30 +578,97 @@ def _s24_stream_plan(spark):
     return s24_build_stream(spark, _scratch_dir("plan_s24_"))
 
 
-def _s25_stream_plan(spark):
-    # the mapInPandas monitor over an empty probe source; the gallery /
-    # centroid broadcast happens at plan-build (tiny at sf0.1)
-    from las_vpe_platform_spark.queries_streaming import _scratch_dir
+def _s25_batch_plan(spark):
+    # the foreachBatch body for one small literal probe batch: both
+    # rankings distributed — the gallery is never collected (the only
+    # collect below is pairwise_similarity_topk's PROBE matrix, four
+    # rows here, trigger-bounded in the live query)
+    from pyspark.sql import functions as F
 
-    import las_vpe_platform_spark.queries_streaming as qs
-    from pyspark.sql import functions as F  # noqa: F401
-
-    # reuse the entry's own builder pieces by calling it against an
-    # EMPTY landed dir is not possible (it lands real probes), so
-    # capture the analyzed plan of the same shape: a mapInPandas over
-    # the embeddings schema stream
-    src = _scratch_dir("plan_s25_")
-    stream = (
-        spark.readStream.schema(qs.EMBEDDINGS_SCHEMA)
-        .option("maxFilesPerTrigger", "2")
-        .parquet(src)
+    from las_vpe_platform_spark.compat import pround
+    from las_vpe_platform_spark.operators.joins import pairwise_similarity_topk
+    from las_vpe_platform_spark.operators.similarity import ivf_topk
+    from las_vpe_platform_spark.queries_data import (
+        IVF_CENTROID_MOD,
+        IVF_K,
+        IVF_NPROBE,
+        IVF_PROBE_MOD,
     )
 
-    def _noop(batches):
-        for pdf in batches:
-            yield pdf[["vec_id"]].assign(n_hits=0, recall=0.0)
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    batch = emb.filter(F.col("vec_id") % IVF_PROBE_MOD == 0).limit(4)
+    kw = dict(probe_key="vec_id", gallery_key="vec_id",
+              vector_col="embedding", k=IVF_K)
+    approx = ivf_topk(
+        batch, emb, num_centroids_mod=IVF_CENTROID_MOD, nprobe=IVF_NPROBE, **kw
+    ).select("probe_key", "gallery_key", F.lit(1).alias("_hit"))
+    exact = pairwise_similarity_topk(batch, emb, **kw).select(
+        "probe_key", "gallery_key"
+    )
+    return (
+        exact.join(approx, on=["probe_key", "gallery_key"], how="left")
+        .groupBy("probe_key")
+        .agg(F.count("_hit").alias("n_hits"))
+        .select(
+            "probe_key",
+            F.col("n_hits").cast("bigint").alias("n_hits"),
+            pround(F.col("n_hits").cast("double") / IVF_K, 4).alias("recall"),
+        )
+    )
 
-    return stream.mapInPandas(_noop, "vec_id long, n_hits long, recall double")
+
+def _s27_stream_plan(spark):
+    from pyspark.sql import functions as F
+
+    from las_vpe_platform_spark.fixtures import FIXTURES_DIR
+    from las_vpe_platform_spark.operators.joins import broadcast_gallery_topk
+    from las_vpe_platform_spark.providers import recognizer_drop_filter
+    from las_vpe_platform_spark.queries_streaming import (
+        S27_K,
+        S27_SERIAL,
+        _scratch_dir,
+    )
+
+    batch = spark.read.parquet(str(FIXTURES_DIR / "tracklets.parquet"))
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(_scratch_dir("plan_s27_"))
+    )
+    sel = stream.filter(F.col("serial_number") == S27_SERIAL)
+    retained = F.filter(
+        "location_sequence", lambda b: b.getField("patch_data").isNotNull()
+    )
+    kept = sel.filter(F.size(retained) > 0)
+    kept = kept.filter(recognizer_drop_filter(kept)).select("tracklet_key")
+    features = spark.read.parquet(str(FIXTURES_DIR / "features.parquet"))
+    probes = kept.join(F.broadcast(features), "tracklet_key", "inner")
+    return broadcast_gallery_topk(
+        probes, features, probe_key="tracklet_key", gallery_key="tracklet_key",
+        vector_col="feature", k=S27_K, passthrough=["tracklet_key"],
+    )
+
+
+def _s29_fold_plan(spark):
+    from las_vpe_platform_spark.queries_data import js_source_tf
+
+    stored = js_source_tf(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "source", "text")
+        .limit(64)
+    )
+    batch = js_source_tf(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "source", "text")
+        .limit(32)
+    )
+    from pyspark.sql import functions as F
+
+    return (
+        stored.unionByName(batch)
+        .groupBy("source", "term")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
 
 
 def _scd2_asof_stream_plan(spark):
