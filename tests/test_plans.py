@@ -780,6 +780,43 @@ def test_s25_monitor_never_collects_gallery(spark, sf_dir):
     assert streamed == batch
 
 
+def test_s27_s28_plans_are_stateless(spark, sf_dir):
+    # the live command paths hold NO streaming state: stateless
+    # filters + stream-static broadcast joins + mapInPandas ranking —
+    # no watermark, no streaming aggregation, no stream-stream join
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from las_vpe_platform_spark.fixtures import FIXTURES_DIR
+    from las_vpe_platform_spark.operators.joins import broadcast_gallery_topk
+    from las_vpe_platform_spark.providers import recognizer_drop_filter
+    from las_vpe_platform_spark.queries_streaming import S27_K, S27_SERIAL
+
+    batch = spark.read.parquet(str(FIXTURES_DIR / "tracklets.parquet"))
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(tempfile.mkdtemp(prefix="s27_plan_"))
+    )
+    sel = stream.filter(F.col("serial_number") == S27_SERIAL)
+    retained = F.filter(
+        "location_sequence", lambda b: b.getField("patch_data").isNotNull()
+    )
+    kept = sel.filter(F.size(retained) > 0)
+    kept = kept.filter(recognizer_drop_filter(kept)).select("tracklet_key")
+    features = spark.read.parquet(str(FIXTURES_DIR / "features.parquet"))
+    probes = kept.join(F.broadcast(features), "tracklet_key", "inner")
+    df = broadcast_gallery_topk(
+        probes, features, probe_key="tracklet_key", gallery_key="tracklet_key",
+        vector_col="feature", k=S27_K, passthrough=["tracklet_key"],
+    )
+    plan = df._jdf.queryExecution().analyzed().toString()
+    assert "EventTimeWatermark" not in plan
+    assert "Aggregate" not in plan
+    assert "MapInPandas" in plan
+
+
 def test_q159_no_per_source_window(spark, sf_dir):
     # exact weighted quantiles must NOT sort a source inside one task:
     # every window in the plan is the tiny _pid offsets fold (from
