@@ -73,6 +73,9 @@ DRIVER_PRIORITY: list[str] = [
     "q166_compaction_plan",
     "m16_audio_silence_trim",
     "s29_stream_source_drift",
+    "q167_clustering_coefficient",
+    "q168_novelty_saturation",
+    "s30_stream_contamination_gate",
     "s25_stream_ann_recall",
     "s24_stream_track_attr_reid",
     "q159_weighted_quantiles",

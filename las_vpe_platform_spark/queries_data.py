@@ -8602,6 +8602,181 @@ FROM pref, tot GROUP BY 1
 """
 
 
+# --- q167: local clustering coefficient ---------------------------------------
+# The per-NODE cohesion metric completing the triangle family (q94
+# counts, q154 per-edge support, q158 truss, q160 zero-support edges):
+# c(v) = 2T(v) / (deg(v)(deg(v)-1)) — how close v's neighborhood is
+# to a clique, the standard diagnostic separating hub-spoke LSH noise
+# (c≈0) from true dup cliques (c≈1). T(v) telescopes from the edge
+# supports: every triangle at v is counted once by EACH of its two
+# v-incident edges, so T(v) = Σ support(e∋v) / 2 — no new wedge pass,
+# just q154's support table exploded to endpoints and re-grouped.
+
+
+def q167_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pairs = _stage(
+        minhash_lsh_candidates(
+            docs, id_col="doc_id", text_col="text",
+            shingle_k=MINHASH_K, num_hashes=MINHASH_HASHES, bands=MINHASH_BANDS,
+        ).select("id_a", "id_b"),
+        "q167_pairs",
+    )
+    sym = pairs.unionByName(pairs.selectExpr("id_b AS id_a", "id_a AS id_b"))
+    deg = sym.groupBy(F.col("id_a").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    )
+    supp = (
+        pairs.join(sym.selectExpr("id_a", "id_b AS c"), "id_a")
+        .filter(F.col("c") != F.col("id_b"))
+        .join(sym.selectExpr("id_a AS id_b", "id_b AS c"), ["id_b", "c"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    tsum = (
+        supp.selectExpr("id_a AS node", "support")
+        .unionByName(supp.selectExpr("id_b AS node", "support"))
+        .groupBy("node")
+        .agg(F.sum("support").alias("_ts"))
+    )
+    return (
+        deg.filter(F.col("deg") >= 2)
+        .join(tsum, "node", "left")
+        .select(
+            "node",
+            "deg",
+            (F.coalesce("_ts", F.lit(0)) / 2).cast("bigint").alias("n_triangles"),
+            pround(
+                F.coalesce("_ts", F.lit(0)).cast("double")
+                / (F.col("deg") * (F.col("deg") - 1)),
+                6,
+            ).alias("coeff"),
+        )
+    )
+
+
+def _q167_sql() -> str:
+    return f"""
+WITH pairs AS MATERIALIZED (
+  SELECT id_a, id_b FROM ({_q24_sql()}) t
+), sym AS (
+  SELECT id_a, id_b FROM pairs UNION ALL SELECT id_b, id_a FROM pairs
+), deg AS (
+  SELECT id_a AS node, count(*)::BIGINT AS deg FROM sym GROUP BY 1
+), supp AS (
+  SELECT p.id_a, p.id_b, count(*)::BIGINT AS support
+  FROM pairs p
+  JOIN sym s1 ON s1.id_a = p.id_a
+  JOIN sym s2 ON s2.id_a = p.id_b AND s2.id_b = s1.id_b
+  WHERE s1.id_b != p.id_b
+  GROUP BY 1, 2
+), tsum AS (
+  SELECT node, sum(support) AS ts FROM (
+    SELECT id_a AS node, support FROM supp
+    UNION ALL SELECT id_b AS node, support FROM supp
+  ) GROUP BY 1
+)
+SELECT d.node, d.deg, (coalesce(ts, 0) // 2)::BIGINT AS n_triangles,
+       floor((coalesce(ts, 0)::DOUBLE / (d.deg * (d.deg - 1))) * 1000000.0 + 0.5)
+         / 1000000.0 AS coeff
+FROM deg d LEFT JOIN tsum USING (node)
+WHERE d.deg >= 2
+"""
+
+
+Q167_SQL = _q167_sql()
+
+
+# --- q168: novelty-saturation curve --------------------------------------------
+# "How much of each new data slice is actually NEW": per ingestion
+# slice (doc_id decile as arrival order), the fraction of its 13-gram
+# shingles whose FIRST corpus occurrence is in that slice — the
+# saturation curve a data-acquisition team reads to decide when a
+# source is mined out (novelty → 0 as dedup yield collapses; pairs
+# with q138's vocabulary-growth Heaps curve at the shingle level).
+# Scale: one shingle explode, one (shingle → min slice) aggregate,
+# one slice rollup — the shingle table is the q24/q26 footprint and
+# the corpus never self-joins.
+
+NOVELTY_SLICES = 10
+
+
+def q168_novelty_saturation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.operators.dedup import exploded_shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    mx = docs.groupBy().agg(F.max("doc_id").alias("_mx"))
+    sh = _stage(
+        exploded_shingles(docs, "doc_id", "text", DECONTAM_N)
+        .crossJoin(F.broadcast(mx))
+        .selectExpr(
+            f"least({NOVELTY_SLICES - 1},"
+            f" (doc_id_ * {NOVELTY_SLICES}) div (_mx + 1)) AS slice",
+            "shingle",
+        ),
+        "q168_shingles",
+    )
+    first = sh.groupBy("shingle").agg(F.min("slice").alias("_first"))
+    per_slice = sh.groupBy("slice").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+        F.count_distinct(F.col("shingle")).cast("bigint").alias("n_distinct"),
+    )
+    novel = (
+        sh.select("slice", "shingle")
+        .distinct()
+        .join(first, "shingle")
+        .filter(F.col("slice") == F.col("_first"))
+        .groupBy("slice")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_novel"))
+    )
+    return (
+        per_slice.join(novel, "slice", "left")
+        .select(
+            F.col("slice").cast("bigint").alias("slice"),
+            "n_shingles",
+            "n_distinct",
+            F.coalesce("n_novel", F.lit(0)).cast("bigint").alias("n_novel"),
+            pround(
+                F.coalesce("n_novel", F.lit(0)).cast("double") / F.col("n_distinct"),
+                6,
+            ).alias("novelty_rate"),
+        )
+    )
+
+
+Q168_SQL = f"""
+WITH mx AS (
+  SELECT max(doc_id) AS _mx FROM documents
+), base AS (
+  -- distinct per (doc, shingle): mirrors exploded_shingles' dropDuplicates
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, unnest({sql_shingles(DECONTAM_N)}) AS shingle
+    FROM (SELECT doc_id, {SQL_TOKENS} AS toks FROM documents)
+  )
+), sh AS (
+  SELECT least({NOVELTY_SLICES - 1}, (doc_id * {NOVELTY_SLICES}) // (_mx + 1)) AS slice,
+         shingle
+  FROM base, mx
+), first AS (
+  SELECT shingle, min(slice) AS f FROM sh GROUP BY 1
+), per_slice AS (
+  SELECT slice, count(*)::BIGINT AS n_shingles,
+         count(DISTINCT shingle)::BIGINT AS n_distinct
+  FROM sh GROUP BY 1
+), novel AS (
+  SELECT s.slice, count(*)::BIGINT AS n_novel FROM (
+    SELECT DISTINCT slice, shingle FROM sh
+  ) s JOIN first ON first.shingle = s.shingle AND first.f = s.slice
+  GROUP BY 1
+)
+SELECT p.slice::BIGINT AS slice, p.n_shingles, p.n_distinct,
+       coalesce(n.n_novel, 0)::BIGINT AS n_novel,
+       floor((coalesce(n.n_novel, 0)::DOUBLE / p.n_distinct) * 1000000.0 + 0.5)
+         / 1000000.0 AS novelty_rate
+FROM per_slice p LEFT JOIN novel n ON n.slice = p.slice
+"""
+
+
 DATA_QUERIES = {
     "q20_doc_token_stats": (q20_doc_token_stats, Q20_SQL),
     "q21_doc_quality": (q21_doc_quality, Q21_SQL),
@@ -8728,4 +8903,6 @@ DATA_QUERIES = {
     "q164_dataset_cards": (q164_dataset_cards, Q164_SQL),
     "q165_cross_source_dup_matrix": (q165_cross_source_dup_matrix, Q165_SQL),
     "q166_compaction_plan": (q166_compaction_plan, Q166_SQL),
+    "q167_clustering_coefficient": (q167_clustering_coefficient, Q167_SQL),
+    "q168_novelty_saturation": (q168_novelty_saturation, Q168_SQL),
 }

@@ -293,6 +293,10 @@ HEADLINERS = [
      "compaction planning: file inventory (metadata) prefix-summed by pack_sequences' two-phase scan; bin = bytes-before DIV target — no single-task window even over metadata"),
     ("m16_audio_silence_trim",
      "silence trim: rides m08's staged per-window hex-energy fold; one clip-keyed join + one grouped aggregate pick the first/last voiced frame"),
+    ("q167_clustering_coefficient",
+     "clustering coefficient: ONE wedge join (q154's) then an explode-to-endpoints regroup — per-node triangle counts without a per-node pass"),
+    ("q168_novelty_saturation",
+     "novelty saturation: one staged shingle explode feeds the first-occurrence aggregate and the slice rollup; all shuffles shingle-keyed"),
 ]
 
 # Streaming queries execute to completion inside their catalog entry,
