@@ -14,6 +14,7 @@ Run ``python -m las_vpe_platform_spark.fixtures`` to (re)generate
 from __future__ import annotations
 
 import hashlib
+import math
 import uuid
 from datetime import datetime, timedelta, timezone
 from pathlib import Path
@@ -176,7 +177,13 @@ def gen_features(tracklets: pa.Table) -> pa.Table:
     for key in keys:
         rng = np.random.default_rng(_h32(SEED, "feature", key))
         v = rng.standard_normal(FEATURE_DIM).astype(np.float32)
-        v /= np.linalg.norm(v)
+        # np.linalg.norm reduces in SIMD/BLAS order — hardware-dependent
+        # at the ULP level, which broke byte-reproducible regeneration
+        # across hosts. math.fsum is exactly rounded on every platform,
+        # and the subsequent float32 division is IEEE-exact, so the
+        # committed parquet now regenerates bit-identically anywhere.
+        nrm = math.sqrt(math.fsum(float(x) * float(x) for x in v))
+        v /= np.float32(nrm)
         rows.append({"tracklet_key": key, "feature": v.tolist()})
     return pa.Table.from_pylist(
         rows,

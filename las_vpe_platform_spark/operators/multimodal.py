@@ -245,3 +245,108 @@ def cut_video_frames(
     return videos.select("video_id", "duration_s", "fps_num", "fps_den").mapInPandas(
         cut, FRAME
     )
+
+
+# --- perceptual hashing over binary patches ---------------------------------
+
+AHASH_BYTES = 48
+AHASH_BANDS = 4
+
+
+def patch_ahash(
+    df: DataFrame,
+    id_col: str = "tracklet_key",
+    patches_col: str = "location_sequence",
+    n_bytes: int = AHASH_BYTES,
+    bands: int = AHASH_BANDS,
+) -> DataFrame:
+    """Perceptual average-hash (aHash) of each row's FIRST retained
+    binary patch, entirely JVM-side.
+
+    The classic aHash recipe (downsample to a tiny grid, threshold
+    each cell against the grid mean) applied to the patch's leading
+    ``n_bytes`` bytes as the grid: bit i = byte_i > mean(bytes). Bits
+    are packed BAND-WISE — ``bands`` positive ints of
+    ``n_bytes/bands`` bits each — so the downstream Hamming band join
+    never touches signed 64-bit shift/mask arithmetic. Zero Python:
+    byte extraction is hex+substr+conv inside codegen, so the plan
+    reads only the binary column and nothing crosses to a Python
+    worker.
+
+    Reference parity: the patch payload is the reference's BGR pixel
+    block (Tracklet.java:216-225, patchData); content-hashing it is
+    the dedup step its tracklet store lacks. Rows with no retained
+    patch are dropped (nothing to hash).
+    """
+    band_bits = n_bytes // bands
+    first = F.filter(
+        F.col(patches_col), lambda b: b.getField("patch_data").isNotNull()
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), first.alias("_ps"))
+        .filter(F.size("_ps") > 0)
+        .select("id", F.hex(F.expr("_ps[0].patch_data")).alias("_h"))
+        .select(
+            "id",
+            F.expr(
+                f"transform(sequence(1, {n_bytes}),"
+                " i -> cast(conv(substr(_h, 2*i - 1, 2), 16, 10) AS INT))"
+            ).alias("_bs"),
+        )
+        .select(
+            "id",
+            "_bs",
+            (
+                F.expr("aggregate(_bs, 0L, (a, x) -> a + x)").cast("double")
+                / F.lit(float(n_bytes))
+            ).alias("_mu"),
+        )
+        .select(
+            "id",
+            F.expr(
+                f"transform(sequence(0, {bands - 1}),"
+                f" j -> cast(aggregate(sequence(1, {band_bits}), 0,"
+                f"  (acc, i) -> acc + IF(element_at(_bs, {band_bits}*j + i) > _mu,"
+                "   shiftleft(1, i - 1), 0)) AS INT))"
+            ).alias("band_hash"),
+        )
+    )
+
+
+def ahash_candidate_pairs(hashed: DataFrame, max_hamming: int) -> DataFrame:
+    """Banded Hamming near-dup join over ``patch_ahash`` output.
+
+    LSH semantics (exactly like minhash_lsh_candidates / the SimHash
+    Manku tables): a pair is a CANDIDATE iff some band matches
+    exactly; candidates are then scored with the exact Hamming
+    distance over all bands (bit_count of per-band XOR, JVM-side) and
+    filtered to ``max_hamming``. Only (band_idx, band_value) postings
+    shuffle — the corpus of binary patches never self-joins, so the
+    plan survives a corpus-scale patch table: candidate mass is
+    governed by band-bucket occupancy, not row count squared.
+    """
+    posts = hashed.select(
+        "id", F.posexplode("band_hash").alias("band_idx", "band_val")
+    )
+    cands = (
+        posts.alias("a")
+        .join(posts.alias("b"), ["band_idx", "band_val"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    ha = hashed.select(F.col("id").alias("id_a"), F.col("band_hash").alias("_ba"))
+    hb = hashed.select(F.col("id").alias("id_b"), F.col("band_hash").alias("_bb"))
+    return (
+        cands.join(ha, "id_a")
+        .join(hb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.expr(
+                "aggregate(zip_with(_ba, _bb, (x, y) -> bit_count(x ^ y)), 0,"
+                " (a, v) -> a + cast(v AS INT))"
+            ).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -76,6 +76,9 @@ DRIVER_PRIORITY: list[str] = [
     "q167_clustering_coefficient",
     "q168_novelty_saturation",
     "s30_stream_contamination_gate",
+    "m17_patch_ahash_neardup",
+    "s31_stream_novelty_monitor",
+    "q169_term_dispersion",
     "s25_stream_ann_recall",
     "s24_stream_track_attr_reid",
     "q159_weighted_quantiles",

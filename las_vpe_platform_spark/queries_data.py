@@ -8777,6 +8777,99 @@ FROM per_slice p LEFT JOIN novel n ON n.slice = p.slice
 """
 
 
+# --- q169: term dispersion (Gries' DP) ------------------------------------------
+# Corpus-linguistics dispersion: a term concentrated in few documents
+# (jargon, boilerplate, template residue) is a different curation
+# signal from one spread evenly at the same total frequency — Zipf
+# slope (q149) and keyness (q139) can't separate them. DP_t =
+# Σ_d |v_td/f_t − len_d/T| / 2 over ALL docs; absent docs contribute
+# their expected share, which telescopes to (T − Σ_present len)/2T, so
+# only NONZERO (term, doc) rows are ever materialized. Both engines
+# compute the deviation numerator Σ|v·T − len·f| in exact BIGINT
+# arithmetic (every product < 2^53) and divide once at the end — the
+# double is identical bit-for-bit, so the top-k cutoff and the
+# rounding are engine-independent by construction, not by luck.
+
+DISPERSION_TOP = 40
+
+
+def q169_term_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = _stage(
+        docs.select("doc_id", F.explode(tokens("text")).alias("term")), "q169_tok"
+    )
+    tf = tok.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("v")
+    )
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("len"))
+    tot = dl.groupBy().agg(F.sum("len").cast("bigint").alias("t_total"))
+    fterm = tf.groupBy("term").agg(
+        F.sum("v").cast("bigint").alias("f"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    )
+    sums = (
+        tf.join(dl, "doc_id")
+        .join(fterm, "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("term", "f", "n_docs", "t_total")
+        .agg(
+            F.sum(
+                F.abs(F.col("v") * F.col("t_total") - F.col("len") * F.col("f"))
+            ).cast("bigint").alias("s1"),
+            F.sum("len").cast("bigint").alias("s2"),
+        )
+    )
+    dp = sums.select(
+        "term",
+        "f",
+        "n_docs",
+        (
+            F.col("s1").cast("double")
+            / (F.lit(2.0) * F.col("f") * F.col("t_total"))
+            + (F.col("t_total") - F.col("s2")).cast("double")
+            / (F.lit(2.0) * F.col("t_total"))
+        ).alias("_dp"),
+    )
+    out = dp.orderBy(F.desc("_dp"), "term").limit(DISPERSION_TOP)
+    return out.select("term", "f", "n_docs", pround(F.col("_dp"), 6).alias("dp"))
+
+
+Q169_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({SQL_TOKENS}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS v FROM tok GROUP BY 1, 2
+), dl AS (
+  SELECT doc_id, count(*)::BIGINT AS len FROM tok GROUP BY 1
+), tot AS (
+  SELECT sum(len)::BIGINT AS t_total FROM dl
+), fterm AS (
+  SELECT term, sum(v)::BIGINT AS f, count(*)::BIGINT AS n_docs FROM tf GROUP BY 1
+), sums AS (
+  SELECT t.term, ft.f, ft.n_docs, tot.t_total,
+         sum(abs(t.v * tot.t_total - d.len * ft.f))::BIGINT AS s1,
+         sum(d.len)::BIGINT AS s2
+  FROM tf t
+  JOIN dl d USING (doc_id)
+  JOIN fterm ft USING (term)
+  CROSS JOIN tot
+  GROUP BY 1, 2, 3, 4
+), dp AS (
+  SELECT term, f, n_docs,
+         s1::DOUBLE / (2.0 * f * t_total)
+           + (t_total - s2)::DOUBLE / (2.0 * t_total) AS _dp
+  FROM sums
+)
+SELECT term, f, n_docs,
+       floor(_dp * 1000000.0 + 0.5) / 1000000.0 AS dp
+FROM dp
+ORDER BY _dp DESC, term
+LIMIT {DISPERSION_TOP}
+"""
+
+
 DATA_QUERIES = {
     "q20_doc_token_stats": (q20_doc_token_stats, Q20_SQL),
     "q21_doc_quality": (q21_doc_quality, Q21_SQL),
@@ -8905,4 +8998,5 @@ DATA_QUERIES = {
     "q166_compaction_plan": (q166_compaction_plan, Q166_SQL),
     "q167_clustering_coefficient": (q167_clustering_coefficient, Q167_SQL),
     "q168_novelty_saturation": (q168_novelty_saturation, Q168_SQL),
+    "q169_term_dispersion": (q169_term_dispersion, Q169_SQL),
 }

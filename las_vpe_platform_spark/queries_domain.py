@@ -2687,6 +2687,63 @@ FROM flags
 """
 
 
+# --- m17: perceptual-hash near-dup over binary patches ----------------------
+# The MISSING multimodal dedup mode: m07 groups EXACT content (md5)
+# under a coarse feature signature; m17 finds perceptually-CLOSE
+# patches that hash differently — aHash bits (byte > grid mean) packed
+# band-wise, Manku-style banded candidate join (some band equal), then
+# exact Hamming scoring with bit_count(xor) — the image twin of q53's
+# SimHash text join, computed entirely inside codegen (hex/conv/
+# shiftleft/bit_count; no Python, no pixel decode). Candidate
+# semantics (like q24): pair reported iff SOME band collides AND total
+# Hamming <= M17_HAMMING_T; the oracle mirrors the band predicate
+# verbatim. Scale: only (band_idx, band_value) postings shuffle —
+# governed by bucket occupancy, never corpus^2.
+
+M17_HAMMING_T = 13
+
+
+def m17_patch_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.operators.multimodal import (
+        ahash_candidate_pairs,
+        patch_ahash,
+    )
+    from las_vpe_platform_spark.operators.staging import persist_disk
+
+    hashed = persist_disk(patch_ahash(_fx(spark, "tracklets")), "m17_hashed")
+    return ahash_candidate_pairs(hashed, M17_HAMMING_T)
+
+
+M17_SQL = f"""
+WITH fp AS (
+  SELECT tracklet_key AS id,
+         hex((list_filter(location_sequence, b -> b.patch_data IS NOT NULL))[1].patch_data) AS h
+  FROM {_fxsql('tracklets')}
+  WHERE len(list_filter(location_sequence, b -> b.patch_data IS NOT NULL)) > 0
+), bytes AS (
+  SELECT id,
+         list_transform(generate_series(1, 48), i -> ('0x' || substr(h, 2*i - 1, 2))::INT) AS bs
+  FROM fp
+), mo AS (
+  SELECT id, bs, list_sum(bs)::DOUBLE / 48 AS mu FROM bytes
+), bands AS (
+  SELECT id,
+         list_transform(generate_series(0, 3),
+           j -> list_sum(list_transform(generate_series(1, 12),
+                 i -> CASE WHEN bs[12*j + i] > mu THEN (1 << (i - 1)) ELSE 0 END))::INT) AS bv
+  FROM mo
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       list_sum(list_transform(generate_series(1, 4),
+                k -> bit_count(xor(a.bv[k], b.bv[k]))))::INT AS hamming
+FROM bands a JOIN bands b
+  ON a.id < b.id
+ AND (a.bv[1] = b.bv[1] OR a.bv[2] = b.bv[2] OR a.bv[3] = b.bv[3] OR a.bv[4] = b.bv[4])
+WHERE list_sum(list_transform(generate_series(1, 4),
+               k -> bit_count(xor(a.bv[k], b.bv[k])))) <= {M17_HAMMING_T}
+"""
+
+
 DOMAIN_QUERIES = {
     "d01_tracklet_sampling": (d01_tracklet_sampling, D01_SQL),
     "d02_attribute_average": (d02_attribute_average, D02_SQL),
@@ -2732,4 +2789,5 @@ DOMAIN_QUERIES = {
     "m14_scene_segments": (m14_scene_segments, M14_SQL),
     "m15_scene_exemplars": (m15_scene_exemplars, M15_SQL),
     "m16_audio_silence_trim": (m16_audio_silence_trim, M16_SQL),
+    "m17_patch_ahash_neardup": (m17_patch_ahash_neardup, M17_SQL),
 }

@@ -2416,6 +2416,118 @@ def _s28_sql() -> str:
 S28_SQL = _s28_sql()
 
 
+# --- s31: streaming novelty monitor --------------------------------------------
+# q168's novelty-saturation accounting maintained AT INGEST: the
+# foreachBatch fold keeps a stored (slice, shingle, cnt) index —
+# per-doc-distinct shingle occurrences keyed by arrival slice — and
+# each micro-batch merges its counts in (s29's read-modify-write
+# pattern). Counts are ADDITIVE and first-slice is a MIN, so the
+# final index (and the rollup derived from it) is batching-invariant:
+# the oracle is Q168_SQL verbatim. Slice identity needs the ingest
+# plan's doc_id span, which the entry derives from the LANDED source
+# before the stream starts (the curation team defines slices when it
+# schedules the ingest, not after). Scale: the stored index is
+# distinct-shingles-sized — the novelty ledger itself, inherent to the
+# metric; per batch one shingle explode + keyed re-group, no corpus
+# shuffle, no stream state operator.
+
+
+def s31_stream_novelty_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.operators.dedup import exploded_shingles
+    from las_vpe_platform_spark.queries_data import DECONTAM_N, NOVELTY_SLICES
+
+    key = ("docs_s31", sf_dir)
+    if key in _LANDED:
+        src = _LANDED[key]
+    else:
+        src = _scratch_dir("s31_docs_")
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        ).coalesce(4).write.mode("overwrite").parquet(src)
+        _LANDED[key] = src
+    mx = (
+        spark.read.parquet(src).groupBy().agg(F.max("doc_id").alias("m")).collect()[0]["m"]
+    )
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    out_root = _scratch_dir("s31_idx_")
+    state: dict[str, str | None] = {"path": None}
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        sess = batch_df.sparkSession
+        fresh = (
+            exploded_shingles(batch_df, "doc_id", "text", DECONTAM_N)
+            .selectExpr(
+                f"least({NOVELTY_SLICES - 1},"
+                f" (doc_id_ * {NOVELTY_SLICES}) div ({mx} + 1)) AS slice",
+                "shingle",
+            )
+            .groupBy("slice", "shingle")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        if state["path"] is None:
+            merged = fresh
+        else:
+            merged = (
+                sess.read.parquet(state["path"])
+                .unionByName(fresh)
+                .groupBy("slice", "shingle")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+        path = f"{out_root}/v{epoch_id}"
+        merged.write.mode("overwrite").parquet(path)
+        state["path"] = path
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src)
+    )
+    with _stream_partitions(spark, 4):
+        q = (
+            stream.writeStream.foreachBatch(fold)
+            .outputMode("update")
+            .queryName(f"s31_{uuid.uuid4().hex[:8]}")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    assert state["path"] is not None
+    idx = spark.read.parquet(state["path"])
+    first = idx.groupBy("shingle").agg(F.min("slice").alias("_first"))
+    per_slice = idx.groupBy("slice").agg(
+        F.sum("cnt").cast("bigint").alias("n_shingles"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+    )
+    novel = (
+        idx.join(first, "shingle")
+        .filter(F.col("slice") == F.col("_first"))
+        .groupBy("slice")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_novel"))
+    )
+    return per_slice.join(novel, "slice", "left").select(
+        F.col("slice").cast("bigint").alias("slice"),
+        "n_shingles",
+        "n_distinct",
+        F.coalesce("n_novel", F.lit(0)).cast("bigint").alias("n_novel"),
+        pround(
+            F.coalesce("n_novel", F.lit(0)).cast("double") / F.col("n_distinct"), 6
+        ).alias("novelty_rate"),
+    )
+
+
+def _s31_sql() -> str:
+    from las_vpe_platform_spark.queries_data import Q168_SQL
+
+    return Q168_SQL
+
+
+S31_SQL = _s31_sql()
+
+
 STREAMING_QUERIES = {
     "s01_stream_windowed_counts": (s01_stream_windowed_counts, S01_SQL),
     "s02_stream_dedup": (s02_stream_dedup, S02_SQL),
@@ -2447,4 +2559,5 @@ STREAMING_QUERIES = {
     "s28_stream_reid_command": (s28_stream_reid_command, S28_SQL),
     "s29_stream_source_drift": (s29_stream_source_drift, S29_SQL),
     "s30_stream_contamination_gate": (s30_stream_contamination_gate, S30_SQL),
+    "s31_stream_novelty_monitor": (s31_stream_novelty_monitor, S31_SQL),
 }

@@ -378,6 +378,12 @@ STREAMING_HEADLINERS = [
      "counts are additive so the final table equals the batch computation "
      "for any slicing; divergence math is q104's shared js_pairwise_from_tf",
      "_s29_fold_plan"),
+    ("s30_stream_contamination_gate (per-batch gate plan, literal batch)",
+     "streaming contamination gate: the foreachBatch body — one shingle "
+     "explode over the BATCH only, broadcast semi-join against the static "
+     "eval shingle set, grouped per-doc hit count; no state, no watermark, "
+     "so flags are batching-invariant and the oracle is Q60_SQL verbatim",
+     "_s30_gate_plan"),
 ]
 
 
@@ -673,6 +679,22 @@ def _s29_fold_plan(spark):
         .groupBy("source", "term")
         .agg(F.sum("cnt").alias("cnt"))
     )
+
+
+def _s30_gate_plan(spark):
+    from pyspark.sql import functions as F
+
+    from las_vpe_platform_spark.operators.dedup import eval_overlap_flags
+    from las_vpe_platform_spark.queries_data import DECONTAM_N
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    # literal micro-batch (32 rows) vs the static eval split — the exact
+    # foreachBatch body of s30_stream_contamination_gate, zero jobs
+    batch = docs.filter(F.col("doc_id") % 10 != 0).limit(32)
+    ev = docs.filter(F.col("doc_id") % 10 == 0)
+    return eval_overlap_flags(batch, ev, id_col="doc_id", text_col="text", n=DECONTAM_N)
 
 
 def _scd2_asof_stream_plan(spark):
