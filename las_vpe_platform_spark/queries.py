@@ -79,6 +79,8 @@ DRIVER_PRIORITY: list[str] = [
     "m17_patch_ahash_neardup",
     "s31_stream_novelty_monitor",
     "q169_term_dispersion",
+    "q170_quality_psi",
+    "q171_ivf_cell_merge",
     "s25_stream_ann_recall",
     "s24_stream_track_attr_reid",
     "q159_weighted_quantiles",

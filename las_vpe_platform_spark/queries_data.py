@@ -8870,6 +8870,255 @@ LIMIT {DISPERSION_TOP}
 """
 
 
+# --- q170: quality-distribution drift (PSI) across arrival slices ---------------
+# The standard "did my ingest change under me" gate: Population
+# Stability Index between the FIRST arrival slice's quality-score
+# histogram and every later slice's — PSI < 0.1 stable, 0.1-0.25
+# drifting, > 0.25 broken upstream. Quality is q21's parity-proven
+# composite; slices are q168's doc_id deciles. Bucketing happens on
+# the EXACT integer floor(q·10⁴ + 0.5) (the same integer q21's
+# round-4 parity already proves engine-identical), never on a rounded
+# double — so bucket membership cannot straddle engines. Laplace
+# smoothing (+1 per bucket) keeps empty buckets finite. Scale: one
+# corpus scan into a (slice, bucket) count table — 100 rows — and all
+# PSI math happens on that; nothing corpus-sized shuffles twice.
+
+PSI_BUCKETS = 10
+
+
+def q170_quality_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    mx = docs.groupBy().agg(F.max("doc_id").alias("_mx"))
+    metrics = docs.select(
+        "doc_id",
+        F.length("text").alias("_len"),
+        punct_ratio("text").alias("_p"),
+        stopword_ratio("text").alias("_s"),
+    )
+    len_term = F.least(F.col("_len").cast("double") / F.lit(500.0), F.lit(1.0))
+    stop_term = F.least(F.col("_s") * 4.0, F.lit(1.0))
+    punct_term = 1.0 - F.least(F.col("_p") * 5.0, F.lit(1.0))
+    q_raw = len_term * 0.4 + stop_term * 0.3 + punct_term * 0.3
+    scored = (
+        metrics.crossJoin(F.broadcast(mx))
+        .select(
+            F.expr(
+                f"least({NOVELTY_SLICES - 1},"
+                f" (doc_id * {NOVELTY_SLICES}) div (_mx + 1))"
+            ).alias("slice"),
+            F.floor(q_raw * 10000 + F.lit(0.5)).cast("bigint").alias("_iq"),
+        )
+        .selectExpr("slice", f"least({PSI_BUCKETS - 1}, _iq div 1000) AS bucket")
+    )
+    counts = scored.groupBy("slice", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    totals = counts.groupBy("slice").agg(F.sum("c").cast("bigint").alias("n"))
+    grid = (
+        totals.select("slice", "n")
+        .crossJoin(
+            spark.range(PSI_BUCKETS).select(F.col("id").cast("bigint").alias("bucket"))
+        )
+        .join(counts, ["slice", "bucket"], "left")
+        .select(
+            "slice",
+            "bucket",
+            "n",
+            (
+                (F.coalesce("c", F.lit(0)) + 1).cast("double")
+                / (F.col("n") + PSI_BUCKETS).cast("double")
+            ).alias("p"),
+        )
+    )
+    ref = grid.filter(F.col("slice") == 0).select(
+        "bucket", F.col("p").alias("p0")
+    )
+    return (
+        grid.filter(F.col("slice") > 0)
+        .join(F.broadcast(ref), "bucket")
+        .groupBy("slice")
+        .agg(
+            F.max("n").alias("n_docs"),
+            pround(
+                F.sum((F.col("p") - F.col("p0")) * F.log(F.col("p") / F.col("p0"))), 6
+            ).alias("psi"),
+        )
+        .select(F.col("slice").cast("bigint").alias("slice"), "n_docs", "psi")
+    )
+
+
+Q170_SQL = f"""
+WITH mx AS (
+  SELECT max(doc_id) AS _mx FROM documents
+), base AS (
+  SELECT doc_id, text, {SQL_TOKENS} AS toks FROM documents
+), metrics AS (
+  SELECT doc_id,
+         CASE WHEN length(text) > 0
+              THEN (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE
+                   / length(text)::DOUBLE
+              ELSE 0.0 END AS p_ratio,
+         CASE WHEN len(toks) > 0
+              THEN len(list_filter(toks, t -> list_contains({SQL_STOPWORDS}, lower(t))))::DOUBLE
+                   / len(toks)::DOUBLE
+              ELSE 0.0 END AS s_ratio,
+         least(length(text)::DOUBLE / 500.0, 1.0) AS len_term
+  FROM base
+), scored AS (
+  SELECT least({NOVELTY_SLICES - 1}, (doc_id * {NOVELTY_SLICES}) // (_mx + 1)) AS slice,
+         least({PSI_BUCKETS - 1},
+               floor((len_term * 0.4 + least(s_ratio * 4.0, 1.0) * 0.3
+                      + (1.0 - least(p_ratio * 5.0, 1.0)) * 0.3) * 10000 + 0.5)::BIGINT
+               // 1000) AS bucket
+  FROM metrics, mx
+), counts AS (
+  SELECT slice, bucket, count(*)::BIGINT AS c FROM scored GROUP BY 1, 2
+), totals AS (
+  SELECT slice, sum(c)::BIGINT AS n FROM counts GROUP BY 1
+), grid AS (
+  SELECT t.slice, b.bucket, t.n,
+         (coalesce(c.c, 0) + 1)::DOUBLE / (t.n + {PSI_BUCKETS})::DOUBLE AS p
+  FROM totals t
+  CROSS JOIN (SELECT unnest(generate_series(0, {PSI_BUCKETS - 1}))::BIGINT AS bucket) b
+  LEFT JOIN counts c ON c.slice = t.slice AND c.bucket = b.bucket
+), ref AS (
+  SELECT bucket, p AS p0 FROM grid WHERE slice = 0
+)
+SELECT g.slice::BIGINT AS slice, max(g.n)::BIGINT AS n_docs,
+       floor(sum((g.p - r.p0) * ln(g.p / r.p0)) * 1000000.0 + 0.5) / 1000000.0 AS psi
+FROM grid g JOIN ref r USING (bucket)
+WHERE g.slice > 0
+GROUP BY 1
+"""
+
+
+# --- q171: IVF cell-merge planning ----------------------------------------------
+# The other half of index maintenance: q162 splits the HOT cells,
+# q171 retires the COLD ones — the emptiest ceil(C/8) cells fold into
+# their nearest SURVIVING centroid (max centroid-to-centroid cosine),
+# which is what keeps probe fan-out useful after deletes/skewed
+# ingest (s13's occupancy skew is the live trigger for both). Every
+# post-assignment step runs on the centroid METADATA table (C rows,
+# √N-ish): occupancy ranks, the victim/survivor cut, and the C/8 ×
+# 7C/8 nearest-target search are all broadcast-sized; the corpus is
+# touched exactly once, by the same assignment scan q162 stages.
+
+Q171_MERGE_DIV = 8  # merge the emptiest ceil(C/8) cells
+
+
+def q171_ivf_cell_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W2
+
+    from las_vpe_platform_spark.functions.vector import cosine_similarity
+    from las_vpe_platform_spark.operators.similarity import assign_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cen = emb.filter(F.col("vec_id") % IVF_CENTROID_MOD == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("_cvec")
+    )
+    assigned = _stage(
+        assign_centroids(
+            emb.select("vec_id", "embedding"),
+            cen.selectExpr("centroid_id", "_cvec AS embedding"),
+            id_col="vec_id",
+            vector_col="embedding",
+        ),
+        "q171_assigned",
+    )
+    occ = assigned.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    )
+    st = occ.groupBy().agg(F.count(F.lit(1)).alias("_nc"))
+    wocc = W2.partitionBy().orderBy(F.asc("n_members"), F.asc("centroid_id"))
+    ranked = _stage(
+        occ.withColumn("_orank", F.row_number().over(wocc)).crossJoin(
+            F.broadcast(st)
+        ),
+        "q171_ranked",
+    )
+    is_victim = (
+        F.col("_orank") * Q171_MERGE_DIV <= F.col("_nc") + Q171_MERGE_DIV - 1
+    )
+    victims = (
+        ranked.filter(is_victim)
+        .select("centroid_id", "n_members")
+        .join(F.broadcast(cen), "centroid_id")
+    )
+    survivors = (
+        ranked.filter(~is_victim)
+        .select(
+            F.col("centroid_id").alias("target_id"),
+            F.col("n_members").alias("target_n_members"),
+        )
+        .join(
+            F.broadcast(cen.selectExpr("centroid_id AS target_id", "_cvec AS _tvec")),
+            "target_id",
+        )
+    )
+    pairs = victims.crossJoin(F.broadcast(survivors)).withColumn(
+        "_sim", cosine_similarity("_cvec", "_tvec")
+    )
+    wn = W2.partitionBy("centroid_id").orderBy(F.desc("_sim"), F.asc("target_id"))
+    return (
+        pairs.withColumn("_rk", F.row_number().over(wn))
+        .filter(F.col("_rk") == 1)
+        .select(
+            "centroid_id",
+            "n_members",
+            "target_id",
+            "target_n_members",
+            (F.col("n_members") + F.col("target_n_members"))
+            .cast("bigint")
+            .alias("combined_members"),
+            pround(F.col("_sim"), 6).alias("target_sim"),
+        )
+    )
+
+
+def _q171_sql() -> str:
+    return f"""
+WITH cen AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings
+  WHERE vec_id % {IVF_CENTROID_MOD} = 0
+), asg AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {sql_cosine('e.embedding', 'c.cvec')} DESC, c.centroid_id) AS rk
+    FROM embeddings e CROSS JOIN cen c
+  ) WHERE rk = 1
+), occ AS (
+  SELECT centroid_id, count(*)::BIGINT AS n_members FROM asg GROUP BY 1
+), st AS (
+  SELECT count(*) AS nc FROM occ
+), ranked AS (
+  SELECT centroid_id, n_members,
+         row_number() OVER (ORDER BY n_members ASC, centroid_id) AS orank, nc
+  FROM occ, st
+), victims AS (
+  SELECT r.centroid_id, r.n_members, c.cvec FROM ranked r JOIN cen c USING (centroid_id)
+  WHERE orank * {Q171_MERGE_DIV} <= nc + {Q171_MERGE_DIV - 1}
+), survivors AS (
+  SELECT r.centroid_id AS target_id, r.n_members AS target_n_members, c.cvec AS tvec
+  FROM ranked r JOIN cen c USING (centroid_id)
+  WHERE NOT (orank * {Q171_MERGE_DIV} <= nc + {Q171_MERGE_DIV - 1})
+)
+SELECT centroid_id, n_members, target_id, target_n_members,
+       (n_members + target_n_members)::BIGINT AS combined_members,
+       floor(_sim * 1000000.0 + 0.5) / 1000000.0 AS target_sim
+FROM (
+  SELECT v.centroid_id, v.n_members, s.target_id, s.target_n_members,
+         {sql_cosine('v.cvec', 's.tvec')} AS _sim,
+         row_number() OVER (PARTITION BY v.centroid_id
+                            ORDER BY {sql_cosine('v.cvec', 's.tvec')} DESC, s.target_id) AS rk
+  FROM victims v CROSS JOIN survivors s
+) WHERE rk = 1
+"""
+
+
+Q171_SQL = _q171_sql()
+
+
 DATA_QUERIES = {
     "q20_doc_token_stats": (q20_doc_token_stats, Q20_SQL),
     "q21_doc_quality": (q21_doc_quality, Q21_SQL),
@@ -8999,4 +9248,6 @@ DATA_QUERIES = {
     "q167_clustering_coefficient": (q167_clustering_coefficient, Q167_SQL),
     "q168_novelty_saturation": (q168_novelty_saturation, Q168_SQL),
     "q169_term_dispersion": (q169_term_dispersion, Q169_SQL),
+    "q170_quality_psi": (q170_quality_psi, Q170_SQL),
+    "q171_ivf_cell_merge": (q171_ivf_cell_merge, Q171_SQL),
 }

@@ -297,6 +297,14 @@ HEADLINERS = [
      "clustering coefficient: ONE wedge join (q154's) then an explode-to-endpoints regroup — per-node triangle counts without a per-node pass"),
     ("q168_novelty_saturation",
      "novelty saturation: one staged shingle explode feeds the first-occurrence aggregate and the slice rollup; all shuffles shingle-keyed"),
+    ("m17_patch_ahash_neardup",
+     "perceptual-hash near-dup: aHash bits from hex/conv byte extraction inside codegen (no Python, no pixel decode); Manku banded postings join; bit_count-XOR Hamming scoring — the corpus of binary patches never self-joins"),
+    ("q169_term_dispersion",
+     "Gries' DP dispersion: one token explode feeds tf/doc-length; absent-doc mass telescopes so only nonzero cells materialize; the deviation numerator is an exact BIGINT sum (engine-identical double by construction); top-40 via TakeOrderedAndProject"),
+    ("q170_quality_psi",
+     "quality PSI drift: ONE corpus scan into a (slice, bucket) count table — 100 rows; bucketing on the exact integer floor(q*10^4+0.5); all PSI math on the metadata table"),
+    ("q171_ivf_cell_merge",
+     "IVF cell-merge planning: corpus touched once by the staged assignment scan; occupancy rank, victim/survivor cut and the C/8 x 7C/8 nearest-target search all run on the C-row centroid table, broadcast-sized"),
 ]
 
 # Streaming queries execute to completion inside their catalog entry,
@@ -384,6 +392,13 @@ STREAMING_HEADLINERS = [
      "eval shingle set, grouped per-doc hit count; no state, no watermark, "
      "so flags are batching-invariant and the oracle is Q60_SQL verbatim",
      "_s30_gate_plan"),
+    ("s31_stream_novelty_monitor (per-batch fold plan, literal batch)",
+     "streaming novelty monitor: the foreachBatch read-modify-write — batch "
+     "shingle counts (per-doc distinct, slice-keyed) union the STORED "
+     "(slice, shingle, cnt) index and re-group; counts are additive and "
+     "first-slice is a MIN, so the final index is batching-invariant and "
+     "the oracle is Q168_SQL verbatim",
+     "_s31_fold_plan"),
 ]
 
 
@@ -695,6 +710,35 @@ def _s30_gate_plan(spark):
     batch = docs.filter(F.col("doc_id") % 10 != 0).limit(32)
     ev = docs.filter(F.col("doc_id") % 10 == 0)
     return eval_overlap_flags(batch, ev, id_col="doc_id", text_col="text", n=DECONTAM_N)
+
+
+def _s31_fold_plan(spark):
+    from pyspark.sql import functions as F
+
+    from las_vpe_platform_spark.operators.dedup import exploded_shingles
+    from las_vpe_platform_spark.queries_data import DECONTAM_N, NOVELTY_SLICES
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    # literal micro-batch vs a literal stored index — the exact
+    # foreachBatch body of s31_stream_novelty_monitor, zero jobs
+    fresh = (
+        exploded_shingles(docs.limit(32), "doc_id", "text", DECONTAM_N)
+        .selectExpr(
+            f"least({NOVELTY_SLICES - 1}, (doc_id_ * {NOVELTY_SLICES}) div 1000)"
+            " AS slice",
+            "shingle",
+        )
+        .groupBy("slice", "shingle")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    stored = spark.createDataFrame(
+        [(0, "a b c", 3)], "slice int, shingle string, cnt long"
+    )
+    return (
+        stored.unionByName(fresh.selectExpr("cast(slice as int) slice", "shingle", "cast(cnt as long) cnt"))
+        .groupBy("slice", "shingle")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
 
 
 def _scd2_asof_stream_plan(spark):
