@@ -81,6 +81,8 @@ DRIVER_PRIORITY: list[str] = [
     "q169_term_dispersion",
     "q170_quality_psi",
     "q171_ivf_cell_merge",
+    "q172_source_token_caps",
+    "q173_length_tail_index",
     "s25_stream_ann_recall",
     "s24_stream_track_attr_reid",
     "q159_weighted_quantiles",

@@ -9119,6 +9119,216 @@ FROM (
 Q171_SQL = _q171_sql()
 
 
+# --- q172: water-filling source token caps ---------------------------------------
+# The source-capping step of a training-data recipe: given a token
+# budget B (60% of the corpus here), find the cap λ such that
+# Σ_s min(tokens_s, λ) = B, keep small sources whole and cap the big
+# ones — the standard "water-filling" allocation used to stop one
+# crawl from dominating a mix (complements q86's fixed-weight mixing
+# and q54's corpus mix audit). The cap index is found by EXACT BIGINT
+# comparisons on the sorted prefix table — n_i·(S−i) ≤ B−P_i <
+# n_{i+1}·(S−i) — so both engines select the identical break row and
+# λ = (B−P_i)/(S−i) is the same double by construction. Scale: one
+# corpus aggregate to a sources-sized table (single digits of rows —
+# the smallness contract that legitimizes its global window, same as
+# q162's centroid-metadata rank); everything after is arithmetic.
+
+Q172_BUDGET_NUM, Q172_BUDGET_DEN = 6, 10  # B = floor(total * 6/10)
+
+
+def q172_source_token_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W2
+
+    from las_vpe_platform_spark.functions.text import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.sum(token_count("text")).cast("bigint").alias("n_tokens")
+    )
+    w = W2.partitionBy().orderBy(F.asc("n_tokens"), F.asc("source"))
+    ranked = _stage(
+        per_source.select(
+            "source",
+            "n_tokens",
+            F.row_number().over(w).alias("_i"),
+            F.sum("n_tokens").over(w).cast("bigint").alias("_prefix"),
+        ),
+        "q172_ranked",
+    )
+    tot = ranked.groupBy().agg(
+        F.max("_i").alias("_s"), F.max("_prefix").alias("_total")
+    ).select(
+        "_s",
+        "_total",
+        F.expr(f"(_total * {Q172_BUDGET_NUM}) div {Q172_BUDGET_DEN}").alias("_b"),
+    )
+    # break row: the LAST uncapped source i (possibly the sentinel i=0),
+    # found by exact integer comparisons; exactly one row survives.
+    cand = (
+        ranked.selectExpr("_i", "n_tokens AS _ni", "_prefix AS _pi")
+        .unionByName(
+            spark.range(1).selectExpr(
+                "0L AS _i", "0L AS _ni", "0L AS _pi"
+            )
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    nxt = ranked.selectExpr("_i - 1 AS _i", "n_tokens AS _nnext")
+    brk = (
+        cand.join(nxt, "_i", "left")
+        .filter(
+            (F.col("_ni") * (F.col("_s") - F.col("_i")) <= F.col("_b") - F.col("_pi"))
+            & (
+                F.col("_nnext").isNull()
+                | (
+                    F.col("_b") - F.col("_pi")
+                    < F.col("_nnext") * (F.col("_s") - F.col("_i"))
+                )
+            )
+        )
+        .select(
+            "_i",
+            "_pi",
+            "_s",
+            "_b",
+            (
+                (F.col("_b") - F.col("_pi")).cast("double")
+                / (F.col("_s") - F.col("_i")).cast("double")
+            ).alias("_lambda"),
+        )
+    )
+    return (
+        ranked.crossJoin(F.broadcast(brk.select("_i", "_lambda").withColumnRenamed("_i", "_break")))
+        .select(
+            "source",
+            "n_tokens",
+            (F.col("_i") > F.col("_break")).alias("capped"),
+            pround(
+                F.when(F.col("_i") > F.col("_break"), F.col("_lambda")).otherwise(
+                    F.col("n_tokens").cast("double")
+                ),
+                6,
+            ).alias("alloc_tokens"),
+            pround(F.col("_lambda"), 6).alias("cap_lambda"),
+        )
+    )
+
+
+Q172_SQL = f"""
+WITH per_source AS (
+  SELECT source, sum(len({SQL_TOKENS}))::BIGINT AS n_tokens
+  FROM documents GROUP BY 1
+), ranked AS (
+  SELECT source, n_tokens,
+         row_number() OVER (ORDER BY n_tokens ASC, source) AS _i,
+         sum(n_tokens) OVER (ORDER BY n_tokens ASC, source
+                             ROWS UNBOUNDED PRECEDING)::BIGINT AS _prefix
+  FROM per_source
+), tot AS (
+  SELECT max(_i) AS _s, max(_prefix) AS _total,
+         (max(_prefix) * {Q172_BUDGET_NUM}) // {Q172_BUDGET_DEN} AS _b
+  FROM ranked
+), cand AS (
+  SELECT _i, n_tokens AS _ni, _prefix AS _pi FROM ranked
+  UNION ALL SELECT 0, 0, 0
+), brk AS (
+  SELECT c._i AS _break,
+         (t._b - c._pi)::DOUBLE / (t._s - c._i)::DOUBLE AS _lambda
+  FROM cand c CROSS JOIN tot t
+  LEFT JOIN ranked nx ON nx._i = c._i + 1
+  WHERE c._ni * (t._s - c._i) <= t._b - c._pi
+    AND (nx._i IS NULL OR t._b - c._pi < nx.n_tokens * (t._s - c._i))
+)
+SELECT r.source, r.n_tokens,
+       r._i > b._break AS capped,
+       floor((CASE WHEN r._i > b._break THEN b._lambda
+                   ELSE r.n_tokens::DOUBLE END) * 1000000.0 + 0.5)
+         / 1000000.0 AS alloc_tokens,
+       floor(b._lambda * 1000000.0 + 0.5) / 1000000.0 AS cap_lambda
+FROM ranked r CROSS JOIN brk b
+"""
+
+
+# --- q173: Hill tail-index of doc length per source ------------------------------
+# Heavy-tail audit for the LENGTH distribution (q149's Zipf slope
+# covers term frequencies): the Hill estimator over the top-k order
+# statistics of n_chars per source, α̂ = k / Σ_{j≤k} ln(x_j / x_{k+1}).
+# α̂ ≲ 2 means doc sizes have infinite variance — the practical
+# warning that a source needs length caps before packing/batching
+# (q44's chunking and q62's packing are the consumers). Top-(k+1) per
+# source is a WindowGroupLimit partial top-k (never a full per-source
+# sort); ties broken by doc_id so both engines pick the identical
+# order statistics; the only double work is k logs per source.
+
+HILL_K = 10
+
+
+def q173_length_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.operators.windows import topk_per_group
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    top = topk_per_group(
+        docs.select("source", "doc_id", "n_chars"),
+        ["source"],
+        "n_chars",
+        HILL_K + 1,
+        ascending=False,
+        tiebreak_cols=["doc_id"],
+    )
+    # rank inside the retained k+1 rows only (k+1 rows per source)
+    from pyspark.sql import Window as W2
+
+    w = W2.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    ranked = top.select(
+        "source", "n_chars", F.row_number().over(w).alias("_j")
+    )
+    kth = ranked.filter(F.col("_j") == HILL_K + 1).select(
+        "source", F.col("n_chars").alias("_xk")
+    )
+    return (
+        ranked.filter(F.col("_j") <= HILL_K)
+        .join(kth, "source")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("k"),
+            F.min("_xk").cast("bigint").alias("x_k1"),
+            pround(
+                F.when(
+                    F.sum(
+                        F.log(F.col("n_chars").cast("double") / F.col("_xk"))
+                    )
+                    > 0,
+                    F.count(F.lit(1)).cast("double")
+                    / F.sum(
+                        F.log(F.col("n_chars").cast("double") / F.col("_xk"))
+                    ),
+                ),
+                6,
+            ).alias("alpha_hat"),
+        )
+    )
+
+
+Q173_SQL = f"""
+WITH ranked AS (
+  SELECT source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS _j
+  FROM documents WHERE n_chars > 0
+), kth AS (
+  SELECT source, n_chars AS _xk FROM ranked WHERE _j = {HILL_K + 1}
+)
+SELECT r.source, count(*)::BIGINT AS k, min(_xk)::BIGINT AS x_k1,
+       CASE WHEN sum(ln(r.n_chars::DOUBLE / _xk)) > 0
+            THEN floor((count(*)::DOUBLE / sum(ln(r.n_chars::DOUBLE / _xk)))
+                       * 1000000.0 + 0.5) / 1000000.0
+            ELSE NULL END AS alpha_hat
+FROM ranked r JOIN kth USING (source)
+WHERE r._j <= {HILL_K}
+GROUP BY 1
+"""
+
+
 DATA_QUERIES = {
     "q20_doc_token_stats": (q20_doc_token_stats, Q20_SQL),
     "q21_doc_quality": (q21_doc_quality, Q21_SQL),
@@ -9250,4 +9460,6 @@ DATA_QUERIES = {
     "q169_term_dispersion": (q169_term_dispersion, Q169_SQL),
     "q170_quality_psi": (q170_quality_psi, Q170_SQL),
     "q171_ivf_cell_merge": (q171_ivf_cell_merge, Q171_SQL),
+    "q172_source_token_caps": (q172_source_token_caps, Q172_SQL),
+    "q173_length_tail_index": (q173_length_tail_index, Q173_SQL),
 }

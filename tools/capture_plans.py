@@ -305,6 +305,10 @@ HEADLINERS = [
      "quality PSI drift: ONE corpus scan into a (slice, bucket) count table — 100 rows; bucketing on the exact integer floor(q*10^4+0.5); all PSI math on the metadata table"),
     ("q171_ivf_cell_merge",
      "IVF cell-merge planning: corpus touched once by the staged assignment scan; occupancy rank, victim/survivor cut and the C/8 x 7C/8 nearest-target search all run on the C-row centroid table, broadcast-sized"),
+    ("q172_source_token_caps",
+     "water-filling source caps: one corpus aggregate to the sources-sized table; the cap index is found by exact BIGINT comparisons on the sorted prefix table, so lambda is the identical double in both engines"),
+    ("q173_length_tail_index",
+     "Hill tail-index: top-(k+1) per source is a partial+final WindowGroupLimit (map-side pruning, never a full per-source sort); the estimator is k logs per source"),
 ]
 
 # Streaming queries execute to completion inside their catalog entry,
