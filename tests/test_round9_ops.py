@@ -228,3 +228,237 @@ def test_s29_drift_equals_batch_q104(spark, sf_dir):
         assert (
             r["vocab"], r["tokens_a"], r["tokens_b"], r["js_divergence"]
         ) == (b["vocab"], b["tokens_a"], b["tokens_b"], b["js_divergence"])
+
+
+# --- late round-9 entries (m17, s31, q169-q173) ------------------------------
+
+
+def test_patch_ahash_matches_bruteforce(spark):
+    """Recompute the aHash bands in pure Python from the fixture bytes
+    and require bit-identical band values, plus the LSH candidate
+    contract: every reported pair shares >= 1 equal band and its
+    hamming equals the brute-force XOR popcount."""
+    import pyarrow.parquet as pq
+
+    from las_vpe_platform_spark.fixtures import FIXTURES_DIR
+    from las_vpe_platform_spark.operators.multimodal import patch_ahash
+    from las_vpe_platform_spark.operators.staging import unpersist_all
+    from las_vpe_platform_spark.queries_domain import (
+        M17_HAMMING_T,
+        m17_patch_ahash_neardup,
+    )
+
+    tr = pq.read_table(FIXTURES_DIR / "tracklets.parquet").to_pylist()
+    want = {}
+    for row in tr:
+        patches = [b for b in row["location_sequence"] if b["patch_data"] is not None]
+        if not patches:
+            continue
+        bs = list(patches[0]["patch_data"][:48])
+        mu = sum(bs) / 48.0
+        bands = []
+        for j in range(4):
+            v = 0
+            for i in range(12):
+                if bs[12 * j + i] > mu:
+                    v |= 1 << i
+            bands.append(v)
+        want[row["tracklet_key"]] = bands
+
+    hashed = {
+        r["id"]: list(r["band_hash"])
+        for r in patch_ahash(
+            spark.read.parquet(str(FIXTURES_DIR / "tracklets.parquet"))
+        ).collect()
+    }
+    assert hashed == want
+
+    pairs = m17_patch_ahash_neardup(spark, "unused").collect()
+    unpersist_all()
+    assert len(pairs) > 0
+    for r in pairs:
+        ba, bb = want[r["id_a"]], want[r["id_b"]]
+        assert any(x == y for x, y in zip(ba, bb)), "pair without a band collision"
+        ham = sum(bin(x ^ y).count("1") for x, y in zip(ba, bb))
+        assert ham == r["hamming"] and ham <= M17_HAMMING_T
+
+
+def test_s31_novelty_equals_batch_q168(spark, sf_dir):
+    """The streaming fold's final rollup equals batch q168 row-for-row
+    (additive counts + MIN first-slice => batching-invariant)."""
+    from las_vpe_platform_spark.operators.staging import unpersist_all
+    from las_vpe_platform_spark.queries_data import q168_novelty_saturation
+    from las_vpe_platform_spark.queries_streaming import s31_stream_novelty_monitor
+
+    streamed = {r["slice"]: r for r in s31_stream_novelty_monitor(spark, sf_dir).collect()}
+    unpersist_all()
+    batch = {r["slice"]: r for r in q168_novelty_saturation(spark, sf_dir).collect()}
+    unpersist_all()
+    assert set(streamed) == set(batch)
+    for k, r in streamed.items():
+        b = batch[k]
+        assert (
+            r["n_shingles"], r["n_distinct"], r["n_novel"], r["novelty_rate"]
+        ) == (b["n_shingles"], b["n_distinct"], b["n_novel"], b["novelty_rate"])
+
+
+def test_q169_dispersion_matches_bruteforce(spark, sf_dir):
+    """Recompute Gries' DP in pure Python (whitespace tokenizer parity)
+    for every returned term; values must agree to the rounding."""
+    import pyarrow.parquet as pq
+
+    from las_vpe_platform_spark.operators.staging import unpersist_all
+    from las_vpe_platform_spark.queries_data import q169_term_dispersion
+
+    got = {r["term"]: r for r in q169_term_dispersion(spark, sf_dir).collect()}
+    unpersist_all()
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"]).to_pylist()
+    tf: dict = {}
+    dl = []
+    for i, d in enumerate(docs):
+        toks = d["text"].split()
+        dl.append(len(toks))
+        for t in toks:
+            tf.setdefault(t, {}).setdefault(i, 0)
+            tf[t][i] += 1
+    total = sum(dl)
+    for term, r in got.items():
+        cells = tf[term]
+        f = sum(cells.values())
+        s1 = sum(abs(v * total - dl[i] * f) for i, v in cells.items())
+        s2 = sum(dl[i] for i in cells)
+        dp = s1 / (2.0 * f * total) + (total - s2) / (2.0 * total)
+        import math
+
+        assert r["f"] == f and r["n_docs"] == len(cells)
+        assert r["dp"] == math.floor(dp * 1e6 + 0.5) / 1e6
+
+
+def test_q170_psi_nonnegative_and_complete(spark, sf_dir):
+    """PSI terms (p-q)ln(p/q) are pointwise nonnegative, so every
+    slice's PSI >= 0; all 9 non-reference slices report."""
+    from las_vpe_platform_spark.operators.staging import unpersist_all
+    from las_vpe_platform_spark.queries_data import q170_quality_psi
+
+    rows = q170_quality_psi(spark, sf_dir).collect()
+    unpersist_all()
+    assert sorted(r["slice"] for r in rows) == list(range(1, 10))
+    for r in rows:
+        assert r["psi"] >= 0.0 and r["n_docs"] > 0
+
+
+def test_q171_merge_cut_and_targets(spark, sf_dir):
+    """Victims are exactly the emptiest ceil(C/8) cells of the real
+    occupancy table (ties by centroid_id), and each victim's target is
+    its true cosine-nearest SURVIVING centroid (numpy recompute)."""
+    import math
+
+    import numpy as np
+
+    from las_vpe_platform_spark.operators.similarity import assign_centroids
+    from las_vpe_platform_spark.operators.staging import unpersist_all
+    from las_vpe_platform_spark.queries_data import (
+        IVF_CENTROID_MOD,
+        Q171_MERGE_DIV,
+        q171_ivf_cell_merge,
+    )
+    from las_vpe_platform_spark.sources.tables import load_table
+
+    got = {r["centroid_id"]: r for r in q171_ivf_cell_merge(spark, sf_dir).collect()}
+    unpersist_all()
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cen = emb.filter(F.col("vec_id") % IVF_CENTROID_MOD == 0).withColumnRenamed(
+        "vec_id", "centroid_id"
+    )
+    occ: dict = {}
+    for r in assign_centroids(
+        emb, cen, id_col="vec_id", vector_col="embedding"
+    ).collect():
+        occ[r["centroid_id"]] = occ.get(r["centroid_id"], 0) + 1
+    unpersist_all()
+    order = sorted(occ, key=lambda c: (occ[c], c))
+    n_victims = math.ceil(len(order) / Q171_MERGE_DIV)
+    victims = set(order[:n_victims])
+    assert set(got) == victims
+    vecs = {
+        r["centroid_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in cen.collect()
+    }
+    survivors = [c for c in order[n_victims:]]
+    for v, r in got.items():
+        best = max(
+            survivors,
+            key=lambda s: (
+                float(
+                    vecs[v] @ vecs[s]
+                    / (np.linalg.norm(vecs[v]) * np.linalg.norm(vecs[s]))
+                ),
+                -s,
+            ),
+        )
+        assert r["target_id"] == best
+        assert r["combined_members"] == occ[v] + occ[best]
+
+
+def test_q172_waterfill_budget_and_cut(spark, sf_dir):
+    """The allocation exhausts the budget (up to per-source rounding),
+    capped sources get exactly lambda, uncapped keep everything, and
+    every capped source is at least as large as every uncapped one."""
+    from las_vpe_platform_spark.operators.staging import unpersist_all
+    from las_vpe_platform_spark.queries_data import (
+        Q172_BUDGET_DEN,
+        Q172_BUDGET_NUM,
+        q172_source_token_caps,
+    )
+
+    rows = q172_source_token_caps(spark, sf_dir).collect()
+    unpersist_all()
+    total = sum(r["n_tokens"] for r in rows)
+    budget = (total * Q172_BUDGET_NUM) // Q172_BUDGET_DEN
+    alloc = sum(r["alloc_tokens"] for r in rows)
+    assert abs(alloc - budget) < 1e-4 * len(rows) + 1.0
+    lam = rows[0]["cap_lambda"]
+    capped_sizes = [r["n_tokens"] for r in rows if r["capped"]]
+    uncapped_sizes = [r["n_tokens"] for r in rows if not r["capped"]]
+    assert capped_sizes, "budget at 60% must cap someone"
+    for r in rows:
+        if r["capped"]:
+            assert r["alloc_tokens"] == lam and r["n_tokens"] >= lam
+        else:
+            assert r["alloc_tokens"] == float(r["n_tokens"]) <= lam + 1e-6
+    if uncapped_sizes:
+        assert min(capped_sizes) >= max(uncapped_sizes)
+
+
+def test_q173_hill_matches_bruteforce(spark, sf_dir):
+    """Recompute the Hill estimator from the parquet order statistics
+    (ties by doc_id) for every source."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from las_vpe_platform_spark.operators.staging import unpersist_all
+    from las_vpe_platform_spark.queries_data import HILL_K, q173_length_tail_index
+
+    got = {r["source"]: r for r in q173_length_tail_index(spark, sf_dir).collect()}
+    unpersist_all()
+    docs = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["source", "doc_id", "n_chars"]
+    ).to_pylist()
+    by_src: dict = {}
+    for d in docs:
+        if d["n_chars"] > 0:
+            by_src.setdefault(d["source"], []).append((d["n_chars"], d["doc_id"]))
+    for src, rows in by_src.items():
+        rows.sort(key=lambda t: (-t[0], t[1]))
+        if len(rows) < HILL_K + 1:
+            assert src not in got
+            continue
+        xk1 = rows[HILL_K][0]
+        ssum = sum(math.log(rows[j][0] / xk1) for j in range(HILL_K))
+        r = got[src]
+        assert r["k"] == HILL_K and r["x_k1"] == xk1
+        if ssum > 0:
+            assert abs(r["alpha_hat"] - HILL_K / ssum) < 2e-6
+        else:
+            assert r["alpha_hat"] is None
