@@ -83,6 +83,8 @@ DRIVER_PRIORITY: list[str] = [
     "q171_ivf_cell_merge",
     "q172_source_token_caps",
     "q173_length_tail_index",
+    "q174_embedding_outliers",
+    "s32_stream_quality_psi",
     "s25_stream_ann_recall",
     "s24_stream_track_attr_reid",
     "q159_weighted_quantiles",

@@ -8886,33 +8886,36 @@ LIMIT {DISPERSION_TOP}
 PSI_BUCKETS = 10
 
 
-def q170_quality_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    mx = docs.groupBy().agg(F.max("doc_id").alias("_mx"))
-    metrics = docs.select(
+def quality_slice_bucket(df: DataFrame, mx_expr: str) -> DataFrame:
+    """(slice, bucket) per document — q170's exact scoring/bucketing,
+    shared with the streaming gate s32 (which passes a LITERAL doc_id
+    span because the ingest plan fixes slices before the stream
+    starts). ``df`` needs (doc_id, text[, the mx column the expr
+    references])."""
+    metrics = df.select(
         "doc_id",
         F.length("text").alias("_len"),
         punct_ratio("text").alias("_p"),
         stopword_ratio("text").alias("_s"),
+        F.expr(mx_expr).alias("_span"),
     )
     len_term = F.least(F.col("_len").cast("double") / F.lit(500.0), F.lit(1.0))
     stop_term = F.least(F.col("_s") * 4.0, F.lit(1.0))
     punct_term = 1.0 - F.least(F.col("_p") * 5.0, F.lit(1.0))
     q_raw = len_term * 0.4 + stop_term * 0.3 + punct_term * 0.3
-    scored = (
-        metrics.crossJoin(F.broadcast(mx))
-        .select(
-            F.expr(
-                f"least({NOVELTY_SLICES - 1},"
-                f" (doc_id * {NOVELTY_SLICES}) div (_mx + 1))"
-            ).alias("slice"),
-            F.floor(q_raw * 10000 + F.lit(0.5)).cast("bigint").alias("_iq"),
-        )
-        .selectExpr("slice", f"least({PSI_BUCKETS - 1}, _iq div 1000) AS bucket")
-    )
-    counts = scored.groupBy("slice", "bucket").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c")
-    )
+    return metrics.select(
+        F.expr(
+            f"least({NOVELTY_SLICES - 1},"
+            f" (doc_id * {NOVELTY_SLICES}) div (_span + 1))"
+        ).alias("slice"),
+        F.floor(q_raw * 10000 + F.lit(0.5)).cast("bigint").alias("_iq"),
+    ).selectExpr("slice", f"least({PSI_BUCKETS - 1}, _iq div 1000) AS bucket")
+
+
+def psi_from_counts(spark: SparkSession, counts: DataFrame) -> DataFrame:
+    """PSI vs slice 0 from a (slice, bucket, c) count table — the
+    post-aggregation half of q170, shared with s32 (whose counts are
+    RMW-maintained per micro-batch)."""
     totals = counts.groupBy("slice").agg(F.sum("c").cast("bigint").alias("n"))
     grid = (
         totals.select("slice", "n")
@@ -8945,6 +8948,18 @@ def q170_quality_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("slice").cast("bigint").alias("slice"), "n_docs", "psi")
     )
+
+
+def q170_quality_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    mx = docs.groupBy().agg(F.max("doc_id").alias("_mx"))
+    scored = quality_slice_bucket(
+        docs.select("doc_id", "text").crossJoin(F.broadcast(mx)), "_mx"
+    )
+    counts = scored.groupBy("slice", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    return psi_from_counts(spark, counts)
 
 
 Q170_SQL = f"""
@@ -9329,6 +9344,96 @@ GROUP BY 1
 """
 
 
+# --- q174: embedding outliers (farthest members per IVF cell) -------------------
+# Corrupt/mislabeled-vector triage: per IVF cell, the K members with
+# the LOWEST cosine to their own centroid — the re-embed/inspect
+# queue a vector-quality pipeline drains (pairs with s15's event
+# anomaly and q147's cluster purity; q171/q162 maintain the cells
+# this reads). Selection is by exact RANK (ties by vec_id), never a
+# z-score threshold — per-cell mean/std are double sums whose
+# last-bit order could straddle engines, a rank cannot. Top-k per
+# cell is a partial+final WindowGroupLimit; the corpus is touched
+# once by the shared assignment scan.
+
+OUTLIER_K = 2
+
+
+def q174_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W2
+
+    from las_vpe_platform_spark.functions.vector import cosine_similarity
+    from las_vpe_platform_spark.operators.similarity import assign_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cen = emb.filter(F.col("vec_id") % IVF_CENTROID_MOD == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("_cvec")
+    )
+    assigned = _stage(
+        assign_centroids(
+            emb.select("vec_id", "embedding"),
+            cen.selectExpr("centroid_id", "_cvec AS embedding"),
+            id_col="vec_id",
+            vector_col="embedding",
+        ),
+        "q174_assigned",
+    )
+    sims = assigned.join(F.broadcast(cen), "centroid_id").select(
+        "centroid_id",
+        "vec_id",
+        cosine_similarity("embedding", "_cvec").alias("_sim"),
+    )
+    counts = sims.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cell_n")
+    )
+    w = W2.partitionBy("centroid_id").orderBy(F.asc("_sim"), F.asc("vec_id"))
+    return (
+        sims.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= OUTLIER_K)
+        .join(counts, "centroid_id")
+        .select(
+            "centroid_id",
+            "vec_id",
+            F.col("_rk").cast("bigint").alias("rk"),
+            pround(F.col("_sim"), 6).alias("sim"),
+            "cell_n",
+        )
+    )
+
+
+def _q174_sql() -> str:
+    return f"""
+WITH cen AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings
+  WHERE vec_id % {IVF_CENTROID_MOD} = 0
+), asg AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {sql_cosine('e.embedding', 'c.cvec')} DESC, c.centroid_id) AS rk
+    FROM embeddings e CROSS JOIN cen c
+  ) WHERE rk = 1
+), sims AS (
+  SELECT a.centroid_id, a.vec_id,
+         {sql_cosine('a.embedding', 'c.cvec')} AS _sim
+  FROM asg a JOIN cen c USING (centroid_id)
+), counts AS (
+  SELECT centroid_id, count(*)::BIGINT AS cell_n FROM sims GROUP BY 1
+)
+SELECT s.centroid_id, s.vec_id, s.rk::BIGINT AS rk,
+       floor(s._sim * 1000000.0 + 0.5) / 1000000.0 AS sim, c.cell_n
+FROM (
+  SELECT centroid_id, vec_id, _sim,
+         row_number() OVER (PARTITION BY centroid_id
+                            ORDER BY _sim ASC, vec_id) AS rk
+  FROM sims
+) s JOIN counts c USING (centroid_id)
+WHERE s.rk <= {OUTLIER_K}
+"""
+
+
+Q174_SQL = _q174_sql()
+
+
 DATA_QUERIES = {
     "q20_doc_token_stats": (q20_doc_token_stats, Q20_SQL),
     "q21_doc_quality": (q21_doc_quality, Q21_SQL),
@@ -9462,4 +9567,5 @@ DATA_QUERIES = {
     "q171_ivf_cell_merge": (q171_ivf_cell_merge, Q171_SQL),
     "q172_source_token_caps": (q172_source_token_caps, Q172_SQL),
     "q173_length_tail_index": (q173_length_tail_index, Q173_SQL),
+    "q174_embedding_outliers": (q174_embedding_outliers, Q174_SQL),
 }

@@ -2528,6 +2528,90 @@ def _s31_sql() -> str:
 S31_SQL = _s31_sql()
 
 
+# --- s32: streaming quality-PSI gate --------------------------------------------
+# q170's ingest-health gate maintained live: each micro-batch scores
+# its documents with q21's composite (quality_slice_bucket — the SAME
+# expressions as batch q170), folds (slice, bucket) counts into the
+# stored table (s29's RMW pattern; counts are additive, so the final
+# table is batching-invariant), and the PSI rollup reads the final
+# counts through the shared psi_from_counts. Oracle = Q170_SQL
+# verbatim. Scale: per batch one scoring projection + a 100-row
+# merge; the monitor's state is the 100-row bucket table itself.
+
+
+def s32_stream_quality_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.queries_data import (
+        psi_from_counts,
+        quality_slice_bucket,
+    )
+
+    key = ("docs_s31", sf_dir)  # same landed layout as s31
+    if key in _LANDED:
+        src = _LANDED[key]
+    else:
+        src = _scratch_dir("s31_docs_")
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        ).coalesce(4).write.mode("overwrite").parquet(src)
+        _LANDED[key] = src
+    mx = (
+        spark.read.parquet(src).groupBy().agg(F.max("doc_id").alias("m")).collect()[0]["m"]
+    )
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    out_root = _scratch_dir("s32_cnt_")
+    state: dict[str, str | None] = {"path": None}
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        sess = batch_df.sparkSession
+        fresh = (
+            quality_slice_bucket(batch_df, f"cast({mx} as bigint)")
+            .groupBy("slice", "bucket")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        )
+        if state["path"] is None:
+            merged = fresh
+        else:
+            merged = (
+                sess.read.parquet(state["path"])
+                .unionByName(fresh)
+                .groupBy("slice", "bucket")
+                .agg(F.sum("c").cast("bigint").alias("c"))
+            )
+        path = f"{out_root}/v{epoch_id}"
+        merged.write.mode("overwrite").parquet(path)
+        state["path"] = path
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src)
+    )
+    with _stream_partitions(spark, 4):
+        q = (
+            stream.writeStream.foreachBatch(fold)
+            .outputMode("update")
+            .queryName(f"s32_{uuid.uuid4().hex[:8]}")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    assert state["path"] is not None
+    return psi_from_counts(spark, spark.read.parquet(state["path"]))
+
+
+def _s32_sql() -> str:
+    from las_vpe_platform_spark.queries_data import Q170_SQL
+
+    return Q170_SQL
+
+
+S32_SQL = _s32_sql()
+
+
 STREAMING_QUERIES = {
     "s01_stream_windowed_counts": (s01_stream_windowed_counts, S01_SQL),
     "s02_stream_dedup": (s02_stream_dedup, S02_SQL),
@@ -2560,4 +2644,5 @@ STREAMING_QUERIES = {
     "s29_stream_source_drift": (s29_stream_source_drift, S29_SQL),
     "s30_stream_contamination_gate": (s30_stream_contamination_gate, S30_SQL),
     "s31_stream_novelty_monitor": (s31_stream_novelty_monitor, S31_SQL),
+    "s32_stream_quality_psi": (s32_stream_quality_psi, S32_SQL),
 }

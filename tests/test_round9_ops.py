@@ -462,3 +462,61 @@ def test_q173_hill_matches_bruteforce(spark, sf_dir):
             assert abs(r["alpha_hat"] - HILL_K / ssum) < 2e-6
         else:
             assert r["alpha_hat"] is None
+
+
+def test_q174_outliers_match_bruteforce(spark, sf_dir):
+    """Per cell, the reported rows are the true bottom-OUTLIER_K by
+    cosine-to-own-centroid (ties by vec_id), numpy recompute."""
+    import numpy as np
+
+    from las_vpe_platform_spark.operators.similarity import assign_centroids
+    from las_vpe_platform_spark.operators.staging import unpersist_all
+    from las_vpe_platform_spark.queries_data import (
+        IVF_CENTROID_MOD,
+        OUTLIER_K,
+        q174_embedding_outliers,
+    )
+    from las_vpe_platform_spark.sources.tables import load_table
+
+    got: dict = {}
+    for r in q174_embedding_outliers(spark, sf_dir).collect():
+        got.setdefault(r["centroid_id"], []).append((r["rk"], r["vec_id"], r["cell_n"]))
+    unpersist_all()
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in emb.collect()}
+    cen = {v: vecs[v] for v in vecs if v % IVF_CENTROID_MOD == 0}
+    cells: dict = {}
+    for r in assign_centroids(
+        emb,
+        emb.filter(F.col("vec_id") % IVF_CENTROID_MOD == 0).withColumnRenamed(
+            "vec_id", "centroid_id"
+        ),
+        id_col="vec_id",
+        vector_col="embedding",
+    ).collect():
+        cells.setdefault(r["centroid_id"], []).append(r["vec_id"])
+    unpersist_all()
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    for cid, members in cells.items():
+        ranked = sorted(members, key=lambda v: (cos(vecs[v], cen[cid]), v))
+        want = [(j + 1, v, len(members)) for j, v in enumerate(ranked[:OUTLIER_K])]
+        assert sorted(got.get(cid, [])) == want
+
+
+def test_s32_psi_equals_batch_q170(spark, sf_dir):
+    """The streaming fold's final PSI equals batch q170 row-for-row
+    (additive bucket counts => batching-invariant)."""
+    from las_vpe_platform_spark.operators.staging import unpersist_all
+    from las_vpe_platform_spark.queries_data import q170_quality_psi
+    from las_vpe_platform_spark.queries_streaming import s32_stream_quality_psi
+
+    streamed = {r["slice"]: r for r in s32_stream_quality_psi(spark, sf_dir).collect()}
+    unpersist_all()
+    batch = {r["slice"]: r for r in q170_quality_psi(spark, sf_dir).collect()}
+    unpersist_all()
+    assert set(streamed) == set(batch)
+    for k, r in streamed.items():
+        assert (r["n_docs"], r["psi"]) == (batch[k]["n_docs"], batch[k]["psi"])

@@ -309,6 +309,8 @@ HEADLINERS = [
      "water-filling source caps: one corpus aggregate to the sources-sized table; the cap index is found by exact BIGINT comparisons on the sorted prefix table, so lambda is the identical double in both engines"),
     ("q173_length_tail_index",
      "Hill tail-index: top-(k+1) per source is a partial+final WindowGroupLimit (map-side pruning, never a full per-source sort); the estimator is k logs per source"),
+    ("q174_embedding_outliers",
+     "embedding outliers: the shared assignment scan touches the corpus once; per-cell bottom-k is a partial+final WindowGroupLimit keyed by cell — selection by exact rank, never a cross-engine-fragile z-score threshold"),
 ]
 
 # Streaming queries execute to completion inside their catalog entry,
@@ -403,6 +405,12 @@ STREAMING_HEADLINERS = [
      "first-slice is a MIN, so the final index is batching-invariant and "
      "the oracle is Q168_SQL verbatim",
      "_s31_fold_plan"),
+    ("s32_stream_quality_psi (per-batch fold plan, literal batch)",
+     "streaming quality-PSI gate: the foreachBatch body — batch documents "
+     "scored with q170's shared quality_slice_bucket expressions, (slice, "
+     "bucket) counts merged into the stored 100-row table; counts are "
+     "additive so the final PSI equals batch q170 (oracle Q170_SQL verbatim)",
+     "_s32_fold_plan"),
 ]
 
 
@@ -742,6 +750,27 @@ def _s31_fold_plan(spark):
         stored.unionByName(fresh.selectExpr("cast(slice as int) slice", "shingle", "cast(cnt as long) cnt"))
         .groupBy("slice", "shingle")
         .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def _s32_fold_plan(spark):
+    from pyspark.sql import functions as F
+
+    from las_vpe_platform_spark.queries_data import quality_slice_bucket
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    # literal micro-batch vs a literal stored count table — the exact
+    # foreachBatch body of s32_stream_quality_psi, zero jobs
+    fresh = (
+        quality_slice_bucket(docs.limit(32), "cast(1000 as bigint)")
+        .groupBy("slice", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    stored = spark.createDataFrame([(0, 0, 3)], "slice long, bucket long, c long")
+    return (
+        stored.unionByName(fresh)
+        .groupBy("slice", "bucket")
+        .agg(F.sum("c").cast("bigint").alias("c"))
     )
 
 
