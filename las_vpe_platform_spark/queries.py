@@ -87,6 +87,7 @@ DRIVER_PRIORITY: list[str] = [
     "q173_length_tail_index",
     "q174_embedding_outliers",
     "s32_stream_quality_psi",
+    "s33_stream_patch_ingest_gate",
     "s25_stream_ann_recall",
     "s24_stream_track_attr_reid",
     "q159_weighted_quantiles",

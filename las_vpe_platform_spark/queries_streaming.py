@@ -2612,6 +2612,127 @@ def _s32_sql() -> str:
 S32_SQL = _s32_sql()
 
 
+# --- s33: streaming image-ingest near-dup gate -----------------------------------
+# The IMAGE twin of s19's text LSH gate: every micro-batch of
+# tracklets is aHash-banded (m17's patch_ahash — hex/conv inside
+# codegen, no pixel decode) and probed against the STORED band index
+# (serial_number % 3 == 0, staged once); band collisions are scored
+# with the exact bit_count-XOR Hamming and emitted as (incoming,
+# stored) alerts. Pair emission is a pure function of the pair, so
+# the appended log is deterministic under any batching; the oracle
+# replays the same all-vs-stored join in SQL. Scale: per batch one
+# banding projection + a postings join against the stored index —
+# the patch binaries never self-join and never leave the JVM.
+
+
+def s33_stream_patch_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.fixtures import FIXTURES_DIR
+    from las_vpe_platform_spark.operators.multimodal import patch_ahash
+    from las_vpe_platform_spark.operators.staging import persist_disk
+    from las_vpe_platform_spark.queries_domain import M17_HAMMING_T
+
+    tr = spark.read.parquet(str(FIXTURES_DIR / "tracklets.parquet"))
+    src = _scratch_dir("s33_tracklets_")
+    tr.repartition(8).write.mode("overwrite").parquet(src)
+    stored_hashed = persist_disk(
+        patch_ahash(tr.filter(F.col("serial_number") % 3 == 0)),
+        "s33_stored_hashed",
+    )
+    stored_posts = persist_disk(
+        stored_hashed.select(
+            F.col("id").alias("id_stored"),
+            F.posexplode("band_hash").alias("band_idx", "band_val"),
+        ),
+        "s33_stored_index",
+    )
+    out_dir = _scratch_dir("s33_alerts_")
+    ham = (
+        "aggregate(zip_with(_ba, _bb, (x, y) -> bit_count(x ^ y)), 0,"
+        " (a, v) -> a + cast(v AS INT))"
+    )
+
+    def probe_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        hin = patch_ahash(batch_df)
+        pin = hin.select(
+            "id", F.posexplode("band_hash").alias("band_idx", "band_val")
+        )
+        cands = (
+            pin.join(stored_posts, ["band_idx", "band_val"])
+            .filter(F.col("id") != F.col("id_stored"))
+            .select(F.col("id").alias("id_in"), "id_stored")
+            .distinct()
+        )
+        (
+            cands.join(hin.selectExpr("id AS id_in", "band_hash AS _ba"), "id_in")
+            .join(
+                stored_hashed.selectExpr("id AS id_stored", "band_hash AS _bb"),
+                "id_stored",
+            )
+            .select(
+                "id_in",
+                "id_stored",
+                F.expr(ham).cast("int").alias("hamming"),
+            )
+            .filter(F.col("hamming") <= M17_HAMMING_T)
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    stream = (
+        spark.readStream.schema(tr.schema)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(src)
+    )
+    with _stream_partitions(spark, 4):
+        q = (
+            stream.writeStream.foreachBatch(probe_batch)
+            .outputMode("append")
+            .queryName(f"s33_{uuid.uuid4().hex[:8]}")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    return spark.read.parquet(out_dir).distinct()
+
+
+def _s33_sql() -> str:
+    from las_vpe_platform_spark.queries_domain import M17_HAMMING_T, _fxsql
+
+    return f"""
+WITH fp AS (
+  SELECT tracklet_key AS id, serial_number,
+         hex((list_filter(location_sequence, b -> b.patch_data IS NOT NULL))[1].patch_data) AS h
+  FROM {_fxsql('tracklets')}
+  WHERE len(list_filter(location_sequence, b -> b.patch_data IS NOT NULL)) > 0
+), bytes AS (
+  SELECT id, serial_number,
+         list_transform(generate_series(1, 48), i -> ('0x' || substr(h, 2*i - 1, 2))::INT) AS bs
+  FROM fp
+), mo AS (
+  SELECT id, serial_number, bs, list_sum(bs)::DOUBLE / 48 AS mu FROM bytes
+), bands AS (
+  SELECT id, serial_number,
+         list_transform(generate_series(0, 3),
+           j -> list_sum(list_transform(generate_series(1, 12),
+                 i -> CASE WHEN bs[12*j + i] > mu THEN (1 << (i - 1)) ELSE 0 END))::INT) AS bv
+  FROM mo
+)
+SELECT DISTINCT a.id AS id_in, b.id AS id_stored,
+       list_sum(list_transform(generate_series(1, 4),
+                k -> bit_count(xor(a.bv[k], b.bv[k]))))::INT AS hamming
+FROM bands a JOIN bands b
+  ON b.serial_number % 3 = 0 AND a.id != b.id
+ AND (a.bv[1] = b.bv[1] OR a.bv[2] = b.bv[2] OR a.bv[3] = b.bv[3] OR a.bv[4] = b.bv[4])
+WHERE list_sum(list_transform(generate_series(1, 4),
+               k -> bit_count(xor(a.bv[k], b.bv[k])))) <= {M17_HAMMING_T}
+"""
+
+
+S33_SQL = _s33_sql()
+
+
 STREAMING_QUERIES = {
     "s01_stream_windowed_counts": (s01_stream_windowed_counts, S01_SQL),
     "s02_stream_dedup": (s02_stream_dedup, S02_SQL),
@@ -2645,4 +2766,5 @@ STREAMING_QUERIES = {
     "s30_stream_contamination_gate": (s30_stream_contamination_gate, S30_SQL),
     "s31_stream_novelty_monitor": (s31_stream_novelty_monitor, S31_SQL),
     "s32_stream_quality_psi": (s32_stream_quality_psi, S32_SQL),
+    "s33_stream_patch_ingest_gate": (s33_stream_patch_ingest_gate, S33_SQL),
 }

@@ -520,3 +520,53 @@ def test_s32_psi_equals_batch_q170(spark, sf_dir):
     assert set(streamed) == set(batch)
     for k, r in streamed.items():
         assert (r["n_docs"], r["psi"]) == (batch[k]["n_docs"], batch[k]["psi"])
+
+
+def test_s33_gate_matches_bruteforce(spark):
+    """The streamed alert log equals the all-vs-stored brute-force
+    model (band collision + Hamming <= T), pure-Python recompute —
+    and every incoming tracklet eventually streams past the index, so
+    the log is batching-complete."""
+    import pyarrow.parquet as pq
+
+    from las_vpe_platform_spark.fixtures import FIXTURES_DIR
+    from las_vpe_platform_spark.operators.staging import unpersist_all
+    from las_vpe_platform_spark.queries_domain import M17_HAMMING_T
+    from las_vpe_platform_spark.queries_streaming import s33_stream_patch_ingest_gate
+
+    got = {
+        (r["id_in"], r["id_stored"]): r["hamming"]
+        for r in s33_stream_patch_ingest_gate(spark, "unused").collect()
+    }
+    unpersist_all()
+    tr = pq.read_table(FIXTURES_DIR / "tracklets.parquet").to_pylist()
+    bands: dict = {}
+    stored = set()
+    for row in tr:
+        patches = [b for b in row["location_sequence"] if b["patch_data"] is not None]
+        if not patches:
+            continue
+        bs = list(patches[0]["patch_data"][:48])
+        mu = sum(bs) / 48.0
+        bv = []
+        for j in range(4):
+            v = 0
+            for i in range(12):
+                if bs[12 * j + i] > mu:
+                    v |= 1 << i
+            bv.append(v)
+        bands[row["tracklet_key"]] = bv
+        if row["serial_number"] % 3 == 0:
+            stored.add(row["tracklet_key"])
+    want = {}
+    for a, ba in bands.items():
+        for b in stored:
+            if a == b:
+                continue
+            bb = bands[b]
+            if not any(x == y for x, y in zip(ba, bb)):
+                continue
+            ham = sum(bin(x ^ y).count("1") for x, y in zip(ba, bb))
+            if ham <= M17_HAMMING_T:
+                want[(a, b)] = ham
+    assert got == want

@@ -411,6 +411,13 @@ STREAMING_HEADLINERS = [
      "bucket) counts merged into the stored 100-row table; counts are "
      "additive so the final PSI equals batch q170 (oracle Q170_SQL verbatim)",
      "_s32_fold_plan"),
+    ("s33_stream_patch_ingest_gate (per-batch probe plan, literal batch)",
+     "streaming image-ingest gate: the foreachBatch body — batch tracklets "
+     "aHash-banded (m17's codegen path, no pixel decode), postings joined "
+     "against the STORED band index, band collisions Hamming-scored; pair "
+     "emission is a pure pair function, so the appended log is "
+     "batching-invariant (s19's contract, image twin)",
+     "_s33_probe_plan"),
 ]
 
 
@@ -771,6 +778,44 @@ def _s32_fold_plan(spark):
         stored.unionByName(fresh)
         .groupBy("slice", "bucket")
         .agg(F.sum("c").cast("bigint").alias("c"))
+    )
+
+
+def _s33_probe_plan(spark):
+    from pyspark.sql import functions as F
+
+    from las_vpe_platform_spark.fixtures import FIXTURES_DIR
+    from las_vpe_platform_spark.operators.multimodal import patch_ahash
+    from las_vpe_platform_spark.queries_domain import M17_HAMMING_T
+
+    tr = spark.read.parquet(str(FIXTURES_DIR / "tracklets.parquet"))
+    # literal micro-batch vs the stored index — the exact foreachBatch
+    # body of s33_stream_patch_ingest_gate, zero jobs
+    stored_hashed = patch_ahash(tr.filter(F.col("serial_number") % 3 == 0))
+    stored_posts = stored_hashed.select(
+        F.col("id").alias("id_stored"),
+        F.posexplode("band_hash").alias("band_idx", "band_val"),
+    )
+    hin = patch_ahash(tr.limit(32))
+    pin = hin.select("id", F.posexplode("band_hash").alias("band_idx", "band_val"))
+    cands = (
+        pin.join(stored_posts, ["band_idx", "band_val"])
+        .filter(F.col("id") != F.col("id_stored"))
+        .select(F.col("id").alias("id_in"), "id_stored")
+        .distinct()
+    )
+    return (
+        cands.join(hin.selectExpr("id AS id_in", "band_hash AS _ba"), "id_in")
+        .join(stored_hashed.selectExpr("id AS id_stored", "band_hash AS _bb"), "id_stored")
+        .select(
+            "id_in",
+            "id_stored",
+            F.expr(
+                "aggregate(zip_with(_ba, _bb, (x, y) -> bit_count(x ^ y)), 0,"
+                " (a, v) -> a + cast(v AS INT))"
+            ).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= M17_HAMMING_T)
     )
 
 
