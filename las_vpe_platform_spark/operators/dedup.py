@@ -567,8 +567,19 @@ def connected_components(
     # non-increasing under min-propagation and stalls exactly at the
     # fixed point — one cheap aggregate per round instead of a
     # changed-labels comparison join; the aggregate IS the
-    # materializing action for the lazy checkpoint
-    prev_sum = labels.agg(F.sum("component")).collect()[0][0]
+    # materializing action for the lazy checkpoint. The sum trick
+    # needs NUMERIC labels; for string node ids (m18's tracklet keys)
+    # fall back to an exact changed-rows probe per round — a join over
+    # the label table, which is alert-sized, never corpus-sized.
+    from pyspark.sql.types import NumericType
+
+    numeric_labels = isinstance(
+        labels.schema["component"].dataType, NumericType
+    )
+    if numeric_labels:
+        prev_sum = labels.agg(F.sum("component")).collect()[0][0]
+    else:
+        prev_labels = labels
 
     def step(lbl: DataFrame) -> DataFrame:
         # step = min over (neighbors' labels ∪ label-of-my-label ∪
@@ -599,10 +610,23 @@ def connected_components(
         # the inner step per reference and measures ~25% slower, not
         # faster
         labels = step(labels).localCheckpoint(eager=False)
-        new_sum = labels.agg(F.sum("component")).collect()[0][0]
-        if new_sum == prev_sum:
-            break
-        prev_sum = new_sum
+        if numeric_labels:
+            new_sum = labels.agg(F.sum("component")).collect()[0][0]
+            if new_sum == prev_sum:
+                break
+            prev_sum = new_sum
+        else:
+            changed = (
+                labels.join(
+                    prev_labels.selectExpr("node", "component AS _prev"), "node"
+                )
+                .filter(F.col("component") != F.col("_prev"))
+                .limit(1)
+                .count()
+            )
+            if changed == 0:
+                break
+            prev_labels = labels
     return labels
 
 

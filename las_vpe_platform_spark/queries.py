@@ -88,6 +88,9 @@ DRIVER_PRIORITY: list[str] = [
     "q174_embedding_outliers",
     "s32_stream_quality_psi",
     "s33_stream_patch_ingest_gate",
+    "m18_patch_dedup_clusters",
+    "q175_transition_lift",
+    "q176_knn_label_consistency",
     "s25_stream_ann_recall",
     "s24_stream_track_attr_reid",
     "q159_weighted_quantiles",

@@ -9438,6 +9438,150 @@ WHERE s.rk <= {OUTLIER_K}
 Q174_SQL = _q174_sql()
 
 
+# --- q175: event-transition lift --------------------------------------------------
+# First-order Markov structure of user journeys: for every ordered
+# event-type pair (a -> b) of CONSECUTIVE events per user, lift =
+# P(b|a)/P(b) — which follow-ups are over/under-represented relative
+# to the base rate (the association signal q12's trigram miner and
+# q98's funnel both assume; this quantifies it). All probabilities
+# reduce to four exact BIGINT counts, so lift = (n_ab·n_tot)/(n_a·n_b)
+# is one double division per (a,b) cell — engine-identical. Scale:
+# the lead window is user-keyed (distributed); everything after the
+# pair count is |event_types|^2-sized.
+
+
+def q175_transition_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W2
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = W2.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("a"),
+            F.lead("event_type").over(w).alias("b"),
+        )
+        .filter(F.col("b").isNotNull())
+    )
+    counts = _stage(
+        pairs.groupBy("a", "b").agg(F.count(F.lit(1)).cast("bigint").alias("n_ab")),
+        "q175_counts",
+    )
+    na = counts.groupBy("a").agg(F.sum("n_ab").cast("bigint").alias("n_a"))
+    nb = counts.groupBy("b").agg(F.sum("n_ab").cast("bigint").alias("n_b"))
+    tot = counts.groupBy().agg(F.sum("n_ab").cast("bigint").alias("n_tot"))
+    return (
+        counts.join(F.broadcast(na), "a")
+        .join(F.broadcast(nb), "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "a",
+            "b",
+            "n_ab",
+            pround(
+                (F.col("n_ab") * F.col("n_tot")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+Q175_SQL = """
+WITH pairs AS (
+  SELECT a, b FROM (
+    SELECT event_type AS a,
+           lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS b
+    FROM events
+  ) WHERE b IS NOT NULL
+), counts AS (
+  SELECT a, b, count(*)::BIGINT AS n_ab FROM pairs GROUP BY 1, 2
+), na AS (
+  SELECT a, sum(n_ab)::BIGINT AS n_a FROM counts GROUP BY 1
+), nb AS (
+  SELECT b, sum(n_ab)::BIGINT AS n_b FROM counts GROUP BY 1
+), tot AS (
+  SELECT sum(n_ab)::BIGINT AS n_tot FROM counts
+)
+SELECT c.a, c.b, c.n_ab,
+       floor(((c.n_ab * t.n_tot)::DOUBLE / (na.n_a * nb.n_b)::DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS lift
+FROM counts c
+JOIN na USING (a)
+JOIN nb USING (b)
+CROSS JOIN tot t
+"""
+
+
+# --- q176: 1-NN label consistency (label-noise audit) ----------------------------
+# The classic label-noise estimate: for every vector, does its
+# nearest NON-SELF neighbor share its label? Per-label consistency
+# rate ≈ 1 − leave-one-out 1-NN error — the triage number that says
+# which classes need relabeling before training (pairs with q147's
+# cluster purity and q174's geometric outliers). Rides the BLAS
+# pairwise ranker at k=2: self can only outrank the true neighbor, so
+# dropping self rows and keeping the best remaining is exact. Scale:
+# the exact path is the q27/q31 all-pairs shape (gallery never
+# shuffles); at corpus scale the probe side swaps to the IVF ranker
+# unchanged.
+
+
+def q176_knn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W2
+
+    emb = _t(spark, sf_dir, "embeddings")
+    top = pairwise_similarity_topk(
+        emb, emb, probe_key="vec_id", gallery_key="vec_id",
+        vector_col="embedding", k=2,
+    )
+    nonself = top.filter(F.col("gallery_key") != F.col("probe_key"))
+    w = W2.partitionBy("probe_key").orderBy("rank")
+    nn = (
+        nonself.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select("probe_key", "gallery_key")
+    )
+    lab = emb.select("vec_id", "label")
+    judged = (
+        nn.join(lab.selectExpr("vec_id AS probe_key", "label"), "probe_key")
+        .join(
+            lab.selectExpr("vec_id AS gallery_key", "label AS _nn_label"),
+            "gallery_key",
+        )
+        .select(
+            "label",
+            (F.col("label") == F.col("_nn_label")).cast("long").alias("_same"),
+        )
+    )
+    return judged.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("_same").cast("bigint").alias("n_consistent"),
+        pround(
+            F.sum("_same").cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("consistency"),
+    )
+
+
+Q176_SQL = f"""
+WITH nn AS (
+  SELECT probe_key, gallery_key FROM (
+    SELECT a.vec_id AS probe_key, b.vec_id AS gallery_key,
+           row_number() OVER (PARTITION BY a.vec_id
+                              ORDER BY {sql_cosine('a.embedding', 'b.embedding')} DESC,
+                                       b.vec_id) AS rk
+    FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+  ) WHERE rk = 1
+)
+SELECT la.label, count(*)::BIGINT AS n,
+       sum(CASE WHEN la.label = lb.label THEN 1 ELSE 0 END)::BIGINT AS n_consistent,
+       floor((sum(CASE WHEN la.label = lb.label THEN 1 ELSE 0 END)::DOUBLE
+              / count(*)::DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS consistency
+FROM nn
+JOIN embeddings la ON la.vec_id = nn.probe_key
+JOIN embeddings lb ON lb.vec_id = nn.gallery_key
+GROUP BY 1
+"""
+
+
 DATA_QUERIES = {
     "q20_doc_token_stats": (q20_doc_token_stats, Q20_SQL),
     "q21_doc_quality": (q21_doc_quality, Q21_SQL),
@@ -9572,4 +9716,6 @@ DATA_QUERIES = {
     "q172_source_token_caps": (q172_source_token_caps, Q172_SQL),
     "q173_length_tail_index": (q173_length_tail_index, Q173_SQL),
     "q174_embedding_outliers": (q174_embedding_outliers, Q174_SQL),
+    "q175_transition_lift": (q175_transition_lift, Q175_SQL),
+    "q176_knn_label_consistency": (q176_knn_label_consistency, Q176_SQL),
 }

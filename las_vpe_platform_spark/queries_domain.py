@@ -2744,6 +2744,55 @@ WHERE list_sum(list_transform(generate_series(1, 4),
 """
 
 
+# --- m18: perceptual-dup clusters over binary patches -----------------------
+# Completes m17's pairs into actionable storage decisions: connected
+# components over the aHash near-dup graph (q55's min-label
+# propagation, string keys) with one keeper per cluster — the
+# image-side keep-one manifest a tracklet store compacts against
+# (reference K4's HAR folding is the byte-level cousin,
+# DataManagingApp.java:422-473). Scale: CC rounds are edge-keyed
+# joins over the LSH-bounded alert set, never the patch corpus.
+
+
+def m18_patch_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.operators.dedup import connected_components
+    from las_vpe_platform_spark.operators.multimodal import (
+        ahash_candidate_pairs,
+        patch_ahash,
+    )
+    from las_vpe_platform_spark.operators.staging import persist_disk
+
+    hashed = persist_disk(patch_ahash(_fx(spark, "tracklets")), "m18_hashed")
+    pairs = ahash_candidate_pairs(hashed, M17_HAMMING_T).select("id_a", "id_b")
+    comp = connected_components(pairs, src="id_a", dst="id_b", edges_canonical=True)
+    return comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.min("node").alias("keeper_id"),
+    )
+
+
+def _m18_sql() -> str:
+    return f"""
+WITH RECURSIVE m17 AS (
+  SELECT id_a, id_b FROM ({M17_SQL}) t
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM m17
+  UNION SELECT id_b AS a, id_a AS b FROM m17
+), reach(node, root) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node
+), comp AS (
+  SELECT node, min(root) AS component FROM reach GROUP BY node
+)
+SELECT component, count(*)::BIGINT AS n_members, min(node) AS keeper_id
+FROM comp GROUP BY component
+"""
+
+
+M18_SQL = _m18_sql()
+
+
 DOMAIN_QUERIES = {
     "d01_tracklet_sampling": (d01_tracklet_sampling, D01_SQL),
     "d02_attribute_average": (d02_attribute_average, D02_SQL),
@@ -2790,4 +2839,5 @@ DOMAIN_QUERIES = {
     "m15_scene_exemplars": (m15_scene_exemplars, M15_SQL),
     "m16_audio_silence_trim": (m16_audio_silence_trim, M16_SQL),
     "m17_patch_ahash_neardup": (m17_patch_ahash_neardup, M17_SQL),
+    "m18_patch_dedup_clusters": (m18_patch_dedup_clusters, M18_SQL),
 }

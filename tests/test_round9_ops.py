@@ -570,3 +570,109 @@ def test_s33_gate_matches_bruteforce(spark):
             if ham <= M17_HAMMING_T:
                 want[(a, b)] = ham
     assert got == want
+
+
+def test_m18_clusters_match_bruteforce_cc(spark):
+    """Union-find over m17's pair list reproduces every cluster: same
+    components, sizes, and min-key keepers."""
+    from las_vpe_platform_spark.operators.staging import unpersist_all
+    from las_vpe_platform_spark.queries_domain import (
+        m17_patch_ahash_neardup,
+        m18_patch_dedup_clusters,
+    )
+
+    pairs = [
+        (r["id_a"], r["id_b"])
+        for r in m17_patch_ahash_neardup(spark, "unused").collect()
+    ]
+    unpersist_all()
+    got = {
+        r["component"]: (r["n_members"], r["keeper_id"])
+        for r in m18_patch_dedup_clusters(spark, "unused").collect()
+    }
+    unpersist_all()
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comps: dict = {}
+    for node in parent:
+        comps.setdefault(find(node), []).append(node)
+    want = {
+        min(members): (len(members), min(members)) for members in comps.values()
+    }
+    assert got == want
+
+
+def test_q175_lift_mass_identities(spark, sf_dir):
+    """Transition counts weighted by their conditional/base rates obey
+    the exact mass identities: sum_b P(b|a) = 1 for every a, and the
+    lift-weighted base-rate average over b equals 1 for every a."""
+    from las_vpe_platform_spark.operators.staging import unpersist_all
+    from las_vpe_platform_spark.queries_data import q175_transition_lift
+
+    rows = q175_transition_lift(spark, sf_dir).collect()
+    unpersist_all()
+    tot = sum(r["n_ab"] for r in rows)
+    na: dict = {}
+    nb: dict = {}
+    for r in rows:
+        na[r["a"]] = na.get(r["a"], 0) + r["n_ab"]
+        nb[r["b"]] = nb.get(r["b"], 0) + r["n_ab"]
+    for r in rows:
+        want = (r["n_ab"] * tot) / (na[r["a"]] * nb[r["b"]])
+        import math
+
+        assert r["lift"] == math.floor(want * 1e6 + 0.5) / 1e6
+    # lift-weighted base-rate mass: sum_b lift(a,b)·P(b) = 1 per a
+    for a in na:
+        mass = sum(
+            (r["n_ab"] * tot) / (na[a] * nb[r["b"]]) * (nb[r["b"]] / tot)
+            for r in rows
+            if r["a"] == a
+        )
+        assert abs(mass - 1.0) < 1e-9
+
+
+def test_q176_consistency_matches_bruteforce(spark, sf_dir):
+    """numpy leave-one-out 1-NN recompute: identical per-label counts
+    (ties broken by vec_id, mirroring both engines)."""
+    import numpy as np
+
+    from las_vpe_platform_spark.operators.staging import unpersist_all
+    from las_vpe_platform_spark.queries_data import q176_knn_label_consistency
+    from las_vpe_platform_spark.sources.tables import load_table
+
+    got = {r["label"]: (r["n"], r["n_consistent"]) for r in
+           q176_knn_label_consistency(spark, sf_dir).collect()}
+    unpersist_all()
+    rows = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    ).collect()
+    ids = [r["vec_id"] for r in rows]
+    labs = {r["vec_id"]: r["label"] for r in rows}
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ mat.T
+    want: dict = {}
+    order = np.argsort(ids)
+    for i, vid in enumerate(ids):
+        best = None
+        for j in range(len(ids)):
+            if j == i:
+                continue
+            cand = (-sims[i, j], ids[j])
+            if best is None or cand < best:
+                best = cand
+        n, c = want.get(labs[vid], (0, 0))
+        want[labs[vid]] = (n + 1, c + (1 if labs[best[1]] == labs[vid] else 0))
+    assert got == want

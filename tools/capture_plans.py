@@ -311,6 +311,12 @@ HEADLINERS = [
      "Hill tail-index: top-(k+1) per source is a partial+final WindowGroupLimit (map-side pruning, never a full per-source sort); the estimator is k logs per source"),
     ("q174_embedding_outliers",
      "embedding outliers: the shared assignment scan touches the corpus once; per-cell bottom-k is a partial+final WindowGroupLimit keyed by cell — selection by exact rank, never a cross-engine-fragile z-score threshold"),
+    ("m18_patch_dedup_clusters",
+     "patch dedup clusters: CC min-label rounds over the LSH-bounded aHash alert set (string keys -> exact changed-rows convergence probe); the patch corpus never re-enters after m17's banding"),
+    ("q175_transition_lift",
+     "transition lift: ONE user-keyed lead window; all probabilities reduce to exact BIGINT counts, lift is one double division per |event_types|^2 cell"),
+    ("q176_knn_label_consistency",
+     "1-NN label audit: the BLAS pairwise ranker at k=2 (self can only outrank the true neighbor, so drop-self-keep-best is exact); label joins and the per-label rollup are label-cardinality-sized"),
 ]
 
 # Streaming queries execute to completion inside their catalog entry,
