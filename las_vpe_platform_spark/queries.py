@@ -91,6 +91,9 @@ DRIVER_PRIORITY: list[str] = [
     "m18_patch_dedup_clusters",
     "q175_transition_lift",
     "q176_knn_label_consistency",
+    "q177_label_margin_mining",
+    "m19_audio_fingerprint_dedup",
+    "q178_context_size_audit",
     "s25_stream_ann_recall",
     "s24_stream_track_attr_reid",
     "q159_weighted_quantiles",

@@ -9582,6 +9582,180 @@ GROUP BY 1
 """
 
 
+# --- q177: label-centroid margin mining --------------------------------------------
+# Boundary-example mining, the geometric complement of q79's
+# similarity-ranked hard negatives: margin(v) = cos(v, own-label
+# centroid) − max over other labels of cos(v, that centroid); the
+# bottom-k margins per label are the ambiguous examples an active
+# relabeling queue drains (q176 says WHICH classes are noisy, q177
+# says WHICH EXAMPLES to look at). Margins are computed against the
+# PUBLISHED centroids — q28's round-6 values — so both engines fold
+# identical doubles; selection is exact rank (WindowGroupLimit), not
+# a threshold. Scale: centroids are labels × dims (broadcast); the
+# corpus is touched once by the scoring projection.
+
+MARGIN_K = 3
+
+
+def q177_label_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W2
+
+    from las_vpe_platform_spark.functions.vector import cosine_similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", F.col("pos").alias("dim"))
+        .agg(pround(F.avg(F.col("v").cast("double")), 6).alias("cv"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("dim", "cv"))),
+                lambda s: s.getField("cv"),
+            ).alias("cvec")
+        )
+        .selectExpr("label AS _clabel", "cvec")
+    )
+    sims = emb.join(F.broadcast(cent)).withColumn(
+        "_sim", cosine_similarity("embedding", "cvec")
+    )
+    per_vec = sims.groupBy("vec_id", "label").agg(
+        F.max(F.when(F.col("_clabel") == F.col("label"), F.col("_sim"))).alias("_own"),
+        F.max(F.when(F.col("_clabel") != F.col("label"), F.col("_sim"))).alias(
+            "_other"
+        ),
+    )
+    w = W2.partitionBy("label").orderBy(
+        F.asc(F.col("_own") - F.col("_other")), F.asc("vec_id")
+    )
+    return (
+        per_vec.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= MARGIN_K)
+        .select(
+            "label",
+            F.col("_rk").cast("bigint").alias("rk"),
+            "vec_id",
+            pround(F.col("_own") - F.col("_other"), 6).alias("margin"),
+        )
+    )
+
+
+Q177_SQL = f"""
+WITH cent AS (
+  SELECT label AS clabel, list(cv ORDER BY dim) AS cvec FROM (
+    SELECT label, i AS dim,
+           floor((avg(embedding[i]::DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS cv
+    FROM embeddings, unnest(generate_series(1, 64)) AS t(i)
+    GROUP BY label, i
+  ) GROUP BY 1
+), per_vec AS (
+  SELECT e.vec_id, e.label,
+         max(CASE WHEN c.clabel = e.label
+                  THEN {sql_cosine('e.embedding', 'c.cvec')} END) AS own,
+         max(CASE WHEN c.clabel != e.label
+                  THEN {sql_cosine('e.embedding', 'c.cvec')} END) AS other
+  FROM embeddings e CROSS JOIN cent c
+  GROUP BY 1, 2
+)
+SELECT label, rk::BIGINT AS rk, vec_id,
+       floor((own - other) * 1000000.0 + 0.5) / 1000000.0 AS margin
+FROM (
+  SELECT label, vec_id, own, other,
+         row_number() OVER (PARTITION BY label
+                            ORDER BY own - other ASC, vec_id) AS rk
+  FROM per_vec
+)
+WHERE rk <= {MARGIN_K}
+"""
+
+
+# --- q178: context-size packing audit ---------------------------------------------
+# The decision table BEHIND q62's packer: under token-contiguous
+# packing (docs may straddle bin boundaries), what does each
+# candidate context length cost? Per B: bins, boundary-crossing
+# count (Σ eb−sb — every crossing is a document split the loss mask
+# must handle), split-doc count and fraction. Larger B → fewer
+# splits but quadratically costlier attention; this is the table a
+# training team reads to pick PACK_CTX. All integer arithmetic over
+# ONE pack_sequences prefix pass (the distributed two-phase scan);
+# the per-B expansion is a 4× row duplication folded map-side.
+
+Q178_CTX_SIZES = (512, 1024, 2048, 4096)
+
+
+def q178_context_size_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", token_count("text").cast("bigint").alias("n_toks")
+    )
+    packed = _stage(
+        pack_sequences(toks, id_col="doc_id", n_tokens_col="n_toks"),
+        "q178_packed",
+    )
+    sizes = spark.createDataFrame(
+        [(int(b),) for b in Q178_CTX_SIZES], "ctx bigint"
+    )
+    x = packed.crossJoin(F.broadcast(sizes)).selectExpr(
+        "ctx",
+        "n",
+        "prefix div ctx AS sb",
+        "(prefix + n - 1) div ctx AS eb",
+    )
+    return (
+        x.groupBy("ctx")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n").cast("bigint").alias("total_tokens"),
+            F.sum(F.col("eb") - F.col("sb")).cast("bigint").alias("crossings"),
+            F.sum((F.col("eb") > F.col("sb")).cast("long"))
+            .cast("bigint")
+            .alias("n_split_docs"),
+        )
+        .select(
+            "ctx",
+            "n_docs",
+            "total_tokens",
+            F.expr("(total_tokens + ctx - 1) div ctx").cast("bigint").alias("n_bins"),
+            "crossings",
+            "n_split_docs",
+            pround(
+                F.col("n_split_docs").cast("double") / F.col("n_docs").cast("double"),
+                6,
+            ).alias("split_frac"),
+        )
+    )
+
+
+Q178_SQL = f"""
+WITH _d AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS _ord,
+         len({SQL_TOKENS})::BIGINT AS n
+  FROM documents
+  WHERE len({SQL_TOKENS}) > 0
+), nz AS (
+  SELECT doc_id, n,
+         coalesce(sum(n) OVER (ORDER BY _ord, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS prefix
+  FROM _d
+), sizes AS (
+  SELECT unnest([{", ".join(str(b) for b in Q178_CTX_SIZES)}])::BIGINT AS ctx
+), x AS (
+  SELECT ctx, n, prefix // ctx AS sb, (prefix + n - 1) // ctx AS eb
+  FROM nz CROSS JOIN sizes
+)
+SELECT ctx, count(*)::BIGINT AS n_docs, sum(n)::BIGINT AS total_tokens,
+       ((sum(n) + ctx - 1) // ctx)::BIGINT AS n_bins,
+       sum(eb - sb)::BIGINT AS crossings,
+       sum(CASE WHEN eb > sb THEN 1 ELSE 0 END)::BIGINT AS n_split_docs,
+       floor((sum(CASE WHEN eb > sb THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS split_frac
+FROM x GROUP BY 1
+"""
+
+
 DATA_QUERIES = {
     "q20_doc_token_stats": (q20_doc_token_stats, Q20_SQL),
     "q21_doc_quality": (q21_doc_quality, Q21_SQL),
@@ -9718,4 +9892,6 @@ DATA_QUERIES = {
     "q174_embedding_outliers": (q174_embedding_outliers, Q174_SQL),
     "q175_transition_lift": (q175_transition_lift, Q175_SQL),
     "q176_knn_label_consistency": (q176_knn_label_consistency, Q176_SQL),
+    "q177_label_margin_mining": (q177_label_margin_mining, Q177_SQL),
+    "q178_context_size_audit": (q178_context_size_audit, Q178_SQL),
 }

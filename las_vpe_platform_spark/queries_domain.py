@@ -2793,6 +2793,61 @@ FROM comp GROUP BY component
 M18_SQL = _m18_sql()
 
 
+# --- m19: audio energy-profile fingerprint dedup ----------------------------
+# The AUDIO member of the content-dedup family (text q23/q24, image
+# m07/m17): clips grouped by their quantized loudness profile — per
+# m08 window, bucket = length(bin(1 + mean_energy)), i.e.
+# floor(log2)+1 as a PURE INTEGER expression (no float log whose ULP
+# could straddle engines); fingerprint = the ordered bucket list.
+# Same-profile clips are re-recordings/re-encodes of the same
+# material at this resolution — the keep-one manifest before paying
+# for decode. Scale: rides m08's windowed exact-BIGINT energy fold
+# (scan-stage work); the fingerprint aggregate shuffles clip-keyed
+# rows once and groups are fingerprint-keyed.
+
+
+def m19_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wins = m08_audio_energy_windows(spark, sf_dir)
+    fp = (
+        wins.select(
+            "clip_id",
+            "window_id",
+            F.length(
+                F.bin(F.lit(1) + F.expr("energy div n_in_window"))
+            ).alias("_b"),
+        )
+        .groupBy("clip_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("window_id", "_b"))),
+                lambda s: s.getField("_b"),
+            ).alias("_fp")
+        )
+    )
+    return fp.groupBy("_fp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clips"),
+        F.min("clip_id").alias("keeper_id"),
+        F.size("_fp").cast("bigint").alias("n_windows"),
+    ).select("keeper_id", "n_clips", "n_windows")
+
+
+def _m19_sql() -> str:
+    return f"""
+WITH wins AS ({_m08_sql()}),
+fp AS (
+  SELECT clip_id,
+         list(length(bin(1 + energy // n_in_window)) ORDER BY window_id) AS f
+  FROM wins GROUP BY 1
+)
+SELECT min(clip_id) AS keeper_id, count(*)::BIGINT AS n_clips,
+       max(len(f))::BIGINT AS n_windows
+FROM fp GROUP BY f::VARCHAR
+"""
+
+
+M19_SQL = _m19_sql()
+
+
 DOMAIN_QUERIES = {
     "d01_tracklet_sampling": (d01_tracklet_sampling, D01_SQL),
     "d02_attribute_average": (d02_attribute_average, D02_SQL),
@@ -2840,4 +2895,5 @@ DOMAIN_QUERIES = {
     "m16_audio_silence_trim": (m16_audio_silence_trim, M16_SQL),
     "m17_patch_ahash_neardup": (m17_patch_ahash_neardup, M17_SQL),
     "m18_patch_dedup_clusters": (m18_patch_dedup_clusters, M18_SQL),
+    "m19_audio_fingerprint_dedup": (m19_audio_fingerprint_dedup, M19_SQL),
 }

@@ -676,3 +676,115 @@ def test_q176_consistency_matches_bruteforce(spark, sf_dir):
         n, c = want.get(labs[vid], (0, 0))
         want[labs[vid]] = (n + 1, c + (1 if labs[best[1]] == labs[vid] else 0))
     assert got == want
+
+
+def test_q177_margins_match_bruteforce(spark, sf_dir):
+    """numpy recompute against the PUBLISHED (round-6) centroids: the
+    bottom-MARGIN_K per label and their rounded margins must match."""
+    import math
+
+    import numpy as np
+
+    from las_vpe_platform_spark.operators.staging import unpersist_all
+    from las_vpe_platform_spark.queries_data import (
+        MARGIN_K,
+        q177_label_margin_mining,
+    )
+    from las_vpe_platform_spark.sources.tables import load_table
+
+    got = {
+        (r["label"], r["rk"]): (r["vec_id"], r["margin"])
+        for r in q177_label_margin_mining(spark, sf_dir).collect()
+    }
+    unpersist_all()
+    rows = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    ).collect()
+    by_label: dict = {}
+    for r in rows:
+        by_label.setdefault(r["label"], []).append(
+            np.array(r["embedding"], dtype=np.float64)
+        )
+    cents = {
+        lab: np.array(
+            [math.floor(m * 1e6 + 0.5) / 1e6 for m in np.mean(vs, axis=0)]
+        )
+        for lab, vs in by_label.items()
+    }
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    margins: dict = {}
+    for r in rows:
+        v = np.array(r["embedding"], dtype=np.float64)
+        own = cos(v, cents[r["label"]])
+        other = max(cos(v, c) for lab, c in cents.items() if lab != r["label"])
+        margins.setdefault(r["label"], []).append((own - other, r["vec_id"]))
+    want = {}
+    for lab, ms in margins.items():
+        ms.sort()
+        for j, (m, vid) in enumerate(ms[:MARGIN_K]):
+            want[(lab, j + 1)] = (vid, math.floor(m * 1e6 + 0.5) / 1e6)
+    assert got == want
+
+
+def test_m19_groups_match_bruteforce(spark):
+    """Pure-Python energy-profile fingerprints over the PCM bytes
+    reproduce the groups exactly (keeper, size, window count)."""
+    import pyarrow.parquet as pq
+
+    from las_vpe_platform_spark.fixtures import FIXTURES_DIR
+    from las_vpe_platform_spark.operators.staging import unpersist_all
+    from las_vpe_platform_spark.queries_domain import m19_audio_fingerprint_dedup
+
+    got = {
+        r["keeper_id"]: (r["n_clips"], r["n_windows"])
+        for r in m19_audio_fingerprint_dedup(spark, "unused").collect()
+    }
+    unpersist_all()
+    clips = pq.read_table(FIXTURES_DIR / "audio_clips.parquet").to_pylist()
+    groups: dict = {}
+    for c in clips:
+        if c["n_samples"] <= 0:
+            continue
+        raw = c["pcm"]
+        samples = [
+            int.from_bytes(raw[2 * i: 2 * i + 2], "little", signed=True)
+            for i in range(c["n_samples"])
+        ]
+        fp = []
+        for lo in range(0, c["n_samples"], 256):
+            win = samples[lo: lo + 256]
+            energy = sum(s * s for s in win)
+            fp.append(len(bin(1 + energy // len(win))) - 2)
+        groups.setdefault(tuple(fp), []).append(c["clip_id"])
+    want = {
+        min(members): (len(members), len(fp)) for fp, members in groups.items()
+    }
+    assert got == want
+
+
+def test_q178_audit_consistency(spark, sf_dir):
+    """Exact identities of the packing audit: crossings >= n_split_docs,
+    every doc fits in n_bins, and per-B bin count shrinks as B grows."""
+    from las_vpe_platform_spark.operators.staging import unpersist_all
+    from las_vpe_platform_spark.queries_data import (
+        Q178_CTX_SIZES,
+        q178_context_size_audit,
+    )
+
+    rows = {r["ctx"]: r for r in q178_context_size_audit(spark, sf_dir).collect()}
+    unpersist_all()
+    assert sorted(rows) == sorted(Q178_CTX_SIZES)
+    tot = {r["total_tokens"] for r in rows.values()}
+    assert len(tot) == 1
+    total = tot.pop()
+    prev_bins = None
+    for b in sorted(rows):
+        r = rows[b]
+        assert r["n_bins"] == (total + b - 1) // b
+        assert r["crossings"] >= r["n_split_docs"] >= 0
+        if prev_bins is not None:
+            assert r["n_bins"] <= prev_bins
+        prev_bins = r["n_bins"]

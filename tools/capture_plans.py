@@ -317,6 +317,12 @@ HEADLINERS = [
      "transition lift: ONE user-keyed lead window; all probabilities reduce to exact BIGINT counts, lift is one double division per |event_types|^2 cell"),
     ("q176_knn_label_consistency",
      "1-NN label audit: the BLAS pairwise ranker at k=2 (self can only outrank the true neighbor, so drop-self-keep-best is exact); label joins and the per-label rollup are label-cardinality-sized"),
+    ("q177_label_margin_mining",
+     "label-margin mining: labels x dims centroid table broadcast; ONE corpus scoring projection; bottom-k per label via exact rank against the PUBLISHED round-6 centroids"),
+    ("m19_audio_fingerprint_dedup",
+     "audio fingerprint dedup: rides m08's exact-BIGINT window energies; bucket = length(bin(1+mean)) — floor(log2)+1 as pure integer, no float log; fingerprint aggregate shuffles clip-keyed rows once"),
+    ("q178_context_size_audit",
+     "context-size audit: ONE pack_sequences two-phase prefix pass; per-B expansion is a broadcast 4x duplication folded map-side; every output is integer arithmetic on (prefix, n)"),
 ]
 
 # Streaming queries execute to completion inside their catalog entry,
