@@ -276,7 +276,11 @@ def patch_ahash(
     Reference parity: the patch payload is the reference's BGR pixel
     block (Tracklet.java:216-225, patchData); content-hashing it is
     the dedup step its tracklet store lacks. Rows with no retained
-    patch are dropped (nothing to hash).
+    patch are dropped (nothing to hash), and so are patches SHORTER
+    than ``n_bytes`` — without the guard Spark's conv(substr(...))
+    would NULL out missing bytes into all-zero bands (every short
+    patch colliding) while the SQL oracle's '0x'-cast errors: a
+    latent cross-engine divergence, now excluded by contract.
     """
     band_bits = n_bytes // bands
     first = F.filter(
@@ -285,6 +289,7 @@ def patch_ahash(
     return (
         df.select(F.col(id_col).alias("id"), first.alias("_ps"))
         .filter(F.size("_ps") > 0)
+        .filter(F.expr(f"length(_ps[0].patch_data) >= {n_bytes}"))
         .select("id", F.hex(F.expr("_ps[0].patch_data")).alias("_h"))
         .select(
             "id",

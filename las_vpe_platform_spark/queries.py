@@ -11,11 +11,11 @@ catalog).  ``DRIVER_PRIORITY`` is therefore RE-DERIVED EVERY ROUND as
 "everything not yet driver-green, oldest evidence first" (VERDICT r2
 'What's wrong' #2 — a stale list wastes the round's sample):
 
-1. tier 0 (round 9) — the 23 NEW entries (s27/s28 command paths,
-   q160-q166, m16, s29 from the early sessions; q167/q168/s30 and
-   then m17, s31, s32, q169-q174 from the closing sessions) and this
-   round's re-gates (s25 distributed rewrite, s24 oracle mirror, q159
-   tokenizer fix, q158 incremental support, s26 landing guard,
+1. tier 0 (round 9) — the 30 NEW entries (s27/s28 command paths,
+   q160-q166, m16, s29 from the early sessions; q167/q168/s30, then
+   m17-m19, s31-s33, and q169-q178 from the closing sessions) and
+   this round's re-gates (s25 distributed rewrite, s24 oracle mirror,
+   q159 tokenizer fix, q158 incremental support, s26 landing guard,
    q127/q136/q137/q152 global_ranks pin),
 2. tier 1 — stalest evidence first: the r01 rows then the oldest r02
    rows fill the remaining window slots,

@@ -9286,21 +9286,16 @@ def q173_length_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     from las_vpe_platform_spark.operators.windows import topk_per_group
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
-    top = topk_per_group(
+    # topk_per_group already ranks with the exact ordering q173 needs
+    # (order_col desc, doc_id asc) — reuse its rank, no second window
+    ranked = topk_per_group(
         docs.select("source", "doc_id", "n_chars"),
         ["source"],
         "n_chars",
         HILL_K + 1,
         ascending=False,
         tiebreak_cols=["doc_id"],
-    )
-    # rank inside the retained k+1 rows only (k+1 rows per source)
-    from pyspark.sql import Window as W2
-
-    w = W2.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
-    ranked = top.select(
-        "source", "n_chars", F.row_number().over(w).alias("_j")
-    )
+    ).select("source", "n_chars", F.col("rank").alias("_j"))
     kth = ranked.filter(F.col("_j") == HILL_K + 1).select(
         "source", F.col("n_chars").alias("_xk")
     )
@@ -9690,10 +9685,9 @@ def q178_context_size_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", token_count("text").cast("bigint").alias("n_toks")
     )
-    packed = _stage(
-        pack_sequences(toks, id_col="doc_id", n_tokens_col="n_toks"),
-        "q178_packed",
-    )
+    # no _stage: packed is consumed exactly once (the crossJoin into
+    # one aggregate) — a persist would be a pure corpus-sized write
+    packed = pack_sequences(toks, id_col="doc_id", n_tokens_col="n_toks")
     sizes = spark.createDataFrame(
         [(int(b),) for b in Q178_CTX_SIZES], "ctx bigint"
     )

@@ -2720,6 +2720,7 @@ WITH fp AS (
          hex((list_filter(location_sequence, b -> b.patch_data IS NOT NULL))[1].patch_data) AS h
   FROM {_fxsql('tracklets')}
   WHERE len(list_filter(location_sequence, b -> b.patch_data IS NOT NULL)) > 0
+    AND octet_length((list_filter(location_sequence, b -> b.patch_data IS NOT NULL))[1].patch_data) >= 48
 ), bytes AS (
   SELECT id,
          list_transform(generate_series(1, 48), i -> ('0x' || substr(h, 2*i - 1, 2))::INT) AS bs

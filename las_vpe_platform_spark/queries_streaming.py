@@ -2432,22 +2432,37 @@ S28_SQL = _s28_sql()
 # shuffle, no stream state operator.
 
 
-def s31_stream_novelty_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from las_vpe_platform_spark.operators.dedup import exploded_shingles
-    from las_vpe_platform_spark.queries_data import DECONTAM_N, NOVELTY_SLICES
+_LANDED_DOC_SPAN: dict[tuple, int] = {}
 
+
+def _landed_docs4(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
+    """Land (doc_id, text) as 4 parquet files once per sf_dir and cache
+    its doc_id span — the shared ingest layout of the sliced-monitor
+    family (s31 novelty, s32 quality-PSI). The span is a pure function
+    of the landed copy, so it is computed once with the landing, not
+    re-scanned per entry."""
     key = ("docs_s31", sf_dir)
-    if key in _LANDED:
-        src = _LANDED[key]
-    else:
+    if key not in _LANDED:
         src = _scratch_dir("s31_docs_")
         load_table(spark, sf_dir, "documents").select(
             "doc_id", "text"
         ).coalesce(4).write.mode("overwrite").parquet(src)
         _LANDED[key] = src
-    mx = (
-        spark.read.parquet(src).groupBy().agg(F.max("doc_id").alias("m")).collect()[0]["m"]
-    )
+    if key not in _LANDED_DOC_SPAN:
+        _LANDED_DOC_SPAN[key] = (
+            spark.read.parquet(_LANDED[key])
+            .groupBy()
+            .agg(F.max("doc_id").alias("m"))
+            .collect()[0]["m"]
+        )
+    return _LANDED[key], _LANDED_DOC_SPAN[key]
+
+
+def s31_stream_novelty_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.operators.dedup import exploded_shingles
+    from las_vpe_platform_spark.queries_data import DECONTAM_N, NOVELTY_SLICES
+
+    src, mx = _landed_docs4(spark, sf_dir)
     schema = T.StructType(
         [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
     )
@@ -2545,18 +2560,7 @@ def s32_stream_quality_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_slice_bucket,
     )
 
-    key = ("docs_s31", sf_dir)  # same landed layout as s31
-    if key in _LANDED:
-        src = _LANDED[key]
-    else:
-        src = _scratch_dir("s31_docs_")
-        load_table(spark, sf_dir, "documents").select(
-            "doc_id", "text"
-        ).coalesce(4).write.mode("overwrite").parquet(src)
-        _LANDED[key] = src
-    mx = (
-        spark.read.parquet(src).groupBy().agg(F.max("doc_id").alias("m")).collect()[0]["m"]
-    )
+    src, mx = _landed_docs4(spark, sf_dir)
     schema = T.StructType(
         [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
     )
@@ -2632,8 +2636,13 @@ def s33_stream_patch_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from las_vpe_platform_spark.queries_domain import M17_HAMMING_T
 
     tr = spark.read.parquet(str(FIXTURES_DIR / "tracklets.parquet"))
-    src = _scratch_dir("s33_tracklets_")
-    tr.repartition(8).write.mode("overwrite").parquet(src)
+    key = ("tracklets8",)
+    if key in _LANDED:
+        src = _LANDED[key]
+    else:
+        src = _scratch_dir("s33_tracklets_")
+        tr.repartition(8).write.mode("overwrite").parquet(src)
+        _LANDED[key] = src
     stored_hashed = persist_disk(
         patch_ahash(tr.filter(F.col("serial_number") % 3 == 0)),
         "s33_stored_hashed",
@@ -2706,6 +2715,7 @@ WITH fp AS (
          hex((list_filter(location_sequence, b -> b.patch_data IS NOT NULL))[1].patch_data) AS h
   FROM {_fxsql('tracklets')}
   WHERE len(list_filter(location_sequence, b -> b.patch_data IS NOT NULL)) > 0
+    AND octet_length((list_filter(location_sequence, b -> b.patch_data IS NOT NULL))[1].patch_data) >= 48
 ), bytes AS (
   SELECT id, serial_number,
          list_transform(generate_series(1, 48), i -> ('0x' || substr(h, 2*i - 1, 2))::INT) AS bs
