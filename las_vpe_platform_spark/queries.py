@@ -94,6 +94,7 @@ DRIVER_PRIORITY: list[str] = [
     "q177_label_margin_mining",
     "m19_audio_fingerprint_dedup",
     "q178_context_size_audit",
+    "s34_stream_transition_monitor",
     "s25_stream_ann_recall",
     "s24_stream_track_attr_reid",
     "q159_weighted_quantiles",

@@ -9445,22 +9445,26 @@ Q174_SQL = _q174_sql()
 # pair count is |event_types|^2-sized.
 
 
-def q175_transition_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+def transition_pairs(ev: DataFrame) -> DataFrame:
+    """Consecutive event-type pairs per user — q175's lead window,
+    shared with the streaming monitor s34 (whose per-batch input is
+    the per-user slice the file layout already groups)."""
     from pyspark.sql import Window as W2
 
-    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
     w = W2.partitionBy("user_id").orderBy("ts", "event_id")
-    pairs = (
+    return (
         ev.select(
             F.col("event_type").alias("a"),
             F.lead("event_type").over(w).alias("b"),
         )
         .filter(F.col("b").isNotNull())
     )
-    counts = _stage(
-        pairs.groupBy("a", "b").agg(F.count(F.lit(1)).cast("bigint").alias("n_ab")),
-        "q175_counts",
-    )
+
+
+def lift_from_counts(counts: DataFrame) -> DataFrame:
+    """Lift table from a (a, b, n_ab) count frame — the
+    post-aggregation half of q175, shared with s34's RMW-maintained
+    counts."""
     na = counts.groupBy("a").agg(F.sum("n_ab").cast("bigint").alias("n_a"))
     nb = counts.groupBy("b").agg(F.sum("n_ab").cast("bigint").alias("n_b"))
     tot = counts.groupBy().agg(F.sum("n_ab").cast("bigint").alias("n_tot"))
@@ -9471,7 +9475,7 @@ def q175_transition_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "a",
             "b",
-            "n_ab",
+            F.col("n_ab").cast("bigint").alias("n_ab"),
             pround(
                 (F.col("n_ab") * F.col("n_tot")).cast("double")
                 / (F.col("n_a") * F.col("n_b")).cast("double"),
@@ -9479,6 +9483,17 @@ def q175_transition_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+def q175_transition_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    counts = _stage(
+        transition_pairs(ev)
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab")),
+        "q175_counts",
+    )
+    return lift_from_counts(counts)
 
 
 Q175_SQL = """

@@ -2743,6 +2743,88 @@ WHERE list_sum(list_transform(generate_series(1, 4),
 S33_SQL = _s33_sql()
 
 
+# --- s34: streaming transition-lift monitor --------------------------------------
+# q175's journey-structure table maintained live. Order sensitivity
+# is handled at the LANDING, not with seam state: events land
+# hash-partitioned BY USER (8 files, each holding complete user
+# histories), so every micro-batch contains whole users and the
+# per-batch lead window computes exactly the batch's share of
+# transitions — counts are then additive and the final lift table is
+# batching-invariant (s19's pure-function-of-the-batch-unit
+# contract, applied to a window instead of a join). Oracle =
+# Q175_SQL verbatim. Scale: per batch one user-keyed window + a
+# |event_types|^2 merge; user-sharded ingest is how a real event
+# pipeline arrives anyway.
+
+
+def s34_stream_transition_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.queries_data import (
+        lift_from_counts,
+        transition_pairs,
+    )
+
+    key = ("events_by_user8", sf_dir)
+    if key in _LANDED:
+        src = _LANDED[key]
+    else:
+        src = _scratch_dir("s34_events_")
+        load_table(spark, sf_dir, "events").select(
+            "user_id", "ts", "event_id", "event_type"
+        ).repartition(8, "user_id").write.mode("overwrite").parquet(src)
+        _LANDED[key] = src
+    schema = spark.read.parquet(src).schema
+    out_root = _scratch_dir("s34_cnt_")
+    state: dict[str, str | None] = {"path": None}
+
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        sess = batch_df.sparkSession
+        fresh = (
+            transition_pairs(batch_df)
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+        )
+        if state["path"] is None:
+            merged = fresh
+        else:
+            merged = (
+                sess.read.parquet(state["path"])
+                .unionByName(fresh)
+                .groupBy("a", "b")
+                .agg(F.sum("n_ab").cast("bigint").alias("n_ab"))
+            )
+        path = f"{out_root}/v{epoch_id}"
+        merged.write.mode("overwrite").parquet(path)
+        state["path"] = path
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src)
+    )
+    with _stream_partitions(spark, 4):
+        q = (
+            stream.writeStream.foreachBatch(fold)
+            .outputMode("update")
+            .queryName(f"s34_{uuid.uuid4().hex[:8]}")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    assert state["path"] is not None
+    return lift_from_counts(spark.read.parquet(state["path"]))
+
+
+def _s34_sql() -> str:
+    from las_vpe_platform_spark.queries_data import Q175_SQL
+
+    return Q175_SQL
+
+
+S34_SQL = _s34_sql()
+
+
 STREAMING_QUERIES = {
     "s01_stream_windowed_counts": (s01_stream_windowed_counts, S01_SQL),
     "s02_stream_dedup": (s02_stream_dedup, S02_SQL),
@@ -2777,4 +2859,5 @@ STREAMING_QUERIES = {
     "s31_stream_novelty_monitor": (s31_stream_novelty_monitor, S31_SQL),
     "s32_stream_quality_psi": (s32_stream_quality_psi, S32_SQL),
     "s33_stream_patch_ingest_gate": (s33_stream_patch_ingest_gate, S33_SQL),
+    "s34_stream_transition_monitor": (s34_stream_transition_monitor, S34_SQL),
 }

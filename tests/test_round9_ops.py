@@ -788,3 +788,24 @@ def test_q178_audit_consistency(spark, sf_dir):
         if prev_bins is not None:
             assert r["n_bins"] <= prev_bins
         prev_bins = r["n_bins"]
+
+
+def test_s34_lift_equals_batch_q175(spark, sf_dir):
+    """The streaming monitor's final lift table equals batch q175
+    row-for-row: user-complete landing files make per-batch windows
+    exact, and counts are additive."""
+    from las_vpe_platform_spark.operators.staging import unpersist_all
+    from las_vpe_platform_spark.queries_data import q175_transition_lift
+    from las_vpe_platform_spark.queries_streaming import s34_stream_transition_monitor
+
+    streamed = {
+        (r["a"], r["b"]): (r["n_ab"], r["lift"])
+        for r in s34_stream_transition_monitor(spark, sf_dir).collect()
+    }
+    unpersist_all()
+    batch = {
+        (r["a"], r["b"]): (r["n_ab"], r["lift"])
+        for r in q175_transition_lift(spark, sf_dir).collect()
+    }
+    unpersist_all()
+    assert streamed == batch

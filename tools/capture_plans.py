@@ -430,6 +430,12 @@ STREAMING_HEADLINERS = [
      "emission is a pure pair function, so the appended log is "
      "batching-invariant (s19's contract, image twin)",
      "_s33_probe_plan"),
+    ("s34_stream_transition_monitor (per-batch fold plan, literal batch)",
+     "streaming transition monitor: the foreachBatch body — per-batch "
+     "transition_pairs lead window (exact because the landing is "
+     "user-complete per file) merged into the stored |event_types|^2 count "
+     "table; counts additive -> final lift equals batch q175 verbatim",
+     "_s34_fold_plan"),
 ]
 
 
@@ -828,6 +834,31 @@ def _s33_probe_plan(spark):
             ).cast("int").alias("hamming"),
         )
         .filter(F.col("hamming") <= M17_HAMMING_T)
+    )
+
+
+def _s34_fold_plan(spark):
+    from pyspark.sql import functions as F
+
+    from las_vpe_platform_spark.queries_data import transition_pairs
+
+    ev = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("user_id", "ts", "event_id", "event_type")
+        .limit(64)
+    )
+    # literal micro-batch vs a literal stored count table — the exact
+    # foreachBatch body of s34_stream_transition_monitor, zero jobs
+    fresh = (
+        transition_pairs(ev)
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+    )
+    stored = spark.createDataFrame([("x", "y", 3)], "a string, b string, n_ab long")
+    return (
+        stored.unionByName(fresh)
+        .groupBy("a", "b")
+        .agg(F.sum("n_ab").cast("bigint").alias("n_ab"))
     )
 
 
