@@ -8789,10 +8789,16 @@ FROM per_slice p LEFT JOIN novel n ON n.slice = p.slice
 # Σ_d |v_td/f_t − len_d/T| / 2 over ALL docs; absent docs contribute
 # their expected share, which telescopes to (T − Σ_present len)/2T, so
 # only NONZERO (term, doc) rows are ever materialized. Both engines
-# compute the deviation numerator Σ|v·T − len·f| in exact BIGINT
-# arithmetic (every product < 2^53) and divide once at the end — the
-# double is identical bit-for-bit, so the top-k cutoff and the
-# rounding are engine-independent by construction, not by luck.
+# compute the deviation numerator s1 = Σ|v·T − len·f| exactly: every
+# PRODUCT is int64 (v ≤ f ≤ T, len ≤ T, so each |term| ≤ f·T), and the
+# SUM is accumulated as DECIMAL(38,0) on the Spark side / HUGEINT on
+# the DuckDB side (ADVICE r9: a BIGINT sum bounds each term but not
+# the total — s1 ≤ 2·f·T ≤ 2·T², which passes 2^63 around T ≈ 2·10⁹
+# corpus tokens, well inside a 100 TB corpus; the 38-digit decimal is
+# good to T ≈ 7·10¹⁸). Overflow under the decimal accumulator yields
+# NULL (detectable), never a silent wrap. One double division at the
+# end — identical bit-for-bit, so the top-k cutoff and the rounding
+# are engine-independent by construction, not by luck.
 
 DISPERSION_TOP = 40
 
@@ -8820,8 +8826,10 @@ def q169_term_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term", "f", "n_docs", "t_total")
         .agg(
             F.sum(
-                F.abs(F.col("v") * F.col("t_total") - F.col("len") * F.col("f"))
-            ).cast("bigint").alias("s1"),
+                F.abs(
+                    F.col("v") * F.col("t_total") - F.col("len") * F.col("f")
+                ).cast("decimal(38,0)")
+            ).alias("s1"),
             F.sum("len").cast("bigint").alias("s2"),
         )
     )
@@ -8853,7 +8861,10 @@ WITH tok AS (
   SELECT term, sum(v)::BIGINT AS f, count(*)::BIGINT AS n_docs FROM tf GROUP BY 1
 ), sums AS (
   SELECT t.term, ft.f, ft.n_docs, tot.t_total,
-         sum(abs(t.v * tot.t_total - d.len * ft.f))::BIGINT AS s1,
+         -- DuckDB promotes BIGINT sums to HUGEINT: exact, raises (never
+         -- wraps) on int128 overflow — the s1 accumulator mirror of the
+         -- Spark side's DECIMAL(38,0)
+         sum(abs(t.v * tot.t_total - d.len * ft.f)) AS s1,
          sum(d.len)::BIGINT AS s2
   FROM tf t
   JOIN dl d USING (doc_id)
@@ -9598,11 +9609,16 @@ GROUP BY 1
 # centroid) − max over other labels of cos(v, that centroid); the
 # bottom-k margins per label are the ambiguous examples an active
 # relabeling queue drains (q176 says WHICH classes are noisy, q177
-# says WHICH EXAMPLES to look at). Margins are computed against the
-# PUBLISHED centroids — q28's round-6 values — so both engines fold
-# identical doubles; selection is exact rank (WindowGroupLimit), not
-# a threshold. Scale: centroids are labels × dims (broadcast); the
-# corpus is touched once by the scoring projection.
+# says WHICH EXAMPLES to look at). Centroid components are derived
+# from EXACT integer micro-unit sums: each float component is floored
+# to an int64 micro value (floor(v·10⁶ + 0.5), a deterministic pure
+# function of the float in both engines), summed as BIGINT
+# (order-independent, exact — |v| ≈ 1 so the sum stays < 2^63 up to
+# ~9·10¹² rows per label), and divided ONCE; so the published 6-dec
+# centroid doubles are engine-identical BY CONSTRUCTION, not
+# empirically (ADVICE r9). Selection is exact rank (WindowGroupLimit),
+# not a threshold. Scale: centroids are labels × dims (broadcast);
+# the corpus is touched once by the scoring projection.
 
 MARGIN_K = 3
 
@@ -9616,7 +9632,25 @@ def q177_label_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = (
         emb.select("label", F.posexplode("embedding").alias("pos", "v"))
         .groupBy("label", F.col("pos").alias("dim"))
-        .agg(pround(F.avg(F.col("v").cast("double")), 6).alias("cv"))
+        .agg(
+            # exact int64 micro-unit mean: floor(v·1e6+0.5) per element is
+            # a pure function of the float; the BIGINT sum is
+            # order-independent; one double division + one round — the
+            # resulting cv double is bit-identical across engines
+            (
+                F.floor(
+                    F.sum(
+                        F.floor(
+                            F.col("v").cast("double") * F.lit(1000000.0)
+                            + F.lit(0.5)
+                        ).cast("bigint")
+                    ).cast("double")
+                    / F.count(F.lit(1)).cast("double")
+                    + F.lit(0.5)
+                ).cast("double")
+                / F.lit(1000000.0)
+            ).alias("cv")
+        )
         .groupBy("label")
         .agg(
             F.transform(
@@ -9654,7 +9688,8 @@ Q177_SQL = f"""
 WITH cent AS (
   SELECT label AS clabel, list(cv ORDER BY dim) AS cvec FROM (
     SELECT label, i AS dim,
-           floor((avg(embedding[i]::DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS cv
+           floor(sum(floor(embedding[i]::DOUBLE * 1000000.0 + 0.5)::BIGINT)::DOUBLE
+                 / count(*)::DOUBLE + 0.5)::DOUBLE / 1000000.0 AS cv
     FROM embeddings, unnest(generate_series(1, 64)) AS t(i)
     GROUP BY label, i
   ) GROUP BY 1

@@ -2766,10 +2766,13 @@ def m18_patch_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed = persist_disk(patch_ahash(_fx(spark, "tracklets")), "m18_hashed")
     pairs = ahash_candidate_pairs(hashed, M17_HAMMING_T).select("id_a", "id_b")
     comp = connected_components(pairs, src="id_a", dst="id_b", edges_canonical=True)
+    # min-label CC already labels each component with its minimum node id,
+    # so keeper_id == component by construction (ADVICE r9) — alias it
+    # instead of paying a redundant min(node) aggregate; the column is
+    # kept because downstream compaction consumers key on "keeper_id"
     return comp.groupBy("component").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_members"),
-        F.min("node").alias("keeper_id"),
-    )
+    ).withColumn("keeper_id", F.col("component"))
 
 
 def _m18_sql() -> str:
@@ -2786,7 +2789,7 @@ WITH RECURSIVE m17 AS (
 ), comp AS (
   SELECT node, min(root) AS component FROM reach GROUP BY node
 )
-SELECT component, count(*)::BIGINT AS n_members, min(node) AS keeper_id
+SELECT component, count(*)::BIGINT AS n_members, component AS keeper_id
 FROM comp GROUP BY component
 """
 

@@ -14,6 +14,7 @@ import contextlib
 import shutil
 import tempfile
 import uuid
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -2771,6 +2772,21 @@ def s34_stream_transition_monitor(spark: SparkSession, sf_dir: str) -> DataFrame
         load_table(spark, sf_dir, "events").select(
             "user_id", "ts", "event_id", "event_type"
         ).repartition(8, "user_id").write.mode("overwrite").parquet(src)
+        # The whole-users-per-batch contract depends on repartition(8,
+        # user_id) landing as AT MOST one file per hash partition: a
+        # session-level spark.sql.files.maxRecordsPerFile (or a future
+        # byte-based trigger) would split user histories across
+        # micro-batches and silently drop seam transitions (ADVICE r9).
+        # Assert it at write time, before the landing is cached.
+        n_files = sum(
+            1 for p in Path(src).iterdir() if p.name.endswith(".parquet")
+        )
+        if n_files > 8:
+            raise AssertionError(
+                f"s34: landed {n_files} parquet files for 8 user-hash "
+                "partitions — a file split (maxRecordsPerFile?) breaks the "
+                "whole-user-per-batch contract"
+            )
         _LANDED[key] = src
     schema = spark.read.parquet(src).schema
     out_root = _scratch_dir("s34_cnt_")
