@@ -64,6 +64,9 @@ DRIVER_PRIORITY: list[str] = [
     #    the remaining window slots) --
     # -- overflow: everything else ordered by (latest driver round,
     #    name) so the NEXT re-derivation promotes the stalest first --
+    "q179_two_stage_retrieval",
+    "q180_edge_compaction_plan",
+    "s35_stream_late_data_stress",
     "s27_stream_storage_attrrecog_reid",
     "s28_stream_reid_command",
     "q160_local_bridges",

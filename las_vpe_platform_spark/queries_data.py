@@ -9800,6 +9800,225 @@ FROM x GROUP BY 1
 """
 
 
+# --- q179: per-probe two-stage retrieval (ANN candidates -> CE re-rank) ------
+# The last rung of the retrieval ladder (VERDICT r9 #5b): q29's IVF is
+# stage-1 recall, q116's cross-encoder is stage-2 precision — but q116
+# re-ranks ONE fused lexical query; production retrieval re-ranks
+# EVERY probe's candidate list. Stage 1 prunes the corpus to
+# TSR_CAND_K candidates per probe through the IVF cells (nprobe/cells
+# of the gallery touched — the 10^11-vector path); stage 2 pays the
+# expensive scorer on probes x TSR_CAND_K rows ONLY (the whole point
+# of two-stage: the CE never sees the corpus). The CE is the pluggable
+# deterministic fake (providers.fake_cross_encoder_sql — a real model
+# swaps in through CROSS_ENCODERS without touching the plan); the
+# blend and final rank are exact-rank WindowGroupLimit per probe.
+
+TSR_PROBE_MOD = 97
+TSR_CAND_K = 20
+TSR_FINAL_K = 5
+
+
+def q179_two_stage_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W2
+
+    from las_vpe_platform_spark.operators.similarity import ivf_topk
+    from las_vpe_platform_spark.providers import fake_cross_encoder_sql
+
+    emb = _t(spark, sf_dir, "embeddings")  # no forced repartition, see q27
+    probes = emb.filter(F.col("vec_id") % TSR_PROBE_MOD == 3)
+    cand = ivf_topk(
+        probes, emb, probe_key="vec_id", gallery_key="vec_id",
+        vector_col="embedding", k=TSR_CAND_K,
+        num_centroids_mod=IVF_CENTROID_MOD, nprobe=IVF_NPROBE,
+    )
+    scored = fake_cross_encoder_sql(
+        cand.withColumn("query", F.col("probe_key").cast("string")),
+        id_col="gallery_key",
+    ).withColumn(
+        "final_score",
+        F.col("similarity") + F.lit(RERANK_BLEND) * F.col("ce_score"),
+    )
+    w = W2.partitionBy("probe_key").orderBy(
+        F.desc("final_score"), F.asc("gallery_key")
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= TSR_FINAL_K)
+        .select(
+            "probe_key",
+            "gallery_key",
+            F.col("rank").cast("bigint").alias("rank_first"),
+            F.col("_rk").cast("bigint").alias("rank_reranked"),
+            pround("ce_score", 6).alias("ce_score"),
+            pround("final_score", 6).alias("final_score"),
+        )
+    )
+
+
+def _q179_sql() -> str:
+    from las_vpe_platform_spark.fixtures import SEED
+
+    ce = (
+        f"(('0x' || substr(md5(concat_ws(':', '{SEED}', 'ce', "
+        f"probe_key::VARCHAR, gallery_key::VARCHAR)), 1, 8))::BIGINT)::DOUBLE"
+        " / 4294967296.0::DOUBLE"
+    )
+    return f"""
+WITH cen AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings
+  WHERE vec_id % {IVF_CENTROID_MOD} = 0
+), gal AS (
+  SELECT vec_id AS gallery_key, embedding AS gvec, centroid_id,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY {sql_cosine('embedding', 'cvec')} DESC, centroid_id) AS crank
+  FROM embeddings CROSS JOIN cen
+  QUALIFY crank = 1
+), pb AS (
+  SELECT vec_id AS probe_key, embedding AS pvec, centroid_id,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY {sql_cosine('embedding', 'cvec')} DESC, centroid_id) AS crank
+  FROM embeddings CROSS JOIN cen
+  WHERE vec_id % {TSR_PROBE_MOD} = 3
+  QUALIFY crank <= {IVF_NPROBE}
+), scored AS (
+  SELECT probe_key, gallery_key, {sql_cosine('pvec', 'gvec')} AS sim
+  FROM pb JOIN gal USING (centroid_id)
+), cand AS (
+  SELECT probe_key, gallery_key, sim,
+         row_number() OVER (PARTITION BY probe_key
+                            ORDER BY sim DESC, gallery_key) AS rank_first
+  FROM scored QUALIFY rank_first <= {TSR_CAND_K}
+), ce AS (
+  SELECT probe_key, gallery_key, rank_first, sim, {ce} AS ce_score
+  FROM cand
+), fin AS (
+  SELECT probe_key, gallery_key, rank_first, ce_score,
+         sim + {RERANK_BLEND}::DOUBLE * ce_score AS final_score,
+         row_number() OVER (PARTITION BY probe_key
+                            ORDER BY sim + {RERANK_BLEND}::DOUBLE * ce_score DESC,
+                                     gallery_key) AS rank_reranked
+  FROM ce
+)
+SELECT probe_key, gallery_key, rank_first, rank_reranked::BIGINT AS rank_reranked,
+       floor(ce_score * 1000000.0 + 0.5) / 1000000.0 AS ce_score,
+       floor(final_score * 1000000.0 + 0.5) / 1000000.0 AS final_score
+FROM fin WHERE rank_reranked <= {TSR_FINAL_K}
+"""
+
+
+Q179_SQL = _q179_sql()
+
+
+# --- q180: similarity-edge store compaction plan ------------------------------
+# q166's OPTIMIZE audit applied to the SIMILARITY_EDGES table (K7's
+# edge-upsert store; the reference compacts its stores the same way it
+# HAR-folds tracklets, DataManagingApp.java:235-394): the near-dup
+# edge list lands hash-partitioned by id_a, and LSH cluster skew makes
+# the partition sizes wildly uneven — so the maintenance pass must
+# BOTH fold small partitions (q166's water-fill) AND split oversized
+# ones. Per storage partition: edge count, estimated bytes, and the
+# action a table service would take — 'compact' (below half-target;
+# assigned a water-fill group id over the small set), 'split' (above
+# twice target; sized in target-quanta), or 'keep'. All integer
+# arithmetic; the partition summary is EDGE_PARTS rows, so every
+# window rides the tiny side (the corpus-scale edge list is touched
+# once by the hash-partition groupBy).
+
+EDGE_PARTS = 48
+EDGE_ROW_BYTES = 16  # two BIGINT keys per stored edge
+EDGE_COMPACT_BINS = 12
+
+
+def q180_edge_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from las_vpe_platform_spark.operators.dedup import minhash_lsh_candidates
+    from las_vpe_platform_spark.operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(
+        docs, id_col="doc_id", text_col="text",
+        shingle_k=MINHASH_K, num_hashes=MINHASH_HASHES, bands=MINHASH_BANDS,
+    )
+    parts = _stage(
+        pairs.selectExpr(f"id_a % {EDGE_PARTS} AS part_id")
+        .groupBy("part_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+            (F.count(F.lit(1)) * EDGE_ROW_BYTES).cast("bigint").alias("est_bytes"),
+        ),
+        "q180_parts",
+    )
+    tot = parts.groupBy().agg(
+        ((F.sum("est_bytes") + EDGE_COMPACT_BINS - 1) / EDGE_COMPACT_BINS)
+        .cast("bigint")
+        .alias("_target")
+    )
+    sized = parts.crossJoin(F.broadcast(tot))
+    small = sized.filter(F.col("est_bytes") * 2 < F.col("_target"))
+    grouped = (
+        pack_sequences(
+            small.select("part_id", "est_bytes"),
+            "part_id",
+            "est_bytes",
+            order_col="part_id",
+        )
+        .crossJoin(F.broadcast(tot))
+        .selectExpr("part_id", "prefix DIV _target AS group_id")
+    )
+    return (
+        sized.join(grouped, "part_id", "left")
+        .select(
+            F.col("part_id").cast("bigint").alias("part_id"),
+            "n_edges",
+            "est_bytes",
+            F.when(F.col("est_bytes") * 2 < F.col("_target"), F.lit("compact"))
+            .when(F.col("est_bytes") > F.col("_target") * 2, F.lit("split"))
+            .otherwise(F.lit("keep"))
+            .alias("action"),
+            F.col("group_id").cast("bigint").alias("group_id"),
+            F.when(
+                F.col("est_bytes") > F.col("_target") * 2,
+                F.ceil(F.col("est_bytes") / F.col("_target")),
+            )
+            .cast("bigint")
+            .alias("n_splits"),
+        )
+    )
+
+
+def _q180_sql() -> str:
+    return f"""
+WITH pairs AS MATERIALIZED (
+  SELECT id_a, id_b FROM ({_q24_sql()}) t
+), parts AS (
+  SELECT (id_a % {EDGE_PARTS})::BIGINT AS part_id,
+         count(*)::BIGINT AS n_edges,
+         (count(*) * {EDGE_ROW_BYTES})::BIGINT AS est_bytes
+  FROM pairs GROUP BY 1
+), tot AS (
+  SELECT (sum(est_bytes) + {EDGE_COMPACT_BINS - 1}) // {EDGE_COMPACT_BINS}
+           AS target
+  FROM parts
+), small AS (
+  SELECT part_id, est_bytes,
+         coalesce(sum(est_bytes) OVER (ORDER BY part_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+  FROM parts, tot WHERE est_bytes * 2 < target
+)
+SELECT p.part_id, p.n_edges, p.est_bytes,
+       CASE WHEN p.est_bytes * 2 < t.target THEN 'compact'
+            WHEN p.est_bytes > t.target * 2 THEN 'split'
+            ELSE 'keep' END AS action,
+       (s.prefix // t.target)::BIGINT AS group_id,
+       CASE WHEN p.est_bytes > t.target * 2
+            THEN ceil(p.est_bytes::DOUBLE / t.target)::BIGINT END AS n_splits
+FROM parts p CROSS JOIN tot t
+LEFT JOIN small s ON s.part_id = p.part_id
+"""
+
+
+Q180_SQL = _q180_sql()
+
+
 DATA_QUERIES = {
     "q20_doc_token_stats": (q20_doc_token_stats, Q20_SQL),
     "q21_doc_quality": (q21_doc_quality, Q21_SQL),
@@ -9938,4 +10157,6 @@ DATA_QUERIES = {
     "q176_knn_label_consistency": (q176_knn_label_consistency, Q176_SQL),
     "q177_label_margin_mining": (q177_label_margin_mining, Q177_SQL),
     "q178_context_size_audit": (q178_context_size_audit, Q178_SQL),
+    "q179_two_stage_retrieval": (q179_two_stage_retrieval, Q179_SQL),
+    "q180_edge_compaction_plan": (q180_edge_compaction_plan, Q180_SQL),
 }

@@ -2841,6 +2841,110 @@ def _s34_sql() -> str:
 S34_SQL = _s34_sql()
 
 
+# --- s35: adversarial watermark late-data stress ----------------------------------
+# The s10/s15/s22 entries PROVE the time-ordered-landing contract; s35
+# is its adversarial sibling (VERDICT r9 #5a): rows arrive OUT of
+# event-time order on purpose, and the oracle prices Spark's exact
+# late-data semantics instead of avoiding them — the reference's 600 s
+# late-data buffer (PedestrianReIDUsingAttrApp.java:176-192, J4/J5)
+# as a watermark. Three landed slices: batch0 = on-time rows (the
+# full event-time range, establishing max event time), batch1 = a
+# first late cohort, batch2 = a second late cohort. Spark 4.1
+# semantics, pinned empirically (tests/test_round10_ops.py) and
+# version-pinned here as the emission rule:
+#   (1) the operative watermark of batch N derives from data through
+#       batch N-1 (one-batch lag), so batch1's cohort lands while
+#       NOTHING is yet evicted (the pre-batch1 eviction ran with the
+#       initial wm=0) -> accepted in full, however late;
+#   (2) batch2's cohort is dropped exactly where its window was
+#       already evicted: window_end_ms <= wm1_ms, with
+#       wm1_ms = floor(max_event_us(batch0 U batch1) / 1000) - 600000
+#       (watermarks are millisecond-resolution; boundary is <=, both
+#       probed with an exact-equality case);
+#   (3) append-mode final flush (no-data micro-batches) emits windows
+#       with window_end_ms <= floor(max_event_us(ALL rows, dropped
+#       included — the watermark collector sits before the stateful
+#       filter) / 1000) - 600000.
+# Every quantity is a pure function of the events table, so the batch
+# oracle reproduces the streaming output exactly — batching-dependent
+# BY DESIGN, with the batch structure (3 deterministic slices) part of
+# the entry's contract. Scale: state is bounded by windows per 600 s
+# horizon x event_types (the watermark's entire point); the landing
+# is one table scan into three slices.
+
+S35_DELAY_MS = 600_000  # the reference's 600 s ReID buffer
+S35_WINDOW_S = 300
+
+
+def s35_stream_late_data_stress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = ("events_late3", sf_dir)
+    if key in _LANDED:
+        src = _LANDED[key]
+    else:
+        src = _scratch_dir("s35_events_")
+        raw = _events_micros(spark, sf_dir)
+        slices = (
+            raw.filter(F.col("event_id") % 7 != 0),       # on-time
+            raw.filter(F.col("event_id") % 14 == 0),      # late cohort A
+            raw.filter(F.col("event_id") % 14 == 7),      # late cohort B
+        )
+        # sequential single-file writes -> increasing mtimes -> batch
+        # order (the s23 landing contract)
+        for i, sl in enumerate(slices):
+            sl.coalesce(1).write.mode("overwrite").parquet(f"{src}/slice{i:02d}")
+        _LANDED[key] = src
+    stream = file_stream(
+        spark, f"{src}/*", RAW_EVENTS_SCHEMA, max_files_per_trigger=1
+    ).withColumn("ts", F.timestamp_micros("ts_micros"))
+    agg = windowed_counts(
+        stream, "ts", ["event_type"], f"{S35_WINDOW_S} seconds", "600 seconds"
+    )
+    name = f"s35_out_{uuid.uuid4().hex[:8]}"
+    with _stream_partitions(spark):
+        return run_to_completion(
+            agg.select(
+                F.unix_timestamp(F.col("window.start")).alias("window_start_epoch"),
+                "event_type",
+                F.col("n").cast("bigint").alias("n"),
+            ),
+            name,
+            output_mode="append",
+        )
+
+
+S35_SQL = f"""
+WITH on_time AS (
+  SELECT ts, event_type FROM events WHERE event_id % 7 != 0
+), late_a AS (
+  SELECT ts, event_type FROM events WHERE event_id % 14 = 0
+), late_b AS (
+  SELECT ts, event_type FROM events WHERE event_id % 14 = 7
+), wm1 AS (
+  -- operative watermark for batch2 (ms): data through batch1
+  SELECT max(epoch_us(ts)) // 1000 - {S35_DELAY_MS} AS wm_ms
+  FROM (SELECT ts FROM on_time UNION ALL SELECT ts FROM late_a)
+), wmf AS (
+  -- final-flush watermark: ALL rows reach the event-time collector
+  SELECT max(epoch_us(ts)) // 1000 - {S35_DELAY_MS} AS wm_ms FROM events
+), accepted AS (
+  SELECT ts, event_type FROM on_time
+  UNION ALL SELECT ts, event_type FROM late_a
+  UNION ALL
+  SELECT l.ts, l.event_type FROM late_b l, wm1
+  WHERE ((epoch_us(l.ts) // {S35_WINDOW_S * 1000000}) + 1) * {S35_WINDOW_S * 1000}
+        > wm1.wm_ms
+), agg AS (
+  SELECT (epoch_us(ts) // {S35_WINDOW_S * 1000000}) * {S35_WINDOW_S}
+           AS window_start_epoch,
+         event_type, count(*)::BIGINT AS n
+  FROM accepted GROUP BY 1, 2
+)
+SELECT a.window_start_epoch, a.event_type, a.n
+FROM agg a, wmf
+WHERE (a.window_start_epoch + {S35_WINDOW_S}) * 1000 <= wmf.wm_ms
+"""
+
+
 STREAMING_QUERIES = {
     "s01_stream_windowed_counts": (s01_stream_windowed_counts, S01_SQL),
     "s02_stream_dedup": (s02_stream_dedup, S02_SQL),
@@ -2876,4 +2980,5 @@ STREAMING_QUERIES = {
     "s32_stream_quality_psi": (s32_stream_quality_psi, S32_SQL),
     "s33_stream_patch_ingest_gate": (s33_stream_patch_ingest_gate, S33_SQL),
     "s34_stream_transition_monitor": (s34_stream_transition_monitor, S34_SQL),
+    "s35_stream_late_data_stress": (s35_stream_late_data_stress, S35_SQL),
 }
