@@ -11,19 +11,19 @@ catalog).  ``DRIVER_PRIORITY`` is therefore RE-DERIVED EVERY ROUND as
 "everything not yet driver-green, oldest evidence first" (VERDICT r2
 'What's wrong' #2 — a stale list wastes the round's sample):
 
-1. tier 0 (round 9) — the 30 NEW entries (s27/s28 command paths,
-   q160-q166, m16, s29 from the early sessions; q167/q168/s30, then
-   m17-m19, s31-s33, and q169-q178 from the closing sessions) and
-   this round's re-gates (s25 distributed rewrite, s24 oracle mirror,
-   q159 tokenizer fix, q158 incremental support, s26 landing guard,
-   q127/q136/q137/q152 global_ranks pin),
-2. tier 1 — stalest evidence first: the r01 rows then the oldest r02
-   rows fill the remaining window slots,
+1. tier 0 (round 10) — the 3 NEW entries (q179 two-stage retrieval,
+   q180 edge-store compaction plan, s35 adversarial watermark
+   stress) and this round's re-gates (q177 exact-sum centroids, q169
+   decimal accumulator, m18 keeper_id fold, s34 landing guard, q158
+   adjacency-intersection seed + convergence exits, s23
+   trigger/landing restructure, q127 driver-condition re-verify),
+2. tier 1 — stalest evidence first: the 38 r02 rows then the 2
+   oldest r04 rows fill the remaining window slots,
 3. tail — everything else ordered by (latest driver round, name) so
    the next re-derivation promotes the stalest mechanically.
 
-After round 8 the cumulative record is 228/228 driver-green (VERDICT
-r8); round 9 adds 11 entries, all placed inside the window.  The
+After round 9 the cumulative record is 259/259 driver-green (VERDICT
+r9); round 10 adds 3 entries, all placed inside the window.  The
 import-time guards enforce (a) the must-gate tiers sit inside the
 window, (b) every overflow entry has a prior-round driver row or an
 explicit acknowledgement, and (c) every catalog entry appears in this
@@ -54,69 +54,26 @@ _ALL.update(STREAMING_QUERIES)
 
 # First 50 = the driver's correctness window (see module docstring).
 DRIVER_PRIORITY: list[str] = [
-    # -- tier 0 (round 9): the 11 NEW entries (s27/s28 command paths,
-    #    q160-q166 graph/curation/maintenance, m16, s29 drift monitor),
-    #    then the round-9 RE-GATES — entries whose semantics, oracle, or
-    #    plan changed this round (s25 distributed rewrite, s24 oracle
-    #    left-join mirror, q159 tokenizer fix, q158 incremental support,
-    #    s26 landing guard, q127/q136/q137/q152 global_ranks pinning) --
-    # -- tier 1: stalest driver evidence first (r01 then r02 rows fill
-    #    the remaining window slots) --
-    # -- overflow: everything else ordered by (latest driver round,
-    #    name) so the NEXT re-derivation promotes the stalest first --
+    # -- tier 0 (round 10): the 3 NEW entries (q179 two-stage
+    #    retrieval, q180 edge-store compaction plan, s35 adversarial
+    #    watermark stress), then the round-10 RE-GATES -- entries whose
+    #    semantics, oracle, or plan changed this round (q177 exact-sum
+    #    centroids, q169 decimal accumulator, m18 keeper_id fold, s34
+    #    landing guard, q158 adjacency-intersection seed + convergence
+    #    exits, s23 trigger/landing restructure, q127 driver-condition
+    #    re-verify per VERDICT r9 #2) --
     "q179_two_stage_retrieval",
     "q180_edge_compaction_plan",
     "s35_stream_late_data_stress",
-    "s27_stream_storage_attrrecog_reid",
-    "s28_stream_reid_command",
-    "q160_local_bridges",
-    "q161_contamination_by_source",
-    "q162_ivf_cell_split",
-    "q163_lsh_s_curve",
-    "q164_dataset_cards",
-    "q165_cross_source_dup_matrix",
-    "q166_compaction_plan",
-    "m16_audio_silence_trim",
-    "s29_stream_source_drift",
-    "q167_clustering_coefficient",
-    "q168_novelty_saturation",
-    "s30_stream_contamination_gate",
-    "m17_patch_ahash_neardup",
-    "s31_stream_novelty_monitor",
-    "q169_term_dispersion",
-    "q170_quality_psi",
-    "q171_ivf_cell_merge",
-    "q172_source_token_caps",
-    "q173_length_tail_index",
-    "q174_embedding_outliers",
-    "s32_stream_quality_psi",
-    "s33_stream_patch_ingest_gate",
-    "m18_patch_dedup_clusters",
-    "q175_transition_lift",
-    "q176_knn_label_consistency",
     "q177_label_margin_mining",
-    "m19_audio_fingerprint_dedup",
-    "q178_context_size_audit",
+    "q169_term_dispersion",
+    "m18_patch_dedup_clusters",
     "s34_stream_transition_monitor",
-    "s25_stream_ann_recall",
-    "s24_stream_track_attr_reid",
-    "q159_weighted_quantiles",
     "q158_ktruss_edges",
-    "s26_stream_scd2_maintenance",
+    "s23_stream_packing",
     "q127_negative_edge_samples",
-    "q136_triplet_mining",
-    "q137_entity_resolution",
-    "q152_equidepth_histogram",
-    "q32_cube_orders",
-    "q34_value_percentiles",
-    "q35_customers_with_urgent_orders",
-    "q36_cheapest_customer_per_nation",
-    "d01_tracklet_sampling",
-    "d02_attribute_average",
-    "d03_similarity_neighbors",
-    "d04_persons_minutely",
-    "d06_claim_check",
-    "d07_task_kill_filter",
+    # -- tier 1: stalest driver evidence first (38 r02 rows, then the
+    #    2 oldest r04 rows, filling the remaining window slots) --
     "d08_frame_time_check",
     "d09_feature_topk",
     "d10_command_fanout",
@@ -157,6 +114,8 @@ DRIVER_PRIORITY: list[str] = [
     "s01_stream_windowed_counts",
     "d05_reid_assembly",
     "d11_pipeline_attr_recog",
+    # -- overflow: everything else ordered by (latest driver round,
+    #    name) so the NEXT re-derivation promotes the stalest first --
     "d14_pipeline_reid",
     "d15_pipeline_storage_reid",
     "d16_pipeline_reid_command",
@@ -284,7 +243,6 @@ DRIVER_PRIORITY: list[str] = [
     "q96_group_sample",
     "q98_funnel_analysis",
     "s06_stream_static_enrich",
-    "s23_stream_packing",
     "d29_camera_load",
     "m14_scene_segments",
     "m15_scene_exemplars",
@@ -326,6 +284,50 @@ DRIVER_PRIORITY: list[str] = [
     "q90_table_profile",
     "q91_snapshot_diff",
     "q92_zorder_layout",
+    "d01_tracklet_sampling",
+    "d02_attribute_average",
+    "d03_similarity_neighbors",
+    "d04_persons_minutely",
+    "d06_claim_check",
+    "d07_task_kill_filter",
+    "m16_audio_silence_trim",
+    "m17_patch_ahash_neardup",
+    "m19_audio_fingerprint_dedup",
+    "q136_triplet_mining",
+    "q137_entity_resolution",
+    "q152_equidepth_histogram",
+    "q159_weighted_quantiles",
+    "q160_local_bridges",
+    "q161_contamination_by_source",
+    "q162_ivf_cell_split",
+    "q163_lsh_s_curve",
+    "q164_dataset_cards",
+    "q165_cross_source_dup_matrix",
+    "q166_compaction_plan",
+    "q167_clustering_coefficient",
+    "q168_novelty_saturation",
+    "q170_quality_psi",
+    "q171_ivf_cell_merge",
+    "q172_source_token_caps",
+    "q173_length_tail_index",
+    "q174_embedding_outliers",
+    "q175_transition_lift",
+    "q176_knn_label_consistency",
+    "q178_context_size_audit",
+    "q32_cube_orders",
+    "q34_value_percentiles",
+    "q35_customers_with_urgent_orders",
+    "q36_cheapest_customer_per_nation",
+    "s24_stream_track_attr_reid",
+    "s25_stream_ann_recall",
+    "s26_stream_scd2_maintenance",
+    "s27_stream_storage_attrrecog_reid",
+    "s28_stream_reid_command",
+    "s29_stream_source_drift",
+    "s30_stream_contamination_gate",
+    "s31_stream_novelty_monitor",
+    "s32_stream_quality_psi",
+    "s33_stream_patch_ingest_gate",
 ]
 
 
@@ -349,7 +351,7 @@ if len(DRIVER_PRIORITY) != len(set(DRIVER_PRIORITY)):
 # The must-gate block (tiers 0-1, everything through the re-gates)
 # has to sit inside the driver's first-50 window — review finding r3
 # caught an earlier ordering leaving re-gated entries at 61-63.
-_MUST_GATE_LAST = "q152_equidepth_histogram"
+_MUST_GATE_LAST = "q127_negative_edge_samples"
 if DRIVER_PRIORITY.index(_MUST_GATE_LAST) >= 50:
     raise ValueError(
         "DRIVER_PRIORITY stale: must-gate tiers exceed the 50-entry "
@@ -359,105 +361,265 @@ if DRIVER_PRIORITY.index(_MUST_GATE_LAST) >= 50:
 # Names with a driver-green row in some CORRECTNESS_r01-r05.json —
 # these may sit past position 50 without losing hard evidence.
 _PRIOR_DRIVER_GREEN = {
-    "d01_tracklet_sampling", "d02_attribute_average",
-    "d03_similarity_neighbors", "d04_persons_minutely",
-    "d05_reid_assembly", "d06_claim_check", "d07_task_kill_filter",
-    "d08_frame_time_check", "d09_feature_topk", "d10_command_fanout",
-    "d11_pipeline_attr_recog", "d12_similar_persons_in_window",
-    "d13_two_hop_neighbors", "d14_pipeline_reid",
-    "d15_pipeline_storage_reid", "d16_pipeline_reid_command",
-    "d17_trajectory_stats", "d18_fragment_heal_candidates",
-    "d19_camera_transitions", "d20_attribute_search",
-    "d21_cotravel_pairs", "d22_dwell_distribution", "m01_patch_metadata",
-    "m02_patch_features", "m03_patch_resize", "m04_audio_decimate",
-    "m05_frame_fragments", "m06_keyframe_selection", "m07_patch_neardup",
-    "m08_audio_energy_windows", "m09_patch_brightness_cuts",
-    "m10_loudness_segments", "q01_pricing_summary",
-    "q02_top_customers_per_nation", "q03_shipping_priority",
-    "q04_regional_revenue", "q05_daily_activity_full_outer",
-    "q06_customers_without_recent_orders", "q07_order_point_lookup",
-    "q08_order_completeness", "q09_last_events", "q100_weighted_sample",
-    "q101_rolling_stats", "q102_apply_cdc", "q103_mad_outliers",
-    "q104_source_drift", "q105_decayed_trending",
-    "q106_prefix_filter_join", "q107_fuzzy_decontaminate",
-    "q108_event_trigrams", "q109_cohort_retention", "q10_events_minutely",
-    "q110_sampled_quantiles", "q111_pq_ann_topk",
-    "q112_containment_dedup", "q113_rrf_fusion", "q114_pca_power",
-    "q115_transition_entropy", "q116_reranked_retrieval",
-    "q117_incremental_agg", "q11_events_json_props",
-    "q12_events_demux_union", "q13_sampled_lineitems",
-    "q14_key_roundtrip", "q15_frame_time_arithmetic",
-    "q16_event_type_pivot", "q17_rollup_returnflag", "q18_user_sessions",
-    "q19_entity_union", "q20_doc_token_stats", "q21_doc_quality",
-    "q22_doc_lang_id", "q23_dedup_exact", "q24_minhash_lsh_pairs",
-    "q25_simhash", "q26_ngram_jaccard_top_pairs", "q27_embedding_topk",
-    "q28_label_centroids", "q29_embedding_ivf_topk",
-    "q30_tfidf_top_terms", "q31_embedding_neardup", "q32_cube_orders",
-    "q33_asof_last_click", "q34_value_percentiles",
-    "q35_customers_with_urgent_orders",
-    "q36_cheapest_customer_per_nation", "q37_bilateral_volume",
-    "q38_running_user_value", "q39_event_navigation",
-    "q40_part_name_strings", "q41_segment_set_ops", "q42_doc_repetition",
-    "q43_vocab_top_terms", "q44_doc_chunks", "q45_dataset_split",
-    "q46_multi_distinct", "q47_null_semantics", "q48_bpeish_tokens",
-    "q49_embedding_quantize", "q50_training_prep_pipeline",
-    "q51_doc_winnow_fingerprints", "q52_purchase_window_clicks",
-    "q53_simhash_neardup_pairs", "q54_corpus_mix", "q55_dedup_clusters",
-    "q56_distinct_sketch", "q57_neardup_pagerank",
-    "q58_hopping_window_stats", "q59_srp_neardup", "q60_decontaminate",
-    "q61_span_dedup", "q62_sequence_pack", "q63_bloom_semi_join",
-    "q64_bigram_novelty", "q65_bm25_topk", "q66_sq8_ann_topk",
-    "q67_incremental_dedup", "q68_salted_join_agg", "q69_source_overlap",
-    "q70_ivf2_topk", "q71_retrieval_pipeline",
-    "q72_hourly_rollup_gapfill", "q73_quality_percentile_filter",
-    "q74_pmi_collocations", "q75_leakage_free_split", "q76_locf_backfill",
-    "q77_blocklist_filter", "q78_dsir_importance", "q79_hard_negatives",
-    "q80_semantic_dedup", "q81_cms_heavy_hitters", "q82_kmeans_clusters",
-    "q83_curation_pipeline", "q84_ann_recall", "q85_epoch_shuffle",
-    "q86_token_budget_mix", "q87_quality_classifier",
-    "q88_skew_diagnostics", "q89_bpe_pair_counts", "q90_table_profile",
-    "q91_snapshot_diff", "q92_zorder_layout", "q93_cluster_keep_best",
-    "q94_triangle_count", "q95_join_preflight", "q96_group_sample",
-    "q97_perplexity_filter", "q98_funnel_analysis",
-    "q99_embedding_anisotropy", "s01_stream_windowed_counts",
-    "s02_stream_dedup", "s03_stream_sessions", "s04_stream_interval_join",
-    "s05_stream_demux_sinks", "s06_stream_static_enrich",
-    "s07_stream_heavy_hitters", "s08_stream_incremental_dedup",
-    "s09_stream_distinct_sketch", "s10_stream_locf",
-    "s11_stream_leaderboard", "s12_stream_trigrams",
-    "s13_stream_ivf_assign", "s14_stream_quantile_sketch",
-    "s15_stream_anomaly", "s16_stream_session_native",
-    # round-6 driver-green rows (CORRECTNESS_r06.json, 49/50):
-    "d23_cross_camera_stitch", "d24_journey_reconstruction",
-    "d26_camera_feature_bias", "d27_camera_heatmap",
-    "m11_diverse_exemplars", "m12_tone_detection", "m13_audio_qa",
-    "q118_ivfpq_topk", "q119_mmr_diversify", "q120_label_prop_communities",
-    "q121_fuzzy_name_join", "q122_scd2_history", "q123_bootstrap_ci",
-    "q124_grouped_trend", "q125_lagged_crosscorr", "q126_ivfpq_recall",
-    "q127_negative_edge_samples", "q128_lsh_recall",
-    "q129_incremental_lsh", "q131_seasonal_anomalies", "q132_ann_ndcg",
-    "q133_weighted_allpairs_join", "q134_kcore_decomposition",
-    "q135_sketch_merge_rollup", "q136_triplet_mining",
-    "q137_entity_resolution", "q138_vocab_growth", "q139_source_keyness",
-    "q140_quantile_normalize", "q141_fk_integrity_audit",
-    "q142_pair_evidence", "q143_trimmed_means", "q144_gini_concentration",
-    "q145_dedup_yield", "q146_order_consistency", "q147_cluster_purity",
-    "s17_stream_left_outer_join", "s18_stream_scd2_asof_enrich",
-    "s19_stream_lsh_ingest_gate", "s20_stream_full_outer_join",
-    "s21_stream_agg_maintenance", "s22_stream_rate_limit",
-    "s23_stream_packing",
-    # round-7 driver-green rows (CORRECTNESS_r07.json, 50/50):
-    "q130_quality_budget_cut", "q148_cluster_safe_split",
-    "q149_zipf_slope", "q150_systematic_resample", "q151_cms_error",
+    "d01_tracklet_sampling",
+    "d02_attribute_average",
+    "d03_similarity_neighbors",
+    "d04_persons_minutely",
+    "d05_reid_assembly",
+    "d06_claim_check",
+    "d07_task_kill_filter",
+    "d08_frame_time_check",
+    "d09_feature_topk",
+    "d10_command_fanout",
+    "d11_pipeline_attr_recog",
+    "d12_similar_persons_in_window",
+    "d13_two_hop_neighbors",
+    "d14_pipeline_reid",
+    "d15_pipeline_storage_reid",
+    "d16_pipeline_reid_command",
+    "d17_trajectory_stats",
+    "d18_fragment_heal_candidates",
+    "d19_camera_transitions",
+    "d20_attribute_search",
+    "d21_cotravel_pairs",
+    "d22_dwell_distribution",
+    "d23_cross_camera_stitch",
+    "d24_journey_reconstruction",
+    "d26_camera_feature_bias",
+    "d27_camera_heatmap",
     "d28_activity_calendar",
-    # round-8 driver-green rows (CORRECTNESS_r08.json, 50/50):
-    "s24_stream_track_attr_reid", "q152_equidepth_histogram",
-    "q153_degree_assortativity", "q154_edge_triangle_support",
-    "q155_cdc_chunking", "q156_layout_optimize_audit",
-    "q157_minhash_estimate_error", "q158_ktruss_edges",
-    "q159_weighted_quantiles", "d29_camera_load", "m14_scene_segments",
-    "m15_scene_exemplars", "s25_stream_ann_recall",
-    "s26_stream_scd2_maintenance"
+    "d29_camera_load",
+    "m01_patch_metadata",
+    "m02_patch_features",
+    "m03_patch_resize",
+    "m04_audio_decimate",
+    "m05_frame_fragments",
+    "m06_keyframe_selection",
+    "m07_patch_neardup",
+    "m08_audio_energy_windows",
+    "m09_patch_brightness_cuts",
+    "m10_loudness_segments",
+    "m11_diverse_exemplars",
+    "m12_tone_detection",
+    "m13_audio_qa",
+    "m14_scene_segments",
+    "m15_scene_exemplars",
+    "m16_audio_silence_trim",
+    "m17_patch_ahash_neardup",
+    "m18_patch_dedup_clusters",
+    "m19_audio_fingerprint_dedup",
+    "q01_pricing_summary",
+    "q02_top_customers_per_nation",
+    "q03_shipping_priority",
+    "q04_regional_revenue",
+    "q05_daily_activity_full_outer",
+    "q06_customers_without_recent_orders",
+    "q07_order_point_lookup",
+    "q08_order_completeness",
+    "q09_last_events",
+    "q100_weighted_sample",
+    "q101_rolling_stats",
+    "q102_apply_cdc",
+    "q103_mad_outliers",
+    "q104_source_drift",
+    "q105_decayed_trending",
+    "q106_prefix_filter_join",
+    "q107_fuzzy_decontaminate",
+    "q108_event_trigrams",
+    "q109_cohort_retention",
+    "q10_events_minutely",
+    "q110_sampled_quantiles",
+    "q111_pq_ann_topk",
+    "q112_containment_dedup",
+    "q113_rrf_fusion",
+    "q114_pca_power",
+    "q115_transition_entropy",
+    "q116_reranked_retrieval",
+    "q117_incremental_agg",
+    "q118_ivfpq_topk",
+    "q119_mmr_diversify",
+    "q11_events_json_props",
+    "q120_label_prop_communities",
+    "q121_fuzzy_name_join",
+    "q122_scd2_history",
+    "q123_bootstrap_ci",
+    "q124_grouped_trend",
+    "q125_lagged_crosscorr",
+    "q126_ivfpq_recall",
+    "q127_negative_edge_samples",
+    "q128_lsh_recall",
+    "q129_incremental_lsh",
+    "q12_events_demux_union",
+    "q130_quality_budget_cut",
+    "q131_seasonal_anomalies",
+    "q132_ann_ndcg",
+    "q133_weighted_allpairs_join",
+    "q134_kcore_decomposition",
+    "q135_sketch_merge_rollup",
+    "q136_triplet_mining",
+    "q137_entity_resolution",
+    "q138_vocab_growth",
+    "q139_source_keyness",
+    "q13_sampled_lineitems",
+    "q140_quantile_normalize",
+    "q141_fk_integrity_audit",
+    "q142_pair_evidence",
+    "q143_trimmed_means",
+    "q144_gini_concentration",
+    "q145_dedup_yield",
+    "q146_order_consistency",
+    "q147_cluster_purity",
+    "q148_cluster_safe_split",
+    "q149_zipf_slope",
+    "q14_key_roundtrip",
+    "q150_systematic_resample",
+    "q151_cms_error",
+    "q152_equidepth_histogram",
+    "q153_degree_assortativity",
+    "q154_edge_triangle_support",
+    "q155_cdc_chunking",
+    "q156_layout_optimize_audit",
+    "q157_minhash_estimate_error",
+    "q158_ktruss_edges",
+    "q159_weighted_quantiles",
+    "q15_frame_time_arithmetic",
+    "q160_local_bridges",
+    "q161_contamination_by_source",
+    "q162_ivf_cell_split",
+    "q163_lsh_s_curve",
+    "q164_dataset_cards",
+    "q165_cross_source_dup_matrix",
+    "q166_compaction_plan",
+    "q167_clustering_coefficient",
+    "q168_novelty_saturation",
+    "q169_term_dispersion",
+    "q16_event_type_pivot",
+    "q170_quality_psi",
+    "q171_ivf_cell_merge",
+    "q172_source_token_caps",
+    "q173_length_tail_index",
+    "q174_embedding_outliers",
+    "q175_transition_lift",
+    "q176_knn_label_consistency",
+    "q177_label_margin_mining",
+    "q178_context_size_audit",
+    "q17_rollup_returnflag",
+    "q18_user_sessions",
+    "q19_entity_union",
+    "q20_doc_token_stats",
+    "q21_doc_quality",
+    "q22_doc_lang_id",
+    "q23_dedup_exact",
+    "q24_minhash_lsh_pairs",
+    "q25_simhash",
+    "q26_ngram_jaccard_top_pairs",
+    "q27_embedding_topk",
+    "q28_label_centroids",
+    "q29_embedding_ivf_topk",
+    "q30_tfidf_top_terms",
+    "q31_embedding_neardup",
+    "q32_cube_orders",
+    "q33_asof_last_click",
+    "q34_value_percentiles",
+    "q35_customers_with_urgent_orders",
+    "q36_cheapest_customer_per_nation",
+    "q37_bilateral_volume",
+    "q38_running_user_value",
+    "q39_event_navigation",
+    "q40_part_name_strings",
+    "q41_segment_set_ops",
+    "q42_doc_repetition",
+    "q43_vocab_top_terms",
+    "q44_doc_chunks",
+    "q45_dataset_split",
+    "q46_multi_distinct",
+    "q47_null_semantics",
+    "q48_bpeish_tokens",
+    "q49_embedding_quantize",
+    "q50_training_prep_pipeline",
+    "q51_doc_winnow_fingerprints",
+    "q52_purchase_window_clicks",
+    "q53_simhash_neardup_pairs",
+    "q54_corpus_mix",
+    "q55_dedup_clusters",
+    "q56_distinct_sketch",
+    "q57_neardup_pagerank",
+    "q58_hopping_window_stats",
+    "q59_srp_neardup",
+    "q60_decontaminate",
+    "q61_span_dedup",
+    "q62_sequence_pack",
+    "q63_bloom_semi_join",
+    "q64_bigram_novelty",
+    "q65_bm25_topk",
+    "q66_sq8_ann_topk",
+    "q67_incremental_dedup",
+    "q68_salted_join_agg",
+    "q69_source_overlap",
+    "q70_ivf2_topk",
+    "q71_retrieval_pipeline",
+    "q72_hourly_rollup_gapfill",
+    "q73_quality_percentile_filter",
+    "q74_pmi_collocations",
+    "q75_leakage_free_split",
+    "q76_locf_backfill",
+    "q77_blocklist_filter",
+    "q78_dsir_importance",
+    "q79_hard_negatives",
+    "q80_semantic_dedup",
+    "q81_cms_heavy_hitters",
+    "q82_kmeans_clusters",
+    "q83_curation_pipeline",
+    "q84_ann_recall",
+    "q85_epoch_shuffle",
+    "q86_token_budget_mix",
+    "q87_quality_classifier",
+    "q88_skew_diagnostics",
+    "q89_bpe_pair_counts",
+    "q90_table_profile",
+    "q91_snapshot_diff",
+    "q92_zorder_layout",
+    "q93_cluster_keep_best",
+    "q94_triangle_count",
+    "q95_join_preflight",
+    "q96_group_sample",
+    "q97_perplexity_filter",
+    "q98_funnel_analysis",
+    "q99_embedding_anisotropy",
+    "s01_stream_windowed_counts",
+    "s02_stream_dedup",
+    "s03_stream_sessions",
+    "s04_stream_interval_join",
+    "s05_stream_demux_sinks",
+    "s06_stream_static_enrich",
+    "s07_stream_heavy_hitters",
+    "s08_stream_incremental_dedup",
+    "s09_stream_distinct_sketch",
+    "s10_stream_locf",
+    "s11_stream_leaderboard",
+    "s12_stream_trigrams",
+    "s13_stream_ivf_assign",
+    "s14_stream_quantile_sketch",
+    "s15_stream_anomaly",
+    "s16_stream_session_native",
+    "s17_stream_left_outer_join",
+    "s18_stream_scd2_asof_enrich",
+    "s19_stream_lsh_ingest_gate",
+    "s20_stream_full_outer_join",
+    "s21_stream_agg_maintenance",
+    "s22_stream_rate_limit",
+    "s23_stream_packing",
+    "s24_stream_track_attr_reid",
+    "s25_stream_ann_recall",
+    "s26_stream_scd2_maintenance",
+    "s27_stream_storage_attrrecog_reid",
+    "s28_stream_reid_command",
+    "s29_stream_source_drift",
+    "s30_stream_contamination_gate",
+    "s31_stream_novelty_monitor",
+    "s32_stream_quality_psi",
+    "s33_stream_patch_ingest_gate",
+    "s34_stream_transition_monitor",
 }
 
 # Entries added AFTER this round's 50-entry window fills may be

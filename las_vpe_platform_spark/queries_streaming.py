@@ -1632,8 +1632,17 @@ def s23_stream_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from las_vpe_platform_spark.streaming.stateful import token_pack_stream
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", "text"
+    from las_vpe_platform_spark.operators.staging import persist_disk
+
+    # staged: the landing reads the documents table FIVE times (the
+    # min/max agg + four slice writes) — one scan instead (measured
+    # sf0.1: landing 3.9 s -> ~2 s); released by the caller-side
+    # unpersist_all like every other staged frame
+    docs = persist_disk(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "text"
+        ),
+        "s23_landing",
     )
     src = _scratch_dir("s23_docs_")
     # land as SEQUENTIALLY-written, ZERO-PADDED doc_id-range slices
@@ -1661,7 +1670,16 @@ def s23_stream_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("text", T.StringType()),
         ]
     )
-    stream = file_stream(spark, f"{src}/*", schema, max_files_per_trigger=1)
+    # two files per trigger = two micro-batches over the four slices:
+    # still proves incremental multi-trigger stateful processing (the
+    # s01 precedent; the many-trigger case is pytest-covered) at half
+    # the ~1.7 s/trigger fixed cost (measured sf0.1: 6.9 s -> 3.1 s).
+    # Output-invariant BY CONSTRUCTION, not just empirically: the pack
+    # UDF sorts each batch's rows by doc_id per key, and slices land in
+    # doc_id-range order, so any trigger grouping that preserves slice
+    # order yields the identical running totals (the oracle is the
+    # batch window-cumsum either way).
+    stream = file_stream(spark, f"{src}/*", schema, max_files_per_trigger=2)
     packed = token_pack_stream(stream, budget=S23_BUDGET)
     name = f"s23_out_{uuid.uuid4().hex[:8]}"
     with _stream_partitions(spark):
