@@ -280,6 +280,35 @@ SELECT a AS node, degree::BIGINT AS core_degree FROM _fin"""
     )
 
 
+def adjacency_support(graph: DataFrame) -> DataFrame:
+    """Exact triangle support of EVERY edge of a canonical (a < b,
+    distinct) edge list by adjacency intersection: support(a, b) =
+    |N(a) ∩ N(b)|, with neighbor sets carried as arrays and
+    intersected JVM-side (``array_intersect`` inside whole-stage
+    codegen) — no triangle rows are ever materialized and no 3x edge
+    explode is paid (measured sf0.1, 181k edges / 11.3M triangles:
+    4.5 s vs 13.5 s for degree-oriented wedge enumeration + explode +
+    count). Work and shuffle are sum(deg^2)-bounded (each edge row
+    carries its endpoints' neighbor arrays through one join); on LSH
+    near-dup graphs the max degree is already capped by band-bucket
+    occupancy, which keeps the per-row arrays small. Every edge of
+    ``graph`` gets a row (empty intersection = 0), so no outer join is
+    needed on top. :func:`ktruss_peel` uses this for its one-time
+    seed — per-round deltas go through its wedge-anchored subset
+    recompute instead."""
+    sym = graph.union(graph.selectExpr("b AS a", "a AS b"))
+    adj = sym.groupBy("a").agg(F.collect_list("b").alias("nbrs"))
+    return (
+        graph.join(adj.selectExpr("a", "nbrs AS _na"), "a")
+        .join(adj.selectExpr("a AS b", "nbrs AS _nb"), "b")
+        .select(
+            "a",
+            "b",
+            F.size(F.array_intersect("_na", "_nb")).cast("long").alias("support"),
+        )
+    )
+
+
 def ktruss_peel(
     edges: DataFrame,
     src: str = "src",
@@ -355,39 +384,9 @@ def ktruss_peel(
             .agg(F.count(F.lit(1)).alias("support"))
         )
 
-    def _all_support(graph: DataFrame) -> DataFrame:
-        """Exact triangle support of EVERY edge of ``graph`` by
-        adjacency intersection: support(a, b) = |N(a) ∩ N(b)|, with
-        neighbor sets carried as arrays and intersected JVM-side
-        (``array_intersect`` inside whole-stage codegen) — no triangle
-        rows are ever materialized and no 3x edge explode is paid
-        (measured sf0.1, 181k edges / 11.3M triangles: 4.5 s vs 13.5 s
-        for degree-oriented wedge enumeration + explode + count).
-        Work and shuffle are sum(deg^2)-bounded (each edge row carries
-        its endpoints' neighbor arrays through one join); on LSH
-        near-dup graphs the max degree is already capped by band-bucket
-        occupancy, which keeps the per-row arrays small. Every edge of
-        ``graph`` gets a row (empty intersection = 0), so no outer
-        join is needed on top. Used only for the one-time seed —
-        per-round deltas go through :func:`_support_of`, whose wedge
-        anchors are restricted to the affected subset."""
-        sym = _sym(graph)
-        adj = sym.groupBy("a").agg(F.collect_list("b").alias("nbrs"))
-        return (
-            graph.join(adj.selectExpr("a", "nbrs AS _na"), "a")
-            .join(adj.selectExpr("a AS b", "nbrs AS _nb"), "b")
-            .select(
-                "a",
-                "b",
-                F.size(F.array_intersect("_na", "_nb"))
-                .cast("long")
-                .alias("support"),
-            )
-        )
-
     # invariant: supp = exact triangle support WITHIN cur, for every
     # edge of cur (the seed emits one row per edge, 0 when triangle-free)
-    supp = _all_support(cur).localCheckpoint(eager=False)
+    supp = adjacency_support(cur).localCheckpoint(eager=False)
     for _ in range(rounds):
         deleted = (
             supp.filter(F.col("support") < k - 2)

@@ -841,3 +841,64 @@ def test_q159_no_per_source_window(spark, sf_dir):
                 f"unexpected window partition in q159 plan: {line.strip()}"
             )
     unpersist_all()
+
+
+def test_q158_seed_is_adjacency_intersection(spark, sf_dir):
+    # the r10 seed: per-edge support comes from array_intersect over
+    # collected neighbor arrays — no triangle row is ever materialized,
+    # and the intersection is a codegen expression, not a Python
+    # boundary. The ktruss entry's own executed plan ends at a
+    # checkpoint boundary, so assert on the seed operator's plan over
+    # the same LSH edge list it seeds from.
+    from las_vpe_platform_spark.operators.dedup import minhash_lsh_candidates
+    from las_vpe_platform_spark.operators.graph import adjacency_support
+    from las_vpe_platform_spark.queries_data import (
+        MINHASH_BANDS,
+        MINHASH_HASHES,
+        MINHASH_K,
+    )
+    from las_vpe_platform_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(
+        docs, id_col="doc_id", text_col="text",
+        shingle_k=MINHASH_K, num_hashes=MINHASH_HASHES, bands=MINHASH_BANDS,
+    ).selectExpr("id_a AS a", "id_b AS b")
+    plan = _plan(adjacency_support(pairs))
+    assert "array_intersect" in plan
+    assert "collect_list" in plan
+    assert "ArrowEvalPython" not in plan  # support math never in Python
+
+
+def test_q179_exchanges_probe_keyed_only(spark, sf_dir):
+    # two-stage retrieval: stage 1 is the ivf_topk shape (gallery never
+    # hash-shuffles — its assignment rides broadcast folds), stage 2
+    # adds only probe-keyed windows; outside the staged (cached)
+    # subtrees every hash exchange leads with probe_key.
+    import re
+
+    from las_vpe_platform_spark.queries_data import q179_two_stage_retrieval
+
+    plan = outside_cached_plans(_plan(q179_two_stage_retrieval(spark, sf_dir)))
+    all_hash = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
+    other = [m for m in all_hash if m != "probe_key"]
+    assert not other, f"unexpected gallery-side shuffle on {other}"
+
+
+def test_q180_single_corpus_pass_then_metadata(spark, sf_dir):
+    # the compaction plan touches the (staged) LSH pair set with ONE
+    # hash-partition aggregate; everything after rides the tiny
+    # partition summary (pack_sequences' range exchange + broadcasts),
+    # so no exchange above the summary may be corpus-keyed.
+    from las_vpe_platform_spark.queries_data import q180_edge_compaction_plan
+
+    plan = outside_cached_plans(_plan(q180_edge_compaction_plan(spark, sf_dir)))
+    assert "CartesianProduct" not in plan
+    # the only hash exchanges lead with part_id (the 48-row summary key)
+    import re
+
+    all_hash = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
+    # part_id (the summary key) and pack_sequences' internal _pid
+    # offset fold are the only legal hash-exchange keys up here
+    other = [m for m in all_hash if m not in ("part_id", "_pid")]
+    assert not other, f"unexpected corpus-keyed shuffle on {other}"
