@@ -679,8 +679,10 @@ def test_q176_consistency_matches_bruteforce(spark, sf_dir):
 
 
 def test_q177_margins_match_bruteforce(spark, sf_dir):
-    """numpy recompute against the PUBLISHED (round-6) centroids: the
-    bottom-MARGIN_K per label and their rounded margins must match."""
+    """numpy recompute against the r10 exact-integer-sum centroids
+    (floor(v*1e6+0.5) per element, BIGINT sum, ONE division — the
+    by-construction parity definition): the bottom-MARGIN_K per label
+    and their rounded margins must match."""
     import math
 
     import numpy as np
@@ -705,12 +707,18 @@ def test_q177_margins_match_bruteforce(spark, sf_dir):
         by_label.setdefault(r["label"], []).append(
             np.array(r["embedding"], dtype=np.float64)
         )
-    cents = {
-        lab: np.array(
-            [math.floor(m * 1e6 + 0.5) / 1e6 for m in np.mean(vs, axis=0)]
+    def exact_cent(vs):
+        micro = np.array(
+            [[math.floor(float(x) * 1e6 + 0.5) for x in v] for v in vs],
+            dtype=object,  # exact python-int sums, like the BIGINT agg
         )
-        for lab, vs in by_label.items()
-    }
+        sums = micro.sum(axis=0)
+        n = len(vs)
+        return np.array(
+            [math.floor(float(s) / float(n) + 0.5) / 1e6 for s in sums]
+        )
+
+    cents = {lab: exact_cent(vs) for lab, vs in by_label.items()}
 
     def cos(a, b):
         return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))

@@ -273,7 +273,7 @@ HEADLINERS = [
     ("m14_scene_segments",
      "scene segmentation: boundary flag is a JVM expression on the frame payload hash; segment ids are a per-video prefix sum; per-segment aggregate is partial+final"),
     ("q158_ktruss_edges",
-     "k-truss edge peeling (r9 incremental rewrite): ONE full wedge join seeds an exact support table; every round advances it by support-delta (only edges triangle-adjacent to a deletion recompute), and the maintained table IS the output — deletion-free rounds are no-ops; per-round localCheckpoint truncates lineage (iterative carve-out)"),
+     "k-truss edge peeling (r10 seed rewrite): adjacency_support seeds the exact support table by JVM-side array_intersect over collected neighbor arrays (no triangle row materialized, no 3x explode); rounds advance by support-delta with scalar convergence exits (empty deletion ends the loop, empty affected skips the recompute DAG); per-round localCheckpoint truncates lineage (iterative carve-out)"),
     ("q159_weighted_quantiles",
      "exact weighted quantiles with NO per-source single-task window: global rank over (source, value, id) keeps sources rank-contiguous, weights prefix-sum via the two-phase scan, per-source cums telescope from the global prefix; quantile picks are integer comparisons"),
     # round 9
@@ -374,6 +374,11 @@ STREAMING_HEADLINERS = [
      "above two watermark nodes; BOTH unmatched sides ride the eviction scan "
      "(emission rules version-pinned, S17_PINNED_SPARK_MINOR)",
      "_full_outer_join_stream_plan"),
+    # round 10
+    ("q179_two_stage_retrieval",
+     "two-stage retrieval: stage 1 = ivf_topk (gallery assignment under broadcast folds, no gallery-side hash exchange), stage 2 = cross-encoder scoring + per-probe rank over probes x TSR_CAND_K rows only — the expensive scorer never sees the corpus"),
+    ("q180_edge_compaction_plan",
+     "edge-store compaction plan: ONE hash-partition aggregate over the staged LSH pair set; water-fill groups + split quanta ride the 48-row partition summary (pack_sequences range exchange + broadcasts)"),
     ("s24_stream_track_attr_reid (unstarted streaming plan — the live flagship)",
      "the reference's track->attrrecog->reid DAG as ONE query: tracker "
      "mapInPandas UDTF -> two windowed aggregations (per-tracklet row / "
