@@ -318,11 +318,16 @@ HEADLINERS = [
     ("q176_knn_label_consistency",
      "1-NN label audit: the BLAS pairwise ranker at k=2 (self can only outrank the true neighbor, so drop-self-keep-best is exact); label joins and the per-label rollup are label-cardinality-sized"),
     ("q177_label_margin_mining",
-     "label-margin mining: labels x dims centroid table broadcast; ONE corpus scoring projection; bottom-k per label via exact rank against the PUBLISHED round-6 centroids"),
+     "label-margin mining: labels x dims centroid table broadcast (exact int64 micro-unit sums divided once, r10); ONE corpus scoring projection; bottom-k per label via exact rank"),
     ("m19_audio_fingerprint_dedup",
      "audio fingerprint dedup: rides m08's exact-BIGINT window energies; bucket = length(bin(1+mean)) — floor(log2)+1 as pure integer, no float log; fingerprint aggregate shuffles clip-keyed rows once"),
     ("q178_context_size_audit",
      "context-size audit: ONE pack_sequences two-phase prefix pass; per-B expansion is a broadcast 4x duplication folded map-side; every output is integer arithmetic on (prefix, n)"),
+    # round 10
+    ("q179_two_stage_retrieval",
+     "two-stage retrieval: stage 1 = ivf_topk (gallery assignment under broadcast folds, no gallery-side hash exchange), stage 2 = cross-encoder scoring + per-probe rank over probes x TSR_CAND_K rows only — the expensive scorer never sees the corpus"),
+    ("q180_edge_compaction_plan",
+     "edge-store compaction plan: ONE hash-partition aggregate over the staged LSH pair set; water-fill groups + split quanta ride the 48-row partition summary (pack_sequences range exchange + broadcasts)"),
 ]
 
 # Streaming queries execute to completion inside their catalog entry,
@@ -374,11 +379,6 @@ STREAMING_HEADLINERS = [
      "above two watermark nodes; BOTH unmatched sides ride the eviction scan "
      "(emission rules version-pinned, S17_PINNED_SPARK_MINOR)",
      "_full_outer_join_stream_plan"),
-    # round 10
-    ("q179_two_stage_retrieval",
-     "two-stage retrieval: stage 1 = ivf_topk (gallery assignment under broadcast folds, no gallery-side hash exchange), stage 2 = cross-encoder scoring + per-probe rank over probes x TSR_CAND_K rows only — the expensive scorer never sees the corpus"),
-    ("q180_edge_compaction_plan",
-     "edge-store compaction plan: ONE hash-partition aggregate over the staged LSH pair set; water-fill groups + split quanta ride the 48-row partition summary (pack_sequences range exchange + broadcasts)"),
     ("s24_stream_track_attr_reid (unstarted streaming plan — the live flagship)",
      "the reference's track->attrrecog->reid DAG as ONE query: tracker "
      "mapInPandas UDTF -> two windowed aggregations (per-tracklet row / "
