@@ -727,3 +727,41 @@ def test_waterfill_property(spark, sources):
     lam = (budget - pi) / (S - i)
     alloc = sum(min(n, lam) for _, n in sources)
     assert abs(alloc - budget) < 1e-6 * max(1, S)
+
+
+@st.composite
+def edge_list(draw):
+    n = draw(st.integers(2, 14))
+    edges = draw(
+        st.lists(
+            st.tuples(st.integers(0, n - 1), st.integers(0, n - 1)),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    # canonicalize: a < b, distinct (adjacency_support's input contract)
+    canon = sorted({(min(a, b), max(a, b)) for a, b in edges if a != b})
+    return canon
+
+
+@given(edge_list())
+@slow
+def test_adjacency_support_matches_common_neighbors(spark, edges):
+    """adjacency_support == |N(a) ∩ N(b)| per edge, on arbitrary
+    graphs (hub-skewed, triangle-free, near-clique — whatever
+    hypothesis draws), with exactly one output row per input edge."""
+    from las_vpe_platform_spark.operators.graph import adjacency_support
+
+    if not edges:
+        return
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {(a, b): len(adj[a] & adj[b]) for a, b in edges}
+    df = spark.createDataFrame(edges, ["a", "b"])
+    got = {
+        (r["a"], r["b"]): r["support"]
+        for r in adjacency_support(df).collect()
+    }
+    assert got == want
