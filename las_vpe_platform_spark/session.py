@@ -50,7 +50,15 @@ def get_spark(app_name: str = "las_vpe_platform_spark", cpus: int | None = None)
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # single-JVM local mode hosts driver + all executor threads in
+        # one heap; a multi-hundred-query session accretes broadcast
+        # blocks and codegen classes, so give it headroom on the
+        # 128 GiB harness box (the per-entry spikes in back-to-back
+        # full-catalog runs turned out to be hypervisor CPU steal, not
+        # GC — measured in SCALE.md's round-10 variance note — but 8g
+        # was within 2x of a long session's live set); a cluster
+        # deployment sizes executors separately as usual
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         # the driver's events table is TIMESTAMP(NANOS); read as long,
