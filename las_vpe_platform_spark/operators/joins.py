@@ -192,7 +192,25 @@ def _stream_matmul_topk(
     g_cols = [F.col(gallery_key).alias("gallery_key"), F.col(vector_col).alias("_gvec")]
     if label_col is not None:
         g_cols.append(F.col(label_col).alias("_glabel"))
-    candidates = gallery.select(*g_cols).mapInPandas(_score, cand_schema)
+    g = gallery.select(*g_cols)
+    # Parallelism guard for LARGE probe sets: the per-batch Python work
+    # scales with n_probes x batch_rows, and a small parquet gallery
+    # arrives as ONE partition — so a corpus self-ranking (q176's
+    # leave-one-out, probes == gallery) serializes its entire
+    # n_probes x n_gallery scoring in a single Python task (measured
+    # sf0.1: 2000 probes, 1-partition gallery -> 6-14 s in one task vs
+    # 1.8 s at 4 partitions). Few-probe rankings keep the original
+    # no-exchange shape — the round-3 bench regression showed the
+    # exchange costs MORE than it buys when the probe matrix is small
+    # (q27's note), and per-batch candidate volume (probes x k per
+    # batch) stays negligible either way. Output is identical under
+    # any partitioning: each batch emits its local per-probe top-k and
+    # the exact global window below reduces the union.
+    if len(p_rows) >= 512:
+        par = spark.sparkContext.defaultParallelism
+        if g.rdd.getNumPartitions() < par:
+            g = g.repartition(par)
+    candidates = g.mapInPandas(_score, cand_schema)
     w = W.partitionBy("probe_key").orderBy(F.desc("similarity"), F.asc("gallery_key"))
     return (
         candidates.withColumn("rank", F.row_number().over(w))
