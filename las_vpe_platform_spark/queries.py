@@ -16,7 +16,8 @@ catalog).  ``DRIVER_PRIORITY`` is therefore RE-DERIVED EVERY ROUND as
    stress) and this round's re-gates (q177 exact-sum centroids, q169
    decimal accumulator, m18 keeper_id fold, s34 landing guard, q158
    adjacency-intersection seed + convergence exits, s23
-   trigger/landing restructure, q127 driver-condition re-verify),
+   trigger/landing restructure, q127 driver-condition re-verify,
+   q176/d14 BLAS-kernel parallelization),
 2. tier 1 — stalest evidence first: the 38 r02 rows then the 2
    oldest r04 rows fill the remaining window slots,
 3. tail — everything else ordered by (latest driver round, name) so
@@ -61,7 +62,8 @@ DRIVER_PRIORITY: list[str] = [
     #    centroids, q169 decimal accumulator, m18 keeper_id fold, s34
     #    landing guard, q158 adjacency-intersection seed + convergence
     #    exits, s23 trigger/landing restructure, q127 driver-condition
-    #    re-verify per VERDICT r9 #2) --
+    #    re-verify per VERDICT r9 #2, q176/d14 BLAS-kernel
+    #    parallelization re-gates) --
     "q179_two_stage_retrieval",
     "q180_edge_compaction_plan",
     "s35_stream_late_data_stress",
@@ -72,6 +74,8 @@ DRIVER_PRIORITY: list[str] = [
     "q158_ktruss_edges",
     "s23_stream_packing",
     "q127_negative_edge_samples",
+    "q176_knn_label_consistency",
+    "d14_pipeline_reid",
     # -- tier 1: stalest driver evidence first (38 r02 rows, then the
     #    2 oldest r04 rows, filling the remaining window slots) --
     "d08_frame_time_check",
@@ -112,11 +116,12 @@ DRIVER_PRIORITY: list[str] = [
     "q61_span_dedup",
     "q62_sequence_pack",
     "s01_stream_windowed_counts",
+    # -- overflow: everything else ordered by (latest driver round,
+    #    name) so the NEXT re-derivation promotes the stalest first
+    #    (d05/d11 displaced from the window by the kernel-change
+    #    re-gates q176/d14; they lead the overflow) --
     "d05_reid_assembly",
     "d11_pipeline_attr_recog",
-    # -- overflow: everything else ordered by (latest driver round,
-    #    name) so the NEXT re-derivation promotes the stalest first --
-    "d14_pipeline_reid",
     "d15_pipeline_storage_reid",
     "d16_pipeline_reid_command",
     "m03_patch_resize",
@@ -312,7 +317,6 @@ DRIVER_PRIORITY: list[str] = [
     "q173_length_tail_index",
     "q174_embedding_outliers",
     "q175_transition_lift",
-    "q176_knn_label_consistency",
     "q178_context_size_audit",
     "q32_cube_orders",
     "q34_value_percentiles",
@@ -351,7 +355,7 @@ if len(DRIVER_PRIORITY) != len(set(DRIVER_PRIORITY)):
 # The must-gate block (tiers 0-1, everything through the re-gates)
 # has to sit inside the driver's first-50 window — review finding r3
 # caught an earlier ordering leaving re-gated entries at 61-63.
-_MUST_GATE_LAST = "q127_negative_edge_samples"
+_MUST_GATE_LAST = "d14_pipeline_reid"
 if DRIVER_PRIORITY.index(_MUST_GATE_LAST) >= 50:
     raise ValueError(
         "DRIVER_PRIORITY stale: must-gate tiers exceed the 50-entry "
