@@ -337,7 +337,7 @@ def ktruss_peel(
     rewrite + convergence exits, VERDICT r9 #3): the WHOLE
     decomposition pays exactly ONE full support pass — adjacency
     intersection, |N(a) ∩ N(b)| per edge via JVM-side array_intersect
-    (see :func:`_all_support`; measured 3x faster at sf0.1 than both
+    (see :func:`adjacency_support`; measured 3x faster at sf0.1 than both
     the r9 wedge join and a degree-oriented triangle enumeration,
     because no triangle row is ever materialized) — to seed an EXACT
     incremental support table. Every round

@@ -8786,16 +8786,19 @@ FROM per_slice p LEFT JOIN novel n ON n.slice = p.slice
 # Σ_d |v_td/f_t − len_d/T| / 2 over ALL docs; absent docs contribute
 # their expected share, which telescopes to (T − Σ_present len)/2T, so
 # only NONZERO (term, doc) rows are ever materialized. Both engines
-# compute the deviation numerator s1 = Σ|v·T − len·f| exactly: every
-# PRODUCT is int64 (v ≤ f ≤ T, len ≤ T, so each |term| ≤ f·T), and the
-# SUM is accumulated as DECIMAL(38,0) on the Spark side / HUGEINT on
-# the DuckDB side (ADVICE r9: a BIGINT sum bounds each term but not
-# the total — s1 ≤ 2·f·T ≤ 2·T², which passes 2^63 around T ≈ 2·10⁹
-# corpus tokens, well inside a 100 TB corpus; the 38-digit decimal is
-# good to T ≈ 7·10¹⁸). Overflow under the decimal accumulator yields
-# NULL (detectable), never a silent wrap. One double division at the
-# end — identical bit-for-bit, so the top-k cutoff and the rounding
-# are engine-independent by construction, not by luck.
+# compute the deviation numerator s1 = Σ|v·T − len·f| exactly, with
+# the WHOLE expression — operands, products, and the accumulator —
+# in DECIMAL(38,0) on the Spark side / HUGEINT (int128) on the DuckDB
+# side (ADVICE r9 moved the SUM to wide arithmetic; ADVICE r10 moved
+# the PRODUCTS too: v·T ≤ T² passes 2^63 around T ≈ 3·10⁹ corpus
+# tokens, inside the 100 TB envelope, and a pre-cast int64 product
+# would wrap silently in non-ANSI Spark while DuckDB raised — the
+# engines diverging exactly where the accumulator was supposed to
+# protect; in 38-digit decimal the expression is exact to T ≈ 10¹⁹).
+# Overflow under the decimal arithmetic yields NULL (detectable),
+# never a silent wrap. One double division at the end — identical
+# bit-for-bit, so the top-k cutoff and the rounding are
+# engine-independent by construction, not by luck.
 
 DISPERSION_TOP = 40
 
@@ -8823,9 +8826,19 @@ def q169_term_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term", "f", "n_docs", "t_total")
         .agg(
             F.sum(
+                # operands cast BEFORE the multiply (ADVICE r10): the
+                # per-term products v*T and len*f themselves pass 2^63
+                # around T ~ 3e9 corpus tokens, so an int64 product
+                # would wrap silently (non-ANSI) before the decimal
+                # accumulator ever saw it; in decimal(38,0) the whole
+                # expression is exact to T ~ 1e19 and overflow yields
+                # NULL (detectable), never a wrap
                 F.abs(
-                    F.col("v") * F.col("t_total") - F.col("len") * F.col("f")
-                ).cast("decimal(38,0)")
+                    F.col("v").cast("decimal(38,0)")
+                    * F.col("t_total").cast("decimal(38,0)")
+                    - F.col("len").cast("decimal(38,0)")
+                    * F.col("f").cast("decimal(38,0)")
+                )
             ).alias("s1"),
             F.sum("len").cast("bigint").alias("s2"),
         )
@@ -8858,10 +8871,12 @@ WITH tok AS (
   SELECT term, sum(v)::BIGINT AS f, count(*)::BIGINT AS n_docs FROM tf GROUP BY 1
 ), sums AS (
   SELECT t.term, ft.f, ft.n_docs, tot.t_total,
-         -- DuckDB promotes BIGINT sums to HUGEINT: exact, raises (never
-         -- wraps) on int128 overflow — the s1 accumulator mirror of the
-         -- Spark side's DECIMAL(38,0)
-         sum(abs(t.v * tot.t_total - d.len * ft.f)) AS s1,
+         -- operands cast to HUGEINT BEFORE the multiply (mirror of the
+         -- Spark side's decimal(38,0) operand casts): int128 products
+         -- are exact to T ~ 1e19 and DuckDB raises (never wraps) on
+         -- overflow, so both engines fail loudly at the same envelope
+         sum(abs(t.v::HUGEINT * tot.t_total::HUGEINT
+                 - d.len::HUGEINT * ft.f::HUGEINT)) AS s1,
          sum(d.len)::BIGINT AS s2
   FROM tf t
   JOIN dl d USING (doc_id)

@@ -32,6 +32,50 @@ TABLE_NAMES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# BLAS/OMP thread pinning (VERDICT r10 #1): the mapInPandas ranking
+# kernels (operators/joins.py _score/_rank and every other numpy
+# matmul under Arrow) each run inside ONE Spark task; task-level
+# parallelism already saturates local[N], so any BLAS-internal
+# threading on top oversubscribes the box (32 tasks x MAX_THREADS
+# threads). Pinned at import time so BOTH the driver process and —
+# via env inheritance driver python -> JVM -> forked python workers —
+# every executor-side numpy load see it before OpenBLAS spins up its
+# pool. setdefault, so an operator can still opt in explicitly.
+for _v in ("OPENBLAS_NUM_THREADS", "OPENBLAS64_NUM_THREADS",
+           "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ.setdefault(_v, "1")
+
+
+def _default_driver_memory() -> str:
+    """Size the single-JVM local heap to the HOST, not to the harness
+    box (ADVICE r10): a multi-hundred-query session wants headroom
+    (24g on the 128 GiB harness), but baking 24g in OOM-kills the
+    session on developer/CI hosts with less RAM or a tighter cgroup
+    limit. Take 1/4 of the effective memory ceiling (min of
+    /proc/meminfo MemTotal and the cgroup-v2 limit when one is set),
+    clamped to [4g, 24g]; SPARK_GRAFT_DRIVER_MEM overrides."""
+    ceiling = None
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal:"):
+                    ceiling = int(line.split()[1]) * 1024
+                    break
+    except OSError:
+        pass
+    try:
+        with open("/sys/fs/cgroup/memory.max") as f:
+            raw = f.read().strip()
+        if raw != "max":
+            lim = int(raw)
+            ceiling = lim if ceiling is None else min(ceiling, lim)
+    except (OSError, ValueError):
+        pass
+    if ceiling is None:
+        return "8g"
+    quarter_gb = ceiling // (4 * 1024**3)
+    return f"{min(24, max(4, quarter_gb))}g"
+
 
 def get_spark(app_name: str = "las_vpe_platform_spark", cpus: int | None = None) -> SparkSession:
     """Build (or reuse) the engine SparkSession.
@@ -52,13 +96,22 @@ def get_spark(app_name: str = "las_vpe_platform_spark", cpus: int | None = None)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # single-JVM local mode hosts driver + all executor threads in
         # one heap; a multi-hundred-query session accretes broadcast
-        # blocks and codegen classes, so give it headroom on the
-        # 128 GiB harness box (the per-entry spikes in back-to-back
-        # full-catalog runs turned out to be hypervisor CPU steal, not
-        # GC — measured in SCALE.md's round-10 variance note — but 8g
-        # was within 2x of a long session's live set); a cluster
-        # deployment sizes executors separately as usual
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # blocks and codegen classes, so give it headroom — sized to
+        # the HOST's memory (quarter of the ceiling, clamped; 24g on
+        # the 128 GiB harness box, smaller on dev/CI hosts — ADVICE
+        # r10); a cluster deployment sizes executors separately
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM") or _default_driver_memory(),
+        )
+        # mirror the import-time BLAS pin for any deployment where the
+        # python workers do NOT inherit the driver env (standalone /
+        # YARN executors); PythonWorkerFactory applies executorEnv to
+        # the forked workers before numpy first loads OpenBLAS
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.OPENBLAS64_NUM_THREADS", "1")
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         # the driver's events table is TIMESTAMP(NANOS); read as long,
