@@ -2884,14 +2884,19 @@ S34_SQL = _s34_sql()
 # semantics, pinned empirically (tests/test_round10_ops.py) and
 # version-pinned here as the emission rule:
 #   (1) the operative watermark of batch N derives from data through
-#       batch N-1 (one-batch lag), so batch1's cohort lands while
-#       NOTHING is yet evicted (the pre-batch1 eviction ran with the
-#       initial wm=0) -> accepted in full, however late;
+#       batch N-2 — one batch MORE lag than the folk "previous batch"
+#       rule (ADVICE r10; pin-test behavior 4 discriminates: a batch-1
+#       row that RAISES the max event time does NOT tighten batch 2's
+#       drop filter) — so batch1's cohort runs under the initial wm=0
+#       and lands in full, however late;
 #   (2) batch2's cohort is dropped exactly where its window was
 #       already evicted: window_end_ms <= wm1_ms, with
-#       wm1_ms = floor(max_event_us(batch0 U batch1) / 1000) - 600000
+#       wm1_ms = floor(max_event_us(batch0 ONLY) / 1000) - 600000
 #       (watermarks are millisecond-resolution; boundary is <=, both
-#       probed with an exact-equality case);
+#       probed with an exact-equality case). Deriving wm1 from
+#       batch0 U batch1 instead coincides only while the on-time slice
+#       happens to contain the global max event time — true of the
+#       current fixture, but luck, not construction (ADVICE r10);
 #   (3) append-mode final flush (no-data micro-batches) emits windows
 #       with window_end_ms <= floor(max_event_us(ALL rows, dropped
 #       included — the watermark collector sits before the stateful
@@ -2951,9 +2956,10 @@ WITH on_time AS (
 ), late_b AS (
   SELECT ts, event_type FROM events WHERE event_id % 14 = 7
 ), wm1 AS (
-  -- operative watermark for batch2 (ms): data through batch1
-  SELECT max(epoch_us(ts)) // 1000 - {S35_DELAY_MS} AS wm_ms
-  FROM (SELECT ts FROM on_time UNION ALL SELECT ts FROM late_a)
+  -- operative watermark for batch2 (ms): data through batch0 ONLY —
+  -- the drop filter of batch N is governed by data through batch N-2
+  -- (pin-test behavior 4), so late cohort A can never tighten it
+  SELECT max(epoch_us(ts)) // 1000 - {S35_DELAY_MS} AS wm_ms FROM on_time
 ), wmf AS (
   -- final-flush watermark: ALL rows reach the event-time collector
   SELECT max(epoch_us(ts)) // 1000 - {S35_DELAY_MS} AS wm_ms FROM events

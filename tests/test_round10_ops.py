@@ -18,18 +18,24 @@ from pyspark.sql import types as T
 
 
 def test_watermark_semantics_pinned(spark):
-    """Pin the three Spark behaviors s35's oracle prices (probed on
+    """Pin the four Spark behaviors s35's oracle prices (probed on
     pyspark 4.1; a version bump that changes any of them must fail HERE,
     not as a silent oracle mismatch):
 
-    1. one-batch lag: a late row arriving one batch after the max
-       event time advanced is still ACCEPTED (the pre-batch eviction
-       ran with the older watermark);
-    2. drop boundary: a row whose window was already evicted is
+    1. lagged filter: a late row arriving one batch after the max
+       event time advanced is still ACCEPTED (batch 1 runs under the
+       INITIAL watermark);
+    2. drop boundary: a row whose window the watermark has passed is
        dropped, with the predicate ``window_end <= wm`` (equality
        drops);
     3. final flush: append mode emits exactly the windows with
-       ``window_end <= max_event_time - delay`` (equality emits).
+       ``window_end <= max_event_time - delay`` (equality emits);
+    4. the extra-lag discriminator (ADVICE r10): batch N's drop filter
+       is governed by data through batch N-2 ONLY — a batch-1 row that
+       RAISES the max event time does not tighten batch 2's filter, so
+       a batch-2 row whose window end sits between wm(batch0) and
+       wm(batch0 U batch1) is ACCEPTED (the batch0-U-batch1 formula
+       s35's oracle used through round 10 would have dropped it).
     """
     schema = T.StructType(
         [
@@ -37,13 +43,18 @@ def test_watermark_semantics_pinned(spark):
             T.StructField("ts_micros", T.LongType()),
         ]
     )
-    # max0 = 10000 s, delay 700 s -> wm1 = 9300 s == end of [9000, 9300)
+    # max0 = 10000 s, delay 700 s -> wm(batch0) = 9300 s == end of
+    # [9000, 9300); batch1 raises the max to 10900 s -> wm(b0 U b1) =
+    # 10200 s == end of [9900, 10200) — both boundaries probed exactly
     s0 = [(1, 10_000_000_000), (2, 9_100_000_000)]
-    s1 = [(10, 9_150_000_000)]  # behavior 1: late, accepted (lag)
+    s1 = [
+        (10, 9_150_000_000),  # behavior 1: late, accepted (initial wm)
+        (11, 10_900_000_000),  # raises max: wm(b0 U b1) = 10200
+    ]
     s2 = [
-        (20, 9_250_000_000),  # behavior 2: end 9300 == wm1 -> dropped
-        (21, 9_350_000_000),  # window [9300,9600) end > wm -> accepted,
-        #                       but never finalized (behavior 3)
+        (20, 9_250_000_000),  # behavior 2: end 9300 == wm(b0) -> dropped
+        (21, 9_950_000_000),  # behavior 4: end 10200 > wm(b0) = 9300 ->
+        #                       accepted, though 10200 <= wm(b0 U b1)
     ]
     src = tempfile.mkdtemp(prefix="wm_pin_")
     for i, rows in enumerate((s0, s1, s2)):
@@ -75,11 +86,14 @@ def test_watermark_semantics_pinned(spark):
     finally:
         q.stop()
     out = {r["ws"]: sorted(r["ids"]) for r in spark.table(name).collect()}
-    # behavior 3: final wm = 9300; emitted = ends <= 9300 (equality emits)
-    # behavior 1: id 10 accepted despite wm1 being past its window end
-    # behavior 2: id 20 dropped (window evicted, equality drops);
-    #             id 21 accepted but its window end 9600 > 9300 -> absent
-    assert out == {9000: [2, 10]}
+    # behavior 3: final wm = 10900 - 700 = 10200; emitted = ends <= 10200
+    #             (equality emits: [9900, 10200) IS emitted); [10800,
+    #             11100) end 11100 > 10200 -> id 11 absent
+    # behavior 1: id 10 accepted despite wm(b0) being past its window end
+    # behavior 2: id 20 dropped (end 9300 == wm(b0), equality drops)
+    # behavior 4: id 21 PRESENT — under the batch0-U-batch1 watermark
+    #             formula (wm 10200, end 10200 <= 10200) it would drop
+    assert out == {9000: [2, 10], 9900: [1, 21]}
 
 
 def test_s35_late_cohorts_priced_exactly(spark, sf_dir, duck):
