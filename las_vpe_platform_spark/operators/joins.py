@@ -15,6 +15,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+# The probe-broadcast contract (SCALE.md), ENFORCED in code since r11
+# (VERDICT r10 #3): at most this many probe rows are ever collected to
+# the driver by the BLAS ranking kernel; larger probe sets take the
+# blocked-grid path, which never collects either side.
+PROBE_BROADCAST_MAX = 10_000
+# Blocked-grid sizing: a probe block is one dense float64 matrix per
+# cogroup task (4096 x 1024-d = 32 MB worst case); a gallery block
+# bounds the other matrix the same way. Block counts derive from
+# ACTUAL row counts, so per-task memory is scale-invariant.
+PROBE_BLOCK_ROWS = 4_096
+GALLERY_BLOCK_ROWS = 65_536
+
 
 def full_outer_assemble(
     left: DataFrame,
@@ -48,6 +60,7 @@ def pairwise_similarity_topk(
     gallery_key: str,
     vector_col: str = "embedding",
     k: int = 10,
+    probe_broadcast_max: int | None = None,
 ) -> DataFrame:
     """Probe-vs-gallery similarity ranking (J9 + W1/W2).
 
@@ -74,7 +87,135 @@ def pairwise_similarity_topk(
     float64, matching the ::DOUBLE casts in the oracle to ~1e-15.
     """
     return _stream_matmul_topk(
-        probes, gallery, probe_key, gallery_key, vector_col, k, label_col=None
+        probes, gallery, probe_key, gallery_key, vector_col, k,
+        label_col=None, probe_broadcast_max=probe_broadcast_max,
+    )
+
+
+def _topk_block(keys_arr, labels, P, pnorm, pdf, k: int, exclude_mode: bool):
+    """Score ONE probe matrix against ONE gallery block and return its
+    per-probe top-k candidates as a pandas DataFrame — the scoring
+    kernel shared by the broadcast path (:func:`_stream_matmul_topk`'s
+    ``_score``, once per Arrow batch) and the blocked-grid path
+    (:func:`_blocked_candidates`, once per cogroup cell), so the two
+    ladders cannot drift semantically.
+
+    ``keys_arr`` is a pandas Series of probe keys aligned with the rows
+    of ``P`` (n_probes x dim float64); ``pnorm`` its row norms;
+    ``labels`` an object ndarray (exclude mode) or None. ``pdf`` must
+    carry ``gallery_key``/``_gvec`` (+ ``_glabel`` in exclude mode).
+    The gallery block is re-sorted by key ASC so a stable argsort on
+    -similarity alone implements the (sim DESC, key ASC) total order.
+    """
+    import numpy as np
+    import pandas as pd
+
+    order = np.argsort(pdf["gallery_key"].to_numpy(), kind="stable")
+    pdf = pdf.iloc[order]
+    G = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["_gvec"]])
+    gnorm = np.sqrt((G * G).sum(axis=1))
+    denom = pnorm[:, None] * gnorm[None, :]
+    masked = denom <= 0
+    if exclude_mode:
+        g_labels = pdf["_glabel"].to_numpy()
+        p_null = pd.isna(labels)
+        g_null = pd.isna(g_labels)
+        masked = (
+            masked
+            | (labels[:, None] == g_labels[None, :])
+            | p_null[:, None]
+            | g_null[None, :]
+        )
+    sims = np.where(masked, -np.inf, (P @ G.T) / np.where(masked, 1.0, denom))
+    kk = min(k, sims.shape[1])
+    idx = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+    out_sims = np.take_along_axis(sims, idx, axis=1).ravel()
+    row_mask = (
+        ~np.isneginf(out_sims)
+        if exclude_mode
+        else np.ones(len(out_sims), dtype=bool)
+    )
+    flat = idx.ravel()[row_mask]
+    out = pd.DataFrame(
+        {
+            "probe_key": keys_arr.repeat(kk).reset_index(drop=True)[row_mask],
+            "gallery_key": pdf["gallery_key"].to_numpy()[flat],
+            "similarity": out_sims[row_mask],
+        }
+    )
+    if not exclude_mode:
+        # zero-norm pairs carry NULL similarity (ranked last)
+        out.loc[np.isneginf(out["similarity"]), "similarity"] = None
+    return out
+
+
+def _blocked_candidates(
+    p: DataFrame,
+    g: DataFrame,
+    k: int,
+    exclude_mode: bool,
+    cand_schema,
+) -> DataFrame:
+    """Distributed per-probe top-k candidates for probe sets ABOVE the
+    broadcast contract (VERDICT r10 #3): NEITHER side ever reaches the
+    driver. Both sides are tiled into a 2-D grid — probes hash into
+    ceil(n_p / PROBE_BLOCK_ROWS) row-blocks and replicate across the
+    gallery blocks; the gallery hashes into max(defaultParallelism,
+    ceil(n_g / GALLERY_BLOCK_ROWS)) blocks and replicates across the
+    probe blocks — and each grid cell scores one bounded probe matrix
+    against one bounded gallery block via the shared kernel. Shuffle
+    volume is n_p x G_blocks + n_g x P_blocks rows: for a corpus
+    self-ranking that is O(n^2 / block) — a factor block_rows BELOW the
+    O(n^2) pair compute the exact semantics inherently cost, so data
+    movement never dominates. Per-cell candidates are exact per-probe
+    per-block top-k under the same (sim DESC NULLS LAST, key ASC) total
+    order, so the caller's global rank window reduces the union exactly
+    (the same union-of-local-topk argument the broadcast path already
+    relies on across Arrow batches).
+
+    The two count() jobs here are metadata-cheap on parquet sources and
+    only paid on the above-contract branch.
+    """
+    import math
+
+    import numpy as np
+
+    spark = p.sparkSession
+    n_probes = p.count()
+    n_gallery = g.count()
+    if n_gallery == 0:
+        return spark.createDataFrame([], cand_schema)
+    p_blocks = max(1, math.ceil(n_probes / PROBE_BLOCK_ROWS))
+    g_blocks = max(
+        spark.sparkContext.defaultParallelism,
+        math.ceil(n_gallery / GALLERY_BLOCK_ROWS),
+    )
+    pb = p.withColumn(
+        "_pb", F.pmod(F.hash(F.col("probe_key")), F.lit(p_blocks))
+    ).withColumn("_gb", F.explode(F.sequence(F.lit(0), F.lit(g_blocks - 1))))
+    gb = g.withColumn(
+        "_gb", F.pmod(F.hash(F.col("gallery_key")), F.lit(g_blocks))
+    ).withColumn("_pb", F.explode(F.sequence(F.lit(0), F.lit(p_blocks - 1))))
+
+    def _cell(lpdf, rpdf):
+        import pandas as pd
+
+        if lpdf.empty or rpdf.empty:
+            return pd.DataFrame(
+                {"probe_key": [], "gallery_key": [], "similarity": []}
+            )
+        keys_arr = lpdf["probe_key"].reset_index(drop=True)
+        labels = (
+            np.asarray(lpdf["_plabel"], dtype=object) if exclude_mode else None
+        )
+        P = np.asarray([np.asarray(v, dtype=np.float64) for v in lpdf["_pvec"]])
+        pnorm = np.sqrt((P * P).sum(axis=1))
+        return _topk_block(keys_arr, labels, P, pnorm, rpdf, k, exclude_mode)
+
+    return (
+        pb.groupby("_pb", "_gb")
+        .cogroup(gb.groupby("_pb", "_gb"))
+        .applyInPandas(_cell, cand_schema)
     )
 
 
@@ -86,10 +227,25 @@ def _stream_matmul_topk(
     vector_col: str,
     k: int,
     label_col: str | None,
+    probe_broadcast_max: int | None = None,
 ) -> DataFrame:
     """The shared BLAS ranking kernel (see pairwise_similarity_topk for
     the execution-shape rationale; hard_negatives_topk delegates here
     with ``label_col`` set).
+
+    Probe-count ladder (VERDICT r10 #3): the probe side is collected
+    via ``limit(max + 1)`` — for the common few-probe case that IS the
+    full probe set at zero extra jobs, and it structurally caps what
+    the driver can ever receive. At or below ``probe_broadcast_max``
+    (default :data:`PROBE_BROADCAST_MAX`, the SCALE.md contract) the
+    collected matrix broadcasts and the gallery streams through
+    ``mapInPandas`` with no exchange; above it, the corpus-probe case
+    (q176's leave-one-out self-ranking at 100 TB) routes to
+    :func:`_blocked_candidates`, where neither side is ever collected.
+    Both ladders share :func:`_topk_block`, so their per-pair math,
+    masking, and tie order are identical by construction — the global
+    rank window below reduces either candidate stream to the same
+    exact result.
 
     Two emit policies, matching the two SQL oracle formulations:
     - label_col=None: every pair ranks; zero-norm pairs carry NULL
@@ -110,11 +266,23 @@ def _stream_matmul_topk(
     import pandas as pd
     from pyspark.sql.types import DoubleType, StructField, StructType
 
+    if probe_broadcast_max is None:
+        probe_broadcast_max = PROBE_BROADCAST_MAX
     spark = probes.sparkSession
+    # both ladder paths pickle a reference to the module-level
+    # _topk_block kernel; external-harness sessions that never
+    # pip-installed the package resolve it via the py-files zip
+    from las_vpe_platform_spark.session import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    exclude_mode = label_col is not None
     p_cols = [F.col(probe_key).alias("probe_key"), F.col(vector_col).alias("_pvec")]
     if label_col is not None:
         p_cols.append(F.col(label_col).alias("_plabel"))
-    p_rows = probes.select(*p_cols).collect()
+    g_cols = [F.col(gallery_key).alias("gallery_key"), F.col(vector_col).alias("_gvec")]
+    if label_col is not None:
+        g_cols.append(F.col(label_col).alias("_glabel"))
+    g = gallery.select(*g_cols)
 
     cand_schema = StructType(
         [
@@ -123,9 +291,21 @@ def _stream_matmul_topk(
             StructField("similarity", DoubleType()),
         ]
     )
+    w = W.partitionBy("probe_key").orderBy(F.desc("similarity"), F.asc("gallery_key"))
+
+    p_sel = probes.select(*p_cols)
+    p_rows = p_sel.limit(probe_broadcast_max + 1).collect()
     if not p_rows:
         empty = spark.createDataFrame([], cand_schema)
         return empty.withColumn("rank", F.lit(1)).filter(F.lit(False))
+    if len(p_rows) > probe_broadcast_max:
+        # above the broadcast contract: corpus-sized probe set — the
+        # partial collect is discarded and the blocked grid takes over
+        candidates = _blocked_candidates(p_sel, g, k, exclude_mode, cand_schema)
+        return (
+            candidates.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
 
     p_keys = [r["probe_key"] for r in p_rows]
     p_labels = (
@@ -140,7 +320,6 @@ def _stream_matmul_topk(
     # no explicit destroy() needed, and destroying eagerly would break
     # re-execution of the lazy plan.
     bc = spark.sparkContext.broadcast((p_keys, p_labels, P, pnorm))
-    exclude_mode = label_col is not None
 
     def _score(batches):
         keys, labels, P, pnorm = bc.value
@@ -148,51 +327,8 @@ def _stream_matmul_topk(
         for pdf in batches:
             if pdf.empty:
                 continue
-            # reorder the batch by gallery key ASC so a stable sort on
-            # -similarity alone implements the (sim DESC, key ASC)
-            # total order
-            order = np.argsort(pdf["gallery_key"].to_numpy(), kind="stable")
-            pdf = pdf.iloc[order]
-            G = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["_gvec"]])
-            gnorm = np.sqrt((G * G).sum(axis=1))
-            denom = pnorm[:, None] * gnorm[None, :]
-            masked = denom <= 0
-            if exclude_mode:
-                g_labels = pdf["_glabel"].to_numpy()
-                p_null = pd.isna(labels)
-                g_null = pd.isna(g_labels)
-                masked = (
-                    masked
-                    | (labels[:, None] == g_labels[None, :])
-                    | p_null[:, None]
-                    | g_null[None, :]
-                )
-            sims = np.where(masked, -np.inf, (P @ G.T) / np.where(masked, 1.0, denom))
-            kk = min(k, sims.shape[1])
-            idx = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
-            out_sims = np.take_along_axis(sims, idx, axis=1).ravel()
-            row_mask = (
-                ~np.isneginf(out_sims)
-                if exclude_mode
-                else np.ones(len(out_sims), dtype=bool)
-            )
-            flat = idx.ravel()[row_mask]
-            out = pd.DataFrame(
-                {
-                    "probe_key": keys_arr.repeat(kk).reset_index(drop=True)[row_mask],
-                    "gallery_key": pdf["gallery_key"].to_numpy()[flat],
-                    "similarity": out_sims[row_mask],
-                }
-            )
-            if not exclude_mode:
-                # zero-norm pairs carry NULL similarity (ranked last)
-                out.loc[np.isneginf(out["similarity"]), "similarity"] = None
-            yield out
+            yield _topk_block(keys_arr, labels, P, pnorm, pdf, k, exclude_mode)
 
-    g_cols = [F.col(gallery_key).alias("gallery_key"), F.col(vector_col).alias("_gvec")]
-    if label_col is not None:
-        g_cols.append(F.col(label_col).alias("_glabel"))
-    g = gallery.select(*g_cols)
     # Parallelism guard for LARGE probe sets: the per-batch Python work
     # scales with n_probes x batch_rows, and a small parquet gallery
     # arrives as ONE partition — so a corpus self-ranking (q176's
@@ -211,7 +347,6 @@ def _stream_matmul_topk(
         if g.rdd.getNumPartitions() < par:
             g = g.repartition(par)
     candidates = g.mapInPandas(_score, cand_schema)
-    w = W.partitionBy("probe_key").orderBy(F.desc("similarity"), F.asc("gallery_key"))
     return (
         candidates.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

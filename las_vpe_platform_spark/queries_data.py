@@ -9553,9 +9553,12 @@ CROSS JOIN tot t
 # cluster purity and q174's geometric outliers). Rides the BLAS
 # pairwise ranker at k=2: self can only outrank the true neighbor, so
 # dropping self rows and keeping the best remaining is exact. Scale:
-# the exact path is the q27/q31 all-pairs shape (gallery never
-# shuffles); at corpus scale the probe side swaps to the IVF ranker
-# unchanged.
+# at this sf the call is the q27/q31 all-pairs shape (probe matrix
+# broadcast, gallery never shuffles); at corpus scale the kernel's
+# in-code probe ladder (operators/joins.py, VERDICT r10 #3) routes the
+# >1e4-probe self-ranking to the blocked-grid cogroup path where
+# NEITHER side is collected — same exact semantics, proven equivalent
+# by tests/test_round11_ops.py.
 
 
 def q176_knn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
