@@ -1814,7 +1814,17 @@ def s24_build_stream(spark: SparkSession, src_glob: str) -> DataFrame:
     )
     stream = (
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "2")
+        # all 4 slices in ONE data trigger (VERDICT r10 #4): with THREE
+        # stateful operators the per-trigger state-commit cost is the
+        # entry's dominant fixed cost (measured sf0.1 warm: 2 triggers
+        # ~12 s -> 1 trigger ~9 s); output is batching-invariant BY
+        # CONSTRUCTION — slices land in event-time order so no row is
+        # ever late-dropped, and append emission is governed solely by
+        # the FINAL watermark (the s23/s26 argument; oracle-proven).
+        # The multi-trigger incremental path stays pytest-covered via
+        # the emission-contract test, which derives its expectation
+        # from the fixture, not from the batch structure.
+        .option("maxFilesPerTrigger", "4")
         .option("latestFirst", "false")
         .parquet(src_glob)
         # epoch-micros end-to-end: the landed long -> absolute TIMESTAMP,
