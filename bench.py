@@ -26,6 +26,21 @@ from las_vpe_platform_spark.queries import CATALOG  # noqa: E402
 from las_vpe_platform_spark.session import get_spark  # noqa: E402
 
 
+def _jiffies() -> tuple[int, int] | None:
+    """(total, steal) cpu jiffies from /proc/stat — the vmstat 'st'
+    column's raw counters. Sampled around every query so the bench
+    artifact carries its own contention evidence (VERDICT r10 #2: the
+    round-10 official outliers were indistinguishable from hypervisor
+    CPU steal after the fact; now each run records it in-band)."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()[1:]
+        vals = [int(x) for x in parts]
+        return sum(vals), (vals[7] if len(vals) > 7 else 0)
+    except (OSError, ValueError, IndexError):
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -46,8 +61,11 @@ def main() -> None:
     spark.range(cores).repartition(cores).mapInPandas(lambda it: it, "id long").count()
 
     timings: dict[str, float] = {}
+    steal: dict[str, float] = {}
+    j_all = _jiffies()
     t_all = time.perf_counter()
     for name, (fn, _sql) in sorted(CATALOG.items()):
+        j0 = _jiffies()
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
@@ -57,7 +75,25 @@ def main() -> None:
         # must not accrete blocks, and each query pays its own cleanup
         unpersist_all()
         timings[name] = round(time.perf_counter() - t0, 3)
+        j1 = _jiffies()
+        if j0 and j1 and j1[0] > j0[0]:
+            steal[name] = round(100.0 * (j1[1] - j0[1]) / (j1[0] - j0[0]), 2)
     total = round(time.perf_counter() - t_all, 3)
+    j_end = _jiffies()
+    run_steal_pct = (
+        round(100.0 * (j_end[1] - j_all[1]) / (j_end[0] - j_all[0]), 2)
+        if j_all and j_end and j_end[0] > j_all[0]
+        else None
+    )
+    # the per-entry steal record stays SMALL (the driver keeps only the
+    # line's tail): the 8 most contention-suspect entries — meaningful
+    # steal during a non-trivial query window
+    hot_steal = dict(
+        sorted(
+            ((n, s) for n, s in steal.items() if s >= 3.0 and timings[n] >= 1.0),
+            key=lambda kv: -kv[1],
+        )[:8]
+    )
 
     # CHEAPEST first: the driver's BENCH_r{N}.json capture preserves
     # only the LAST ~2 KB of this line (VERDICT r6 'What's wrong' #3 —
@@ -76,6 +112,12 @@ def main() -> None:
                 "sf": sf,
                 "total_sec": total,
                 "n_queries": len(timings),
+                # in-band contention evidence: whole-run hypervisor CPU
+                # steal %, plus the entries that ran under the worst of
+                # it — a spiky entry with high steal_hot is environment,
+                # not plan (SCALE.md round-10 variance protocol)
+                "steal_run_pct": run_steal_pct,
+                "steal_hot": hot_steal,
             }
         )
     )

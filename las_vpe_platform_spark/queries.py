@@ -11,20 +11,20 @@ catalog).  ``DRIVER_PRIORITY`` is therefore RE-DERIVED EVERY ROUND as
 "everything not yet driver-green, oldest evidence first" (VERDICT r2
 'What's wrong' #2 — a stale list wastes the round's sample):
 
-1. tier 0 (round 10) — the 3 NEW entries (q179 two-stage retrieval,
-   q180 edge-store compaction plan, s35 adversarial watermark
-   stress) and this round's re-gates (q177 exact-sum centroids, q169
-   decimal accumulator, m18 keeper_id fold, s34 landing guard, q158
-   adjacency-intersection seed + convergence exits, s23
-   trigger/landing restructure, q127 driver-condition re-verify,
-   q176/d14 BLAS-kernel parallelization),
-2. tier 1 — stalest evidence first: the 38 r02 rows then the 2
-   oldest r04 rows fill the remaining window slots,
+1. tier 0 (round 11) — no new entries (VERDICT r10 #6: prefer zero);
+   the RE-GATES: s35 (lagged-watermark oracle fix), q169 (decimal
+   operand casts), s24 (single-trigger restructure), q176 (probe
+   ladder), the round-10 official-bench outliers after the BLAS
+   thread pin (q133, q136, s21), and every entry riding the
+   re-laddered ranking kernel (q27, d09, d14, d15, d16, q79, q84,
+   q126, s25),
+2. tier 1 — stalest evidence first: the 34 oldest r04 rows fill the
+   remaining window slots,
 3. tail — everything else ordered by (latest driver round, name) so
    the next re-derivation promotes the stalest mechanically.
 
-After round 9 the cumulative record is 259/259 driver-green (VERDICT
-r9); round 10 adds 3 entries, all placed inside the window.  The
+After round 10 the cumulative record is 262/262 driver-green (VERDICT
+r10); round 11 adds no entries.  The
 import-time guards enforce (a) the must-gate tiers sit inside the
 window, (b) every overflow entry has a prior-round driver row or an
 explicit acknowledgement, and (c) every catalog entry appears in this
@@ -55,75 +55,34 @@ _ALL.update(STREAMING_QUERIES)
 
 # First 50 = the driver's correctness window (see module docstring).
 DRIVER_PRIORITY: list[str] = [
-    # -- tier 0 (round 10): the 3 NEW entries (q179 two-stage
-    #    retrieval, q180 edge-store compaction plan, s35 adversarial
-    #    watermark stress), then the round-10 RE-GATES -- entries whose
-    #    semantics, oracle, or plan changed this round (q177 exact-sum
-    #    centroids, q169 decimal accumulator, m18 keeper_id fold, s34
-    #    landing guard, q158 adjacency-intersection seed + convergence
-    #    exits, s23 trigger/landing restructure, q127 driver-condition
-    #    re-verify per VERDICT r9 #2, q176/d14 BLAS-kernel
-    #    parallelization re-gates) --
-    "q179_two_stage_retrieval",
-    "q180_edge_compaction_plan",
+    # -- tier 0 (round 11): the RE-GATES — entries whose oracle,
+    #    expression, trigger structure, or execution kernel changed
+    #    this round (s35 lagged-watermark oracle fix, q169 decimal
+    #    operand casts, s24 single-trigger restructure, q176 probe
+    #    ladder), the round-10 official-bench outliers re-gated after
+    #    the BLAS thread pin (q133, q136, s21 per VERDICT r10 #2),
+    #    and every entry riding the re-laddered BLAS ranking kernel
+    #    (q27, d09, d14, d15, d16, q79, q84, q126, s25) --
     "s35_stream_late_data_stress",
-    "q177_label_margin_mining",
     "q169_term_dispersion",
-    "m18_patch_dedup_clusters",
-    "s34_stream_transition_monitor",
-    "q158_ktruss_edges",
-    "s23_stream_packing",
-    "q127_negative_edge_samples",
+    "s24_stream_track_attr_reid",
     "q176_knn_label_consistency",
-    "d14_pipeline_reid",
-    # -- tier 1: stalest driver evidence first (38 r02 rows, then the
-    #    2 oldest r04 rows, filling the remaining window slots) --
-    "d08_frame_time_check",
-    "d09_feature_topk",
-    "d10_command_fanout",
-    "d12_similar_persons_in_window",
-    "d13_two_hop_neighbors",
-    "m01_patch_metadata",
-    "m02_patch_features",
-    "q01_pricing_summary",
-    "q06_customers_without_recent_orders",
-    "q07_order_point_lookup",
-    "q08_order_completeness",
-    "q09_last_events",
-    "q12_events_demux_union",
-    "q14_key_roundtrip",
-    "q18_user_sessions",
-    "q20_doc_token_stats",
-    "q21_doc_quality",
-    "q22_doc_lang_id",
-    "q24_minhash_lsh_pairs",
-    "q25_simhash",
+    "q133_weighted_allpairs_join",
+    "q136_triplet_mining",
+    "s21_stream_agg_maintenance",
     "q27_embedding_topk",
-    "q30_tfidf_top_terms",
-    "q31_embedding_neardup",
-    "q33_asof_last_click",
-    "q48_bpeish_tokens",
-    "q50_training_prep_pipeline",
-    "q51_doc_winnow_fingerprints",
-    "q52_purchase_window_clicks",
-    "q53_simhash_neardup_pairs",
-    "q54_corpus_mix",
-    "q55_dedup_clusters",
-    "q56_distinct_sketch",
-    "q57_neardup_pagerank",
-    "q58_hopping_window_stats",
-    "q60_decontaminate",
-    "q61_span_dedup",
-    "q62_sequence_pack",
-    "s01_stream_windowed_counts",
-    # -- overflow: everything else ordered by (latest driver round,
-    #    name) so the NEXT re-derivation promotes the stalest first
-    #    (d05/d11 displaced from the window by the kernel-change
-    #    re-gates q176/d14; they lead the overflow) --
-    "d05_reid_assembly",
-    "d11_pipeline_attr_recog",
+    "d09_feature_topk",
+    "d14_pipeline_reid",
     "d15_pipeline_storage_reid",
     "d16_pipeline_reid_command",
+    "q79_hard_negatives",
+    "q84_ann_recall",
+    "q126_ivfpq_recall",
+    "s25_stream_ann_recall",
+    # -- tier 1: stalest driver evidence first (the 34 oldest r04
+    #    rows fill the remaining window slots) --
+    "d05_reid_assembly",
+    "d11_pipeline_attr_recog",
     "m03_patch_resize",
     "m04_audio_decimate",
     "m05_frame_fragments",
@@ -141,11 +100,9 @@ DRIVER_PRIORITY: list[str] = [
     "q72_hourly_rollup_gapfill",
     "q73_quality_percentile_filter",
     "q77_blocklist_filter",
-    "q79_hard_negatives",
     "q80_semantic_dedup",
     "q82_kmeans_clusters",
     "q83_curation_pipeline",
-    "q84_ann_recall",
     "q85_epoch_shuffle",
     "q86_token_budget_mix",
     "q87_quality_classifier",
@@ -158,6 +115,8 @@ DRIVER_PRIORITY: list[str] = [
     "s04_stream_interval_join",
     "s05_stream_demux_sinks",
     "s07_stream_heavy_hitters",
+    # -- tail: everything else, (latest driver round, name) order so
+    #    the next re-derivation promotes the stalest mechanically --
     "s08_stream_incremental_dedup",
     "s09_stream_distinct_sketch",
     "s11_stream_leaderboard",
@@ -206,12 +165,10 @@ DRIVER_PRIORITY: list[str] = [
     "q123_bootstrap_ci",
     "q124_grouped_trend",
     "q125_lagged_crosscorr",
-    "q126_ivfpq_recall",
     "q128_lsh_recall",
     "q129_incremental_lsh",
     "q131_seasonal_anomalies",
     "q132_ann_ndcg",
-    "q133_weighted_allpairs_join",
     "q135_sketch_merge_rollup",
     "q138_vocab_growth",
     "q139_source_keyness",
@@ -230,7 +187,6 @@ DRIVER_PRIORITY: list[str] = [
     "s18_stream_scd2_asof_enrich",
     "s19_stream_lsh_ingest_gate",
     "s20_stream_full_outer_join",
-    "s21_stream_agg_maintenance",
     "s22_stream_rate_limit",
     "d28_activity_calendar",
     "m06_keyframe_selection",
@@ -298,7 +254,6 @@ DRIVER_PRIORITY: list[str] = [
     "m16_audio_silence_trim",
     "m17_patch_ahash_neardup",
     "m19_audio_fingerprint_dedup",
-    "q136_triplet_mining",
     "q137_entity_resolution",
     "q152_equidepth_histogram",
     "q159_weighted_quantiles",
@@ -322,8 +277,6 @@ DRIVER_PRIORITY: list[str] = [
     "q34_value_percentiles",
     "q35_customers_with_urgent_orders",
     "q36_cheapest_customer_per_nation",
-    "s24_stream_track_attr_reid",
-    "s25_stream_ann_recall",
     "s26_stream_scd2_maintenance",
     "s27_stream_storage_attrrecog_reid",
     "s28_stream_reid_command",
@@ -332,6 +285,50 @@ DRIVER_PRIORITY: list[str] = [
     "s31_stream_novelty_monitor",
     "s32_stream_quality_psi",
     "s33_stream_patch_ingest_gate",
+    "d08_frame_time_check",
+    "d10_command_fanout",
+    "d12_similar_persons_in_window",
+    "d13_two_hop_neighbors",
+    "m01_patch_metadata",
+    "m02_patch_features",
+    "m18_patch_dedup_clusters",
+    "q01_pricing_summary",
+    "q06_customers_without_recent_orders",
+    "q07_order_point_lookup",
+    "q08_order_completeness",
+    "q09_last_events",
+    "q127_negative_edge_samples",
+    "q12_events_demux_union",
+    "q14_key_roundtrip",
+    "q158_ktruss_edges",
+    "q177_label_margin_mining",
+    "q179_two_stage_retrieval",
+    "q180_edge_compaction_plan",
+    "q18_user_sessions",
+    "q20_doc_token_stats",
+    "q21_doc_quality",
+    "q22_doc_lang_id",
+    "q24_minhash_lsh_pairs",
+    "q25_simhash",
+    "q30_tfidf_top_terms",
+    "q31_embedding_neardup",
+    "q33_asof_last_click",
+    "q48_bpeish_tokens",
+    "q50_training_prep_pipeline",
+    "q51_doc_winnow_fingerprints",
+    "q52_purchase_window_clicks",
+    "q53_simhash_neardup_pairs",
+    "q54_corpus_mix",
+    "q55_dedup_clusters",
+    "q56_distinct_sketch",
+    "q57_neardup_pagerank",
+    "q58_hopping_window_stats",
+    "q60_decontaminate",
+    "q61_span_dedup",
+    "q62_sequence_pack",
+    "s01_stream_windowed_counts",
+    "s23_stream_packing",
+    "s34_stream_transition_monitor",
 ]
 
 
@@ -355,16 +352,21 @@ if len(DRIVER_PRIORITY) != len(set(DRIVER_PRIORITY)):
 # The must-gate block (tiers 0-1, everything through the re-gates)
 # has to sit inside the driver's first-50 window — review finding r3
 # caught an earlier ordering leaving re-gated entries at 61-63.
-_MUST_GATE_LAST = "d14_pipeline_reid"
+_MUST_GATE_LAST = "s25_stream_ann_recall"
 if DRIVER_PRIORITY.index(_MUST_GATE_LAST) >= 50:
     raise ValueError(
         "DRIVER_PRIORITY stale: must-gate tiers exceed the 50-entry "
         f"driver window (position {DRIVER_PRIORITY.index(_MUST_GATE_LAST)})"
     )
 
-# Names with a driver-green row in some CORRECTNESS_r01-r05.json —
-# these may sit past position 50 without losing hard evidence.
+# Names with a driver-green row in some prior CORRECTNESS_r{N}.json —
+# these may sit past position 50 without losing hard evidence. (As of
+# round 10 the cumulative record covers the whole catalog: the round-10
+# additions q179/q180/s35 gated green in CORRECTNESS_r10.json.)
 _PRIOR_DRIVER_GREEN = {
+    "q179_two_stage_retrieval",
+    "q180_edge_compaction_plan",
+    "s35_stream_late_data_stress",
     "d01_tracklet_sampling",
     "d02_attribute_average",
     "d03_similarity_neighbors",
