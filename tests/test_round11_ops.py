@@ -122,6 +122,56 @@ def test_probe_ladder_never_collects_corpus(spark, sf_dir):
     assert "FlatMapCoGroupsInPandas" not in plan2
 
 
+def test_probe_ladder_property_vs_catalyst_witness(spark):
+    """Seeded property sweep: across random shapes — probe/gallery
+    sizes straddling the block boundaries, k larger than the gallery,
+    disjoint and overlapping key spaces, duplicate similarity ties,
+    zero-norm rows — the blocked path must equal the PURE-CATALYST
+    witness implementation (pairwise_similarity_topk_expr), which
+    shares no code with the BLAS kernel. Integer-valued components
+    keep every dot product exact in float64, so cross-implementation
+    equality is deterministic (no sub-ulp tie risk)."""
+    import random
+
+    from las_vpe_platform_spark.operators.joins import (
+        pairwise_similarity_topk,
+        pairwise_similarity_topk_expr,
+    )
+
+    rng = random.Random(11)
+    for trial in range(4):
+        n_p = rng.choice([5, 9, 17])
+        n_g = rng.choice([6, 13, 23])
+        dim = rng.choice([2, 3])
+        k = rng.choice([1, 3, n_g + 2])
+        # small integer components force frequent EXACT similarity ties
+        # (the tie-break path), plus some zero vectors
+        def vec():
+            if rng.random() < 0.15:
+                return [0.0] * dim
+            return [float(rng.randint(-2, 2)) for _ in range(dim)]
+
+        probes = spark.createDataFrame(
+            [(i, vec()) for i in range(n_p)], "id long, v array<double>"
+        )
+        gallery = spark.createDataFrame(
+            [(100 + i, vec()) for i in range(n_g)], "id long, v array<double>"
+        )
+        want = _rows(
+            pairwise_similarity_topk_expr(
+                probes, gallery, probe_key="id", gallery_key="id",
+                vector_col="v", k=k,
+            )
+        )
+        got = _rows(
+            pairwise_similarity_topk(
+                probes, gallery, probe_key="id", gallery_key="id",
+                vector_col="v", k=k, probe_broadcast_max=4,
+            )
+        )
+        assert got == want, f"trial {trial}: n_p={n_p} n_g={n_g} k={k}"
+
+
 def test_q176_rides_the_ladder(spark, sf_dir):
     """q176's corpus self-ranking goes through pairwise_similarity_topk
     and therefore through the in-code ladder — the SCALE.md <=1e4 probe
