@@ -20,6 +20,13 @@ from pyspark.sql import Window as W
 # the driver by the BLAS ranking kernel; larger probe sets take the
 # blocked-grid path, which never collects either side.
 PROBE_BROADCAST_MAX = 10_000
+# The dual contract for the streaming-safe ranker: its gallery is the
+# broadcast-DIM side (persons, never corpus). Unlike the probe ladder
+# there is no silent reroute — the operator must stay stateless and
+# windowless to compose after stream-stream joins, so a corpus-sized
+# gallery is a CALLER error and fails loudly at plan build instead of
+# OOMing the driver mid-stream.
+GALLERY_BROADCAST_MAX = 100_000
 # Blocked-grid sizing: a probe block is one dense float64 matrix per
 # cogroup task (4096 x 1024-d = 32 MB worst case); a gallery block
 # bounds the other matrix the same way. Block counts derive from
@@ -361,6 +368,7 @@ def broadcast_gallery_topk(
     vector_col: str = "feature",
     k: int = 10,
     passthrough: list[str] | None = None,
+    gallery_broadcast_max: int | None = None,
 ) -> DataFrame:
     """Streaming-safe probe→gallery ranking: the dual of
     :func:`pairwise_similarity_topk` for the LIVE path, where probes
@@ -393,10 +401,22 @@ def broadcast_gallery_topk(
     from pyspark.sql.types import LongType, StructField, StructType
 
     passthrough = list(passthrough or [probe_key])
+    if gallery_broadcast_max is None:
+        gallery_broadcast_max = GALLERY_BROADCAST_MAX
     spark = probes.sparkSession
+    # the dual of the probe ladder's limit guard (r11): the collect is
+    # bounded BY PLAN, and a contract violation fails loudly at build
+    # time rather than OOMing the driver mid-stream
     g_rows = gallery.select(
         F.col(gallery_key).alias("_gkey"), F.col(vector_col).alias("_gvec")
-    ).collect()
+    ).limit(gallery_broadcast_max + 1).collect()
+    if len(g_rows) > gallery_broadcast_max:
+        raise ValueError(
+            "broadcast_gallery_topk: gallery exceeds the broadcast-dim "
+            f"contract ({gallery_broadcast_max} rows) — this operator ranks "
+            "against a persons-sized gallery; for corpus-sized galleries "
+            "use pairwise_similarity_topk (blocked-grid) or ivf_topk"
+        )
     g_rows.sort(key=lambda r: r["_gkey"])
     g_keys = [r["_gkey"] for r in g_rows]
     G = np.asarray([np.asarray(r["_gvec"], dtype=np.float64) for r in g_rows])

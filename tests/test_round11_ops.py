@@ -172,6 +172,29 @@ def test_probe_ladder_property_vs_catalyst_witness(spark):
         assert got == want, f"trial {trial}: n_p={n_p} n_g={n_g} k={k}"
 
 
+def test_gallery_broadcast_contract_enforced(spark):
+    """The streaming-safe ranker's dual contract: its gallery collect
+    is bounded by plan (limit(max+1)) and a corpus-sized gallery fails
+    loudly at build time with a routing hint, instead of OOMing the
+    driver mid-stream. Below the bound the operator is unchanged."""
+    import pytest
+
+    from las_vpe_platform_spark.operators.joins import broadcast_gallery_topk
+
+    rows = [(i, [float(i), 1.0]) for i in range(10)]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    ok = broadcast_gallery_topk(
+        df, df, probe_key="id", gallery_key="id", vector_col="v", k=2,
+        gallery_broadcast_max=10,
+    )
+    assert ok.count() == 20
+    with pytest.raises(ValueError, match="broadcast-dim contract"):
+        broadcast_gallery_topk(
+            df, df, probe_key="id", gallery_key="id", vector_col="v", k=2,
+            gallery_broadcast_max=5,
+        )
+
+
 def test_q176_rides_the_ladder(spark, sf_dir):
     """q176's corpus self-ranking goes through pairwise_similarity_topk
     and therefore through the in-code ladder — the SCALE.md <=1e4 probe
