@@ -36,7 +36,10 @@ def _jiffies() -> tuple[int, int] | None:
         with open("/proc/stat") as f:
             parts = f.readline().split()[1:]
         vals = [int(x) for x in parts]
-        return sum(vals), (vals[7] if len(vals) > 7 else 0)
+        # denominator = user..steal only: the kernel already folds
+        # guest/guest_nice (fields 9-10) into user/nice, so summing
+        # them too would double-count and bias steal% low
+        return sum(vals[:8]), (vals[7] if len(vals) > 7 else 0)
     except (OSError, ValueError, IndexError):
         return None
 

@@ -22,4 +22,20 @@ let Catalyst pick physical strategies; Python UDFs appear only where
 built-ins cannot express the semantics, always Arrow-batched.
 """
 
+import os as _os
+
+# BLAS/OMP thread pinning (VERDICT r10 #1) lives at the PACKAGE root,
+# not in session.py: it must run before numpy first loads OpenBLAS,
+# and several import orders (bench.py's queries-before-session, the
+# external driver's entry-module load) reach numpy through operator
+# modules without touching session.py first (ADVICE r11 review). The
+# mapInPandas ranking kernels run one task per core, so BLAS-internal
+# threading on top only oversubscribes; python workers inherit this
+# env through driver-python -> JVM -> fork as long as the package is
+# imported before the SparkSession is built (true for every shipped
+# surface). setdefault, so an explicit user opt-in still wins.
+for _v in ("OPENBLAS_NUM_THREADS", "OPENBLAS64_NUM_THREADS",
+           "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+    _os.environ.setdefault(_v, "1")
+
 __version__ = "0.1.0"

@@ -180,14 +180,24 @@ def _blocked_candidates(
     (the same union-of-local-topk argument the broadcast path already
     relies on across Arrow batches).
 
-    The two count() jobs here are metadata-cheap on parquet sources and
-    only paid on the above-contract branch.
+    Both projected two-column inputs are staged (DISK_ONLY, the
+    operators/staging contract) before the sizing counts, so the
+    count jobs and the grid scan share ONE evaluation of each subtree
+    — without it a derived probe frame (e.g. a pipeline join output)
+    would recompute its upstream three times: the limit guard, the
+    count, and the grid itself (ADVICE r11 review). The one-time
+    materialization is strictly smaller than the grid's own shuffle
+    (which replicates the same columns P- and G-fold).
     """
     import math
 
     import numpy as np
 
+    from las_vpe_platform_spark.operators.staging import persist_disk
+
     spark = p.sparkSession
+    p = persist_disk(p, "blocked_probes")
+    g = persist_disk(g, "blocked_gallery")
     n_probes = p.count()
     n_gallery = g.count()
     if n_gallery == 0:

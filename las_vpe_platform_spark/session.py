@@ -32,18 +32,12 @@ TABLE_NAMES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# BLAS/OMP thread pinning (VERDICT r10 #1): the mapInPandas ranking
-# kernels (operators/joins.py _score/_rank and every other numpy
-# matmul under Arrow) each run inside ONE Spark task; task-level
-# parallelism already saturates local[N], so any BLAS-internal
-# threading on top oversubscribes the box (32 tasks x MAX_THREADS
-# threads). Pinned at import time so BOTH the driver process and —
-# via env inheritance driver python -> JVM -> forked python workers —
-# every executor-side numpy load see it before OpenBLAS spins up its
-# pool. setdefault, so an operator can still opt in explicitly.
-for _v in ("OPENBLAS_NUM_THREADS", "OPENBLAS64_NUM_THREADS",
-           "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
-    os.environ.setdefault(_v, "1")
+# BLAS/OMP thread pinning itself lives in the package __init__ (it
+# must precede numpy's first import under EVERY import order, not
+# just session-first ones); the executorEnv mirror below covers
+# deployments whose workers do not inherit the driver env.
+_BLAS_ENV_VARS = ("OPENBLAS_NUM_THREADS", "OPENBLAS64_NUM_THREADS",
+                  "OMP_NUM_THREADS", "MKL_NUM_THREADS")
 
 
 def _default_driver_memory() -> str:
@@ -74,7 +68,12 @@ def _default_driver_memory() -> str:
     if ceiling is None:
         return "8g"
     quarter_gb = ceiling // (4 * 1024**3)
-    return f"{min(24, max(4, quarter_gb))}g"
+    # the 4g floor must itself respect the ceiling (ADVICE r11 review:
+    # on a 2-3 GiB cgroup, max(4, 0) would request a heap LARGER than
+    # the whole limit — the exact OOM-kill this function exists to
+    # avoid); leave the JVM at most ~3/4 of the ceiling, never below 1g
+    cap_gb = max(1, (ceiling * 3 // 4) // 1024**3)
+    return f"{min(min(24, max(4, quarter_gb)), cap_gb)}g"
 
 
 def get_spark(app_name: str = "las_vpe_platform_spark", cpus: int | None = None) -> SparkSession:
@@ -104,14 +103,6 @@ def get_spark(app_name: str = "las_vpe_platform_spark", cpus: int | None = None)
             "spark.driver.memory",
             os.environ.get("SPARK_GRAFT_DRIVER_MEM") or _default_driver_memory(),
         )
-        # mirror the import-time BLAS pin for any deployment where the
-        # python workers do NOT inherit the driver env (standalone /
-        # YARN executors); PythonWorkerFactory applies executorEnv to
-        # the forked workers before numpy first loads OpenBLAS
-        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
-        .config("spark.executorEnv.OPENBLAS64_NUM_THREADS", "1")
-        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
-        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         # the driver's events table is TIMESTAMP(NANOS); read as long,
@@ -123,6 +114,13 @@ def get_spark(app_name: str = "las_vpe_platform_spark", cpus: int | None = None)
         .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
         .config("spark.sql.files.openCostInBytes", str(1 * 1024 * 1024))
     )
+    # mirror the RESOLVED BLAS/OMP env (package-__init__ pin or the
+    # user's explicit opt-in — never a hard-coded "1", ADVICE r11
+    # review) onto executors for deployments whose python workers do
+    # not inherit the driver env (standalone / YARN)
+    for _v in _BLAS_ENV_VARS:
+        if _v in os.environ:
+            builder = builder.config(f"spark.executorEnv.{_v}", os.environ[_v])
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
