@@ -39,3 +39,18 @@ for _v in ("OPENBLAS_NUM_THREADS", "OPENBLAS64_NUM_THREADS",
     _os.environ.setdefault(_v, "1")
 
 __version__ = "0.1.0"
+
+# Staged-frame lifecycle surface (ADVICE r11): several operators
+# materialize multi-referenced subtrees via persist(DISK_ONLY) — for
+# corpus-sized inputs (pairwise_similarity_topk above the probe
+# contract) those blocks are corpus-sized. Harnesses call
+# unpersist_all() between queries (bench.py does); library callers
+# embedding single operator invocations wrap them in
+# scoped_persists(). Re-exported here so the contract is one import
+# away from every entry point.
+from las_vpe_platform_spark.operators.staging import (  # noqa: E402
+    scoped_persists,
+    unpersist_all,
+)
+
+__all__ = ["scoped_persists", "unpersist_all", "__version__"]

@@ -92,11 +92,33 @@ def pairwise_similarity_topk(
     Tie-breaking matches the SQL oracle: similarity DESC (NULLs — from
     zero-norm vectors — last), then gallery_key ASC.  All math is
     float64, matching the ::DOUBLE casts in the oracle to ~1e-15.
+
+    Lifecycle note (ADVICE r11): above the probe-broadcast contract
+    the blocked-grid path stages both projected sides DISK_ONLY via
+    the staging registry, and those blocks are CORPUS-sized. The
+    release half of the contract is the caller's: harnesses call
+    ``las_vpe_platform_spark.unpersist_all()`` between queries
+    (bench.py does), and long-lived sessions invoking this operator
+    repeatedly wrap each call in
+    ``las_vpe_platform_spark.scoped_persists()`` — otherwise each
+    above-contract invocation accretes two corpus-sized disk blocks.
     """
     return _stream_matmul_topk(
         probes, gallery, probe_key, gallery_key, vector_col, k,
         label_col=None, probe_broadcast_max=probe_broadcast_max,
     )
+
+
+# Gallery sub-tile inside _topk_block (ADVICE r11, medium): a FULL
+# grid cell (4096 probes x 65536 gallery rows) scored in one shot
+# allocates ~2 GiB per n_p x n_g float64 temporary (denom, masked
+# divide, sims, -sims, argsort index) — a ~10 GiB transient peak per
+# task, with up to 32 concurrent tasks. Scoring the gallery in
+# 2048-row chunks with an exact running per-probe top-k merge caps
+# every temporary at n_p x 2048 (~67 MB) while the matmul flops —
+# the inherent cost — are unchanged. 2048 also bounds the broadcast
+# path's Arrow batches (10k rows default) the same way.
+TOPK_GALLERY_CHUNK_ROWS = 2_048
 
 
 def _topk_block(keys_arr, labels, P, pnorm, pdf, k: int, exclude_mode: bool):
@@ -111,42 +133,85 @@ def _topk_block(keys_arr, labels, P, pnorm, pdf, k: int, exclude_mode: bool):
     of ``P`` (n_probes x dim float64); ``pnorm`` its row norms;
     ``labels`` an object ndarray (exclude mode) or None. ``pdf`` must
     carry ``gallery_key``/``_gvec`` (+ ``_glabel`` in exclude mode).
-    The gallery block is re-sorted by key ASC so a stable argsort on
-    -similarity alone implements the (sim DESC, key ASC) total order.
+
+    Exact-tie machinery: the gallery block is re-sorted by key ASC and
+    scored in :data:`TOPK_GALLERY_CHUNK_ROWS`-row chunks; the running
+    candidate set is kept in gallery-index-ascending column order
+    between chunks (kept columns re-sorted by index, appended chunk
+    columns always carry larger indices), so a STABLE argsort on
+    -similarity alone implements the (sim DESC, key ASC) total order
+    at every merge — the same union-of-local-topk argument the callers
+    rely on across blocks, applied within the block. A full-width
+    argpartition was considered instead of the chunked sort and
+    rejected: at a tie straddling the k boundary argpartition keeps an
+    arbitrary member, breaking the key tie-break contract.
     """
     import numpy as np
     import pandas as pd
 
     order = np.argsort(pdf["gallery_key"].to_numpy(), kind="stable")
     pdf = pdf.iloc[order]
-    G = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["_gvec"]])
-    gnorm = np.sqrt((G * G).sum(axis=1))
-    denom = pnorm[:, None] * gnorm[None, :]
-    masked = denom <= 0
-    if exclude_mode:
-        g_labels = pdf["_glabel"].to_numpy()
-        p_null = pd.isna(labels)
-        g_null = pd.isna(g_labels)
-        masked = (
-            masked
-            | (labels[:, None] == g_labels[None, :])
-            | p_null[:, None]
-            | g_null[None, :]
+    g_keys_all = pdf["gallery_key"].to_numpy()
+    g_vecs_all = pdf["_gvec"].to_numpy()
+    g_labels_all = pdf["_glabel"].to_numpy() if exclude_mode else None
+    n_p = P.shape[0]
+    n_g = len(g_keys_all)
+    kk = min(k, n_g)
+    p_null = pd.isna(labels) if exclude_mode else None
+
+    run_sims = np.empty((n_p, 0), dtype=np.float64)
+    run_gidx = np.empty((n_p, 0), dtype=np.int64)
+    for start in range(0, n_g, TOPK_GALLERY_CHUNK_ROWS):
+        stop = min(start + TOPK_GALLERY_CHUNK_ROWS, n_g)
+        G = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in g_vecs_all[start:stop]]
         )
-    sims = np.where(masked, -np.inf, (P @ G.T) / np.where(masked, 1.0, denom))
-    kk = min(k, sims.shape[1])
-    idx = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
-    out_sims = np.take_along_axis(sims, idx, axis=1).ravel()
+        gnorm = np.sqrt((G * G).sum(axis=1))
+        denom = pnorm[:, None] * gnorm[None, :]
+        masked = denom <= 0
+        if exclude_mode:
+            g_labels = g_labels_all[start:stop]
+            g_null = pd.isna(g_labels)
+            masked = (
+                masked
+                | (labels[:, None] == g_labels[None, :])
+                | p_null[:, None]
+                | g_null[None, :]
+            )
+        sims = np.where(masked, -np.inf, (P @ G.T) / np.where(masked, 1.0, denom))
+        cand_sims = np.concatenate([run_sims, sims], axis=1)
+        cand_gidx = np.concatenate(
+            [
+                run_gidx,
+                np.broadcast_to(
+                    np.arange(start, stop, dtype=np.int64), (n_p, stop - start)
+                ),
+            ],
+            axis=1,
+        )
+        sel = np.argsort(-cand_sims, axis=1, kind="stable")[:, :kk]
+        top_sims = np.take_along_axis(cand_sims, sel, axis=1)
+        top_gidx = np.take_along_axis(cand_gidx, sel, axis=1)
+        # restore gallery-index ASC column order so the NEXT merge's
+        # stable argsort keeps breaking similarity ties by key
+        reord = np.argsort(top_gidx, axis=1, kind="stable")
+        run_sims = np.take_along_axis(top_sims, reord, axis=1)
+        run_gidx = np.take_along_axis(top_gidx, reord, axis=1)
+
+    # final emit order: (sim DESC, key ASC) per probe row
+    sel = np.argsort(-run_sims, axis=1, kind="stable")
+    out_sims = np.take_along_axis(run_sims, sel, axis=1).ravel()
+    flat = np.take_along_axis(run_gidx, sel, axis=1).ravel()
     row_mask = (
         ~np.isneginf(out_sims)
         if exclude_mode
         else np.ones(len(out_sims), dtype=bool)
     )
-    flat = idx.ravel()[row_mask]
+    flat = flat[row_mask]
     out = pd.DataFrame(
         {
             "probe_key": keys_arr.repeat(kk).reset_index(drop=True)[row_mask],
-            "gallery_key": pdf["gallery_key"].to_numpy()[flat],
+            "gallery_key": g_keys_all[flat],
             "similarity": out_sims[row_mask],
         }
     )

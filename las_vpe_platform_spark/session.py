@@ -57,14 +57,58 @@ def _default_driver_memory() -> str:
                     break
     except OSError:
         pass
+    # cgroup limit candidates (ADVICE r11: the root v2 file alone
+    # misses cgroup v1 AND non-root v2 slices — resolve the process's
+    # OWN slice from /proc/self/cgroup first, then fall back to the
+    # root v2 file and the v1 hierarchy):
+    candidates = []
     try:
-        with open("/sys/fs/cgroup/memory.max") as f:
-            raw = f.read().strip()
-        if raw != "max":
-            lim = int(raw)
-            ceiling = lim if ceiling is None else min(ceiling, lim)
-    except (OSError, ValueError):
+        with open("/proc/self/cgroup") as f:
+            for line in f:
+                parts = line.strip().split(":", 2)
+                if len(parts) != 3:
+                    continue
+                hier, controllers, path = parts
+                path = path.rstrip("/")
+                if hier == "0":  # v2 unified: limits walk UP the slice
+                    p = path
+                    while True:
+                        candidates.append(f"/sys/fs/cgroup{p}/memory.max")
+                        if not p:
+                            break
+                        p = p.rsplit("/", 1)[0]
+                elif "memory" in controllers.split(","):  # v1
+                    p = path
+                    while True:
+                        candidates.append(
+                            f"/sys/fs/cgroup/memory{p}/memory.limit_in_bytes"
+                        )
+                        if not p:
+                            break
+                        p = p.rsplit("/", 1)[0]
+    except OSError:
         pass
+    candidates += [
+        "/sys/fs/cgroup/memory.max",
+        "/sys/fs/cgroup/memory/memory.limit_in_bytes",
+    ]
+    for cand in candidates:
+        try:
+            with open(cand) as f:
+                raw = f.read().strip()
+        except OSError:
+            continue
+        # v2 "no limit" is the literal "max"; v1's is a huge sentinel
+        # (PAGE_COUNTER_MAX) — treat anything >= 2^60 as unlimited
+        if raw == "max":
+            continue
+        try:
+            lim = int(raw)
+        except ValueError:
+            continue
+        if lim >= 1 << 60:
+            continue
+        ceiling = lim if ceiling is None else min(ceiling, lim)
     if ceiling is None:
         return "8g"
     quarter_gb = ceiling // (4 * 1024**3)
