@@ -7,10 +7,22 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is forced end-to-end with a noop-format write (full plan
 execution, no driver-side collect), matching how a sink-terminated
 pipeline runs on a cluster.
+
+Self-adjudicating telemetry (VERDICT r11 #2/#5): besides wall time the
+artifact records, per query, hypervisor CPU steal over the window and
+the CPU-seconds actually consumed by the whole local-mode Spark
+process tree (driver python + JVM + Arrow workers). A wall-time
+excursion with flat CPU is a descheduling pause, not a plan problem —
+steal% alone under-explained the round-11 multi-x inflations (10-16%
+steal removes ~1.2x of CPU; the observed spikes were 4-9x). Every
+entry exceeding 2x its committed cross-run minimum is re-run once at
+end-of-bench and both numbers are reported, so the artifact
+adjudicates its own outliers without hiding first-pass data.
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import sys
@@ -24,6 +36,10 @@ if _REPO not in sys.path:
 from las_vpe_platform_spark.operators.staging import unpersist_all  # noqa: E402
 from las_vpe_platform_spark.queries import CATALOG  # noqa: E402
 from las_vpe_platform_spark.session import get_spark  # noqa: E402
+
+# end-of-bench re-measure budget: enough to cover a noisy run's flag
+# set without letting a systemically slow day double the bench
+REMEASURE_MAX = 12
 
 
 def _jiffies() -> tuple[int, int] | None:
@@ -44,6 +60,67 @@ def _jiffies() -> tuple[int, int] | None:
         return None
 
 
+def _tree_cpu_sec() -> float | None:
+    """Cumulative CPU-seconds (utime+stime, plus reaped children via
+    cutime+cstime) of this process and every live descendant — in
+    local mode that is the ENTIRE Spark stack: this driver python, the
+    py4j-launched JVM hosting all executor threads, and the Arrow
+    python workers the JVM forks. Deltas across a query window give
+    executor CPU-vs-wall (VERDICT r11 #2): a full-VM descheduling
+    pause shows wall advancing with CPU flat, a genuinely slow plan
+    shows CPU tracking wall x parallelism. One /proc scan per call
+    (~a few ms); live descendants' own utime/stime never appear in an
+    ancestor's cutime (that field only folds in WAITED-FOR dead
+    children), so the sum counts every jiffy exactly once."""
+    try:
+        hz = os.sysconf("SC_CLK_TCK")
+        info: dict[int, tuple[int, int]] = {}
+        for entry in os.listdir("/proc"):
+            if not entry.isdigit():
+                continue
+            try:
+                with open(f"/proc/{entry}/stat") as f:
+                    raw = f.read()
+            except OSError:  # raced a process exit
+                continue
+            # comm (field 2) may itself contain spaces or parens —
+            # fields resume after the LAST ')'
+            rest = raw[raw.rindex(")") + 2 :].split()
+            ppid = int(rest[1])
+            cpu = int(rest[11]) + int(rest[12]) + int(rest[13]) + int(rest[14])
+            info[int(entry)] = (ppid, cpu)
+        kids: dict[int, list[int]] = {}
+        for pid, (ppid, _) in info.items():
+            kids.setdefault(ppid, []).append(pid)
+        total = 0
+        stack = [os.getpid()]
+        while stack:
+            pid = stack.pop()
+            if pid in info:
+                total += info[pid][1]
+                stack.extend(kids.get(pid, []))
+        return total / hz
+    except (OSError, ValueError):
+        return None
+
+
+def _committed_minima() -> dict[str, float]:
+    """Per-entry cross-run minimum wall times from the newest
+    bench_runs_r*/cross_run_minima.json — the variance protocol's
+    committed reference for 'how fast this entry runs on a quiet
+    box'. Empty dict (no flagging, no re-measures) if absent or the
+    run is not at the committed scale (sf0.1)."""
+    runs = sorted(glob.glob(f"{_REPO}/bench_runs_r*/cross_run_minima.json"))
+    if not runs:
+        return {}
+    try:
+        with open(runs[-1]) as f:
+            data = json.load(f)
+        return {k: float(v) for k, v in data.items()}
+    except (OSError, ValueError):
+        return {}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -51,6 +128,9 @@ def main() -> None:
         sf = float(sf)
     except ValueError:
         sf = sf_dir
+    # minima are committed at the official scale only — flagging a
+    # sf0.001 smoke run against sf0.1 minima would re-run everything
+    minima = _committed_minima() if sf == 0.1 else {}
 
     spark = get_spark("bench")
     # warm the JVM + parquet footers with one tiny action
@@ -63,24 +143,50 @@ def main() -> None:
     cores = spark.sparkContext.defaultParallelism
     spark.range(cores).repartition(cores).mapInPandas(lambda it: it, "id long").count()
 
-    timings: dict[str, float] = {}
-    steal: dict[str, float] = {}
-    j_all = _jiffies()
-    t_all = time.perf_counter()
-    for name, (fn, _sql) in sorted(CATALOG.items()):
-        j0 = _jiffies()
+    def run_once(name: str) -> tuple[float, float | None, float | None]:
+        """One timed end-to-end execution: (wall_sec, steal_pct,
+        cpu_over_wall) — cleanup inside the window, same as always."""
+        fn = CATALOG[name][0]
+        j0, c0 = _jiffies(), _tree_cpu_sec()
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         # release this query's persist(DISK_ONLY) stages INSIDE its
         # timing window — the caller-controlled unpersist half of the
-        # staging contract (operators/staging.py): a 141-query session
-        # must not accrete blocks, and each query pays its own cleanup
+        # staging contract (operators/staging.py): a multi-hundred-
+        # query session must not accrete blocks, and each query pays
+        # its own cleanup
         unpersist_all()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        j1 = _jiffies()
-        if j0 and j1 and j1[0] > j0[0]:
-            steal[name] = round(100.0 * (j1[1] - j0[1]) / (j1[0] - j0[0]), 2)
+        wall = time.perf_counter() - t0
+        j1, c1 = _jiffies(), _tree_cpu_sec()
+        st = (
+            round(100.0 * (j1[1] - j0[1]) / (j1[0] - j0[0]), 2)
+            if j0 and j1 and j1[0] > j0[0]
+            else None
+        )
+        # a worker process dying between samples can make the delta
+        # negative (its utime leaves the live tree before the parent
+        # reaps it into cutime) — that is a measurement race, not a
+        # ratio; report it as unmeasured rather than a nonsense value
+        cow = (
+            round((c1 - c0) / wall, 2)
+            if c0 is not None and c1 is not None and wall > 0 and c1 >= c0
+            else None
+        )
+        return wall, st, cow
+
+    timings: dict[str, float] = {}
+    steal: dict[str, float] = {}
+    cpu_ow: dict[str, float] = {}
+    j_all = _jiffies()
+    t_all = time.perf_counter()
+    for name in sorted(CATALOG):
+        wall, st, cow = run_once(name)
+        timings[name] = round(wall, 3)
+        if st is not None:
+            steal[name] = st
+        if cow is not None:
+            cpu_ow[name] = cow
     total = round(time.perf_counter() - t_all, 3)
     j_end = _jiffies()
     run_steal_pct = (
@@ -97,6 +203,39 @@ def main() -> None:
             key=lambda kv: -kv[1],
         )[:8]
     )
+
+    # --- self-adjudication (VERDICT r11 #2/#5) ---------------------------
+    # flag every non-trivial entry exceeding 2x its committed cross-run
+    # minimum, carrying the telemetry that classifies it: collapsed
+    # cpu_over_wall (wall advanced, CPU did not) = descheduling pause;
+    # healthy cpu_over_wall = the plan really did the work
+    flagged = {
+        n: {
+            "wall": timings[n],
+            "min": minima[n],
+            "x_min": round(timings[n] / minima[n], 1),
+            "steal": steal.get(n),
+            "cpu_ow": cpu_ow.get(n),
+        }
+        for n in timings
+        if n in minima
+        and minima[n] >= 0.5
+        and timings[n] >= 2.0 * minima[n]
+        and timings[n] >= 2.0
+    }
+    # re-run the worst offenders once at end-of-bench: the second pass
+    # IS the adjudicator (still >=2x min twice in one process = plan or
+    # data; back under = a transient the first window happened to eat).
+    # First-pass numbers are never replaced — both are reported.
+    remeasured: dict[str, dict[str, float | None]] = {}
+    for name in sorted(flagged, key=lambda n: -flagged[n]["x_min"])[:REMEASURE_MAX]:
+        wall, st, cow = run_once(name)
+        remeasured[name] = {
+            "wall": round(wall, 3),
+            "steal": st,
+            "cpu_ow": cow,
+            "x_min": round(wall / minima[name], 1),
+        }
 
     # CHEAPEST first: the driver's BENCH_r{N}.json capture preserves
     # only the LAST ~2 KB of this line (VERDICT r6 'What's wrong' #3 —
@@ -121,6 +260,18 @@ def main() -> None:
                 # not plan (SCALE.md round-10 variance protocol)
                 "steal_run_pct": run_steal_pct,
                 "steal_hot": hot_steal,
+                # cpu_over_wall for the 12 most expensive entries: the
+                # wall-vs-CPU ratio that separates a paused entry
+                # (collapsed ratio) from a genuinely slow plan
+                "cpu_ow_tail": {
+                    n: cpu_ow[n]
+                    for n in sorted(timings, key=lambda x: -timings[x])[:12]
+                    if n in cpu_ow
+                },
+                # >2x-committed-minimum entries with their classifying
+                # telemetry, then their end-of-bench second pass
+                "flagged": flagged,
+                "remeasured": remeasured,
             }
         )
     )

@@ -1169,6 +1169,14 @@ def s17_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: state per side is bounded by the watermark horizon +
     interval (SCALE.md s04 row); null emission adds no state — it
     rides the same eviction scan.
+
+    Trigger structure is IRREDUCIBLE (VERDICT r11 #3): the entry's
+    point is the watermark-expiry null emission, which only exists
+    across >= 3 watermark advances (data batches establishing state,
+    then Spark's lagged batch-N-2 watermark passing each expiry) —
+    collapsing to one data trigger would leave only the final-flush
+    path and stop driving the mid-stream eviction semantics the
+    oracle pins.
     """
     raw = _events_micros(spark, sf_dir)
 
@@ -1433,6 +1441,11 @@ def s20_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape identical to s17: state bounded by horizon + interval
     per side; both null emissions ride the eviction scan, no extra
     state.
+
+    Trigger structure is IRREDUCIBLE for the same reason as s17
+    (VERDICT r11 #3): both sides' mid-stream watermark evictions are
+    the semantics under test and need >= 3 watermark advances; a
+    single data trigger would demote the entry to final-flush only.
     """
     raw = _events_micros(spark, sf_dir)
 
@@ -1586,8 +1599,16 @@ def s22_stream_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     raw = _events_micros(spark, sf_dir)
+    # both time-ordered slices in ONE data trigger (VERDICT r11 #3,
+    # the s24/s26 consolidation): legal because the gate UDF sorts
+    # each batch's rows (ts, event_id) per key, so admission — a pure
+    # function of that order — is identical under any trigger
+    # grouping of time-ordered slices (invariance property-tested in
+    # test_round12_ops.py); the multi-trigger state-carry path stays
+    # covered by tests/test_streaming.py
     stream = _sliced_parquet_stream(
-        spark, raw, "s22_events_", cache_key=("events", sf_dir)
+        spark, raw, "s22_events_", cache_key=("events", sf_dir),
+        max_files_per_trigger=2,
     )
     # key by event_type (a hot key by construction): per-user traffic
     # on this dataset never reaches the quota, which would make the
@@ -1675,16 +1696,15 @@ def s23_stream_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("text", T.StringType()),
         ]
     )
-    # two files per trigger = two micro-batches over the four slices:
-    # still proves incremental multi-trigger stateful processing (the
-    # s01 precedent; the many-trigger case is pytest-covered) at half
-    # the ~1.7 s/trigger fixed cost (measured sf0.1: 6.9 s -> 3.1 s).
-    # Output-invariant BY CONSTRUCTION, not just empirically: the pack
-    # UDF sorts each batch's rows by doc_id per key, and slices land in
-    # doc_id-range order, so any trigger grouping that preserves slice
-    # order yields the identical running totals (the oracle is the
-    # batch window-cumsum either way).
-    stream = file_stream(spark, f"{src}/*", schema, max_files_per_trigger=2)
+    # all four slices in ONE data trigger (VERDICT r11 #3 completes
+    # the r11 two-per-trigger step; multi-trigger state-carry stays
+    # pytest-covered). Output-invariant BY CONSTRUCTION, not just
+    # empirically: the pack UDF sorts each batch's rows by doc_id per
+    # key, and slices land in doc_id-range order, so any trigger
+    # grouping that preserves slice order yields the identical running
+    # totals (the oracle is the batch window-cumsum either way;
+    # invariance property-tested in test_round12_ops.py).
+    stream = file_stream(spark, f"{src}/*", schema, max_files_per_trigger=4)
     packed = token_pack_stream(stream, budget=S23_BUDGET)
     name = f"s23_out_{uuid.uuid4().hex[:8]}"
     with _stream_partitions(spark):
@@ -2062,7 +2082,14 @@ def s25_stream_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .parquet(out_dir)
             )
 
-    stream = file_stream(spark, src, EMBEDDINGS_SCHEMA, max_files_per_trigger=2)
+    # all four probe files in ONE data trigger (VERDICT r11 #3): the
+    # per-batch body is STATELESS — each probe scores against the
+    # static gallery independently — so output is batching-invariant
+    # by construction, and every extra trigger re-pays BOTH full
+    # gallery passes (ivf_topk + the exact ranking). Multi-trigger
+    # recall monitoring stays covered by tests/test_streaming.py's
+    # stateless stream-static suites.
+    stream = file_stream(spark, src, EMBEDDINGS_SCHEMA, max_files_per_trigger=4)
     with _stream_partitions(spark):
         q = (
             stream.writeStream.foreachBatch(score)
@@ -2356,9 +2383,14 @@ def s27_stream_storage_attrrecog_reid(spark: SparkSession, sf_dir: str) -> DataF
         src = _scratch_dir("s27_tracklets_")
         batch.coalesce(4).write.mode("overwrite").parquet(src)
         _LANDED[key] = src
+    # one data trigger over all four files (VERDICT r11 #3): every
+    # stage here is stateless (point filter -> retained filter ->
+    # stream-static broadcast join -> per-row BLAS), so batching
+    # cannot change output and each dropped trigger saves its fixed
+    # commit cost
     stream = (
         spark.readStream.schema(batch.schema)
-        .option("maxFilesPerTrigger", "2")
+        .option("maxFilesPerTrigger", "4")
         .parquet(src)
     )
     sel = stream.filter(F.col("serial_number") == S27_SERIAL)
@@ -2914,9 +2946,11 @@ S34_SQL = _s34_sql()
 # Every quantity is a pure function of the events table, so the batch
 # oracle reproduces the streaming output exactly — batching-dependent
 # BY DESIGN, with the batch structure (3 deterministic slices) part of
-# the entry's contract. Scale: state is bounded by windows per 600 s
-# horizon x event_types (the watermark's entire point); the landing
-# is one table scan into three slices.
+# the entry's contract, hence trigger-IRREDUCIBLE (VERDICT r11 #3):
+# the on-time/late-A/late-B sequence across three watermark advances
+# IS what the entry stresses. Scale: state is bounded by windows per
+# 600 s horizon x event_types (the watermark's entire point); the
+# landing is one table scan into three slices.
 
 S35_DELAY_MS = 600_000  # the reference's 600 s ReID buffer
 S35_WINDOW_S = 300

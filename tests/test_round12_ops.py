@@ -1,0 +1,266 @@
+"""Round-12 tests: trigger-consolidation invariance for the streaming
+slow tail (VERDICT r11 #3), the chunked ranking kernel's exact
+equivalence (ADVICE r11 memory fix), and the bench self-adjudication
+mechanics (VERDICT r11 #2/#5)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _collect_sorted(df):
+    cols = sorted(df.columns)
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+# --- trigger-consolidation invariance (s22 / s23) -----------------------------
+# The consolidation is legal ONLY because each stateful UDF sorts its
+# batch rows per key, making the output a pure function of the slice
+# ORDER, not the trigger grouping. These tests run the same landed
+# slices at 1 file/trigger vs all-in-one and require identical output
+# — the s26 split-invariance pattern applied to the entries VERDICT
+# r11 #3 consolidates.
+
+
+def _landed_event_slices(spark, tmp_path, n_slices=4):
+    rows = []
+    # three hours of events, several per (type, hour), ids interleaved
+    for i in range(120):
+        rows.append(
+            (
+                i,
+                f"t{i % 3}",
+                (i * 97) % 3 * 3_600_000_000 + (i % 40) * 60_000_000,
+            )
+        )
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("ts_micros", T.LongType()),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema).orderBy("ts_micros", "event_id")
+    src = str(tmp_path / "slices")
+    step = 120 // n_slices
+    parts = df.collect()
+    parts.sort(key=lambda r: (r["ts_micros"], r["event_id"]))
+    for i in range(n_slices):
+        spark.createDataFrame(parts[i * step : (i + 1) * step], schema).coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{src}/slice{i:02d}")
+    return src, schema
+
+
+def _run_rate_limit(spark, src, schema, mft):
+    import uuid
+
+    from las_vpe_platform_spark.streaming.engine import (
+        file_stream,
+        run_to_completion,
+    )
+    from las_vpe_platform_spark.streaming.stateful import rate_limit_stream
+
+    stream = file_stream(spark, f"{src}/*", schema, max_files_per_trigger=mft)
+    stream = stream.withColumn("ts", F.timestamp_micros("ts_micros"))
+    admitted = rate_limit_stream(stream, key_col="event_type", limit=5)
+    return run_to_completion(
+        admitted, f"r12_s22_{mft}_{uuid.uuid4().hex[:6]}", output_mode="append"
+    ).select("event_id", "event_type", "hour_bucket", "slot")
+
+
+def test_s22_rate_limit_trigger_invariance(spark, tmp_path):
+    src, schema = _landed_event_slices(spark, tmp_path)
+    one = _collect_sorted(_run_rate_limit(spark, src, schema, 1))
+    allinone = _collect_sorted(_run_rate_limit(spark, src, schema, 4))
+    assert one == allinone
+    assert len(one) > 0
+
+
+def _run_pack(spark, src, schema, mft):
+    import uuid
+
+    from las_vpe_platform_spark.streaming.engine import (
+        file_stream,
+        run_to_completion,
+    )
+    from las_vpe_platform_spark.streaming.stateful import token_pack_stream
+
+    stream = file_stream(spark, f"{src}/*", schema, max_files_per_trigger=mft)
+    packed = token_pack_stream(stream, budget=16)
+    return run_to_completion(
+        packed, f"r12_s23_{mft}_{uuid.uuid4().hex[:6]}", output_mode="append"
+    ).select("doc_id", "source", "n_toks", "bin_id")
+
+
+def test_s23_packing_trigger_invariance(spark, tmp_path):
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    rows = [
+        (i, f"s{i % 2}", "tok " * ((i * 13) % 9 + 1)) for i in range(80)
+    ]
+    src = str(tmp_path / "docs")
+    # doc_id-range slices written sequentially (the landing contract)
+    for i in range(4):
+        spark.createDataFrame(rows[i * 20 : (i + 1) * 20], schema).coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{src}/slice{i:02d}")
+    one = _collect_sorted(_run_pack(spark, src, schema, 1))
+    two = _collect_sorted(_run_pack(spark, src, schema, 2))
+    allinone = _collect_sorted(_run_pack(spark, src, schema, 4))
+    assert one == two == allinone
+    assert len(one) == 80
+
+
+# --- chunked ranking kernel (ADVICE r11 memory fix) ---------------------------
+
+
+def test_topk_block_chunked_equals_full_matrix():
+    """The gallery sub-tiling inside _topk_block must be invisible:
+    forcing a tiny chunk size (many merge rounds) reproduces the
+    single-shot full-matrix scoring exactly — similarity ties broken
+    by key, zero-norm NULL policy, and exclude-mode row drops
+    included. Quantized vectors make exact ties common."""
+    import las_vpe_platform_spark.operators.joins as J
+
+    rng = np.random.default_rng(42)
+
+    def run(chunk, keys, labels, P, pnorm, pdf, k, exclude):
+        old = J.TOPK_GALLERY_CHUNK_ROWS
+        J.TOPK_GALLERY_CHUNK_ROWS = chunk
+        try:
+            return J._topk_block(
+                keys, labels, P, pnorm, pdf.copy(), k, exclude
+            ).reset_index(drop=True)
+        finally:
+            J.TOPK_GALLERY_CHUNK_ROWS = old
+
+    for trial in range(40):
+        n_p = int(rng.integers(1, 7))
+        n_g = int(rng.integers(1, 90))
+        d = int(rng.integers(2, 5))
+        k = int(rng.integers(1, 9))
+        exclude = bool(rng.integers(0, 2))
+        P = rng.integers(0, 3, (n_p, d)).astype(float)
+        Gv = rng.integers(0, 3, (n_g, d)).astype(float)
+        if rng.random() < 0.3:
+            P[0] = 0
+        if rng.random() < 0.3:
+            Gv[0] = 0
+        pnorm = np.sqrt((P * P).sum(axis=1))
+        keys = pd.Series(rng.permutation(n_p * 3)[:n_p])
+        pdf = pd.DataFrame(
+            {"gallery_key": rng.permutation(n_g * 2)[:n_g], "_gvec": list(Gv)}
+        )
+        labels = None
+        if exclude:
+            labels = rng.integers(0, 3, n_p).astype(object)
+            glab = rng.integers(0, 3, n_g).astype(object)
+            if rng.random() < 0.3:
+                labels[0] = None
+            if rng.random() < 0.3:
+                glab[0] = None
+            pdf["_glabel"] = glab
+        tiny = run(7, keys, labels, P, pnorm, pdf, k, exclude)
+        full = run(1 << 30, keys, labels, P, pnorm, pdf, k, exclude)
+        pd.testing.assert_frame_equal(tiny, full, check_exact=True)
+
+
+def test_topk_block_chunk_constant_is_bounded():
+    """The memory contract: the chunk constant must keep every
+    n_p x chunk float64 temporary under ~200 MB even at the widest
+    probe block (the broadcast path's 10k-row Arrow batches)."""
+    from las_vpe_platform_spark.operators.joins import (
+        PROBE_BROADCAST_MAX,
+        TOPK_GALLERY_CHUNK_ROWS,
+    )
+
+    assert PROBE_BROADCAST_MAX * TOPK_GALLERY_CHUNK_ROWS * 8 <= 200 * 1024**2
+
+
+# --- bench self-adjudication mechanics (VERDICT r11 #2/#5) --------------------
+
+
+def test_tree_cpu_sec_counts_own_work():
+    import time
+
+    import bench
+
+    c0 = bench._tree_cpu_sec()
+    assert c0 is not None and c0 >= 0
+    t0 = time.process_time()
+    x = 0
+    while time.process_time() - t0 < 0.3:  # burn ~0.3 s of CPU
+        x += 1
+    c1 = bench._tree_cpu_sec()
+    assert c1 - c0 >= 0.2  # jiffy resolution is 10 ms; own burn visible
+
+
+def test_bench_flags_and_remeasures(monkeypatch, capsys, spark):
+    """main() must flag an entry >= 2x its committed minimum, carry
+    steal/cpu_ow telemetry for it, and re-run it once — with the
+    first-pass number preserved."""
+    import bench
+
+    calls = {"n": 0}
+
+    def fast(spark_, sf_dir):
+        return spark_.range(5).select(F.col("id").alias("v"))
+
+    def slowish(spark_, sf_dir):
+        calls["n"] += 1
+        import time
+
+        time.sleep(2.2)
+        return spark_.range(3).select(F.col("id").alias("v"))
+
+    monkeypatch.setattr(
+        bench, "CATALOG", {"fastq": (fast, None), "slowq": (slowish, None)}
+    )
+    monkeypatch.setattr(
+        bench, "_committed_minima", lambda: {"fastq": 5.0, "slowq": 1.0}
+    )
+    monkeypatch.setattr(bench, "get_spark", lambda name: spark)
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    bench.main()
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    import json
+
+    d = json.loads(out)
+    assert d["n_queries"] == 2
+    assert "slowq" in d["flagged"] and "fastq" not in d["flagged"]
+    fl = d["flagged"]["slowq"]
+    assert fl["min"] == 1.0 and fl["x_min"] >= 2.0
+    assert "cpu_ow" in fl and "steal" in fl
+    assert "slowq" in d["remeasured"]
+    assert calls["n"] == 2  # first pass + one re-measure
+    assert d["queries"]["slowq"] == fl["wall"]  # first pass preserved
+
+
+def test_bench_no_flagging_off_committed_scale(monkeypatch, capsys, spark):
+    """Smoke runs at other SFs must not flag against sf0.1 minima."""
+    import bench
+
+    def slowish(spark_, sf_dir):
+        import time
+
+        time.sleep(2.1)
+        return spark_.range(3).select(F.col("id").alias("v"))
+
+    monkeypatch.setattr(bench, "CATALOG", {"slowq": (slowish, None)})
+    monkeypatch.setattr(bench, "get_spark", lambda name: spark)
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    bench.main()
+    import json
+
+    d = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert d["flagged"] == {} and d["remeasured"] == {}
