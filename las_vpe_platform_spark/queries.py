@@ -11,20 +11,20 @@ catalog).  ``DRIVER_PRIORITY`` is therefore RE-DERIVED EVERY ROUND as
 "everything not yet driver-green, oldest evidence first" (VERDICT r2
 'What's wrong' #2 — a stale list wastes the round's sample):
 
-1. tier 0 (round 11) — no new entries (VERDICT r10 #6: prefer zero);
-   the RE-GATES: s35 (lagged-watermark oracle fix), q169 (decimal
-   operand casts), s24 (single-trigger restructure), q176 (probe
-   ladder), the round-10 official-bench outliers after the BLAS
-   thread pin (q133, q136, s21), and every entry riding the
-   re-laddered ranking kernel (q27, d09, d14, d15, d16, q79, q84,
-   q126, s25),
-2. tier 1 — stalest evidence first: the 34 oldest r04 rows fill the
-   remaining window slots,
+1. tier 0 (round 12) — no new entries (catalog frozen at 262 per
+   VERDICT r11 #7); the RE-GATES: the six r11 perf-weak entries
+   (s20, s24, s25, s26, s35, q160 — VERDICT r11 #4) re-gated after
+   the q160 adjudication, the trigger-consolidated entries
+   (s22, s23, s27 — VERDICT r11 #3), and every entry riding the
+   gallery-chunked ranking kernel (ADVICE r11: q176, q27, q79, q84,
+   q126, d09, d14, d15, d16),
+2. tier 1 — stalest evidence first: the three r04 rows, then r05
+   rows, fill the remaining window slots,
 3. tail — everything else ordered by (latest driver round, name) so
    the next re-derivation promotes the stalest mechanically.
 
 After round 10 the cumulative record is 262/262 driver-green (VERDICT
-r10); round 11 adds no entries.  The
+r10/r11); rounds 11-12 add no entries.  The
 import-time guards enforce (a) the must-gate tiers sit inside the
 window, (b) every overflow entry has a prior-round driver row or an
 explicit acknowledgement, and (c) every catalog entry appears in this
@@ -55,68 +55,34 @@ _ALL.update(STREAMING_QUERIES)
 
 # First 50 = the driver's correctness window (see module docstring).
 DRIVER_PRIORITY: list[str] = [
-    # -- tier 0 (round 11): the RE-GATES — entries whose oracle,
-    #    expression, trigger structure, or execution kernel changed
-    #    this round (s35 lagged-watermark oracle fix, q169 decimal
-    #    operand casts, s24 single-trigger restructure, q176 probe
-    #    ladder), the round-10 official-bench outliers re-gated after
-    #    the BLAS thread pin (q133, q136, s21 per VERDICT r10 #2),
-    #    and every entry riding the re-laddered BLAS ranking kernel
-    #    (q27, d09, d14, d15, d16, q79, q84, q126, s25) --
-    "s35_stream_late_data_stress",
-    "q169_term_dispersion",
+    # -- tier 0 (round 12): the RE-GATES — the six r11 perf-weak
+    #    entries re-gated after the q160 adjudication + trigger
+    #    consolidation (s20/s24/s25/s26/s35/q160 per VERDICT r11 #4),
+    #    the three entries whose trigger structure changed this round
+    #    (s22/s23/s27, VERDICT r11 #3), and every entry riding the
+    #    gallery-chunked ranking kernel (ADVICE r11 memory fix:
+    #    q176 blocked grid; q27/q79/q84/q126/d09 broadcast path;
+    #    d14/d15/d16 via plans/pipeline ranking) --
+    "q160_local_bridges",
+    "s20_stream_full_outer_join",
     "s24_stream_track_attr_reid",
+    "s25_stream_ann_recall",
+    "s26_stream_scd2_maintenance",
+    "s35_stream_late_data_stress",
+    "s22_stream_rate_limit",
+    "s23_stream_packing",
+    "s27_stream_storage_attrrecog_reid",
     "q176_knn_label_consistency",
-    "q133_weighted_allpairs_join",
-    "q136_triplet_mining",
-    "s21_stream_agg_maintenance",
     "q27_embedding_topk",
+    "q79_hard_negatives",
+    "q84_ann_recall",
+    "q126_ivfpq_recall",
     "d09_feature_topk",
     "d14_pipeline_reid",
     "d15_pipeline_storage_reid",
     "d16_pipeline_reid_command",
-    "q79_hard_negatives",
-    "q84_ann_recall",
-    "q126_ivfpq_recall",
-    "s25_stream_ann_recall",
-    # -- tier 1: stalest driver evidence first (the 34 oldest r04
-    #    rows fill the remaining window slots) --
-    "d05_reid_assembly",
-    "d11_pipeline_attr_recog",
-    "m03_patch_resize",
-    "m04_audio_decimate",
-    "m05_frame_fragments",
-    "m07_patch_neardup",
-    "m08_audio_energy_windows",
-    "q100_weighted_sample",
-    "q101_rolling_stats",
-    "q103_mad_outliers",
-    "q104_source_drift",
-    "q105_decayed_trending",
-    "q59_srp_neardup",
-    "q68_salted_join_agg",
-    "q69_source_overlap",
-    "q71_retrieval_pipeline",
-    "q72_hourly_rollup_gapfill",
-    "q73_quality_percentile_filter",
-    "q77_blocklist_filter",
-    "q80_semantic_dedup",
-    "q82_kmeans_clusters",
-    "q83_curation_pipeline",
-    "q85_epoch_shuffle",
-    "q86_token_budget_mix",
-    "q87_quality_classifier",
-    "q88_skew_diagnostics",
-    "q89_bpe_pair_counts",
-    "q94_triangle_count",
-    "q97_perplexity_filter",
-    "q99_embedding_anisotropy",
-    "s02_stream_dedup",
-    "s04_stream_interval_join",
-    "s05_stream_demux_sinks",
-    "s07_stream_heavy_hitters",
-    # -- tail: everything else, (latest driver round, name) order so
-    #    the next re-derivation promotes the stalest mechanically --
+    # -- tier 1: stalest driver evidence first (the three r04 rows,
+    #    then r05 rows, fill the remaining window slots) --
     "s08_stream_incremental_dedup",
     "s09_stream_distinct_sketch",
     "s11_stream_leaderboard",
@@ -149,6 +115,8 @@ DRIVER_PRIORITY: list[str] = [
     "s14_stream_quantile_sketch",
     "s16_stream_session_native",
     "d23_cross_camera_stitch",
+    # -- tail: everything else, (latest driver round, name) order so
+    #    the next re-derivation promotes the stalest mechanically --
     "d24_journey_reconstruction",
     "d26_camera_feature_bias",
     "d27_camera_heatmap",
@@ -186,8 +154,6 @@ DRIVER_PRIORITY: list[str] = [
     "s17_stream_left_outer_join",
     "s18_stream_scd2_asof_enrich",
     "s19_stream_lsh_ingest_gate",
-    "s20_stream_full_outer_join",
-    "s22_stream_rate_limit",
     "d28_activity_calendar",
     "m06_keyframe_selection",
     "q102_apply_cdc",
@@ -257,7 +223,6 @@ DRIVER_PRIORITY: list[str] = [
     "q137_entity_resolution",
     "q152_equidepth_histogram",
     "q159_weighted_quantiles",
-    "q160_local_bridges",
     "q161_contamination_by_source",
     "q162_ivf_cell_split",
     "q163_lsh_s_curve",
@@ -277,8 +242,6 @@ DRIVER_PRIORITY: list[str] = [
     "q34_value_percentiles",
     "q35_customers_with_urgent_orders",
     "q36_cheapest_customer_per_nation",
-    "s26_stream_scd2_maintenance",
-    "s27_stream_storage_attrrecog_reid",
     "s28_stream_reid_command",
     "s29_stream_source_drift",
     "s30_stream_contamination_gate",
@@ -327,8 +290,45 @@ DRIVER_PRIORITY: list[str] = [
     "q61_span_dedup",
     "q62_sequence_pack",
     "s01_stream_windowed_counts",
-    "s23_stream_packing",
     "s34_stream_transition_monitor",
+    "d05_reid_assembly",
+    "d11_pipeline_attr_recog",
+    "m03_patch_resize",
+    "m04_audio_decimate",
+    "m05_frame_fragments",
+    "m07_patch_neardup",
+    "m08_audio_energy_windows",
+    "q100_weighted_sample",
+    "q101_rolling_stats",
+    "q103_mad_outliers",
+    "q104_source_drift",
+    "q105_decayed_trending",
+    "q133_weighted_allpairs_join",
+    "q136_triplet_mining",
+    "q169_term_dispersion",
+    "q59_srp_neardup",
+    "q68_salted_join_agg",
+    "q69_source_overlap",
+    "q71_retrieval_pipeline",
+    "q72_hourly_rollup_gapfill",
+    "q73_quality_percentile_filter",
+    "q77_blocklist_filter",
+    "q80_semantic_dedup",
+    "q82_kmeans_clusters",
+    "q83_curation_pipeline",
+    "q85_epoch_shuffle",
+    "q86_token_budget_mix",
+    "q87_quality_classifier",
+    "q88_skew_diagnostics",
+    "q89_bpe_pair_counts",
+    "q94_triangle_count",
+    "q97_perplexity_filter",
+    "q99_embedding_anisotropy",
+    "s02_stream_dedup",
+    "s04_stream_interval_join",
+    "s05_stream_demux_sinks",
+    "s07_stream_heavy_hitters",
+    "s21_stream_agg_maintenance",
 ]
 
 
@@ -352,7 +352,7 @@ if len(DRIVER_PRIORITY) != len(set(DRIVER_PRIORITY)):
 # The must-gate block (tiers 0-1, everything through the re-gates)
 # has to sit inside the driver's first-50 window — review finding r3
 # caught an earlier ordering leaving re-gated entries at 61-63.
-_MUST_GATE_LAST = "s25_stream_ann_recall"
+_MUST_GATE_LAST = "d16_pipeline_reid_command"
 if DRIVER_PRIORITY.index(_MUST_GATE_LAST) >= 50:
     raise ValueError(
         "DRIVER_PRIORITY stale: must-gate tiers exceed the 50-entry "
