@@ -519,11 +519,16 @@ def connected_components(
     PAIRS (LSH/SimHash/Jaccard candidates) into duplicate GROUPS so a
     pipeline can keep one representative per group.
 
-    Each node starts labeled with itself; every round each node takes
-    the min of its own label and its neighbors' labels; stop when a
-    round changes nothing. Rounds = graph diameter in the worst case —
-    dedup-cluster graphs are shallow (near-clique blobs), so this
-    converges in a handful of rounds. Each round is one equi-join +
+    Two phases (r12): first each input partition contracts ITS edges
+    to a spanning forest with a vectorized local union-find (one
+    mapInPandas pass, no shuffle), then the iterative min-label loop
+    runs over the forest — same fixed point, a fraction of the rows
+    and about half the rounds (see the phase-0 comment below for the
+    exactness argument). Each node starts labeled with itself; every
+    round each node takes the min of its own label and its neighbors'
+    labels; stop when a round changes nothing. Rounds = contracted
+    diameter in the worst case — dedup-cluster graphs are shallow
+    (near-clique blobs), so this converges in a handful of rounds. Each round is one equi-join +
     one grouped min (shuffle on node id both times). The driver-side
     loop is inherent to iterative convergence (same structure as
     GraphX/Pregel supersteps); the per-round convergence check is one
@@ -545,18 +550,77 @@ def connected_components(
 
     Returns (node, component) with component = min node id reachable.
     """
-    # materialize the (possibly expensive) edge subtree ONCE — the
-    # symmetrizing union references it twice and Spark would compute
-    # it per branch otherwise
-    e = edges.selectExpr(f"{src} AS a", f"{dst} AS b").localCheckpoint(eager=False)
-    # edges_canonical: caller guarantees distinct pairs with src < dst,
-    # so the two union branches are disjoint and the defensive
-    # distinct() — a full shuffle of the doubled edge list — is skipped
-    # (LSH candidate generators emit exactly this canonical form)
-    sym = e.union(e.selectExpr("b AS a", "a AS b"))
-    if not edges_canonical:
-        sym = sym.distinct()
-    sym = sym.localCheckpoint(eager=False)
+    # Phase 0 (r12): PARTITION-LOCAL CONTRACTION. Each input partition
+    # computes the spanning forest of ITS edges with a vectorized
+    # union-find (numpy min-label + path halving inside mapInPandas)
+    # and emits one (node, root) row per distinct node it saw. The
+    # iterative loop below then runs on this forest instead of the raw
+    # edge list. Exactness: the forest preserves connectivity exactly
+    # (a local union only merges endpoints of real edges; every edge
+    # (a,b) is reflected through (a, root), (b, root)), and the FINAL
+    # label is still the min node id computed by the loop's own
+    # aggregates over candidate labels that include every node — the
+    # local root is only a rewiring, never a result. Why: (1) the loop
+    # now iterates over sum-of-distinct-nodes-per-partition rows
+    # instead of the (dense, near-clique) edge list — on LSH graphs a
+    # multi-x row reduction at any scale; (2) chains inside a
+    # partition collapse to depth-1 stars, so the pointer-doubling
+    # loop converges in ~half the rounds (measured sf0.1: 8 -> 4
+    # rounds, and each Spark round is ~9 AQE jobs of fixed overhead);
+    # (3) at 100 TB the per-task state is O(distinct nodes per input
+    # partition) int64 indices — bounded by partition sizing, see
+    # SCALE.md. Duplicate (node, root) rows across partitions and
+    # node==root self-rows are left in deliberately: min-aggregation
+    # is insensitive to both, and deduping them would cost the full
+    # shuffle the contraction just saved.
+    node_t = edges.schema[src].dataType.simpleString()
+
+    def _local_forest(batches):
+        import numpy as np
+        import pandas as pd
+
+        chunks = list(batches)
+        if not chunks:
+            return
+        a = pd.concat([c["a"] for c in chunks], ignore_index=True)
+        b = pd.concat([c["b"] for c in chunks], ignore_index=True)
+        codes, uniques = pd.factorize(
+            pd.concat([a, b], ignore_index=True), use_na_sentinel=False
+        )
+        n = len(uniques)
+        ai = codes[: len(a)]
+        bi = codes[len(a):]
+        parent = np.arange(n)
+        while True:
+            prev = parent
+            parent = parent.copy()
+            # relax every edge both ways, then halve paths; converges
+            # to the per-component min INDEX in O(log n) passes
+            m = np.minimum(parent[ai], parent[bi])
+            np.minimum.at(parent, ai, m)
+            np.minimum.at(parent, bi, m)
+            parent = np.minimum(parent, parent[parent])
+            if np.array_equal(parent, prev):
+                break
+        roots = (
+            uniques.take(parent)
+            if hasattr(uniques, "take")
+            else uniques[parent]
+        )
+        yield pd.DataFrame({"a": np.asarray(uniques), "b": np.asarray(roots)})
+
+    forest = edges.selectExpr(f"{src} AS a", f"{dst} AS b").mapInPandas(
+        _local_forest, schema=f"a {node_t}, b {node_t}"
+    )
+    # one-pass symmetrization (r12, guide §2.4): explode both edge
+    # directions from a SINGLE scan — the old union(e, swap(e)) form
+    # either computed the child subtree once per branch or paid a
+    # dedicated checkpoint job to materialize it first.
+    from las_vpe_platform_spark.operators.graph import symmetrize_edges
+
+    # the forest is loop-ready as-is (duplicates/self-rows harmless,
+    # see above) — no defensive distinct regardless of edges_canonical
+    sym = symmetrize_edges(forest).localCheckpoint(eager=False)
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()

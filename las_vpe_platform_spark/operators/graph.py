@@ -17,6 +17,29 @@ from pyspark.sql import functions as F
 PR_SCALE = 10**12  # fixed-point denominator: rank 1.0 == 10^12
 
 
+def symmetrize_edges(e: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
+    """(a,b) ∪ (b,a) in ONE pass over ``e``: explode a two-element
+    struct array map-side instead of ``e.union(e.swap)`` (r12, guide
+    §2.4 — remove duplicated subtree scans outright). The union form
+    evaluates an UNMATERIALIZED child subtree once per branch — for
+    the graph entries that child is the whole LSH pair generation, so
+    it ran twice — and when callers dodge that by checkpointing the
+    child first, the checkpoint costs an extra materialization job
+    and a second pass over the blocks. The explode is a Generate
+    inside whole-stage codegen: one scan, zero extra jobs, and at
+    cluster scale one fewer full pass over a corpus-sized edge list.
+    Output multiset, column names and types are identical to the
+    union form.
+    """
+    pair = F.explode(
+        F.array(
+            F.struct(F.col(a).alias(a), F.col(b).alias(b)),
+            F.struct(F.col(b).alias(a), F.col(a).alias(b)),
+        )
+    )
+    return e.select(pair.alias("_sym")).select(f"_sym.{a}", f"_sym.{b}")
+
+
 def pagerank_fixed_point(
     edges: DataFrame,
     src: str = "src",
@@ -59,10 +82,8 @@ def pagerank_fixed_point(
     e = edges.selectExpr(f"{src} AS src", f"{dst} AS dst").localCheckpoint(eager=False)
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     ewd = e.join(deg, "src").localCheckpoint(eager=False)
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .distinct()
+    nodes = (  # both endpoints in one scan of the checkpointed edges (r12)
+        e.select(F.explode(F.array("src", "dst")).alias("node")).distinct()
     )
     n_df = nodes.agg(F.count(F.lit(1)).alias("n"))
     nodes = nodes.crossJoin(F.broadcast(n_df)).localCheckpoint(eager=False)
@@ -152,9 +173,11 @@ def label_propagation(
     label) after the final round.
     """
     e = edges.selectExpr(f"{src} AS a", f"{dst} AS b")
-    sym = e.unionByName(e.selectExpr("b AS a", "a AS b")).localCheckpoint(
+    sym = symmetrize_edges(e).localCheckpoint(
         eager=False
     )  # referenced every round — lazy-truncate like the CC/PageRank loops
+    # (one-pass symmetrization, r12: the union form computed the whole
+    # upstream pair subtree once per branch before materialization)
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
@@ -224,7 +247,10 @@ def kcore_peel(
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
-    sym = e.union(e.selectExpr("b AS a", "a AS b")).localCheckpoint(eager=False)
+    # one-pass symmetrization (r12): the union form ran the whole
+    # canonicalizing distinct subtree once per branch inside the
+    # checkpoint's materialization job
+    sym = symmetrize_edges(e).localCheckpoint(eager=False)
     surv = sym.select(F.col("a").alias("node")).distinct()
     for _ in range(rounds):
         alive = sym.join(
@@ -296,7 +322,7 @@ def adjacency_support(graph: DataFrame) -> DataFrame:
     needed on top. :func:`ktruss_peel` uses this for its one-time
     seed — per-round deltas go through its wedge-anchored subset
     recompute instead."""
-    sym = graph.union(graph.selectExpr("b AS a", "a AS b"))
+    sym = symmetrize_edges(graph)  # one scan, not union(graph, swap)
     adj = sym.groupBy("a").agg(F.collect_list("b").alias("nbrs"))
     return (
         graph.join(adj.selectExpr("a", "nbrs AS _na"), "a")
@@ -371,7 +397,7 @@ def ktruss_peel(
     )
 
     def _sym(e: DataFrame) -> DataFrame:
-        return e.union(e.selectExpr("b AS a", "a AS b"))
+        return symmetrize_edges(e)
 
     def _support_of(subset: DataFrame, graph: DataFrame) -> DataFrame:
         """Triangle support of each ``subset`` edge within ``graph``."""
@@ -417,9 +443,24 @@ def ktruss_peel(
             .filter(F.col("c") != F.col("b"))
             .join(sym_prev.selectExpr("a AS b", "b AS c"), ["b", "c"])
         )
+        # both non-deleted edges of each triangle in ONE pass over the
+        # (unmaterialized) wedge join — the union form computed `tri`
+        # once per branch (r12, guide §2.4)
+        aff_pair = F.explode(
+            F.array(
+                F.struct(
+                    F.expr("least(a, c)").alias("a"),
+                    F.expr("greatest(a, c)").alias("b"),
+                ),
+                F.struct(
+                    F.expr("least(b, c)").alias("a"),
+                    F.expr("greatest(b, c)").alias("b"),
+                ),
+            )
+        )
         aff = (
-            tri.selectExpr("least(a, c) AS a", "greatest(a, c) AS b")
-            .union(tri.selectExpr("least(b, c) AS a", "greatest(b, c) AS b"))
+            tri.select(aff_pair.alias("_p"))
+            .select("_p.a", "_p.b")
             .distinct()
             .join(cur, ["a", "b"], "left_semi")
             .repartition(par, "a")

@@ -5474,9 +5474,8 @@ def q127_negative_edge_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("id_a", "id_b"),
         "neg_edges",
     )
-    nodes = (
-        pairs.selectExpr("id_a AS node")
-        .unionByName(pairs.selectExpr("id_b AS node"))
+    nodes = (  # both endpoints in one scan of the staged pairs (r12)
+        pairs.select(F.explode(F.array("id_a", "id_b")).alias("node"))
         .distinct()
     )
     # dense node ranks via the DISTRIBUTED two-phase scan — at 10^11
@@ -7209,9 +7208,8 @@ def q136_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     pos = sym.groupBy(F.col("id_a").alias("anchor")).agg(
         F.min("id_b").alias("positive")
     )
-    nodes = (
-        pairs.selectExpr("id_a AS node")
-        .unionByName(pairs.selectExpr("id_b AS node"))
+    nodes = (  # both endpoints in one scan of the staged pairs (r12)
+        pairs.select(F.explode(F.array("id_a", "id_b")).alias("node"))
         .distinct()
     )
     # distributed node ranks — same two-phase scan as q127 (never an
@@ -7579,7 +7577,9 @@ def q153_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("id_a", "id_b"),
         "assort_pairs",
     )
-    sym = pairs.unionByName(pairs.selectExpr("id_b AS id_a", "id_a AS id_b"))
+    from las_vpe_platform_spark.operators.graph import symmetrize_edges
+
+    sym = symmetrize_edges(pairs, a="id_a", b="id_b")  # one scan (r12)
     deg = sym.groupBy(F.col("id_a").alias("node")).agg(
         F.count(F.lit(1)).cast("bigint").alias("deg")
     )
@@ -8127,7 +8127,9 @@ def q160_local_bridges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from las_vpe_platform_spark.operators.graph import adjacency_support
 
-    sym = pairs.unionByName(pairs.selectExpr("id_b AS id_a", "id_a AS id_b"))
+    from las_vpe_platform_spark.operators.graph import symmetrize_edges
+
+    sym = symmetrize_edges(pairs, a="id_a", b="id_b")  # one scan (r12)
     deg = sym.groupBy("id_a").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
     # r10: bridges = zero-support edges straight off adjacency_support
     # (no wedge join, no anti-join — the support column IS the test)
@@ -8620,23 +8622,22 @@ def q167_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("id_a", "id_b"),
         "q167_pairs",
     )
-    sym = pairs.unionByName(pairs.selectExpr("id_b AS id_a", "id_a AS id_b"))
+    from las_vpe_platform_spark.operators.graph import symmetrize_edges
+
+    sym = symmetrize_edges(pairs, a="id_a", b="id_b")  # one scan (r12)
     deg = sym.groupBy(F.col("id_a").alias("node")).agg(
         F.count(F.lit(1)).cast("bigint").alias("deg")
     )
     from las_vpe_platform_spark.operators.graph import adjacency_support
 
-    # staged: the endpoint union below reads supp TWICE — without the
-    # pin the support subtree evaluates once per branch (measured
-    # 9.5 s vs 6 s at sf0.1 on the old wedge form; r10 swaps the
-    # kernel to adjacency_support, 3x cheaper per evaluation)
-    supp = _stage(
-        adjacency_support(pairs.selectExpr("id_a AS a", "id_b AS b")),
-        "q167_supp",
-    )
-    tsum = (
-        supp.selectExpr("a AS node", "support")
-        .unionByName(supp.selectExpr("b AS node", "support"))
+    # r12: the endpoint explode below reads supp ONCE, so the old
+    # DISK_ONLY stage (which existed because the union form read it
+    # once per branch) is dropped — one less persist/unpersist cycle
+    supp = adjacency_support(pairs.selectExpr("id_a AS a", "id_b AS b"))
+    tsum = (  # both endpoints' support rows in one scan of supp (r12)
+        supp.select(
+            F.explode(F.array("a", "b")).alias("node"), "support"
+        )
         .groupBy("node")
         .agg(F.sum("support").alias("_ts"))
     )
