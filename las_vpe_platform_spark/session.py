@@ -148,6 +148,14 @@ def get_spark(app_name: str = "las_vpe_platform_spark", cpus: int | None = None)
             os.environ.get("SPARK_GRAFT_DRIVER_MEM") or _default_driver_memory(),
         )
         .config("spark.ui.enabled", "false")
+        # r12 (guide §7.3 — driver-side plan cost is real cost): by
+        # default PySpark 4 captures the python call site for EVERY
+        # DataFrame API call (two extra py4j round-trips each) to
+        # enrich error messages; a 262-query build pays thousands of
+        # such round-trips per bench run (~35% of measured per-entry
+        # plan-construction wall). Error enrichment only — results
+        # and plans are identical with it off.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         # the driver's events table is TIMESTAMP(NANOS); read as long,
         # sources.tables.load_table converts to micros (DuckDB-identical)

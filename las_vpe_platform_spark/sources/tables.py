@@ -15,7 +15,35 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+# (applicationId, sf_dir, name) -> loaded DataFrame. PLAN reuse, not
+# result caching (r12, guide §6 file-listing): every spark.read.parquet
+# call builds a fresh file index and re-reads the footer schema —
+# ~100 ms of driver work per call on this harness, paid 1-3x per
+# catalog entry, ~tens of seconds per full bench. The cached object is
+# a lazy scan: every action on it still reads the parquet from disk,
+# so no computed result ever crosses queries. Keyed by applicationId
+# (unique per SparkContext) so an external driver session never sees
+# frames from a dead context; bounded so long test sessions over many
+# temp dirs don't accrete entries.
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    try:
+        key = (spark.sparkContext.applicationId, sf_dir, name)
+    except Exception:
+        key = None
+    if key is not None and key in _TABLE_CACHE:
+        return _TABLE_CACHE[key]
+    df = _load_table_uncached(spark, sf_dir, name)
+    if key is not None:
+        if len(_TABLE_CACHE) >= 64:
+            _TABLE_CACHE.clear()
+        _TABLE_CACHE[key] = df
+    return df
+
+
+def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # runtime-settable SQL conf — the driver's session may not have
         # it; required to scan TIMESTAMP(NANOS) parquet at all
