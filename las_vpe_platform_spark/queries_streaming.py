@@ -239,12 +239,13 @@ SELECT DISTINCT user_id, event_type FROM events
 def s03_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming sessionization (applyInPandasWithState,
     SURVEY T7): closed 30-minute-gap sessions per user over a
-    re-landed events table, processed as TWO time-sliced micro-batches
-    (landed oldest-first so event time advances across batches, the
-    arrival order the operator contracts for; the many-batch case is
-    covered by tests/test_streaming.py — two batches already prove
-    cross-batch state carry without paying four stateful commits in
-    the bench).
+    re-landed events table. r12: both time-ordered slices run in ONE
+    data trigger — legal because the operator sorts each batch per key
+    and a session closes when the next event past the gap arrives
+    regardless of which batch carries it, so the emitted set is a pure
+    function of slice order, not trigger grouping (1-vs-2-files
+    property test in test_round12_ops.py; cross-batch state carry
+    stays covered by tests/test_streaming.py).
 
     A session closes when its user's next event arrives past the gap;
     each user's LAST session never closes (no later event exists), so
@@ -255,7 +256,8 @@ def s03_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     raw = _events_micros(spark, sf_dir)
     stream = _sliced_parquet_stream(
-        spark, raw, "s03_events_", cache_key=("events", sf_dir)
+        spark, raw, "s03_events_", cache_key=("events", sf_dir),
+        max_files_per_trigger=2,
     )
     sessions = sessionize_stream(stream, "user_id", "ts", gap_seconds=1800)
     name = f"s03_out_{uuid.uuid4().hex[:8]}"
@@ -665,7 +667,8 @@ def s10_stream_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     raw = _events_micros(spark, sf_dir)
     stream = _sliced_parquet_stream(
-        spark, raw, "s10_events_", cache_key=("events", sf_dir)
+        spark, raw, "s10_events_", cache_key=("events", sf_dir),
+        max_files_per_trigger=2,
     )
     filled = locf_stream(stream, fill_type="click")
     name = f"s10_out_{uuid.uuid4().hex[:8]}"
@@ -756,7 +759,8 @@ def s12_stream_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     raw = _events_micros(spark, sf_dir)
     stream = _sliced_parquet_stream(
-        spark, raw, "s12_events_", cache_key=("events", sf_dir)
+        spark, raw, "s12_events_", cache_key=("events", sf_dir),
+        max_files_per_trigger=2,
     )
     tri = trigram_stream(stream)
     name = f"s12_out_{uuid.uuid4().hex[:8]}"
@@ -1030,7 +1034,8 @@ def s15_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     raw = _events_micros(spark, sf_dir)
     stream = _sliced_parquet_stream(
-        spark, raw, "s15_events_", cache_key=("events", sf_dir)
+        spark, raw, "s15_events_", cache_key=("events", sf_dir),
+        max_files_per_trigger=2,
     )
     flagged = anomaly_stream(stream)
     name = f"s15_out_{uuid.uuid4().hex[:8]}"

@@ -264,3 +264,111 @@ def test_bench_no_flagging_off_committed_scale(monkeypatch, capsys, spark):
 
     d = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert d["flagged"] == {} and d["remeasured"] == {}
+
+
+# --- r12 second wave: s03 / s10 / s12 / s15 single-data-trigger ---------------
+# Same legality argument and test pattern as s22/s23 above: each
+# operator sorts its batch per key, so closed sessions / LOCF fills /
+# trigrams / anomaly flags are pure functions of the slice order.
+# (s15's running float sums reassociate at batch boundaries by design
+# — its output columns are rounded to 1e-6 with decision margins ~1e-3,
+# the same contract that already absorbs engine drift; on the test
+# data the outputs must be exactly equal.)
+
+
+def _landed_user_event_slices(spark, tmp_path, n_slices=4):
+    rows = []
+    for i in range(160):
+        rows.append(
+            (
+                i,
+                i % 7,  # user_id
+                ["click", "view", "purchase"][i % 3],
+                (i * 37) % 4 * 3_600_000_000 + (i % 50) * 60_000_000,
+                # occasional large spikes so the anomaly operator (s15)
+                # has flags to emit; benign for the other operators
+                1000.0 + i if i % 37 == 0 else float((i * 13) % 29) / 3.0,
+            )
+        )
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("ts_micros", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    src = str(tmp_path / "uslices")
+    parts = spark.createDataFrame(rows, schema).collect()
+    parts.sort(key=lambda r: (r["ts_micros"], r["event_id"]))
+    step = len(parts) // n_slices
+    for i in range(n_slices):
+        spark.createDataFrame(parts[i * step : (i + 1) * step], schema).coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{src}/slice{i:02d}")
+    return src, schema
+
+
+def _user_stream(spark, src, schema, mft):
+    from las_vpe_platform_spark.streaming.engine import file_stream
+
+    return file_stream(
+        spark, f"{src}/*", schema, max_files_per_trigger=mft
+    ).withColumn("ts", F.timestamp_micros("ts_micros"))
+
+
+def _run_stateful(spark, src, schema, mft, build, name):
+    import uuid
+
+    from las_vpe_platform_spark.streaming.engine import run_to_completion
+
+    out = build(_user_stream(spark, src, schema, mft))
+    return run_to_completion(
+        out, f"r12_{name}_{mft}_{uuid.uuid4().hex[:6]}", output_mode="append"
+    )
+
+
+@pytest.mark.parametrize(
+    "name,builder,cols",
+    [
+        (
+            "s03",
+            lambda st: __import__(
+                "las_vpe_platform_spark.streaming.stateful", fromlist=["x"]
+            ).sessionize_stream(st, "user_id", "ts", gap_seconds=1800),
+            ["user_id", "session_start", "session_end", "n_events"],
+        ),
+        (
+            "s10",
+            lambda st: __import__(
+                "las_vpe_platform_spark.streaming.stateful", fromlist=["x"]
+            ).locf_stream(st, fill_type="click"),
+            ["event_id", "user_id", "event_type", "filled_click_value"],
+        ),
+        (
+            "s12",
+            lambda st: __import__(
+                "las_vpe_platform_spark.streaming.stateful", fromlist=["x"]
+            ).trigram_stream(st),
+            ["user_id", "e1", "e2", "e3"],
+        ),
+        (
+            "s15",
+            lambda st: __import__(
+                "las_vpe_platform_spark.streaming.stateful", fromlist=["x"]
+            ).anomaly_stream(st),
+            ["event_id", "event_type", "n_prev", "deviation", "sd_prev"],
+        ),
+    ],
+)
+def test_stateful_trigger_invariance_r12(spark, tmp_path, name, builder, cols):
+    src, schema = _landed_user_event_slices(spark, tmp_path)
+    one = _collect_sorted(
+        _run_stateful(spark, src, schema, 1, builder, name).select(*cols)
+    )
+    allinone = _collect_sorted(
+        _run_stateful(spark, src, schema, 4, builder, name).select(*cols)
+    )
+    assert one == allinone
+    assert len(one) > 0
