@@ -324,9 +324,17 @@ def adjacency_support(graph: DataFrame) -> DataFrame:
     recompute instead."""
     sym = symmetrize_edges(graph)  # one scan, not union(graph, swap)
     adj = sym.groupBy("a").agg(F.collect_list("b").alias("nbrs"))
+    par = graph.sparkSession.sparkContext.defaultParallelism
     return (
         graph.join(adj.selectExpr("a", "nbrs AS _na"), "a")
         .join(adj.selectExpr("a AS b", "nbrs AS _nb"), "b")
+        # r12 (guide §2.5): the intersect projection is CPU-dense on
+        # byte-SMALL rows, so AQE's byte-based partition coalescing
+        # serializes it onto a handful of tasks (measured 3 tasks /
+        # 2.2 s of a 64-task-capable box at sf0.1) — spread it to the
+        # cluster's parallelism first. Hash keys, not round-robin, to
+        # skip the sort-before-repartition pass.
+        .repartition(par, "a", "b")
         .select(
             "a",
             "b",

@@ -2768,7 +2768,12 @@ def s33_stream_patch_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = (
         spark.readStream.schema(tr.schema)
-        .option("maxFilesPerTrigger", "4")
+        # r12: all 8 landed files in ONE batch — the gate is stateless
+        # (incoming rows probe a STATIC stored index), so the alert set
+        # is the union over arriving rows regardless of trigger
+        # grouping; multi-batch behavior stays covered by
+        # test_round9_ops.test_s33_gate_matches_bruteforce semantics
+        .option("maxFilesPerTrigger", "8")
         .parquet(src)
     )
     with _stream_partitions(spark, 4):
