@@ -3189,34 +3189,22 @@ def q94_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingle_k=MINHASH_K, num_hashes=MINHASH_HASHES, bands=MINHASH_BANDS,
     ).select(F.col("id_a").alias("a"), F.col("id_b").alias("b")).transform(_stage)
 
-    ends = pairs.select(F.col("a").alias("node")).unionAll(
-        pairs.select(F.col("b").alias("node"))
-    )
+    ends = pairs.select(F.explode(F.array("a", "b")).alias("node"))
     deg = ends.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
-    e = (
-        pairs.join(deg.withColumnRenamed("node", "a").withColumnRenamed("deg", "da"), "a")
-        .join(deg.withColumnRenamed("node", "b").withColumnRenamed("deg", "db"), "b")
+    # r12: count triangles through the shared adjacency-intersection
+    # kernel — every triangle contributes support to exactly its three
+    # edges, so n_triangles = sum(edge support) / 3, bit-exact. The
+    # kernel (JVM array_intersect, no triangle rows materialized)
+    # replaced the degree-oriented wedge join here for the same reason
+    # it did in ktruss/q154/q160 in r10: measured ~3x cheaper per
+    # evaluation on LSH graphs, and the wedge form needed a second
+    # staged frame (the oriented edge list) this drops.
+    from las_vpe_platform_spark.operators.graph import adjacency_support
+
+    tri_total = adjacency_support(pairs).agg(
+        (F.sum("support") / 3).cast("long").alias("n_triangles")
     )
-    # orient low (deg, id) -> high (deg, id); every edge exactly once
-    fwd = (F.col("da") < F.col("db")) | (
-        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
-    )
-    # the oriented edge list is itself referenced twice (both wedge
-    # sides) and sits above two deg-joins — stage it too, or the join
-    # tower under it runs once per side
-    o = e.select(
-        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("src"),
-        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("dst"),
-    ).transform(_stage)
-    w1 = o.select(F.col("src"), F.col("dst").alias("v"))
-    w2 = o.select(F.col("src"), F.col("dst").alias("w"))
-    wedges = w1.join(w2, "src").filter(F.col("v") < F.col("w"))
-    # closing edge exists in the UNDIRECTED pair set; pairs are
-    # canonical (a < b) and v < w, so one probe suffices
-    tri = wedges.join(
-        pairs.select(F.col("a").alias("v"), F.col("b").alias("w")), ["v", "w"]
-    )
-    counts = tri.agg(F.count(F.lit(1)).alias("n_triangles")).crossJoin(
+    counts = tri_total.crossJoin(
         deg.agg(
             F.sum(F.expr("deg * (deg - 1) / 2")).cast("bigint").alias("n_wedges")
         )
