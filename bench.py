@@ -9,10 +9,11 @@ execution, no driver-side collect), matching how a sink-terminated
 pipeline runs on a cluster.
 
 Self-adjudicating telemetry (VERDICT r11 #2/#5): besides wall time the
-artifact records, per query, hypervisor CPU steal over the window and
-the CPU-seconds actually consumed by the whole local-mode Spark
-process tree (driver python + JVM + Arrow workers). A wall-time
-excursion with flat CPU is a descheduling pause, not a plan problem —
+artifact records, per query, hypervisor CPU steal and disk iowait over
+the window and the CPU-seconds actually consumed by the whole
+local-mode Spark process tree (driver python + JVM + Arrow workers).
+A wall-time excursion with flat CPU is a descheduling pause (steal) or
+a disk-writeback stall (iowait), not a plan problem —
 steal% alone under-explained the round-11 multi-x inflations (10-16%
 steal removes ~1.2x of CPU; the observed spikes were 4-9x). Every
 entry exceeding 2x its committed cross-run minimum is re-run once at
@@ -42,12 +43,14 @@ from las_vpe_platform_spark.session import get_spark  # noqa: E402
 REMEASURE_MAX = 12
 
 
-def _jiffies() -> tuple[int, int] | None:
-    """(total, steal) cpu jiffies from /proc/stat — the vmstat 'st'
-    column's raw counters. Sampled around every query so the bench
-    artifact carries its own contention evidence (VERDICT r10 #2: the
-    round-10 official outliers were indistinguishable from hypervisor
-    CPU steal after the fact; now each run records it in-band)."""
+def _jiffies() -> tuple[int, int, int] | None:
+    """(total, steal, iowait) cpu jiffies from /proc/stat — the vmstat
+    'st' and 'wa' columns' raw counters. Sampled around every query so
+    the bench artifact carries its own contention evidence (VERDICT
+    r10 #2 for steal; r12 added iowait after run-4 showed collapsed
+    cpu_over_wall windows with ZERO steal — wall advancing, ~1 core
+    busy, healthy plan — which only disk-writeback stalls explain;
+    the artifact must distinguish the two from its own numbers)."""
     try:
         with open("/proc/stat") as f:
             parts = f.readline().split()[1:]
@@ -55,7 +58,11 @@ def _jiffies() -> tuple[int, int] | None:
         # denominator = user..steal only: the kernel already folds
         # guest/guest_nice (fields 9-10) into user/nice, so summing
         # them too would double-count and bias steal% low
-        return sum(vals[:8]), (vals[7] if len(vals) > 7 else 0)
+        return (
+            sum(vals[:8]),
+            vals[7] if len(vals) > 7 else 0,
+            vals[4] if len(vals) > 4 else 0,
+        )
     except (OSError, ValueError, IndexError):
         return None
 
@@ -143,9 +150,12 @@ def main() -> None:
     cores = spark.sparkContext.defaultParallelism
     spark.range(cores).repartition(cores).mapInPandas(lambda it: it, "id long").count()
 
-    def run_once(name: str) -> tuple[float, float | None, float | None]:
+    def run_once(
+        name: str,
+    ) -> tuple[float, float | None, float | None, float | None]:
         """One timed end-to-end execution: (wall_sec, steal_pct,
-        cpu_over_wall) — cleanup inside the window, same as always."""
+        cpu_over_wall, iowait_pct) — cleanup inside the window, same
+        as always."""
         fn = CATALOG[name][0]
         j0, c0 = _jiffies(), _tree_cpu_sec()
         t0 = time.perf_counter()
@@ -173,24 +183,37 @@ def main() -> None:
             if c0 is not None and c1 is not None and wall > 0 and c1 >= c0
             else None
         )
-        return wall, st, cow
+        iow = (
+            round(100.0 * (j1[2] - j0[2]) / (j1[0] - j0[0]), 2)
+            if j0 and j1 and j1[0] > j0[0]
+            else None
+        )
+        return wall, st, cow, iow
 
     timings: dict[str, float] = {}
     steal: dict[str, float] = {}
     cpu_ow: dict[str, float] = {}
+    iowait: dict[str, float] = {}
     j_all = _jiffies()
     t_all = time.perf_counter()
     for name in sorted(CATALOG):
-        wall, st, cow = run_once(name)
+        wall, st, cow, iow = run_once(name)
         timings[name] = round(wall, 3)
         if st is not None:
             steal[name] = st
         if cow is not None:
             cpu_ow[name] = cow
+        if iow is not None:
+            iowait[name] = iow
     total = round(time.perf_counter() - t_all, 3)
     j_end = _jiffies()
     run_steal_pct = (
         round(100.0 * (j_end[1] - j_all[1]) / (j_end[0] - j_all[0]), 2)
+        if j_all and j_end and j_end[0] > j_all[0]
+        else None
+    )
+    run_iowait_pct = (
+        round(100.0 * (j_end[2] - j_all[2]) / (j_end[0] - j_all[0]), 2)
         if j_all and j_end and j_end[0] > j_all[0]
         else None
     )
@@ -216,6 +239,7 @@ def main() -> None:
             "x_min": round(timings[n] / minima[n], 1),
             "steal": steal.get(n),
             "cpu_ow": cpu_ow.get(n),
+            "iowait": iowait.get(n),
         }
         for n in timings
         if n in minima
@@ -229,11 +253,12 @@ def main() -> None:
     # First-pass numbers are never replaced — both are reported.
     remeasured: dict[str, dict[str, float | None]] = {}
     for name in sorted(flagged, key=lambda n: -flagged[n]["x_min"])[:REMEASURE_MAX]:
-        wall, st, cow = run_once(name)
+        wall, st, cow, iow = run_once(name)
         remeasured[name] = {
             "wall": round(wall, 3),
             "steal": st,
             "cpu_ow": cow,
+            "iowait": iow,
             "x_min": round(wall / minima[name], 1),
         }
 
@@ -260,6 +285,20 @@ def main() -> None:
                 # not plan (SCALE.md round-10 variance protocol)
                 "steal_run_pct": run_steal_pct,
                 "steal_hot": hot_steal,
+                # r12: disk-stall evidence next to the steal evidence —
+                # a collapsed cpu_over_wall with zero steal but high
+                # iowait is writeback/IO contention, not a VM pause
+                "iowait_run_pct": run_iowait_pct,
+                "iowait_hot": dict(
+                    sorted(
+                        (
+                            (n, w)
+                            for n, w in iowait.items()
+                            if w >= 3.0 and timings[n] >= 1.0
+                        ),
+                        key=lambda kv: -kv[1],
+                    )[:8]
+                ),
                 # cpu_over_wall for the 12 most expensive entries: the
                 # wall-vs-CPU ratio that separates a paused entry
                 # (collapsed ratio) from a genuinely slow plan

@@ -240,10 +240,50 @@ def test_bench_flags_and_remeasures(monkeypatch, capsys, spark):
     assert "slowq" in d["flagged"] and "fastq" not in d["flagged"]
     fl = d["flagged"]["slowq"]
     assert fl["min"] == 1.0 and fl["x_min"] >= 2.0
-    assert "cpu_ow" in fl and "steal" in fl
+    assert "cpu_ow" in fl and "steal" in fl and "iowait" in fl
     assert "slowq" in d["remeasured"]
+    assert "iowait" in d["remeasured"]["slowq"]
+    assert "iowait_run_pct" in d and "iowait_hot" in d
     assert calls["n"] == 2  # first pass + one re-measure
     assert d["queries"]["slowq"] == fl["wall"]  # first pass preserved
+
+
+def test_jiffies_reports_iowait_component():
+    import bench
+
+    j = bench._jiffies()
+    assert j is not None and len(j) == 3
+    total, steal, iowait = j
+    assert 0 <= steal <= total and 0 <= iowait <= total
+
+
+def test_default_local_dir_env_and_fallbacks(monkeypatch):
+    """SPARK_GRAFT_LOCAL_DIR wins; SPARK_LOCAL_DIRS defers to Spark's
+    own env handling; otherwise a roomy /dev/shm is used and a missing
+    or tiny tmpfs falls back to Spark's default (None)."""
+    import os
+
+    from las_vpe_platform_spark import session as S
+
+    monkeypatch.setenv("SPARK_GRAFT_LOCAL_DIR", "/tmp/override-scratch")
+    assert S._default_local_dir() == "/tmp/override-scratch"
+    monkeypatch.delenv("SPARK_GRAFT_LOCAL_DIR")
+    monkeypatch.setenv("SPARK_LOCAL_DIRS", "/tmp/spark-env-dirs")
+    assert S._default_local_dir() is None
+    monkeypatch.delenv("SPARK_LOCAL_DIRS")
+
+    real_statvfs = os.statvfs
+
+    class _Tiny:
+        f_bavail = 10
+        f_frsize = 4096
+
+    monkeypatch.setattr(os, "statvfs", lambda p: _Tiny())
+    assert S._default_local_dir() is None  # tiny tmpfs: Spark default
+    monkeypatch.setattr(os, "statvfs", real_statvfs)
+    picked = S._default_local_dir()
+    if picked is not None:  # roomy /dev/shm on this host
+        assert picked.startswith("/dev/shm/") and os.path.isdir(picked)
 
 
 def test_bench_no_flagging_off_committed_scale(monkeypatch, capsys, spark):

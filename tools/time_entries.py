@@ -59,7 +59,7 @@ def main() -> None:
 
     for name in args.names:
         fn = CATALOG[name][0]
-        walls, steals, cows, jobs = [], [], [], []
+        walls, steals, cows, jobs, iows = [], [], [], [], []
         for i in range(args.runs):
             spark.sparkContext.setJobDescription(f"{name} run {i}")
             n0 = len(tracker.getJobIdsForGroup(None) or [])
@@ -74,6 +74,7 @@ def main() -> None:
             walls.append(round(wall, 3))
             if j0 and j1 and j1[0] > j0[0]:
                 steals.append(round(100.0 * (j1[1] - j0[1]) / (j1[0] - j0[0]), 2))
+                iows.append(round(100.0 * (j1[2] - j0[2]) / (j1[0] - j0[0]), 2))
             if c0 is not None and c1 is not None and wall > 0 and c1 >= c0:
                 cows.append(round((c1 - c0) / wall, 2))
         if args.plan_suffix:
@@ -92,6 +93,7 @@ def main() -> None:
             "walls": walls,
             "min": min(walls),
             "steal": steals,
+            "iowait": iows,
             "cpu_ow": cows,
             "jobs": jobs,
         }), flush=True)
