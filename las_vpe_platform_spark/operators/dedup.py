@@ -60,6 +60,53 @@ def exploded_shingles(
     )
 
 
+def shingle_stream(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """NON-distinct (doc_id_, shingle) rows with ZERO exchanges — the
+    r12 signature-path shingle builder (guide §2.3/§2.4: aggregate
+    before you shuffle / remove shuffles outright).
+
+    Each row's k-grams are built locally: slice the token array k ways,
+    arrays_zip the slices, explode — all codegen'd JVM expressions, no
+    window, no sort, no shuffle. Duplicates within a document are NOT
+    removed; the only legal consumers are duplicate-insensitive
+    aggregates (per-doc MIN in :func:`minhash_signatures`), whose
+    map-side partials then make the one shuffle a row of partial minima
+    per (doc, map partition) instead of the whole token stream.
+
+    At corpus scale this is the difference between shuffling ~the
+    corpus' token bytes (the :func:`exploded_shingles` window form) and
+    shuffling ~n_docs x num_hashes longs. Consumers that need DISTINCT
+    (doc, shingle) postings (PPJoin prefixes, containment, n-gram
+    Jaccard, decontamination) must keep using
+    :func:`exploded_shingles`: measured head-to-head
+    (tools/profile_shingle_variants.py), zip+dropDuplicates ties the
+    window form locally but shuffles k-gram strings instead of single
+    tokens — strictly more bytes for no fewer exchanges.
+
+    Token sequence is identical to :func:`exploded_shingles`'s
+    (split on whitespace, empty tokens removed, order preserved), so
+    the emitted multiset of shingles per doc has the same distinct set;
+    bit-equality of downstream signatures is pinned by
+    tests and was verified corpus-wide at sf0.1.
+    """
+    base = df.select(
+        F.col(id_col).alias("doc_id_"),
+        F.array_remove(F.split(F.trim(F.col(text_col)), r"\s+"), "").alias("_toks"),
+    )
+    n_grams = F.greatest(F.size("_toks") - F.lit(k - 1), F.lit(0))
+    zipped = F.arrays_zip(*[F.slice("_toks", i + 1, n_grams) for i in range(k)])
+    return base.select(
+        "doc_id_", F.explode(zipped).alias("_sh")
+    ).select(
+        "doc_id_",
+        F.concat_ws(
+            " ", *[F.col("_sh").getField(str(i)) for i in range(k)]
+        ).alias("shingle"),
+    )
+
+
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Exact dedup groups by normalized-content fingerprint.
 
@@ -129,13 +176,22 @@ def minhash_signatures(
     estimation-error harnesses (q157) can compare raw component
     matches against exact Jaccard without re-deriving the family.
 
-    One md5 per distinct shingle, affine hash family, per-doc grouped
-    MIN with map-side partials — shuffle is one row per (doc, n longs).
+    Affine hash family over the 60-bit shingle md5, per-doc grouped MIN
+    with map-side partials — shuffle is one row per (doc, n longs).
+
+    r12: when no shared ``exploded`` frame is supplied, shingles come
+    from :func:`shingle_stream` (zero-exchange, non-distinct) rather
+    than :func:`exploded_shingles` (windowed, distinct): MIN is
+    duplicate-insensitive, so hashing each occurrence map-side costs
+    CPU that scales while the window form's token-stream shuffle does
+    not (guide §2.2-2.4). Signatures are bit-identical — verified
+    corpus-wide at sf0.1 and pinned in tests/test_round12_ops.py.
+    Callers sharing a staged distinct-postings frame across consumers
+    (q128/q157-style harnesses) still pass ``exploded`` in and keep the
+    single staged build.
     """
-    if exploded is None:  # callers sharing the shingle stage (q128's
-        # harness runs LSH and the exact join over ONE staged explode)
-        # pass it in — the multi-reference rule across operators
-        exploded = exploded_shingles(df, id_col, text_col, shingle_k)
+    if exploded is None:
+        exploded = shingle_stream(df, id_col, text_col, shingle_k)
     h = shingle_hash60("shingle")
     lo = h.bitwiseAND(F.lit((1 << 30) - 1))
     hi = F.shiftright(h, 30)

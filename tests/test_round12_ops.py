@@ -412,3 +412,78 @@ def test_stateful_trigger_invariance_r12(spark, tmp_path, name, builder, cols):
     )
     assert one == allinone
     assert len(one) > 0
+
+
+# --- r12 signature-path shingles (zip-stream, zero exchanges) -----------------
+# minhash_signatures' default shingle source switched from the windowed
+# distinct form to shingle_stream (guide §2.3/§2.4): legal ONLY because
+# per-doc MIN is duplicate-insensitive. These pins hold both halves of
+# that argument: bit-equal signatures, and the structural property the
+# switch exists for (no Exchange/Sort/Window anywhere below the
+# signature aggregate — the one shuffle is the aggregate's own).
+
+
+def _shingle_docs(spark):
+    rows = [
+        (0, "a b c d e"),
+        (1, "  a  b a b a b  "),  # duplicate shingles within a doc
+        (2, "x"),                 # shorter than k -> no shingles
+        (3, ""),                  # empty
+        (4, "q w e r t y u i o p"),
+        (5, "a b c a b c a b c"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_shingle_stream_matches_windowed_distinct(spark):
+    from las_vpe_platform_spark.operators.dedup import (
+        exploded_shingles,
+        shingle_stream,
+    )
+
+    docs = _shingle_docs(spark)
+    for k in (2, 3):
+        win = _collect_sorted(exploded_shingles(docs, "doc_id", "text", k))
+        zip_distinct = _collect_sorted(
+            shingle_stream(docs, "doc_id", "text", k).dropDuplicates(
+                ["doc_id_", "shingle"]
+            )
+        )
+        assert win == zip_distinct
+
+
+def test_minhash_signatures_bitequal_over_stream_and_distinct(spark):
+    from las_vpe_platform_spark.operators.dedup import (
+        exploded_shingles,
+        minhash_signatures,
+    )
+
+    docs = _shingle_docs(spark)
+    default = _collect_sorted(minhash_signatures(docs, "doc_id", "text", 3, 16))
+    via_distinct = _collect_sorted(
+        minhash_signatures(
+            docs,
+            "doc_id",
+            "text",
+            3,
+            16,
+            exploded=exploded_shingles(docs, "doc_id", "text", 3),
+        )
+    )
+    assert default == via_distinct
+    assert len(default) == 4  # every doc with >=1 shingle signs
+
+
+def test_default_signature_path_has_single_exchange_no_window(spark):
+    from las_vpe_platform_spark.operators.dedup import minhash_signatures
+
+    docs = _shingle_docs(spark)
+    plan = (
+        minhash_signatures(docs, "doc_id", "text", 3, 16)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1, plan  # the aggregate's own shuffle
+    assert "Window" not in plan, plan
+    assert "Sort" not in plan.replace("SortAggregate", ""), plan

@@ -4,6 +4,7 @@ Usage: python tools/check_query.py <query_name> [...]
 Runs each named catalog entry at sf0.01 against its DuckDB oracle and
 prints OK/FAIL with row counts and timings — the fast dev loop while
 authoring a new entry."""
+import os
 import sys
 import time
 from pathlib import Path
@@ -16,7 +17,7 @@ from las_vpe_platform_spark.session import get_spark
 from las_vpe_platform_spark.queries import CATALOG
 from tests.test_oracle_parity import _normalize
 
-SF = "/root/testdata/sf0.01"
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 names = sys.argv[1:]
 spark = get_spark("exp_check", cpus=8)
 duck = duckdb.connect()
