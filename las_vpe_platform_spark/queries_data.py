@@ -5067,7 +5067,15 @@ _BOOT_CDF = [0.36787944117144233, 0.7357588823428847,
 
 
 def q123_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events").select(
+    # Unit-of-work repartition (q21's rule): events is ONE scan split
+    # at bench SF (2 MB parquet), so without this the 50x replica
+    # explode + per-replica md5 draw runs on a single core (measured
+    # cpu_over_wall ~1.3 on a 32-core box). Spreading the slim
+    # pre-explode rows costs a ~2 MB shuffle and parallelizes the
+    # B-fold expansion, which is the query's compute.
+    ev = _t(spark, sf_dir, "events").repartition(
+        spark.sparkContext.defaultParallelism
+    ).select(
         "event_type",
         "event_id",
         F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("bigint").alias("cents"),
