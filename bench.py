@@ -15,7 +15,11 @@ local-mode Spark process tree (driver python + JVM + Arrow workers).
 A wall-time excursion with flat CPU is a descheduling pause (steal) or
 a disk-writeback stall (iowait), not a plan problem —
 steal% alone under-explained the round-11 multi-x inflations (10-16%
-steal removes ~1.2x of CPU; the observed spikes were 4-9x). Every
+steal removes ~1.2x of CPU; the observed spikes were 4-9x). r12 adds
+the third channel: JVM stop-the-world GC + JIT compilation time per
+window (run 5 showed entries inflating 2-3x with zero steal, zero
+iowait and HIGH cpu-over-wall — CPU genuinely burned on JVM churn,
+not the plan; those windows now carry their gc+jit delta). Every
 entry exceeding 2x its committed cross-run minimum is re-run once at
 end-of-bench and both numbers are reported, so the artifact
 adjudicates its own outliers without hiding first-pass data.
@@ -111,6 +115,32 @@ def _tree_cpu_sec() -> float | None:
         return None
 
 
+def _jvm_churn_ms(spark) -> tuple[int, int] | None:
+    """(gc_ms, jit_ms): cumulative stop-the-world collection time and
+    JIT compilation time of the local-mode JVM, via the management
+    beans over py4j. Added r12 after run 5 showed a third excursion
+    class the existing telemetry could NOT classify: entries inflating
+    2-3x mid-run with ZERO steal, ZERO iowait and a HIGH cpu_over_wall
+    (the CPU really was burned), then re-running fast at end-of-bench.
+    Steal separates VM pauses, iowait separates writeback stalls; this
+    separates JVM churn (GC pressure from the session's accreted
+    status/broadcast/codegen state, or C2 recompilation storms across
+    262 unique query plans) from a genuinely expensive plan: a churn
+    window shows a large gc+jit delta, a slow plan does not."""
+    try:
+        mf = spark._jvm.java.lang.management.ManagementFactory
+        gc = 0
+        it = mf.getGarbageCollectorMXBeans().iterator()
+        while it.hasNext():
+            t = it.next().getCollectionTime()
+            if t > 0:
+                gc += t
+        jit = mf.getCompilationMXBean().getTotalCompilationTime()
+        return int(gc), int(jit)
+    except Exception:
+        return None
+
+
 def _committed_minima() -> dict[str, float]:
     """Per-entry cross-run minimum wall times from the newest
     bench_runs_r*/cross_run_minima.json — the variance protocol's
@@ -152,12 +182,12 @@ def main() -> None:
 
     def run_once(
         name: str,
-    ) -> tuple[float, float | None, float | None, float | None]:
+    ) -> tuple[float, float | None, float | None, float | None, int | None]:
         """One timed end-to-end execution: (wall_sec, steal_pct,
-        cpu_over_wall, iowait_pct) — cleanup inside the window, same
-        as always."""
+        cpu_over_wall, iowait_pct, jvm_churn_ms) — cleanup inside the
+        window, same as always."""
         fn = CATALOG[name][0]
-        j0, c0 = _jiffies(), _tree_cpu_sec()
+        j0, c0, g0 = _jiffies(), _tree_cpu_sec(), _jvm_churn_ms(spark)
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
@@ -168,7 +198,7 @@ def main() -> None:
         # its own cleanup
         unpersist_all()
         wall = time.perf_counter() - t0
-        j1, c1 = _jiffies(), _tree_cpu_sec()
+        j1, c1, g1 = _jiffies(), _tree_cpu_sec(), _jvm_churn_ms(spark)
         st = (
             round(100.0 * (j1[1] - j0[1]) / (j1[0] - j0[0]), 2)
             if j0 and j1 and j1[0] > j0[0]
@@ -188,16 +218,22 @@ def main() -> None:
             if j0 and j1 and j1[0] > j0[0]
             else None
         )
-        return wall, st, cow, iow
+        churn = (
+            (g1[0] - g0[0]) + (g1[1] - g0[1])
+            if g0 is not None and g1 is not None
+            else None
+        )
+        return wall, st, cow, iow, churn
 
     timings: dict[str, float] = {}
     steal: dict[str, float] = {}
     cpu_ow: dict[str, float] = {}
     iowait: dict[str, float] = {}
-    j_all = _jiffies()
+    jvm_churn: dict[str, int] = {}
+    j_all, g_all = _jiffies(), _jvm_churn_ms(spark)
     t_all = time.perf_counter()
     for name in sorted(CATALOG):
-        wall, st, cow, iow = run_once(name)
+        wall, st, cow, iow, churn = run_once(name)
         timings[name] = round(wall, 3)
         if st is not None:
             steal[name] = st
@@ -205,8 +241,10 @@ def main() -> None:
             cpu_ow[name] = cow
         if iow is not None:
             iowait[name] = iow
+        if churn is not None:
+            jvm_churn[name] = churn
     total = round(time.perf_counter() - t_all, 3)
-    j_end = _jiffies()
+    j_end, g_end = _jiffies(), _jvm_churn_ms(spark)
     run_steal_pct = (
         round(100.0 * (j_end[1] - j_all[1]) / (j_end[0] - j_all[0]), 2)
         if j_all and j_end and j_end[0] > j_all[0]
@@ -240,6 +278,7 @@ def main() -> None:
             "steal": steal.get(n),
             "cpu_ow": cpu_ow.get(n),
             "iowait": iowait.get(n),
+            "jvm_churn_ms": jvm_churn.get(n),
         }
         for n in timings
         if n in minima
@@ -253,12 +292,13 @@ def main() -> None:
     # First-pass numbers are never replaced — both are reported.
     remeasured: dict[str, dict[str, float | None]] = {}
     for name in sorted(flagged, key=lambda n: -flagged[n]["x_min"])[:REMEASURE_MAX]:
-        wall, st, cow, iow = run_once(name)
+        wall, st, cow, iow, churn = run_once(name)
         remeasured[name] = {
             "wall": round(wall, 3),
             "steal": st,
             "cpu_ow": cow,
             "iowait": iow,
+            "jvm_churn_ms": churn,
             "x_min": round(wall / minima[name], 1),
         }
 
@@ -295,6 +335,25 @@ def main() -> None:
                             (n, w)
                             for n, w in iowait.items()
                             if w >= 3.0 and timings[n] >= 1.0
+                        ),
+                        key=lambda kv: -kv[1],
+                    )[:8]
+                ),
+                # r12 (post-run-5): JVM stop-the-world GC + JIT
+                # compilation time, whole-run and the 8 worst query
+                # windows — classifies the zero-steal zero-iowait
+                # high-cpu_ow excursion class (JVM churn, not plan)
+                "jvm_churn_run_ms": (
+                    (g_end[0] - g_all[0]) + (g_end[1] - g_all[1])
+                    if g_all is not None and g_end is not None
+                    else None
+                ),
+                "jvm_churn_hot": dict(
+                    sorted(
+                        (
+                            (n, ms)
+                            for n, ms in jvm_churn.items()
+                            if ms >= 500 and timings[n] >= 1.0
                         ),
                         key=lambda kv: -kv[1],
                     )[:8]

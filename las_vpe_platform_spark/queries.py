@@ -81,8 +81,34 @@ DRIVER_PRIORITY: list[str] = [
     "d14_pipeline_reid",
     "d15_pipeline_storage_reid",
     "d16_pipeline_reid_command",
-    # -- tier 1: stalest driver evidence first (the three r04 rows,
-    #    then r05 rows, fill the remaining window slots) --
+    # -- tier 0b (round 12, session-4 re-derivation): the entries
+    #    whose CODE changed in this round's optimization sessions —
+    #    the zero-shuffle signature shingle path (q24 + the LSH
+    #    graph family + s19's incremental band probe) and q123's
+    #    bootstrap-expansion repartition — each oracle-verified
+    #    locally, re-gated here (changed code beats stale evidence) --
+    "q24_minhash_lsh_pairs",
+    "q55_dedup_clusters",
+    "q57_neardup_pagerank",
+    "q93_cluster_keep_best",
+    "q94_triangle_count",
+    "q120_label_prop_communities",
+    "q123_bootstrap_ci",
+    "q127_negative_edge_samples",
+    "q129_incremental_lsh",
+    "q134_kcore_decomposition",
+    "q136_triplet_mining",
+    "q145_dedup_yield",
+    "q148_cluster_safe_split",
+    "q153_degree_assortativity",
+    "q154_edge_triangle_support",
+    "q158_ktruss_edges",
+    "q165_cross_source_dup_matrix",
+    "q167_clustering_coefficient",
+    "q180_edge_compaction_plan",
+    "s19_stream_lsh_ingest_gate",
+    # -- tier 1: stalest driver evidence first (r04 rows, then r05)
+    #    filling the remaining window slots --
     "s08_stream_incremental_dedup",
     "s09_stream_distinct_sketch",
     "s11_stream_leaderboard",
@@ -95,6 +121,8 @@ DRIVER_PRIORITY: list[str] = [
     "m09_patch_brightness_cuts",
     "m10_loudness_segments",
     "q106_prefix_filter_join",
+    # -- tail: everything else; displaced tier-1 stale rows lead so
+    #    the next re-derivation promotes them mechanically --
     "q107_fuzzy_decontaminate",
     "q108_event_trigrams",
     "q109_cohort_retention",
@@ -115,8 +143,6 @@ DRIVER_PRIORITY: list[str] = [
     "s14_stream_quantile_sketch",
     "s16_stream_session_native",
     "d23_cross_camera_stitch",
-    # -- tail: everything else, (latest driver round, name) order so
-    #    the next re-derivation promotes the stalest mechanically --
     "d24_journey_reconstruction",
     "d26_camera_feature_bias",
     "d27_camera_heatmap",
@@ -127,14 +153,11 @@ DRIVER_PRIORITY: list[str] = [
     "q118_ivfpq_topk",
     "q119_mmr_diversify",
     "q11_events_json_props",
-    "q120_label_prop_communities",
     "q121_fuzzy_name_join",
     "q122_scd2_history",
-    "q123_bootstrap_ci",
     "q124_grouped_trend",
     "q125_lagged_crosscorr",
     "q128_lsh_recall",
-    "q129_incremental_lsh",
     "q131_seasonal_anomalies",
     "q132_ann_ndcg",
     "q135_sketch_merge_rollup",
@@ -144,7 +167,6 @@ DRIVER_PRIORITY: list[str] = [
     "q142_pair_evidence",
     "q143_trimmed_means",
     "q144_gini_concentration",
-    "q145_dedup_yield",
     "q146_order_consistency",
     "q147_cluster_purity",
     "q29_embedding_ivf_topk",
@@ -153,19 +175,15 @@ DRIVER_PRIORITY: list[str] = [
     "s15_stream_anomaly",
     "s17_stream_left_outer_join",
     "s18_stream_scd2_asof_enrich",
-    "s19_stream_lsh_ingest_gate",
     "d28_activity_calendar",
     "m06_keyframe_selection",
     "q102_apply_cdc",
     "q130_quality_budget_cut",
-    "q134_kcore_decomposition",
     "q140_quantile_normalize",
-    "q148_cluster_safe_split",
     "q149_zipf_slope",
     "q150_systematic_resample",
     "q151_cms_error",
     "q26_ngram_jaccard_top_pairs",
-    "q93_cluster_keep_best",
     "q95_join_preflight",
     "q96_group_sample",
     "q98_funnel_analysis",
@@ -179,8 +197,6 @@ DRIVER_PRIORITY: list[str] = [
     "q05_daily_activity_full_outer",
     "q10_events_minutely",
     "q13_sampled_lineitems",
-    "q153_degree_assortativity",
-    "q154_edge_triangle_support",
     "q155_cdc_chunking",
     "q156_layout_optimize_audit",
     "q157_minhash_estimate_error",
@@ -227,9 +243,7 @@ DRIVER_PRIORITY: list[str] = [
     "q162_ivf_cell_split",
     "q163_lsh_s_curve",
     "q164_dataset_cards",
-    "q165_cross_source_dup_matrix",
     "q166_compaction_plan",
-    "q167_clustering_coefficient",
     "q168_novelty_saturation",
     "q170_quality_psi",
     "q171_ivf_cell_merge",
@@ -260,18 +274,14 @@ DRIVER_PRIORITY: list[str] = [
     "q07_order_point_lookup",
     "q08_order_completeness",
     "q09_last_events",
-    "q127_negative_edge_samples",
     "q12_events_demux_union",
     "q14_key_roundtrip",
-    "q158_ktruss_edges",
     "q177_label_margin_mining",
     "q179_two_stage_retrieval",
-    "q180_edge_compaction_plan",
     "q18_user_sessions",
     "q20_doc_token_stats",
     "q21_doc_quality",
     "q22_doc_lang_id",
-    "q24_minhash_lsh_pairs",
     "q25_simhash",
     "q30_tfidf_top_terms",
     "q31_embedding_neardup",
@@ -282,9 +292,7 @@ DRIVER_PRIORITY: list[str] = [
     "q52_purchase_window_clicks",
     "q53_simhash_neardup_pairs",
     "q54_corpus_mix",
-    "q55_dedup_clusters",
     "q56_distinct_sketch",
-    "q57_neardup_pagerank",
     "q58_hopping_window_stats",
     "q60_decontaminate",
     "q61_span_dedup",
@@ -304,7 +312,6 @@ DRIVER_PRIORITY: list[str] = [
     "q104_source_drift",
     "q105_decayed_trending",
     "q133_weighted_allpairs_join",
-    "q136_triplet_mining",
     "q169_term_dispersion",
     "q59_srp_neardup",
     "q68_salted_join_agg",
@@ -321,7 +328,6 @@ DRIVER_PRIORITY: list[str] = [
     "q87_quality_classifier",
     "q88_skew_diagnostics",
     "q89_bpe_pair_counts",
-    "q94_triangle_count",
     "q97_perplexity_filter",
     "q99_embedding_anisotropy",
     "s02_stream_dedup",

@@ -185,6 +185,28 @@ def get_spark(app_name: str = "las_vpe_platform_spark", cpus: int | None = None)
             os.environ.get("SPARK_GRAFT_DRIVER_MEM") or _default_driver_memory(),
         )
         .config("spark.ui.enabled", "false")
+        # r12 (guide §1/§7 — classify, then fix): a session executing
+        # hundreds of UNIQUE queries compiles thousands of generated
+        # whole-stage-codegen classes; the JVM's default reserved code
+        # cache (240m total, ~116m for the profiled segment) saturates
+        # mid-catalog — measured 13 -> 64 MB profiled occupancy after
+        # just 40/262 bench entries — and the resulting sweep/deopt/
+        # recompile storms burned 20-30 s of JIT-compiler-thread CPU
+        # inside single query windows (zero steal, zero iowait, high
+        # cpu-over-wall; bench.py's jvm_churn channel now measures
+        # this). Reserving 1g (virtual until committed) fits the whole
+        # catalog's compiled code; same posture as raising it on
+        # executors for codegen-heavy clusters. Env-overridable.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize="
+            + os.environ.get("SPARK_GRAFT_CODE_CACHE", "1g"),
+        )
+        .config(
+            "spark.executor.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize="
+            + os.environ.get("SPARK_GRAFT_CODE_CACHE", "1g"),
+        )
         # r12 (guide §7.3 — driver-side plan cost is real cost): by
         # default PySpark 4 captures the python call site for EVERY
         # DataFrame API call (two extra py4j round-trips each) to

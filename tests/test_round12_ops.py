@@ -487,3 +487,16 @@ def test_default_signature_path_has_single_exchange_no_window(spark):
     assert plan.count("Exchange") == 1, plan  # the aggregate's own shuffle
     assert "Window" not in plan, plan
     assert "Sort" not in plan.replace("SortAggregate", ""), plan
+
+
+def test_jvm_churn_ms_monotone_and_present(spark):
+    import bench
+
+    g0 = bench._jvm_churn_ms(spark)
+    assert g0 is not None and len(g0) == 2
+    gc0, jit0 = g0
+    assert gc0 >= 0 and jit0 >= 0
+    # burn a little JVM work; counters must not go backwards
+    spark.range(2_000_000).selectExpr("sum(id * 3)").collect()
+    gc1, jit1 = bench._jvm_churn_ms(spark)
+    assert gc1 >= gc0 and jit1 >= jit0

@@ -59,17 +59,19 @@ def main() -> None:
 
     for name in args.names:
         fn = CATALOG[name][0]
-        walls, steals, cows, jobs, iows = [], [], [], [], []
+        walls, steals, cows, jobs, iows, churns = [], [], [], [], [], []
         for i in range(args.runs):
             spark.sparkContext.setJobDescription(f"{name} run {i}")
             n0 = len(tracker.getJobIdsForGroup(None) or [])
             j0, c0 = bench._jiffies(), bench._tree_cpu_sec()
+            g0 = bench._jvm_churn_ms(spark)
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             unpersist_all()
             wall = time.perf_counter() - t0
             j1, c1 = bench._jiffies(), bench._tree_cpu_sec()
+            g1 = bench._jvm_churn_ms(spark)
             jobs.append(len(tracker.getJobIdsForGroup(None) or []) - n0)
             walls.append(round(wall, 3))
             if j0 and j1 and j1[0] > j0[0]:
@@ -77,6 +79,8 @@ def main() -> None:
                 iows.append(round(100.0 * (j1[2] - j0[2]) / (j1[0] - j0[0]), 2))
             if c0 is not None and c1 is not None and wall > 0 and c1 >= c0:
                 cows.append(round((c1 - c0) / wall, 2))
+            if g0 is not None and g1 is not None:
+                churns.append((g1[0] - g0[0]) + (g1[1] - g0[1]))
         if args.plan_suffix:
             import io
             from contextlib import redirect_stdout
@@ -96,6 +100,7 @@ def main() -> None:
             "iowait": iows,
             "cpu_ow": cows,
             "jobs": jobs,
+            "jvm_churn_ms": churns,
         }), flush=True)
 
 
