@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import atexit
 import contextlib
+import os
 import shutil
 import tempfile
 import uuid
@@ -34,6 +35,31 @@ from las_vpe_platform_spark.streaming.engine import (
 _SCRATCH_ROOT: list[str] = []  # one per process, removed at exit
 
 
+def _scratch_base() -> str | None:
+    """Where the streaming scratch root lives (guide §6, the
+    spark.local.dir rule applied to the OTHER disk path streaming
+    entries pay): checkpoint offset/commit logs, state-store files and
+    the landed file-stream sources all fsync per micro-batch, and the
+    tempfile default (/tmp) sits on the disk-backed root fs — under
+    concurrent writeback those commits stall with zero steal and zero
+    busy-CPU iowait, the same signature the r12 local-dir fix removed
+    for shuffles. Same guard rails: SPARK_GRAFT_STREAM_SCRATCH
+    overrides, tmpfs is used only when /dev/shm is writable with
+    >= 32 GiB free (sf0.1 scratch is tens of MB; a RAM-tight host
+    falls back to the tempfile default), and a cluster points its
+    checkpoints at real fault-tolerant storage instead."""
+    override = os.environ.get("SPARK_GRAFT_STREAM_SCRATCH")
+    if override:
+        return override
+    try:
+        st = os.statvfs("/dev/shm")
+        if st.f_bavail * st.f_frsize >= 32 * 1024**3:
+            return "/dev/shm"
+    except (OSError, AttributeError):
+        pass
+    return None
+
+
 def _scratch_dir(prefix: str) -> str:
     """A temp dir under a single per-process scratch root that is
     removed at interpreter exit — the streaming entries re-land the
@@ -41,7 +67,7 @@ def _scratch_dir(prefix: str) -> str:
     directory per run across a test session (VERDICT r4 'What's
     wrong' #4)."""
     if not _SCRATCH_ROOT:
-        root = tempfile.mkdtemp(prefix="lvps_stream_scratch_")
+        root = tempfile.mkdtemp(prefix="lvps_stream_scratch_", dir=_scratch_base())
         _SCRATCH_ROOT.append(root)
         atexit.register(shutil.rmtree, root, ignore_errors=True)
     return tempfile.mkdtemp(prefix=prefix, dir=_SCRATCH_ROOT[0])

@@ -286,6 +286,34 @@ def test_default_local_dir_env_and_fallbacks(monkeypatch):
         assert picked.startswith("/dev/shm/") and os.path.isdir(picked)
 
 
+def test_stream_scratch_base_env_and_fallbacks(monkeypatch):
+    """SPARK_GRAFT_STREAM_SCRATCH wins; otherwise a roomy /dev/shm is
+    picked; a tiny or missing tmpfs falls back to the tempfile default
+    (None). Mirrors the _default_local_dir contract — streaming
+    checkpoint/state/source scratch is the other per-micro-batch
+    fsync path."""
+    import os
+
+    from las_vpe_platform_spark import queries_streaming as QS
+
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_SCRATCH", "/tmp/override-stream")
+    assert QS._scratch_base() == "/tmp/override-stream"
+    monkeypatch.delenv("SPARK_GRAFT_STREAM_SCRATCH")
+
+    real_statvfs = os.statvfs
+
+    class _Tiny:
+        f_bavail = 10
+        f_frsize = 4096
+
+    monkeypatch.setattr(os, "statvfs", lambda p: _Tiny())
+    assert QS._scratch_base() is None  # tiny tmpfs: tempfile default
+    monkeypatch.setattr(os, "statvfs", real_statvfs)
+    picked = QS._scratch_base()
+    if picked is not None:  # roomy /dev/shm on this host
+        assert picked == "/dev/shm"
+
+
 def test_bench_no_flagging_off_committed_scale(monkeypatch, capsys, spark):
     """Smoke runs at other SFs must not flag against sf0.1 minima."""
     import bench
