@@ -24,6 +24,13 @@ ISOLATED = {
     "s21_stream_agg_maintenance": 1.42,
     "s24_stream_track_attr_reid": 8.09,  # warm quiet-window floor (per-pid probe)
     "q160_local_bridges": 8.39,  # tools/profile_q160.py quietest run (pre-run2)
+    # session-5 tmpfs streaming-scratch probes (time_entries min-of-4,
+    # quiet windows; s16/s17 via the TMPDIR=/dev/shm A/B, behaviorally
+    # identical to the shipped _scratch_base fix)
+    "s26_stream_scd2_maintenance": 2.536,
+    "s20_stream_full_outer_join": 3.102,
+    "s17_stream_left_outer_join": 3.871,
+    "s16_stream_session_native": 2.015,
 }
 
 
