@@ -6654,8 +6654,9 @@ FROM ranked GROUP BY source
 # doc-frequency order — the shingles that actually discriminate, not
 # boilerplate) — what a human reviewer or an appeals process sees next
 # to a dedup decision. Scale shape: pairs join the staged postings
-# twice (pair-key shuffles, postings-linear), df rides a shingle
-# window, and the top-3 per pair is ONE aggregate over sorted structs
+# twice (pair-key shuffles, postings-linear), df is a grouped count
+# over the staged postings joined onto the evidence rows, and the
+# top-3 per pair is ONE aggregate over sorted structs
 # (array_sort + slice), never a rank window over the evidence stream.
 
 EVIDENCE_K = 3
@@ -6679,13 +6680,19 @@ def q142_pair_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingle_k=MINHASH_K, num_hashes=MINHASH_HASHES, bands=MINHASH_BANDS,
         exploded=ex,
     ).select("id_a", "id_b")
-    sh = _stage(
-        ex.withColumn("_df", F.count(F.lit(1)).over(W.partitionBy("shingle"))),
-        "q142_postings",
-    )
+    # doc-frequency as a grouped aggregate over the STAGED postings,
+    # attached to the pair-restricted evidence rows — NOT a window over
+    # the full posting stream (r12: the window shuffled + sorted every
+    # corpus posting and needed a second staged materialization; the
+    # groupBy ships map-side partial counts — vocabulary-bounded per
+    # map partition — and the join-back input is evidence-sized).
+    # q64's window-over-join-back rationale does not apply here: ex is
+    # persisted, so the shingle subtree cannot recompute per branch.
+    dfreq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
     shared = (
-        pairs.join(sh.selectExpr("doc_id_ AS id_a", "shingle", "_df"), on="id_a")
-        .join(sh.selectExpr("doc_id_ AS id_b", "shingle"), on=["id_b", "shingle"])
+        pairs.join(ex.selectExpr("doc_id_ AS id_a", "shingle"), on="id_a")
+        .join(ex.selectExpr("doc_id_ AS id_b", "shingle"), on=["id_b", "shingle"])
+        .join(dfreq, on="shingle")
     )
     return (
         shared.groupBy("id_a", "id_b")

@@ -317,6 +317,29 @@ def test_q94_wedge_join_single_lsh_subtree(spark, sf_dir):
         )
 
 
+def test_q142_docfreq_is_grouped_not_window(spark, sf_dir):
+    # r12: shingle doc-frequency must be a grouped aggregate over the
+    # STAGED postings joined onto the (evidence-sized) shared rows —
+    # never a count() window over the full posting stream, which
+    # shuffled + sorted every corpus posting and forced a second
+    # staged materialization. The only window allowed anywhere in the
+    # plan is exploded_shingles' per-doc lead() inside the cached
+    # build; the consuming lineage must carry no Window at all.
+    from las_vpe_platform_spark.queries import CATALOG
+
+    plan = _plan(CATALOG["q142_pair_evidence"][0](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan, "postings must be staged"
+    assert "windowspecdefinition(shingle" not in plan, (
+        "doc-frequency regressed to a corpus-posting window"
+    )
+    outside = outside_cached_plans(plan)
+    assert "Window" not in outside, (
+        "a window ran in the consuming lineage (outside the staged "
+        "shingle build)"
+    )
+
+
 def test_q108_topk_is_take_ordered(spark, sf_dir):
     # the global trigram top-k must be TakeOrderedAndProject (per-
     # partition heaps + driver merge), never a single-partition sort;
