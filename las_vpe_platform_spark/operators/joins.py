@@ -266,7 +266,9 @@ def _blocked_candidates(
     n_probes = p.count()
     n_gallery = g.count()
     if n_gallery == 0:
-        return spark.createDataFrame([], cand_schema)
+        from las_vpe_platform_spark.sources.tables import inline_rows
+
+        return inline_rows(spark, [], cand_schema)
     p_blocks = max(1, math.ceil(n_probes / PROBE_BLOCK_ROWS))
     g_blocks = max(
         spark.sparkContext.defaultParallelism,
@@ -378,7 +380,9 @@ def _stream_matmul_topk(
     p_sel = probes.select(*p_cols)
     p_rows = p_sel.limit(probe_broadcast_max + 1).collect()
     if not p_rows:
-        empty = spark.createDataFrame([], cand_schema)
+        from las_vpe_platform_spark.sources.tables import inline_rows
+
+        empty = inline_rows(spark, [], cand_schema)
         return empty.withColumn("rank", F.lit(1)).filter(F.lit(False))
     if len(p_rows) > probe_broadcast_max:
         # above the broadcast contract: corpus-sized probe set — the

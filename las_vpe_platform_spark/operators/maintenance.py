@@ -216,7 +216,10 @@ def table_stats(spark: SparkSession, table_dir: str) -> DataFrame:
             if f.endswith(".parquet"):
                 p = os.path.join(root, f)
                 rows.append((p, os.path.getsize(p)))
-    return spark.createDataFrame(rows, "path string, bytes long").agg(
+    from las_vpe_platform_spark.sources.tables import inline_rows
+
+    # zero-task LocalRelation, not a per-core Python RDD (r13, guide §4)
+    return inline_rows(spark, rows, "path string, bytes long").agg(
         F.count(F.lit(1)).alias("n_files"),
         F.sum("bytes").alias("total_bytes"),
         F.avg("bytes").alias("avg_bytes"),

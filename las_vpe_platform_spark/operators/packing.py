@@ -126,8 +126,16 @@ def global_ranks(
 
     from pyspark.sql import types as T
 
-    npart = max(2, df.sparkSession.sparkContext.defaultParallelism)
-    parted = df.repartitionByRange(npart, *order_cols).sortWithinPartitions(
+    # no explicit partition count (r13, guide §2.5 — scale-adaptive
+    # partitioning): a pinned defaultParallelism fanned the Arrow
+    # position pass into one python-worker task PER CORE even for a
+    # few-thousand-row rank table (~0.25 CPU-s of worker round-trip
+    # each, measured), while the count-free form lets AQE coalesce the
+    # range shuffle to the data's size and a cluster size it via
+    # spark.sql.shuffle.partitions. Local position + partition offset
+    # telescopes to the same global rank under ANY partition count
+    # (the operator's documented contract), so results are unchanged.
+    parted = df.repartitionByRange(*order_cols).sortWithinPartitions(
         *order_cols
     )
     out_schema = T.StructType(
@@ -211,8 +219,11 @@ def pack_sequences(
         ord_expr.alias("_ord"),
         F.col(n_tokens_col).cast("bigint").alias("n"),
     ).filter(F.col("n") > 0)
-    npart = max(2, d.sparkSession.sparkContext.defaultParallelism)
-    parted = d.repartitionByRange(npart, "_ord", id_col).sortWithinPartitions(
+    # count-free range repartition (r13, guide §2.5): AQE coalesces
+    # the prefix pass to the data's size instead of one python-worker
+    # task per core; prefix telescoping is partition-count-independent
+    # (see global_ranks) so the output is bit-identical
+    parted = d.repartitionByRange("_ord", id_col).sortWithinPartitions(
         "_ord", id_col
     )
 

@@ -99,7 +99,13 @@ def balanced_sample(
             strata_col, (F.min("_n").over(w_all) / F.col("_n")).alias("_rate")
         )
     else:
-        weights = df.sparkSession.createDataFrame(
+        from las_vpe_platform_spark.sources.tables import inline_rows
+
+        # literal weights as a zero-task LocalRelation, not a Python
+        # RDD: createDataFrame(list) scheduled one python-worker
+        # round-trip per core per evaluation (r13, guide §4)
+        weights = inline_rows(
+            df.sparkSession,
             [(s, float(w)) for s, w in sorted(target.items())],
             f"{strata_col} string, _w double",
         )

@@ -4463,32 +4463,64 @@ PCA_ITERS = 8
 
 def q114_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
-    e1 = emb.select(
-        F.posexplode("embedding").alias("i", "xi"), F.col("embedding")
+    d = PCA_DIM
+
+    # r13 (guide §4.2 — hand whole batches to vectorized native code):
+    # the r12 form double-posexploded every vector into its n x d(d+1)/2
+    # upper-triangle pairs (4M codegen'd Generate rows + slice allocs
+    # at sf0.1, n x 2080 rows of hash-aggregate input at any scale) to
+    # compute what is ONE BLAS call per Arrow batch: the partial
+    # Gramian S += X^T X. Emitting the same (i, j, s_ij, m_j, n)
+    # partial rows per PARTITION (2,080 rows each) keeps the grouped
+    # merge + driver collect identical while the per-row explode work
+    # disappears; measured process-tree CPU for the whole entry drops
+    # ~10x. Float note: partial sums reassociate exactly like the old
+    # map-side hash-agg partials did (different order, same 1e-13-vs-
+    # 1e-6-rounding argument documented above).
+    iu_rows = (d * (d + 1)) // 2
+
+    def _gram(batches):
+        import numpy as np
+        import pandas as pd
+
+        S = np.zeros((d, d), dtype=np.float64)
+        m = np.zeros(d, dtype=np.float64)
+        n = 0
+        for pdf in batches:
+            X = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]],
+                dtype=np.float64,
+            )
+            if len(X):
+                S += X.T @ X
+                m += X.sum(axis=0)
+                n += len(X)
+        iu = np.triu_indices(d)
+        yield pd.DataFrame(
+            {
+                "i": iu[0].astype("int32"),
+                "j": iu[1].astype("int32"),
+                "s_ij": S[iu],
+                "m_j": m[iu[1]],
+                "n": np.full(iu_rows, n, dtype=np.int64),
+            }
+        )
+
+    parts = emb.select("embedding").mapInPandas(
+        _gram, "i int, j int, s_ij double, m_j double, n long"
     )
-    # S is symmetric: explode only the j >= i suffix (slice), halving
-    # the d² blowup; the missing triangle is mirrored after collect
-    e2 = e1.select(
-        "i", F.col("xi").cast("double").alias("xi"),
-        F.posexplode(
-            F.expr(f"slice(embedding, i + 1, {PCA_DIM} - i)")
-        ).alias("j0", "xj"),
-    ).select(
-        "i", "xi", (F.col("i") + F.col("j0")).alias("j"),
-        F.col("xj").cast("double").alias("xj"),
-    )
-    # ONE aggregate: S_ij (j >= i), plus sum(xj) per (i,j) whose i=0
-    # slice spans ALL j (the mean numerator) and whose (0,0) count is n
+    # ONE grouped merge of the constant-size per-partition partials:
+    # S_ij (j >= i), plus sum(xj) per (i,j) whose i=0 slice spans ALL j
+    # (the mean numerator) and whose (0,0) count is n
     s_rows = (
-        e2.groupBy("i", "j")
+        parts.groupBy("i", "j")
         .agg(
-            F.sum(F.col("xi") * F.col("xj")).alias("s_ij"),
-            F.sum("xj").alias("m_j"),
-            F.count(F.lit(1)).alias("n"),
+            F.sum("s_ij").alias("s_ij"),
+            F.sum("m_j").alias("m_j"),
+            F.sum("n").alias("n"),
         )
         .collect()
     )
-    d = PCA_DIM
     n = next(r["n"] for r in s_rows if r["i"] == 0 and r["j"] == 0)
     mu = [0.0] * d
     for r in s_rows:
@@ -4523,7 +4555,13 @@ def q114_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     def r6(x: float) -> float:
         return math.floor(x * 1000000.0 + 0.5) / 1000000.0
 
-    return spark.createDataFrame(
+    from las_vpe_platform_spark.sources.tables import inline_rows
+
+    # zero-task LocalRelation for the 64-row result (r13, guide §4):
+    # createDataFrame(list) scheduled 32 python-worker round-trips
+    # per noop execution of this frame
+    return inline_rows(
+        spark,
         [(i + 1, r6(v[i]), r6(lam)) for i in range(d)],
         "dim_idx bigint, loading double, eigenvalue double",
     )
@@ -9757,8 +9795,11 @@ def q178_context_size_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no _stage: packed is consumed exactly once (the crossJoin into
     # one aggregate) — a persist would be a pure corpus-sized write
     packed = pack_sequences(toks, id_col="doc_id", n_tokens_col="n_toks")
-    sizes = spark.createDataFrame(
-        [(int(b),) for b in Q178_CTX_SIZES], "ctx bigint"
+    from las_vpe_platform_spark.sources.tables import inline_rows
+
+    # zero-task LocalRelation, not a per-core Python RDD (r13, guide §4)
+    sizes = inline_rows(
+        spark, [(int(b),) for b in Q178_CTX_SIZES], "ctx bigint"
     )
     x = packed.crossJoin(F.broadcast(sizes)).selectExpr(
         "ctx",

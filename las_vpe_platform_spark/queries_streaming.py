@@ -1578,8 +1578,12 @@ def s21_stream_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents",
         )
         if state["path"] is None:
-            stored = spark.createDataFrame(
-                [], "user_id long, n long, total double"
+            from las_vpe_platform_spark.sources.tables import inline_rows
+
+            # zero-task empty LocalRelation (r13, guide §4): the RDD
+            # form scheduled a python round-trip per core per batch
+            stored = inline_rows(
+                spark, [], "user_id long, n long, total double"
             )
         else:
             stored = spark.read.parquet(state["path"])

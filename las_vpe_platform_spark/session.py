@@ -172,6 +172,19 @@ def get_spark(app_name: str = "las_vpe_platform_spark", cpus: int | None = None)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # r13 (guide §2.5 — scale-adaptive partitioning): let AQE
+        # re-optimize INSIDE persisted plans too. The staging contract
+        # persists multi-consumer subtrees (operators/staging.py), and
+        # with this off (the Spark default, kept for consumers that
+        # depend on a cached plan's outputPartitioning — nothing here
+        # does) every cached subtree keeps its full pre-AQE partition
+        # fan-out: measured on q127, the staged rank table's Arrow
+        # position pass ran one python-worker task per shuffle
+        # partition (~0.25 CPU-s each) for a few-thousand-row frame.
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # single-JVM local mode hosts driver + all executor threads in

@@ -64,3 +64,41 @@ def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFra
         )
         df = df.withColumn("ts", ntz)
     return df
+
+
+def inline_rows(spark: SparkSession, rows, ddl) -> DataFrame:
+    """Small literal DataFrame as a zero-task LocalRelation scan.
+
+    ``spark.createDataFrame(python_list, ddl)`` compiles to
+    ``applySchemaToPythonRDD`` — a Python RDD parallelized over
+    ``defaultParallelism`` partitions, so every evaluation of the frame
+    schedules one Python-worker round-trip PER CORE (r13, guide §4:
+    measured ~1.5 s wall + ~8 CPU-s of worker handshakes per execution
+    for a 3-ROW table on local[32]; under hypervisor contention those
+    serialized handshakes inflate multi-x, which is exactly the
+    q54/q114/q178 driver-run pathology). This builder keeps the same
+    rows/types/nullability as a pure JVM expression —
+    ``inline(array(structs))`` over OneRowRelation, whole-stage
+    codegen, ZERO tasks and ZERO Python — so literal dimension tables
+    cost what they should: nothing.
+
+    ``ddl`` is a DDL string or a StructType. Values must be plain
+    Python scalars (str/int/float/bool/None). The array-level cast
+    (not per-field) reproduces createDataFrame's all-nullable schema
+    bit-for-bit. Intended for SMALL literal tables (the expression
+    tree is driver-built per row); callers with >~1k rows should land
+    parquet instead.
+    """
+    schema = T.StructType.fromDDL(ddl) if isinstance(ddl, str) else ddl
+    one = spark.sql("SELECT 1")
+    if not rows:
+        return one.select(
+            F.inline(F.array().cast(T.ArrayType(schema)))
+        )
+    structs = [
+        F.struct(
+            *[F.lit(v).alias(f.name) for v, f in zip(r, schema.fields)]
+        )
+        for r in rows
+    ]
+    return one.select(F.inline(F.array(*structs).cast(T.ArrayType(schema))))

@@ -71,8 +71,12 @@ class CommandHandler:
                 valid.append((cmd, row["video_url"]))
         if not valid:
             return
-        cmd_df = batch.sparkSession.createDataFrame(
-            valid, "command string, video_url string"
+        from las_vpe_platform_spark.sources.tables import inline_rows
+
+        # zero-task LocalRelation per micro-batch (r13, guide §4): the
+        # RDD form scheduled a python round-trip per core per batch
+        cmd_df = inline_rows(
+            batch.sparkSession, valid, "command string, video_url string"
         )
         matches = (
             self.videos.select("url")

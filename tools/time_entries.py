@@ -36,6 +36,7 @@ def main() -> None:
     ap.add_argument("names", nargs="+")
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--plan-suffix", default=None)
+    ap.add_argument("--plans-round", default="r13")
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args()
 
@@ -51,7 +52,7 @@ def main() -> None:
     cores = spark.sparkContext.defaultParallelism
     spark.range(cores).repartition(cores).mapInPandas(lambda it: it, "id long").count()
 
-    plans_dir = Path(_REPO) / "plans" / "r12"
+    plans_dir = Path(_REPO) / "plans" / args.plans_round
     if args.plan_suffix:
         plans_dir.mkdir(parents=True, exist_ok=True)
 
